@@ -1,0 +1,420 @@
+"""Graph catalog: graphs, groups (vertex/edge tables), schema management.
+
+Reference mapping (webbery/GQLite):
+- Graph instance = one mdbx file (StorageEngine.cpp:132-181) → here: a named
+  collection of Spark DataFrames + a JSON schema doc, optionally persisted as
+  one Parquet dataset per group under ``<root>/<graph>/``.
+- Group = one mdbx KV map (StorageEngine.cpp:278-286) → one DataFrame with a
+  typed ``id`` column (vertex) or ``src``/``dst``/``directed`` columns (edge)
+  plus per-property typed columns.
+- Key type fixed on first write (tryInitKeyType, StorageEngine.cpp:338-342);
+  mismatches raise with the reference's error text.
+- Property kinds inferred on first write (tryInitAttributeType,
+  StorageEngine.cpp:344-381) — string/integer/number/datetime/binary/vector/
+  object, mapped to Spark types.
+
+Two write paths, both deterministic:
+- OLTP-style GQL upserts accumulate into a per-group Python dict (last-writer
+  -wins per key, matching mdbx put-overwrite semantics) and materialize into
+  a DataFrame lazily — one Spark job per *query*, not per upsert.
+- Bulk loads (``register_vertex_df`` / ``register_edge_df``) attach an
+  existing DataFrame (e.g. a 100 TB Parquet scan) as a group without copying;
+  GQL queries then plan directly against it.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+from dataclasses import dataclass, field
+from typing import Any, Optional
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from .errors import (GQLiteError, GraphNotExistError, GroupNotExistError,
+                     KeyTypeMismatchError)
+from .gql.ast import BinaryLit, DatetimeLit, GeohashLit
+
+# property kinds (AttributeKind parity, include/base/type.h:46-53)
+K_STRING, K_INTEGER, K_NUMBER, K_DATETIME, K_BINARY, K_VECTOR, K_OBJECT = (
+    "string", "integer", "number", "datetime", "binary", "vector", "object")
+
+_KIND_SPARK = {
+    K_STRING: T.StringType(),
+    K_INTEGER: T.LongType(),
+    K_NUMBER: T.DoubleType(),
+    K_DATETIME: T.DoubleType(),   # epoch seconds; formatted as 0d<epoch>
+    K_BINARY: T.BinaryType(),
+    K_VECTOR: T.ArrayType(T.DoubleType()),
+    K_OBJECT: T.StringType(),     # JSON-encoded
+}
+
+
+def infer_kind(value: Any) -> str:
+    if isinstance(value, DatetimeLit):
+        return K_DATETIME
+    if isinstance(value, BinaryLit):
+        return K_BINARY
+    if isinstance(value, GeohashLit):
+        return K_STRING
+    if isinstance(value, bool):
+        return K_INTEGER
+    if isinstance(value, int):
+        return K_INTEGER
+    if isinstance(value, float):
+        return K_NUMBER
+    if isinstance(value, str):
+        return K_STRING
+    if isinstance(value, bytes):
+        return K_BINARY
+    if isinstance(value, list):
+        if all(isinstance(x, (int, float)) and not isinstance(x, bool) for x in value):
+            return K_VECTOR
+        return K_OBJECT
+    if isinstance(value, dict):
+        return K_OBJECT
+    return K_STRING
+
+
+def _to_storage(value: Any, kind: str) -> Any:
+    """Normalize a parsed literal to its storage representation."""
+    if value is None:
+        return None
+    if kind == K_DATETIME:
+        return float(value.epoch) if isinstance(value, DatetimeLit) else float(value)
+    if kind == K_BINARY:
+        return bytes(value.data) if isinstance(value, BinaryLit) else bytes(value)
+    if kind == K_VECTOR:
+        return [float(x) for x in value]
+    if kind == K_NUMBER:
+        return float(value)
+    if kind == K_INTEGER:
+        return int(value)
+    if kind == K_OBJECT:
+        return value if isinstance(value, str) else json.dumps(value, sort_keys=True)
+    if kind == K_STRING:
+        return value.hash if isinstance(value, GeohashLit) else str(value)
+    return value
+
+
+@dataclass
+class GroupMeta:
+    name: str
+    is_edge: bool = False
+    key_type: Optional[str] = None            # 'integer' | 'string'
+    props: dict[str, str] = field(default_factory=dict)  # name → kind
+    declared_props: list[str] = field(default_factory=list)
+    indexes: list[str] = field(default_factory=list)
+    src_group: Optional[str] = None
+    dst_group: Optional[str] = None
+
+    def to_json(self) -> dict:
+        return {
+            "name": self.name, "is_edge": self.is_edge,
+            "key_type": self.key_type, "props": self.props,
+            "declared_props": self.declared_props, "indexes": self.indexes,
+            "src_group": self.src_group, "dst_group": self.dst_group,
+        }
+
+    @staticmethod
+    def from_json(d: dict) -> "GroupMeta":
+        return GroupMeta(**d)
+
+
+class Group:
+    """One vertex or edge table.
+
+    ``rows`` mode: dict keyed by id (vertex) or (src, direction, dst) (edge)
+    → props dict; insertion-order-independent, last-writer-wins.
+    ``df`` mode: a registered bulk DataFrame (may coexist with local rows:
+    queries see ``df ∪ rows`` with rows winning on key collisions).
+    """
+
+    def __init__(self, spark: SparkSession, meta: GroupMeta):
+        self.spark = spark
+        self.meta = meta
+        self.rows: dict[Any, dict] = {}
+        self.bulk_df: Optional[DataFrame] = None
+        self._mat_cache: Optional[DataFrame] = None
+
+    # ------------------------------------------------------------ mutation
+    def _check_key(self, key: Any) -> Any:
+        if isinstance(key, (DatetimeLit, BinaryLit, GeohashLit)):
+            raise GQLiteError(f"unsupported key literal {key!r}")
+        kt = "integer" if isinstance(key, int) else "string"
+        if self.meta.key_type is None:
+            self.meta.key_type = kt
+        elif self.meta.key_type != kt:
+            raise KeyTypeMismatchError(kt, self.meta.key_type)
+        return key
+
+    def _merge_props(self, props: Optional[dict]) -> Optional[dict]:
+        if props is None:
+            return None
+        out = {}
+        for k, v in props.items():
+            kind = infer_kind(v)
+            prev = self.meta.props.get(k)
+            if prev is None:
+                self.meta.props[k] = kind
+            elif prev != kind:
+                # numeric widening only (int ↔ number); else keep first kind
+                if {prev, kind} == {K_INTEGER, K_NUMBER}:
+                    self.meta.props[k] = K_NUMBER
+                    kind = K_NUMBER
+                else:
+                    kind = prev
+            out[k] = _to_storage(v, self.meta.props.get(k, kind))
+        return out
+
+    def upsert_vertex(self, key: Any, props: Optional[dict]) -> None:
+        """Insert-or-replace (mdbx put-overwrite parity, StorageEngine.cpp:
+        446-467): a re-upsert replaces the whole property object.  Partial
+        merge is the ``property:`` update statement, not vertex upsert."""
+        key = self._check_key(key)
+        self.rows[key] = self._merge_props(props)
+        self._invalidate()
+
+    def update_props(self, key: Any, props: dict) -> None:
+        """Merge new properties into an existing row (UpsetPlan.cpp:48-86)."""
+        stored = self._merge_props(props) or {}
+        merged = dict(self.rows.get(key) or {})
+        merged.update(stored)
+        self.rows[key] = merged
+        self._invalidate()
+
+    def upsert_edge(self, src: Any, direction: str, dst: Any,
+                    props: Optional[dict]) -> None:
+        # '<-' normalizes to '->' with swapped endpoints (gutil.cpp:198-229
+        # packs direction into the edge key; we keep a directed flag instead)
+        if direction == "<-":
+            src, dst = dst, src
+            direction = "->"
+        ekey = (src, direction, dst)
+        self.rows[ekey] = self._merge_props(props)
+        self._invalidate()
+
+    def delete_keys(self, keys: list) -> None:
+        for k in keys:
+            self.rows.pop(k, None)
+        if self.bulk_df is not None and keys:
+            idc = "id" if not self.meta.is_edge else None
+            if idc:
+                self.bulk_df = self.bulk_df.filter(~F.col(idc).isin(keys))
+            else:
+                self.bulk_df = self.bulk_df.filter(
+                    ~F.struct("src", "direction", "dst").isin(
+                        [F.struct(F.lit(a), F.lit(b), F.lit(c)) for a, b, c in keys]))
+        self._invalidate()
+
+    def _invalidate(self) -> None:
+        self._mat_cache = None
+
+    # ------------------------------------------------------------- loading
+    def register_df(self, df: DataFrame, key_col: str = "id",
+                    src_col: str = "src", dst_col: str = "dst") -> None:
+        """Attach a bulk DataFrame as this group's data (zero-copy)."""
+        if self.meta.is_edge:
+            cols = [F.col(src_col).alias("src"), F.col(dst_col).alias("dst")]
+            if "direction" in df.columns:
+                cols.append(F.col("direction"))
+            else:
+                cols.append(F.lit("->").alias("direction"))
+            rest = [c for c in df.columns
+                    if c not in (src_col, dst_col, "direction")]
+            self.bulk_df = df.select(*cols, *rest)
+            for c in rest:
+                self.meta.props.setdefault(c, _kind_of_spark_type(df.schema[c].dataType))
+        else:
+            rest = [c for c in df.columns if c != key_col]
+            self.bulk_df = df.select(F.col(key_col).alias("id"), *rest)
+            kt = df.schema[key_col].dataType
+            self.meta.key_type = ("integer"
+                                  if isinstance(kt, (T.LongType, T.IntegerType))
+                                  else "string")
+            for c in rest:
+                self.meta.props.setdefault(c, _kind_of_spark_type(df.schema[c].dataType))
+        self._invalidate()
+
+    # -------------------------------------------------------- materialize
+    def schema_struct(self) -> T.StructType:
+        fields = []
+        if self.meta.is_edge:
+            kt = _KIND_SPARK[K_INTEGER] if self.meta.key_type == "integer" else T.StringType()
+            fields += [T.StructField("src", kt), T.StructField("dst", kt),
+                       T.StructField("direction", T.StringType())]
+        else:
+            kt = _KIND_SPARK[K_INTEGER] if self.meta.key_type == "integer" else T.StringType()
+            fields.append(T.StructField("id", kt))
+        for p in sorted(self.meta.props):
+            fields.append(T.StructField(p, _KIND_SPARK[self.meta.props[p]]))
+        return T.StructType(fields)
+
+    def to_df(self) -> DataFrame:
+        """Materialize the group as a DataFrame (cached until mutation)."""
+        if self._mat_cache is not None:
+            return self._mat_cache
+        schema = self.schema_struct()
+        prop_names = sorted(self.meta.props)
+        data = []
+        for key, props in self.rows.items():
+            props = props or {}
+            if self.meta.is_edge:
+                base = [key[0], key[2], key[1]]
+            else:
+                base = [key]
+            data.append(tuple(base + [props.get(p) for p in prop_names]))
+        local = self.spark.createDataFrame(data, schema) if (
+            data or self.bulk_df is None) else None
+        if self.bulk_df is not None:
+            bulk = self.bulk_df
+            for p in prop_names:  # schema-align bulk with accreted props
+                if p not in bulk.columns:
+                    bulk = bulk.withColumn(p, F.lit(None).cast(_KIND_SPARK[self.meta.props[p]]))
+            bulk = bulk.select([f.name for f in schema.fields])
+            if local is not None and data:
+                # local rows win over bulk on key collision (LWW)
+                keycols = ["src", "dst", "direction"] if self.meta.is_edge else ["id"]
+                bulk = bulk.join(local.select(keycols), keycols, "left_anti")
+                df = bulk.unionByName(local)
+            else:
+                df = bulk
+        else:
+            df = local
+        self._mat_cache = df
+        return df
+
+
+def _kind_of_spark_type(dt: T.DataType) -> str:
+    if isinstance(dt, (T.LongType, T.IntegerType, T.ShortType, T.ByteType)):
+        return K_INTEGER
+    if isinstance(dt, (T.DoubleType, T.FloatType, T.DecimalType)):
+        return K_NUMBER
+    if isinstance(dt, T.TimestampType):
+        return K_DATETIME
+    if isinstance(dt, T.BinaryType):
+        return K_BINARY
+    if isinstance(dt, T.ArrayType):
+        return K_VECTOR
+    return K_STRING
+
+
+class Graph:
+    def __init__(self, spark: SparkSession, name: str):
+        self.spark = spark
+        self.name = name
+        self.groups: dict[str, Group] = {}
+
+    def create_group(self, name: str, is_edge: bool = False,
+                     declared_props: Optional[list[str]] = None,
+                     indexes: Optional[list[str]] = None,
+                     src_group: Optional[str] = None,
+                     dst_group: Optional[str] = None) -> Group:
+        meta = GroupMeta(name=name, is_edge=is_edge,
+                         declared_props=declared_props or [],
+                         indexes=indexes or [],
+                         src_group=src_group, dst_group=dst_group)
+        g = Group(self.spark, meta)
+        self.groups[name] = g
+        return g
+
+    def group(self, name: str) -> Group:
+        if name not in self.groups:
+            raise GroupNotExistError(name)
+        return self.groups[name]
+
+    def edge_groups_touching(self, vertex_group: str) -> list[Group]:
+        """Edge groups whose schema connects to ``vertex_group``
+        (getRelations parity, StorageEngine.cpp:325-336)."""
+        return [g for g in self.groups.values()
+                if g.meta.is_edge and vertex_group in (g.meta.src_group,
+                                                       g.meta.dst_group)]
+
+    def schema_json(self) -> dict:
+        """Schema doc (shape mirrors StorageEngine.h:154-166)."""
+        return {
+            "name": self.name,
+            "version": 1,
+            "classes": {n: g.meta.to_json() for n, g in self.groups.items()},
+        }
+
+    # ---------------------------------------------------------- persistence
+    def save(self, root: str) -> None:
+        path = os.path.join(root, self.name)
+        os.makedirs(path, exist_ok=True)
+        with open(os.path.join(path, "_schema.json"), "w") as f:
+            json.dump(self.schema_json(), f, indent=1, sort_keys=True)
+        for name, g in self.groups.items():
+            df = g.to_df()
+            if df is not None:
+                df.write.mode("overwrite").parquet(os.path.join(path, name + ".parquet"))
+
+    @staticmethod
+    def load(spark: SparkSession, root: str, name: str) -> "Graph":
+        path = os.path.join(root, name)
+        sfile = os.path.join(path, "_schema.json")
+        if not os.path.exists(sfile):
+            raise GraphNotExistError(name)
+        with open(sfile) as f:
+            doc = json.load(f)
+        gr = Graph(spark, name)
+        for gname, meta_json in doc["classes"].items():
+            meta = GroupMeta.from_json(meta_json)
+            g = Group(spark, meta)
+            pq = os.path.join(path, gname + ".parquet")
+            if os.path.exists(pq):
+                g.bulk_df = spark.read.parquet(pq)
+            gr.groups[gname] = g
+        return gr
+
+
+class Catalog:
+    """Session catalog of graphs (replaces GVirtualEngine session state)."""
+
+    def __init__(self, spark: SparkSession, root: Optional[str] = None):
+        self.spark = spark
+        self.root = root
+        self.graphs: dict[str, Graph] = {}
+
+    def create_graph(self, name: str) -> Graph:
+        if name in self.graphs:
+            return self.graphs[name]
+        g = Graph(self.spark, name)
+        self.graphs[name] = g
+        return g
+
+    def graph(self, name: str) -> Graph:
+        if name not in self.graphs:
+            if self.root:
+                try:
+                    self.graphs[name] = Graph.load(self.spark, self.root, name)
+                    return self.graphs[name]
+                except GraphNotExistError:
+                    pass
+            raise GraphNotExistError(name)
+        return self.graphs[name]
+
+    def has_graph(self, name: str) -> bool:
+        try:
+            self.graph(name)
+            return True
+        except GraphNotExistError:
+            return False
+
+    def drop_graph(self, name: str) -> None:
+        self.graphs.pop(name, None)
+        if self.root:
+            path = os.path.join(self.root, name)
+            if os.path.exists(path):
+                shutil.rmtree(path)
+
+    def list_graphs(self) -> list[str]:
+        names = set(self.graphs)
+        if self.root and os.path.isdir(self.root):
+            for d in os.listdir(self.root):
+                if os.path.exists(os.path.join(self.root, d, "_schema.json")):
+                    names.add(d)
+        return sorted(names)

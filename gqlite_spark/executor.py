@@ -1,0 +1,476 @@
+"""Statement executor: AST → catalog mutations / DataFrame results.
+
+Statement dispatch mirrors the reference's plan mapping
+(GVirtualEngine::makePlans, src/VirtualEngine.cpp:172-238):
+UpsetStmt→upsert, CreateStmt/DropStmt/DumpStmt→utility, QueryStmt→scan plan,
+RemoveStmt→delete(+cascade) — but with a clean parse→plan→execute split
+instead of the reference's execute-inside-parser coupling (gql.y:152-156),
+and DataFrames instead of a row callback.
+"""
+
+from __future__ import annotations
+
+import base64
+from dataclasses import dataclass, field
+from typing import Any, Optional
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from . import beautify
+from .catalog import (K_BINARY, K_DATETIME, K_VECTOR, Catalog, Graph, Group)
+from .errors import (GQLiteError, GQLParseError, GraphNotExistError,
+                     GroupNotExistError)
+from .gql import parser as gql_parser
+from .gql.ast import (AstStmt, CallExpr, CreateStmt, DropStmt, DumpStmt,
+                      ImportStmt, MemberRef, Pred, ProfileStmt, QueryStmt,
+                      RemoveEdgeStmt, RemoveVertexStmt, ShowGraphStmt,
+                      UpsetEdgeStmt, UpsetPropertyStmt, UpsetVertexStmt,
+                      WalkPattern)
+from .planner import (PredicateCompiler, apply_knn, key_literal,
+                      order_for_group, pattern_filter)
+
+
+@dataclass
+class StatementResult:
+    status: str                       # e.g. "UPSET SUCCESS", "QUERY SUCCESS"
+    rows: list[str] = field(default_factory=list)   # beautified output rows
+    df: Optional[DataFrame] = None
+    error: Optional[str] = None
+    value: Any = None                 # scalar results (count, schema json...)
+
+
+class GQLite:
+    """Public engine API.
+
+    >>> db = GQLite(spark)
+    >>> db.exec("{create: 'g', group: ['person']};")
+    >>> db.exec("{upset: 'person', vertex: [[1, {name: 'ann'}]]};")
+    >>> db.exec("{query: 'person', in: 'g'};")[0].rows
+    """
+
+    def __init__(self, spark: SparkSession, root: Optional[str] = None):
+        self.spark = spark
+        self.catalog = Catalog(spark, root)
+        self.current_graph: Optional[str] = None
+
+    # ------------------------------------------------------------------ API
+    def exec(self, gql: str) -> list[StatementResult]:
+        try:
+            stmts = gql_parser.parse(gql)
+        except GQLParseError as e:
+            return [StatementResult(status="ERROR", error=str(e))]
+        out = []
+        for stmt in stmts:
+            try:
+                out.append(self._dispatch(stmt))
+            except GQLiteError as e:
+                out.append(StatementResult(status="ERROR", error=str(e)))
+        return out
+
+    def query_df(self, gql: str) -> DataFrame:
+        """Run a single query statement, return the result DataFrame."""
+        res = self.exec(gql)
+        if len(res) != 1 or res[0].error:
+            raise GQLiteError(res[0].error if res else "no statement")
+        if res[0].df is None:
+            raise GQLiteError("statement produced no DataFrame")
+        return res[0].df
+
+    # ------------------------------------------------------------ dispatch
+    def _dispatch(self, stmt: Any) -> StatementResult:
+        if isinstance(stmt, CreateStmt):
+            return self._create(stmt)
+        if isinstance(stmt, UpsetVertexStmt):
+            return self._upsert_vertex(stmt)
+        if isinstance(stmt, UpsetEdgeStmt):
+            return self._upsert_edge(stmt)
+        if isinstance(stmt, UpsetPropertyStmt):
+            return self._upsert_property(stmt)
+        if isinstance(stmt, QueryStmt):
+            return self._query(stmt)
+        if isinstance(stmt, RemoveVertexStmt):
+            return self._remove_vertex(stmt)
+        if isinstance(stmt, RemoveEdgeStmt):
+            return self._remove_edge(stmt)
+        if isinstance(stmt, DropStmt):
+            self.catalog.drop_graph(stmt.graph)
+            if self.current_graph == stmt.graph:
+                self.current_graph = None
+            return StatementResult(status="DROP SUCCESS")
+        if isinstance(stmt, DumpStmt):
+            script = self.dump(stmt.graph)
+            return StatementResult(status="EXECUTE COMMAND SUCCESS",
+                                   rows=script.splitlines(), value=script)
+        if isinstance(stmt, ShowGraphStmt):
+            if stmt.graph:
+                g = self.catalog.graph(stmt.graph)
+                return StatementResult(status="EXECUTE COMMAND SUCCESS",
+                                       value=g.schema_json())
+            return StatementResult(status="EXECUTE COMMAND SUCCESS",
+                                   value=self.catalog.list_graphs())
+        if isinstance(stmt, AstStmt):
+            return StatementResult(status="EXECUTE COMMAND SUCCESS",
+                                   value=stmt.inner)
+        if isinstance(stmt, ProfileStmt):
+            res = self._dispatch(stmt.inner)
+            if res.df is not None:
+                res.value = res.df._jdf.queryExecution().explainString(
+                    res.df._sc._jvm.org.apache.spark.sql.execution
+                    .ExplainMode.fromString("formatted"))
+            return res
+        if isinstance(stmt, ImportStmt):
+            raise GQLiteError("import: use sources.load_* APIs")
+        raise GQLiteError(f"unsupported statement {type(stmt).__name__}")
+
+    # ------------------------------------------------------------- helpers
+    def _graph(self, name: Optional[str]) -> Graph:
+        gname = name or self.current_graph
+        if gname is None:
+            raise GraphNotExistError("(none)")
+        g = self.catalog.graph(gname)
+        self.current_graph = gname
+        return g
+
+    def _mutable_graph(self, group: str) -> tuple[Graph, Group]:
+        """Find the graph owning ``group`` (GQL upserts name only the group;
+        session state supplies the graph, VirtualEngine session parity)."""
+        if self.current_graph and self.catalog.has_graph(self.current_graph):
+            g = self.catalog.graph(self.current_graph)
+            if group in g.groups:
+                return g, g.groups[group]
+        for g in self.catalog.graphs.values():
+            if group in g.groups:
+                return g, g.groups[group]
+        raise GroupNotExistError(group)
+
+    # ------------------------------------------------------------ mutations
+    def _create(self, stmt: CreateStmt) -> StatementResult:
+        g = self.catalog.create_graph(stmt.graph)
+        self.current_graph = stmt.graph
+        for gd in stmt.groups:
+            g.create_group(gd.name, is_edge=gd.is_edge,
+                           declared_props=gd.props, indexes=gd.index,
+                           src_group=gd.src_group, dst_group=gd.dst_group)
+        return StatementResult(status="CREATE SUCCESS")
+
+    def _upsert_vertex(self, stmt: UpsetVertexStmt) -> StatementResult:
+        _, grp = self._mutable_graph(stmt.group)
+        if grp.meta.is_edge:
+            raise GQLiteError(f"group {stmt.group} is an edge group")
+        for key, props in stmt.vertices:
+            grp.upsert_vertex(key, props)
+        return StatementResult(status="UPSET SUCCESS")
+
+    def _upsert_edge(self, stmt: UpsetEdgeStmt) -> StatementResult:
+        _, grp = self._mutable_graph(stmt.group)
+        if not grp.meta.is_edge:
+            raise GQLiteError(f"group {stmt.group} is not an edge group")
+        for src, direction, dst, props in stmt.edges:
+            grp.upsert_edge(src, direction, dst, props)
+        return StatementResult(status="UPSET SUCCESS")
+
+    def _upsert_property(self, stmt: UpsetPropertyStmt) -> StatementResult:
+        """Conditional property merge: scan → merge → write
+        (UpsetPlan.cpp:48-86 composes a scan plan as child operator)."""
+        _, grp = self._mutable_graph(stmt.group)
+        keys = self._matching_keys(grp, stmt.where)
+        for k in keys:
+            grp.update_props(k, stmt.props)
+        return StatementResult(status="UPSET SUCCESS")
+
+    def _matching_keys(self, grp: Group, where: Any) -> list:
+        if where is None:
+            return list(grp.rows)
+        df = grp.to_df()
+        if df is None:
+            return []
+        if isinstance(where, WalkPattern):
+            cond = pattern_filter(where, grp.meta)
+            rows = df.filter(cond).select("src", "direction", "dst").collect()
+            return [(r["src"], r["direction"], r["dst"]) for r in rows]
+        comp = PredicateCompiler(grp.meta)
+        cond = comp.compile(where)
+        if grp.meta.is_edge:
+            rows = (df.filter(cond) if cond is not None else df) \
+                .select("src", "direction", "dst").collect()
+            return [(r["src"], r["direction"], r["dst"]) for r in rows]
+        rows = (df.filter(cond) if cond is not None else df).select("id").collect()
+        return [r["id"] for r in rows]
+
+    def _remove_vertex(self, stmt: RemoveVertexStmt) -> StatementResult:
+        g, grp = self._mutable_graph(stmt.group)
+        keys = self._matching_keys(grp, stmt.where)
+        grp.delete_keys(keys)
+        # cascade: delete edges touching removed vertices in related edge
+        # groups (RemovePlan.cpp:49-75 + getRelations)
+        keyset = set(keys)
+        for eg in g.edge_groups_touching(stmt.group):
+            dead = [ek for ek in eg.rows
+                    if ek[0] in keyset or ek[2] in keyset]
+            eg.delete_keys(dead)
+            if eg.bulk_df is not None and keys:
+                eg.bulk_df = eg.bulk_df.filter(
+                    ~(F.col("src").isin(keys) | F.col("dst").isin(keys)))
+                eg._invalidate()
+        return StatementResult(status="REMOVE SUCCESS")
+
+    def _remove_edge(self, stmt: RemoveEdgeStmt) -> StatementResult:
+        _, grp = self._mutable_graph(stmt.group)
+        keys = self._matching_keys(grp, stmt.pattern)
+        grp.delete_keys(keys)
+        return StatementResult(status="REMOVE SUCCESS")
+
+    # -------------------------------------------------------------- queries
+    def _query(self, stmt: QueryStmt) -> StatementResult:
+        graph = self._graph(stmt.graph)
+
+        # count(vertex) / count(edge) aggregate (README.md:190-197)
+        if isinstance(stmt.target, CallExpr) and stmt.target.func == "count":
+            return self._query_count(graph, stmt)
+
+        # k-hop neighbor query: {query: grp, from: key, where: {--: n}}
+        if (isinstance(stmt.where, Pred) and stmt.where.op == "khop") or \
+                stmt.from_key is not None:
+            return self._query_khop(graph, stmt)
+
+        group_name, projection = self._target_group(stmt.target)
+        if group_name == "*":
+            return self._query_all_groups(graph)
+        grp = graph.group(group_name)
+        df = grp.to_df()
+        if df is None:
+            return StatementResult(status="QUERY SUCCESS", rows=[], df=None)
+
+        if isinstance(stmt.where, WalkPattern):
+            return self._query_pattern(graph, grp, stmt.where)
+
+        comp = PredicateCompiler(grp.meta)
+        cond = comp.compile(stmt.where)
+        if cond is not None:
+            df = df.filter(cond)
+        if comp.knn:
+            df = apply_knn(df, comp.knn)
+            res_df = df
+            rows = self._beautify_vertices(df, grp)
+            return StatementResult(status="QUERY SUCCESS", rows=rows, df=res_df)
+        if projection:
+            cols = (["src", "dst", "direction"] if grp.meta.is_edge else ["id"])
+            df = df.select(*cols, *[p for p in projection if p in df.columns])
+        df = df.orderBy(*order_for_group(grp.meta))
+        rows = (self._beautify_edges(df, grp) if grp.meta.is_edge
+                else self._beautify_vertices(df, grp))
+        return StatementResult(status="QUERY SUCCESS", rows=rows, df=df)
+
+    def _target_group(self, target: Any) -> tuple[str, Optional[list[str]]]:
+        if isinstance(target, str):
+            return target, None
+        if isinstance(target, MemberRef):
+            return target.group, [target.prop]
+        if isinstance(target, list):
+            groups = {t.group for t in target if isinstance(t, MemberRef)}
+            if len(groups) != 1:
+                raise GQLiteError("projection must reference one group")
+            return groups.pop(), [t.prop for t in target]
+        raise GQLiteError(f"unsupported query target {target!r}")
+
+    def _query_count(self, graph: Graph, stmt: QueryStmt) -> StatementResult:
+        arg = stmt.target.args[0] if stmt.target.args else "vertex"
+        if arg in ("vertex", "edge"):
+            groups = [g for g in graph.groups.values()
+                      if g.meta.is_edge == (arg == "edge")]
+        else:
+            groups = [graph.group(arg)]
+        total = 0
+        for g in groups:
+            df = g.to_df()
+            if df is None:
+                continue
+            comp = PredicateCompiler(g.meta)
+            cond = comp.compile(stmt.where) if isinstance(stmt.where, Pred) else None
+            if cond is not None:
+                df = df.filter(cond)
+            total += df.count()
+        return StatementResult(status="QUERY SUCCESS", rows=[str(total)],
+                               value=total)
+
+    def _query_all_groups(self, graph: Graph) -> StatementResult:
+        rows: list[str] = []
+        for name in sorted(graph.groups):
+            grp = graph.groups[name]
+            df = grp.to_df()
+            if df is None:
+                continue
+            df = df.orderBy(*order_for_group(grp.meta))
+            rows += (self._beautify_edges(df, grp) if grp.meta.is_edge
+                     else self._beautify_vertices(df, grp))
+        return StatementResult(status="QUERY SUCCESS", rows=rows)
+
+    def _query_pattern(self, graph: Graph, grp: Group,
+                       pattern: WalkPattern) -> StatementResult:
+        if any(c.agg for c in pattern.conns):
+            return self._query_shortest_path(graph, grp, pattern)
+        if len(pattern.conns) == 1:
+            df = grp.to_df()
+            if df is None or not grp.meta.is_edge:
+                raise GQLiteError("edge pattern requires an edge group")
+            out = df.filter(pattern_filter(pattern, grp.meta)) \
+                    .orderBy(*order_for_group(grp.meta))
+            rows = self._beautify_edges(out, grp)
+            return StatementResult(status="QUERY SUCCESS", rows=rows, df=out)
+        # multi-hop walk: iterated self-join (reference intent, stub at
+        # ScanPlan.cpp:225-226) — see operators/patterns.py
+        from .operators.patterns import match_walk
+        out = match_walk(grp.to_df(), pattern, grp.meta)
+        rows = [str(r.asDict()) for r in out.collect()]
+        return StatementResult(status="QUERY SUCCESS", rows=rows, df=out)
+
+    def _query_shortest_path(self, graph: Graph, grp: Group,
+                             pattern: WalkPattern) -> StatementResult:
+        """``['a', <-: min('w'), 'b']`` → weighted shortest path
+        (reference surface: test/basketballplayer-2.X/query.gql:1-2; A* walker
+        include/walk/AStarWalk.h — here a Pregel-style DataFrame iteration)."""
+        from .operators.graph_algos import shortest_path
+        conn = pattern.conns[0]
+        src = pattern.nodes[0].key
+        dst = pattern.nodes[-1].key
+        weight = None
+        if conn.agg and conn.agg.args:
+            weight = conn.agg.args[0]
+        direction = conn.direction
+        edges = grp.to_df()
+        if direction == "<-":
+            src, dst = dst, src
+        src = key_literal(grp.meta, src)
+        dst = key_literal(grp.meta, dst)
+        undirected = direction == "--" or (
+            edges is not None and "direction" in edges.columns and
+            edges.filter(F.col("direction") == "--").limit(1).count() > 0)
+        res = shortest_path(edges, src, dst, weight_col=weight,
+                            undirected=undirected)
+        if res is None:
+            return StatementResult(status="QUERY SUCCESS", rows=[])
+        cost, path = res
+        cost_s = beautify._fmt_double(cost) if weight else str(int(cost))
+        return StatementResult(status="QUERY SUCCESS",
+                               rows=[f"[{cost_s}, {path}]"],
+                               value=(cost, path))
+
+    def _query_khop(self, graph: Graph, stmt: QueryStmt) -> StatementResult:
+        from .operators.graph_algos import k_hop
+        spec = stmt.where.value if isinstance(stmt.where, Pred) else {
+            "direction": "--", "hops": 1}
+        group_name, _ = self._target_group(stmt.target)
+        grp = graph.group(group_name)
+        start = stmt.from_key
+        edge_dfs = [g.to_df() for g in graph.groups.values()
+                    if g.meta.is_edge and g.to_df() is not None]
+        if not edge_dfs:
+            return StatementResult(status="QUERY SUCCESS", rows=[])
+        import functools as _ft
+        edges = _ft.reduce(lambda a, b: a.select("src", "dst", "direction")
+                           .unionByName(b.select("src", "dst", "direction")),
+                           edge_dfs)
+        reached = k_hop(edges, key_literal(grp.meta, start),
+                        int(spec["hops"]),
+                        direction=spec.get("direction", "--"))
+        df = grp.to_df()
+        out = df.join(reached.withColumnRenamed("id", "id"), "id", "inner") \
+                .orderBy(*order_for_group(grp.meta))
+        rows = self._beautify_vertices(out, grp)
+        return StatementResult(status="QUERY SUCCESS", rows=rows, df=out)
+
+    # ----------------------------------------------------------- beautify
+    def _beautify_vertices(self, df: DataFrame, grp: Group) -> list[str]:
+        prop_cols = [c for c in df.columns if c != "id"]
+        out = []
+        for r in df.collect():
+            d = r.asDict()
+            props = {k: d[k] for k in prop_cols if d.get(k) is not None}
+            out.append(beautify.vertex_row(d["id"], props, grp.meta))
+        return out
+
+    def _beautify_edges(self, df: DataFrame, grp: Group) -> list[str]:
+        prop_cols = [c for c in df.columns
+                     if c not in ("src", "dst", "direction")]
+        out = []
+        for r in df.collect():
+            d = r.asDict()
+            props = {k: d[k] for k in prop_cols if d.get(k) is not None}
+            out.append(beautify.edge_row(d["src"], d["direction"], d["dst"],
+                                         props, grp.meta))
+        return out
+
+    # ---------------------------------------------------------------- dump
+    def dump(self, graph_name: str) -> str:
+        """Emit a GQL script that recreates the graph (UtilPlan.cpp:128-205
+        parity; round-trip: dump → replay → identical tables)."""
+        g = self.catalog.graph(graph_name)
+        parts = []
+        for name in sorted(g.groups):
+            grp = g.groups[name]
+            m = grp.meta
+            if m.is_edge:
+                parts.append(f"['{m.src_group}', '{name}', '{m.dst_group}']")
+            else:
+                idx = (", index: [" + ",".join(f"'{i}'" for i in sorted(m.indexes)) + "]"
+                       if m.indexes else "")
+                parts.append(f"{{{name}: []{idx}}}")
+        lines = [f"{{create: '{graph_name}', group: [" + ",".join(parts) + "]};"]
+        for name in sorted(g.groups):
+            grp = g.groups[name]
+            if grp.meta.is_edge:
+                continue
+            df = grp.to_df()
+            if df is None:
+                continue
+            for r in df.orderBy("id").collect():
+                d = r.asDict()
+                props = {k: v for k, v in d.items() if k != "id" and v is not None}
+                key = d["id"] if grp.meta.key_type == "integer" else f"'{d['id']}'"
+                if props:
+                    pj = _dump_props(props, grp.meta)
+                    lines.append(f"{{upset: '{name}', vertex: [{key}, {pj}]}};")
+                else:
+                    lines.append(f"{{upset: '{name}', vertex: [{key}]}};")
+        for name in sorted(g.groups):
+            grp = g.groups[name]
+            if not grp.meta.is_edge:
+                continue
+            df = grp.to_df()
+            if df is None:
+                continue
+            for r in df.orderBy("src", "dst").collect():
+                d = r.asDict()
+                props = {k: v for k, v in d.items()
+                         if k not in ("src", "dst", "direction") and v is not None}
+                sk = d["src"] if isinstance(d["src"], int) else f"'{d['src']}'"
+                dk = d["dst"] if isinstance(d["dst"], int) else f"'{d['dst']}'"
+                arrow = d["direction"]
+                if props:
+                    pj = _dump_props(props, grp.meta)
+                    lines.append(f"{{upset: '{name}', edge: [{sk}, {arrow}: {pj}, {dk}]}};")
+                else:
+                    lines.append(f"{{upset: '{name}', edge: [{sk}, {arrow}, {dk}]}};")
+        return "\n".join(lines)
+
+
+def _dump_props(props: dict, meta) -> str:
+    items = []
+    for k in sorted(props):
+        v = props[k]
+        kind = meta.props.get(k)
+        if kind == K_DATETIME:
+            vs = beautify._fmt_epoch(float(v))
+        elif kind == K_BINARY:
+            vs = "0b'" + base64.b64encode(bytes(v)).decode() + "'"
+        elif kind == K_VECTOR:
+            vs = "[" + ",".join(beautify._fmt_double(float(x)) for x in v) + "]"
+        elif isinstance(v, str):
+            vs = "'" + v.replace("'", "\\'") + "'"
+        elif isinstance(v, float):
+            vs = beautify._fmt_double(v)
+        else:
+            vs = str(v)
+        items.append(f"'{k}':{vs}")
+    return "{" + ",".join(items) + "}"

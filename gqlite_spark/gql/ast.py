@@ -1,0 +1,204 @@
+"""Typed AST for GQL statements.
+
+Mirrors the statement surface of the reference grammar (``src/gql.y``):
+create/upset/query/remove/drop/dump/show/ast/profile/import, where-clause
+predicate objects, edge patterns and walk declarations, and lambda
+expressions.  The AST is plain dataclasses — the planner lowers it to
+PySpark DataFrame expressions.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Any, Optional
+
+
+# ---------------------------------------------------------------- literals
+
+@dataclass(frozen=True)
+class DatetimeLit:
+    """``0d<epoch-seconds>`` literal (src/gql.l:80-87)."""
+    epoch: float
+
+
+@dataclass(frozen=True)
+class BinaryLit:
+    """``0b'BASE64'`` literal (src/gql.l:72-79)."""
+    data: bytes
+
+
+@dataclass(frozen=True)
+class GeohashLit:
+    """``0h'hash'`` literal (README.md:139)."""
+    hash: str
+
+
+class Wildcard:
+    """``*`` — attribute-exists predicate / pattern wildcard."""
+
+    _inst: Optional["Wildcard"] = None
+
+    def __new__(cls) -> "Wildcard":
+        if cls._inst is None:
+            cls._inst = super().__new__(cls)
+        return cls._inst
+
+    def __repr__(self) -> str:
+        return "*"
+
+
+STAR = Wildcard()
+
+
+@dataclass(frozen=True)
+class Lambda:
+    """``(args) => { body }`` (src/gql.y:935-939). Body kept as parsed
+    statement list; compiled to a Python callable by gvm.py."""
+    params: tuple[str, ...]
+    body: tuple  # tuple of (kind, ...) statements from the lambda mini-parser
+    source: str = ""
+
+
+@dataclass(frozen=True)
+class CallExpr:
+    """``count(vertex)`` / ``min('distance')`` (src/gql.y:919-934)."""
+    func: str
+    args: tuple[Any, ...] = ()
+
+
+@dataclass(frozen=True)
+class MemberRef:
+    """``movie.title`` projection reference (src/gql.y:495-539)."""
+    group: str
+    prop: str
+
+
+# ---------------------------------------------------------------- predicates
+
+@dataclass
+class Pred:
+    """A single predicate on one attribute.
+
+    op ∈ {eq, in, exists, lt, gt, lte, gte, near, lambda, and, or}.
+    ``near`` value is a dict {'geometry': [...], 'limit': k|None,
+    'lte'/'lt': radius|None} (squared-L2 semantics, Distance.cpp:133-157).
+    """
+    attr: Optional[str]
+    op: str
+    value: Any = None
+    children: list["Pred"] = field(default_factory=list)
+
+
+# ------------------------------------------------------------- walk patterns
+
+@dataclass
+class EdgeConn:
+    """Connection in a pattern: direction ∈ {'->','<-','--'}; optional edge
+    group name / property filter / path aggregate (min())."""
+    direction: str
+    edge_group: Optional[str] = None
+    props: Optional[dict] = None
+    agg: Optional[CallExpr] = None
+
+
+@dataclass
+class PatternNode:
+    """Endpoint in an edge/walk pattern: a key literal, * wildcard, or a
+    property-condition object."""
+    key: Any = None           # literal key or None
+    wildcard: bool = False
+    conds: Optional[dict] = None  # raw property conditions
+
+
+@dataclass
+class WalkPattern:
+    """[v1, conn, v2, conn, v3, ...] — nodes and connections interleaved."""
+    nodes: list[PatternNode]
+    conns: list[EdgeConn]
+
+
+# ---------------------------------------------------------------- statements
+
+@dataclass
+class GroupDef:
+    name: str
+    props: list[str] = field(default_factory=list)
+    index: list[str] = field(default_factory=list)
+    is_edge: bool = False
+    src_group: Optional[str] = None
+    dst_group: Optional[str] = None
+
+
+@dataclass
+class CreateStmt:
+    graph: str
+    groups: list[GroupDef] = field(default_factory=list)
+
+
+@dataclass
+class UpsetVertexStmt:
+    group: str
+    vertices: list[tuple]  # (key, props|None)
+
+
+@dataclass
+class UpsetEdgeStmt:
+    group: str
+    edges: list[tuple]  # (src_key, direction, dst_key, props|None)
+
+
+@dataclass
+class UpsetPropertyStmt:
+    group: str
+    props: dict
+    where: Any  # Pred tree or WalkPattern
+
+
+@dataclass
+class QueryStmt:
+    target: Any            # group name | [MemberRef,...] | CallExpr | '*'
+    graph: Optional[str] = None
+    where: Any = None      # Pred | WalkPattern | None
+    from_key: Any = None   # neighbor-query start key (README.md:244-246)
+
+
+@dataclass
+class RemoveVertexStmt:
+    group: str
+    where: Any
+
+
+@dataclass
+class RemoveEdgeStmt:
+    group: str
+    pattern: WalkPattern
+
+
+@dataclass
+class DropStmt:
+    graph: str
+
+
+@dataclass
+class DumpStmt:
+    graph: str
+
+
+@dataclass
+class ShowGraphStmt:
+    graph: Optional[str] = None
+
+
+@dataclass
+class AstStmt:
+    inner: Any
+
+
+@dataclass
+class ProfileStmt:
+    inner: Any
+
+
+@dataclass
+class ImportStmt:
+    path: str

@@ -1,0 +1,465 @@
+"""Recursive-descent parser: GQL text → typed AST.
+
+Covers the reference grammar surface (``src/gql.y``): create/upset/query/
+remove/drop/dump/show/ast/profile/import statements, predicate objects
+($lt/$gt/$lte/$gte/$and/$or/$near/$geometry, IN-lists, wildcards, lambdas),
+vertex/edge declarations (``[key, props]``, ``[src, --, dst]``,
+``[src, --: {props}, dst]``), and walk patterns with path aggregates
+(``['p102', <-: min(), 'p113']``).  Unlike the reference (which executes from
+inside parser actions, gql.y:152-156), this is a clean parse → plan →
+execute split.
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+from ..errors import GQLParseError
+from . import lexer as L
+from .ast import (
+    STAR, AstStmt, BinaryLit, CallExpr, CreateStmt, DatetimeLit, DropStmt,
+    DumpStmt, EdgeConn, GeohashLit, GroupDef, ImportStmt, Lambda, MemberRef,
+    PatternNode, Pred, ProfileStmt, QueryStmt, RemoveEdgeStmt,
+    RemoveVertexStmt, ShowGraphStmt, UpsetEdgeStmt, UpsetPropertyStmt,
+    UpsetVertexStmt, WalkPattern, Wildcard,
+)
+
+_ARROWS = {L.ARROW_R: "->", L.ARROW_L: "<-", L.DASH2: "--"}
+
+
+class _ArrowElem:
+    """Array element ``--`` / ``--: value`` inside edge declarations."""
+
+    __slots__ = ("direction", "value")
+
+    def __init__(self, direction: str, value: Any = None):
+        self.direction = direction
+        self.value = value
+
+
+class Parser:
+    def __init__(self, text: str):
+        self.text = text
+        self.toks = L.tokenize(text)
+        self.i = 0
+
+    # ------------------------------------------------------------- helpers
+    def peek(self, k: int = 0) -> L.Token:
+        return self.toks[min(self.i + k, len(self.toks) - 1)]
+
+    def next(self) -> L.Token:
+        t = self.toks[self.i]
+        if t.kind != L.EOF:
+            self.i += 1
+        return t
+
+    def expect(self, kind: str) -> L.Token:
+        t = self.next()
+        if t.kind != kind:
+            raise GQLParseError(f"expected {kind}, got {t.kind} ({t.value!r}) at offset {t.pos}")
+        return t
+
+    def accept(self, kind: str) -> L.Token | None:
+        if self.peek().kind == kind:
+            return self.next()
+        return None
+
+    # --------------------------------------------------------------- entry
+    def parse_script(self) -> list[Any]:
+        stmts = []
+        while self.peek().kind != L.EOF:
+            stmts.append(self.parse_statement())
+            while self.accept(L.SEMI):
+                pass
+        return stmts
+
+    def parse_statement(self) -> Any:
+        t = self.peek()
+        if t.kind == L.IDENT:
+            word = t.value
+            if word == "ast":
+                self.next()
+                return AstStmt(self.parse_statement())
+            if word == "profile":
+                self.next()
+                return ProfileStmt(self.parse_statement())
+            if word == "show":
+                self.next()
+                self.expect(L.IDENT)  # 'graph'
+                name = None
+                if self.peek().kind == L.STRING:
+                    name = self.next().value
+                return ShowGraphStmt(name)
+            if word == "import":
+                self.next()
+                return ImportStmt(self.expect(L.STRING).value)
+            raise GQLParseError(f"unknown command {word!r} at offset {t.pos}")
+        obj = self.parse_object()
+        return self._build_statement(obj)
+
+    # --------------------------------------------------------------- values
+    def parse_value(self) -> Any:
+        t = self.peek()
+        if t.kind == L.LBRACE:
+            return self.parse_object()
+        if t.kind == L.LBRACKET:
+            return self.parse_array()
+        if t.kind == L.STRING:
+            return self.next().value
+        if t.kind == L.INT or t.kind == L.FLOAT:
+            return self.next().value
+        if t.kind == L.DATETIME:
+            return DatetimeLit(self.next().value)
+        if t.kind == L.BINARY:
+            return BinaryLit(self.next().value)
+        if t.kind == L.GEOHASH:
+            return GeohashLit(self.next().value)
+        if t.kind == L.STAR:
+            self.next()
+            return STAR
+        if t.kind == L.LPAREN:
+            return self.parse_lambda()
+        if t.kind == L.IDENT:
+            # call expr / member ref / bare ident
+            if self.peek(1).kind == L.LPAREN:
+                return self.parse_call()
+            if self.peek(1).kind == L.DOT and self.peek(2).kind == L.IDENT:
+                g = self.next().value
+                self.next()
+                return MemberRef(g, self.next().value)
+            return self.next().value  # bare identifier treated as string
+        raise GQLParseError(f"unexpected token {t.kind} ({t.value!r}) at offset {t.pos}")
+
+    def parse_object(self) -> dict:
+        self.expect(L.LBRACE)
+        out: dict = {}
+        while not self.accept(L.RBRACE):
+            key = self._parse_key()
+            self.expect(L.COLON)
+            out[key] = self.parse_value()
+            if not self.accept(L.COMMA) and self.peek().kind != L.RBRACE:
+                raise GQLParseError(f"expected ',' or '}}' at offset {self.peek().pos}")
+        return out
+
+    def _parse_key(self) -> str:
+        t = self.next()
+        if t.kind in (L.IDENT, L.STRING):
+            return t.value
+        if t.kind in _ARROWS:
+            return _ARROWS[t.kind]
+        raise GQLParseError(f"bad object key {t.kind} at offset {t.pos}")
+
+    def parse_array(self) -> list:
+        self.expect(L.LBRACKET)
+        out: list = []
+        while not self.accept(L.RBRACKET):
+            t = self.peek()
+            if t.kind == L.COMMA:  # empty slot: ['tag','relation',,'movie']
+                self.next()
+                continue
+            if t.kind in _ARROWS:
+                self.next()
+                if self.accept(L.COLON):
+                    out.append(_ArrowElem(_ARROWS[t.kind], self.parse_value()))
+                else:
+                    out.append(_ArrowElem(_ARROWS[t.kind]))
+            else:
+                out.append(self.parse_value())
+            if not self.accept(L.COMMA) and self.peek().kind != L.RBRACKET:
+                raise GQLParseError(f"expected ',' or ']' at offset {self.peek().pos}")
+        return out
+
+    def parse_call(self) -> CallExpr:
+        name = self.expect(L.IDENT).value
+        self.expect(L.LPAREN)
+        args: list = []
+        while not self.accept(L.RPAREN):
+            args.append(self.parse_value())
+            self.accept(L.COMMA)
+        return CallExpr(name, tuple(args))
+
+    # --------------------------------------------------------------- lambda
+    def parse_lambda(self) -> Lambda:
+        start = self.peek().pos
+        self.expect(L.LPAREN)
+        params: list[str] = []
+        while not self.accept(L.RPAREN):
+            params.append(self.expect(L.IDENT).value)
+            self.accept(L.COMMA)
+        self.expect(L.FATARROW)
+        self.expect(L.LBRACE)
+        body = self._parse_lambda_body()
+        end = self.peek().pos
+        return Lambda(tuple(params), tuple(body), self.text[start:end])
+
+    def _parse_lambda_body(self) -> list:
+        stmts: list = []
+        while not self.accept(L.RBRACE):
+            t = self.peek()
+            if t.kind == L.SEMI:
+                self.next()
+                continue
+            if t.kind == L.IDENT and t.value == "let":
+                self.next()
+                name = self.expect(L.IDENT).value
+                self._expect_op("=")
+                stmts.append(("let", name, self._parse_expr()))
+            elif t.kind == L.IDENT and t.value == "return":
+                self.next()
+                stmts.append(("return", self._parse_expr()))
+            elif t.kind == L.IDENT and self.peek(1).kind == L.OP and self.peek(1).value == "=":
+                name = self.next().value
+                self.next()
+                stmts.append(("assign", name, self._parse_expr()))
+            else:
+                raise GQLParseError(f"bad lambda statement at offset {t.pos}")
+        return stmts
+
+    def _expect_op(self, op: str) -> None:
+        t = self.next()
+        if t.kind != L.OP or t.value != op:
+            raise GQLParseError(f"expected {op!r} at offset {t.pos}")
+
+    def _parse_expr(self):
+        # additive
+        left = self._parse_term()
+        while True:
+            t = self.peek()
+            if t.kind == L.OP and t.value in "+-":
+                self.next()
+                left = (t.value, left, self._parse_term())
+            else:
+                return left
+
+    def _parse_term(self):
+        left = self._parse_factor()
+        while True:
+            t = self.peek()
+            if (t.kind == L.OP and t.value == "/") or t.kind == L.STAR:
+                op = "/" if t.kind == L.OP else "*"
+                self.next()
+                left = (op, left, self._parse_factor())
+            else:
+                return left
+
+    def _parse_factor(self):
+        t = self.peek()
+        if t.kind in (L.INT, L.FLOAT):
+            return ("const", self.next().value)
+        if t.kind == L.IDENT:
+            return ("var", self.next().value)
+        if t.kind == L.LPAREN:
+            self.next()
+            e = self._parse_expr()
+            self.expect(L.RPAREN)
+            return e
+        if t.kind == L.OP and t.value == "-":
+            self.next()
+            return ("neg", self._parse_factor())
+        raise GQLParseError(f"bad lambda factor at offset {t.pos}")
+
+    # --------------------------------------------------- statement building
+    def _build_statement(self, obj: dict) -> Any:
+        if "create" in obj:
+            return CreateStmt(obj["create"], self._build_groups(obj.get("group", [])))
+        if "upset" in obj:
+            group = obj["upset"]
+            if "vertex" in obj:
+                return UpsetVertexStmt(group, self._build_vertices(obj["vertex"]))
+            if "edge" in obj:
+                return UpsetEdgeStmt(group, self._build_edges(obj["edge"]))
+            if "property" in obj:
+                return UpsetPropertyStmt(group, obj["property"],
+                                         self._build_where(obj.get("where")))
+            raise GQLParseError("upset requires vertex/edge/property")
+        if "query" in obj:
+            return QueryStmt(obj["query"], obj.get("in"),
+                             self._build_where(obj.get("where")),
+                             obj.get("from"))
+        if "remove" in obj:
+            group = obj["remove"]
+            if "vertex" in obj:
+                return RemoveVertexStmt(group, self._build_where(obj["vertex"]))
+            if "edge" in obj:
+                where = self._build_where(obj["edge"])
+                if not isinstance(where, WalkPattern):
+                    raise GQLParseError("remove edge requires a pattern")
+                return RemoveEdgeStmt(group, where)
+            raise GQLParseError("remove requires vertex/edge")
+        if "drop" in obj:
+            return DropStmt(obj["drop"])
+        if "dump" in obj:
+            return DumpStmt(obj["dump"])
+        raise GQLParseError(f"unrecognized statement keys: {sorted(obj)}")
+
+    def _build_groups(self, raw: list) -> list[GroupDef]:
+        groups: list[GroupDef] = []
+        for el in raw:
+            if isinstance(el, str):
+                groups.append(GroupDef(el))
+            elif isinstance(el, dict):
+                gd = GroupDef("")
+                for k, v in el.items():
+                    if k == "index":
+                        gd.index = v if isinstance(v, list) else [v]
+                    else:
+                        gd.name = k
+                        gd.props = v if isinstance(v, list) else [v]
+                groups.append(gd)
+            elif isinstance(el, list):
+                # edge group: [from, name|{name:props}, to]
+                if len(el) < 3:
+                    raise GQLParseError(f"bad edge group def: {el!r}")
+                src, mid, dst = el[0], el[1:-1], el[-1]
+                gd = GroupDef("", is_edge=True, src_group=src, dst_group=dst)
+                for m in mid:
+                    if isinstance(m, str):
+                        gd.name = m
+                    elif isinstance(m, dict):
+                        for k, v in m.items():
+                            gd.name = k
+                            gd.props = v if isinstance(v, list) else [v]
+                groups.append(gd)
+            else:
+                raise GQLParseError(f"bad group def: {el!r}")
+        return groups
+
+    def _build_vertices(self, raw: Any) -> list[tuple]:
+        if not isinstance(raw, list):
+            raw = [raw]
+        out = []
+        for el in raw:
+            if isinstance(el, list):
+                key = el[0]
+                props = el[1] if len(el) > 1 else None
+                out.append((key, props))
+            else:
+                out.append((el, None))
+        return out
+
+    def _build_edges(self, raw: Any) -> list[tuple]:
+        if not isinstance(raw, list):
+            raise GQLParseError("edge value must be an array")
+        decls = raw if raw and isinstance(raw[0], list) else [raw]
+        out = []
+        for d in decls:
+            if len(d) != 3 or not isinstance(d[1], _ArrowElem):
+                raise GQLParseError(f"bad edge declaration: {d!r}")
+            arrow = d[1]
+            props = arrow.value if isinstance(arrow.value, dict) else None
+            out.append((d[0], arrow.direction, d[2], props))
+        return out
+
+    # ------------------------------------------------------------- where
+    def _build_where(self, raw: Any) -> Any:
+        if raw is None:
+            return None
+        if isinstance(raw, list):
+            return self._build_pattern(raw)
+        if isinstance(raw, dict):
+            return self._build_pred_conj(raw)
+        # bare key → id equality (walk position, ScanPlan.cpp:575-592)
+        return Pred("id", "eq", raw)
+
+    def _build_pred_conj(self, obj: dict) -> Pred:
+        preds = [self._build_pred(k, v) for k, v in obj.items()]
+        if len(preds) == 1:
+            return preds[0]
+        return Pred(None, "and", children=preds)
+
+    def _build_pred(self, key: str, val: Any) -> Pred:
+        if key == "$and":
+            return Pred(None, "and",
+                        children=[self._build_where(v) for v in val])
+        if key == "$or":
+            return Pred(None, "or",
+                        children=[self._build_where(v) for v in val])
+        if key in ("--", "->", "<-"):
+            # k-hop neighbor spec (README.md:244-246)
+            return Pred(None, "khop", {"direction": key, "hops": val})
+        if val is STAR or isinstance(val, Wildcard):
+            return Pred(key, "exists")
+        if isinstance(val, dict):
+            return self._build_op_pred(key, val)
+        if isinstance(val, list):
+            return Pred(key, "in", val)
+        return Pred(key, "eq", val)
+
+    def _build_op_pred(self, attr: str, spec: dict) -> Pred:
+        ops = {k.lstrip("$"): v for k, v in spec.items()}
+        if "near" in ops:
+            near = ops["near"]
+            if isinstance(near, dict):
+                geom = near.get("$geometry") or near.get("geometry")
+                radius_op = next((o for o in ("lte", "lt")
+                                  if f"${o}" in near or o in near), None)
+                radius = near.get(f"${radius_op}", near.get(radius_op)) if radius_op else None
+                return Pred(attr, "near", {"geometry": geom, "radius": radius,
+                                           "radius_op": radius_op or "lte",
+                                           "limit": ops.get("limit")})
+            return Pred(attr, "near", {"geometry": near, "radius": None,
+                                       "radius_op": "lte",
+                                       "limit": ops.get("limit")})
+        children = []
+        for op, v in ops.items():
+            if op in ("lt", "gt", "lte", "gte", "eq"):
+                children.append(Pred(attr, op, v))
+            elif op == "limit":
+                continue
+            else:
+                raise GQLParseError(f"unknown operator ${op} on {attr}")
+        if len(children) == 1:
+            return children[0]
+        return Pred(None, "and", children=children)
+
+    def _build_pattern(self, raw: list) -> WalkPattern:
+        nodes: list[PatternNode] = []
+        conns: list[EdgeConn] = []
+        expect_node = True
+        for el in raw:
+            if isinstance(el, _ArrowElem):
+                conn = EdgeConn(el.direction)
+                if isinstance(el.value, CallExpr):
+                    conn.agg = el.value
+                elif isinstance(el.value, str):
+                    conn.edge_group = el.value
+                elif isinstance(el.value, dict):
+                    conn.props = el.value
+                conns.append(conn)
+                expect_node = True
+                continue
+            if isinstance(el, dict) and len(el) == 1 and next(iter(el)) in ("--", "->", "<-"):
+                d, v = next(iter(el.items()))
+                conn = EdgeConn(d)
+                if isinstance(v, str):
+                    conn.edge_group = v
+                elif isinstance(v, dict):
+                    conn.props = v
+                conns.append(conn)
+                expect_node = True
+                continue
+            if not expect_node:
+                raise GQLParseError(f"expected connection in pattern, got {el!r}")
+            if el is STAR or isinstance(el, Wildcard):
+                nodes.append(PatternNode(wildcard=True))
+            elif isinstance(el, dict):
+                nodes.append(PatternNode(conds=el))
+            else:
+                nodes.append(PatternNode(key=el))
+            expect_node = False
+        if len(nodes) != len(conns) + 1:
+            raise GQLParseError(
+                f"malformed pattern: {len(nodes)} nodes / {len(conns)} connections")
+        return WalkPattern(nodes, conns)
+
+
+def parse(text: str) -> list[Any]:
+    """Parse a GQL script into a list of statement AST nodes."""
+    return Parser(text).parse_script()
+
+
+def parse_one(text: str) -> Any:
+    stmts = parse(text)
+    if len(stmts) != 1:
+        raise GQLParseError(f"expected one statement, got {len(stmts)}")
+    return stmts[0]

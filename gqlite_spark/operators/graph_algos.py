@@ -1,0 +1,209 @@
+"""Distributed graph algorithms as DataFrame-native Pregel loops.
+
+The reference declares these (PageRank src/operand/analysis/PageRank.cpp,
+Tarjan SCC, A*/BFS walks include/walk/AStarWalk.h:27-95, random walk) but
+most are stubs; we implement them for real on Spark.  The driver mandate is
+"GraphX for analytics queries" — GraphX's Pregel model is Scala-only, so from
+PySpark we express the same vertex-program iteration directly over
+DataFrames: superstep = join(messages = frontier ⋈ edges) → groupBy(min/sum)
+→ compare-and-update.  Every loop:
+
+- localCheckpoint()s periodically to break lineage (mandatory for iterative
+  algorithms at scale — otherwise plan depth grows linearly);
+- keeps state keyed by vertex id so each superstep is ONE shuffle on id
+  (co-partitioned joins reuse the exchange);
+- never collects more than scalars/paths to the driver.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+_CHECKPOINT_EVERY = 5
+
+
+def normalize_edges(edges: DataFrame, weight_col: Optional[str] = None,
+                    undirected: bool = False) -> DataFrame:
+    """Project to (src, dst, w); undirected graphs get both orientations."""
+    w = (F.col(weight_col).cast("double") if weight_col
+         else F.lit(1.0)).alias("w")
+    e = edges.select(F.col("src"), F.col("dst"), w)
+    if undirected:
+        e = e.unionByName(
+            e.select(F.col("dst").alias("src"), F.col("src").alias("dst"), "w"))
+    return e
+
+
+def shortest_path(edges: DataFrame, src, dst, weight_col: Optional[str] = None,
+                  undirected: bool = False, max_iter: int = 64):
+    """Single-source shortest path src→dst with path reconstruction.
+
+    Bellman-Ford-style frontier relaxation (the distributed analogue of the
+    reference's A* walker, include/walk/AStarWalk.h:27-95 — a global
+    priority queue does not distribute; frontier relaxation does).
+    Returns (cost, [path ids]) or None if unreachable.  Deterministic:
+    ties broken by lexicographically smallest path.
+    """
+    spark = edges.sparkSession
+    e = normalize_edges(edges, weight_col, undirected)
+    e = e.repartition("src").cache()
+
+    id_type = dict(e.dtypes)["src"]
+    best = spark.createDataFrame([(src, 0.0, [src])],
+                                 f"id {id_type}, cost double, path array<{id_type}>")
+    frontier = best
+    for it in range(max_iter):
+        msgs = (frontier.join(e, frontier.id == e.src)
+                .select(e.dst.alias("id"),
+                        (frontier.cost + e.w).alias("cost"),
+                        F.concat("path", F.array(e.dst)).alias("path")))
+        if not msgs.take(1):
+            break
+        combined = best.unionByName(msgs)
+        w = Window.partitionBy("id").orderBy(F.col("cost").asc(), F.col("path").asc())
+        new_best = (combined.withColumn("_rn", F.row_number().over(w))
+                    .filter(F.col("_rn") == 1).drop("_rn"))
+        frontier = (new_best.alias("n")
+                    .join(best.alias("o"), "id", "left")
+                    .filter(F.col("o.cost").isNull() |
+                            (F.col("n.cost") < F.col("o.cost")))
+                    .select("id", F.col("n.cost").alias("cost"),
+                            F.col("n.path").alias("path")))
+        if it % _CHECKPOINT_EVERY == _CHECKPOINT_EVERY - 1:
+            new_best = new_best.localCheckpoint()
+            frontier = frontier.localCheckpoint()
+        best = new_best
+        if not frontier.take(1):
+            break
+    hit = best.filter(F.col("id") == F.lit(dst)).collect()
+    e.unpersist()
+    if not hit:
+        return None
+    row = hit[0]
+    return row["cost"], list(row["path"])
+
+
+def k_hop(edges: DataFrame, start, hops: int,
+          direction: str = "--") -> DataFrame:
+    """Vertices reachable from ``start`` within ≤ ``hops`` hops
+    (README.md:244-246 neighbor surface; reference stub gql.y:109).
+    Returns a one-column DataFrame ``id`` (start excluded)."""
+    spark = edges.sparkSession
+    if direction == "--":
+        e = normalize_edges(edges, undirected=True)
+    elif direction == "->":
+        e = edges.select("src", "dst")
+    else:
+        e = edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    e = e.select("src", "dst").distinct().cache()
+    id_type = dict(e.dtypes)["src"]
+    visited = spark.createDataFrame([(start,)], f"id {id_type}")
+    frontier = visited
+    for _ in range(hops):
+        nxt = (frontier.join(e, frontier.id == e.src)
+               .select(e.dst.alias("id")).distinct()
+               .join(visited, "id", "left_anti"))
+        if not nxt.take(1):
+            break
+        visited = visited.unionByName(nxt).localCheckpoint()
+        frontier = nxt
+    e.unpersist()
+    return visited.filter(F.col("id") != F.lit(start))
+
+
+def degrees(edges: DataFrame, undirected: bool = False) -> DataFrame:
+    """(id, in_degree, out_degree, degree) — reference intent at
+    src/operand/analysis/DegreeCentrality.cpp (analysis body empty)."""
+    out_d = edges.groupBy(F.col("src").alias("id")) \
+                 .agg(F.count("*").alias("out_degree"))
+    in_d = edges.groupBy(F.col("dst").alias("id")) \
+                .agg(F.count("*").alias("in_degree"))
+    d = out_d.join(in_d, "id", "full_outer").fillna(0)
+    if undirected:
+        return d.select("id", (F.col("in_degree") + F.col("out_degree"))
+                        .alias("degree"))
+    return d.withColumn("degree", F.col("in_degree") + F.col("out_degree"))
+
+
+def pagerank(edges: DataFrame, iterations: int = 10,
+             damping: float = 0.85) -> DataFrame:
+    """Fixed-iteration PageRank (reference stub PageRank.cpp:5-23 — empty
+    loops; implemented for real here).  Deterministic for a fixed iteration
+    count.  Dangling-node mass is redistributed uniformly each superstep so
+    ranks sum to N.  Returns (id, rank)."""
+    e = edges.select("src", "dst").cache()
+    verts = (e.select(F.col("src").alias("id"))
+             .unionByName(e.select(F.col("dst").alias("id")))
+             .distinct().cache())
+    n = verts.count()
+    outdeg = e.groupBy(F.col("src").alias("id")) \
+              .agg(F.count("*").alias("outdeg"))
+    # links: src → dst with 1/outdeg share; broadcast-size in tests, shuffle
+    # join keyed on id at scale
+    links = e.join(outdeg.withColumnRenamed("id", "src"), "src")
+    ranks = verts.withColumn("rank", F.lit(1.0))
+    for it in range(iterations):
+        contribs = (links.join(ranks.withColumnRenamed("id", "src"), "src")
+                    .select(F.col("dst").alias("id"),
+                            (F.col("rank") / F.col("outdeg")).alias("c")))
+        agg = contribs.groupBy("id").agg(F.sum("c").alias("s"))
+        dangling = (ranks.join(outdeg, "id", "left_anti")
+                    .agg(F.coalesce(F.sum("rank"), F.lit(0.0))).collect()[0][0])
+        base = (1.0 - damping) + damping * dangling / n
+        ranks = (verts.join(agg, "id", "left")
+                 .select("id", (F.lit(base) + F.lit(damping) *
+                                F.coalesce(F.col("s"), F.lit(0.0))).alias("rank")))
+        if it % _CHECKPOINT_EVERY == _CHECKPOINT_EVERY - 1:
+            ranks = ranks.localCheckpoint()
+    e.unpersist()
+    return ranks
+
+
+def connected_components(edges: DataFrame, max_iter: int = 32) -> DataFrame:
+    """Undirected connected components via min-label propagation
+    (distributed HashMin; the large-star/small-star variant is the scale
+    path for power-law graphs).  Returns (id, component) with component =
+    min vertex id in the component."""
+    e = normalize_edges(edges, undirected=True).select("src", "dst").distinct().cache()
+    labels = (e.select(F.col("src").alias("id"))
+              .unionByName(e.select(F.col("dst").alias("id")))
+              .distinct().withColumn("component", F.col("id")))
+    for it in range(max_iter):
+        msgs = (labels.join(e, labels.id == e.src)
+                .select(e.dst.alias("id"), F.col("component")))
+        new_labels = (labels.unionByName(msgs)
+                      .groupBy("id").agg(F.min("component").alias("component")))
+        changed = (new_labels.alias("n").join(labels.alias("o"), "id")
+                   .filter(F.col("n.component") != F.col("o.component")))
+        if it % _CHECKPOINT_EVERY == _CHECKPOINT_EVERY - 1:
+            new_labels = new_labels.localCheckpoint()
+        labels = new_labels
+        if not changed.take(1):
+            break
+    e.unpersist()
+    return labels
+
+
+def triangle_count(edges: DataFrame) -> DataFrame:
+    """Per-vertex triangle counts on the undirected simple graph.
+
+    Canonical-orientation join (each triangle found exactly once as
+    a<b<c) — the standard shuffle-efficient formulation.
+    """
+    und = (normalize_edges(edges, undirected=True)
+           .select("src", "dst").filter(F.col("src") != F.col("dst"))
+           .distinct())
+    canon = und.filter(F.col("src") < F.col("dst")).cache()
+    ab = canon.select(F.col("src").alias("a"), F.col("dst").alias("b"))
+    bc = canon.select(F.col("src").alias("b"), F.col("dst").alias("c"))
+    ac = canon.select(F.col("src").alias("a"), F.col("dst").alias("c"))
+    tris = ab.join(bc, "b").join(ac, ["a", "c"])
+    per_vertex = (tris.select(F.col("a").alias("id"))
+                  .unionByName(tris.select(F.col("b").alias("id")))
+                  .unionByName(tris.select(F.col("c").alias("id")))
+                  .groupBy("id").agg(F.count("*").alias("triangles")))
+    canon.unpersist()
+    return per_vertex
