@@ -105,6 +105,10 @@ class GroupMeta:
     name: str
     is_edge: bool = False
     key_type: Optional[str] = None            # 'integer' | 'string'
+    # edge groups carry per-side key types (edge_id packs from_type/to_type,
+    # gutil.h:45-63 — endpoints may live in differently-keyed groups)
+    src_key_type: Optional[str] = None
+    dst_key_type: Optional[str] = None
     props: dict[str, str] = field(default_factory=dict)  # name → kind
     declared_props: list[str] = field(default_factory=list)
     indexes: list[str] = field(default_factory=list)
@@ -114,7 +118,9 @@ class GroupMeta:
     def to_json(self) -> dict:
         return {
             "name": self.name, "is_edge": self.is_edge,
-            "key_type": self.key_type, "props": self.props,
+            "key_type": self.key_type,
+            "src_key_type": self.src_key_type,
+            "dst_key_type": self.dst_key_type, "props": self.props,
             "declared_props": self.declared_props, "indexes": self.indexes,
             "src_group": self.src_group, "dst_group": self.dst_group,
         }
@@ -193,6 +199,13 @@ class Group:
         if direction == "<-":
             src, dst = dst, src
             direction = "->"
+        for side, key in (("src_key_type", src), ("dst_key_type", dst)):
+            kt = "integer" if isinstance(key, int) else "string"
+            cur = getattr(self.meta, side)
+            if cur is None:
+                setattr(self.meta, side, kt)
+            elif cur != kt:
+                raise KeyTypeMismatchError(kt, cur)
         ekey = (src, direction, dst)
         self.rows[ekey] = self._merge_props(props)
         self._invalidate()
@@ -226,6 +239,11 @@ class Group:
             rest = [c for c in df.columns
                     if c not in (src_col, dst_col, "direction")]
             self.bulk_df = df.select(*cols, *rest)
+            for side, col in (("src_key_type", src_col), ("dst_key_type", dst_col)):
+                dt = df.schema[col].dataType
+                setattr(self.meta, side,
+                        "integer" if isinstance(dt, (T.LongType, T.IntegerType))
+                        else "string")
             for c in rest:
                 self.meta.props.setdefault(c, _kind_of_spark_type(df.schema[c].dataType))
         else:
@@ -243,8 +261,11 @@ class Group:
     def schema_struct(self) -> T.StructType:
         fields = []
         if self.meta.is_edge:
-            kt = _KIND_SPARK[K_INTEGER] if self.meta.key_type == "integer" else T.StringType()
-            fields += [T.StructField("src", kt), T.StructField("dst", kt),
+            skt = (_KIND_SPARK[K_INTEGER]
+                   if self.meta.src_key_type == "integer" else T.StringType())
+            dkt = (_KIND_SPARK[K_INTEGER]
+                   if self.meta.dst_key_type == "integer" else T.StringType())
+            fields += [T.StructField("src", skt), T.StructField("dst", dkt),
                        T.StructField("direction", T.StringType())]
         else:
             kt = _KIND_SPARK[K_INTEGER] if self.meta.key_type == "integer" else T.StringType()

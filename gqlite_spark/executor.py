@@ -341,8 +341,15 @@ class GQLite:
         edges = grp.to_df()
         if direction == "<-":
             src, dst = dst, src
-        src = key_literal(grp.meta, src)
-        dst = key_literal(grp.meta, dst)
+
+        def _side(val, kt):
+            if kt == "integer":
+                return int(val)
+            if kt == "string":
+                return str(val)
+            return val
+        src = _side(src, grp.meta.src_key_type)
+        dst = _side(dst, grp.meta.dst_key_type)
         undirected = direction == "--" or (
             edges is not None and "direction" in edges.columns and
             edges.filter(F.col("direction") == "--").limit(1).count() > 0)

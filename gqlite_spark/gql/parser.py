@@ -327,12 +327,18 @@ class Parser:
     def _build_vertices(self, raw: Any) -> list[tuple]:
         if not isinstance(raw, list):
             raw = [raw]
+        # flat single-vertex form (dump output): vertex: [key, {props}]
+        if (len(raw) == 2 and not isinstance(raw[0], (list, dict))
+                and isinstance(raw[1], dict)):
+            return [(raw[0], raw[1])]
         out = []
         for el in raw:
             if isinstance(el, list):
                 key = el[0]
                 props = el[1] if len(el) > 1 else None
                 out.append((key, props))
+            elif isinstance(el, dict):
+                raise GQLParseError(f"bad vertex declaration: {el!r}")
             else:
                 out.append((el, None))
         return out

@@ -56,10 +56,12 @@ def shortest_path(edges: DataFrame, src, dst, weight_col: Optional[str] = None,
                                  f"id {id_type}, cost double, path array<{id_type}>")
     frontier = best
     for it in range(max_iter):
-        msgs = (frontier.join(e, frontier.id == e.src)
-                .select(e.dst.alias("id"),
-                        (frontier.cost + e.w).alias("cost"),
-                        F.concat("path", F.array(e.dst)).alias("path")))
+        msgs = (frontier.alias("f").join(e.alias("e"),
+                                         F.col("f.id") == F.col("e.src"))
+                .select(F.col("e.dst").alias("id"),
+                        (F.col("f.cost") + F.col("e.w")).alias("cost"),
+                        F.concat(F.col("f.path"),
+                                 F.array(F.col("e.dst"))).alias("path")))
         if not msgs.take(1):
             break
         combined = best.unionByName(msgs)
@@ -103,8 +105,9 @@ def k_hop(edges: DataFrame, start, hops: int,
     visited = spark.createDataFrame([(start,)], f"id {id_type}")
     frontier = visited
     for _ in range(hops):
-        nxt = (frontier.join(e, frontier.id == e.src)
-               .select(e.dst.alias("id")).distinct()
+        nxt = (frontier.alias("f").join(e.alias("e"),
+                                        F.col("f.id") == F.col("e.src"))
+               .select(F.col("e.dst").alias("id")).distinct()
                .join(visited, "id", "left_anti"))
         if not nxt.take(1):
             break
@@ -172,8 +175,10 @@ def connected_components(edges: DataFrame, max_iter: int = 32) -> DataFrame:
               .unionByName(e.select(F.col("dst").alias("id")))
               .distinct().withColumn("component", F.col("id")))
     for it in range(max_iter):
-        msgs = (labels.join(e, labels.id == e.src)
-                .select(e.dst.alias("id"), F.col("component")))
+        msgs = (labels.alias("l").join(e.alias("e"),
+                                       F.col("l.id") == F.col("e.src"))
+                .select(F.col("e.dst").alias("id"), F.col("l.component")
+                        .alias("component")))
         new_labels = (labels.unionByName(msgs)
                       .groupBy("id").agg(F.min("component").alias("component")))
         changed = (new_labels.alias("n").join(labels.alias("o"), "id")

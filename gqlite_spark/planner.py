@@ -162,7 +162,14 @@ def pattern_filter(pattern: WalkPattern, meta: GroupMeta) -> Column:
     def endpoint(col: str, node) -> Optional[Column]:
         if node.wildcard or node.key is None:
             return None
-        return F.col(col) == F.lit(key_literal(meta, node.key))
+        side_kt = meta.src_key_type if col == "src" else meta.dst_key_type
+        if side_kt == "integer":
+            if not isinstance(node.key, int):
+                return F.lit(False)  # type-incompatible orientation
+            val = node.key
+        else:
+            val = str(node.key)
+        return F.col(col) == F.lit(val)
 
     def conj(*cols: Optional[Column]) -> Column:
         actual = [c for c in cols if c is not None]
@@ -197,7 +204,7 @@ def apply_knn(df: DataFrame, knn: dict) -> DataFrame:
     k / recall control is LSH — see operators/similarity.py.)
     """
     dist = squared_l2(F.col(knn["attr"]), [float(x) for x in knn["geometry"]])
-    out = df.withColumn("_dist2", dist)
+    out = df.filter(F.col(knn["attr"]).isNotNull()).withColumn("_dist2", dist)
     if knn.get("radius") is not None:
         cmp = operator.le if knn.get("radius_op") == "lte" else operator.lt
         out = out.filter(cmp(F.col("_dist2"), F.lit(float(knn["radius"]))))

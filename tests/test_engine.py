@@ -1,0 +1,168 @@
+"""End-to-end engine tests mirroring the reference golden corpora
+(test/query/grammar.gql, test/edge/grammar.gql semantics — own fixtures)."""
+
+import pytest
+
+
+VERTEX_SETUP = """
+{create: 'qdb', group: [{ruins: ['filename', 'datatime', 'feature_name'],
+                         index: ['category', 'feature_name']}, 'addr']};
+{upset: 'ruins', vertex: [['v1', {filename: 'a.jpg', datatime: 0d1653446732, feature_name: [0, 0]}],
+                          ['v2', {category: 'HDR', filename: 'b.jpg', datatime: 0d1653446732}],
+                          ['v3', {category: 'cyber', filename: 'c.jpg', datatime: 0d1653446732}]]};
+{upset: 'ruins', vertex: [['v4', {filename: 'd.jpg', datatime: 0d1653315732, feature_name: [0, 0.5]}],
+                          ['v5', {category: 'HDR', filename: 'e.jpg', datatime: 0d1653315732}]]};
+{upset: 'ruins', vertex: ['3', '4', '5']};
+{upset: 'ruins', vertex: [['ff', {filename: 'f.jpg', thumbnail: 0b'AQI='}]]};
+{upset: 'addr', vertex: [[1, {filename: 'g.jpg', datatime: 0d1651105732}],
+                         [2, {filename: 'h.jpg', loc: [131.24194, 37.12532]}]]};
+"""
+
+
+@pytest.fixture()
+def qdb(db):
+    for r in db.exec(VERTEX_SETUP):
+        assert r.error is None, r.error
+    return db
+
+
+def _rows(db, gql):
+    res = db.exec(gql)
+    assert len(res) == 1 and res[0].error is None, res[0].error
+    return res[0].rows
+
+
+def test_full_scan_sorted(qdb):
+    rows = _rows(qdb, "{query: 'ruins', in: 'qdb'};")
+    # id-sorted string keys; empty-prop vertices print null
+    assert rows[0] == "[3, null]"
+    assert rows[3].startswith("[ff,")
+    assert rows[-1].startswith("[v5,")
+    assert '"datatime":"0d1653446732"' in rows[4]
+
+
+def test_eq_and_in_predicates(qdb):
+    rows = _rows(qdb, "{query: 'ruins', in: 'qdb', where: {category: 'HDR'}};")
+    assert len(rows) == 2 and all("HDR" in r for r in rows)
+    rows = _rows(qdb, "{query: 'ruins', in: 'qdb', where: {category: ['HDR', 'cyber']}};")
+    assert len(rows) == 3
+
+
+def test_datetime_ranges(qdb):
+    assert len(_rows(qdb, "{query: 'ruins', in: 'qdb', where: {datatime: {$lt: 0d1653446732}}};")) == 2
+    assert len(_rows(qdb, "{query: 'ruins', in: 'qdb', where: {datatime: {$gte: 0d1653315732}}};")) == 5
+    assert len(_rows(qdb, "{query: 'ruins', in: 'qdb', where: {datatime: *}};")) == 5
+
+
+def test_near_geometry_squared_l2(qdb):
+    # radius is SQUARED distance (Distance.cpp:133-157): 0.5²=0.25 < 0.3
+    rows = _rows(qdb, "{query: 'ruins', in: 'qdb',"
+                      " where: {feature_name: {$near: {$geometry: [0, 0], $lte: 0.3}}}};")
+    assert [r.split(",")[0] for r in rows] == ["[v1", "[v4"]
+
+
+def test_knn_limit(qdb):
+    rows = _rows(qdb, "{query: 'ruins', in: 'qdb',"
+                      " where: {feature_name: {limit: 1, $near: [0, 0.4]}}};")
+    assert len(rows) == 1 and rows[0].startswith("[v4")
+
+
+def test_errors_match_reference_text(qdb):
+    res = qdb.exec("{query: 'ruins', in: 'nope'};")[0]
+    assert res.error == "graph is not exist: nope"
+    res = qdb.exec("{query: 'nope_group', in: 'qdb'};")[0]
+    assert res.error == "group is not exist: nope_group"
+    res = qdb.exec("{upset: 'ruins', vertex: [[1, {filename: 'x'}]]};")[0]
+    assert res.error == "Input key type is integer, but require string"
+
+
+def test_remove_vertex(qdb):
+    qdb.exec("{remove: 'ruins', vertex: {id: '3'}};")
+    rows = _rows(qdb, "{query: 'ruins', in: 'qdb'};")
+    assert not any(r.startswith("[3,") for r in rows)
+
+
+def test_projection(qdb):
+    rows = _rows(qdb, "{query: [ruins.filename], in: 'qdb', where: {category: 'HDR'}};")
+    assert rows == ['[v2, {"filename":"b.jpg"}]', '[v5, {"filename":"e.jpg"}]']
+
+
+def test_count(qdb):
+    res = qdb.exec("{query: count(ruins), in: 'qdb'};")[0]
+    assert res.value == 9  # v1..v5, '3','4','5', 'ff'
+
+
+def test_upsert_replaces_props(qdb):
+    qdb.exec("{upset: 'ruins', vertex: [['v2', {category: 'X'}]]};")
+    rows = _rows(qdb, "{query: 'ruins', in: 'qdb', where: {id: 'v2'}};")
+    assert rows == ['[v2, {"category":"X"}]']
+
+
+def test_property_update_merges(qdb):
+    qdb.exec("{upset: 'ruins', property: {filename: 'new.jpg'}, where: {id: 'v2'}};")
+    rows = _rows(qdb, "{query: 'ruins', in: 'qdb', where: {id: 'v2'}};")
+    assert '"category":"HDR"' in rows[0] and '"filename":"new.jpg"' in rows[0]
+
+
+EDGE_SETUP = """
+{create: 'files', group: [{file_meta: ['filename','size']}, {tag: 'name'},
+                          ['tag', 'rel_tag', 'file_meta']]};
+{upset: 'file_meta', vertex: [[100, {filename: 'a.jpg', size: 10}],
+                              [200, {filename: 'b.jpg', size: 20}],
+                              [300, {filename: 'c.jpg', size: 30}]]};
+{upset: 'tag', vertex: [['art', {name: 'art'}], ['pic', {name: 'pic'}]]};
+{upset: 'rel_tag', edge: [['art', --, 100], ['art', --, 200], ['pic', --, 300]]};
+"""
+
+
+@pytest.fixture()
+def edb(db):
+    for r in db.exec(EDGE_SETUP):
+        assert r.error is None, r.error
+    return db
+
+
+def test_edge_pattern_exact(edb):
+    assert _rows(edb, "{query: 'rel_tag', in: 'files', where: ['art', --, 100]};") \
+        == ["['art', --, 100]"]
+
+
+def test_edge_pattern_wildcard_and_reverse(edb):
+    rows = _rows(edb, "{query: 'rel_tag', in: 'files', where: ['art', --, *]};")
+    assert rows == ["['art', --, 100]", "['art', --, 200]"]
+    # int endpoint matches via reversed orientation of the undirected edge
+    rows = _rows(edb, "{query: 'rel_tag', in: 'files', where: [300, --, *]};")
+    assert rows == ["['pic', --, 300]"]
+
+
+def test_remove_vertex_cascades_edges(edb):
+    edb.exec("{remove: 'file_meta', vertex: {id: 100}};")
+    rows = _rows(edb, "{query: 'rel_tag', in: 'files'};")
+    assert rows == ["['art', --, 200]", "['pic', --, 300]"]
+
+
+def test_remove_edge_pattern(edb):
+    edb.exec("{remove: 'rel_tag', edge: ['art', --, *]};")
+    rows = _rows(edb, "{query: 'rel_tag', in: 'files'};")
+    assert rows == ["['pic', --, 300]"]
+
+
+def test_edge_props_and_directed(edb):
+    edb.exec("{upset: 'rel_tag', edge: [['pic', ->: {w: 5}, 100]]};")
+    rows = _rows(edb, "{query: 'rel_tag', in: 'files', where: ['pic', ->, 100]};")
+    assert rows == ["['pic', ->, 100, {\"w\":5}]"]
+    # directed pattern must NOT match reversed orientation of directed edge
+    assert _rows(edb, "{query: 'rel_tag', in: 'files', where: [100, ->, 'pic']};") == []
+
+
+def test_dump_roundtrip(edb, spark):
+    script = edb.dump("files")
+    from gqlite_spark import GQLite
+    db2 = GQLite(spark)
+    for r in db2.exec(script.replace("'files'", "'files2'")):
+        assert r.error is None, r.error
+    orig = _rows(edb, "{query: 'rel_tag', in: 'files'};")
+    copy = _rows(db2, "{query: 'rel_tag', in: 'files2'};")
+    assert orig == copy
+    assert _rows(edb, "{query: 'file_meta', in: 'files'};") == \
+        _rows(db2, "{query: 'file_meta', in: 'files2'};")

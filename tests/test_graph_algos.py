@@ -1,0 +1,95 @@
+"""Graph algorithm tests on the Romania road graph (AIMA fixture used by the
+reference at test/vnet.cpp:17-80) and small synthetic graphs."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from gqlite_spark.operators.graph_algos import (connected_components, degrees,
+                                                k_hop, pagerank, shortest_path,
+                                                triangle_count)
+
+# (src, dst, distance) — classic AIMA Romania map, undirected
+ROMANIA = [
+    (1, 2, 71), (2, 3, 75), (3, 4, 118), (4, 5, 111), (5, 6, 70), (6, 7, 75),
+    (1, 8, 151), (3, 8, 140), (8, 9, 80), (9, 10, 146), (8, 11, 99),
+    (9, 12, 97), (10, 12, 138), (11, 13, 211), (12, 13, 101), (13, 14, 90),
+    (13, 17, 85), (17, 18, 142), (17, 19, 98), (18, 16, 92), (16, 15, 87),
+    (19, 20, 86), (7, 10, 120),
+]
+ARAD, BUCHAREST, SIBIU, RV, PITESTI = 3, 13, 8, 9, 12
+
+
+@pytest.fixture(scope="module")
+def romania(spark):
+    df = spark.createDataFrame(ROMANIA, "src long, dst long, distance long")
+    return df.withColumn("direction", F.lit("--")).cache()
+
+
+def test_shortest_path_weighted(romania):
+    cost, path = shortest_path(romania, ARAD, BUCHAREST,
+                               weight_col="distance", undirected=True)
+    # expected route Arad→Sibiu→Rimnicu Vilcea→Pitesti→Bucharest, cost 418
+    assert cost == 418.0
+    assert path == [ARAD, SIBIU, RV, PITESTI, BUCHAREST]
+
+
+def test_shortest_path_unweighted_hops(romania):
+    cost, path = shortest_path(romania, ARAD, BUCHAREST, undirected=True)
+    assert cost == 3.0  # Arad→Sibiu→Fagaras→Bucharest
+
+
+def test_shortest_path_unreachable(spark):
+    e = spark.createDataFrame([(1, 2, 1.0)], "src long, dst long, w double")
+    assert shortest_path(e, 2, 1) is None  # directed, wrong way
+
+
+def test_k_hop(romania):
+    one = {r["id"] for r in k_hop(romania, ARAD, 1).collect()}
+    assert one == {2, 4, 8}
+    two = {r["id"] for r in k_hop(romania, ARAD, 2).collect()}
+    assert two == {2, 4, 8, 1, 5, 9, 11}
+
+
+def test_degrees(romania):
+    d = {r["id"]: r["degree"] for r in degrees(romania, undirected=True).collect()}
+    assert d[BUCHAREST] == 4 and d[20] == 1
+
+
+def test_connected_components(spark):
+    e = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11), (12, 12)], "src long, dst long")
+    cc = {r["id"]: r["component"] for r in connected_components(e).collect()}
+    assert cc[1] == cc[2] == cc[3] == 1
+    assert cc[10] == cc[11] == 10
+    assert cc[12] == 12
+
+
+def test_pagerank_sums_to_n(spark):
+    e = spark.createDataFrame([(1, 2), (2, 3), (3, 1), (3, 2)],
+                              "src long, dst long")
+    pr = pagerank(e, iterations=15)
+    ranks = {r["id"]: r["rank"] for r in pr.collect()}
+    assert abs(sum(ranks.values()) - 3.0) < 1e-6
+    assert ranks[2] > ranks[1]  # 2 has two in-links
+
+
+def test_triangle_count(spark):
+    e = spark.createDataFrame([(1, 2), (2, 3), (3, 1), (3, 4)],
+                              "src long, dst long")
+    t = {r["id"]: r["triangles"] for r in triangle_count(e).collect()}
+    assert t == {1: 1, 2: 1, 3: 1}
+
+
+def test_shortest_path_via_gql(db, spark):
+    """Full surface parity: min('distance') path query through GQL
+    (reference surface test/basketballplayer-2.X/query.gql:1-2)."""
+    stmts = ["{create: 'romania', group: ['city', ['city', 'road', 'city']]};"]
+    for s, d, w in ROMANIA:
+        stmts.append(f"{{upset: 'road', edge: [{s}, --: {{distance: {w}}}, {d}]}};")
+    for r in db.exec("".join(stmts)):
+        assert r.error is None, r.error
+    res = db.exec("{query: 'road', in: 'romania',"
+                  " where: [3, ->: min('distance'), 13]};")[0]
+    assert res.error is None
+    cost, path = res.value
+    assert cost == 418.0 and path == [3, 8, 9, 12, 13]
