@@ -1,10 +1,15 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``queries()`` maps every implemented operator from SURVEY.md §2 (plus the
+beyond-reference data-pipeline operators) to a callable (spark, sf_dir) →
+DataFrame; ``oracle_sql()`` holds the DuckDB-equivalent ANSI SQL.  Both
+sides alias columns identically and use engine-portable result encodings:
+
+- money sums as SUM(CAST(ROUND(term*100) AS BIGINT)) — per-term rounding of
+  identical doubles, so the integer sum is bit-exact in any engine;
+- window starts as epoch seconds (BIGINT);
+- ratios/averages rounded to 4 decimals;
+- all top-k orderings carry an id tie-break.
 """
 
 from __future__ import annotations
@@ -12,27 +17,734 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
+SF_SMALL = "/root/testdata/sf0.001"
+
+
+# --------------------------------------------------------------------------
+# helpers
+# --------------------------------------------------------------------------
+
+def _load(spark, sf_dir, name):
+    from gqlite_spark.sources import testdata
+    return testdata.load(spark, sf_dir, name)
+
+
+def _cents(expr):
+    """Engine-exact money sum: per-term round to cents, integer sum."""
+    return F.sum(F.round(expr * 100).cast("long"))
+
+
+def _gql_db(spark, sf_dir):
+    """GQL engine over the TPC-H tables registered as vertex groups
+    (zero-copy bulk registration — the 100 TB ingestion path)."""
+    from gqlite_spark import GQLite
+    db = GQLite(spark)
+    g = db.catalog.create_graph("tpch")
+    for table, key in [("customer", "c_custkey"), ("orders", "o_orderkey"),
+                       ("part", "p_partkey"), ("lineitem", "l_orderkey"),
+                       ("nation", "n_nationkey"), ("embeddings", "vec_id")]:
+        grp = g.create_group(table)
+        grp.register_df(_load(spark, sf_dir, table), key_col=key)
+    return db
+
+
+def _gql_query(spark, sf_dir, gql, key_alias):
+    df = _gql_db(spark, sf_dir).query_df(gql)
+    return df.withColumnRenamed("id", key_alias)
+
+
+# --------------------------------------------------------------------------
+# GQL-engine scan/filter/predicate queries (SURVEY §2.1-2.3)
+# --------------------------------------------------------------------------
+
+def q_scan_filter_eq(spark, sf_dir):
+    """Equality predicate through the GQL engine (ScanPlan equality parity)."""
+    return _gql_query(
+        spark, sf_dir,
+        "{query: 'customer', in: 'tpch', where: {c_mktsegment: 'BUILDING'}};",
+        "c_custkey")
+
+
+def _date_to_epoch(df, col):
+    """Timestamp cols → epoch-second bigints so result schemas are
+    engine-portable (pandas datetime64[ns] vs [us] drift)."""
+    return df.withColumn(col + "_epoch",
+                         F.unix_timestamp(F.col(col))).drop(col)
+
+
+def q_filter_in(spark, sf_dir):
+    """IN-list predicate (array → OR of equalities, ScanPlan.cpp:767-772)."""
+    df = _gql_query(
+        spark, sf_dir,
+        "{query: 'orders', in: 'tpch',"
+        " where: {o_orderpriority: ['1-URGENT', '2-HIGH']}};",
+        "o_orderkey")
+    return _date_to_epoch(df, "o_orderdate")
+
+
+def q_filter_range_and(spark, sf_dir):
+    """$gt/$lte ranges composed with $and (nested boolean trees — more
+    general than the reference's two-slot model)."""
+    df = _gql_query(
+        spark, sf_dir,
+        "{query: 'lineitem', in: 'tpch', where: {$and: ["
+        "{l_quantity: {$gt: 45}}, {l_discount: {$lte: 0.02}}]}};",
+        "l_orderkey")
+    return _date_to_epoch(df, "l_shipdate")
+
+
+def q_filter_or(spark, sf_dir):
+    return _gql_query(
+        spark, sf_dir,
+        "{query: 'part', in: 'tpch', where: {$or: ["
+        "{p_size: {$gt: 45}}, {p_brand: 'Brand#33'}]}};",
+        "p_partkey")
+
+
+def q_filter_datetime(spark, sf_dir):
+    """Datetime range predicate on a timestamp column."""
+    df = _gql_query(
+        spark, sf_dir,
+        "{query: 'orders', in: 'tpch',"
+        " where: {o_orderdate: {$lt: '1996-07-01 00:00:00'}}};",
+        "o_orderkey")
+    return _date_to_epoch(df, "o_orderdate")
+
+
+def q_point_lookup(spark, sf_dir):
+    """Point query by id (the reference benchmark workload,
+    test/benchmark/vertex.gs)."""
+    return _gql_query(
+        spark, sf_dir,
+        "{query: 'customer', in: 'tpch', where: {id: 42}};",
+        "c_custkey")
+
+
+def q_projection(spark, sf_dir):
+    """Column projection (fixes the reference's parsed-but-unapplied
+    projection, ScanPlan.cpp:316-342)."""
+    return _gql_query(
+        spark, sf_dir,
+        "{query: [customer.c_name, customer.c_acctbal], in: 'tpch',"
+        " where: {c_mktsegment: 'MACHINERY'}};",
+        "c_custkey")
+
+
+def q_count(spark, sf_dir):
+    """count(group) aggregate (README.md:190-197 surface)."""
+    db = _gql_db(spark, sf_dir)
+    res = db.exec("{query: count(orders), in: 'tpch'};")[0]
+    return spark.createDataFrame([(res.value,)], "cnt bigint")
+
+
+def q_knn(spark, sf_dir):
+    """kNN $near+limit through the GQL engine — squared-L2, top-10
+    (reference surface test/vertex/grammar.gql:34-35; HNSW replaced by
+    TakeOrderedAndProject / LSH)."""
+    db = _gql_db(spark, sf_dir)
+    qvec = (_load(spark, sf_dir, "embeddings")
+            .filter(F.col("vec_id") == 0).select("embedding").collect()[0][0])
+    vec_lit = ", ".join(repr(float(x)) for x in qvec)
+    df = db.query_df(
+        "{query: 'embeddings', in: 'tpch',"
+        " where: {embedding: {limit: 10, $near: [" + vec_lit + "]}}};")
+    return df.select(F.col("id").alias("vec_id"), "label")
+
+
+# --------------------------------------------------------------------------
+# Relational analytics (scan→agg→join plans; Catalyst-optimized)
+# --------------------------------------------------------------------------
+
+def q_pricing_summary(spark, sf_dir):
+    """TPC-H Q1-flavor pricing summary — the flagship aggregation."""
+    l = _load(spark, sf_dir, "lineitem")
+    disc = F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount"))
+    charge = disc * (F.lit(1) + F.col("l_tax"))
+    return (l.filter(F.col("l_shipdate") <= "1998-09-02")
+            .groupBy("l_returnflag", "l_linestatus")
+            .agg(_cents(F.col("l_quantity")).alias("sum_qty_cents"),
+                 _cents(F.col("l_extendedprice")).alias("sum_base_cents"),
+                 _cents(disc).alias("sum_disc_cents"),
+                 _cents(charge).alias("sum_charge_cents"),
+                 F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+                 F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+                 F.count("*").alias("count_order")))
+
+
+def q_topk_orders(spark, sf_dir):
+    o = _load(spark, sf_dir, "orders")
+    return (o.orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
+            .limit(10).select("o_orderkey", "o_totalprice"))
+
+
+def q_distinct(spark, sf_dir):
+    return _load(spark, sf_dir, "customer").select("c_mktsegment").distinct()
+
+
+def q_join_region_revenue(spark, sf_dir):
+    """orders ⋈ customer ⋈ nation ⋈ region with explicit broadcast of the
+    dimension chain — revenue per region."""
+    o = _load(spark, sf_dir, "orders")
+    c = _load(spark, sf_dir, "customer")
+    n = _load(spark, sf_dir, "nation")
+    r = _load(spark, sf_dir, "region")
+    dims = (c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+             .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+             .select("c_custkey", "r_name"))
+    return (o.join(F.broadcast(dims), o.o_custkey == dims.c_custkey)
+            .groupBy("r_name")
+            .agg(_cents(F.col("o_totalprice")).alias("revenue_cents"),
+                 F.count("*").alias("n_orders")))
+
+
+def q_join_2hop_revenue(spark, sf_dir):
+    """customer→orders→lineitem two-hop join, revenue per market segment."""
+    c = _load(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    o = _load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    l = _load(spark, sf_dir, "lineitem")
+    rev = F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount"))
+    return (l.join(o, l.l_orderkey == o.o_orderkey)
+            .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+            .groupBy("c_mktsegment")
+            .agg(_cents(rev).alias("revenue_cents"),
+                 F.count("*").alias("n_items")))
+
+
+def q_anti_join(spark, sf_dir):
+    """Customers with no orders (left-anti; the remove-cascade join kind,
+    RemovePlan.cpp:49-75)."""
+    c = _load(spark, sf_dir, "customer")
+    o = _load(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 400000)
+    return (c.join(o, c.c_custkey == o.o_custkey, "left_anti")
+            .select("c_custkey", "c_nationkey"))
+
+
+def q_upsert_lww(spark, sf_dir):
+    """Last-writer-wins upsert semantics at scale: latest event per user
+    (window dedup — the deterministic merge that replaces mdbx
+    put-overwrite, StorageEngine.cpp:446-467)."""
+    from pyspark.sql import Window
+    e = _load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.col("ts").desc(),
+                                              F.col("event_id").desc())
+    return (e.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .select("user_id", "event_id", "event_type", "value"))
+
+
+# --------------------------------------------------------------------------
+# Graph analytics (SURVEY §2.4, §2.7 — GraphX-model Pregel loops)
+# --------------------------------------------------------------------------
+
+def q_khop(spark, sf_dir):
+    """2-hop neighborhood of nation n1 on the TPC-H property graph."""
+    from gqlite_spark.operators.graph_algos import k_hop
+    from gqlite_spark.sources.testdata import graph_edges
+    return k_hop(graph_edges(spark, sf_dir), "n1", 2, direction="--")
+
+
+def q_shortest_path(spark, sf_dir):
+    """Weighted shortest path 0→11 on the deterministic nation DAG
+    (A*/min() surface; Pregel frontier relaxation)."""
+    from gqlite_spark.operators.graph_algos import shortest_path
+    from gqlite_spark.sources.testdata import nation_dag_edges
+    res = shortest_path(nation_dag_edges(spark, sf_dir), 0, 11,
+                        weight_col="w")
+    cost = int(res[0]) if res else -1
+    return spark.createDataFrame([(cost,)], "cost bigint")
+
+
+def q_connected_components(spark, sf_dir):
+    """Label-propagation components on the region chains (components ==
+    regions; oracle = min key per region)."""
+    from gqlite_spark.operators.graph_algos import connected_components
+    from gqlite_spark.sources.testdata import region_chain_edges
+    return connected_components(region_chain_edges(spark, sf_dir))
+
+
+def q_pagerank(spark, sf_dir):
+    """10-iteration PageRank on the deterministic 2-regular nation digraph
+    (reference stub PageRank.cpp:5-23, implemented for real)."""
+    from gqlite_spark.operators.graph_algos import pagerank
+    from gqlite_spark.sources.testdata import nation_ring_edges
+    pr = pagerank(nation_ring_edges(spark, sf_dir), iterations=10)
+    return pr.select("id", F.round("rank", 6).alias("rank"))
+
+
+def q_degrees(spark, sf_dir):
+    """Degree centrality on the order→customer graph
+    (DegreeCentrality.cpp intent)."""
+    from gqlite_spark.operators.graph_algos import degrees
+    o = _load(spark, sf_dir, "orders")
+    e = o.select(F.concat(F.lit("o"), F.col("o_orderkey")).alias("src"),
+                 F.concat(F.lit("c"), F.col("o_custkey")).alias("dst"))
+    return degrees(e)
+
+
+def q_triangles(spark, sf_dir):
+    """Per-vertex triangle counts on the per-region nation cliques."""
+    from gqlite_spark.operators.graph_algos import triangle_count
+    from gqlite_spark.sources.testdata import region_clique_edges
+    return triangle_count(region_clique_edges(spark, sf_dir))
+
+
+# --------------------------------------------------------------------------
+# Dedup / text analysis / similarity (beyond-reference pipeline operators)
+# --------------------------------------------------------------------------
+
+def q_dedup_exact(spark, sf_dir):
+    from gqlite_spark.operators.dedup import exact_duplicates
+    return exact_duplicates(_load(spark, sf_dir, "documents"))
+
+
+def q_dedup_ngram_jaccard(spark, sf_dir):
+    from gqlite_spark.operators.dedup import ngram_jaccard_pairs
+    d = _load(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
+    return ngram_jaccard_pairs(d, threshold=0.5)
+
+
+def q_dedup_minhash(spark, sf_dir):
+    """MinHash+LSH near-dup pairs (banded candidates, exact verify) —
+    rows-only check: LSH recall is probabilistic, not SQL-expressible."""
+    from gqlite_spark.operators.dedup import minhash_lsh_pairs
+    return minhash_lsh_pairs(_load(spark, sf_dir, "documents"), threshold=0.7)
+
+
+def q_dedup_simhash(spark, sf_dir):
+    """SimHash near-dup candidates (rows-only check)."""
+    from gqlite_spark.operators.dedup import simhash_near_pairs
+    d = _load(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
+    return simhash_near_pairs(d, max_hamming=6)
+
+
+def q_dedup_embedding(spark, sf_dir):
+    from gqlite_spark.operators.dedup import embedding_near_dups
+    return embedding_near_dups(_load(spark, sf_dir, "embeddings"),
+                               threshold=0.45)
+
+
+def q_text_stats(spark, sf_dir):
+    from gqlite_spark.operators.text import token_stats
+    return token_stats(_load(spark, sf_dir, "documents"))
+
+
+def q_text_quality(spark, sf_dir):
+    from gqlite_spark.operators.text import quality_score
+    return quality_score(_load(spark, sf_dir, "documents"))
+
+
+def q_text_langid(spark, sf_dir):
+    from gqlite_spark.operators.text import lang_id
+    return lang_id(_load(spark, sf_dir, "documents"))
+
+
+def q_text_fingerprint(spark, sf_dir):
+    from gqlite_spark.operators.text import fingerprint
+    return fingerprint(_load(spark, sf_dir, "documents"))
+
+
+def q_cosine_topk(spark, sf_dir):
+    from gqlite_spark.operators.similarity import cosine_topk
+    emb = _load(spark, sf_dir, "embeddings")
+    qvec = emb.filter(F.col("vec_id") == 0).select("embedding").collect()[0][0]
+    return (cosine_topk(emb, [float(x) for x in qvec], k=10)
+            .withColumnRenamed("id", "vec_id"))
+
+
+def q_knn_join(spark, sf_dir):
+    """Batch kNN join: 5 query vectors × corpus, top-5 each."""
+    from gqlite_spark.operators.similarity import knn_join
+    emb = _load(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec"))
+    out = knn_join(emb, queries, k=5)
+    return out.withColumnRenamed("id", "vec_id")
+
+
+def q_ann_lsh(spark, sf_dir):
+    """Approximate NN via sign-random-projection LSH buckets + exact
+    re-rank (rows-only check: bucket membership is not SQL-portable)."""
+    from gqlite_spark.operators.similarity import ann_topk
+    emb = _load(spark, sf_dir, "embeddings")
+    qvec = emb.filter(F.col("vec_id") == 0).select("embedding").collect()[0][0]
+    return (ann_topk(emb, [float(x) for x in qvec], dim=len(qvec), k=10,
+                     n_planes=4)
+            .withColumnRenamed("id", "vec_id"))
+
+
+# --------------------------------------------------------------------------
+# Event windows (batch forms; streaming versions in gqlite_spark.streaming)
+# --------------------------------------------------------------------------
+
+def q_window_tumbling(spark, sf_dir):
+    from gqlite_spark.operators.windows import epoch_seconds
+    e = _load(spark, sf_dir, "events")
+    es = epoch_seconds(e, "ts")
+    win = (es - es % 3600).alias("window_start")
+    return (e.groupBy(win, "event_type")
+            .agg(F.count("*").alias("n_events"),
+                 _cents(F.col("value")).alias("sum_value_cents"),
+                 F.round(F.avg("value"), 4).alias("avg_value")))
+
+
+def q_window_sliding(spark, sf_dir):
+    from gqlite_spark.operators.windows import epoch_seconds
+    e = _load(spark, sf_dir, "events")
+    ev = e.withColumn("_es", epoch_seconds(e, "ts"))
+    starts = F.array(*[(F.floor(F.col("_es") / 3600) - i) * 3600
+                       for i in range(2)])
+    return (ev.withColumn("window_start", F.explode(starts))
+            .groupBy("window_start")
+            .agg(F.count("*").alias("n_events"),
+                 _cents(F.col("value")).alias("sum_value_cents")))
+
+
+def q_window_session(spark, sf_dir):
+    from gqlite_spark.operators.windows import sessionize
+    return sessionize(_load(spark, sf_dir, "events"), gap_minutes=30)
+
+
+# --------------------------------------------------------------------------
+# Multimodal plumbing (binary columns + Arrow-batched pandas processing)
+# --------------------------------------------------------------------------
+
+def q_multimodal_bytes(spark, sf_dir):
+    """Opaque-binary column processing via mapInPandas: encode text as a
+    binary payload column, then batch-process (size + digest).  The decode/
+    feature-extract stage for real image/audio payloads is stubbed (libs not
+    in container) — the Spark plumbing (schema, Arrow batching, partition
+    shape) is the real, tested part.  See gqlite_spark/operators/multimodal.py.
+    """
+    from gqlite_spark.operators.multimodal import payload_stats, to_payload
+    d = _load(spark, sf_dir, "documents")
+    return payload_stats(to_payload(d))
+
+
+# --------------------------------------------------------------------------
+# contract surface
+# --------------------------------------------------------------------------
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    return q_pricing_summary(spark, SF_SMALL)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {
+        "scan_filter_eq": q_scan_filter_eq,
+        "filter_in": q_filter_in,
+        "filter_range_and": q_filter_range_and,
+        "filter_or": q_filter_or,
+        "filter_datetime": q_filter_datetime,
+        "point_lookup": q_point_lookup,
+        "projection": q_projection,
+        "count_group": q_count,
+        "knn_near_limit": q_knn,
+        "pricing_summary": q_pricing_summary,
+        "topk_orders": q_topk_orders,
+        "distinct_segments": q_distinct,
+        "join_region_revenue": q_join_region_revenue,
+        "join_2hop_revenue": q_join_2hop_revenue,
+        "anti_join_no_orders": q_anti_join,
+        "upsert_lww": q_upsert_lww,
+        "graph_khop": q_khop,
+        "graph_shortest_path": q_shortest_path,
+        "graph_connected_components": q_connected_components,
+        "graph_pagerank": q_pagerank,
+        "graph_degrees": q_degrees,
+        "graph_triangles": q_triangles,
+        "dedup_exact": q_dedup_exact,
+        "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+        "dedup_minhash_lsh": q_dedup_minhash,
+        "dedup_simhash": q_dedup_simhash,
+        "dedup_embedding_cosine": q_dedup_embedding,
+        "text_token_stats": q_text_stats,
+        "text_quality": q_text_quality,
+        "text_langid": q_text_langid,
+        "text_fingerprint": q_text_fingerprint,
+        "sim_cosine_topk": q_cosine_topk,
+        "sim_knn_join": q_knn_join,
+        "sim_ann_lsh": q_ann_lsh,
+        "window_tumbling": q_window_tumbling,
+        "window_sliding": q_window_sliding,
+        "window_session": q_window_session,
+        "multimodal_bytes": q_multimodal_bytes,
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+# DuckDB oracle SQL.  Omitted entries (dedup_minhash_lsh, dedup_simhash,
+# sim_ann_lsh) are probabilistic/LSH operators → rows-only check.
+
+_STOPWORDS = ["the", "and", "of", "to", "in", "a", "is", "for", "on", "it"]
+_LANG_MARKERS = {
+    "en": ["the", "and", "of", "to", "in"],
+    "es": ["el", "la", "de", "que", "los"],
+    "fr": ["le", "la", "et", "les", "des"],
+    "de": ["der", "die", "und", "das", "ist"],
+}
+
+
+def _occ_sql(word: str) -> str:
+    pad = f"(' ' || text || ' ')"
+    needle = f" {word} "
+    return (f"CAST((length({pad}) - length(replace({pad}, '{needle}', '')))"
+            f" / {len(needle)} AS BIGINT)")
+
+
+def _marker_sum_sql(words: list[str]) -> str:
+    return "(" + " + ".join(_occ_sql(w) for w in words) + ")"
+
+
+def _pagerank_sql(iterations: int = 10) -> str:
+    parts = [
+        "WITH e AS (SELECT CAST(n_nationkey AS BIGINT) AS src,"
+        " CAST((n_nationkey + 1) % 25 AS BIGINT) AS dst FROM nation"
+        " UNION ALL SELECT CAST(n_nationkey AS BIGINT),"
+        " CAST((n_nationkey + 7) % 25 AS BIGINT) FROM nation),",
+        "v AS (SELECT CAST(n_nationkey AS BIGINT) AS id FROM nation),",
+        "outdeg AS (SELECT src AS id, COUNT(*) AS d FROM e GROUP BY src),",
+        "r0 AS (SELECT id, CAST(1.0 AS DOUBLE) AS rank FROM v),",
+    ]
+    for k in range(1, iterations + 1):
+        parts.append(
+            f"r{k} AS (SELECT v.id AS id, 0.15 + 0.85 *"
+            f" COALESCE(SUM(r{k-1}.rank / outdeg.d), 0) AS rank"
+            f" FROM v LEFT JOIN e ON e.dst = v.id"
+            f" LEFT JOIN r{k-1} ON r{k-1}.id = e.src"
+            f" LEFT JOIN outdeg ON outdeg.id = e.src GROUP BY v.id),")
+    body = "\n".join(parts).rstrip(",")
+    return (body + f"\nSELECT id, round(rank, 6) AS rank FROM r{iterations}")
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    langs = ["en", "es", "fr", "de"]
+    marker = {L: _marker_sum_sql(ws) for L, ws in _LANG_MARKERS.items()}
+    lang_case = (
+        f"CASE WHEN {marker['en']} >= {marker['es']} AND {marker['en']} >= "
+        f"{marker['fr']} AND {marker['en']} >= {marker['de']} THEN 'en' "
+        f"WHEN {marker['es']} >= {marker['fr']} AND {marker['es']} >= "
+        f"{marker['de']} THEN 'es' "
+        f"WHEN {marker['fr']} >= {marker['de']} THEN 'fr' ELSE 'de' END")
+    lang_best = (f"GREATEST({marker['en']}, {marker['es']}, {marker['fr']},"
+                 f" {marker['de']})")
+    stop_sum = _marker_sum_sql(_STOPWORDS)
+    ntok = ("CASE WHEN length(trim(text)) = 0 THEN 0 ELSE"
+            " length(text) - length(replace(text, ' ', '')) + 1 END")
+
+    shingles_cte = (
+        "sh AS (SELECT doc_id AS id, unnest(list_distinct(list_transform("
+        "generate_series(1, greatest(length(text) - 2, 0)),"
+        " i -> substr(text, i, 3)))) AS s FROM documents WHERE doc_id < 300)")
+
+    return {
+        "scan_filter_eq":
+            "SELECT c_custkey, c_acctbal, c_mktsegment, c_name, c_nationkey"
+            " FROM customer WHERE c_mktsegment = 'BUILDING'",
+        "filter_in":
+            "SELECT o_orderkey, o_custkey,"
+            " CAST(FLOOR(epoch(o_orderdate)) AS BIGINT) AS o_orderdate_epoch,"
+            " o_orderpriority, o_orderstatus, o_totalprice FROM orders"
+            " WHERE o_orderpriority IN ('1-URGENT', '2-HIGH')",
+        "filter_range_and":
+            "SELECT l_orderkey, l_discount, l_extendedprice, l_linenumber,"
+            " l_linestatus, l_partkey, l_quantity, l_returnflag,"
+            " CAST(FLOOR(epoch(l_shipdate)) AS BIGINT) AS l_shipdate_epoch,"
+            " l_suppkey, l_tax FROM lineitem"
+            " WHERE l_quantity > 45 AND l_discount <= 0.02",
+        "filter_or":
+            "SELECT p_partkey, p_brand, p_name, p_retailprice, p_size, p_type"
+            " FROM part WHERE p_size > 45 OR p_brand = 'Brand#33'",
+        "filter_datetime":
+            "SELECT o_orderkey, o_custkey,"
+            " CAST(FLOOR(epoch(o_orderdate)) AS BIGINT) AS o_orderdate_epoch,"
+            " o_orderpriority, o_orderstatus, o_totalprice FROM orders"
+            " WHERE o_orderdate < TIMESTAMP '1996-07-01 00:00:00'",
+        "point_lookup":
+            "SELECT c_custkey, c_acctbal, c_mktsegment, c_name, c_nationkey"
+            " FROM customer WHERE c_custkey = 42",
+        "projection":
+            "SELECT c_custkey, c_name, c_acctbal FROM customer"
+            " WHERE c_mktsegment = 'MACHINERY'",
+        "count_group":
+            "SELECT COUNT(*)::BIGINT AS cnt FROM orders",
+        "knn_near_limit":
+            "SELECT vec_id, label FROM embeddings"
+            " ORDER BY list_distance(embedding::DOUBLE[],"
+            " (SELECT embedding::DOUBLE[] FROM embeddings WHERE vec_id = 0)),"
+            " vec_id LIMIT 10",
+        "pricing_summary":
+            "SELECT l_returnflag, l_linestatus,"
+            " SUM(CAST(ROUND(l_quantity * 100) AS BIGINT))::BIGINT AS sum_qty_cents,"
+            " SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT))::BIGINT AS sum_base_cents,"
+            " SUM(CAST(ROUND((l_extendedprice * (1 - l_discount)) * 100) AS BIGINT))::BIGINT AS sum_disc_cents,"
+            " SUM(CAST(ROUND(((l_extendedprice * (1 - l_discount)) * (1 + l_tax)) * 100) AS BIGINT))::BIGINT AS sum_charge_cents,"
+            " round(AVG(l_quantity), 4) AS avg_qty,"
+            " round(AVG(l_discount), 4) AS avg_disc,"
+            " COUNT(*)::BIGINT AS count_order"
+            " FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'"
+            " GROUP BY l_returnflag, l_linestatus",
+        "topk_orders":
+            "SELECT o_orderkey, o_totalprice FROM orders"
+            " ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 10",
+        "distinct_segments":
+            "SELECT DISTINCT c_mktsegment FROM customer",
+        "join_region_revenue":
+            "SELECT r_name,"
+            " SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT))::BIGINT AS revenue_cents,"
+            " COUNT(*)::BIGINT AS n_orders"
+            " FROM orders JOIN customer ON o_custkey = c_custkey"
+            " JOIN nation ON c_nationkey = n_nationkey"
+            " JOIN region ON n_regionkey = r_regionkey GROUP BY r_name",
+        "join_2hop_revenue":
+            "SELECT c_mktsegment,"
+            " SUM(CAST(ROUND((l_extendedprice * (1 - l_discount)) * 100) AS BIGINT))::BIGINT AS revenue_cents,"
+            " COUNT(*)::BIGINT AS n_items"
+            " FROM lineitem JOIN orders ON l_orderkey = o_orderkey"
+            " JOIN customer ON o_custkey = c_custkey GROUP BY c_mktsegment",
+        "anti_join_no_orders":
+            "SELECT c_custkey, c_nationkey FROM customer"
+            " WHERE NOT EXISTS (SELECT 1 FROM orders"
+            " WHERE o_custkey = c_custkey AND o_totalprice > 400000)",
+        "upsert_lww":
+            "SELECT user_id, event_id, event_type, value FROM events"
+            " QUALIFY ROW_NUMBER() OVER (PARTITION BY user_id"
+            " ORDER BY ts DESC, event_id DESC) = 1",
+        "graph_khop":
+            "SELECT 'c' || c_custkey AS id FROM customer WHERE c_nationkey = 1"
+            " UNION SELECT 's' || s_suppkey FROM supplier WHERE s_nationkey = 1"
+            " UNION SELECT 'r' || n_regionkey FROM nation WHERE n_nationkey = 1"
+            " UNION SELECT 'o' || o_orderkey FROM orders"
+            "  JOIN customer ON o_custkey = c_custkey WHERE c_nationkey = 1"
+            " UNION SELECT 'n' || n2.n_nationkey FROM nation n1"
+            "  JOIN nation n2 ON n1.n_regionkey = n2.n_regionkey"
+            "  WHERE n1.n_nationkey = 1 AND n2.n_nationkey <> 1",
+        "graph_shortest_path":
+            "WITH RECURSIVE e AS ("
+            " SELECT CAST(a.n_nationkey AS BIGINT) AS src,"
+            " CAST(b.n_nationkey AS BIGINT) AS dst,"
+            " CAST(((a.n_nationkey * 7 + b.n_nationkey * 13) % 20) + 1 AS DOUBLE) AS w"
+            " FROM nation a JOIN nation b"
+            " ON (b.n_nationkey - a.n_nationkey) IN (1, 2)"
+            " WHERE a.n_nationkey < 12 AND b.n_nationkey < 12),"
+            " p(node, cost) AS ("
+            " SELECT CAST(0 AS BIGINT), CAST(0 AS DOUBLE)"
+            " UNION ALL SELECT e.dst, p.cost + e.w FROM p JOIN e ON e.src = p.node)"
+            " SELECT CAST(MIN(cost) AS BIGINT) AS cost FROM p WHERE node = 11",
+        "graph_connected_components":
+            "SELECT CAST(n_nationkey AS BIGINT) AS id,"
+            " MIN(CAST(n_nationkey AS BIGINT))"
+            " OVER (PARTITION BY n_regionkey) AS component FROM nation",
+        "graph_pagerank": _pagerank_sql(10),
+        "graph_degrees":
+            "WITH e AS (SELECT 'o' || o_orderkey AS src,"
+            " 'c' || o_custkey AS dst FROM orders),"
+            " outd AS (SELECT src AS id, COUNT(*) AS c FROM e GROUP BY src),"
+            " ind AS (SELECT dst AS id, COUNT(*) AS c FROM e GROUP BY dst)"
+            " SELECT COALESCE(o.id, i.id) AS id,"
+            " COALESCE(i.c, 0)::BIGINT AS in_degree,"
+            " COALESCE(o.c, 0)::BIGINT AS out_degree,"
+            " (COALESCE(i.c, 0) + COALESCE(o.c, 0))::BIGINT AS degree"
+            " FROM outd o FULL OUTER JOIN ind i ON o.id = i.id",
+        "graph_triangles":
+            "WITH e AS (SELECT CAST(a.n_nationkey AS BIGINT) AS src,"
+            " CAST(b.n_nationkey AS BIGINT) AS dst FROM nation a"
+            " JOIN nation b ON a.n_regionkey = b.n_regionkey"
+            " AND a.n_nationkey < b.n_nationkey),"
+            " t AS (SELECT ab.src AS a, ab.dst AS b, bc.dst AS c FROM e ab"
+            " JOIN e bc ON ab.dst = bc.src"
+            " JOIN e ac ON ac.src = ab.src AND ac.dst = bc.dst),"
+            " u AS (SELECT a AS id FROM t UNION ALL SELECT b FROM t"
+            " UNION ALL SELECT c FROM t)"
+            " SELECT id, COUNT(*)::BIGINT AS triangles FROM u GROUP BY id",
+        "dedup_exact":
+            "SELECT md5(text) AS text_hash, MIN(doc_id)::BIGINT AS representative,"
+            " COUNT(*)::BIGINT AS n_copies FROM documents GROUP BY md5(text)",
+        "dedup_ngram_jaccard":
+            f"WITH {shingles_cte},"
+            " sizes AS (SELECT id, COUNT(*) AS n FROM sh GROUP BY id),"
+            " inter AS (SELECT a.id AS doc_a, b.id AS doc_b, COUNT(*) AS c"
+            " FROM sh a JOIN sh b ON a.s = b.s AND a.id < b.id GROUP BY 1, 2)"
+            " SELECT doc_a, doc_b,"
+            " round(c / (sa.n + sb.n - c), 4) AS jaccard"
+            " FROM inter JOIN sizes sa ON sa.id = doc_a"
+            " JOIN sizes sb ON sb.id = doc_b"
+            " WHERE c / (sa.n + sb.n - c) >= 0.5",
+        "dedup_embedding_cosine":
+            "WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),"
+            " n AS (SELECT vec_id, v, sqrt(list_inner_product(v, v)) AS nrm FROM v)"
+            " SELECT a.vec_id AS doc_a, b.vec_id AS doc_b,"
+            " round(list_inner_product(a.v, b.v) / (a.nrm * b.nrm), 4) AS cosine"
+            " FROM n a JOIN n b ON a.vec_id < b.vec_id"
+            " WHERE list_inner_product(a.v, b.v) / (a.nrm * b.nrm) >= 0.45",
+        "text_token_stats":
+            f"SELECT doc_id, length(text)::BIGINT AS n_chars,"
+            f" CAST({ntok} AS BIGINT) AS n_tokens,"
+            f" round(length(replace(text, ' ', '')) / CAST({ntok} AS BIGINT), 4)"
+            f" AS avg_token_len FROM documents",
+        "text_quality":
+            f"SELECT doc_id, CAST({ntok} AS BIGINT) AS n_tokens,"
+            f" round({stop_sum} / CAST({ntok} AS BIGINT), 4) AS stopword_ratio,"
+            f" round((length(text) - length(regexp_replace(text, '[0-9]', '', 'g')))"
+            f" / length(text), 4) AS digit_ratio,"
+            f" round(LEAST(1.0, 0.5 * LEAST(1.0, {stop_sum} / 5.0)"
+            f" + 0.5 * LEAST(1.0, CAST({ntok} AS BIGINT) / 20.0)), 4) AS quality"
+            f" FROM documents",
+        "text_langid":
+            f"SELECT doc_id, {lang_case} AS predicted_lang,"
+            f" CAST({lang_best} AS BIGINT) AS marker_hits FROM documents",
+        "text_fingerprint":
+            "SELECT doc_id, md5(lower(trim(text))) AS fingerprint FROM documents",
+        "sim_cosine_topk":
+            "WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings"
+            " WHERE vec_id = 0),"
+            " v AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)"
+            " SELECT vec_id, round(list_inner_product(v, qv) /"
+            " (sqrt(list_inner_product(v, v)) * sqrt(list_inner_product(qv, qv))), 4)"
+            " AS cosine FROM v, q"
+            " ORDER BY list_inner_product(v, qv) /"
+            " (sqrt(list_inner_product(v, v)) * sqrt(list_inner_product(qv, qv)))"
+            " DESC, vec_id ASC LIMIT 10",
+        "sim_knn_join":
+            "WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),"
+            " q AS (SELECT vec_id AS q_id, embedding::DOUBLE[] AS qv"
+            " FROM embeddings WHERE vec_id < 5),"
+            " s AS (SELECT q.q_id, v.vec_id, list_inner_product(v.v, q.qv) /"
+            " (sqrt(list_inner_product(v.v, v.v)) *"
+            " sqrt(list_inner_product(q.qv, q.qv))) AS cos FROM v, q)"
+            " SELECT q_id, vec_id, rank, round(cos, 4) AS cosine FROM ("
+            " SELECT q_id, vec_id, cos, ROW_NUMBER() OVER (PARTITION BY q_id"
+            " ORDER BY cos DESC, vec_id ASC) AS rank FROM s)"
+            " WHERE rank <= 5",
+        "window_tumbling":
+            "SELECT CAST(FLOOR(epoch(ts) / 3600) AS BIGINT) * 3600 AS window_start,"
+            " event_type, COUNT(*)::BIGINT AS n_events,"
+            " SUM(CAST(ROUND(value * 100) AS BIGINT))::BIGINT AS sum_value_cents,"
+            " round(AVG(value), 4) AS avg_value"
+            " FROM events GROUP BY 1, 2",
+        "window_sliding":
+            "WITH ev AS (SELECT CAST(FLOOR(epoch(ts) / 3600) AS BIGINT) * 3600"
+            " AS h, value FROM events),"
+            " w AS (SELECT h AS window_start, value FROM ev"
+            " UNION ALL SELECT h - 3600, value FROM ev)"
+            " SELECT window_start, COUNT(*)::BIGINT AS n_events,"
+            " SUM(CAST(ROUND(value * 100) AS BIGINT))::BIGINT AS sum_value_cents"
+            " FROM w GROUP BY window_start",
+        "window_session":
+            "WITH ev AS (SELECT user_id, event_id,"
+            " CAST(FLOOR(epoch(ts)) AS BIGINT) AS es FROM events),"
+            " l AS (SELECT *, LAG(es) OVER (PARTITION BY user_id"
+            " ORDER BY es, event_id) AS prev FROM ev),"
+            " m AS (SELECT *, CASE WHEN prev IS NULL OR es - prev > 1800"
+            " THEN 1 ELSE 0 END AS brk FROM l),"
+            " s AS (SELECT *, SUM(brk) OVER (PARTITION BY user_id"
+            " ORDER BY es, event_id ROWS UNBOUNDED PRECEDING) AS sess FROM m)"
+            " SELECT user_id, MIN(es)::BIGINT AS session_start,"
+            " COUNT(*)::BIGINT AS n_events,"
+            " (MAX(es) - MIN(es))::BIGINT AS duration_s"
+            " FROM s GROUP BY user_id, sess",
+        "multimodal_bytes":
+            "SELECT doc_id, octet_length(encode(text))::BIGINT AS n_bytes,"
+            " md5(text) AS digest FROM documents",
+    }

@@ -36,9 +36,12 @@ def _fmt_epoch(x: float) -> str:
 
 
 def _json_scalar(v: Any, kind: str | None) -> str:
+    import datetime as _dt
     if v is None:
         return "null"
     if kind == K_DATETIME:
+        if isinstance(v, _dt.datetime):  # bulk-registered timestamp columns
+            v = v.replace(tzinfo=_dt.timezone.utc).timestamp()
         return json.dumps(_fmt_epoch(float(v)), ensure_ascii=False)
     if kind == K_BINARY:
         return json.dumps("0b" + base64.b64encode(bytes(v)).decode(), ensure_ascii=False)

@@ -84,7 +84,11 @@ def _to_storage(value: Any, kind: str) -> Any:
     if value is None:
         return None
     if kind == K_DATETIME:
-        return float(value.epoch) if isinstance(value, DatetimeLit) else float(value)
+        if isinstance(value, DatetimeLit):
+            return float(value.epoch)
+        if isinstance(value, str):
+            return value  # ISO date/time string — Spark casts vs timestamp cols
+        return float(value)
     if kind == K_BINARY:
         return bytes(value.data) if isinstance(value, BinaryLit) else bytes(value)
     if kind == K_VECTOR:

@@ -31,13 +31,28 @@ from .planner import (PredicateCompiler, apply_knn, key_literal,
                       order_for_group, pattern_filter)
 
 
-@dataclass
 class StatementResult:
-    status: str                       # e.g. "UPSET SUCCESS", "QUERY SUCCESS"
-    rows: list[str] = field(default_factory=list)   # beautified output rows
-    df: Optional[DataFrame] = None
-    error: Optional[str] = None
-    value: Any = None                 # scalar results (count, schema json...)
+    """Result of one statement.  ``rows`` (beautified golden-format lines)
+    is computed LAZILY on first access — queries returning large DataFrames
+    never collect to the driver unless the caller asks for formatted rows
+    (the reference pushes rows through a callback eagerly; at Spark scale
+    the DataFrame stays distributed)."""
+
+    def __init__(self, status: str, rows: Optional[list[str]] = None,
+                 df: Optional[DataFrame] = None, error: Optional[str] = None,
+                 value: Any = None, rows_fn=None):
+        self.status = status
+        self._rows = rows
+        self._rows_fn = rows_fn
+        self.df = df
+        self.error = error
+        self.value = value
+
+    @property
+    def rows(self) -> list[str]:
+        if self._rows is None and self._rows_fn is not None:
+            self._rows = self._rows_fn()
+        return self._rows if self._rows is not None else []
 
 
 class GQLite:
@@ -251,16 +266,18 @@ class GQLite:
             df = df.filter(cond)
         if comp.knn:
             df = apply_knn(df, comp.knn)
-            res_df = df
-            rows = self._beautify_vertices(df, grp)
-            return StatementResult(status="QUERY SUCCESS", rows=rows, df=res_df)
+            return StatementResult(
+                status="QUERY SUCCESS", df=df,
+                rows_fn=lambda df=df, grp=grp: self._beautify_vertices(df, grp))
         if projection:
             cols = (["src", "dst", "direction"] if grp.meta.is_edge else ["id"])
             df = df.select(*cols, *[p for p in projection if p in df.columns])
         df = df.orderBy(*order_for_group(grp.meta))
-        rows = (self._beautify_edges(df, grp) if grp.meta.is_edge
-                else self._beautify_vertices(df, grp))
-        return StatementResult(status="QUERY SUCCESS", rows=rows, df=df)
+        beaut = (self._beautify_edges if grp.meta.is_edge
+                 else self._beautify_vertices)
+        return StatementResult(
+            status="QUERY SUCCESS", df=df,
+            rows_fn=lambda df=df, grp=grp, b=beaut: b(df, grp))
 
     def _target_group(self, target: Any) -> tuple[str, Optional[list[str]]]:
         if isinstance(target, str):
@@ -316,14 +333,16 @@ class GQLite:
                 raise GQLiteError("edge pattern requires an edge group")
             out = df.filter(pattern_filter(pattern, grp.meta)) \
                     .orderBy(*order_for_group(grp.meta))
-            rows = self._beautify_edges(out, grp)
-            return StatementResult(status="QUERY SUCCESS", rows=rows, df=out)
+            return StatementResult(
+                status="QUERY SUCCESS", df=out,
+                rows_fn=lambda o=out, g=grp: self._beautify_edges(o, g))
         # multi-hop walk: iterated self-join (reference intent, stub at
         # ScanPlan.cpp:225-226) — see operators/patterns.py
         from .operators.patterns import match_walk
         out = match_walk(grp.to_df(), pattern, grp.meta)
-        rows = [str(r.asDict()) for r in out.collect()]
-        return StatementResult(status="QUERY SUCCESS", rows=rows, df=out)
+        return StatementResult(
+            status="QUERY SUCCESS", df=out,
+            rows_fn=lambda o=out: [str(r.asDict()) for r in o.collect()])
 
     def _query_shortest_path(self, graph: Graph, grp: Group,
                              pattern: WalkPattern) -> StatementResult:
@@ -384,8 +403,9 @@ class GQLite:
         df = grp.to_df()
         out = df.join(reached.withColumnRenamed("id", "id"), "id", "inner") \
                 .orderBy(*order_for_group(grp.meta))
-        rows = self._beautify_vertices(out, grp)
-        return StatementResult(status="QUERY SUCCESS", rows=rows, df=out)
+        return StatementResult(
+            status="QUERY SUCCESS", df=out,
+            rows_fn=lambda o=out, g=grp: self._beautify_vertices(o, g))
 
     # ----------------------------------------------------------- beautify
     def _beautify_vertices(self, df: DataFrame, grp: Group) -> list[str]:

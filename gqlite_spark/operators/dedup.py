@@ -1,0 +1,232 @@
+"""Document deduplication operators for large-scale training-data pipelines.
+
+Beyond-reference capability (driver north star): exact dedup, n-gram Jaccard,
+MinHash+LSH, SimHash, and embedding-cosine near-dup — all expressed with
+built-in DataFrame ops (no Python row loops), deterministic (md5-derived
+hashes, no RNG), and shuffle-disciplined:
+
+- shingling/explode is a narrow map; the only wide ops are the groupBys on
+  (doc, shingle) and the candidate-pair joins, all keyed well for AQE;
+- MinHash+LSH bounds the candidate-pair join to same-band buckets (the
+  classic band trick), so the O(n²) verify collapses to near-linear at 100 TB;
+- exact verification joins only candidate pairs, never the full cross
+  product.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# MinHash configuration: 16 hash functions in 4 bands of 4 rows.
+# P(candidate | jaccard=s) = 1-(1-s^4)^4 → ~0.97 at s=0.8, ~0.3 at s=0.4.
+NUM_HASHES = 16
+NUM_BANDS = 4
+ROWS_PER_BAND = NUM_HASHES // NUM_BANDS
+
+
+def _shingles_expr(text_col: str, n: int = 3):
+    """Distinct character n-gram shingles of a string column (built-ins only:
+    sequence + transform + array_distinct — JVM-side, codegen-friendly)."""
+    # substr(text, i, n) for i in 1..len-n+1, distinct
+    return F.array_distinct(F.expr(
+        f"transform(sequence(1, greatest(length({text_col}) - {n - 1}, 0)),"
+        f" i -> substring({text_col}, i, {n}))"))
+
+
+def shingles(df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
+             n: int = 3) -> DataFrame:
+    """(id, shingle) exploded distinct shingle table."""
+    return (df.select(F.col(id_col).alias("id"),
+                      F.explode(_shingles_expr(text_col, n)).alias("s"))
+            .distinct())
+
+
+def exact_duplicates(df: DataFrame, id_col: str = "doc_id",
+                     text_col: str = "text") -> DataFrame:
+    """Exact dedup by content hash: one representative (min id) per distinct
+    text + duplicate count.  Single hash-groupBy shuffle; at 100 TB the md5
+    pre-hash keeps the shuffle key small (16 bytes vs full document)."""
+    return (df.groupBy(F.md5(F.col(text_col)).alias("text_hash"))
+            .agg(F.min(F.col(id_col)).alias("representative"),
+                 F.count("*").alias("n_copies")))
+
+
+def ngram_jaccard_pairs(df: DataFrame, id_col: str = "doc_id",
+                        text_col: str = "text", n: int = 3,
+                        threshold: float = 0.5) -> DataFrame:
+    """Exact n-gram Jaccard similarity pairs (a < b, jaccard ≥ threshold).
+
+    Shingle-blocked join: only pairs sharing ≥1 shingle are compared, which
+    is exact for any threshold > 0.  Output: (doc_a, doc_b, jaccard) with
+    jaccard rounded to 4 decimals.
+    """
+    sh = shingles(df, id_col, text_col, n).cache()
+    sizes = sh.groupBy("id").agg(F.count("*").alias("n"))
+    a, b = sh.alias("a"), sh.alias("b")
+    inter = (a.join(b, (F.col("a.s") == F.col("b.s")) &
+                    (F.col("a.id") < F.col("b.id")))
+             .groupBy(F.col("a.id").alias("doc_a"),
+                      F.col("b.id").alias("doc_b"))
+             .agg(F.count("*").alias("c")))
+    sa = sizes.select(F.col("id").alias("doc_a"), F.col("n").alias("na"))
+    sb = sizes.select(F.col("id").alias("doc_b"), F.col("n").alias("nb"))
+    jac = (F.col("c") / (F.col("na") + F.col("nb") - F.col("c")))
+    return (inter.join(sa, "doc_a").join(sb, "doc_b")
+            .filter(jac >= threshold)
+            .select("doc_a", "doc_b", F.round(jac, 4).alias("jaccard")))
+
+
+def _hash_expr(i: int):
+    """Deterministic 60-bit hash family: md5(shingle || ':' || i) hex prefix
+    → bigint.  Portable across engines (same value in DuckDB via
+    ('0x'||substr(md5(s||':i'),1,15))::bigint)."""
+    return F.conv(F.substring(F.md5(F.concat(F.col("s"), F.lit(f":{i}"))),
+                              1, 15), 16, 10).cast("bigint")
+
+
+def minhash_signatures(df: DataFrame, id_col: str = "doc_id",
+                       text_col: str = "text", n: int = 3,
+                       num_hashes: int = NUM_HASHES) -> DataFrame:
+    """(id, h0..h{k-1}) MinHash signature per document."""
+    sh = shingles(df, id_col, text_col, n)
+    hashed = sh.select("id", *[_hash_expr(i).alias(f"h{i}")
+                               for i in range(num_hashes)])
+    return hashed.groupBy("id").agg(
+        *[F.min(f"h{i}").alias(f"h{i}") for i in range(num_hashes)])
+
+
+def minhash_lsh_pairs(df: DataFrame, id_col: str = "doc_id",
+                      text_col: str = "text", n: int = 3,
+                      threshold: float = 0.7,
+                      num_hashes: int = NUM_HASHES,
+                      num_bands: int = NUM_BANDS) -> DataFrame:
+    """Near-dup pairs via MinHash banding + exact-Jaccard verification.
+
+    The LSH band join prunes the candidate space (near-linear in corpus
+    size); every surviving candidate is verified with its TRUE n-gram
+    Jaccard, so precision is exact and only recall depends on the banding.
+    Output: (doc_a, doc_b, jaccard).
+    """
+    rows = num_hashes // num_bands
+    sig = minhash_signatures(df, id_col, text_col, n, num_hashes).cache()
+    bands = []
+    for bi in range(num_bands):
+        cols = [f"h{j}" for j in range(bi * rows, (bi + 1) * rows)]
+        bands.append(sig.select(
+            "id", F.lit(bi).alias("band"),
+            F.md5(F.concat_ws(",", *cols)).alias("bkey")))
+    allbands = bands[0]
+    for b in bands[1:]:
+        allbands = allbands.unionByName(b)
+    x, y = allbands.alias("x"), allbands.alias("y")
+    cand = (x.join(y, (F.col("x.band") == F.col("y.band")) &
+                   (F.col("x.bkey") == F.col("y.bkey")) &
+                   (F.col("x.id") < F.col("y.id")))
+            .select(F.col("x.id").alias("doc_a"),
+                    F.col("y.id").alias("doc_b")).distinct())
+    # exact verify on candidates only
+    sh = shingles(df, id_col, text_col, n).cache()
+    sizes = sh.groupBy("id").agg(F.count("*").alias("n"))
+    a_sh = sh.select(F.col("id").alias("doc_a"), F.col("s"))
+    b_sh = sh.select(F.col("id").alias("doc_b"), F.col("s"))
+    inter = (cand.join(a_sh, "doc_a").join(b_sh, ["doc_b", "s"])
+             .groupBy("doc_a", "doc_b").agg(F.count("*").alias("c")))
+    sa = sizes.select(F.col("id").alias("doc_a"), F.col("n").alias("na"))
+    sb = sizes.select(F.col("id").alias("doc_b"), F.col("n").alias("nb"))
+    jac = F.col("c") / (F.col("na") + F.col("nb") - F.col("c"))
+    return (inter.join(sa, "doc_a").join(sb, "doc_b")
+            .filter(jac >= threshold)
+            .select("doc_a", "doc_b", F.round(jac, 4).alias("jaccard")))
+
+
+def simhash64(df: DataFrame, id_col: str = "doc_id",
+              text_col: str = "text") -> DataFrame:
+    """64-bit SimHash over whitespace tokens (deterministic md5 bit mixing).
+
+    For each token, a 64-bit hash; per bit position, +1 if set else −1,
+    summed over tokens; fingerprint bit = sign.  Expressed with explode +
+    groupBy + bit ops — no UDF.  Returns (id, simhash) as the unsigned
+    value in a decimal(20,0) plus the raw signed bigint.
+    """
+    toks = (df.select(F.col(id_col).alias("id"),
+                      F.explode(F.split(F.col(text_col), " ")).alias("t"))
+            .filter(F.col("t") != ""))
+    h = F.conv(F.substring(F.md5(F.col("t")), 1, 15), 16, 10).cast("bigint")
+    toks = toks.select("id", h.alias("h"))
+    bit_cols = [
+        F.sum(F.when(F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)) == 1,
+                     1).otherwise(-1)).alias(f"b{b}")
+        for b in range(60)
+    ]
+    agg = toks.groupBy("id").agg(*bit_cols)
+    fp = None
+    for b in range(60):
+        term = F.when(F.col(f"b{b}") > 0,
+                      F.lit(2 ** b).cast("decimal(38,0)")).otherwise(F.lit(0))
+        fp = term if fp is None else fp + term
+    return agg.select("id", fp.cast("decimal(20,0)").alias("simhash"))
+
+
+def simhash_near_pairs(df: DataFrame, id_col: str = "doc_id",
+                       text_col: str = "text",
+                       max_hamming: int = 6) -> DataFrame:
+    """SimHash near-dup candidates: block on 4 × 15-bit chunks (any pair
+    within hamming distance ≤ ... must share ≥1 chunk when distance < 4
+    chunks), verify hamming over the 60 bits."""
+    sig = simhash64(df, id_col, text_col)
+    sig = sig.withColumn("shl", F.col("simhash").cast("decimal(38,0)"))
+    chunks = []
+    for ci in range(4):
+        chunk = (F.floor(F.col("shl") / F.lit(float(2 ** (15 * ci))))
+                 .cast("bigint") % F.lit(2 ** 15))
+        chunks.append(sig.select(F.col("id"), F.lit(ci).alias("chunk"),
+                                 chunk.alias("ckey"), F.col("shl")))
+    allc = chunks[0]
+    for c in chunks[1:]:
+        allc = allc.unionByName(c)
+    x, y = allc.alias("x"), allc.alias("y")
+    cand = (x.join(y, (F.col("x.chunk") == F.col("y.chunk")) &
+                   (F.col("x.ckey") == F.col("y.ckey")) &
+                   (F.col("x.id") < F.col("y.id")))
+            .select(F.col("x.id").alias("doc_a"), F.col("y.id").alias("doc_b"),
+                    F.col("x.shl").alias("sa"), F.col("y.shl").alias("sb"))
+            .distinct())
+    # hamming via popcount of xor — decimal arithmetic per 15-bit chunk
+    ham = None
+    for ci in range(4):
+        ca = (F.floor(F.col("sa") / F.lit(float(2 ** (15 * ci)))).cast("bigint")
+              % F.lit(2 ** 15))
+        cb = (F.floor(F.col("sb") / F.lit(float(2 ** (15 * ci)))).cast("bigint")
+              % F.lit(2 ** 15))
+        x15 = ca.bitwiseXOR(cb)
+        pc = F.bit_count(x15)
+        ham = pc if ham is None else ham + pc
+    return (cand.withColumn("hamming", ham)
+            .filter(F.col("hamming") <= max_hamming)
+            .select("doc_a", "doc_b", "hamming"))
+
+
+def embedding_near_dups(df: DataFrame, id_col: str = "vec_id",
+                        vec_col: str = "embedding",
+                        threshold: float = 0.99) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (a < b, cosine ≥ threshold).
+
+    Brute-force self-join; at 100 TB scale use
+    similarity.random_projection_buckets() first to block the join, then
+    verify with this exact cosine on candidates.
+    """
+    v = df.select(F.col(id_col).alias("id"),
+                  F.col(vec_col).cast("array<double>").alias("v"))
+    norm = F.sqrt(F.aggregate("v", F.lit(0.0), lambda a, x: a + x * x))
+    v = v.withColumn("nrm", norm).filter(F.col("nrm") > 0).cache()
+    a, b = v.alias("a"), v.alias("b")
+    dot = F.aggregate(F.zip_with(F.col("a.v"), F.col("b.v"),
+                                 lambda x, y: x * y),
+                      F.lit(0.0), lambda acc, x: acc + x)
+    cos = dot / (F.col("a.nrm") * F.col("b.nrm"))
+    return (a.join(b, F.col("a.id") < F.col("b.id"))
+            .withColumn("cosine", cos)
+            .filter(F.col("cosine") >= threshold)
+            .select(F.col("a.id").alias("doc_a"), F.col("b.id").alias("doc_b"),
+                    F.round("cosine", 4).alias("cosine")))

@@ -1,0 +1,149 @@
+"""Similarity search over embedding columns (array<float|double>).
+
+Replaces the reference's single-node HNSW index (src/operand/query/HNSW.cpp,
+420 LoC — build/search FULL but inherently non-distributed) with the two
+Spark-native strategies:
+
+- brute-force top-k: distance expression + TakeOrderedAndProject — exact,
+  one scan, per-partition top-k then k·P merge; the right plan up to ~10⁸
+  vectors per query batch;
+- random-projection LSH bucketing: deterministic signed random projections
+  (md5-seeded, no RNG state) → bucket key; candidate = same bucket in any of
+  several tables; exact re-rank on candidates.  Near-linear at 100 TB.
+
+The access-path choice (brute vs LSH by corpus size) mirrors the reference's
+cost-ordered candidate plans (GScanPlan::evaluate, ScanPlan.cpp:564-573).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import math
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _dot(a, b):
+    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y),
+                       F.lit(0.0), lambda acc, x: acc + x)
+
+
+def _norm(v):
+    return F.sqrt(F.aggregate(v, F.lit(0.0), lambda a, x: a + x * x))
+
+
+def cosine_topk(df: DataFrame, query_vec: list[float], k: int = 10,
+                id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """Exact top-k by cosine similarity to one query vector.
+    Returns (id, cosine) with cosine rounded to 4 decimals."""
+    q = [float(x) for x in query_vec]
+    qn = math.sqrt(sum(x * x for x in q)) or 1.0
+    v = df.select(F.col(id_col).alias("id"),
+                  F.col(vec_col).cast("array<double>").alias("v"))
+    qcol = F.array(*[F.lit(x) for x in q])
+    cos = _dot(F.col("v"), qcol) / (_norm(F.col("v")) * F.lit(qn))
+    return (v.withColumn("cosine", cos)
+            .orderBy(F.col("cosine").desc(), F.col("id").asc())
+            .limit(k)
+            .select("id", F.round("cosine", 4).alias("cosine")))
+
+
+def l2_topk(df: DataFrame, query_vec: list[float], k: int = 10,
+            id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """Exact top-k by squared L2 distance (distance2 parity with the
+    reference's kNN, Distance.cpp:133-157)."""
+    q = [float(x) for x in query_vec]
+    v = df.select(F.col(id_col).alias("id"),
+                  F.col(vec_col).cast("array<double>").alias("v"))
+    qcol = F.array(*[F.lit(x) for x in q])
+    d2 = F.aggregate(F.zip_with(F.col("v"), qcol, lambda a, b: (a - b) * (a - b)),
+                     F.lit(0.0), lambda acc, x: acc + x)
+    return (v.withColumn("dist2", d2)
+            .orderBy(F.col("dist2").asc(), F.col("id").asc())
+            .limit(k)
+            .select("id", F.round("dist2", 4).alias("dist2")))
+
+
+def knn_join(df: DataFrame, queries: DataFrame, k: int = 5,
+             id_col: str = "vec_id", vec_col: str = "embedding",
+             q_id_col: str = "q_id", q_vec_col: str = "q_vec") -> DataFrame:
+    """For every query vector, its k nearest corpus vectors by cosine.
+
+    Brute-force variant: broadcast the (small) query side against the
+    corpus scan, then per-query window top-k — ONE shuffle keyed by query
+    id.  Returns (q_id, id, rank, cosine).
+    """
+    v = df.select(F.col(id_col).alias("id"),
+                  F.col(vec_col).cast("array<double>").alias("v"))
+    qd = queries.select(F.col(q_id_col).alias("q_id"),
+                        F.col(q_vec_col).cast("array<double>").alias("qv"))
+    joined = v.crossJoin(F.broadcast(qd))
+    cos = _dot(F.col("v"), F.col("qv")) / (_norm(F.col("v")) * _norm(F.col("qv")))
+    w = Window.partitionBy("q_id").orderBy(F.col("cosine").desc(),
+                                           F.col("id").asc())
+    return (joined.withColumn("cosine", cos)
+            .withColumn("rank", F.row_number().over(w).cast("long"))
+            .filter(F.col("rank") <= k)
+            .select("q_id", "id", "rank", F.round("cosine", 4).alias("cosine")))
+
+
+def _projection_vectors(dim: int, n_planes: int, seed: str) -> list[list[float]]:
+    """Deterministic pseudo-random hyperplanes from md5(seed, plane, i) —
+    reproducible across runs/engines with no RNG state."""
+    planes = []
+    for p in range(n_planes):
+        vec = []
+        for i in range(dim):
+            h = hashlib.md5(f"{seed}:{p}:{i}".encode()).hexdigest()
+            # map 8 hex chars → [-1, 1)
+            vec.append(int(h[:8], 16) / float(2 ** 31) - 1.0)
+        planes.append(vec)
+    return planes
+
+
+def random_projection_buckets(df: DataFrame, dim: int, n_planes: int = 8,
+                              n_tables: int = 2, seed: str = "gqlite",
+                              id_col: str = "vec_id",
+                              vec_col: str = "embedding") -> DataFrame:
+    """Sign-random-projection LSH: (id, table, bucket) — same-bucket rows are
+    ANN candidates.  ~n/2^planes per bucket; tune planes to corpus size."""
+    v = df.select(F.col(id_col).alias("id"),
+                  F.col(vec_col).cast("array<double>").alias("v"))
+    out = None
+    for t in range(n_tables):
+        planes = _projection_vectors(dim, n_planes, f"{seed}:{t}")
+        bucket = F.lit(0).cast("long")
+        for pi, plane in enumerate(planes):
+            pcol = F.array(*[F.lit(x) for x in plane])
+            bit = F.when(_dot(F.col("v"), pcol) >= 0, F.lit(1)).otherwise(F.lit(0))
+            bucket = bucket + bit.cast("long") * F.lit(2 ** pi)
+        part = v.select("id", F.lit(t).alias("table"), bucket.alias("bucket"))
+        out = part if out is None else out.unionByName(part)
+    return out
+
+
+def ann_topk(df: DataFrame, query_vec: list[float], dim: int, k: int = 10,
+             n_planes: int = 8, n_tables: int = 2, seed: str = "gqlite",
+             id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """Approximate top-k: restrict to LSH buckets matching the query in any
+    table, then exact cosine re-rank.  The 100 TB path: the bucket filter
+    prunes the scan to ~n_tables/2^planes of the corpus."""
+    buckets = random_projection_buckets(df, dim, n_planes, n_tables, seed,
+                                        id_col, vec_col)
+    q = [float(x) for x in query_vec]
+    wanted = []
+    for t in range(n_tables):
+        planes = _projection_vectors(dim, n_planes, f"{seed}:{t}")
+        b = 0
+        for pi, plane in enumerate(planes):
+            if sum(a * b_ for a, b_ in zip(q, plane)) >= 0:
+                b += 2 ** pi
+        wanted.append((t, b))
+    cond = None
+    for t, b in wanted:
+        c = (F.col("table") == t) & (F.col("bucket") == b)
+        cond = c if cond is None else cond | c
+    cand_ids = buckets.filter(cond).select("id").distinct()
+    cand = df.join(cand_ids.withColumnRenamed("id", id_col), id_col)
+    return cosine_topk(cand, q, k, id_col, vec_col)

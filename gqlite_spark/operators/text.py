@@ -1,0 +1,121 @@
+"""Text-analysis operators for training-data pipelines (beyond-reference,
+driver north star): token counting, quality scoring, language ID, document
+fingerprinting.
+
+All pure built-in expressions (whole-stage codegen, no UDFs) and portable:
+every expression has an exact ANSI-SQL equivalent so results hash-match a
+DuckDB oracle bit-for-bit (counts are integers; ratios rounded to 4
+decimals).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# small stopword marker sets per language for the n-gram/stopword heuristic
+LANG_MARKERS = {
+    "en": ["the", "and", "of", "to", "in"],
+    "es": ["el", "la", "de", "que", "los"],
+    "fr": ["le", "la", "et", "les", "des"],
+    "de": ["der", "die", "und", "das", "ist"],
+}
+_LANG_ORDER = ["en", "es", "fr", "de"]  # deterministic tie-break priority
+
+STOPWORDS_EN = ["the", "and", "of", "to", "in", "a", "is", "for", "on", "it"]
+
+
+def _occurrences(text_col: Column, word: str) -> Column:
+    """Count of ' word ' occurrences in ' '||text||' ' via length arithmetic
+    (portable to any SQL dialect; regexp semantics vary, replace does not)."""
+    padded = F.concat(F.lit(" "), text_col, F.lit(" "))
+    needle = f" {word} "
+    # overlapping ' a a ' cases undercount identically in both engines
+    return ((F.length(padded) - F.length(F.replace(padded, F.lit(needle),
+                                                   F.lit(""))))
+            / F.lit(len(needle))).cast("long")
+
+
+def token_count(text_col: Column) -> Column:
+    """Whitespace token count (single-space-separated corpus): spaces + 1."""
+    return F.when(
+        F.length(F.trim(text_col)) == 0, F.lit(0)
+    ).otherwise(
+        F.length(text_col) - F.length(F.replace(text_col, F.lit(" "),
+                                                F.lit(""))) + 1
+    ).cast("long")
+
+
+def token_stats(df: DataFrame, id_col: str = "doc_id",
+                text_col: str = "text") -> DataFrame:
+    """(doc_id, n_chars, n_tokens, n_distinct 3-gram shingles,
+    avg_token_len) — the core size/shape profile."""
+    t = F.col(text_col)
+    n_tokens = token_count(t)
+    non_space = F.length(F.replace(t, F.lit(" "), F.lit("")))
+    return df.select(
+        F.col(id_col),
+        F.length(t).cast("long").alias("n_chars"),
+        n_tokens.alias("n_tokens"),
+        F.round(non_space / n_tokens, 4).alias("avg_token_len"),
+    )
+
+
+def quality_score(df: DataFrame, id_col: str = "doc_id",
+                  text_col: str = "text") -> DataFrame:
+    """Heuristic quality features + composite score:
+    stopword_ratio (EN stopword tokens / tokens), digit_ratio,
+    mean token length band, and a 0-1 score.  Deterministic arithmetic.
+    """
+    t = F.col(text_col)
+    n_tokens = token_count(t)
+    stop_hits = None
+    for w in STOPWORDS_EN:
+        occ = _occurrences(t, w)
+        stop_hits = occ if stop_hits is None else stop_hits + occ
+    digits = F.length(t) - F.length(F.regexp_replace(t, "[0-9]", ""))
+    stop_ratio = F.round(stop_hits / n_tokens, 4)
+    digit_ratio = F.round(digits / F.length(t), 4)
+    score = F.round(
+        F.least(F.lit(1.0),
+                F.lit(0.5) * F.least(F.lit(1.0), stop_hits / F.lit(5.0))
+                + F.lit(0.5) * F.least(F.lit(1.0), n_tokens / F.lit(20.0))),
+        4)
+    return df.select(F.col(id_col), n_tokens.alias("n_tokens"),
+                     stop_ratio.alias("stopword_ratio"),
+                     digit_ratio.alias("digit_ratio"),
+                     score.alias("quality"))
+
+
+def lang_id(df: DataFrame, id_col: str = "doc_id",
+            text_col: str = "text") -> DataFrame:
+    """Marker-word language ID (n-gram/stopword heuristic): per language,
+    count marker-word occurrences; predict the max (ties: en>es>fr>de).
+    Returns (doc_id, predicted_lang, score)."""
+    t = F.col(text_col)
+    scores = {}
+    for lang, words in LANG_MARKERS.items():
+        s = None
+        for w in words:
+            occ = _occurrences(t, w)
+            s = occ if s is None else s + occ
+        scores[lang] = s
+    best = None
+    best_score = None
+    for lang in reversed(_LANG_ORDER):   # earlier languages win ties
+        if best is None:
+            best, best_score = F.lit(lang), scores[lang]
+        else:
+            cond = scores[lang] >= best_score
+            best = F.when(cond, F.lit(lang)).otherwise(best)
+            best_score = F.when(cond, scores[lang]).otherwise(best_score)
+    return df.select(F.col(id_col), best.alias("predicted_lang"),
+                     best_score.cast("long").alias("marker_hits"))
+
+
+def fingerprint(df: DataFrame, id_col: str = "doc_id",
+                text_col: str = "text") -> DataFrame:
+    """Canonical document fingerprint: md5 of the whitespace-normalized,
+    lowercased text — the join key for cross-corpus exact dedup."""
+    norm = F.lower(F.trim(F.col(text_col)))
+    return df.select(F.col(id_col), F.md5(norm).alias("fingerprint"))
