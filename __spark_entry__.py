@@ -36,9 +36,16 @@ def _cents(expr):
     return F.sum(F.round(expr * 100).cast("long"))
 
 
+_GQL_DB_CACHE: dict = {}
+
+
 def _gql_db(spark, sf_dir):
     """GQL engine over the TPC-H tables registered as vertex groups
-    (zero-copy bulk registration — the 100 TB ingestion path)."""
+    (zero-copy bulk registration — the 100 TB ingestion path).  Cached per
+    (session, sf_dir): registration only reads parquet footers."""
+    cache_key = (id(spark), sf_dir)
+    if cache_key in _GQL_DB_CACHE:
+        return _GQL_DB_CACHE[cache_key]
     from gqlite_spark import GQLite
     db = GQLite(spark)
     g = db.catalog.create_graph("tpch")
@@ -47,6 +54,7 @@ def _gql_db(spark, sf_dir):
                        ("nation", "n_nationkey"), ("embeddings", "vec_id")]:
         grp = g.create_group(table)
         grp.register_df(_load(spark, sf_dir, table), key_col=key)
+    _GQL_DB_CACHE[cache_key] = db
     return db
 
 

@@ -1,0 +1,80 @@
+"""Benchmark harness (driver contract): runs the headline queries at
+$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
+local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
+
+    {"metric": "...", "value": <total sec>, "unit": "sec",
+     "queries": {"q": sec, ...}, "sf": ...}
+
+Each query is materialized fully through the noop sink (no driver
+collect, no result-size bias).  The set covers the scale-relevant plan
+shapes: scans+filters (engine path), hash aggregations, broadcast + shuffle
+joins, window dedup, top-k, kNN, MinHash-LSH dedup over the full document
+corpus, text scoring, and event sessionization.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+HEADLINE = [
+    "point_lookup",          # reference benchmark workload (vertex.gs)
+    "scan_filter_eq",
+    "filter_range_and",
+    "pricing_summary",
+    "topk_orders",
+    "join_region_revenue",
+    "join_2hop_revenue",
+    "upsert_lww",
+    "graph_degrees",
+    "knn_near_limit",
+    "sim_knn_join",
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "text_quality",
+    "window_tumbling",
+    "window_session",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = sf_dir.rstrip("/").split("sf")[-1]
+
+    from gqlite_spark.session import get_spark
+    import __spark_entry__ as entry
+
+    spark = get_spark(app_name="gqlite-spark-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # warmup: JVM codegen + parquet footers + engine registration, so the
+    # first timed query doesn't absorb session startup
+    from gqlite_spark.sources import testdata
+    testdata.load(spark, sf_dir, "lineitem").count()
+    entry._gql_db(spark, sf_dir)
+
+    qs = entry.queries()
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = qs[name]
+        t0 = time.time()
+        df = fn(spark, sf_dir)
+        df.write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.time() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(json.dumps({
+        "metric": "headline_query_wall_seconds",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -34,11 +34,23 @@ def _shingles_expr(text_col: str, n: int = 3):
         f" i -> substring({text_col}, i, {n}))"))
 
 
+def _word_shingles_expr(text_col: str, n: int = 3):
+    """Distinct word n-gram shingles.  On natural/word-level corpora these
+    are far more discriminative than character n-grams (char 3-grams of a
+    shared vocabulary collide across most documents)."""
+    toks = f"split({text_col}, ' ')"
+    return F.array_distinct(F.expr(
+        f"transform(sequence(1, greatest(size({toks}) - {n - 1}, 0)),"
+        f" i -> concat_ws(' ', slice({toks}, i, {n})))"))
+
+
 def shingles(df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
-             n: int = 3) -> DataFrame:
-    """(id, shingle) exploded distinct shingle table."""
+             n: int = 3, unit: str = "char") -> DataFrame:
+    """(id, shingle) exploded distinct shingle table; unit ∈ {char, word}."""
+    expr = (_shingles_expr(text_col, n) if unit == "char"
+            else _word_shingles_expr(text_col, n))
     return (df.select(F.col(id_col).alias("id"),
-                      F.explode(_shingles_expr(text_col, n)).alias("s"))
+                      F.explode(expr).alias("s"))
             .distinct())
 
 
@@ -78,18 +90,20 @@ def ngram_jaccard_pairs(df: DataFrame, id_col: str = "doc_id",
 
 
 def _hash_expr(i: int):
-    """Deterministic 60-bit hash family: md5(shingle || ':' || i) hex prefix
-    → bigint.  Portable across engines (same value in DuckDB via
-    ('0x'||substr(md5(s||':i'),1,15))::bigint)."""
-    return F.conv(F.substring(F.md5(F.concat(F.col("s"), F.lit(f":{i}"))),
-                              1, 15), 16, 10).cast("bigint")
+    """Deterministic hash family i: native xxhash64 over (shingle, i) —
+    JVM-side, no string materialization, ~20× cheaper than md5-hex.
+    (An md5-based engine-portable variant would be
+    conv(substr(md5(s||':'||i),1,15),16,10); not needed since MinHash is
+    verified by exact Jaccard, not by an SQL oracle.)"""
+    return F.xxhash64(F.col("s"), F.lit(i))
 
 
 def minhash_signatures(df: DataFrame, id_col: str = "doc_id",
                        text_col: str = "text", n: int = 3,
-                       num_hashes: int = NUM_HASHES) -> DataFrame:
+                       num_hashes: int = NUM_HASHES,
+                       unit: str = "word") -> DataFrame:
     """(id, h0..h{k-1}) MinHash signature per document."""
-    sh = shingles(df, id_col, text_col, n)
+    sh = shingles(df, id_col, text_col, n, unit)
     hashed = sh.select("id", *[_hash_expr(i).alias(f"h{i}")
                                for i in range(num_hashes)])
     return hashed.groupBy("id").agg(
@@ -100,16 +114,25 @@ def minhash_lsh_pairs(df: DataFrame, id_col: str = "doc_id",
                       text_col: str = "text", n: int = 3,
                       threshold: float = 0.7,
                       num_hashes: int = NUM_HASHES,
-                      num_bands: int = NUM_BANDS) -> DataFrame:
+                      num_bands: int = NUM_BANDS,
+                      unit: str = "word",
+                      max_bucket: int = 2000) -> DataFrame:
     """Near-dup pairs via MinHash banding + exact-Jaccard verification.
 
     The LSH band join prunes the candidate space (near-linear in corpus
     size); every surviving candidate is verified with its TRUE n-gram
     Jaccard, so precision is exact and only recall depends on the banding.
     Output: (doc_a, doc_b, jaccard).
+
+    ``max_bucket`` guards the quadratic candidate blowup from degenerate
+    buckets (e.g. clusters of byte-identical documents): buckets larger
+    than the cap are skipped here — byte-identical clusters are exactly
+    what ``exact_duplicates`` reports at hash-groupBy cost, so the split
+    keeps the whole pipeline near-linear.  Set max_bucket=None to disable.
     """
     rows = num_hashes // num_bands
-    sig = minhash_signatures(df, id_col, text_col, n, num_hashes).cache()
+    sig = minhash_signatures(df, id_col, text_col, n, num_hashes,
+                             unit).cache()
     bands = []
     for bi in range(num_bands):
         cols = [f"h{j}" for j in range(bi * rows, (bi + 1) * rows)]
@@ -119,6 +142,12 @@ def minhash_lsh_pairs(df: DataFrame, id_col: str = "doc_id",
     allbands = bands[0]
     for b in bands[1:]:
         allbands = allbands.unionByName(b)
+    if max_bucket is not None:
+        sizes = allbands.groupBy("band", "bkey").agg(
+            F.count("*").alias("_bn"))
+        allbands = allbands.join(
+            sizes.filter(F.col("_bn") <= max_bucket).drop("_bn"),
+            ["band", "bkey"], "inner")
     x, y = allbands.alias("x"), allbands.alias("y")
     cand = (x.join(y, (F.col("x.band") == F.col("y.band")) &
                    (F.col("x.bkey") == F.col("y.bkey")) &
@@ -126,7 +155,7 @@ def minhash_lsh_pairs(df: DataFrame, id_col: str = "doc_id",
             .select(F.col("x.id").alias("doc_a"),
                     F.col("y.id").alias("doc_b")).distinct())
     # exact verify on candidates only
-    sh = shingles(df, id_col, text_col, n).cache()
+    sh = shingles(df, id_col, text_col, n, unit).cache()
     sizes = sh.groupBy("id").agg(F.count("*").alias("n"))
     a_sh = sh.select(F.col("id").alias("doc_a"), F.col("s"))
     b_sh = sh.select(F.col("id").alias("doc_b"), F.col("s"))

@@ -62,12 +62,12 @@ def shortest_path(edges: DataFrame, src, dst, weight_col: Optional[str] = None,
                         (F.col("f.cost") + F.col("e.w")).alias("cost"),
                         F.concat(F.col("f.path"),
                                  F.array(F.col("e.dst"))).alias("path")))
-        if not msgs.take(1):
-            break
-        combined = best.unionByName(msgs)
-        w = Window.partitionBy("id").orderBy(F.col("cost").asc(), F.col("path").asc())
-        new_best = (combined.withColumn("_rn", F.row_number().over(w))
-                    .filter(F.col("_rn") == 1).drop("_rn"))
+        # min(struct) = lexicographic (cost, path) — one partial-aggregating
+        # shuffle per superstep, no window sort
+        new_best = (best.unionByName(msgs).groupBy("id")
+                    .agg(F.min(F.struct("cost", "path")).alias("cp"))
+                    .select("id", F.col("cp.cost").alias("cost"),
+                            F.col("cp.path").alias("path")))
         frontier = (new_best.alias("n")
                     .join(best.alias("o"), "id", "left")
                     .filter(F.col("o.cost").isNull() |
