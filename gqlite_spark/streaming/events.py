@@ -1,0 +1,95 @@
+"""Structured Streaming over the events stream.
+
+No streaming exists in the reference (SURVEY §2.10) — its closest analogue
+is the resumable cursor scan (ScanPlan.cpp:154-174).  This module is the
+beyond-reference capability layer: event-time windows + watermarks for late
+data, session windows, and streaming dedup, built on Spark Structured
+Streaming so the same code runs on a Kafka/files source feeding a
+1000-executor cluster.
+
+The batch-mode equivalents (oracle-checkable) live in operators/windows.py —
+the window/aggregate semantics are identical by construction.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+EVENT_SCHEMA = ("event_id bigint, ts timestamp, user_id bigint, "
+                "event_type string, value double, props string")
+
+
+def stream_from_directory(spark: SparkSession, path: str,
+                          schema: str = EVENT_SCHEMA,
+                          fmt: str = "parquet") -> DataFrame:
+    """File-source event stream (each new file in ``path`` is a
+    micro-batch).  At scale, swap for the Kafka source — all downstream
+    transformations are source-agnostic."""
+    return (spark.readStream.format(fmt).schema(schema)
+            .option("maxFilesPerTrigger", 8)
+            .load(path))
+
+
+def tumbling_stream(events: DataFrame, window: str = "1 hour",
+                    watermark: str = "2 hours",
+                    ts_col: str = "ts") -> DataFrame:
+    """Watermarked tumbling-window aggregation: late events within the
+    watermark still update their window; older ones are dropped and the
+    window state is evicted (bounded state — mandatory for unbounded
+    streams)."""
+    return (events
+            .withWatermark(ts_col, watermark)
+            .groupBy(F.window(F.col(ts_col), window), F.col("event_type"))
+            .agg(F.count("*").alias("n_events"),
+                 F.sum("value").alias("sum_value"))
+            .select(F.col("window.start").alias("window_start"),
+                    F.col("window.end").alias("window_end"),
+                    "event_type", "n_events", "sum_value"))
+
+
+def windowed_counts(events: DataFrame, window: str = "2 hours",
+                    slide: str = "1 hour",
+                    watermark: str = "2 hours",
+                    ts_col: str = "ts") -> DataFrame:
+    """Sliding-window event counts (width/slide), watermarked."""
+    return (events
+            .withWatermark(ts_col, watermark)
+            .groupBy(F.window(F.col(ts_col), window, slide))
+            .agg(F.count("*").alias("n_events"))
+            .select(F.col("window.start").alias("window_start"),
+                    F.col("window.end").alias("window_end"), "n_events"))
+
+
+def sessionized_stream(events: DataFrame, gap: str = "30 minutes",
+                       watermark: str = "2 hours",
+                       ts_col: str = "ts") -> DataFrame:
+    """Session windows per user via the built-in session_window (dynamic
+    gap-merged state; the stateful-operator path — for custom state logic
+    use applyInPandasWithState with the same keying)."""
+    return (events
+            .withWatermark(ts_col, watermark)
+            .groupBy(F.session_window(F.col(ts_col), gap), F.col("user_id"))
+            .agg(F.count("*").alias("n_events"),
+                 F.sum("value").alias("sum_value"))
+            .select(F.col("session_window.start").alias("session_start"),
+                    F.col("session_window.end").alias("session_end"),
+                    "user_id", "n_events", "sum_value"))
+
+
+def streaming_dedup(events: DataFrame, watermark: str = "2 hours",
+                    ts_col: str = "ts") -> DataFrame:
+    """Streaming exact-once dedup on event_id within the watermark horizon
+    (dropDuplicates keeps state per key; the watermark bounds it)."""
+    return (events
+            .withWatermark(ts_col, watermark)
+            .dropDuplicates(["event_id"]))
+
+
+def run_to_memory(stream_df: DataFrame, name: str,
+                  mode: str = "append"):
+    """Drive a streaming query into an in-memory sink (testing harness)."""
+    return (stream_df.writeStream.format("memory")
+            .queryName(name).outputMode(mode)
+            .trigger(availableNow=True)
+            .start())

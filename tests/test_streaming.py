@@ -1,0 +1,92 @@
+"""Structured Streaming tests: file-source event stream → watermarked
+windows → memory sink; results must equal the batch-mode window operators
+on the same data (semantic parity by construction)."""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+
+@pytest.fixture(scope="module")
+def event_dir(spark, tmp_path_factory):
+    """Write the sf0.001 events out as several parquet files with
+    second-precision timestamps (streaming needs TimestampType)."""
+    path = str(tmp_path_factory.mktemp("events_stream"))
+    src = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    ev = src.select(
+        "event_id",
+        F.timestamp_seconds(F.expr("ts div 1000000000")).alias("ts"),
+        "user_id", "event_type", "value", "props")
+    ev.repartition(4).write.mode("overwrite").parquet(path)
+    return path
+
+
+def _run(spark, stream_df, name, mode="complete"):
+    """complete mode: emit every window including those the watermark has
+    not yet closed (availableNow ends the stream before the final windows
+    would be append-emitted)."""
+    from gqlite_spark.streaming.events import run_to_memory
+    q = run_to_memory(stream_df, name, mode=mode)
+    q.awaitTermination(120)
+    return spark.sql(f"SELECT * FROM {name}")
+
+
+def test_tumbling_stream_matches_batch(spark, event_dir):
+    from gqlite_spark.streaming.events import (stream_from_directory,
+                                               tumbling_stream)
+    stream = stream_from_directory(spark, event_dir)
+    out = _run(spark, tumbling_stream(stream), "t_tumbling")
+
+    batch = (spark.read.parquet(event_dir)
+             .groupBy(F.window("ts", "1 hour"), "event_type")
+             .agg(F.count("*").alias("n_events"),
+                  F.sum("value").alias("sum_value")))
+    assert out.count() == batch.count()
+    # spot-check one window's aggregate equality
+    s = {(r["window_start"], r["event_type"]): (r["n_events"],
+                                                round(r["sum_value"], 6))
+         for r in out.collect()}
+    b = {(r["window"]["start"], r["event_type"]): (r["n_events"],
+                                                   round(r["sum_value"], 6))
+         for r in batch.collect()}
+    assert s == b
+
+
+def test_sliding_stream(spark, event_dir):
+    from gqlite_spark.streaming.events import (stream_from_directory,
+                                               windowed_counts)
+    stream = stream_from_directory(spark, event_dir)
+    out = _run(spark, windowed_counts(stream), "t_sliding")
+    rows = out.collect()
+    assert rows
+    # every event lands in exactly 2 sliding windows (2h width / 1h slide)
+    total_events = spark.read.parquet(event_dir).count()
+    assert sum(r["n_events"] for r in rows) == 2 * total_events
+
+
+def test_session_stream(spark, event_dir):
+    from gqlite_spark.streaming.events import (sessionized_stream,
+                                               stream_from_directory)
+    stream = stream_from_directory(spark, event_dir)
+    out = _run(spark, sessionized_stream(stream), "t_session")
+    rows = out.collect()
+    assert rows
+    # session invariant: end - start >= 0 and n_events >= 1
+    for r in rows:
+        assert r["n_events"] >= 1
+        assert r["session_end"] >= r["session_start"]
+    # event conservation
+    total = spark.read.parquet(event_dir).count()
+    assert sum(r["n_events"] for r in rows) == total
+
+
+def test_streaming_dedup(spark, event_dir):
+    from gqlite_spark.streaming.events import (stream_from_directory,
+                                               streaming_dedup)
+    stream = stream_from_directory(spark, event_dir)
+    out = _run(spark, streaming_dedup(stream), "t_dedup", mode="append")
+    n = out.count()
+    distinct_ids = (spark.read.parquet(event_dir)
+                    .select("event_id").distinct().count())
+    assert n == distinct_ids
