@@ -212,3 +212,118 @@ def triangle_count(edges: DataFrame) -> DataFrame:
                   .groupBy("id").agg(F.count("*").alias("triangles")))
     canon.unpersist()
     return per_vertex
+
+
+def strongly_connected_components(edges: DataFrame,
+                                  max_rounds: int = 16) -> DataFrame:
+    """SCC via parallel forward-backward min-label peeling (the reference's
+    Tarjan is a stub, src/operand/analysis/Tarjan.cpp:1; Tarjan's stack DFS
+    does not distribute — FW-BW label intersection does).
+
+    Each round, within every active partition (color): propagate the min
+    vertex id forward (fwd = min id that reaches v) and backward (bwd = min
+    id v reaches).  Vertices with fwd == bwd form the SCC of that pivot;
+    the rest re-partition by (fwd, bwd) and iterate.  Returns
+    (id, component) with component = min member id.
+    """
+    spark = edges.sparkSession
+    e = edges.select("src", "dst").filter(F.col("src") != F.col("dst")) \
+             .distinct().cache()
+    verts = (e.select(F.col("src").alias("id"))
+             .unionByName(e.select(F.col("dst").alias("id"))).distinct())
+    active = verts.withColumn("color", F.lit(0).cast("long"))
+    id_type = dict(e.dtypes)["src"]
+    assigned = spark.createDataFrame([], f"id {id_type}, component {id_type}")
+
+    def _min_propagate(labels: DataFrame, ed: DataFrame,
+                       max_iter: int = 32) -> DataFrame:
+        """labels: (id, color, lab) — propagate min lab along ed within
+        color; ed: (src, dst)."""
+        for it in range(max_iter):
+            msgs = (labels.alias("l")
+                    .join(ed.alias("e"), F.col("l.id") == F.col("e.src"))
+                    .select(F.col("e.dst").alias("id"),
+                            F.col("l.color").alias("color"),
+                            F.col("l.lab").alias("lab")))
+            # only messages within the same color partition count
+            msgs = (msgs.alias("m")
+                    .join(labels.select("id", "color").alias("t"),
+                          ["id", "color"], "inner"))
+            new_labels = (labels.unionByName(msgs.select("id", "color", "lab"))
+                          .groupBy("id", "color")
+                          .agg(F.min("lab").alias("lab")))
+            changed = (new_labels.alias("n").join(labels.alias("o"),
+                                                  ["id", "color"])
+                       .filter(F.col("n.lab") != F.col("o.lab")))
+            if it % _CHECKPOINT_EVERY == _CHECKPOINT_EVERY - 1:
+                new_labels = new_labels.localCheckpoint()
+            labels = new_labels
+            if not changed.take(1):
+                break
+        return labels
+
+    rev = e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    for _ in range(max_rounds):
+        if not active.take(1):
+            break
+        init = active.withColumn("lab", F.col("id"))
+        fwd = _min_propagate(init, e).withColumnRenamed("lab", "fwd")
+        bwd = _min_propagate(init, rev).withColumnRenamed("lab", "bwd")
+        both = fwd.join(bwd, ["id", "color"])
+        done = both.filter(F.col("fwd") == F.col("bwd")) \
+                   .select("id", F.col("fwd").alias("component"))
+        assigned = assigned.unionByName(done).localCheckpoint()
+        remaining = both.filter(F.col("fwd") != F.col("bwd"))
+        # new color = dense key over (old color, fwd, bwd)
+        active = remaining.select(
+            "id", F.xxhash64("color", "fwd", "bwd").alias("color"))
+        active = active.localCheckpoint()
+        # restrict edges to endpoints still active and same color
+        a1 = active.select(F.col("id").alias("src"),
+                           F.col("color").alias("_sc"))
+        a2 = active.select(F.col("id").alias("dst"),
+                           F.col("color").alias("_dc"))
+        e = (e.join(a1, "src").join(a2, "dst")
+             .filter(F.col("_sc") == F.col("_dc"))
+             .select("src", "dst")).localCheckpoint()
+        rev = e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    return assigned
+
+
+def random_walk(edges: DataFrame, starts: DataFrame, steps: int = 5,
+                seed: int = 42, directed: bool = True) -> DataFrame:
+    """Deterministic pseudo-random walks (reference stub
+    src/walk/RandomWalk.cpp:18-21, implemented for real).
+
+    One walk per row of ``starts`` (column ``id``); at each step the next
+    neighbor is chosen by xxhash64(walk_id, step, seed) mod out-degree — no
+    RNG state, so walks are reproducible across runs and cluster sizes.
+    Returns (walk_id, path array).  Each step is one join keyed on the
+    current vertex — the frontier never leaves the cluster.
+    """
+    e = edges.select("src", "dst")
+    if not directed:
+        e = e.unionByName(e.select(F.col("dst").alias("src"),
+                                   F.col("src").alias("dst")))
+    e = e.distinct()
+    w = Window.partitionBy("src").orderBy("dst")
+    ranked = (e.withColumn("_rk", F.row_number().over(w) - 1)
+              .withColumn("_deg", F.count("*").over(
+                  Window.partitionBy("src"))).cache())
+    walks = starts.select(F.col("id").alias("walk_id"),
+                          F.col("id").alias("cur"),
+                          F.array(F.col("id")).alias("path"))
+    for step in range(steps):
+        pick = F.pmod(F.xxhash64(F.col("walk_id"), F.lit(step), F.lit(seed)),
+                      F.col("_deg"))
+        nxt = (walks.join(ranked, walks.cur == ranked.src, "left")
+               .filter(F.col("src").isNull() | (F.col("_rk") == pick))
+               .select("walk_id",
+                       F.coalesce(F.col("dst"), F.col("cur")).alias("cur"),
+                       F.when(F.col("dst").isNotNull(),
+                              F.concat("path", F.array(F.col("dst"))))
+                       .otherwise(F.col("path")).alias("path")))
+        walks = nxt.localCheckpoint() if step % _CHECKPOINT_EVERY == \
+            _CHECKPOINT_EVERY - 1 else nxt
+    ranked.unpersist()
+    return walks.select("walk_id", "path")

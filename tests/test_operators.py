@@ -1,0 +1,193 @@
+"""Tests for assignment/stats/SCC/random-walk/geohash + dedup/text/
+similarity operators."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+
+# ------------------------------------------------------------ assignment
+
+def test_hungarian_known():
+    from gqlite_spark.operators.assignment import hungarian
+    cost = [[4, 1, 3], [2, 0, 5], [3, 2, 2]]
+    assign, total = hungarian(cost)
+    assert total == 5.0  # 1 + 2 + 2
+    assert assign == [1, 0, 2]
+
+
+def test_hungarian_matches_bruteforce():
+    from itertools import permutations
+    from gqlite_spark.operators.assignment import hungarian
+    rng = np.random.RandomState(7)
+    for _ in range(10):
+        m = rng.randint(0, 50, size=(4, 4)).astype(float)
+        _, total = hungarian(m)
+        best = min(sum(m[i][p[i]] for i in range(4))
+                   for p in permutations(range(4)))
+        assert total == best
+
+
+def test_graph_edit_distance():
+    from gqlite_spark.operators.assignment import graph_edit_distance
+    assert graph_edit_distance([2, 2, 2], [2, 2, 2]) == 0.0
+    assert graph_edit_distance([3, 1], [1, 1]) == 2.0
+    assert graph_edit_distance([1], []) == 1.0
+
+
+# ----------------------------------------------------------------- stats
+
+def test_entropy_and_gain(spark):
+    from gqlite_spark.operators.stats import entropy, information_gain
+    # the reference's restaurant fixture (test/infomation.cpp):
+    # patrons feature has positive gain, a 50/50 target has entropy 1
+    rows = list(zip([1, 2, 1, 2, 2, 1, 0, 1, 2, 2, 0, 2],
+                    [1, 0, 1, 1, 0, 1, 0, 1, 0, 0, 0, 1]))
+    df = spark.createDataFrame(rows, "feature int, target int")
+    assert abs(entropy(df, "target") - 1.0) < 1e-9
+    gain = information_gain(df, "feature", "target")
+    assert 0.0 < gain < 1.0
+
+
+def test_entropy_uniform(spark):
+    from gqlite_spark.operators.stats import entropy
+    df = spark.createDataFrame([(i % 4,) for i in range(64)], "x int")
+    assert abs(entropy(df, "x") - 2.0) < 1e-9
+
+
+# ------------------------------------------------------------------- scc
+
+def test_scc_two_cycles_and_tail(spark):
+    from gqlite_spark.operators.graph_algos import \
+        strongly_connected_components
+    # cycle {1,2,3}, cycle {4,5}, tail 3→4 (no back edge), isolated pair 6→7
+    e = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 1), (3, 4), (4, 5), (5, 4), (6, 7)],
+        "src long, dst long")
+    scc = {r["id"]: r["component"]
+           for r in strongly_connected_components(e).collect()}
+    assert scc[1] == scc[2] == scc[3] == 1
+    assert scc[4] == scc[5] == 4
+    assert scc[6] != scc[7]
+
+
+# ----------------------------------------------------------- random walk
+
+def test_random_walk_deterministic(spark):
+    from gqlite_spark.operators.graph_algos import random_walk
+    e = spark.createDataFrame(
+        [(1, 2), (1, 3), (2, 3), (3, 1), (3, 2)], "src long, dst long")
+    starts = spark.createDataFrame([(1,), (2,)], "id long")
+    w1 = {r["walk_id"]: r["path"]
+          for r in random_walk(e, starts, steps=4, seed=9).collect()}
+    w2 = {r["walk_id"]: r["path"]
+          for r in random_walk(e, starts, steps=4, seed=9).collect()}
+    assert w1 == w2  # reproducible
+    for wid, path in w1.items():
+        assert path[0] == wid and len(path) == 5
+        # every step follows a real edge
+        edges = {(1, 2), (1, 3), (2, 3), (3, 1), (3, 2)}
+        for a, b in zip(path, path[1:]):
+            assert (a, b) in edges
+
+
+def test_random_walk_dead_end(spark):
+    from gqlite_spark.operators.graph_algos import random_walk
+    e = spark.createDataFrame([(1, 2)], "src long, dst long")
+    starts = spark.createDataFrame([(1,)], "id long")
+    [row] = random_walk(e, starts, steps=3).collect()
+    assert row["path"] == [1, 2]  # walk stops at the sink
+
+
+# --------------------------------------------------------------- geohash
+
+def test_geohash_known_values():
+    from gqlite_spark.functions.geohash import geohash_decode, geohash_encode
+    # canonical example: Jutland lighthouse
+    assert geohash_encode(10.40744, 57.64911, 11) == "u4pruydqqvj"
+    assert geohash_encode(10.40744, 57.64911) == "u4pruy"
+    lon, lat = geohash_decode("u4pruy")
+    assert abs(lon - 10.40744) < 0.01 and abs(lat - 57.64911) < 0.01
+
+
+def test_geohash_udf(spark):
+    from gqlite_spark.functions.geohash import geohash_udf
+    df = spark.createDataFrame([(10.40744, 57.64911), (-0.1278, 51.5074)],
+                               "lon double, lat double")
+    out = df.withColumn("gh", geohash_udf()("lon", "lat")).collect()
+    assert out[0]["gh"] == "u4pruy"
+    assert out[1]["gh"].startswith("gcpv")
+
+
+# ------------------------------------------------- dedup/text spot checks
+
+def test_exact_duplicates(spark):
+    from gqlite_spark.operators.dedup import exact_duplicates
+    df = spark.createDataFrame(
+        [(1, "aaa"), (2, "bbb"), (3, "aaa"), (4, "aaa")], "doc_id long, text string")
+    out = {r["representative"]: r["n_copies"]
+           for r in exact_duplicates(df).collect()}
+    assert out == {1: 3, 2: 1}
+
+
+def test_ngram_jaccard_exact_value(spark):
+    from gqlite_spark.operators.dedup import ngram_jaccard_pairs
+    df = spark.createDataFrame([(1, "abcd"), (2, "abcd"), (3, "zzzz")],
+                               "doc_id long, text string")
+    rows = ngram_jaccard_pairs(df, threshold=0.5).collect()
+    assert len(rows) == 1
+    assert rows[0]["doc_a"] == 1 and rows[0]["doc_b"] == 2
+    assert rows[0]["jaccard"] == 1.0
+
+
+def test_minhash_finds_near_dups(spark):
+    from gqlite_spark.operators.dedup import minhash_lsh_pairs
+    base = " ".join(f"w{i}" for i in range(50))
+    near = " ".join(f"w{i}" for i in range(49)) + " zz"
+    far = " ".join(f"x{i}" for i in range(50))
+    df = spark.createDataFrame([(1, base), (2, near), (3, far)],
+                               "doc_id long, text string")
+    rows = minhash_lsh_pairs(df, threshold=0.5).collect()
+    assert [(r["doc_a"], r["doc_b"]) for r in rows] == [(1, 2)]
+
+
+def test_simhash_identical_distance_zero(spark):
+    from gqlite_spark.operators.dedup import simhash_near_pairs
+    df = spark.createDataFrame(
+        [(1, "alpha beta gamma"), (2, "alpha beta gamma"),
+         (3, "totally different words here")], "doc_id long, text string")
+    rows = simhash_near_pairs(df, max_hamming=0).collect()
+    assert [(r["doc_a"], r["doc_b"], r["hamming"]) for r in rows] == [(1, 2, 0)]
+
+
+def test_cosine_topk_self_first(spark):
+    from gqlite_spark.operators.similarity import cosine_topk
+    df = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [0.9, 0.1]), (3, [0.0, 1.0])],
+        "vec_id long, embedding array<double>")
+    rows = cosine_topk(df, [1.0, 0.0], k=2).collect()
+    assert rows[0]["id"] == 1 and rows[0]["cosine"] == 1.0
+    assert rows[1]["id"] == 2
+
+
+def test_ann_lsh_contains_true_nn(spark):
+    from gqlite_spark.operators.similarity import ann_topk
+    import math
+    vecs = [(i, [math.cos(i / 10), math.sin(i / 10)]) for i in range(40)]
+    df = spark.createDataFrame(vecs, "vec_id long, embedding array<double>")
+    out = ann_topk(df, [math.cos(0.05), math.sin(0.05)], dim=2, k=3,
+                   n_planes=2).collect()
+    assert out  # bucket nonempty, returns candidates ranked by true cosine
+    assert out[0]["id"] in (0, 1)
+
+
+def test_multimodal_meta_plumbing(spark):
+    from gqlite_spark.operators.multimodal import extract_meta, to_payload
+    df = spark.createDataFrame([(1, "hello world"), (2, "foo")],
+                               "doc_id long, text string")
+    out = {r["doc_id"]: r for r in extract_meta(to_payload(df)).collect()}
+    assert out[1]["media_type"] == "image/fake"
+    assert 16 <= out[1]["width"] < 80
+    # deterministic across runs
+    again = {r["doc_id"]: r for r in extract_meta(to_payload(df)).collect()}
+    assert out == again
