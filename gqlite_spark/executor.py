@@ -272,12 +272,15 @@ class GQLite:
         if projection:
             cols = (["src", "dst", "direction"] if grp.meta.is_edge else ["id"])
             df = df.select(*cols, *[p for p in projection if p in df.columns])
-        df = df.orderBy(*order_for_group(grp.meta))
+        # key-ordered output is a golden-format concern only: the sort (a
+        # full exchange at scale) happens lazily inside rows_fn; DataFrame
+        # consumers (query_df) get the unsorted, shuffle-free plan
         beaut = (self._beautify_edges if grp.meta.is_edge
                  else self._beautify_vertices)
+        order = order_for_group(grp.meta)
         return StatementResult(
             status="QUERY SUCCESS", df=df,
-            rows_fn=lambda df=df, grp=grp, b=beaut: b(df, grp))
+            rows_fn=lambda df=df, grp=grp, b=beaut, o=order: b(df.orderBy(*o), grp))
 
     def _target_group(self, target: Any) -> tuple[str, Optional[list[str]]]:
         if isinstance(target, str):

@@ -1,0 +1,48 @@
+"""Source loader tests: CSV bulk ingestion (movielens-style) and nGQL
+INSERT parsing (basketballplayer fixture format)."""
+
+import os
+
+
+def test_csv_vertices_and_edges(db, tmp_path):
+    movies = tmp_path / "movies.csv"
+    movies.write_text("movieId,title,genres\n1,Toy Story,Animation\n"
+                      "2,Jumanji,Adventure\n")
+    rates = tmp_path / "ratings.csv"
+    rates.write_text("userId,movieId,rate\n10,1,4.5\n10,2,3.0\n11,1,5.0\n")
+    db.exec("{create: 'ml', group: ['movie', ['user', 'rate', 'movie']]};")
+    from gqlite_spark.sources.loaders import load_csv_edges, load_csv_vertices
+    load_csv_vertices(db, "ml", "movie", str(movies), key_col="movieId")
+    load_csv_edges(db, "ml", "rate", str(rates), src_col="userId",
+                   dst_col="movieId")
+    rows = db.exec("{query: 'movie', in: 'ml'};")[0].rows
+    assert len(rows) == 2 and "Toy Story" in rows[0]
+    res = db.exec("{query: 'rate', in: 'ml', where: [10, ->, *]};")[0]
+    assert len(res.rows) == 2
+    # per-row upsert composes with bulk CSV data (LWW)
+    db.exec("{upset: 'movie', vertex: [[1, {title: 'Toy Story 2', genres: 'Animation'}]]};")
+    rows = db.exec("{query: 'movie', in: 'ml', where: {id: 1}};")[0].rows
+    assert "Toy Story 2" in rows[0]
+
+
+NGQL = '''
+INSERT VERTEX player(name, age) VALUES "player100":("Tim Duncan", 42);
+INSERT VERTEX player(name, age) VALUES "player101":("Tony Parker", 36);
+INSERT VERTEX team(name) VALUES "team204":("Spurs");
+INSERT EDGE follow(degree) VALUES "player101" -> "player100":(95);
+INSERT EDGE serve(start_year, end_year) VALUES "player100" -> "team204":(1997, 2016);
+'''
+
+
+def test_ngql_loader_basketballplayer(db):
+    db.exec("{create: 'bb', group: ['player', 'team',"
+            " ['player', 'follow', 'player'], ['player', 'serve', 'team']]};")
+    from gqlite_spark.sources.loaders import load_ngql_inserts
+    load_ngql_inserts(db, "bb", NGQL)
+    rows = db.exec("{query: 'player', in: 'bb'};")[0].rows
+    assert len(rows) == 2 and '"age":42' in rows[0]
+    res = db.exec("{query: 'follow', in: 'bb', where: ['player101', ->, *]};")[0]
+    assert res.rows == ["['player101', ->, 'player100', {\"degree\":95}]"]
+    # point query by id — the reference's benchmark workload (vertex.gs)
+    rows = db.exec("{query: 'player', in: 'bb', where: {id: 'player100'}};")[0].rows
+    assert len(rows) == 1 and "Tim Duncan" in rows[0]

@@ -1,0 +1,47 @@
+"""Print the interesting lines of the physical plans for key queries
+(pushdown, pruning, join strategy, aggregation shape).  See PLANS.md.
+
+Usage: python tools/plan_audit.py [sf_dir]
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+KEYS = ("Scan parquet", "PushedFilters", "ReadSchema", "BroadcastHashJoin",
+        "SortMergeJoin", "Exchange", "HashAggregate",
+        "TakeOrderedAndProject", "WholeStageCodegen", "Filter", "Window",
+        "BroadcastNestedLoop", "Project")
+
+
+def explain_formatted(df) -> str:
+    return df._jdf.queryExecution().explainString(
+        df._sc._jvm.org.apache.spark.sql.execution.ExplainMode
+        .fromString("formatted"))
+
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+    from gqlite_spark.session import get_spark
+    import __spark_entry__ as entry
+
+    spark = get_spark()
+    spark.sparkContext.setLogLevel("ERROR")
+    audited = ["scan_filter_eq", "point_lookup", "pricing_summary",
+               "join_region_revenue", "join_2hop_revenue", "topk_orders",
+               "knn_near_limit", "upsert_lww", "window_tumbling",
+               "dedup_exact", "sim_knn_join"]
+    qs = entry.queries()
+    for name in audited:
+        df = qs[name](spark, sf_dir)
+        print("=" * 24, name)
+        for line in explain_formatted(df).splitlines():
+            if any(k in line for k in KEYS):
+                print(line[:200])
+
+
+if __name__ == "__main__":
+    main()
