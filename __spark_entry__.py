@@ -291,6 +291,55 @@ def q_degrees(spark, sf_dir):
     return degrees(e)
 
 
+def q_scc(spark, sf_dir):
+    """Strongly connected components on a directed ring per region
+    (each region's nations form one cycle → SCC == region; reference
+    Tarjan stub implemented as distributed FW-BW peeling)."""
+    from gqlite_spark.operators.graph_algos import \
+        strongly_connected_components
+    from pyspark.sql import Window
+    n = _load(spark, sf_dir, "nation")
+    w = Window.partitionBy("n_regionkey").orderBy("n_nationkey")
+    first = n.groupBy("n_regionkey").agg(
+        F.min("n_nationkey").alias("first_key"))
+    chain = (n.select(F.col("n_regionkey"),
+                      F.col("n_nationkey").cast("long").alias("src"),
+                      F.lead("n_nationkey").over(w).cast("long").alias("dst")))
+    closing = (chain.filter(F.col("dst").isNull())
+               .join(first, "n_regionkey")
+               .select("src", F.col("first_key").cast("long").alias("dst")))
+    ring = (chain.filter(F.col("dst").isNotNull()).select("src", "dst")
+            .unionByName(closing))
+    return strongly_connected_components(ring)
+
+
+def q_entropy(spark, sf_dir):
+    """Distributed entropy + conditional entropy + information gain of
+    documents.lang given source (Entropy.cpp/GGain parity, groupBy form)."""
+    from gqlite_spark.operators.stats import (conditional_entropy, entropy,
+                                              information_gain)
+    d = _load(spark, sf_dir, "documents")
+    h = entropy(d, "lang")
+    hc = conditional_entropy(d, "source", "lang")
+    gain = h - hc
+    return spark.createDataFrame(
+        [(round(h, 6), round(hc, 6), round(gain, 6))],
+        "entropy_lang double, cond_entropy double, info_gain double")
+
+
+def q_random_walk(spark, sf_dir):
+    """Deterministic random walks over the region-clique graph (rows-only:
+    xxhash64 step choice is Spark-specific)."""
+    from gqlite_spark.operators.graph_algos import random_walk
+    from gqlite_spark.sources.testdata import region_clique_edges
+    e = region_clique_edges(spark, sf_dir)
+    starts = _load(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").cast("long").alias("id")).filter(F.col("id") < 5)
+    out = random_walk(e, starts, steps=4, directed=False)
+    return out.select("walk_id",
+                      F.concat_ws(",", F.col("path")).alias("path_str"))
+
+
 def q_triangles(spark, sf_dir):
     """Per-vertex triangle counts on the per-region nation cliques."""
     from gqlite_spark.operators.graph_algos import triangle_count
@@ -462,7 +511,27 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_connected_components": q_connected_components,
         "graph_pagerank": q_pagerank,
         "graph_degrees": q_degrees,
+        "graph_scc":
+            "SELECT CAST(n_nationkey AS BIGINT) AS id,"
+            " MIN(CAST(n_nationkey AS BIGINT))"
+            " OVER (PARTITION BY n_regionkey) AS component FROM nation",
+        "stats_entropy_gain":
+            "WITH t AS (SELECT COUNT(*)::DOUBLE AS n FROM documents),"
+            " lc AS (SELECT lang, COUNT(*)::DOUBLE AS c FROM documents GROUP BY lang),"
+            " h AS (SELECT round(SUM(-(c/n) * log2(c/n)), 6) AS entropy_lang"
+            "       FROM lc, t),"
+            " sc AS (SELECT source, lang, COUNT(*)::DOUBLE AS c FROM documents"
+            "        GROUP BY source, lang),"
+            " sn AS (SELECT source, SUM(c) AS fc FROM sc GROUP BY source),"
+            " hc AS (SELECT round(SUM((sc.c/t.n) * -log2(sc.c/sn.fc)), 6)"
+            "        AS cond_entropy FROM sc JOIN sn ON sc.source = sn.source, t)"
+            " SELECT h.entropy_lang, hc.cond_entropy,"
+            " round(h.entropy_lang - hc.cond_entropy, 6) AS info_gain"
+            " FROM h, hc",
         "graph_triangles": q_triangles,
+        "graph_scc": q_scc,
+        "graph_random_walk": q_random_walk,
+        "stats_entropy_gain": q_entropy,
         "dedup_exact": q_dedup_exact,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "dedup_minhash_lsh": q_dedup_minhash,
@@ -655,6 +724,23 @@ def oracle_sql() -> dict[str, str]:
             " COALESCE(o.c, 0)::BIGINT AS out_degree,"
             " (COALESCE(i.c, 0) + COALESCE(o.c, 0))::BIGINT AS degree"
             " FROM outd o FULL OUTER JOIN ind i ON o.id = i.id",
+        "graph_scc":
+            "SELECT CAST(n_nationkey AS BIGINT) AS id,"
+            " MIN(CAST(n_nationkey AS BIGINT))"
+            " OVER (PARTITION BY n_regionkey) AS component FROM nation",
+        "stats_entropy_gain":
+            "WITH t AS (SELECT COUNT(*)::DOUBLE AS n FROM documents),"
+            " lc AS (SELECT lang, COUNT(*)::DOUBLE AS c FROM documents GROUP BY lang),"
+            " h AS (SELECT round(SUM(-(c/n) * log2(c/n)), 6) AS entropy_lang"
+            "       FROM lc, t),"
+            " sc AS (SELECT source, lang, COUNT(*)::DOUBLE AS c FROM documents"
+            "        GROUP BY source, lang),"
+            " sn AS (SELECT source, SUM(c) AS fc FROM sc GROUP BY source),"
+            " hc AS (SELECT round(SUM((sc.c/t.n) * -log2(sc.c/sn.fc)), 6)"
+            "        AS cond_entropy FROM sc JOIN sn ON sc.source = sn.source, t)"
+            " SELECT h.entropy_lang, hc.cond_entropy,"
+            " round(h.entropy_lang - hc.cond_entropy, 6) AS info_gain"
+            " FROM h, hc",
         "graph_triangles":
             "WITH e AS (SELECT CAST(a.n_nationkey AS BIGINT) AS src,"
             " CAST(b.n_nationkey AS BIGINT) AS dst FROM nation a"

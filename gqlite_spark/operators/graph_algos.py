@@ -68,15 +68,17 @@ def shortest_path(edges: DataFrame, src, dst, weight_col: Optional[str] = None,
                     .agg(F.min(F.struct("cost", "path")).alias("cp"))
                     .select("id", F.col("cp.cost").alias("cost"),
                             F.col("cp.path").alias("path")))
+        # eager localCheckpoint every superstep: the take(1) action and the
+        # next iteration both reuse the materialized state instead of
+        # recomputing the union/groupBy chain since the last checkpoint
+        new_best = new_best.localCheckpoint()
         frontier = (new_best.alias("n")
                     .join(best.alias("o"), "id", "left")
                     .filter(F.col("o.cost").isNull() |
                             (F.col("n.cost") < F.col("o.cost")))
                     .select("id", F.col("n.cost").alias("cost"),
-                            F.col("n.path").alias("path")))
-        if it % _CHECKPOINT_EVERY == _CHECKPOINT_EVERY - 1:
-            new_best = new_best.localCheckpoint()
-            frontier = frontier.localCheckpoint()
+                            F.col("n.path").alias("path"))
+                    .localCheckpoint())
         best = new_best
         if not frontier.take(1):
             break
@@ -146,21 +148,28 @@ def pagerank(edges: DataFrame, iterations: int = 10,
               .agg(F.count("*").alias("outdeg"))
     # links: src → dst with 1/outdeg share; broadcast-size in tests, shuffle
     # join keyed on id at scale
-    links = e.join(outdeg.withColumnRenamed("id", "src"), "src")
+    links = e.join(outdeg.withColumnRenamed("id", "src"), "src").cache()
     ranks = verts.withColumn("rank", F.lit(1.0))
+    # dangling vertices (no out-edges) checked ONCE; the per-iteration mass
+    # collect only runs when they exist
+    has_dangling = bool(verts.join(outdeg, "id", "left_anti").take(1))
     for it in range(iterations):
         contribs = (links.join(ranks.withColumnRenamed("id", "src"), "src")
                     .select(F.col("dst").alias("id"),
                             (F.col("rank") / F.col("outdeg")).alias("c")))
         agg = contribs.groupBy("id").agg(F.sum("c").alias("s"))
-        dangling = (ranks.join(outdeg, "id", "left_anti")
-                    .agg(F.coalesce(F.sum("rank"), F.lit(0.0))).collect()[0][0])
+        if has_dangling:
+            dangling = (ranks.join(outdeg, "id", "left_anti")
+                        .agg(F.coalesce(F.sum("rank"), F.lit(0.0)))
+                        .collect()[0][0])
+        else:
+            dangling = 0.0
         base = (1.0 - damping) + damping * dangling / n
         ranks = (verts.join(agg, "id", "left")
                  .select("id", (F.lit(base) + F.lit(damping) *
-                                F.coalesce(F.col("s"), F.lit(0.0))).alias("rank")))
-        if it % _CHECKPOINT_EVERY == _CHECKPOINT_EVERY - 1:
-            ranks = ranks.localCheckpoint()
+                                F.coalesce(F.col("s"), F.lit(0.0))).alias("rank"))
+                 .localCheckpoint())
+    links.unpersist()
     e.unpersist()
     return ranks
 
@@ -174,20 +183,23 @@ def connected_components(edges: DataFrame, max_iter: int = 32) -> DataFrame:
     labels = (e.select(F.col("src").alias("id"))
               .unionByName(e.select(F.col("dst").alias("id")))
               .distinct().withColumn("component", F.col("id")))
-    for it in range(max_iter):
-        msgs = (labels.alias("l").join(e.alias("e"),
-                                       F.col("l.id") == F.col("e.src"))
-                .select(F.col("e.dst").alias("id"), F.col("l.component")
-                        .alias("component")))
-        new_labels = (labels.unionByName(msgs)
+    # labels only decrease → unchanged sum(component) ⟺ fixpoint; check
+    # once per 3-step batch (one cheap aggregate action, no diff join)
+    prev_sum = labels.agg(F.sum("component")).collect()[0][0]
+    batch = 3
+    for it in range(0, max_iter, batch):
+        for _ in range(batch):
+            msgs = (labels.alias("l").join(e.alias("e"),
+                                           F.col("l.id") == F.col("e.src"))
+                    .select(F.col("e.dst").alias("id"), F.col("l.component")
+                            .alias("component")))
+            labels = (labels.unionByName(msgs)
                       .groupBy("id").agg(F.min("component").alias("component")))
-        changed = (new_labels.alias("n").join(labels.alias("o"), "id")
-                   .filter(F.col("n.component") != F.col("o.component")))
-        if it % _CHECKPOINT_EVERY == _CHECKPOINT_EVERY - 1:
-            new_labels = new_labels.localCheckpoint()
-        labels = new_labels
-        if not changed.take(1):
+        labels = labels.localCheckpoint()
+        new_sum = labels.agg(F.sum("component")).collect()[0][0]
+        if new_sum == prev_sum:
             break
+        prev_sum = new_sum
     e.unpersist()
     return labels
 
@@ -235,31 +247,34 @@ def strongly_connected_components(edges: DataFrame,
     id_type = dict(e.dtypes)["src"]
     assigned = spark.createDataFrame([], f"id {id_type}, component {id_type}")
 
+    def _one_step(labels: DataFrame, ed: DataFrame) -> DataFrame:
+        msgs = (labels.alias("l")
+                .join(ed.alias("e"), F.col("l.id") == F.col("e.src"))
+                .select(F.col("e.dst").alias("id"),
+                        F.col("l.color").alias("color"),
+                        F.col("l.lab").alias("lab")))
+        # only messages within the same color partition count
+        msgs = (msgs.alias("m")
+                .join(labels.select("id", "color").alias("t"),
+                      ["id", "color"], "inner"))
+        return (labels.unionByName(msgs.select("id", "color", "lab"))
+                .groupBy("id", "color").agg(F.min("lab").alias("lab")))
+
     def _min_propagate(labels: DataFrame, ed: DataFrame,
-                       max_iter: int = 32) -> DataFrame:
+                       max_iter: int = 32, batch: int = 3) -> DataFrame:
         """labels: (id, color, lab) — propagate min lab along ed within
-        color; ed: (src, dst)."""
-        for it in range(max_iter):
-            msgs = (labels.alias("l")
-                    .join(ed.alias("e"), F.col("l.id") == F.col("e.src"))
-                    .select(F.col("e.dst").alias("id"),
-                            F.col("l.color").alias("color"),
-                            F.col("l.lab").alias("lab")))
-            # only messages within the same color partition count
-            msgs = (msgs.alias("m")
-                    .join(labels.select("id", "color").alias("t"),
-                          ["id", "color"], "inner"))
-            new_labels = (labels.unionByName(msgs.select("id", "color", "lab"))
-                          .groupBy("id", "color")
-                          .agg(F.min("lab").alias("lab")))
-            changed = (new_labels.alias("n").join(labels.alias("o"),
-                                                  ["id", "color"])
-                       .filter(F.col("n.lab") != F.col("o.lab")))
-            if it % _CHECKPOINT_EVERY == _CHECKPOINT_EVERY - 1:
-                new_labels = new_labels.localCheckpoint()
-            labels = new_labels
-            if not changed.take(1):
+        color to fixpoint.  Convergence check: labels only ever decrease,
+        so an unchanged sum(lab) ⟺ fixpoint — one cheap aggregate action
+        per ``batch`` supersteps instead of a diff join per step."""
+        prev_sum = labels.agg(F.sum("lab")).collect()[0][0]
+        for it in range(0, max_iter, batch):
+            for _ in range(batch):
+                labels = _one_step(labels, ed)
+            labels = labels.localCheckpoint()
+            new_sum = labels.agg(F.sum("lab")).collect()[0][0]
+            if new_sum == prev_sum:
                 break
+            prev_sum = new_sum
         return labels
 
     rev = e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))

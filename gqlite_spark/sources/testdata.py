@@ -25,6 +25,12 @@ TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
 
 
 def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    # epoch arithmetic on timestamp_ntz columns must be TZ-stable regardless
+    # of which session the driver hands us
+    try:
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+    except Exception:
+        pass
     if name == "events":
         # events.ts is parquet TIMESTAMP(NANOS) — unreadable by Spark unless
         # surfaced as long nanoseconds (set defensively: the driver may hand
