@@ -334,8 +334,9 @@ class GQLite:
             df = grp.to_df()
             if df is None or not grp.meta.is_edge:
                 raise GQLiteError("edge pattern requires an edge group")
-            out = df.filter(pattern_filter(pattern, grp.meta)) \
-                    .orderBy(*order_for_group(grp.meta))
+            out = df.filter(pattern_filter(pattern, grp.meta))
+            out = self._apply_endpoint_conds(graph, grp, pattern, out)
+            out = out.orderBy(*order_for_group(grp.meta))
             return StatementResult(
                 status="QUERY SUCCESS", df=out,
                 rows_fn=lambda o=out, g=grp: self._beautify_edges(o, g))
@@ -346,6 +347,37 @@ class GQLite:
         return StatementResult(
             status="QUERY SUCCESS", df=out,
             rows_fn=lambda o=out: [str(r.asDict()) for r in o.collect()])
+
+    def _apply_endpoint_conds(self, graph: Graph, grp: Group,
+                              pattern: WalkPattern, out: DataFrame) -> DataFrame:
+        """Edge patterns with endpoint property conditions
+        (``[{user_id: 2}, {'--': 'tag'}, {movie_id: [...]}]``,
+        README.md:155-162): each condition node filters the matching
+        endpoint's vertex group, then a broadcast semi-join restricts the
+        edge set — the Spark form of 'join edges to endpoint tables'."""
+        a, b = pattern.nodes[0], pattern.nodes[1]
+        direction = pattern.conns[0].direction
+        if direction == "<-":
+            a, b = b, a
+
+        def semi(out_df: DataFrame, node, edge_col: str,
+                 group_name: Optional[str]) -> DataFrame:
+            if not node.conds or group_name is None:
+                return out_df
+            vgrp = graph.group(group_name)
+            vdf = vgrp.to_df()
+            if vdf is None:
+                return out_df.filter(F.lit(False))
+            comp = PredicateCompiler(vgrp.meta)
+            cond = comp.compile(
+                gql_parser.Parser("")._build_pred_conj(node.conds))
+            keys = vdf.filter(cond).select(
+                F.col("id").alias(edge_col))
+            return out_df.join(F.broadcast(keys), edge_col, "left_semi")
+
+        out = semi(out, a, "src", grp.meta.src_group)
+        out = semi(out, b, "dst", grp.meta.dst_group)
+        return out
 
     def _query_shortest_path(self, graph: Graph, grp: Group,
                              pattern: WalkPattern) -> StatementResult:

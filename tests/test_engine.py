@@ -166,3 +166,10 @@ def test_dump_roundtrip(edb, spark):
     assert orig == copy
     assert _rows(edb, "{query: 'file_meta', in: 'files'};") == \
         _rows(db2, "{query: 'file_meta', in: 'files2'};")
+
+
+def test_edge_pattern_endpoint_conditions(edb):
+    """[{conds}, --, {conds}] endpoint-property pattern (README.md:155-162)."""
+    rows = _rows(edb, "{query: 'rel_tag', in: 'files',"
+                      " where: [{name: 'art'}, --, {size: {$gt: 15}}]};")
+    assert rows == ["['art', --, 200]"]
