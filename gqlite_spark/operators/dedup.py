@@ -101,9 +101,12 @@ def _hash_expr(i: int):
 def minhash_signatures(df: DataFrame, id_col: str = "doc_id",
                        text_col: str = "text", n: int = 3,
                        num_hashes: int = NUM_HASHES,
-                       unit: str = "word") -> DataFrame:
-    """(id, h0..h{k-1}) MinHash signature per document."""
-    sh = shingles(df, id_col, text_col, n, unit)
+                       unit: str = "word",
+                       shingle_df: "DataFrame | None" = None) -> DataFrame:
+    """(id, h0..h{k-1}) MinHash signature per document.  Pass a cached
+    ``shingle_df`` to share the shingle explode with other stages."""
+    sh = shingle_df if shingle_df is not None else shingles(
+        df, id_col, text_col, n, unit)
     hashed = sh.select("id", *[_hash_expr(i).alias(f"h{i}")
                                for i in range(num_hashes)])
     return hashed.groupBy("id").agg(
@@ -131,8 +134,9 @@ def minhash_lsh_pairs(df: DataFrame, id_col: str = "doc_id",
     keeps the whole pipeline near-linear.  Set max_bucket=None to disable.
     """
     rows = num_hashes // num_bands
-    sig = minhash_signatures(df, id_col, text_col, n, num_hashes,
-                             unit).cache()
+    sh = shingles(df, id_col, text_col, n, unit).cache()
+    sig = minhash_signatures(df, id_col, text_col, n, num_hashes, unit,
+                             shingle_df=sh).cache()
     bands = []
     for bi in range(num_bands):
         cols = [f"h{j}" for j in range(bi * rows, (bi + 1) * rows)]
@@ -154,8 +158,7 @@ def minhash_lsh_pairs(df: DataFrame, id_col: str = "doc_id",
                    (F.col("x.id") < F.col("y.id")))
             .select(F.col("x.id").alias("doc_a"),
                     F.col("y.id").alias("doc_b")).distinct())
-    # exact verify on candidates only
-    sh = shingles(df, id_col, text_col, n, unit).cache()
+    # exact verify on candidates only (reuses the cached shingle table)
     sizes = sh.groupBy("id").agg(F.count("*").alias("n"))
     a_sh = sh.select(F.col("id").alias("doc_a"), F.col("s"))
     b_sh = sh.select(F.col("id").alias("doc_b"), F.col("s"))
