@@ -46,12 +46,14 @@ def _word_shingles_expr(text_col: str, n: int = 3):
 
 def shingles(df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
              n: int = 3, unit: str = "char") -> DataFrame:
-    """(id, shingle) exploded distinct shingle table; unit ∈ {char, word}."""
+    """(id, shingle) exploded distinct shingle table; unit ∈ {char, word}.
+
+    No DataFrame-level distinct: array_distinct inside the shingle
+    expression already dedups per document, so (id, s) pairs are unique by
+    construction — adding .distinct() would be a full extra shuffle."""
     expr = (_shingles_expr(text_col, n) if unit == "char"
             else _word_shingles_expr(text_col, n))
-    return (df.select(F.col(id_col).alias("id"),
-                      F.explode(expr).alias("s"))
-            .distinct())
+    return df.select(F.col(id_col).alias("id"), F.explode(expr).alias("s"))
 
 
 def exact_duplicates(df: DataFrame, id_col: str = "doc_id",

@@ -173,3 +173,46 @@ def test_edge_pattern_endpoint_conditions(edb):
     rows = _rows(edb, "{query: 'rel_tag', in: 'files',"
                       " where: [{name: 'art'}, --, {size: {$gt: 15}}]};")
     assert rows == ["['art', --, 200]"]
+
+
+def test_multi_hop_walk(db):
+    """Multi-hop walk pattern → iterated self-join (reference STUB at
+    ScanPlan.cpp:225-226, implemented in operators/patterns.py)."""
+    db.exec("{create: 'wg', group: ['n', ['n', 'e', 'n']]};")
+    db.exec("{upset: 'e', edge: [[1, ->, 2], [2, ->, 3], [2, ->, 4],"
+            " [4, ->, 5]]};")
+    res = db.exec("{query: 'e', in: 'wg', where: [1, ->, *, ->, *]};")[0]
+    assert res.error is None
+    paths = [(r["n0"], r["n1"], r["n2"]) for r in res.df.collect()]
+    assert sorted(paths) == [(1, 2, 3), (1, 2, 4)]
+    res3 = db.exec("{query: 'e', in: 'wg', where: [1, ->, *, ->, *, ->, 5]};")[0]
+    assert [(r["n0"], r["n1"], r["n2"], r["n3"]) for r in res3.df.collect()] \
+        == [(1, 2, 4, 5)]
+
+
+def test_query_all_groups(qdb):
+    rows = _rows(qdb, "{query: '*', in: 'qdb'};")
+    assert len(rows) == 11  # 2 addr + 9 ruins
+    assert rows[0].startswith("[1,") and rows[-1].startswith("[v5,")
+
+
+def test_show_graph_schema(qdb):
+    res = qdb.exec("show graph 'qdb';")[0]
+    assert res.error is None
+    assert set(res.value["classes"]) == {"ruins", "addr"}
+    assert res.value["classes"]["ruins"]["key_type"] == "string"
+
+
+def test_graph_save_load(qdb, spark, tmp_path):
+    """Parquet persistence round-trip (graph = one dataset per group +
+    schema doc, StorageEngine open/save parity)."""
+    g = qdb.catalog.graph("qdb")
+    g.save(str(tmp_path))
+    from gqlite_spark import GQLite
+    db2 = GQLite(spark, root=str(tmp_path))
+    rows2 = db2.exec("{query: 'ruins', in: 'qdb'};")[0].rows
+    assert rows2 == _rows(qdb, "{query: 'ruins', in: 'qdb'};")
+    # mutations on the loaded graph work (LWW over bulk parquet)
+    db2.exec("{upset: 'ruins', vertex: [['v1', {category: 'Z'}]]};")
+    rows = db2.exec("{query: 'ruins', in: 'qdb', where: {id: 'v1'}};")[0].rows
+    assert rows == ['[v1, {"category":"Z"}]']
