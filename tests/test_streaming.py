@@ -90,3 +90,30 @@ def test_streaming_dedup(spark, event_dir):
     distinct_ids = (spark.read.parquet(event_dir)
                     .select("event_id").distinct().count())
     assert n == distinct_ids
+
+
+def test_stateful_running_stats(spark, event_dir):
+    """applyInPandasWithState custom operator: running per-user aggregates
+    across micro-batches must converge to the batch groundtruth."""
+    from gqlite_spark.streaming.events import (run_to_memory,
+                                               stream_from_directory)
+    from gqlite_spark.streaming.stateful import running_user_stats
+    stream = stream_from_directory(spark, event_dir)
+    q = run_to_memory(running_user_stats(stream), "t_stateful", mode="append")
+    q.awaitTermination(120)
+    out = spark.sql("SELECT * FROM t_stateful")
+    # the LAST emitted row per user carries the final running state
+    latest = {}
+    for r in out.collect():
+        latest[r["user_id"]] = r  # memory sink appends in batch order
+    truth = {r["user_id"]: r for r in
+             spark.read.parquet(event_dir).groupBy("user_id")
+             .agg(F.count("*").alias("n"), F.sum("value").alias("s"),
+                  F.max("value").alias("m")).collect()}
+    assert set(latest) == set(truth)
+    for uid, row in truth.items():
+        # running state may have been emitted over several batches; the last
+        # emission must match the full aggregate
+        assert latest[uid]["n_events"] == row["n"]
+        assert abs(latest[uid]["sum_value"] - row["s"]) < 1e-6
+        assert latest[uid]["max_value"] == row["m"]
