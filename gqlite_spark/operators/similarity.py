@@ -147,3 +147,31 @@ def ann_topk(df: DataFrame, query_vec: list[float], dim: int, k: int = 10,
     cand_ids = buckets.filter(cond).select("id").distinct()
     cand = df.join(cand_ids.withColumnRenamed("id", id_col), id_col)
     return cosine_topk(cand, q, k, id_col, vec_col)
+
+
+# Access-path selection threshold: below this corpus size, exact brute-force
+# top-k (one scan + TakeOrderedAndProject) beats LSH's extra passes; above
+# it, bucket pruning wins.  Mirrors the reference's cost-ordered candidate
+# selection (GScanPlan::evaluate, ScanPlan.cpp:564-573) at the planner level.
+BRUTE_FORCE_LIMIT = 10_000_000
+
+
+def knn_auto(df: DataFrame, query_vec: list[float], k: int = 10,
+             id_col: str = "vec_id", vec_col: str = "embedding",
+             brute_force_limit: int = BRUTE_FORCE_LIMIT,
+             approx_count: "int | None" = None) -> DataFrame:
+    """Cost-based kNN access path: exact brute-force under
+    ``brute_force_limit`` rows, LSH-bucketed ANN above it.
+
+    ``approx_count`` lets callers pass a catalog estimate; otherwise a
+    count() runs (parquet metadata count — no data scan)."""
+    n = approx_count if approx_count is not None else df.count()
+    if n <= brute_force_limit:
+        return cosine_topk(df, query_vec, k, id_col, vec_col)
+    dim = len(query_vec)
+    # planes sized so expected bucket ≈ max(4k, 4096) candidates
+    import math as _m
+    target = max(4 * k, 4096)
+    planes = max(4, min(16, int(_m.log2(max(2, n / target)))))
+    return ann_topk(df, query_vec, dim=dim, k=k, n_planes=planes,
+                    id_col=id_col, vec_col=vec_col)

@@ -191,3 +191,16 @@ def test_multimodal_meta_plumbing(spark):
     # deterministic across runs
     again = {r["doc_id"]: r for r in extract_meta(to_payload(df)).collect()}
     assert out == again
+
+
+def test_knn_auto_paths(spark):
+    from gqlite_spark.operators.similarity import knn_auto
+    df = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [0.9, 0.1]), (3, [0.0, 1.0])],
+        "vec_id long, embedding array<double>")
+    exact = knn_auto(df, [1.0, 0.0], k=2)
+    assert [r["id"] for r in exact.collect()] == [1, 2]
+    # force the LSH path with a tiny threshold: still returns ranked rows
+    approx = knn_auto(df, [1.0, 0.0], k=2, brute_force_limit=1)
+    rows = approx.collect()
+    assert rows and rows[0]["id"] == 1
