@@ -242,6 +242,21 @@ def q_upsert_lww(spark, sf_dir):
             .select("user_id", "event_id", "event_type", "value"))
 
 
+def q_window_rank(spark, sf_dir):
+    """Analytic window functions: per-customer order ranking + running
+    revenue total (rows-unbounded-preceding frame)."""
+    from pyspark.sql import Window
+    o = _load(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    cents = F.round(F.col("o_totalprice") * 100).cast("long")
+    return (o.withColumn("rank", F.row_number().over(w).cast("long"))
+            .withColumn("running_cents",
+                        F.sum(cents).over(
+                            w.rowsBetween(Window.unboundedPreceding, 0)))
+            .filter(F.col("rank") <= 3)
+            .select("o_custkey", "o_orderkey", "rank", "running_cents"))
+
+
 # --------------------------------------------------------------------------
 # Graph analytics (SURVEY §2.4, §2.7 — GraphX-model Pregel loops)
 # --------------------------------------------------------------------------
@@ -506,28 +521,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "join_2hop_revenue": q_join_2hop_revenue,
         "anti_join_no_orders": q_anti_join,
         "upsert_lww": q_upsert_lww,
+        "window_rank_running": q_window_rank,
         "graph_khop": q_khop,
         "graph_shortest_path": q_shortest_path,
         "graph_connected_components": q_connected_components,
         "graph_pagerank": q_pagerank,
         "graph_degrees": q_degrees,
-        "graph_scc":
-            "SELECT CAST(n_nationkey AS BIGINT) AS id,"
-            " MIN(CAST(n_nationkey AS BIGINT))"
-            " OVER (PARTITION BY n_regionkey) AS component FROM nation",
-        "stats_entropy_gain":
-            "WITH t AS (SELECT COUNT(*)::DOUBLE AS n FROM documents),"
-            " lc AS (SELECT lang, COUNT(*)::DOUBLE AS c FROM documents GROUP BY lang),"
-            " h AS (SELECT round(SUM(-(c/n) * log2(c/n)), 6) AS entropy_lang"
-            "       FROM lc, t),"
-            " sc AS (SELECT source, lang, COUNT(*)::DOUBLE AS c FROM documents"
-            "        GROUP BY source, lang),"
-            " sn AS (SELECT source, SUM(c) AS fc FROM sc GROUP BY source),"
-            " hc AS (SELECT round(SUM((sc.c/t.n) * -log2(sc.c/sn.fc)), 6)"
-            "        AS cond_entropy FROM sc JOIN sn ON sc.source = sn.source, t)"
-            " SELECT h.entropy_lang, hc.cond_entropy,"
-            " round(h.entropy_lang - hc.cond_entropy, 6) AS info_gain"
-            " FROM h, hc",
         "graph_triangles": q_triangles,
         "graph_scc": q_scc,
         "graph_random_walk": q_random_walk,
@@ -688,6 +687,15 @@ def oracle_sql() -> dict[str, str]:
             "SELECT user_id, event_id, event_type, value FROM events"
             " QUALIFY ROW_NUMBER() OVER (PARTITION BY user_id"
             " ORDER BY ts DESC, event_id DESC) = 1",
+        "window_rank_running":
+            "SELECT o_custkey, o_orderkey, rank, running_cents FROM ("
+            " SELECT o_custkey, o_orderkey,"
+            " ROW_NUMBER() OVER (PARTITION BY o_custkey"
+            "   ORDER BY o_orderdate, o_orderkey) AS rank,"
+            " SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT))"
+            "   OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey"
+            "   ROWS UNBOUNDED PRECEDING)::BIGINT AS running_cents"
+            " FROM orders) WHERE rank <= 3",
         "graph_khop":
             "SELECT 'c' || c_custkey AS id FROM customer WHERE c_nationkey = 1"
             " UNION SELECT 's' || s_suppkey FROM supplier WHERE s_nationkey = 1"

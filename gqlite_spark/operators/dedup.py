@@ -50,10 +50,20 @@ def shingles(df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
 
     No DataFrame-level distinct: array_distinct inside the shingle
     expression already dedups per document, so (id, s) pairs are unique by
-    construction — adding .distinct() would be a full extra shuffle."""
-    expr = (_shingles_expr(text_col, n) if unit == "char"
-            else _word_shingles_expr(text_col, n))
-    return df.select(F.col(id_col).alias("id"), F.explode(expr).alias("s"))
+    construction — adding .distinct() would be a full extra shuffle.
+
+    Word mode tokenizes in a separate projection first: referencing
+    ``split(text)`` inside the transform lambda would re-split the document
+    once per shingle index (O(words²) per doc)."""
+    if unit == "char":
+        return df.select(F.col(id_col).alias("id"),
+                         F.explode(_shingles_expr(text_col, n)).alias("s"))
+    toks = df.select(F.col(id_col).alias("id"),
+                     F.split(F.col(text_col), " ").alias("_toks"))
+    sh = F.array_distinct(F.expr(
+        f"transform(sequence(1, greatest(size(_toks) - {n - 1}, 0)),"
+        f" i -> concat_ws(' ', slice(_toks, i, {n})))"))
+    return toks.select("id", F.explode(sh).alias("s"))
 
 
 def exact_duplicates(df: DataFrame, id_col: str = "doc_id",
@@ -149,11 +159,10 @@ def minhash_lsh_pairs(df: DataFrame, id_col: str = "doc_id",
     for b in bands[1:]:
         allbands = allbands.unionByName(b)
     if max_bucket is not None:
-        sizes = allbands.groupBy("band", "bkey").agg(
-            F.count("*").alias("_bn"))
-        allbands = allbands.join(
-            sizes.filter(F.col("_bn") <= max_bucket).drop("_bn"),
-            ["band", "bkey"], "inner")
+        from pyspark.sql import Window
+        bn = F.count("*").over(Window.partitionBy("band", "bkey"))
+        allbands = (allbands.withColumn("_bn", bn)
+                    .filter(F.col("_bn") <= max_bucket).drop("_bn"))
     x, y = allbands.alias("x"), allbands.alias("y")
     cand = (x.join(y, (F.col("x.band") == F.col("y.band")) &
                    (F.col("x.bkey") == F.col("y.bkey")) &

@@ -204,3 +204,15 @@ def test_knn_auto_paths(spark):
     approx = knn_auto(df, [1.0, 0.0], k=2, brute_force_limit=1)
     rows = approx.collect()
     assert rows and rows[0]["id"] == 1
+
+
+def test_decision_tree(spark):
+    """Distributed decision tree (reference DecisionTree.cpp stub →
+    Spark ML): learns a separable rule perfectly."""
+    from gqlite_spark.operators.ml import fit_decision_tree, tree_accuracy
+    rows = [(float(i % 10), float((i * 3) % 7), 1 if i % 10 >= 5 else 0)
+            for i in range(200)]
+    df = spark.createDataFrame(rows, "f1 double, f2 double, y int")
+    model, preds = fit_decision_tree(df, ["f1", "f2"], "y", max_depth=4)
+    assert tree_accuracy(preds, "y") == 1.0
+    assert model.depth <= 4
