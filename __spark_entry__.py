@@ -242,6 +242,42 @@ def q_upsert_lww(spark, sf_dir):
             .select("user_id", "event_id", "event_type", "value"))
 
 
+def q_rollup_revenue(spark, sf_dir):
+    """ROLLUP aggregation over (region, mktsegment) — subtotal + grand-total
+    rows (beyond-reference: reference has no grouping sets at all)."""
+    o = _load(spark, sf_dir, "orders")
+    c = _load(spark, sf_dir, "customer")
+    n = _load(spark, sf_dir, "nation")
+    r = _load(spark, sf_dir, "region")
+    joined = (o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+              .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+              .join(F.broadcast(r), n.n_regionkey == r.r_regionkey))
+    return (joined.rollup("r_name", "c_mktsegment")
+            .agg(_cents(F.col("o_totalprice")).alias("revenue_cents"),
+                 F.count("*").alias("n_orders")))
+
+
+def q_correlated_subquery(spark, sf_dir):
+    """Orders above their customer's average price — correlated scalar
+    subquery through the SQL API (Catalyst decorrelates to an aggregate +
+    join; no per-row re-execution)."""
+    _load(spark, sf_dir, "orders").createOrReplaceTempView("orders_v")
+    return spark.sql(
+        "SELECT o_orderkey, o_custkey, o_totalprice FROM orders_v o "
+        "WHERE o_totalprice > (SELECT AVG(i.o_totalprice) FROM orders_v i "
+        "                      WHERE i.o_custkey = o.o_custkey)")
+
+
+def q_semi_join(spark, sf_dir):
+    """Customers with at least one urgent order (left-semi join — the
+    EXISTS shape; remove-cascade's positive dual)."""
+    c = _load(spark, sf_dir, "customer")
+    o = _load(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") == "1-URGENT")
+    return (c.join(o, c.c_custkey == o.o_custkey, "left_semi")
+            .select("c_custkey", "c_name"))
+
+
 def q_window_rank(spark, sf_dir):
     """Analytic window functions: per-customer order ranking + running
     revenue total (rows-unbounded-preceding frame)."""
@@ -522,6 +558,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "anti_join_no_orders": q_anti_join,
         "upsert_lww": q_upsert_lww,
         "window_rank_running": q_window_rank,
+        "rollup_revenue": q_rollup_revenue,
+        "correlated_subquery": q_correlated_subquery,
+        "semi_join_urgent": q_semi_join,
         "graph_khop": q_khop,
         "graph_shortest_path": q_shortest_path,
         "graph_connected_components": q_connected_components,
@@ -849,4 +888,20 @@ def oracle_sql() -> dict[str, str]:
         "multimodal_bytes":
             "SELECT doc_id, octet_length(encode(text))::BIGINT AS n_bytes,"
             " md5(text) AS digest FROM documents",
+        "rollup_revenue":
+            "SELECT r_name, c_mktsegment,"
+            " SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT))::BIGINT AS revenue_cents,"
+            " COUNT(*)::BIGINT AS n_orders"
+            " FROM orders JOIN customer ON o_custkey = c_custkey"
+            " JOIN nation ON c_nationkey = n_nationkey"
+            " JOIN region ON n_regionkey = r_regionkey"
+            " GROUP BY ROLLUP(r_name, c_mktsegment)",
+        "correlated_subquery":
+            "SELECT o_orderkey, o_custkey, o_totalprice FROM orders o"
+            " WHERE o_totalprice > (SELECT AVG(i.o_totalprice) FROM orders i"
+            "                       WHERE i.o_custkey = o.o_custkey)",
+        "semi_join_urgent":
+            "SELECT c_custkey, c_name FROM customer WHERE EXISTS ("
+            " SELECT 1 FROM orders WHERE o_custkey = c_custkey"
+            " AND o_orderpriority = '1-URGENT')",
     }
