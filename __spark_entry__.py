@@ -36,6 +36,18 @@ def _cents(expr):
     return F.sum(F.round(expr * 100).cast("long"))
 
 
+def _avg_e4(expr):
+    """Engine-exact average as a scaled integer (1e-4 units).
+
+    Two failure modes force this shape (both observed at sf0.1):
+    native AVG accumulates in engine-specific order, and even on identical
+    quotient doubles the engines' ROUND(x, 4) implementations differ at
+    boundary values (BigDecimal HALF_UP vs C round).  A single
+    round-to-nearest-INTEGER of an identical double is the only portable
+    rounding: avg_e4 = round(sum_cents * 100.0 / n).""" 
+    return F.round(_cents(expr) * 100.0 / F.count("*")).cast("long")
+
+
 _GQL_DB_CACHE: dict = {}
 
 
@@ -176,8 +188,8 @@ def q_pricing_summary(spark, sf_dir):
                  _cents(F.col("l_extendedprice")).alias("sum_base_cents"),
                  _cents(disc).alias("sum_disc_cents"),
                  _cents(charge).alias("sum_charge_cents"),
-                 F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
-                 F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+                 _avg_e4(F.col("l_quantity")).alias("avg_qty_e4"),
+                 _avg_e4(F.col("l_discount")).alias("avg_disc_e4"),
                  F.count("*").alias("count_order")))
 
 
@@ -494,7 +506,7 @@ def q_window_tumbling(spark, sf_dir):
     return (e.groupBy(win, "event_type")
             .agg(F.count("*").alias("n_events"),
                  _cents(F.col("value")).alias("sum_value_cents"),
-                 F.round(F.avg("value"), 4).alias("avg_value")))
+                 _avg_e4(F.col("value")).alias("avg_value_e4")))
 
 
 def q_window_sliding(spark, sf_dir):
@@ -695,8 +707,8 @@ def oracle_sql() -> dict[str, str]:
             " SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT))::BIGINT AS sum_base_cents,"
             " SUM(CAST(ROUND((l_extendedprice * (1 - l_discount)) * 100) AS BIGINT))::BIGINT AS sum_disc_cents,"
             " SUM(CAST(ROUND(((l_extendedprice * (1 - l_discount)) * (1 + l_tax)) * 100) AS BIGINT))::BIGINT AS sum_charge_cents,"
-            " round(AVG(l_quantity), 4) AS avg_qty,"
-            " round(AVG(l_discount), 4) AS avg_disc,"
+            " CAST(ROUND(SUM(CAST(ROUND(l_quantity * 100) AS BIGINT)) * 100.0 / COUNT(*)) AS BIGINT) AS avg_qty_e4,"
+            " CAST(ROUND(SUM(CAST(ROUND(l_discount * 100) AS BIGINT)) * 100.0 / COUNT(*)) AS BIGINT) AS avg_disc_e4,"
             " COUNT(*)::BIGINT AS count_order"
             " FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'"
             " GROUP BY l_returnflag, l_linestatus",
@@ -862,7 +874,7 @@ def oracle_sql() -> dict[str, str]:
             "SELECT CAST(FLOOR(epoch(ts) / 3600) AS BIGINT) * 3600 AS window_start,"
             " event_type, COUNT(*)::BIGINT AS n_events,"
             " SUM(CAST(ROUND(value * 100) AS BIGINT))::BIGINT AS sum_value_cents,"
-            " round(AVG(value), 4) AS avg_value"
+            " CAST(ROUND(SUM(CAST(ROUND(value * 100) AS BIGINT)) * 100.0 / COUNT(*)) AS BIGINT) AS avg_value_e4"
             " FROM events GROUP BY 1, 2",
         "window_sliding":
             "WITH ev AS (SELECT CAST(FLOOR(epoch(ts) / 3600) AS BIGINT) * 3600"

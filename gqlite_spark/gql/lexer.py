@@ -44,6 +44,15 @@ _PUNCT = {
 _KEYWORD_OPS = {"$lt", "$gt", "$lte", "$gte", "$and", "$or", "$near", "$geometry"}
 
 
+_ASCII_DIGITS = set("0123456789")
+
+
+def _is_digit(ch: str) -> bool:
+    """ASCII digits only — str.isdigit() accepts unicode digits ('²')
+    that int()/float() reject (found by hypothesis fuzzing)."""
+    return ch in _ASCII_DIGITS
+
+
 def _is_ident_start(ch: str) -> bool:
     return ch.isalpha() or ch in "_$" or ord(ch) > 127
 
@@ -88,7 +97,8 @@ def tokenize(text: str) -> list[Token]:
                 toks.append(Token(ARROW_R, "->", i)); i += 2; continue
             if nxt == "-":
                 toks.append(Token(DASH2, "--", i)); i += 2; continue
-            if nxt.isdigit() or nxt == ".":
+            if _is_digit(nxt) or (nxt == "." and i + 2 < n
+                                  and _is_digit(text[i + 2])):
                 tok, i = _read_number(text, i)
                 toks.append(tok)
                 continue
@@ -104,14 +114,14 @@ def tokenize(text: str) -> list[Token]:
         if ch in "+/>!":
             toks.append(Token(OP, ch, i)); i += 1; continue
         # tagged literals 0d / 0b / 0h, else plain number
-        if ch.isdigit():
+        if _is_digit(ch):
             if ch == "0" and i + 1 < n and text[i + 1] in "dbh":
                 tag = text[i + 1]
-                if tag == "d" and i + 2 < n and (text[i + 2].isdigit() or text[i + 2] == "-"):
+                if tag == "d" and i + 2 < n and (_is_digit(text[i + 2]) or text[i + 2] == "-"):
                     j = i + 2
                     if text[j] == "-":
                         j += 1
-                    while j < n and (text[j].isdigit() or text[j] == "."):
+                    while j < n and (_is_digit(text[j]) or text[j] == "."):
                         j += 1
                     raw = text[i + 2:j]
                     toks.append(Token(DATETIME, float(raw) if "." in raw else int(raw), i))
@@ -177,17 +187,19 @@ def _read_number(text: str, i: int) -> tuple[Token, int]:
     seen_dot = seen_exp = False
     while j < n:
         ch = text[j]
-        if ch.isdigit():
+        if _is_digit(ch):
             j += 1
-        elif ch == "." and not seen_dot and not seen_exp and j + 1 < n and text[j + 1].isdigit():
+        elif ch == "." and not seen_dot and not seen_exp and j + 1 < n and _is_digit(text[j + 1]):
             seen_dot = True
             j += 1
-        elif ch in "eE" and not seen_exp and j + 1 < n and (text[j + 1].isdigit() or text[j + 1] in "+-"):
+        elif ch in "eE" and not seen_exp and j + 1 < n and (_is_digit(text[j + 1]) or text[j + 1] in "+-"):
             seen_exp = True
             j += 2
         else:
             break
     raw = text[i:j]
+    if not any(_is_digit(c) for c in raw):
+        raise GQLParseError(f"malformed number {raw!r} at offset {i}")
     if seen_dot or seen_exp:
         return Token(FLOAT, float(raw), i), j
     return Token(INT, int(raw), i), j

@@ -1,0 +1,95 @@
+"""Property-based parser tests (hypothesis): arbitrary values survive the
+upsert→parse round-trip, and arbitrary input never crashes the lexer/parser
+with anything but GQLParseError."""
+
+import string
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from gqlite_spark.errors import GQLParseError
+from gqlite_spark.gql.ast import UpsetVertexStmt
+from gqlite_spark.gql.parser import parse, parse_one
+
+# property values the GQL literal surface can express
+_prop_key = st.text(alphabet=string.ascii_lowercase + "_", min_size=1,
+                    max_size=8)
+_safe_text = st.text(
+    alphabet=st.characters(codec="utf-8",
+                           exclude_characters="'\\\x00"),
+    max_size=30)
+_scalar = st.one_of(
+    st.integers(min_value=-2**31, max_value=2**31),
+    st.floats(allow_nan=False, allow_infinity=False, width=32),
+    _safe_text,
+)
+_vector = st.lists(st.floats(allow_nan=False, allow_infinity=False,
+                             width=32), min_size=1, max_size=4)
+
+
+def _fmt(v) -> str:
+    if isinstance(v, str):
+        return "'" + v + "'"
+    if isinstance(v, float):
+        return repr(v)
+    if isinstance(v, list):
+        return "[" + ", ".join(repr(float(x)) for x in v) + "]"
+    return str(v)
+
+
+@given(key=st.one_of(st.integers(min_value=0, max_value=2**40), _safe_text),
+       props=st.dictionaries(_prop_key, st.one_of(_scalar, _vector),
+                             min_size=0, max_size=4))
+@settings(max_examples=200, deadline=None)
+def test_upsert_roundtrip(key, props):
+    """Any expressible (key, props) pair parses back to itself."""
+    key_lit = _fmt(key) if isinstance(key, str) else str(key)
+    if props:
+        body = ", ".join(f"{k}: {_fmt(v)}" for k, v in props.items())
+        gql = f"{{upset: 'g', vertex: [[{key_lit}, {{{body}}}]]}};"
+    else:
+        gql = f"{{upset: 'g', vertex: [[{key_lit}]]}};"
+    stmt = parse_one(gql)
+    assert isinstance(stmt, UpsetVertexStmt)
+    [(parsed_key, parsed_props)] = stmt.vertices
+    assert parsed_key == key
+    expected = {k: (pytest_approx(v) if isinstance(v, float) else v)
+                for k, v in props.items()} or None
+    if props:
+        assert set(parsed_props) == set(props)
+        for k, v in props.items():
+            got = parsed_props[k]
+            if isinstance(v, float):
+                assert got == v
+            elif isinstance(v, list):
+                assert [float(x) for x in got] == [float(x) for x in v]
+            else:
+                assert got == v
+    else:
+        assert parsed_props is None
+
+
+def pytest_approx(v):
+    return v
+
+
+@given(st.text(max_size=60))
+@settings(max_examples=300, deadline=None)
+def test_parser_never_crashes(text):
+    """Arbitrary input → parsed statements or GQLParseError; never any
+    other exception (no hangs, no internal errors)."""
+    try:
+        parse(text)
+    except GQLParseError:
+        pass
+
+
+@given(st.text(alphabet="{}[]():,;'*-<>=$ \tab01.", max_size=80))
+@settings(max_examples=300, deadline=None)
+def test_parser_never_crashes_structural(text):
+    """Structural-character soup (worst case for a recursive-descent
+    parser) → same guarantee."""
+    try:
+        parse(text)
+    except GQLParseError:
+        pass
