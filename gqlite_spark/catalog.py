@@ -367,15 +367,32 @@ class Graph:
         }
 
     # ---------------------------------------------------------- persistence
-    def save(self, root: str) -> None:
+    def save(self, root: str, partition_by: Optional[dict] = None,
+             key_buckets: Optional[int] = None) -> None:
+        """Persist every group as parquet under ``<root>/<name>/``.
+
+        ``partition_by``: {group_name: [columns]} → hive-partitioned layout
+        (directory pruning on those columns at read time).
+        ``key_buckets``: pre-shuffle each group by its key into N files so
+        re-loaded joins on id / (src,dst) start co-located — the plain-
+        parquet stand-in for bucketBy (which needs a metastore table).
+        """
         path = os.path.join(root, self.name)
         os.makedirs(path, exist_ok=True)
         with open(os.path.join(path, "_schema.json"), "w") as f:
             json.dump(self.schema_json(), f, indent=1, sort_keys=True)
         for name, g in self.groups.items():
             df = g.to_df()
-            if df is not None:
-                df.write.mode("overwrite").parquet(os.path.join(path, name + ".parquet"))
+            if df is None:
+                continue
+            if key_buckets:
+                keys = ["src", "dst"] if g.meta.is_edge else ["id"]
+                df = df.repartition(key_buckets, *keys)
+            writer = df.write.mode("overwrite")
+            cols = (partition_by or {}).get(name)
+            if cols:
+                writer = writer.partitionBy(*cols)
+            writer.parquet(os.path.join(path, name + ".parquet"))
 
     @staticmethod
     def load(spark: SparkSession, root: str, name: str) -> "Graph":

@@ -428,16 +428,21 @@ class GQLite:
                     if g.meta.is_edge and g.to_df() is not None]
         if not edge_dfs:
             return StatementResult(status="QUERY SUCCESS", rows=[])
+        # groups may have heterogeneous key types (string tag ↔ int file id);
+        # normalize endpoints to string for the traversal union
         import functools as _ft
-        edges = _ft.reduce(lambda a, b: a.select("src", "dst", "direction")
-                           .unionByName(b.select("src", "dst", "direction")),
-                           edge_dfs)
-        reached = k_hop(edges, key_literal(grp.meta, start),
-                        int(spec["hops"]),
+        norm = [d.select(F.col("src").cast("string").alias("src"),
+                         F.col("dst").cast("string").alias("dst"),
+                         "direction") for d in edge_dfs]
+        edges = _ft.reduce(lambda a, b: a.unionByName(b), norm)
+        # the start key may live in ANY group (it's a graph-wide walk
+        # origin) — normalized to string like the traversal edges
+        reached = k_hop(edges, str(start), int(spec["hops"]),
                         direction=spec.get("direction", "--"))
         df = grp.to_df()
-        out = df.join(reached.withColumnRenamed("id", "id"), "id", "inner") \
-                .orderBy(*order_for_group(grp.meta))
+        out = (df.join(reached.withColumnRenamed("id", "_rid"),
+                       df["id"].cast("string") == F.col("_rid"), "left_semi")
+               .orderBy(*order_for_group(grp.meta)))
         return StatementResult(
             status="QUERY SUCCESS", df=out,
             rows_fn=lambda o=out, g=grp: self._beautify_vertices(o, g))

@@ -216,3 +216,25 @@ def test_graph_save_load(qdb, spark, tmp_path):
     db2.exec("{upset: 'ruins', vertex: [['v1', {category: 'Z'}]]};")
     rows = db2.exec("{query: 'ruins', in: 'qdb', where: {id: 'v1'}};")[0].rows
     assert rows == ['[v1, {"category":"Z"}]']
+
+
+def test_khop_neighbor_query(edb):
+    """{query: g, from: key, where: {--: n}} k-hop neighbor surface
+    (README.md:244-246; reference STUB) across mixed-key edge groups."""
+    rows = _rows(edb, "{query: 'file_meta', in: 'files', from: 'art', where: {--: 1}};")
+    assert [r.split(",")[0] for r in rows] == ["[100", "[200"]
+    # 2-hop from a file reaches sibling files through the shared tag
+    rows = _rows(edb, "{query: 'file_meta', in: 'files', from: 100, where: {--: 2}};")
+    assert [r.split(",")[0] for r in rows] == ["[200"]
+
+
+def test_graph_save_partitioned(qdb, spark, tmp_path):
+    import os
+    g = qdb.catalog.graph("qdb")
+    g.save(str(tmp_path), partition_by={"ruins": ["category"]}, key_buckets=4)
+    part_dir = os.path.join(str(tmp_path), "qdb", "ruins.parquet")
+    assert any(d.startswith("category=") for d in os.listdir(part_dir))
+    from gqlite_spark import GQLite
+    db2 = GQLite(spark, root=str(tmp_path))
+    rows = db2.exec("{query: 'ruins', in: 'qdb', where: {category: 'HDR'}};")[0].rows
+    assert len(rows) == 2 and all("HDR" in r for r in rows)
