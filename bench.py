@@ -30,6 +30,9 @@ HEADLINE = [
     "join_region_revenue",
     "join_2hop_revenue",
     "upsert_lww",
+    "window_rank_running",
+    "rollup_revenue",
+    "correlated_subquery",
     "graph_degrees",
     "knn_near_limit",
     "sim_knn_join",

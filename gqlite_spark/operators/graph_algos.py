@@ -25,6 +25,48 @@ from pyspark.sql import functions as F
 _CHECKPOINT_EVERY = 5
 
 
+class _iterative_shuffle_scope:
+    """Scoped spark.sql.shuffle.partitions override for iterative loops.
+
+    Superstep state is vertex-count-sized, not scan-sized; on a stock
+    session (200 shuffle partitions) every superstep pays 200-task
+    exchanges that AQE only partially rescues.  Inside the scope, shuffles
+    default to the core parallelism; the previous value is restored on
+    exit (runtime conf only affects queries compiled inside the scope)."""
+
+    def __init__(self, df: DataFrame):
+        self.spark = df.sparkSession
+        self.target = str(self.spark.sparkContext.defaultParallelism)
+
+    def __enter__(self):
+        try:
+            # effective value (falls back to the conf default when unset) —
+            # a None sentinel would silently skip restoration
+            self.prev = self.spark.conf.get("spark.sql.shuffle.partitions")
+            self.spark.conf.set("spark.sql.shuffle.partitions", self.target)
+        except Exception:
+            self.prev = None
+        return self
+
+    def __exit__(self, *exc):
+        if self.prev is not None:
+            try:
+                self.spark.conf.set("spark.sql.shuffle.partitions", self.prev)
+            except Exception:
+                pass
+        return False
+
+
+def _ckpt(df: DataFrame) -> DataFrame:
+    """Eager localCheckpoint with partition-count discipline: iterative
+    state is usually far smaller than the session's shuffle-partition
+    default (200 on a stock session) — materializing 200 near-empty tasks
+    per superstep dominates wall-clock.  Coalesce to the cluster's core
+    parallelism first (a narrow no-shuffle op)."""
+    p = df.sparkSession.sparkContext.defaultParallelism
+    return df.coalesce(p).localCheckpoint()
+
+
 def normalize_edges(edges: DataFrame, weight_col: Optional[str] = None,
                     undirected: bool = False) -> DataFrame:
     """Project to (src, dst, w); undirected graphs get both orientations."""
@@ -71,14 +113,14 @@ def shortest_path(edges: DataFrame, src, dst, weight_col: Optional[str] = None,
         # eager localCheckpoint every superstep: the take(1) action and the
         # next iteration both reuse the materialized state instead of
         # recomputing the union/groupBy chain since the last checkpoint
-        new_best = new_best.localCheckpoint()
+        new_best = _ckpt(new_best)
         frontier = (new_best.alias("n")
                     .join(best.alias("o"), "id", "left")
                     .filter(F.col("o.cost").isNull() |
                             (F.col("n.cost") < F.col("o.cost")))
                     .select("id", F.col("n.cost").alias("cost"),
-                            F.col("n.path").alias("path"))
-                    .localCheckpoint())
+                            F.col("n.path").alias("path")))
+        frontier = _ckpt(frontier)
         best = new_best
         if not frontier.take(1):
             break
@@ -113,7 +155,7 @@ def k_hop(edges: DataFrame, start, hops: int,
                .join(visited, "id", "left_anti"))
         if not nxt.take(1):
             break
-        visited = visited.unionByName(nxt).localCheckpoint()
+        visited = _ckpt(visited.unionByName(nxt))
         frontier = nxt
     e.unpersist()
     return visited.filter(F.col("id") != F.lit(start))
@@ -167,8 +209,8 @@ def pagerank(edges: DataFrame, iterations: int = 10,
         base = (1.0 - damping) + damping * dangling / n
         ranks = (verts.join(agg, "id", "left")
                  .select("id", (F.lit(base) + F.lit(damping) *
-                                F.coalesce(F.col("s"), F.lit(0.0))).alias("rank"))
-                 .localCheckpoint())
+                                F.coalesce(F.col("s"), F.lit(0.0))).alias("rank")))
+        ranks = _ckpt(ranks)
     links.unpersist()
     e.unpersist()
     return ranks
@@ -195,7 +237,7 @@ def connected_components(edges: DataFrame, max_iter: int = 32) -> DataFrame:
                             .alias("component")))
             labels = (labels.unionByName(msgs)
                       .groupBy("id").agg(F.min("component").alias("component")))
-        labels = labels.localCheckpoint()
+        labels = _ckpt(labels)
         new_sum = labels.agg(F.sum("component")).collect()[0][0]
         if new_sum == prev_sum:
             break
@@ -239,6 +281,11 @@ def strongly_connected_components(edges: DataFrame,
     (id, component) with component = min member id.
     """
     spark = edges.sparkSession
+    with _iterative_shuffle_scope(edges):
+        return _scc_impl(spark, edges, max_rounds)
+
+
+def _scc_impl(spark, edges: DataFrame, max_rounds: int = 16) -> DataFrame:
     e = edges.select("src", "dst").filter(F.col("src") != F.col("dst")) \
              .distinct().cache()
     verts = (e.select(F.col("src").alias("id"))
@@ -270,7 +317,7 @@ def strongly_connected_components(edges: DataFrame,
         for it in range(0, max_iter, batch):
             for _ in range(batch):
                 labels = _one_step(labels, ed)
-            labels = labels.localCheckpoint()
+            labels = _ckpt(labels)
             new_sum = labels.agg(F.sum("lab")).collect()[0][0]
             if new_sum == prev_sum:
                 break
@@ -287,20 +334,19 @@ def strongly_connected_components(edges: DataFrame,
         both = fwd.join(bwd, ["id", "color"])
         done = both.filter(F.col("fwd") == F.col("bwd")) \
                    .select("id", F.col("fwd").alias("component"))
-        assigned = assigned.unionByName(done).localCheckpoint()
+        assigned = _ckpt(assigned.unionByName(done))
         remaining = both.filter(F.col("fwd") != F.col("bwd"))
         # new color = dense key over (old color, fwd, bwd)
-        active = remaining.select(
-            "id", F.xxhash64("color", "fwd", "bwd").alias("color"))
-        active = active.localCheckpoint()
+        active = _ckpt(remaining.select(
+            "id", F.xxhash64("color", "fwd", "bwd").alias("color")))
         # restrict edges to endpoints still active and same color
         a1 = active.select(F.col("id").alias("src"),
                            F.col("color").alias("_sc"))
         a2 = active.select(F.col("id").alias("dst"),
                            F.col("color").alias("_dc"))
-        e = (e.join(a1, "src").join(a2, "dst")
-             .filter(F.col("_sc") == F.col("_dc"))
-             .select("src", "dst")).localCheckpoint()
+        e = _ckpt(e.join(a1, "src").join(a2, "dst")
+                  .filter(F.col("_sc") == F.col("_dc"))
+                  .select("src", "dst"))
         rev = e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     return assigned
 
@@ -338,7 +384,7 @@ def random_walk(edges: DataFrame, starts: DataFrame, steps: int = 5,
                        F.when(F.col("dst").isNotNull(),
                               F.concat("path", F.array(F.col("dst"))))
                        .otherwise(F.col("path")).alias("path")))
-        walks = nxt.localCheckpoint() if step % _CHECKPOINT_EVERY == \
+        walks = _ckpt(nxt) if step % _CHECKPOINT_EVERY == \
             _CHECKPOINT_EVERY - 1 else nxt
     ranked.unpersist()
     return walks.select("walk_id", "path")
