@@ -1,0 +1,85 @@
+"""Scale probe: time the iterative/graph/dedup operators on synthetic data
+well beyond the test SFs, to validate partition discipline (not correctness
+— that's tools/oracle_check.py).  Results recorded in PLANS.md.
+
+Usage: python tools/scale_probe.py [n_edges] [n_docs]
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main() -> None:
+    n_edges = int(sys.argv[1]) if len(sys.argv) > 1 else 2_000_000
+    n_docs = int(sys.argv[2]) if len(sys.argv) > 2 else 50_000
+
+    from pyspark.sql import functions as F
+    from gqlite_spark.session import get_spark
+    from gqlite_spark.operators.graph_algos import (connected_components,
+                                                    k_hop, pagerank)
+    from gqlite_spark.operators.dedup import minhash_lsh_pairs
+    from gqlite_spark.operators.similarity import cosine_topk
+
+    spark = get_spark(app_name="scale-probe")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    n_verts = max(1000, n_edges // 10)
+    # deterministic pseudo-random graph: v → hash-derived targets
+    e = (spark.range(n_edges)
+         .select((F.col("id") % n_verts).alias("src"),
+                 F.pmod(F.xxhash64("id"), F.lit(n_verts)).alias("dst"))
+         .filter(F.col("src") != F.col("dst")))
+    e = e.persist()
+    print(f"graph: {e.count():,} edges over ~{n_verts:,} vertices")
+
+    t = time.time()
+    pr = pagerank(e, iterations=5)
+    top = pr.orderBy(F.col("rank").desc()).limit(3).collect()
+    print(f"pagerank(5 iters): {time.time()-t:.1f}s  top={[(r['id'], round(r['rank'],3)) for r in top]}")
+
+    t = time.time()
+    cc = connected_components(e)
+    ncomp = cc.select("component").distinct().count()
+    print(f"connected_components: {time.time()-t:.1f}s  components={ncomp}")
+
+    t = time.time()
+    reach = k_hop(e, 0, 2, direction="->").count()
+    print(f"k_hop(2): {time.time()-t:.1f}s  reached={reach:,}")
+    e.unpersist()
+
+    # synthetic near-dup corpus: base docs + mutated copies
+    words = F.transform(F.sequence(F.lit(1), F.lit(80)),
+                        lambda i: F.concat(F.lit("w"),
+                                           F.pmod(F.xxhash64(F.col("id") % (n_docs // 2), i),
+                                                  F.lit(5000)).cast("string")))
+    docs = (spark.range(n_docs)
+            .select(F.col("id").alias("doc_id"),
+                    F.concat_ws(" ", words).alias("text")))
+    docs = docs.persist()
+    docs.count()
+    t = time.time()
+    pairs = minhash_lsh_pairs(docs, threshold=0.7).count()
+    print(f"minhash_lsh({n_docs:,} docs): {time.time()-t:.1f}s  pairs={pairs:,}")
+    docs.unpersist()
+
+    # brute-force kNN over synthetic embeddings
+    emb = (spark.range(500_000)
+           .select(F.col("id").alias("vec_id"),
+                   F.transform(F.sequence(F.lit(1), F.lit(64)),
+                               lambda i: (F.pmod(F.xxhash64("id", i), F.lit(1000))
+                                          / 1000.0)).alias("embedding")))
+    emb = emb.persist(); emb.count()
+    q = [0.5] * 64
+    t = time.time()
+    cosine_topk(emb, q, k=10).collect()
+    print(f"cosine_topk(500k x 64d): {time.time()-t:.1f}s")
+    emb.unpersist()
+
+
+if __name__ == "__main__":
+    main()
