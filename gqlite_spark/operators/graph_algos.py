@@ -221,6 +221,11 @@ def connected_components(edges: DataFrame, max_iter: int = 32) -> DataFrame:
     (distributed HashMin; the large-star/small-star variant is the scale
     path for power-law graphs).  Returns (id, component) with component =
     min vertex id in the component."""
+    with _iterative_shuffle_scope(edges):
+        return _cc_impl(edges, max_iter)
+
+
+def _cc_impl(edges: DataFrame, max_iter: int) -> DataFrame:
     e = normalize_edges(edges, undirected=True).select("src", "dst").distinct().cache()
     labels = (e.select(F.col("src").alias("id"))
               .unionByName(e.select(F.col("dst").alias("id")))
