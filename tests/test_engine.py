@@ -238,3 +238,14 @@ def test_graph_save_partitioned(qdb, spark, tmp_path):
     db2 = GQLite(spark, root=str(tmp_path))
     rows = db2.exec("{query: 'ruins', in: 'qdb', where: {category: 'HDR'}};")[0].rows
     assert len(rows) == 2 and all("HDR" in r for r in rows)
+
+
+def test_edge_property_update_with_where(edb):
+    """{upset: grp, property: {...}, where: [pattern]} on an edge group
+    (conditional property update, UpsetPlan.cpp:48-86)."""
+    edb.exec("{upset: 'rel_tag', property: {w: 9}, where: ['art', --, 100]};")
+    rows = _rows(edb, "{query: 'rel_tag', in: 'files', where: ['art', --, 100]};")
+    assert rows == ["['art', --, 100, {\"w\":9}]"]
+    # other edges untouched
+    rows = _rows(edb, "{query: 'rel_tag', in: 'files', where: ['art', --, 200]};")
+    assert rows == ["['art', --, 200]"]
