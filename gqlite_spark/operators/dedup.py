@@ -250,26 +250,95 @@ def simhash_near_pairs(df: DataFrame, id_col: str = "doc_id",
             .select("doc_a", "doc_b", "hamming"))
 
 
+# Below this corpus size the exact all-pairs join (n²/2 cosine evals, no
+# candidate-generation passes) is cheaper than LSH bucketing; above it the
+# all-pairs join is a cartesian scale-killer and the bucketed path takes
+# over.  Mirrors knn_auto's access-path switch (reference cost-ordered
+# candidate selection, GScanPlan::evaluate, ScanPlan.cpp:564-573).
+NEAR_DUP_BRUTE_LIMIT = 100_000
+
+
 def embedding_near_dups(df: DataFrame, id_col: str = "vec_id",
                         vec_col: str = "embedding",
-                        threshold: float = 0.99) -> DataFrame:
+                        threshold: float = 0.99,
+                        brute_force_limit: int = NEAR_DUP_BRUTE_LIMIT,
+                        approx_count: "int | None" = None,
+                        n_planes: "int | None" = None,
+                        n_tables: int = 4,
+                        seed: str = "gqlite-dedup") -> DataFrame:
     """Embedding-cosine near-duplicate pairs (a < b, cosine ≥ threshold).
 
-    Brute-force self-join; at 100 TB scale use
-    similarity.random_projection_buckets() first to block the join, then
-    verify with this exact cosine on candidates.
+    Cost-based access path:
+
+    - ≤ ``brute_force_limit`` rows: exact all-pairs verify (small corpora —
+      exactness is what the SQL oracle checks);
+    - above it: sign-random-projection LSH buckets
+      (similarity.random_projection_buckets) generate candidates — only
+      same-bucket pairs in any table are compared — then the TRUE cosine is
+      computed on candidates only.  Precision stays exact; recall is
+      probabilistic but high for near-dup thresholds (θ = arccos(0.99) ≈ 8°
+      → per-table collision ≈ 0.96^planes; 4 tables at 8 planes ≈ 0.99).
+      The candidate join is keyed on (table, bucket) — near-linear at
+      100 TB, never a cartesian product.
+
+    ``n_planes=None`` auto-sizes so expected bucket ≈ 16 rows
+    (candidates ≈ 8·n·tables — linear in corpus size).  Projections are
+    CENTERED on the corpus mean direction (similarity.projection_offsets):
+    uncentered SRP collapses anisotropic corpora (e.g. all-positive
+    embeddings) into a few giant buckets and the candidate join goes
+    quadratic again.  ``max_bucket``-style degenerate clusters (> 4·expected
+    rows in one bucket, e.g. thousands of byte-identical vectors) are
+    handled by the guard below — those are exact-dup territory
+    (hash-groupBy on the vector bytes), not near-dup.
     """
     v = df.select(F.col(id_col).alias("id"),
                   F.col(vec_col).cast("array<double>").alias("v"))
     norm = F.sqrt(F.aggregate("v", F.lit(0.0), lambda a, x: a + x * x))
     v = v.withColumn("nrm", norm).filter(F.col("nrm") > 0).cache()
-    a, b = v.alias("a"), v.alias("b")
-    dot = F.aggregate(F.zip_with(F.col("a.v"), F.col("b.v"),
+    n = approx_count if approx_count is not None else v.count()
+
+    if n <= brute_force_limit:
+        pairs = (v.alias("a").join(v.alias("b"), F.col("a.id") < F.col("b.id"))
+                 .select(F.col("a.id").alias("doc_a"),
+                         F.col("b.id").alias("doc_b"),
+                         F.col("a.v").alias("va"), F.col("b.v").alias("vb"),
+                         F.col("a.nrm").alias("na"), F.col("b.nrm").alias("nb")))
+    else:
+        from .similarity import (projection_offsets,
+                                 random_projection_buckets)
+        import math as _m
+        from pyspark.sql import Window
+        dim = len(v.select("v").head()[0])
+        if n_planes is None:
+            n_planes = max(4, min(24, int(_m.log2(max(2, n / 16)))))
+        offs = projection_offsets(v, dim, n_planes=n_planes,
+                                  n_tables=n_tables, seed=seed, vec_col="v")
+        buckets = random_projection_buckets(
+            v, dim, n_planes=n_planes, n_tables=n_tables, seed=seed,
+            id_col="id", vec_col="v", normalize=True, offsets=offs)
+        # degenerate-bucket guard (same shape as minhash_lsh_pairs): a
+        # bucket 4× over the expected size is a pathological cluster —
+        # cap its quadratic blowup; such clusters are exact-dup work
+        cap = max(64, 4 * (n // (2 ** n_planes) + 1))
+        bn = F.count("*").over(Window.partitionBy("table", "bucket"))
+        buckets = (buckets.withColumn("_bn", bn)
+                   .filter(F.col("_bn") <= cap).drop("_bn"))
+        x, y = buckets.alias("x"), buckets.alias("y")
+        cand = (x.join(y, (F.col("x.table") == F.col("y.table")) &
+                       (F.col("x.bucket") == F.col("y.bucket")) &
+                       (F.col("x.id") < F.col("y.id")))
+                .select(F.col("x.id").alias("doc_a"),
+                        F.col("y.id").alias("doc_b")).distinct())
+        a_v = v.select(F.col("id").alias("doc_a"), F.col("v").alias("va"),
+                       F.col("nrm").alias("na"))
+        b_v = v.select(F.col("id").alias("doc_b"), F.col("v").alias("vb"),
+                       F.col("nrm").alias("nb"))
+        pairs = cand.join(a_v, "doc_a").join(b_v, "doc_b")
+
+    dot = F.aggregate(F.zip_with(F.col("va"), F.col("vb"),
                                  lambda x, y: x * y),
                       F.lit(0.0), lambda acc, x: acc + x)
-    cos = dot / (F.col("a.nrm") * F.col("b.nrm"))
-    return (a.join(b, F.col("a.id") < F.col("b.id"))
-            .withColumn("cosine", cos)
+    cos = dot / (F.col("na") * F.col("nb"))
+    return (pairs.withColumn("cosine", cos)
             .filter(F.col("cosine") >= threshold)
-            .select(F.col("a.id").alias("doc_a"), F.col("b.id").alias("doc_b"),
-                    F.round("cosine", 4).alias("cosine")))
+            .select("doc_a", "doc_b", F.round("cosine", 4).alias("cosine")))

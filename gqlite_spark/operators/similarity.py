@@ -102,21 +102,65 @@ def _projection_vectors(dim: int, n_planes: int, seed: str) -> list[list[float]]
     return planes
 
 
+def projection_offsets(df: DataFrame, dim: int, n_planes: int = 8,
+                       n_tables: int = 2, seed: str = "gqlite",
+                       vec_col: str = "embedding",
+                       normalize: bool = True) -> list[list[float]]:
+    """Per-(table, plane) centering offsets: the projection of the corpus
+    mean (of L2-normalized vectors) onto each hyperplane.
+
+    Sign-random-projection assumes data spread around the origin; real
+    embedding corpora are anisotropic (e.g. all-positive activations), and
+    uncentered SRP then collapses most rows into a handful of buckets —
+    measured 9% of a 100 k corpus in ONE bucket — making the candidate join
+    quadratic again.  Centering costs one aggregate pass (dim-sized result)
+    and restores balanced buckets.  sign(dot(v−m, p)) = sign(dot(v,p) −
+    dot(m,p)), so centering is a scalar offset per plane at bucketing time.
+    """
+    v = F.col(vec_col).cast("array<double>")
+    if normalize:
+        nrm = F.sqrt(F.aggregate(v, F.lit(0.0), lambda a, x: a + x * x))
+        v = F.transform(v, lambda x: x / nrm)
+    comp = (df.select(F.posexplode(v).alias("pos", "x"))
+            .groupBy("pos").agg(F.avg("x").alias("m")))
+    mean = [0.0] * dim
+    for r in comp.collect():
+        mean[r["pos"]] = r["m"] or 0.0
+    out = []
+    for t in range(n_tables):
+        planes = _projection_vectors(dim, n_planes, f"{seed}:{t}")
+        out.append([sum(a * b for a, b in zip(mean, p)) for p in planes])
+    return out
+
+
 def random_projection_buckets(df: DataFrame, dim: int, n_planes: int = 8,
                               n_tables: int = 2, seed: str = "gqlite",
                               id_col: str = "vec_id",
-                              vec_col: str = "embedding") -> DataFrame:
+                              vec_col: str = "embedding",
+                              normalize: bool = False,
+                              offsets: "list[list[float]] | None" = None
+                              ) -> DataFrame:
     """Sign-random-projection LSH: (id, table, bucket) — same-bucket rows are
-    ANN candidates.  ~n/2^planes per bucket; tune planes to corpus size."""
+    ANN candidates.  ~n/2^planes per bucket; tune planes to corpus size.
+
+    ``normalize`` projects the L2-normalized vector (pure cosine bucketing);
+    ``offsets`` (from :func:`projection_offsets`) centers the projections so
+    anisotropic corpora still spread across buckets.  Queries must be
+    bucketed with the SAME normalize/offsets to match."""
     v = df.select(F.col(id_col).alias("id"),
                   F.col(vec_col).cast("array<double>").alias("v"))
+    if normalize:
+        nrm = F.sqrt(F.aggregate("v", F.lit(0.0), lambda a, x: a + x * x))
+        v = v.select("id", F.transform("v", lambda x: x / nrm).alias("v"))
     out = None
     for t in range(n_tables):
         planes = _projection_vectors(dim, n_planes, f"{seed}:{t}")
         bucket = F.lit(0).cast("long")
         for pi, plane in enumerate(planes):
             pcol = F.array(*[F.lit(x) for x in plane])
-            bit = F.when(_dot(F.col("v"), pcol) >= 0, F.lit(1)).otherwise(F.lit(0))
+            off = F.lit(offsets[t][pi] if offsets is not None else 0.0)
+            bit = F.when(_dot(F.col("v"), pcol) - off >= 0,
+                         F.lit(1)).otherwise(F.lit(0))
             bucket = bucket + bit.cast("long") * F.lit(2 ** pi)
         part = v.select("id", F.lit(t).alias("table"), bucket.alias("bucket"))
         out = part if out is None else out.unionByName(part)

@@ -181,6 +181,41 @@ def test_ann_lsh_contains_true_nn(spark):
     assert out[0]["id"] in (0, 1)
 
 
+def test_embedding_near_dups_exact_path(spark):
+    from gqlite_spark.operators.dedup import embedding_near_dups
+    df = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [0.999, 0.01]), (3, [0.0, 1.0])],
+        "vec_id long, embedding array<double>")
+    rows = embedding_near_dups(df, threshold=0.99).collect()
+    assert [(r["doc_a"], r["doc_b"]) for r in rows] == [(1, 2)]
+
+
+def test_embedding_near_dups_bucketed_path(spark):
+    """Above brute_force_limit: LSH-bucketed candidates + exact verify.
+    Planted near-identical pairs are found; the plan joins on bucket keys
+    (no cartesian product)."""
+    import math
+    from gqlite_spark.operators.dedup import embedding_near_dups
+    vecs = []
+    for i in range(60):
+        a = i / 3.0
+        v = [math.cos(a), math.sin(a), math.cos(2 * a), math.sin(2 * a)]
+        vecs.append((2 * i, v))
+        # planted near-dup: tiny perturbation of the same direction
+        vecs.append((2 * i + 1, [x + 0.0005 for x in v]))
+    df = spark.createDataFrame(vecs, "vec_id long, embedding array<double>")
+    out = embedding_near_dups(df, threshold=0.9999, brute_force_limit=10,
+                              n_planes=4, n_tables=4)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan
+    found = {(r["doc_a"], r["doc_b"]) for r in out.collect()}
+    planted = {(2 * i, 2 * i + 1) for i in range(60)}
+    # SRP recall at cosine≈1 with 4 tables x 4 planes is ~1; require ≥90%
+    assert len(found & planted) >= 54
+    # precision is exact: nothing below threshold sneaks through
+    assert all(r["cosine"] >= 0.9999 for r in out.collect())
+
+
 def test_multimodal_meta_plumbing(spark):
     from gqlite_spark.operators.multimodal import extract_meta, to_payload
     df = spark.createDataFrame([(1, "hello world"), (2, "foo")],

@@ -67,6 +67,27 @@ def main() -> None:
     print(f"minhash_lsh({n_docs:,} docs): {time.time()-t:.1f}s  pairs={pairs:,}")
     docs.unpersist()
 
+    # embedding near-dup dedup at 1M vectors: must take the LSH-bucketed
+    # path (no cartesian stage) and find the planted near-identical pairs
+    n_vecs = 1_000_000
+    base_id = F.floor(F.col("id") / 2)
+    vec = F.transform(F.sequence(F.lit(1), F.lit(16)),
+                      lambda i: (F.pmod(F.xxhash64(base_id, i), F.lit(1000))
+                                 / 1000.0 + (F.col("id") % 2) * 1e-6))
+    nd = (spark.range(n_vecs)
+          .select(F.col("id").alias("vec_id"), vec.alias("embedding")))
+    nd = nd.persist(); nd.count()
+    from gqlite_spark.operators.dedup import embedding_near_dups
+    t = time.time()
+    out = embedding_near_dups(nd, threshold=0.999999, approx_count=n_vecs)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan, \
+        "embedding_near_dups fell back to a cartesian join at scale"
+    found = out.count()
+    print(f"embedding_near_dups({n_vecs:,} vecs, bucketed): "
+          f"{time.time()-t:.1f}s  pairs={found:,} (planted {n_vecs//2:,})")
+    nd.unpersist()
+
     # brute-force kNN over synthetic embeddings
     emb = (spark.range(500_000)
            .select(F.col("id").alias("vec_id"),
