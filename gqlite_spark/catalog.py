@@ -189,12 +189,70 @@ class Group:
         self._invalidate()
 
     def update_props(self, key: Any, props: dict) -> None:
-        """Merge new properties into an existing row (UpsetPlan.cpp:48-86)."""
+        """Merge new properties into an existing LOCAL row (UpsetPlan.cpp:
+        48-86).  Rows living only in a bulk DataFrame are updated by
+        :meth:`update_where` — never through this dict path (a dict merge
+        would start from ``{}`` and null the bulk row's other columns)."""
         stored = self._merge_props(props) or {}
         merged = dict(self.rows.get(key) or {})
         merged.update(stored)
         self.rows[key] = merged
         self._invalidate()
+
+    def update_where(self, cond, props: dict) -> None:
+        """Distributed conditional property merge: local dict rows merge
+        in-place; bulk rows become a pure column transform
+        ``withColumn(p, when(cond, new).otherwise(old))`` — no driver-side
+        key collect, no ``isin`` literal lists, existing columns preserved.
+        This is the scan→update pipeline of UpsetPlan.cpp:48-86 expressed
+        as a DataFrame rewrite.  ``cond`` is a boolean Column over this
+        group's schema (None = all rows)."""
+        stored = self._merge_props(props) or {}
+        for k in self._local_matching_keys(cond):
+            merged = dict(self.rows.get(k) or {})
+            merged.update(stored)
+            self.rows[k] = merged
+        if self.bulk_df is not None and stored:
+            b = self.bulk_df
+            c = (F.lit(True) if cond is None
+                 else F.coalesce(cond, F.lit(False)))
+            for name, val in stored.items():
+                dtype = _KIND_SPARK[self.meta.props[name]]
+                prev = (F.col(name) if name in b.columns
+                        else F.lit(None).cast(dtype))
+                b = b.withColumn(name,
+                                 F.when(c, F.lit(val).cast(dtype))
+                                 .otherwise(prev))
+            self.bulk_df = b
+        self._invalidate()
+
+    def delete_where(self, cond) -> None:
+        """Distributed conditional delete: local dict rows by (small) key
+        collect over local rows only; bulk rows via ``filter(NOT cond)``
+        (null-safe) — the anti-join form of RemovePlan.cpp:49-75, fully
+        lazy, never collecting matched keys to the driver."""
+        for k in self._local_matching_keys(cond):
+            self.rows.pop(k, None)
+        if self.bulk_df is not None:
+            if cond is None:
+                self.bulk_df = None
+            else:
+                self.bulk_df = self.bulk_df.filter(
+                    ~F.coalesce(cond, F.lit(False)))
+        self._invalidate()
+
+    def _local_matching_keys(self, cond) -> list:
+        """Keys of LOCAL dict rows matching ``cond`` — bounded by the
+        OLTP-style local row count, never by bulk data size."""
+        if not self.rows:
+            return []
+        if cond is None:
+            return list(self.rows)
+        df = self._local_df()
+        if self.meta.is_edge:
+            rows = df.filter(cond).select("src", "direction", "dst").collect()
+            return [(r["src"], r["direction"], r["dst"]) for r in rows]
+        return [r["id"] for r in df.filter(cond).select("id").collect()]
 
     def upsert_edge(self, src: Any, direction: str, dst: Any,
                     props: Optional[dict]) -> None:
@@ -215,6 +273,10 @@ class Group:
         self._invalidate()
 
     def delete_keys(self, keys: list) -> None:
+        """Delete explicit keys.  The bulk side uses an ``isin`` filter —
+        appropriate ONLY for small, driver-known key lists (OLTP-style GQL
+        statements).  Predicate-driven bulk deletion must go through
+        :meth:`delete_where` (lazy filter, no literal lists)."""
         for k in keys:
             self.rows.pop(k, None)
         if self.bulk_df is not None and keys:
@@ -225,6 +287,26 @@ class Group:
                 self.bulk_df = self.bulk_df.filter(
                     ~F.struct("src", "direction", "dst").isin(
                         [F.struct(F.lit(a), F.lit(b), F.lit(c)) for a, b, c in keys]))
+        self._invalidate()
+
+    def anti_join_endpoints(self, removed_ids: DataFrame,
+                            on_src: bool = True, on_dst: bool = True) -> None:
+        """Cascade helper for edge groups: drop bulk edges whose src/dst
+        appears in ``removed_ids`` (one-column ``id`` DataFrame) via
+        left-anti joins — the distributed form of the reference's cascade
+        (RemovePlan.cpp:49-75 + getRelations), no key collect.  Callers
+        restrict the sides to those whose endpoint group (and key type)
+        matches the removed vertex group — edge groups may be
+        heterogeneous (string tag ↔ int file id, gutil.h:45-63)."""
+        if self.bulk_df is not None:
+            b = self.bulk_df
+            if on_src:
+                b = b.join(removed_ids.select(F.col("id").alias("src")),
+                           "src", "left_anti")
+            if on_dst:
+                b = b.join(removed_ids.select(F.col("id").alias("dst")),
+                           "dst", "left_anti")
+            self.bulk_df = b
         self._invalidate()
 
     def _invalidate(self) -> None:
@@ -278,10 +360,8 @@ class Group:
             fields.append(T.StructField(p, _KIND_SPARK[self.meta.props[p]]))
         return T.StructType(fields)
 
-    def to_df(self) -> DataFrame:
-        """Materialize the group as a DataFrame (cached until mutation)."""
-        if self._mat_cache is not None:
-            return self._mat_cache
+    def _local_df(self) -> Optional[DataFrame]:
+        """Materialize ONLY the local dict rows (never the bulk side)."""
         schema = self.schema_struct()
         prop_names = sorted(self.meta.props)
         data = []
@@ -292,11 +372,20 @@ class Group:
             else:
                 base = [key]
             data.append(tuple(base + [props.get(p) for p in prop_names]))
-        local = self.spark.createDataFrame(data, schema) if (
-            data or self.bulk_df is None) else None
+        if not data and self.bulk_df is not None:
+            return None
+        return self.spark.createDataFrame(data, schema)
+
+    def to_df(self) -> DataFrame:
+        """Materialize the group as a DataFrame (cached until mutation)."""
+        if self._mat_cache is not None:
+            return self._mat_cache
+        schema = self.schema_struct()
+        data = bool(self.rows)
+        local = self._local_df()
         if self.bulk_df is not None:
             bulk = self.bulk_df
-            for p in prop_names:  # schema-align bulk with accreted props
+            for p in sorted(self.meta.props):  # schema-align bulk with accreted props
                 if p not in bulk.columns:
                     bulk = bulk.withColumn(p, F.lit(None).cast(_KIND_SPARK[self.meta.props[p]]))
             bulk = bulk.select([f.name for f in schema.fields])

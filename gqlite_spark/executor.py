@@ -187,53 +187,67 @@ class GQLite:
 
     def _upsert_property(self, stmt: UpsetPropertyStmt) -> StatementResult:
         """Conditional property merge: scan → merge → write
-        (UpsetPlan.cpp:48-86 composes a scan plan as child operator)."""
+        (UpsetPlan.cpp:48-86 composes a scan plan as child operator).
+        Bulk-registered groups are updated as a pure DataFrame transform
+        (withColumn(when(cond, new))) — no driver-side key collect, so a
+        100 TB group updates without materializing matched keys."""
         _, grp = self._mutable_graph(stmt.group)
-        keys = self._matching_keys(grp, stmt.where)
-        for k in keys:
-            grp.update_props(k, stmt.props)
+        grp.update_where(self._where_cond(grp, stmt.where), stmt.props)
         return StatementResult(status="UPSET SUCCESS")
 
-    def _matching_keys(self, grp: Group, where: Any) -> list:
+    def _where_cond(self, grp: Group, where: Any):
+        """Compile a where clause / walk pattern to a boolean Column over
+        the group's schema (None = match all rows)."""
         if where is None:
-            return list(grp.rows)
-        df = grp.to_df()
-        if df is None:
-            return []
+            return None
         if isinstance(where, WalkPattern):
-            cond = pattern_filter(where, grp.meta)
-            rows = df.filter(cond).select("src", "direction", "dst").collect()
-            return [(r["src"], r["direction"], r["dst"]) for r in rows]
-        comp = PredicateCompiler(grp.meta)
-        cond = comp.compile(where)
-        if grp.meta.is_edge:
-            rows = (df.filter(cond) if cond is not None else df) \
-                .select("src", "direction", "dst").collect()
-            return [(r["src"], r["direction"], r["dst"]) for r in rows]
-        rows = (df.filter(cond) if cond is not None else df).select("id").collect()
-        return [r["id"] for r in rows]
+            return pattern_filter(where, grp.meta)
+        return PredicateCompiler(grp.meta).compile(where)
 
     def _remove_vertex(self, stmt: RemoveVertexStmt) -> StatementResult:
         g, grp = self._mutable_graph(stmt.group)
-        keys = self._matching_keys(grp, stmt.where)
-        grp.delete_keys(keys)
+        cond = self._where_cond(grp, stmt.where)
+        # capture the matched-key frame BEFORE mutation (immutable plan);
+        # the cascade consumes it as an anti-join side, never a key list
+        df = grp.to_df()
+        removed = None
+        if df is not None:
+            removed = (df.filter(cond) if cond is not None else df).select("id")
+        grp.delete_where(cond)
         # cascade: delete edges touching removed vertices in related edge
-        # groups (RemovePlan.cpp:49-75 + getRelations)
-        keyset = set(keys)
+        # groups (RemovePlan.cpp:49-75 + getRelations) — local dict rows by
+        # a bounded endpoint-intersection collect, bulk rows by anti-join
         for eg in g.edge_groups_touching(stmt.group):
-            dead = [ek for ek in eg.rows
-                    if ek[0] in keyset or ek[2] in keyset]
-            eg.delete_keys(dead)
-            if eg.bulk_df is not None and keys:
-                eg.bulk_df = eg.bulk_df.filter(
-                    ~(F.col("src").isin(keys) | F.col("dst").isin(keys)))
-                eg._invalidate()
+            if removed is None:
+                continue
+            # sides referencing the removed group (heterogeneous edge groups
+            # carry differently-typed endpoints — never compare across them)
+            def _side_hits(side_group, side_key_type):
+                if side_group is not None:
+                    return side_group == stmt.group
+                return side_key_type == grp.meta.key_type
+            on_src = _side_hits(eg.meta.src_group, eg.meta.src_key_type)
+            on_dst = _side_hits(eg.meta.dst_group, eg.meta.dst_key_type)
+            if not (on_src or on_dst):
+                continue
+            if eg.rows:
+                endpoints = list({k for ek in eg.rows
+                                  for k, use in ((ek[0], on_src), (ek[2], on_dst))
+                                  if use})
+                hit = set()
+                if endpoints:
+                    hit = {r["id"] for r in
+                           removed.filter(F.col("id").isin(endpoints)).collect()}
+                dead = [ek for ek in eg.rows
+                        if (on_src and ek[0] in hit) or (on_dst and ek[2] in hit)]
+                for ek in dead:
+                    eg.rows.pop(ek, None)
+            eg.anti_join_endpoints(removed, on_src=on_src, on_dst=on_dst)
         return StatementResult(status="REMOVE SUCCESS")
 
     def _remove_edge(self, stmt: RemoveEdgeStmt) -> StatementResult:
         _, grp = self._mutable_graph(stmt.group)
-        keys = self._matching_keys(grp, stmt.pattern)
-        grp.delete_keys(keys)
+        grp.delete_where(self._where_cond(grp, stmt.pattern))
         return StatementResult(status="REMOVE SUCCESS")
 
     # -------------------------------------------------------------- queries

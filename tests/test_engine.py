@@ -249,3 +249,68 @@ def test_edge_property_update_with_where(edb):
     # other edges untouched
     rows = _rows(edb, "{query: 'rel_tag', in: 'files', where: ['art', --, 200]};")
     assert rows == ["['art', --, 200]"]
+
+
+def test_bulk_group_property_update_preserves_columns(db, spark):
+    """ADVICE r1: property-update on a bulk-registered group must be a
+    DataFrame transform that PRESERVES the untouched columns (the dict
+    merge path seeded from {} nulled them) and must not collect keys."""
+    bulk = spark.createDataFrame(
+        [(i, f"name{i}", i * 10.0) for i in range(100)],
+        "id long, name string, score double")
+    db.exec("{create: 'bg', group: ['items']};")
+    grp = db.catalog.graph("bg").groups["items"]
+    grp.register_df(bulk)
+    r = db.exec("{upset: 'items', property: {flag: 1}, where: {id: {$lt: 10}}};")
+    assert r[0].error is None, r[0].error
+    out = {row["id"]: row for row in grp.to_df().collect()}
+    assert len(out) == 100
+    # untouched columns preserved on updated rows
+    assert out[5]["name"] == "name5" and out[5]["score"] == 50.0
+    assert out[5]["flag"] == 1
+    # unmatched rows untouched, flag null
+    assert out[50]["flag"] is None and out[50]["name"] == "name50"
+
+
+def test_bulk_group_remove_with_predicate(db, spark):
+    bulk = spark.createDataFrame(
+        [(i, i % 5) for i in range(1000)], "id long, grp long")
+    db.exec("{create: 'bg2', group: ['things']};")
+    g = db.catalog.graph("bg2").groups["things"]
+    g.register_df(bulk)
+    r = db.exec("{remove: 'things', vertex: {grp: 3}};")
+    assert r[0].error is None, r[0].error
+    assert g.to_df().count() == 800
+    assert g.to_df().filter("grp = 3").count() == 0
+
+
+def test_bulk_remove_cascades_bulk_edges(db, spark):
+    """Vertex removal cascades into a bulk edge group via anti-joins
+    (RemovePlan.cpp:49-75 parity at bulk scale)."""
+    verts = spark.createDataFrame([(i, i % 3) for i in range(300)],
+                                  "id long, tag long")
+    edges = spark.createDataFrame(
+        [(i, (i + 1) % 300) for i in range(300)], "src long, dst long")
+    db.exec("{create: 'bg3', group: ['nodes', ['nodes', 'link', 'nodes']]};")
+    gr = db.catalog.graph("bg3")
+    gr.groups["nodes"].register_df(verts)
+    gr.groups["link"].register_df(edges)
+    r = db.exec("{remove: 'nodes', vertex: {tag: 0}};")
+    assert r[0].error is None, r[0].error
+    assert gr.groups["nodes"].to_df().count() == 200
+    # every edge touching a tag-0 vertex (id % 3 == 0 on either side) is gone
+    left = gr.groups["link"].to_df()
+    assert left.filter("src % 3 = 0 OR dst % 3 = 0").count() == 0
+    assert left.count() == 100  # (i, i+1) pairs where neither % 3 == 0
+
+
+def test_bulk_update_then_local_lww(db, spark):
+    """Local OLTP upserts still win over transformed bulk rows."""
+    bulk = spark.createDataFrame([(1, "a"), (2, "b")], "id long, name string")
+    db.exec("{create: 'bg4', group: ['kv']};")
+    g = db.catalog.graph("bg4").groups["kv"]
+    g.register_df(bulk)
+    db.exec("{upset: 'kv', property: {name: 'patched'}, where: {id: 1}};")
+    db.exec("{upset: 'kv', vertex: [[2, {name: 'local'}]]};")
+    out = {r["id"]: r["name"] for r in g.to_df().collect()}
+    assert out == {1: "patched", 2: "local"}
