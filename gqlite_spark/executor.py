@@ -320,11 +320,21 @@ class GQLite:
             df = g.to_df()
             if df is None:
                 continue
-            comp = PredicateCompiler(g.meta)
-            cond = comp.compile(stmt.where) if isinstance(stmt.where, Pred) else None
-            if cond is not None:
-                df = df.filter(cond)
-            total += df.count()
+            # count(vertex/edge) spans heterogeneous groups: one lacking a
+            # predicate attribute contributes 0 matches rather than blowing
+            # up the whole statement with a raw AnalysisException
+            try:
+                comp = PredicateCompiler(g.meta)
+                cond = comp.compile(stmt.where) if isinstance(stmt.where, Pred) else None
+                if cond is not None:
+                    df = df.filter(cond)
+                total += df.count()
+            except GQLiteError:
+                raise
+            except Exception as e:  # AnalysisException on missing column
+                if len(groups) == 1:
+                    raise GQLiteError(str(e).splitlines()[0]) from e
+                continue
         return StatementResult(status="QUERY SUCCESS", rows=[str(total)],
                                value=total)
 

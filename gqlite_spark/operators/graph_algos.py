@@ -114,10 +114,15 @@ def shortest_path(edges: DataFrame, src, dst, weight_col: Optional[str] = None,
         # next iteration both reuse the materialized state instead of
         # recomputing the union/groupBy chain since the last checkpoint
         new_best = _ckpt(new_best)
+        # re-expand on ANY (cost, path) improvement, not just strictly lower
+        # cost: an equal-cost lexicographically-smaller path that arrives in
+        # a later superstep must still propagate downstream, or descendants
+        # keep a non-minimal tie (deterministic tie-break contract)
         frontier = (new_best.alias("n")
                     .join(best.alias("o"), "id", "left")
                     .filter(F.col("o.cost").isNull() |
-                            (F.col("n.cost") < F.col("o.cost")))
+                            (F.struct(F.col("n.cost"), F.col("n.path")) <
+                             F.struct(F.col("o.cost"), F.col("o.path"))))
                     .select("id", F.col("n.cost").alias("cost"),
                             F.col("n.path").alias("path")))
         frontier = _ckpt(frontier)
@@ -230,9 +235,14 @@ def _cc_impl(edges: DataFrame, max_iter: int) -> DataFrame:
     labels = (e.select(F.col("src").alias("id"))
               .unionByName(e.select(F.col("dst").alias("id")))
               .distinct().withColumn("component", F.col("id")))
-    # labels only decrease → unchanged sum(component) ⟺ fixpoint; check
-    # once per 3-step batch (one cheap aggregate action, no diff join)
-    prev_sum = labels.agg(F.sum("component")).collect()[0][0]
+    # labels only decrease per id → the (id, component) multiset changes iff
+    # any label changed; detect via sum(xxhash64(id, component)) — TYPE-
+    # AGNOSTIC (string-keyed graphs too: sum over a string column is NULL
+    # and would false-converge after the first batch), one cheap aggregate
+    # action per 3-step batch, no diff join.  Collision odds ~2^-64.
+    # (decimal sum: a long sum of 64-bit hashes overflows under ANSI)
+    chg = F.sum(F.xxhash64("id", "component").cast("decimal(38,0)"))
+    prev_sum = labels.agg(chg).collect()[0][0]
     batch = 3
     for it in range(0, max_iter, batch):
         for _ in range(batch):
@@ -243,7 +253,7 @@ def _cc_impl(edges: DataFrame, max_iter: int) -> DataFrame:
             labels = (labels.unionByName(msgs)
                       .groupBy("id").agg(F.min("component").alias("component")))
         labels = _ckpt(labels)
-        new_sum = labels.agg(F.sum("component")).collect()[0][0]
+        new_sum = labels.agg(chg).collect()[0][0]
         if new_sum == prev_sum:
             break
         prev_sum = new_sum
@@ -315,15 +325,20 @@ def _scc_impl(spark, edges: DataFrame, max_rounds: int = 16) -> DataFrame:
     def _min_propagate(labels: DataFrame, ed: DataFrame,
                        max_iter: int = 32, batch: int = 3) -> DataFrame:
         """labels: (id, color, lab) — propagate min lab along ed within
-        color to fixpoint.  Convergence check: labels only ever decrease,
-        so an unchanged sum(lab) ⟺ fixpoint — one cheap aggregate action
-        per ``batch`` supersteps instead of a diff join per step."""
-        prev_sum = labels.agg(F.sum("lab")).collect()[0][0]
+        color to fixpoint.  Convergence check: labels only ever decrease
+        per id, so the (id, color, lab) multiset is unchanged ⟺ fixpoint;
+        detected via sum(xxhash64(id, color, lab)) — type-agnostic (string
+        vertex ids sum to NULL and would false-converge) — one cheap
+        aggregate action per ``batch`` supersteps instead of a diff join
+        per step.  Collision odds ~2^-64.  (Decimal sum: a long sum of
+        64-bit hashes overflows under ANSI.)"""
+        chg = F.sum(F.xxhash64("id", "color", "lab").cast("decimal(38,0)"))
+        prev_sum = labels.agg(chg).collect()[0][0]
         for it in range(0, max_iter, batch):
             for _ in range(batch):
                 labels = _one_step(labels, ed)
             labels = _ckpt(labels)
-            new_sum = labels.agg(F.sum("lab")).collect()[0][0]
+            new_sum = labels.agg(chg).collect()[0][0]
             if new_sum == prev_sum:
                 break
             prev_sum = new_sum

@@ -314,3 +314,15 @@ def test_bulk_update_then_local_lww(db, spark):
     db.exec("{upset: 'kv', vertex: [[2, {name: 'local'}]]};")
     out = {r["id"]: r["name"] for r in g.to_df().collect()}
     assert out == {1: "patched", 2: "local"}
+
+
+def test_count_with_where_heterogeneous_groups(qdb):
+    """count(vertex) with a predicate over groups that lack the attribute
+    degrades gracefully (skips those groups) instead of leaking a raw
+    AnalysisException."""
+    res = qdb.exec("{query: count(vertex), in: 'qdb', where: {category: 'HDR'}};")
+    assert res[0].error is None, res[0].error
+    assert res[0].value == 2  # v2, v5 in ruins; addr has no category column
+    # single named group still errors cleanly
+    res = qdb.exec("{query: count(addr), in: 'qdb', where: {nope_attr: 1}};")
+    assert res[0].status == "ERROR" and res[0].error

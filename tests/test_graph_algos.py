@@ -93,3 +93,42 @@ def test_shortest_path_via_gql(db, spark):
     assert res.error is None
     cost, path = res.value
     assert cost == 418.0 and path == [3, 8, 9, 12, 13]
+
+
+def test_connected_components_string_ids_long_diameter(spark):
+    """ADVICE r1: sum(component) over string labels is NULL → the loop
+    false-converged after one 3-step batch.  A string-keyed path graph of
+    diameter 7 must still collapse to ONE component."""
+    ids = [f"n{i:02d}" for i in range(8)]
+    e = spark.createDataFrame(
+        [(ids[i], ids[i + 1]) for i in range(7)], "src string, dst string")
+    out = connected_components(e)
+    comps = {r["component"] for r in out.collect()}
+    assert comps == {"n00"}
+
+
+def test_scc_string_ids_long_cycle(spark):
+    from gqlite_spark.operators.graph_algos import \
+        strongly_connected_components
+    ids = [f"v{i:02d}" for i in range(8)]
+    cyc = [(ids[i], ids[(i + 1) % 8]) for i in range(8)]
+    e = spark.createDataFrame(cyc + [(ids[0], "tail")],
+                              "src string, dst string")
+    scc = {r["id"]: r["component"]
+           for r in strongly_connected_components(e).collect()}
+    assert all(scc[i] == "v00" for i in ids)
+    assert scc["tail"] == "tail"
+
+
+def test_shortest_path_equal_cost_tie_propagates(spark):
+    """ADVICE r1: an equal-cost lexicographically-smaller path arriving in
+    a later superstep must re-expand so downstream vertices adopt it."""
+    from gqlite_spark.operators.graph_algos import shortest_path
+    e = spark.createDataFrame(
+        [(0, 5, 2.0), (5, 9, 1.0),            # [0,5,9] cost 3, 2 hops
+         (0, 1, 1.0), (1, 2, 1.0), (2, 9, 1.0),  # [0,1,2,9] cost 3, 3 hops
+         (9, 10, 1.0)],
+        "src long, dst long, w double")
+    cost, path = shortest_path(e, 0, 10, weight_col="w")
+    assert cost == 4.0
+    assert path == [0, 1, 2, 9, 10]
