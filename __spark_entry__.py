@@ -433,7 +433,10 @@ def q_dedup_minhash(spark, sf_dir):
 
 
 def q_dedup_simhash(spark, sf_dir):
-    """SimHash near-dup candidates (rows-only check)."""
+    """SimHash near-dup pairs.  Oracle-checkable since r2: 7-chunk blocking
+    guarantees exact recall for hamming ≤ 6 (pigeonhole), and the
+    fingerprint is pure md5 + bit arithmetic, so DuckDB reproduces it
+    bit-for-bit with an all-pairs oracle."""
     from gqlite_spark.operators.dedup import simhash_near_pairs
     d = _load(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
     return simhash_near_pairs(d, max_hamming=6)
@@ -622,6 +625,36 @@ def _occ_sql(word: str) -> str:
 
 def _marker_sum_sql(words: list[str]) -> str:
     return "(" + " + ".join(_occ_sql(w) for w in words) + ")"
+
+
+def _simhash_sql(max_hamming: int = 6, id_filter: str = "doc_id < 300") -> str:
+    """All-pairs SimHash oracle: identical fingerprint construction
+    (per-token md5 → 60-bit value → per-bit ±1 sums → sign bits) in pure
+    DuckDB SQL.  The Spark side's chunk blocking is exact for
+    hamming ≤ 6, so blocked output == this all-pairs result."""
+    hexpos = " + ".join(
+        f"(strpos('0123456789abcdef', substr(h16, {i}, 1)) - 1)"
+        f" * CAST({16 ** (15 - i)} AS BIGINT)"
+        for i in range(1, 16))
+    bits = ", ".join(
+        f"SUM(CASE WHEN (h >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS b{b}"
+        for b in range(60))
+    fp = " + ".join(
+        f"CASE WHEN b{b} > 0 THEN CAST({2 ** b} AS BIGINT)"
+        f" ELSE CAST(0 AS BIGINT) END"
+        for b in range(60))
+    return (
+        "WITH toks AS (SELECT doc_id AS id,"
+        " unnest(string_split(text, ' ')) AS t"
+        f" FROM documents WHERE {id_filter}),"
+        " th AS (SELECT id, md5(t) AS h16 FROM toks WHERE t <> ''),"
+        f" hh AS (SELECT id, ({hexpos}) AS h FROM th),"
+        f" bits AS (SELECT id, {bits} FROM hh GROUP BY id),"
+        f" sig AS (SELECT id, ({fp}) AS fp FROM bits)"
+        " SELECT a.id AS doc_a, b.id AS doc_b,"
+        " CAST(bit_count(xor(a.fp, b.fp)) AS BIGINT) AS hamming"
+        " FROM sig a JOIN sig b ON a.id < b.id"
+        f" WHERE bit_count(xor(a.fp, b.fp)) <= {max_hamming}")
 
 
 def _pagerank_sql(iterations: int = 10) -> str:
@@ -824,6 +857,7 @@ def oracle_sql() -> dict[str, str]:
             " FROM inter JOIN sizes sa ON sa.id = doc_a"
             " JOIN sizes sb ON sb.id = doc_b"
             " WHERE c / (sa.n + sb.n - c) >= 0.5",
+        "dedup_simhash": _simhash_sql(6),
         "dedup_embedding_cosine":
             "WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),"
             " n AS (SELECT vec_id, v, sqrt(list_inner_product(v, v)) AS nrm FROM v)"

@@ -211,22 +211,39 @@ def simhash64(df: DataFrame, id_col: str = "doc_id",
     return agg.select("id", fp.cast("decimal(20,0)").alias("simhash"))
 
 
-def simhash_near_pairs(df: DataFrame, id_col: str = "doc_id",
-                       text_col: str = "text",
-                       max_hamming: int = 6) -> DataFrame:
-    """SimHash near-dup candidates: block on 4 × 15-bit chunks (any pair
-    within hamming distance ≤ ... must share ≥1 chunk when distance < 4
-    chunks), verify hamming over the 60 bits."""
-    sig = simhash64(df, id_col, text_col)
-    sig = sig.withColumn("shl", F.col("simhash").cast("decimal(38,0)"))
-    chunks = []
-    for ci in range(4):
-        chunk = (F.floor(F.col("shl") / F.lit(float(2 ** (15 * ci))))
-                 .cast("bigint") % F.lit(2 ** 15))
-        chunks.append(sig.select(F.col("id"), F.lit(ci).alias("chunk"),
-                                 chunk.alias("ckey"), F.col("shl")))
-    allc = chunks[0]
-    for c in chunks[1:]:
+def _chunk_layout(n_chunks: int, bits: int = 60) -> list[tuple[int, int]]:
+    """(offset, size) per chunk, sizes as even as possible over ``bits``."""
+    sizes = [bits // n_chunks + (1 if i < bits % n_chunks else 0)
+             for i in range(n_chunks)]
+    offs, acc = [], 0
+    for s in sizes:
+        offs.append(acc)
+        acc += s
+    return list(zip(offs, sizes))
+
+
+def simhash_pairs_from_sig(sig: DataFrame, max_hamming: int = 6,
+                           n_chunks: "int | None" = None) -> DataFrame:
+    """Near-pairs from a (id, simhash) signature table.
+
+    Blocking: split the 60-bit fingerprint into ``n_chunks`` (default
+    ``max_hamming + 1``) chunks; by pigeonhole, a pair at hamming distance
+    d < n_chunks must agree on ≥1 whole chunk, so candidate recall is
+    EXACT for d ≤ n_chunks − 1 — the output equals the all-pairs
+    ``hamming ≤ max_hamming`` result at bucketed (near-linear) cost.
+    (The r1 implementation blocked on 4 chunks with max_hamming=6,
+    silently missing pairs at distance 4-6 spread across all chunks.)
+    """
+    if n_chunks is None:
+        n_chunks = max_hamming + 1
+    sig = sig.select("id", F.col("simhash").cast("bigint").alias("shl"))
+    parts = []
+    for ci, (off, size) in enumerate(_chunk_layout(n_chunks)):
+        ck = F.shiftright(F.col("shl"), off).bitwiseAND(F.lit((1 << size) - 1))
+        parts.append(sig.select("id", F.lit(ci).alias("chunk"),
+                                ck.alias("ckey"), "shl"))
+    allc = parts[0]
+    for c in parts[1:]:
         allc = allc.unionByName(c)
     x, y = allc.alias("x"), allc.alias("y")
     cand = (x.join(y, (F.col("x.chunk") == F.col("y.chunk")) &
@@ -235,19 +252,22 @@ def simhash_near_pairs(df: DataFrame, id_col: str = "doc_id",
             .select(F.col("x.id").alias("doc_a"), F.col("y.id").alias("doc_b"),
                     F.col("x.shl").alias("sa"), F.col("y.shl").alias("sb"))
             .distinct())
-    # hamming via popcount of xor — decimal arithmetic per 15-bit chunk
-    ham = None
-    for ci in range(4):
-        ca = (F.floor(F.col("sa") / F.lit(float(2 ** (15 * ci)))).cast("bigint")
-              % F.lit(2 ** 15))
-        cb = (F.floor(F.col("sb") / F.lit(float(2 ** (15 * ci)))).cast("bigint")
-              % F.lit(2 ** 15))
-        x15 = ca.bitwiseXOR(cb)
-        pc = F.bit_count(x15)
-        ham = pc if ham is None else ham + pc
+    ham = F.bit_count(F.col("sa").bitwiseXOR(F.col("sb"))).cast("long")
     return (cand.withColumn("hamming", ham)
             .filter(F.col("hamming") <= max_hamming)
             .select("doc_a", "doc_b", "hamming"))
+
+
+def simhash_near_pairs(df: DataFrame, id_col: str = "doc_id",
+                       text_col: str = "text",
+                       max_hamming: int = 6,
+                       n_chunks: "int | None" = None) -> DataFrame:
+    """SimHash near-dup pairs (a < b, hamming ≤ max_hamming) with exact
+    recall — see :func:`simhash_pairs_from_sig` for the chunk-blocking
+    guarantee.  SQL-oracle-expressible: the fingerprint is pure md5 + bit
+    arithmetic (no engine-specific hashing)."""
+    return simhash_pairs_from_sig(simhash64(df, id_col, text_col),
+                                  max_hamming, n_chunks)
 
 
 # Below this corpus size the exact all-pairs join (n²/2 cosine evals, no

@@ -181,6 +181,32 @@ def test_ann_lsh_contains_true_nn(spark):
     assert out[0]["id"] in (0, 1)
 
 
+def test_simhash_blocking_exact_recall(spark):
+    """Pigeonhole guarantee: pairs at hamming 4-6 spread across the OLD
+    4x15-bit chunks (one flipped bit per chunk — the r1 blind spot) must be
+    found, and the blocked output must equal brute-force all-pairs."""
+    import itertools
+    from gqlite_spark.operators.dedup import simhash_pairs_from_sig
+    sigs = [
+        (1, 0),
+        (2, (1 << 0) | (1 << 15) | (1 << 30) | (1 << 45)),  # hamming 4 vs 1
+        (3, (1 << 2) | (1 << 17) | (1 << 31) | (1 << 46) | (1 << 59)),  # 5 vs 1
+        (4, (1 << 59)),                                      # hamming 1 vs 1
+        (5, 0x0FFFFFFFFFFFFFF),                              # far from all
+    ]
+    df = spark.createDataFrame(sigs, "id long, simhash long")
+    got = {(r["doc_a"], r["doc_b"]): r["hamming"]
+           for r in simhash_pairs_from_sig(df, max_hamming=6).collect()}
+    # brute-force expectation
+    want = {}
+    for (ia, sa), (ib, sb) in itertools.combinations(sigs, 2):
+        h = bin(sa ^ sb).count("1")
+        if h <= 6:
+            want[(ia, ib)] = h
+    assert got == want
+    assert (1, 2) in got and got[(1, 2)] == 4  # the old blind spot
+
+
 def test_embedding_near_dups_exact_path(spark):
     from gqlite_spark.operators.dedup import embedding_near_dups
     df = spark.createDataFrame(
