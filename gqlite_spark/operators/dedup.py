@@ -101,13 +101,34 @@ def ngram_jaccard_pairs(df: DataFrame, id_col: str = "doc_id",
             .select("doc_a", "doc_b", F.round(jac, 4).alias("jaccard")))
 
 
-def _hash_expr(i: int):
-    """Deterministic hash family i: native xxhash64 over (shingle, i) —
-    JVM-side, no string materialization, ~20× cheaper than md5-hex.
-    (An md5-based engine-portable variant would be
-    conv(substr(md5(s||':'||i),1,15),16,10); not needed since MinHash is
-    verified by exact Jaccard, not by an SQL oracle.)"""
-    return F.xxhash64(F.col("s"), F.lit(i))
+def _plan_bytes(df: DataFrame) -> int:
+    """Catalyst's size estimate for the optimized plan (parquet scans give
+    real file sizes).  Unknown → assume huge, so the caller takes the
+    cache-conservative path."""
+    try:
+        return int(df._jdf.queryExecution().optimizedPlan()
+                   .stats().sizeInBytes())
+    except Exception:
+        return 1 << 62
+
+
+# Below this input size the shingle cache costs more (job-barrier
+# materialization) than recomputing the subtree; above it, a second full
+# corpus scan + shingle explode dominates and caching wins.  The crossover
+# is low because shingling fans each input byte out ~n-gram-fold.
+CACHE_INPUT_BYTES = 4 << 20
+
+
+def hashed_shingles(df: DataFrame, id_col: str = "doc_id",
+                    text_col: str = "text", n: int = 3,
+                    unit: str = "word") -> DataFrame:
+    """(id, hs) shingle table with each shingle pre-hashed to a LONG
+    (xxhash64).  Every downstream stage — signature build, band keys,
+    intersection counts — operates on fixed 8-byte keys instead of shingle
+    strings: smaller cache, cheaper shuffles, faster joins.  Collisions
+    (~2⁻⁶⁴ per in-document pair) are negligible for jaccard counting."""
+    return shingles(df, id_col, text_col, n, unit).select(
+        "id", F.xxhash64("s").alias("hs"))
 
 
 def minhash_signatures(df: DataFrame, id_col: str = "doc_id",
@@ -115,11 +136,17 @@ def minhash_signatures(df: DataFrame, id_col: str = "doc_id",
                        num_hashes: int = NUM_HASHES,
                        unit: str = "word",
                        shingle_df: "DataFrame | None" = None) -> DataFrame:
-    """(id, h0..h{k-1}) MinHash signature per document.  Pass a cached
-    ``shingle_df`` to share the shingle explode with other stages."""
-    sh = shingle_df if shingle_df is not None else shingles(
+    """(id, h0..h{k-1}) MinHash signature per document.
+
+    Hash family: the shingle string is xxhashed ONCE; family member i is
+    xxhash64(hs, i) over the resulting 8-byte value — k fixed-width hashes
+    instead of k string hashes.  One groupBy with k partial-aggregating
+    mins (map-side combine keeps the shuffle at one row per (doc,
+    partition)).  Pass a cached ``shingle_df`` from
+    :func:`hashed_shingles` to share the explode with other stages."""
+    sh = shingle_df if shingle_df is not None else hashed_shingles(
         df, id_col, text_col, n, unit)
-    hashed = sh.select("id", *[_hash_expr(i).alias(f"h{i}")
+    hashed = sh.select("id", *[F.xxhash64("hs", F.lit(i)).alias(f"h{i}")
                                for i in range(num_hashes)])
     return hashed.groupBy("id").agg(
         *[F.min(f"h{i}").alias(f"h{i}") for i in range(num_hashes)])
@@ -131,13 +158,20 @@ def minhash_lsh_pairs(df: DataFrame, id_col: str = "doc_id",
                       num_hashes: int = NUM_HASHES,
                       num_bands: int = NUM_BANDS,
                       unit: str = "word",
-                      max_bucket: int = 2000) -> DataFrame:
+                      max_bucket: int = 2000,
+                      cache: "bool | None" = None) -> DataFrame:
     """Near-dup pairs via MinHash banding + exact-Jaccard verification.
 
-    The LSH band join prunes the candidate space (near-linear in corpus
+    The LSH banding prunes the candidate space (near-linear in corpus
     size); every surviving candidate is verified with its TRUE n-gram
     Jaccard, so precision is exact and only recall depends on the banding.
     Output: (doc_a, doc_b, jaccard).
+
+    Plan shape: ONE groupBy on (band, band_key) collects each bucket's ids
+    and generates in-bucket pairs by a bounded double-explode — this fuses
+    the r1 window-count bucket guard and band self-join (two shuffles of
+    the banded table + a join) into a single shuffle.  Band keys are
+    xxhash64 of the band's signature slice (no md5 string build).
 
     ``max_bucket`` guards the quadratic candidate blowup from degenerate
     buckets (e.g. clusters of byte-identical documents): buckets larger
@@ -146,39 +180,52 @@ def minhash_lsh_pairs(df: DataFrame, id_col: str = "doc_id",
     keeps the whole pipeline near-linear.  Set max_bucket=None to disable.
     """
     rows = num_hashes // num_bands
-    sh = shingles(df, id_col, text_col, n, unit).cache()
+    # cost-based caching: the shingle table feeds two subtrees (signature
+    # build, verify) and the candidate pipeline feeds two (candidate docs,
+    # intersection).  For big corpora cache both — recomputation means a
+    # second full corpus scan and signature shuffle; for small inputs the
+    # cache materialization barriers cost more than recompute (~2x bench).
+    big = cache if cache is not None else _plan_bytes(df) > CACHE_INPUT_BYTES
+    sh = hashed_shingles(df, id_col, text_col, n, unit)
+    if big:
+        sh = sh.cache()
     sig = minhash_signatures(df, id_col, text_col, n, num_hashes, unit,
-                             shingle_df=sh).cache()
-    bands = []
-    for bi in range(num_bands):
-        cols = [f"h{j}" for j in range(bi * rows, (bi + 1) * rows)]
-        bands.append(sig.select(
-            "id", F.lit(bi).alias("band"),
-            F.md5(F.concat_ws(",", *cols)).alias("bkey")))
-    allbands = bands[0]
-    for b in bands[1:]:
-        allbands = allbands.unionByName(b)
+                             shingle_df=sh)
+    bkeys = sig.select("id", *[
+        F.xxhash64(*[f"h{j}" for j in range(bi * rows, (bi + 1) * rows)])
+        .alias(f"bk{bi}") for bi in range(num_bands)])
+    stack_args = ", ".join(f"{bi}, bk{bi}" for bi in range(num_bands))
+    allbands = bkeys.selectExpr(
+        "id", f"stack({num_bands}, {stack_args}) AS (band, bkey)")
+    buckets = (allbands.groupBy("band", "bkey")
+               .agg(F.collect_list("id").alias("ids"))
+               .filter(F.size("ids") >= 2))
     if max_bucket is not None:
-        from pyspark.sql import Window
-        bn = F.count("*").over(Window.partitionBy("band", "bkey"))
-        allbands = (allbands.withColumn("_bn", bn)
-                    .filter(F.col("_bn") <= max_bucket).drop("_bn"))
-    x, y = allbands.alias("x"), allbands.alias("y")
-    cand = (x.join(y, (F.col("x.band") == F.col("y.band")) &
-                   (F.col("x.bkey") == F.col("y.bkey")) &
-                   (F.col("x.id") < F.col("y.id")))
-            .select(F.col("x.id").alias("doc_a"),
-                    F.col("y.id").alias("doc_b")).distinct())
-    # exact verify on candidates only (reuses the cached shingle table)
-    sizes = sh.groupBy("id").agg(F.count("*").alias("n"))
-    a_sh = sh.select(F.col("id").alias("doc_a"), F.col("s"))
-    b_sh = sh.select(F.col("id").alias("doc_b"), F.col("s"))
-    inter = (cand.join(a_sh, "doc_a").join(b_sh, ["doc_b", "s"])
-             .groupBy("doc_a", "doc_b").agg(F.count("*").alias("c")))
-    sa = sizes.select(F.col("id").alias("doc_a"), F.col("n").alias("na"))
-    sb = sizes.select(F.col("id").alias("doc_b"), F.col("n").alias("nb"))
-    jac = F.col("c") / (F.col("na") + F.col("nb") - F.col("c"))
-    return (inter.join(sa, "doc_a").join(sb, "doc_b")
+        buckets = buckets.filter(F.size("ids") <= max_bucket)
+    cand = (buckets
+            .select(F.explode("ids").alias("doc_a"), F.col("ids"))
+            .select("doc_a", F.explode("ids").alias("doc_b"))
+            .filter(F.col("doc_a") < F.col("doc_b"))
+            .distinct())
+    # exact verify on candidates only: FIRST restrict the shingle table to
+    # documents appearing in some (2..max_bucket)-sized bucket — exactly
+    # the docs that occur in candidate pairs.  Deriving this from
+    # ``buckets`` (not from the pair list) lets Spark reuse the bucket
+    # groupBy exchange for both subtrees (ReuseExchange), so no cache is
+    # needed; the intersection/size joins then touch candidate documents'
+    # shingles only, not the whole corpus.
+    cand_docs = buckets.select(F.explode("ids").alias("id"))
+    shc = sh.join(cand_docs, "id", "left_semi")
+    # per-candidate-doc shingle sets (bounded by shingles/doc), then the
+    # exact intersection is a JVM array_intersect per pair — no wide
+    # (doc, shingle)-keyed join, no intersection groupBy; the candidate
+    # side is typically tiny → both joins broadcast under AQE
+    dsets = shc.groupBy("id").agg(F.collect_list("hs").alias("S"))
+    a = dsets.select(F.col("id").alias("doc_a"), F.col("S").alias("Sa"))
+    b = dsets.select(F.col("id").alias("doc_b"), F.col("S").alias("Sb"))
+    c = F.size(F.array_intersect("Sa", "Sb"))
+    jac = c / (F.size("Sa") + F.size("Sb") - c)
+    return (cand.join(a, "doc_a").join(b, "doc_b")
             .filter(jac >= threshold)
             .select("doc_a", "doc_b", F.round(jac, 4).alias("jaccard")))
 

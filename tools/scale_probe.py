@@ -63,7 +63,10 @@ def main() -> None:
     docs = docs.persist()
     docs.count()
     t = time.time()
-    pairs = minhash_lsh_pairs(docs, threshold=0.7).count()
+    # cache=True: Catalyst sizes range-generated synthetics at ~8 B/row, so
+    # the cost-based cache switch underestimates them; real parquet corpora
+    # cross CACHE_INPUT_BYTES on their own
+    pairs = minhash_lsh_pairs(docs, threshold=0.7, cache=True).count()
     print(f"minhash_lsh({n_docs:,} docs): {time.time()-t:.1f}s  pairs={pairs:,}")
     docs.unpersist()
 
