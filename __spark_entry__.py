@@ -66,6 +66,11 @@ def _gql_db(spark, sf_dir):
                        ("nation", "n_nationkey"), ("embeddings", "vec_id")]:
         grp = g.create_group(table)
         grp.register_df(_load(spark, sf_dir, table), key_col=key)
+    # nation ring as an edge group: multi-hop walk patterns traverse it
+    from gqlite_spark.sources.testdata import nation_ring_edges
+    ring = g.create_group("nation_ring", is_edge=True,
+                          src_group="nation", dst_group="nation")
+    ring.register_df(nation_ring_edges(spark, sf_dir))
     _GQL_DB_CACHE[cache_key] = db
     return db
 
@@ -308,6 +313,19 @@ def q_window_rank(spark, sf_dir):
 # --------------------------------------------------------------------------
 # Graph analytics (SURVEY §2.4, §2.7 — GraphX-model Pregel loops)
 # --------------------------------------------------------------------------
+
+def q_walk_2hop_cond(spark, sf_dir):
+    """2-hop walk pattern through the GQL engine with a PROPERTY CONDITION
+    on the middle node (reference surface: per-hop conditions in walk
+    declarations, src/gql.y:886-905 a_link_condition; execution stubbed at
+    ScanPlan.cpp:225-226 — implemented as iterated self-joins + endpoint
+    semi-joins here).  Paths n0 -> n1 -> n2 over the nation ring where the
+    middle nation is in region 2."""
+    db = _gql_db(spark, sf_dir)
+    return db.query_df(
+        "{query: 'nation_ring', in: 'tpch',"
+        " where: [*, ->, {n_regionkey: 2}, ->, *]};")
+
 
 def q_khop(spark, sf_dir):
     """2-hop neighborhood of nation n1 on the TPC-H property graph."""
@@ -576,6 +594,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rollup_revenue": q_rollup_revenue,
         "correlated_subquery": q_correlated_subquery,
         "semi_join_urgent": q_semi_join,
+        "graph_walk_2hop_cond": q_walk_2hop_cond,
         "graph_khop": q_khop,
         "graph_shortest_path": q_shortest_path,
         "graph_connected_components": q_connected_components,
@@ -780,6 +799,17 @@ def oracle_sql() -> dict[str, str]:
             "   OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey"
             "   ROWS UNBOUNDED PRECEDING)::BIGINT AS running_cents"
             " FROM orders) WHERE rank <= 3",
+        "graph_walk_2hop_cond":
+            "WITH e AS (SELECT CAST(n_nationkey AS BIGINT) AS src,"
+            " CAST((n_nationkey + 1) % 25 AS BIGINT) AS dst FROM nation"
+            " UNION ALL SELECT CAST(n_nationkey AS BIGINT),"
+            " CAST((n_nationkey + 7) % 25 AS BIGINT) FROM nation),"
+            " m AS (SELECT CAST(n_nationkey AS BIGINT) AS id FROM nation"
+            " WHERE n_regionkey = 2)"
+            " SELECT DISTINCT a.src AS n0, a.dst AS n1, b.dst AS n2"
+            " FROM e a JOIN e b ON a.dst = b.src"
+            " JOIN m ON m.id = a.dst"
+            " WHERE a.src <> b.dst",
         "graph_khop":
             "SELECT 'c' || c_custkey AS id FROM customer WHERE c_nationkey = 1"
             " UNION SELECT 's' || s_suppkey FROM supplier WHERE s_nationkey = 1"

@@ -365,12 +365,41 @@ class GQLite:
                 status="QUERY SUCCESS", df=out,
                 rows_fn=lambda o=out, g=grp: self._beautify_edges(o, g))
         # multi-hop walk: iterated self-join (reference intent, stub at
-        # ScanPlan.cpp:225-226) — see operators/patterns.py
+        # ScanPlan.cpp:225-226) — see operators/patterns.py.  Property-
+        # condition nodes at ANY hop (gql.y:886-905 a_link_condition)
+        # resolve against the edge group's endpoint vertex groups.
         from .operators.patterns import match_walk
-        out = match_walk(grp.to_df(), pattern, grp.meta)
+        out = match_walk(grp.to_df(), pattern, grp.meta,
+                         node_filters=self._walk_node_filters(graph, grp,
+                                                              pattern))
         return StatementResult(
             status="QUERY SUCCESS", df=out,
             rows_fn=lambda o=out: [str(r.asDict()) for r in o.collect()])
+
+    def _walk_node_filters(self, graph: Graph, grp: Group,
+                           pattern: WalkPattern) -> dict:
+        """For each walk node carrying a property-condition object, the
+        one-column ``id`` frames of satisfying vertices — one per endpoint
+        vertex group of the edge relation (a hop vertex may come from
+        either side; key-type mismatches are pruned in match_walk)."""
+        out: dict[int, list] = {}
+        group_names = [g for g in dict.fromkeys(
+            (grp.meta.src_group, grp.meta.dst_group)) if g]
+        for i, node in enumerate(pattern.nodes):
+            if node.key is not None or node.wildcard or not node.conds:
+                continue
+            frames = []
+            for gname in group_names:
+                vgrp = graph.group(gname)
+                vdf = vgrp.to_df()
+                if vdf is None:
+                    continue
+                comp = PredicateCompiler(vgrp.meta)
+                cond = comp.compile(
+                    gql_parser.Parser("")._build_pred_conj(node.conds))
+                frames.append(vdf.filter(cond).select("id"))
+            out[i] = frames
+        return out
 
     def _apply_endpoint_conds(self, graph: Graph, grp: Group,
                               pattern: WalkPattern, out: DataFrame) -> DataFrame:

@@ -50,13 +50,22 @@ def _node_cond(col: str, node: PatternNode, meta: GroupMeta):
         return None
     if node.key is not None:
         return F.col(col) == F.lit(key_literal(meta, node.key))
-    # property-condition nodes need the vertex table join — handled by caller
+    # property-condition nodes join their vertex group — see node_filters
     return None
 
 
 def match_walk(edges: Optional[DataFrame], pattern: WalkPattern,
-               meta: GroupMeta) -> DataFrame:
-    """Return one row per matching path with columns n0..nk."""
+               meta: GroupMeta,
+               node_filters: "Optional[dict[int, list[DataFrame]]]" = None
+               ) -> DataFrame:
+    """Return one row per matching path with columns n0..nk.
+
+    ``node_filters`` carries, for every node position with a property-
+    condition object, the one-column (``id``) DataFrames of vertices
+    satisfying it (one per candidate vertex group; reference surface
+    src/gql.y:886-905 ``a_link_condition`` allows conditions at every hop).
+    Each becomes a semi-join on the hop column — the same shape as the
+    1-hop endpoint-condition path, left to AQE to broadcast when small."""
     if edges is None:
         raise GQLiteError("empty edge group in walk pattern")
     hops = len(pattern.conns)
@@ -75,6 +84,23 @@ def match_walk(edges: Optional[DataFrame], pattern: WalkPattern,
             conds.append(c)
     if conds:
         cur = cur.filter(functools.reduce(_op.and_, conds))
+    def _family(dtype: str) -> str:
+        return ("integer" if dtype in ("tinyint", "smallint", "int", "bigint")
+                else dtype)
+
+    for i, frames in (node_filters or {}).items():
+        col_t = dict(cur.dtypes)[f"n{i}"]
+        matching = [f.select(F.col("id").cast(col_t).alias("id"))
+                    for f in frames
+                    if _family(dict(f.dtypes)["id"]) == _family(col_t)]
+        if not matching:
+            # condition references a group whose key type cannot appear in
+            # this hop column — no vertex can satisfy it
+            cur = cur.filter(F.lit(False))
+            continue
+        ids = functools.reduce(lambda a, b: a.unionByName(b), matching)
+        cur = cur.join(ids.withColumnRenamed("id", f"n{i}"),
+                       f"n{i}", "left_semi")
     # simple-path discipline: no immediate backtracking a→b→a
     for i in range(hops - 1):
         cur = cur.filter(F.col(f"n{i}") != F.col(f"n{i+2}"))

@@ -326,3 +326,26 @@ def test_count_with_where_heterogeneous_groups(qdb):
     # single named group still errors cleanly
     res = qdb.exec("{query: count(addr), in: 'qdb', where: {nope_attr: 1}};")
     assert res[0].status == "ERROR" and res[0].error
+
+
+def test_multi_hop_walk_with_property_conditions(db):
+    """Per-hop endpoint property conditions (gql.y:886-905): a 2-hop walk
+    keeps only paths whose middle vertex satisfies the condition object."""
+    setup = """
+{create: 'wg', group: ['city', ['city', 'road', 'city']]};
+{upset: 'city', vertex: [[1, {pop: 100}], [2, {pop: 5}], [3, {pop: 50}],
+                         [4, {pop: 7}], [5, {pop: 80}]]};
+{upset: 'road', edge: [[1, ->, 2], [2, ->, 3], [1, ->, 4], [4, ->, 3],
+                       [3, ->, 5]]};
+"""
+    for r in db.exec(setup):
+        assert r.error is None, r.error
+    res = db.exec("{query: 'road', in: 'wg', where: [*, ->, {pop: {$lt: 10}}, ->, *]};")
+    assert res[0].error is None, res[0].error
+    paths = {tuple(r) for r in res[0].df.collect()}
+    assert paths == {(1, 2, 3), (1, 4, 3)}
+    # condition on the LAST node too
+    res = db.exec(
+        "{query: 'road', in: 'wg', where: [*, ->, {pop: {$gt: 40}}, ->, {pop: {$gt: 60}}]};")
+    assert res[0].error is None, res[0].error
+    assert {tuple(r) for r in res[0].df.collect()} == {(2, 3, 5), (4, 3, 5)}
