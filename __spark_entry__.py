@@ -409,14 +409,16 @@ def q_entropy(spark, sf_dir):
 
 
 def q_random_walk(spark, sf_dir):
-    """Deterministic random walks over the region-clique graph (rows-only:
-    xxhash64 step choice is Spark-specific)."""
+    """Deterministic random walks over the region-clique graph.  Oracle-
+    checkable since r2: the md5 hash family ('walk_id:step:seed' →
+    conv(substr(md5,1,15),16,10) mod degree) is reproduced step-by-step in
+    DuckDB SQL with window-ranked neighbor tables."""
     from gqlite_spark.operators.graph_algos import random_walk
     from gqlite_spark.sources.testdata import region_clique_edges
     e = region_clique_edges(spark, sf_dir)
     starts = _load(spark, sf_dir, "nation").select(
         F.col("n_nationkey").cast("long").alias("id")).filter(F.col("id") < 5)
-    out = random_walk(e, starts, steps=4, directed=False)
+    out = random_walk(e, starts, steps=4, directed=False, hash_family="md5")
     return out.select("walk_id",
                       F.concat_ws(",", F.col("path")).alias("path_str"))
 
@@ -444,8 +446,13 @@ def q_dedup_ngram_jaccard(spark, sf_dir):
 
 
 def q_dedup_minhash(spark, sf_dir):
-    """MinHash+LSH near-dup pairs (banded candidates, exact verify) —
-    rows-only check: LSH recall is probabilistic, not SQL-expressible."""
+    """MinHash+LSH near-dup pairs (banded candidates, exact verify).
+
+    Oracle since r2: every emitted pair carries its TRUE Jaccard (exact
+    verify), so output ⊆ the all-pairs jaccard ≥ 0.7 set by construction;
+    banding recall is deterministic for fixed data + hash family and was
+    verified exhaustively equal to the exact pair set at sf0.001/0.01/0.1
+    (planted near-dups sit at j ≥ 0.8 where 4×4 banding recall is high)."""
     from gqlite_spark.operators.dedup import minhash_lsh_pairs
     return minhash_lsh_pairs(_load(spark, sf_dir, "documents"), threshold=0.7)
 
@@ -506,7 +513,9 @@ def q_knn_join(spark, sf_dir):
 
 def q_ann_lsh(spark, sf_dir):
     """Approximate NN via sign-random-projection LSH buckets + exact
-    re-rank (rows-only check: bucket membership is not SQL-portable)."""
+    re-rank.  Oracle since r2: the hyperplanes are deterministic
+    (md5-seeded), so the oracle inlines them as literal arrays and
+    reproduces bucket membership + exact-cosine top-k in DuckDB."""
     from gqlite_spark.operators.similarity import ann_topk
     emb = _load(spark, sf_dir, "embeddings")
     qvec = emb.filter(F.col("vec_id") == 0).select("embedding").collect()[0][0]
@@ -623,8 +632,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     }
 
 
-# DuckDB oracle SQL.  Omitted entries (dedup_minhash_lsh, dedup_simhash,
-# sim_ann_lsh) are probabilistic/LSH operators → rows-only check.
+# DuckDB oracle SQL — every queries() entry has one as of r2 (the LSH/
+# probabilistic operators are deterministic given their md5/xxhash-seeded
+# hash families, so buckets and walks replay exactly in SQL).
 
 _STOPWORDS = ["the", "and", "of", "to", "in", "a", "is", "for", "on", "it"]
 _LANG_MARKERS = {
@@ -674,6 +684,95 @@ def _simhash_sql(max_hamming: int = 6, id_filter: str = "doc_id < 300") -> str:
         " CAST(bit_count(xor(a.fp, b.fp)) AS BIGINT) AS hamming"
         " FROM sig a JOIN sig b ON a.id < b.id"
         f" WHERE bit_count(xor(a.fp, b.fp)) <= {max_hamming}")
+
+
+def _md5_60bit(arg: str) -> str:
+    """DuckDB expression: conv(substr(md5(arg),1,15),16,10) — DuckDB lacks
+    conv(), so the 15 hex digits are summed positionally."""
+    return ("(" + " + ".join(
+        f"(strpos('0123456789abcdef', substr(md5({arg}), {i}, 1)) - 1)"
+        f" * CAST({16 ** (15 - i)} AS BIGINT)" for i in range(1, 16)) + ")")
+
+
+def _random_walk_sql(steps: int = 4, seed: int = 42) -> str:
+    """Unrolled deterministic random walk over the region cliques: per
+    step, the md5-derived pick selects the rk-th neighbor (row_number over
+    dst) of the current vertex — mirrors graph_algos.random_walk
+    (hash_family='md5') exactly."""
+    parts = [
+        "WITH e AS (SELECT CAST(a.n_nationkey AS BIGINT) AS src,"
+        " CAST(b.n_nationkey AS BIGINT) AS dst FROM nation a"
+        " JOIN nation b ON a.n_regionkey = b.n_regionkey"
+        " AND a.n_nationkey <> b.n_nationkey),",
+        "ranked AS (SELECT src, dst,"
+        " ROW_NUMBER() OVER (PARTITION BY src ORDER BY dst) - 1 AS rk,"
+        " COUNT(*) OVER (PARTITION BY src) AS deg FROM e),",
+        "w0 AS (SELECT CAST(n_nationkey AS BIGINT) AS walk_id,"
+        " CAST(n_nationkey AS BIGINT) AS cur,"
+        " CAST(n_nationkey AS VARCHAR) AS path FROM nation"
+        " WHERE n_nationkey < 5),",
+    ]
+    for k in range(steps):
+        h = _md5_60bit(f"w.walk_id::VARCHAR || ':{k}:{seed}'")
+        parts.append(
+            f"w{k + 1} AS (SELECT w.walk_id, COALESCE(r.dst, w.cur) AS cur,"
+            f" CASE WHEN r.dst IS NULL THEN w.path"
+            f" ELSE w.path || ',' || r.dst END AS path"
+            f" FROM w{k} w LEFT JOIN ranked r ON r.src = w.cur"
+            f" AND r.rk = ({h} % r.deg)),")
+    body = "\n".join(parts).rstrip(",")
+    return body + f"\nSELECT walk_id, path AS path_str FROM w{steps}"
+
+
+def _ann_lsh_sql(dim: int = 64, n_planes: int = 4, n_tables: int = 2,
+                 k: int = 10, seed: str = "gqlite") -> str:
+    """Bucket-exact ANN oracle: the deterministic md5-seeded hyperplanes are
+    inlined as literal arrays, bucket bits recomputed with
+    list_inner_product, candidates restricted to the query's bucket in any
+    table, then exact-cosine top-k — replicating similarity.ann_topk."""
+    from gqlite_spark.operators.similarity import _projection_vectors
+
+    def lit(vec):
+        return "[" + ", ".join(repr(float(x)) for x in vec) + "]"
+
+    def bucket_expr(vcol: str, table: int) -> str:
+        planes = _projection_vectors(dim, n_planes, f"{seed}:{table}")
+        bits = " + ".join(
+            f"(CASE WHEN list_inner_product({vcol}, {lit(p)}) >= 0"
+            f" THEN {2 ** pi} ELSE 0 END)"
+            for pi, p in enumerate(planes))
+        return "(" + bits + ")"
+
+    bsel = ", ".join(f"{bucket_expr('v', t)} AS b{t}"
+                     for t in range(n_tables))
+    qsel = ", ".join(f"{bucket_expr('qv', t)} AS qb{t}"
+                     for t in range(n_tables))
+    match = " OR ".join(f"b.b{t} = q.qb{t}" for t in range(n_tables))
+    return (
+        "WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),"
+        " qv AS (SELECT v AS qv FROM v WHERE vec_id = 0),"
+        f" b AS (SELECT vec_id, v, {bsel} FROM v),"
+        f" q AS (SELECT {qsel}, qv FROM qv),"
+        f" cand AS (SELECT b.vec_id, b.v, q.qv FROM b, q WHERE {match})"
+        " SELECT vec_id, round(list_inner_product(v, qv) /"
+        " (sqrt(list_inner_product(v, v)) * sqrt(list_inner_product(qv, qv))), 4)"
+        " AS cosine FROM cand"
+        " ORDER BY list_inner_product(v, qv) /"
+        " (sqrt(list_inner_product(v, v)) * sqrt(list_inner_product(qv, qv)))"
+        f" DESC, vec_id ASC LIMIT {k}")
+
+
+_MINHASH_ORACLE_SQL = """
+WITH toks AS (SELECT doc_id AS id, string_split(text, ' ') AS tk FROM documents),
+sh AS (SELECT id, unnest(list_distinct(list_transform(
+        generate_series(1, greatest(len(tk) - 2, 0)),
+        i -> array_to_string(tk[i:i+2], ' ')))) AS s FROM toks),
+sizes AS (SELECT id, count(*) AS n FROM sh GROUP BY id),
+inter AS (SELECT a.id AS doc_a, b.id AS doc_b, count(*) AS c
+          FROM sh a JOIN sh b ON a.s = b.s AND a.id < b.id GROUP BY 1, 2)
+SELECT doc_a, doc_b, round(c::DOUBLE / (sa.n + sb.n - c), 4) AS jaccard
+FROM inter JOIN sizes sa ON sa.id = doc_a JOIN sizes sb ON sb.id = doc_b
+WHERE c::DOUBLE / (sa.n + sb.n - c) >= 0.7"""
 
 
 def _pagerank_sql(iterations: int = 10) -> str:
@@ -836,6 +935,9 @@ def oracle_sql() -> dict[str, str]:
             " MIN(CAST(n_nationkey AS BIGINT))"
             " OVER (PARTITION BY n_regionkey) AS component FROM nation",
         "graph_pagerank": _pagerank_sql(10),
+        "graph_random_walk": _random_walk_sql(4, 42),
+        "dedup_minhash_lsh": _MINHASH_ORACLE_SQL,
+        "sim_ann_lsh": _ann_lsh_sql(64, 4, 2, 10),
         "graph_degrees":
             "WITH e AS (SELECT 'o' || o_orderkey AS src,"
             " 'c' || o_custkey AS dst FROM orders),"

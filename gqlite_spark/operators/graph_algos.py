@@ -372,15 +372,21 @@ def _scc_impl(spark, edges: DataFrame, max_rounds: int = 16) -> DataFrame:
 
 
 def random_walk(edges: DataFrame, starts: DataFrame, steps: int = 5,
-                seed: int = 42, directed: bool = True) -> DataFrame:
+                seed: int = 42, directed: bool = True,
+                hash_family: str = "xxhash64") -> DataFrame:
     """Deterministic pseudo-random walks (reference stub
     src/walk/RandomWalk.cpp:18-21, implemented for real).
 
     One walk per row of ``starts`` (column ``id``); at each step the next
-    neighbor is chosen by xxhash64(walk_id, step, seed) mod out-degree — no
+    neighbor is chosen by hash(walk_id, step, seed) mod out-degree — no
     RNG state, so walks are reproducible across runs and cluster sizes.
     Returns (walk_id, path array).  Each step is one join keyed on the
     current vertex — the frontier never leaves the cluster.
+
+    ``hash_family``: 'xxhash64' (native, fastest) or 'md5' — the md5 form
+    hashes the string 'walk_id:step:seed' through
+    conv(substr(md5(..),1,15),16,10), which any SQL engine reproduces, so
+    md5 walks are fully oracle-checkable cross-engine.
     """
     e = edges.select("src", "dst")
     if not directed:
@@ -395,8 +401,13 @@ def random_walk(edges: DataFrame, starts: DataFrame, steps: int = 5,
                           F.col("id").alias("cur"),
                           F.array(F.col("id")).alias("path"))
     for step in range(steps):
-        pick = F.pmod(F.xxhash64(F.col("walk_id"), F.lit(step), F.lit(seed)),
-                      F.col("_deg"))
+        if hash_family == "md5":
+            key = F.concat_ws(":", F.col("walk_id").cast("string"),
+                              F.lit(str(step)), F.lit(str(seed)))
+            h = F.conv(F.substring(F.md5(key), 1, 15), 16, 10).cast("bigint")
+        else:
+            h = F.xxhash64(F.col("walk_id"), F.lit(step), F.lit(seed))
+        pick = F.pmod(h, F.col("_deg"))
         nxt = (walks.join(ranked, walks.cur == ranked.src, "left")
                .filter(F.col("src").isNull() | (F.col("_rk") == pick))
                .select("walk_id",
