@@ -135,8 +135,36 @@ class GQLite:
                     .ExplainMode.fromString("formatted"))
             return res
         if isinstance(stmt, ImportStmt):
-            raise GQLiteError("import: use sources.load_* APIs")
+            return self._import(stmt)
         raise GQLiteError(f"unsupported statement {type(stmt).__name__}")
+
+    def _import(self, stmt: ImportStmt) -> StatementResult:
+        """``import '<path>';`` (reference surface gql.y:225-229, stub
+        there) — ingest a graph file by extension: .dot (Graphviz corpus
+        test/graphs/*.dot), .ngql (Nebula INSERT dumps), .gql (replayed
+        GQL script).  CSV needs column mappings → sources.load_csv_*."""
+        from .sources import loaders
+        path = stmt.path
+        try:
+            with open(path) as f:
+                text = f.read()
+        except OSError as e:
+            raise GQLiteError(f"import: {e}") from e
+        if path.endswith(".dot"):
+            self.current_graph = loaders.load_dot(self, text,
+                                                  graph=self.current_graph)
+        elif path.endswith(".ngql"):
+            if not self.current_graph:
+                raise GQLiteError("import: create/select a graph before "
+                                  "importing nGQL")
+            loaders.load_ngql_inserts(self, self.current_graph, text)
+        elif path.endswith(".gql"):
+            for res in self.exec(text):
+                if res.error:
+                    return res
+        else:
+            raise GQLiteError(f"import: unsupported file type {path!r}")
+        return StatementResult(status="EXECUTE COMMAND SUCCESS")
 
     # ------------------------------------------------------------- helpers
     def _graph(self, name: Optional[str]) -> Graph:

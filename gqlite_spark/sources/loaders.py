@@ -68,6 +68,42 @@ def _parse_value(tok: str):
             return tok
 
 
+_DOT_HEADER = re.compile(r'^\s*(?:strict\s+)?(di)?graph\s+(\w+)?\s*\{',
+                         re.IGNORECASE)
+_DOT_EDGE = re.compile(r'(\w+)\s*(--|->)\s*(\w+)\s*(?:\[([^\]]*)\])?\s*;')
+_DOT_ATTR = re.compile(r'(\w+)\s*=\s*"?([^,"\]]+)"?')
+
+
+def load_dot(db: GQLite, text: str, graph: Optional[str] = None,
+             vertex_group: str = "node", edge_group: str = "edge") -> str:
+    """Parse a Graphviz DOT graph (the reference's test/graphs/*.dot
+    corpus: ``graph G { A -- B [weight = 82]; }``) into a GQLite graph.
+    Returns the graph name (DOT header name unless overridden).  Undirected
+    ``--`` and directed ``->`` edges keep their orientation; ``[k = v]``
+    attribute lists become edge properties."""
+    m = _DOT_HEADER.search(text)
+    if not m:
+        from ..errors import GQLiteError
+        raise GQLiteError("import: not a DOT graph file")
+    name = graph or m.group(2) or "g"
+    g = db.catalog.create_graph(name)
+    vg = g.groups.get(vertex_group) or g.create_group(vertex_group)
+    eg = g.groups.get(edge_group) or g.create_group(
+        edge_group, is_edge=True, src_group=vertex_group,
+        dst_group=vertex_group)
+    for em in _DOT_EDGE.finditer(text):
+        src, op, dst, attrs = em.groups()
+        src, dst = _parse_value(src), _parse_value(dst)
+        props = {k: _parse_value(v.strip())
+                 for k, v in _DOT_ATTR.findall(attrs)} if attrs else None
+        if src not in vg.rows:
+            vg.upsert_vertex(src, None)
+        if dst not in vg.rows:
+            vg.upsert_vertex(dst, None)
+        eg.upsert_edge(src, op, dst, props)
+    return name
+
+
 def load_ngql_inserts(db: GQLite, graph: str, text: str) -> None:
     """Parse Nebula nGQL INSERT VERTEX/EDGE statements into graph groups
     (offline-converter parity, tool/converter/ngql.cpp — covers the

@@ -46,3 +46,43 @@ def test_ngql_loader_basketballplayer(db):
     # point query by id — the reference's benchmark workload (vertex.gs)
     rows = db.exec("{query: 'player', in: 'bb', where: {id: 'player100'}};")[0].rows
     assert len(rows) == 1 and "Tim Duncan" in rows[0]
+
+
+def test_import_dot_statement(db):
+    """GQL `import '<path>.dot';` ingests the reference DOT corpus
+    (gql.y:225-229 surface; stub in the reference)."""
+    res = db.exec("import '/root/reference/test/graphs/simple_g.dot';")
+    assert res[0].error is None, res[0].error
+    g = db.catalog.graph("G3_LOOP")
+    assert set(g.groups["node"].rows) == {"A", "B", "C"}
+    assert len(g.groups["edge"].rows) == 3
+    rows = db.exec("{query: 'edge', in: 'G3_LOOP'};")[0].rows
+    assert rows == ["['A', --, 'B']", "['B', --, 'C']", "['C', --, 'A']"]
+
+
+def test_import_dot_weights_and_shortest_path(db):
+    res = db.exec("import '/root/reference/test/graphs/bipartile_weight.dot';")
+    assert res[0].error is None, res[0].error
+    g = db.catalog.graph("G")
+    # [weight = N] attribute lists become integer edge properties
+    assert g.groups["edge"].rows[("W1", "--", "T1")] == {"weight": 82}
+    assert g.groups["edge"].meta.props == {"weight": "integer"}
+    # weighted shortest path over the imported graph
+    res = db.exec("{query: 'edge', in: 'G', where: ['W1', --: min('weight'), 'T3']};")
+    assert res[0].error is None, res[0].error
+    cost, path = res[0].value
+    assert cost == 69.0 and path == ["W1", "T3"]
+
+
+def test_import_gql_script(db, tmp_path):
+    p = tmp_path / "setup.gql"
+    p.write_text("{create: 'ig', group: ['v']};\n"
+                 "{upset: 'v', vertex: [[1, {x: 2}]]};\n")
+    res = db.exec(f"import '{p}';")
+    assert res[0].error is None, res[0].error
+    assert db.exec("{query: 'v', in: 'ig'};")[0].rows == ['[1, {"x":2}]']
+
+
+def test_import_missing_file(db):
+    res = db.exec("import '/no/such/file.dot';")
+    assert res[0].status == "ERROR" and "import" in res[0].error
