@@ -167,28 +167,106 @@ def random_projection_buckets(df: DataFrame, dim: int, n_planes: int = 8,
     return out
 
 
-def ann_topk(df: DataFrame, query_vec: list[float], dim: int, k: int = 10,
-             n_planes: int = 8, n_tables: int = 2, seed: str = "gqlite",
-             id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
-    """Approximate top-k: restrict to LSH buckets matching the query in any
-    table, then exact cosine re-rank.  The 100 TB path: the bucket filter
-    prunes the scan to ~n_tables/2^planes of the corpus."""
-    buckets = random_projection_buckets(df, dim, n_planes, n_tables, seed,
-                                        id_col, vec_col)
+def query_buckets(query_vec: list[float], dim: int, n_planes: int = 8,
+                  n_tables: int = 2, seed: str = "gqlite",
+                  normalize: bool = False,
+                  offsets: "list[list[float]] | None" = None
+                  ) -> list[tuple[int, int]]:
+    """The (table, bucket) pairs a query vector hashes to — driver-side
+    mirror of :func:`random_projection_buckets` (same planes, same
+    normalize/offsets), used to prune the index scan."""
     q = [float(x) for x in query_vec]
+    if normalize:
+        n = math.sqrt(sum(x * x for x in q)) or 1.0
+        q = [x / n for x in q]
     wanted = []
     for t in range(n_tables):
         planes = _projection_vectors(dim, n_planes, f"{seed}:{t}")
         b = 0
         for pi, plane in enumerate(planes):
-            if sum(a * b_ for a, b_ in zip(q, plane)) >= 0:
+            off = offsets[t][pi] if offsets is not None else 0.0
+            if sum(a * b_ for a, b_ in zip(q, plane)) - off >= 0:
                 b += 2 ** pi
         wanted.append((t, b))
+    return wanted
+
+
+def _bucket_filter(wanted: list[tuple[int, int]]):
     cond = None
     for t, b in wanted:
         c = (F.col("table") == t) & (F.col("bucket") == b)
         cond = c if cond is None else cond | c
-    cand_ids = buckets.filter(cond).select("id").distinct()
+    return cond
+
+
+def ann_topk(df: DataFrame, query_vec: list[float], dim: int, k: int = 10,
+             n_planes: int = 8, n_tables: int = 2, seed: str = "gqlite",
+             id_col: str = "vec_id", vec_col: str = "embedding",
+             index: "DataFrame | None" = None) -> DataFrame:
+    """Approximate top-k: restrict to LSH buckets matching the query in any
+    table, then exact cosine re-rank.  The 100 TB path: the bucket filter
+    prunes the scan to ~n_tables/2^planes of the corpus.
+
+    ``index``: a persisted bucket table from :func:`save_ann_index` /
+    :func:`load_ann_index` — skips recomputing projections over the whole
+    corpus (the reference persists its HNSW index per layer,
+    HNSW.cpp:282-328; the bucket table is this engine's index)."""
+    buckets = index if index is not None else random_projection_buckets(
+        df, dim, n_planes, n_tables, seed, id_col, vec_col)
+    q = [float(x) for x in query_vec]
+    wanted = query_buckets(q, dim, n_planes, n_tables, seed)
+    cand_ids = buckets.filter(_bucket_filter(wanted)).select("id").distinct()
+    cand = df.join(cand_ids.withColumnRenamed("id", id_col), id_col)
+    return cosine_topk(cand, q, k, id_col, vec_col)
+
+
+def save_ann_index(df: DataFrame, path: str, dim: int, n_planes: int = 8,
+                   n_tables: int = 2, seed: str = "gqlite",
+                   id_col: str = "vec_id", vec_col: str = "embedding",
+                   center: bool = False) -> None:
+    """Compute the LSH bucket table ONCE and persist it (parquet sorted by
+    (table, bucket) for row-group pruning + a params sidecar).  Index
+    persistence parity with the reference's per-layer HNSW serialization
+    (HNSW.cpp:282-328): queries against a saved index never rescan the
+    corpus to rebuild buckets.  ``center=True`` stores mean-centering
+    offsets (projection_offsets) for anisotropic corpora."""
+    import json
+    import os
+    offsets = (projection_offsets(df, dim, n_planes, n_tables, seed,
+                                  vec_col=vec_col) if center else None)
+    buckets = random_projection_buckets(df, dim, n_planes, n_tables, seed,
+                                        id_col, vec_col,
+                                        normalize=center, offsets=offsets)
+    (buckets.repartition("table", "bucket")
+     .sortWithinPartitions("table", "bucket")
+     .write.mode("overwrite").parquet(os.path.join(path, "buckets.parquet")))
+    with open(os.path.join(path, "ann_params.json"), "w") as f:
+        json.dump({"dim": dim, "n_planes": n_planes, "n_tables": n_tables,
+                   "seed": seed, "id_col": id_col, "vec_col": vec_col,
+                   "center": center, "offsets": offsets}, f)
+
+
+def load_ann_index(spark, path: str) -> "tuple[DataFrame, dict]":
+    """(bucket table, params) for :func:`ann_topk_indexed`."""
+    import json
+    import os
+    with open(os.path.join(path, "ann_params.json")) as f:
+        params = json.load(f)
+    return spark.read.parquet(os.path.join(path, "buckets.parquet")), params
+
+
+def ann_topk_indexed(df: DataFrame, query_vec: list[float],
+                     index: DataFrame, params: dict, k: int = 10) -> DataFrame:
+    """Top-k against a persisted bucket index: prune by the query's bucket
+    keys (pushed to the parquet scan), semi-join the corpus, exact
+    re-rank.  No projection recomputation over the corpus."""
+    q = [float(x) for x in query_vec]
+    wanted = query_buckets(q, params["dim"], params["n_planes"],
+                           params["n_tables"], params["seed"],
+                           normalize=params.get("center", False),
+                           offsets=params.get("offsets"))
+    cand_ids = index.filter(_bucket_filter(wanted)).select("id").distinct()
+    id_col, vec_col = params["id_col"], params["vec_col"]
     cand = df.join(cand_ids.withColumnRenamed("id", id_col), id_col)
     return cosine_topk(cand, q, k, id_col, vec_col)
 

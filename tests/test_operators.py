@@ -277,3 +277,46 @@ def test_decision_tree(spark):
     model, preds = fit_decision_tree(df, ["f1", "f2"], "y", max_depth=4)
     assert tree_accuracy(preds, "y") == 1.0
     assert model.depth <= 4
+
+
+def test_ann_index_save_load_roundtrip(spark, tmp_path):
+    """Persisted LSH bucket index (HNSW.cpp:282-328 persistence parity):
+    queries against the saved index skip corpus-wide bucket recomputation
+    and return the same results as the inline path."""
+    import math
+    from gqlite_spark.operators.similarity import (ann_topk, ann_topk_indexed,
+                                                   load_ann_index,
+                                                   save_ann_index)
+    vecs = [(i, [math.cos(i / 7), math.sin(i / 7), math.cos(i / 3),
+                 math.sin(i / 3)]) for i in range(200)]
+    df = spark.createDataFrame(vecs, "vec_id long, embedding array<double>")
+    path = str(tmp_path / "annidx")
+    save_ann_index(df, path, dim=4, n_planes=4, n_tables=2)
+    idx, params = load_ann_index(spark, path)
+    q = [math.cos(0.1), math.sin(0.1), math.cos(0.23), math.sin(0.23)]
+    via_index = ann_topk_indexed(df, q, idx, params, k=5).collect()
+    inline = ann_topk(df, q, dim=4, k=5, n_planes=4, n_tables=2).collect()
+    assert [(r["id"], r["cosine"]) for r in via_index] == \
+           [(r["id"], r["cosine"]) for r in inline]
+    # the index plan scans the persisted bucket parquet with the query's
+    # (table, bucket) keys PUSHED to the scan — no corpus projections
+    plan = ann_topk_indexed(df, q, idx, params, k=5) \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert "table:int,bucket:bigint" in plan          # index scan schema
+    assert "EqualTo(bucket" in plan                   # pushed bucket filter
+
+
+def test_ann_index_centered(spark, tmp_path):
+    from gqlite_spark.operators.similarity import (ann_topk_indexed,
+                                                   load_ann_index,
+                                                   save_ann_index)
+    # anisotropic (all-positive) corpus: centered index still finds the nn
+    vecs = [(i, [1.0 + (i % 10) / 10, 2.0 + (i % 7) / 7, 3.0]) for i in range(100)]
+    df = spark.createDataFrame(vecs, "vec_id long, embedding array<double>")
+    path = str(tmp_path / "cidx")
+    save_ann_index(df, path, dim=3, n_planes=3, n_tables=4, center=True)
+    idx, params = load_ann_index(spark, path)
+    assert params["center"] and params["offsets"]
+    q = [1.5, 2.5, 3.0]
+    rows = ann_topk_indexed(df, q, idx, params, k=3).collect()
+    assert rows  # candidates found despite anisotropy
