@@ -327,6 +327,17 @@ def q_walk_2hop_cond(spark, sf_dir):
         " where: [*, ->, {n_regionkey: 2}, ->, *]};")
 
 
+def q_motif_fork(spark, sf_dir):
+    """Branching motif match (a)->(b), (a)->(c) over the nation ring —
+    beyond chain walks (reference MatchPattern.cpp/CTreeStrategy.cpp
+    stubs).  Multi-way join on the shared variable, pairwise-distinct
+    bindings."""
+    from gqlite_spark.operators.patterns import match_motif
+    from gqlite_spark.sources.testdata import nation_ring_edges
+    e = nation_ring_edges(spark, sf_dir)
+    return match_motif(e, [("a", "->", "b"), ("a", "->", "c")])
+
+
 def q_khop(spark, sf_dir):
     """2-hop neighborhood of nation n1 on the TPC-H property graph."""
     from gqlite_spark.operators.graph_algos import k_hop
@@ -604,6 +615,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "correlated_subquery": q_correlated_subquery,
         "semi_join_urgent": q_semi_join,
         "graph_walk_2hop_cond": q_walk_2hop_cond,
+        "graph_motif_fork": q_motif_fork,
         "graph_khop": q_khop,
         "graph_shortest_path": q_shortest_path,
         "graph_connected_components": q_connected_components,
@@ -909,6 +921,14 @@ def oracle_sql() -> dict[str, str]:
             " FROM e a JOIN e b ON a.dst = b.src"
             " JOIN m ON m.id = a.dst"
             " WHERE a.src <> b.dst",
+        "graph_motif_fork":
+            "WITH e AS (SELECT CAST(n_nationkey AS BIGINT) AS src,"
+            " CAST((n_nationkey + 1) % 25 AS BIGINT) AS dst FROM nation"
+            " UNION ALL SELECT CAST(n_nationkey AS BIGINT),"
+            " CAST((n_nationkey + 7) % 25 AS BIGINT) FROM nation)"
+            " SELECT DISTINCT x.src AS a, x.dst AS b, y.dst AS c"
+            " FROM e x JOIN e y ON x.src = y.src"
+            " WHERE x.dst <> y.dst AND x.src <> x.dst AND x.src <> y.dst",
         "graph_khop":
             "SELECT 'c' || c_custkey AS id FROM customer WHERE c_nationkey = 1"
             " UNION SELECT 's' || s_suppkey FROM supplier WHERE s_nationkey = 1"

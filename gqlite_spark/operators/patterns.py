@@ -29,7 +29,11 @@ from ..planner import key_literal
 
 def _oriented(edges: DataFrame, direction: str) -> DataFrame:
     """Edges as traversable (u → v) pairs honoring the conn direction and
-    stored undirected edges (which satisfy both orientations)."""
+    stored undirected edges (which satisfy both orientations).  Plain
+    (src, dst) frames without a ``direction`` column are treated as
+    directed storage."""
+    if "direction" not in edges.columns:
+        edges = edges.withColumn("direction", F.lit("->"))
     fwd = edges.select(F.col("src").alias("u"), F.col("dst").alias("v"),
                        "direction")
     rev = edges.select(F.col("dst").alias("u"), F.col("src").alias("v"),
@@ -105,4 +109,49 @@ def match_walk(edges: Optional[DataFrame], pattern: WalkPattern,
     for i in range(hops - 1):
         cur = cur.filter(F.col(f"n{i}") != F.col(f"n{i+2}"))
     cols = [f"n{i}" for i in range(hops + 1)]
+    return cur.select(*cols).distinct().orderBy(*cols)
+
+
+def match_motif(edges: Optional[DataFrame],
+                pattern_edges: list[tuple[str, str, str]],
+                node_filters: "Optional[dict[str, DataFrame]]" = None,
+                distinct_nodes: bool = True) -> DataFrame:
+    """Branching subgraph/motif match — beyond chain walks (reference
+    intent: src/operand/MatchPattern.cpp + CTreeStrategy.cpp, both stubs).
+
+    ``pattern_edges``: [(u, direction, v), ...] with free variable names,
+    e.g. a fork ``[('a','->','b'), ('a','->','c')]`` or a triangle
+    ``[('a','->','b'), ('b','->','c'), ('a','->','c')]``.  One oriented
+    edge relation per pattern edge, joined on shared variables in the
+    given order — list selective pattern edges first; every join is keyed
+    on the shared variable (disconnected motif components fall back to a
+    cross join, which is the correct semantics but worth avoiding).
+
+    ``node_filters``: variable → one-column ``id`` DataFrame; semi-joins
+    restrict that variable's binding (property conditions on motif nodes).
+    ``distinct_nodes``: all variables bind pairwise-distinct vertices
+    (subgraph isomorphism rather than homomorphism).
+
+    Returns one row per match with a column per variable (sorted order).
+    """
+    if edges is None:
+        raise GQLiteError("empty edge group in motif pattern")
+    cur: Optional[DataFrame] = None
+    bound: list[str] = []
+    for u, direction, v in pattern_edges:
+        e = _oriented(edges, direction).select(
+            F.col("u").alias(u), F.col("v").alias(v))
+        if cur is None:
+            cur, bound = e, [u, v]
+        else:
+            on = [x for x in (u, v) if x in bound]
+            cur = cur.join(e, on) if on else cur.crossJoin(e)
+            bound += [x for x in (u, v) if x not in bound]
+    for var, ids in (node_filters or {}).items():
+        cur = cur.join(ids.withColumnRenamed("id", var), var, "left_semi")
+    if distinct_nodes:
+        for i in range(len(bound)):
+            for j in range(i + 1, len(bound)):
+                cur = cur.filter(F.col(bound[i]) != F.col(bound[j]))
+    cols = sorted(bound)
     return cur.select(*cols).distinct().orderBy(*cols)

@@ -349,3 +349,48 @@ def test_multi_hop_walk_with_property_conditions(db):
         "{query: 'road', in: 'wg', where: [*, ->, {pop: {$gt: 40}}, ->, {pop: {$gt: 60}}]};")
     assert res[0].error is None, res[0].error
     assert {tuple(r) for r in res[0].df.collect()} == {(2, 3, 5), (4, 3, 5)}
+
+
+def test_motif_fork_and_triangle(spark):
+    """Branching motifs: fork and directed triangle with distinct bindings
+    and node filters."""
+    from gqlite_spark.operators.patterns import match_motif
+    e = spark.createDataFrame(
+        [(1, 2), (1, 3), (2, 3), (3, 4), (4, 1)], "src long, dst long")
+    fork = match_motif(e, [("a", "->", "b"), ("a", "->", "c")])
+    forks = {tuple(r) for r in fork.collect()}
+    # node 1 has out-neighbors {2, 3}: both (b,c) orders; others out-deg 1
+    assert forks == {(1, 2, 3), (1, 3, 2)}
+    tri = match_motif(e, [("a", "->", "b"), ("b", "->", "c"),
+                          ("a", "->", "c")])
+    assert {tuple(r) for r in tri.collect()} == {(1, 2, 3)}
+    # node filter restricts a binding
+    ids = spark.createDataFrame([(3,)], "id long")
+    f2 = match_motif(e, [("a", "->", "b"), ("a", "->", "c")],
+                     node_filters={"b": ids})
+    assert {tuple(r) for r in f2.collect()} == {(1, 3, 2)}
+
+
+def test_motif_fork_basketballplayer(spark):
+    """Fork motif on the basketballplayer fixture: one player following
+    two distinct others (follow edges)."""
+    import pytest
+    from gqlite_spark import GQLite
+    from gqlite_spark.sources.loaders import load_ngql_inserts
+    import os
+    path = "/root/reference/data/basketballplayer-2.X.ngql"
+    if not os.path.exists(path):
+        pytest.skip("fixture not present")
+    db = GQLite(spark)
+    db.exec("{create: 'bb'};")
+    load_ngql_inserts(db, "bb", open(path).read())
+    from gqlite_spark.operators.patterns import match_motif
+    follow = db.catalog.graph("bb").groups["follow"].to_df()
+    out = match_motif(follow, [("a", "->", "b"), ("a", "->", "c")])
+    rows = out.collect()
+    assert rows
+    # every match is two real follow edges from the same player
+    edges = {(r["src"], r["dst"]) for r in follow.collect()}
+    for r in rows[:50]:
+        assert (r["a"], r["b"]) in edges and (r["a"], r["c"]) in edges
+        assert r["b"] != r["c"]
