@@ -78,25 +78,44 @@ def exact_duplicates(df: DataFrame, id_col: str = "doc_id",
 
 def ngram_jaccard_pairs(df: DataFrame, id_col: str = "doc_id",
                         text_col: str = "text", n: int = 3,
-                        threshold: float = 0.5) -> DataFrame:
-    """Exact n-gram Jaccard similarity pairs (a < b, jaccard ≥ threshold).
+                        threshold: float = 0.5, unit: str = "char",
+                        max_df: "int | None" = None) -> DataFrame:
+    """n-gram Jaccard similarity pairs (a < b, jaccard ≥ threshold).
 
-    Shingle-blocked join: only pairs sharing ≥1 shingle are compared, which
-    is exact for any threshold > 0.  Output: (doc_a, doc_b, jaccard) with
-    jaccard rounded to 4 decimals.
+    Shingle-blocked join: only pairs sharing ≥1 (kept) shingle are
+    compared; the Jaccard itself is always computed from the FULL shingle
+    sets (array_intersect over per-doc sets), so emitted values are exact.
+    Output: (doc_a, doc_b, jaccard) rounded to 4 decimals.
+
+    ``max_df`` is the hot-shingle skew guard: a blocking shingle occurring
+    in k documents yields k²/2 candidate pairs, so one stop-word 3-gram in
+    10⁴ docs costs 5·10⁷ candidates.  Shingles with document frequency >
+    ``max_df`` are excluded from CANDIDATE GENERATION only.  Precision
+    stays exact; recall drops only for pairs whose every shared shingle is
+    hot — a pair at threshold t shares ≥ t/(1+t) of its shingle union, so
+    real near-dups virtually always share rarer shingles; corpora where
+    they don't belong on :func:`minhash_lsh_pairs`.  Default None = fully
+    exact blocking (the SQL-oracle configuration).
     """
-    sh = shingles(df, id_col, text_col, n).cache()
-    sizes = sh.groupBy("id").agg(F.count("*").alias("n"))
-    a, b = sh.alias("a"), sh.alias("b")
-    inter = (a.join(b, (F.col("a.s") == F.col("b.s")) &
-                    (F.col("a.id") < F.col("b.id")))
-             .groupBy(F.col("a.id").alias("doc_a"),
-                      F.col("b.id").alias("doc_b"))
-             .agg(F.count("*").alias("c")))
-    sa = sizes.select(F.col("id").alias("doc_a"), F.col("n").alias("na"))
-    sb = sizes.select(F.col("id").alias("doc_b"), F.col("n").alias("nb"))
-    jac = (F.col("c") / (F.col("na") + F.col("nb") - F.col("c")))
-    return (inter.join(sa, "doc_a").join(sb, "doc_b")
+    sh = shingles(df, id_col, text_col, n, unit).select(
+        "id", F.xxhash64("s").alias("hs"))
+    if _plan_bytes(df) > CACHE_INPUT_BYTES:
+        sh = sh.cache()
+    block = sh
+    if max_df is not None:
+        dfreq = sh.groupBy("hs").agg(F.count("*").alias("_df"))
+        block = sh.join(dfreq.filter(F.col("_df") <= max_df), "hs")
+    a, b = block.alias("a"), block.alias("b")
+    cand = (a.join(b, (F.col("a.hs") == F.col("b.hs")) &
+                   (F.col("a.id") < F.col("b.id")))
+            .select(F.col("a.id").alias("doc_a"),
+                    F.col("b.id").alias("doc_b")).distinct())
+    dsets = sh.groupBy("id").agg(F.collect_list("hs").alias("S"))
+    sa = dsets.select(F.col("id").alias("doc_a"), F.col("S").alias("Sa"))
+    sb = dsets.select(F.col("id").alias("doc_b"), F.col("S").alias("Sb"))
+    c = F.size(F.array_intersect("Sa", "Sb"))
+    jac = c / (F.size("Sa") + F.size("Sb") - c)
+    return (cand.join(sa, "doc_a").join(sb, "doc_b")
             .filter(jac >= threshold)
             .select("doc_a", "doc_b", F.round(jac, 4).alias("jaccard")))
 

@@ -320,3 +320,26 @@ def test_ann_index_centered(spark, tmp_path):
     q = [1.5, 2.5, 3.0]
     rows = ann_topk_indexed(df, q, idx, params, k=3).collect()
     assert rows  # candidates found despite anisotropy
+
+
+def test_ngram_jaccard_hot_shingle_cap(spark):
+    """max_df drops hot shingles from BLOCKING only: a pair sharing rare
+    shingles survives with its exact jaccard; a pair sharing ONLY the hot
+    shingle is excluded from candidates (documented recall trade)."""
+    from gqlite_spark.operators.dedup import ngram_jaccard_pairs
+    hot = "zzz"  # a 3-gram present in every doc
+    # per-doc tail "ababab…" with a distinct letter pair: no trigram shared
+    # between different docs beyond the hot one
+    rows = [(i, hot + (chr(97 + i // 5) + chr(104 + i % 5)) * 4)
+            for i in range(25)]
+    rows.append((100, hot + "shared-rare-text"))
+    rows.append((101, hot + "shared-rare-text"))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = ngram_jaccard_pairs(df, threshold=0.9, max_df=10).collect()
+    assert [(r["doc_a"], r["doc_b"], r["jaccard"]) for r in out] == \
+        [(100, 101, 1.0)]
+    # without the cap the same result at this threshold (hot-only pairs
+    # sit far below 0.9) — exactness of the default path
+    base = ngram_jaccard_pairs(df, threshold=0.9).collect()
+    assert [(r["doc_a"], r["doc_b"], r["jaccard"]) for r in base] == \
+        [(100, 101, 1.0)]

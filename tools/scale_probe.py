@@ -70,6 +70,23 @@ def main() -> None:
     print(f"minhash_lsh({n_docs:,} docs): {time.time()-t:.1f}s  pairs={pairs:,}")
     docs.unpersist()
 
+    # hot-shingle skew probe: one 3-gram shared by ALL docs would make
+    # exact blocking quadratic (n^2/2 candidates); max_df drops it from
+    # candidate generation while emitted jaccards stay exact
+    n_skew = 10_000
+    tail = F.concat_ws("", F.transform(F.sequence(F.lit(1), F.lit(12)),
+                                       lambda i: F.chr(97 + F.pmod(F.xxhash64("id", i), F.lit(26)))))
+    skew = (spark.range(n_skew)
+            .select(F.col("id").alias("doc_id"),
+                    F.concat(F.lit("zzz"), tail).alias("text"))).persist()
+    skew.count()
+    t = time.time()
+    from gqlite_spark.operators.dedup import ngram_jaccard_pairs
+    np_ = ngram_jaccard_pairs(skew, threshold=0.8, max_df=100).count()
+    print(f"ngram_jaccard skew({n_skew:,} docs, 1 hot shingle, max_df=100): "
+          f"{time.time()-t:.1f}s  pairs={np_:,}")
+    skew.unpersist()
+
     # embedding near-dup dedup at 1M vectors: must take the LSH-bucketed
     # path (no cartesian stage) and find the planted near-identical pairs
     n_vecs = 1_000_000
