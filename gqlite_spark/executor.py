@@ -130,9 +130,14 @@ class GQLite:
         if isinstance(stmt, ProfileStmt):
             res = self._dispatch(stmt.inner)
             if res.df is not None:
-                res.value = res.df._jdf.queryExecution().explainString(
-                    res.df._sc._jvm.org.apache.spark.sql.execution
-                    .ExplainMode.fromString("formatted"))
+                # public explain() path (prints to stdout) — survives
+                # PySpark upgrades, unlike the _jdf/_sc private API
+                import contextlib
+                import io
+                buf = io.StringIO()
+                with contextlib.redirect_stdout(buf):
+                    res.df.explain(mode="formatted")
+                res.value = buf.getvalue()
             return res
         if isinstance(stmt, ImportStmt):
             return self._import(stmt)

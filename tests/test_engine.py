@@ -394,3 +394,11 @@ def test_motif_fork_basketballplayer(spark):
     for r in rows[:50]:
         assert (r["a"], r["b"]) in edges and (r["a"], r["c"]) in edges
         assert r["b"] != r["c"]
+
+
+def test_profile_statement(qdb):
+    """profile <query> returns the formatted physical plan (reference
+    surface: profile keyword, stubbed there; here the real Spark plan)."""
+    res = qdb.exec("profile {query: 'ruins', in: 'qdb'};")
+    assert res[0].error is None
+    assert "Physical Plan" in res[0].value
