@@ -568,6 +568,36 @@ def q_window_session(spark, sf_dir):
 
 
 # --------------------------------------------------------------------------
+# Inference (reference README §4.6 declared surface, 0 LoC in reference)
+# --------------------------------------------------------------------------
+
+def q_hmm_viterbi(spark, sf_dir):
+    """Most-likely hidden path per user over their first 5 events
+    (3-state HMM, fixed generic constants).  Sequence-parallel Viterbi via
+    applyInPandas; the oracle enumerates all 3^5 paths with the same
+    double literals, so logp_e4 matches bit-for-bit."""
+    from gqlite_spark.operators.inference import events_hmm_spec, hmm_viterbi
+    e = _load(spark, sf_dir, "events")
+    return hmm_viterbi(e.select("user_id", "ts", "event_id", "event_type"),
+                       events_hmm_spec(), max_len=5)
+
+
+def q_hmm_forward(spark, sf_dir):
+    """Observation-sequence log-likelihood per user (forward algorithm)."""
+    from gqlite_spark.operators.inference import events_hmm_spec, hmm_forward
+    e = _load(spark, sf_dir, "events")
+    return hmm_forward(e.select("user_id", "ts", "event_id", "event_type"),
+                       events_hmm_spec(), max_len=5)
+
+
+def q_bayes_classify(spark, sf_dir):
+    """Multinomial naive Bayes over document tokens predicting lang
+    (resubstitution) — pure relational algebra, argmax label only."""
+    from gqlite_spark.operators.inference import naive_bayes_predict
+    return naive_bayes_predict(_load(spark, sf_dir, "documents"))
+
+
+# --------------------------------------------------------------------------
 # Multimodal plumbing (binary columns + Arrow-batched pandas processing)
 # --------------------------------------------------------------------------
 
@@ -625,6 +655,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_scc": q_scc,
         "graph_random_walk": q_random_walk,
         "stats_entropy_gain": q_entropy,
+        "hmm_viterbi": q_hmm_viterbi,
+        "hmm_forward": q_hmm_forward,
+        "bayes_classify": q_bayes_classify,
         "dedup_exact": q_dedup_exact,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "dedup_minhash_lsh": q_dedup_minhash,
@@ -785,6 +818,105 @@ inter AS (SELECT a.id AS doc_a, b.id AS doc_b, count(*) AS c
 SELECT doc_a, doc_b, round(c::DOUBLE / (sa.n + sb.n - c), 4) AS jaccard
 FROM inter JOIN sizes sa ON sa.id = doc_a JOIN sizes sb ON sb.id = doc_b
 WHERE c::DOUBLE / (sa.n + sb.n - c) >= 0.7"""
+
+
+def _hmm_sql(kind: str, t_steps: int = 5) -> str:
+    """Exact HMM oracle by full path enumeration (S^T paths per sequence —
+    243 for S=3, T=5; the ORACLE enumerates, the Spark side runs the DP).
+
+    kind='viterbi': argmax path + logp_e4, summing the SAME log-prob double
+    literals (driver-computed, repr round-trip) in the SAME left-assoc
+    order as the DP, so scores are bit-identical.
+    kind='forward': ln of the sum of path probabilities (all-positive sum;
+    regrouping drift << 1e-4).
+    """
+    from gqlite_spark.operators.inference import (
+        events_hmm_spec, viterbi_logprob_literals)
+    spec = events_hmm_spec()
+    lits = viterbi_logprob_literals(spec)
+    def d(x) -> str:
+        # DOUBLE cast: DuckDB parses bare decimals as DECIMAL, whose exact
+        # arithmetic diverges from the DP's float64 accumulation
+        return f"CAST({x} AS DOUBLE)"
+
+    st = ", ".join(f"('{s}', {d(lits['init'][s])}, {d(spec['init'][s])})"
+                   for s in spec["states"])
+    tr = ", ".join(f"('{a}', '{b}', {d(lits['trans'][(a, b)])},"
+                   f" {d(spec['trans'][(a, b)])})"
+                   for (a, b) in spec["trans"])
+    em = ", ".join(f"('{s}', '{o}', {d(lits['emit'][(s, o)])},"
+                   f" {d(spec['emit'][(s, o)])})"
+                   for (s, o) in spec["emit"])
+    alias = [chr(ord("a") + i) for i in range(t_steps)]
+    obs_cols = ", ".join(
+        f"max(CASE WHEN rn = {i + 1} THEN event_type END) AS o{i + 1}"
+        for i in range(t_steps))
+    cross = " ".join(f"CROSS JOIN st {x}" for x in alias)
+    tr_joins = " ".join(
+        f"JOIN tr t{i} ON t{i}.s1 = {alias[i - 1]}.s"
+        f" AND t{i}.s2 = {alias[i]}.s" for i in range(1, t_steps))
+    em_joins = " ".join(
+        f"JOIN em e{i} ON e{i}.s = {alias[i]}.s AND e{i}.o = q.o{i + 1}"
+        for i in range(t_steps))
+    path = " || '>' || ".join(f"{x}.s" for x in alias)
+    # left-assoc order mirrors the DP: init, emit0, trans01, emit1, ...
+    log_terms = [f"{alias[0]}.li", "e0.le"]
+    prob_terms = [f"{alias[0]}.pi", "e0.pe"]
+    for i in range(1, t_steps):
+        log_terms += [f"t{i}.lt", f"e{i}.le"]
+        prob_terms += [f"t{i}.pt", f"e{i}.pe"]
+    base = (
+        "WITH ev AS (SELECT user_id, event_type, row_number() OVER"
+        " (PARTITION BY user_id ORDER BY ts, event_id) AS rn FROM events),"
+        f" seq AS (SELECT user_id, {obs_cols} FROM ev WHERE rn <= {t_steps}"
+        f" GROUP BY user_id HAVING count(*) = {t_steps}),"
+        f" st(s, li, pi) AS (VALUES {st}),"
+        f" tr(s1, s2, lt, pt) AS (VALUES {tr}),"
+        f" em(s, o, le, pe) AS (VALUES {em}),"
+        f" paths AS (SELECT q.user_id, {path} AS path,"
+        f" {' + '.join(log_terms)} AS logp,"
+        f" {' * '.join(prob_terms)} AS p"
+        f" FROM seq q {cross} {tr_joins} {em_joins})")
+    if kind == "viterbi":
+        return (base +
+                " SELECT user_id, path,"
+                " CAST(floor(logp * 10000 + 0.5) AS BIGINT) AS logp_e4"
+                " FROM (SELECT paths.*, row_number() OVER (PARTITION BY"
+                " user_id ORDER BY logp DESC, path ASC) AS rnk FROM paths)"
+                " WHERE rnk = 1")
+    return (base +
+            " SELECT user_id,"
+            " CAST(floor(ln(sum(p)) * 10000 + 0.5) AS BIGINT) AS loglik_e4"
+            " FROM paths GROUP BY user_id")
+
+
+_BAYES_ORACLE_SQL = """
+WITH toks AS (SELECT doc_id, lang, unnest(string_split(text, ' ')) AS token
+              FROM documents),
+ct AS (SELECT lang AS cand, token, count(*) AS c FROM toks GROUP BY 1, 2),
+tot AS (SELECT lang AS cand, count(*) AS tot FROM toks GROUP BY 1),
+vocab AS (SELECT count(DISTINCT token) AS v FROM toks),
+pr AS (SELECT lang AS cand,
+              ln(count(*) * 1.0 / (SELECT count(*) FROM documents))
+                  AS log_prior
+       FROM documents GROUP BY 1),
+grid AS (SELECT t.doc_id, t.token, l.cand
+         FROM (SELECT doc_id, token FROM toks) t
+         CROSS JOIN (SELECT DISTINCT lang AS cand FROM documents) l),
+sc AS (SELECT g.doc_id, g.cand,
+              sum(ln((coalesce(ct.c, 0) + 1.0) / (tot.tot + 1.0 * vocab.v)))
+                  + any_value(pr.log_prior) AS score
+       FROM grid g
+       LEFT JOIN ct ON ct.cand = g.cand AND ct.token = g.token
+       JOIN tot ON tot.cand = g.cand
+       CROSS JOIN vocab
+       JOIN pr ON pr.cand = g.cand
+       GROUP BY 1, 2)
+SELECT s.doc_id, d.lang, s.cand AS pred_lang
+FROM (SELECT sc.*, row_number() OVER (PARTITION BY doc_id
+          ORDER BY score DESC, cand ASC) AS rnk FROM sc) s
+JOIN documents d ON d.doc_id = s.doc_id
+WHERE s.rnk = 1"""
 
 
 def _pagerank_sql(iterations: int = 10) -> str:
@@ -985,6 +1117,9 @@ def oracle_sql() -> dict[str, str]:
             " SELECT h.entropy_lang, hc.cond_entropy,"
             " round(h.entropy_lang - hc.cond_entropy, 6) AS info_gain"
             " FROM h, hc",
+        "hmm_viterbi": _hmm_sql("viterbi"),
+        "hmm_forward": _hmm_sql("forward"),
+        "bayes_classify": _BAYES_ORACLE_SQL,
         "graph_triangles":
             "WITH e AS (SELECT CAST(a.n_nationkey AS BIGINT) AS src,"
             " CAST(b.n_nationkey AS BIGINT) AS dst FROM nation a"
