@@ -23,7 +23,8 @@ from .errors import (GQLiteError, GQLParseError, GraphNotExistError,
                      GroupNotExistError)
 from .gql import parser as gql_parser
 from .gql.ast import (AstStmt, CallExpr, CreateStmt, DropStmt, DumpStmt,
-                      ImportStmt, MemberRef, Pred, ProfileStmt, QueryStmt,
+                      ImportStmt, InferStmt, MemberRef, Pred, ProfileStmt,
+                      QueryStmt,
                       RemoveEdgeStmt, RemoveVertexStmt, ShowGraphStmt,
                       UpsetEdgeStmt, UpsetPropertyStmt, UpsetVertexStmt,
                       WalkPattern)
@@ -141,7 +142,94 @@ class GQLite:
             return res
         if isinstance(stmt, ImportStmt):
             return self._import(stmt)
+        if isinstance(stmt, InferStmt):
+            return self._infer_hmm(stmt)
         raise GQLiteError(f"unsupported statement {type(stmt).__name__}")
+
+    def _infer_hmm(self, stmt: InferStmt) -> StatementResult:
+        """``{query: hidden, event: [...], where: [[hidden.v1, {->: w},
+        e1], ...]}`` — the reference's declared inference surface
+        (README.md:252-268, ZERO implementing LoC there): build an HMM
+        from the weighted edges and Viterbi-decode the event sequence.
+
+        Semantics we had to fix (the reference never ran this, so these
+        are documented choices, not parity): ``gassian(mu, sigma)``
+        contributes its mean as the edge weight; the initial hidden-state
+        distribution is uniform; each state's outgoing transition (and
+        emission) weights are normalized into probabilities.  Returns one
+        row (path, logp_e4); decode runs through the same distributed
+        operators.inference.hmm_viterbi as the bulk API."""
+        symbols: dict[str, str] = {}
+        obs: list[str] = []
+        for d in stmt.events:
+            if not isinstance(d, dict) or len(d) != 1:
+                raise GQLiteError(f"infer: bad event entry {d!r}")
+            (name, sym), = d.items()
+            symbols[name] = str(sym)
+            obs.append(str(sym))
+        if not obs:
+            raise GQLiteError("infer: event list is empty")
+
+        def weight(w) -> float:
+            if isinstance(w, CallExpr):
+                if not w.args:
+                    raise GQLiteError(
+                        f"infer: weight call {w.func} needs arguments")
+                return float(w.args[0])
+            if isinstance(w, (int, float)) and not isinstance(w, bool):
+                return float(w)
+            raise GQLiteError(f"infer: bad edge weight {w!r}")
+
+        trans_w: dict[tuple, float] = {}
+        emit_w: dict[tuple, float] = {}
+        states: set[str] = set()
+        for triple in stmt.edges:
+            if (not isinstance(triple, list) or len(triple) != 3
+                    or not isinstance(triple[1], dict)
+                    or "->" not in triple[1]):
+                raise GQLiteError(f"infer: bad edge {triple!r} "
+                                  "(want [src, {{->: weight}}, dst])")
+            src, wdict, dst = triple
+            if not isinstance(src, MemberRef) or src.group != stmt.hidden:
+                raise GQLiteError(
+                    f"infer: edge source must be {stmt.hidden}.<state>")
+            w = weight(wdict["->"])
+            states.add(src.prop)
+            if isinstance(dst, MemberRef):
+                if dst.group != stmt.hidden:
+                    raise GQLiteError(
+                        f"infer: transition target must be "
+                        f"{stmt.hidden}.<state>")
+                states.add(dst.prop)
+                trans_w[(src.prop, dst.prop)] = w
+            elif isinstance(dst, str) and dst in symbols:
+                emit_w[(src.prop, symbols[dst])] = w
+            else:
+                raise GQLiteError(f"infer: unknown edge target {dst!r}")
+        if not emit_w:
+            raise GQLiteError("infer: no emission edges "
+                              "(hidden.<state> -> event)")
+
+        def normalize(pairs: dict[tuple, float]) -> dict[tuple, float]:
+            tot: dict[str, float] = {}
+            for (a, _), w in pairs.items():
+                tot[a] = tot.get(a, 0.0) + w
+            return {k: w / tot[k[0]] for k, w in pairs.items()}
+
+        ordered = sorted(states)
+        spec = {"states": ordered,
+                "init": {s: 1.0 / len(ordered) for s in ordered},
+                "trans": normalize(trans_w),
+                "emit": normalize(emit_w)}
+        from .operators.inference import hmm_viterbi
+        df = self.spark.createDataFrame(
+            [(0, i, i, o) for i, o in enumerate(obs)],
+            "seq long, ts long, event_id long, event_type string")
+        out = hmm_viterbi(df, spec, seq_col="seq",
+                          max_len=len(obs)).select("path", "logp_e4")
+        return StatementResult(
+            status="QUERY SUCCESS", df=out,
+            rows_fn=lambda: [r["path"] for r in out.collect()])
 
     def _import(self, stmt: ImportStmt) -> StatementResult:
         """``import '<path>';`` (reference surface gql.y:225-229, stub

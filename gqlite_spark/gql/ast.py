@@ -163,6 +163,15 @@ class QueryStmt:
 
 
 @dataclass
+class InferStmt:
+    """README.md:252-268 inference surface ({query:, event:, where: edge
+    triples}) — declared by the reference with zero implementing LoC."""
+    hidden: str            # hidden-variable group name
+    events: list           # [{event_name: observed_symbol}, ...] in order
+    edges: list            # raw [src, {'->': weight}, dst] triples
+
+
+@dataclass
 class RemoveVertexStmt:
     group: str
     where: Any

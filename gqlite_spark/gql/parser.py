@@ -18,7 +18,8 @@ from ..errors import GQLParseError
 from . import lexer as L
 from .ast import (
     STAR, AstStmt, BinaryLit, CallExpr, CreateStmt, DatetimeLit, DropStmt,
-    DumpStmt, EdgeConn, GeohashLit, GroupDef, ImportStmt, Lambda, MemberRef,
+    DumpStmt, EdgeConn, GeohashLit, GroupDef, ImportStmt, InferStmt, Lambda,
+    MemberRef,
     PatternNode, Pred, ProfileStmt, QueryStmt, RemoveEdgeStmt,
     RemoveVertexStmt, ShowGraphStmt, UpsetEdgeStmt, UpsetPropertyStmt,
     UpsetVertexStmt, WalkPattern, Wildcard,
@@ -272,6 +273,16 @@ class Parser:
                 return UpsetPropertyStmt(group, obj["property"],
                                          self._build_where(obj.get("where")))
             raise GQLParseError("upset requires vertex/edge/property")
+        if "query" in obj and "event" in obj:
+            # inference form (README.md:252-268): where holds weighted
+            # edge triples, not a walk pattern — keep them raw
+            events = obj["event"]
+            if not isinstance(events, list):
+                events = [events]
+            where = obj.get("where") or []
+            if not isinstance(where, list):
+                raise GQLParseError("infer: where must be an edge list")
+            return InferStmt(obj["query"], events, where)
         if "query" in obj:
             return QueryStmt(obj["query"], obj.get("in"),
                              self._build_where(obj.get("where")),

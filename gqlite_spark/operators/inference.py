@@ -114,11 +114,6 @@ def viterbi_logprob_literals(spec: dict) -> dict:
     }
 
 
-def _ordered_head(pdf: pd.DataFrame, obs_col: str, order_cols, max_len: int):
-    pdf = pdf.sort_values(list(order_cols), kind="mergesort")
-    return pdf[obs_col].head(max_len).tolist()
-
-
 def hmm_viterbi(df: DataFrame, spec: dict, seq_col: str = "user_id",
                 obs_col: str = "event_type",
                 order_cols=("ts", "event_id"),
@@ -139,13 +134,18 @@ def hmm_viterbi(df: DataFrame, spec: dict, seq_col: str = "user_id",
     seq_field = df.schema[seq_col]
     out_schema = (f"{seq_col} {seq_field.dataType.simpleString()}, "
                   f"path string, logp_e4 long")
+    # closure must be self-contained (no module globals) so cloudpickle
+    # ships it by value — executors may not have gqlite_spark on sys.path
+    order_list = list(order_cols)
+    unseen_log = _UNSEEN_LOG
 
     def decode(pdf: pd.DataFrame) -> pd.DataFrame:
-        obs = _ordered_head(pdf, obs_col, order_cols, max_len)
+        obs = (pdf.sort_values(order_list, kind="mergesort")[obs_col]
+               .head(max_len).tolist())
         if len(obs) < need:
             return pd.DataFrame(
                 {seq_col: [], "path": [], "logp_e4": []})
-        unseen = np.full(len(states), _UNSEEN_LOG)
+        unseen = np.full(len(states), unseen_log)
         # left-assoc accumulation: ((init + e0) + t01) + e1 ...
         v = log_init + log_emit.get(obs[0], unseen)
         back = []
@@ -187,9 +187,11 @@ def hmm_forward(df: DataFrame, spec: dict, seq_col: str = "user_id",
     seq_field = df.schema[seq_col]
     out_schema = (f"{seq_col} {seq_field.dataType.simpleString()}, "
                   f"loglik_e4 long")
+    order_list = list(order_cols)
 
     def fwd(pdf: pd.DataFrame) -> pd.DataFrame:
-        obs = _ordered_head(pdf, obs_col, order_cols, max_len)
+        obs = (pdf.sort_values(order_list, kind="mergesort")[obs_col]
+               .head(max_len).tolist())
         if len(obs) < need:
             return pd.DataFrame({seq_col: [], "loglik_e4": []})
         unseen = np.full(len(states), 1e-12)

@@ -80,6 +80,46 @@ def test_viterbi_drops_short_sequences(spark):
     assert {r["user_id"] for r in got} == {2, 3, 4}  # user 1 has 3 < 5
 
 
+def test_gql_infer_statement(db):
+    """README.md:252-268 declared form parses and decodes; gassian(mu, s)
+    contributes its mean; weights normalize per state."""
+    res = db.exec("""
+    {
+        query: hidden_variant,
+        event: [{e1: 'sun'}, {e2: 'rain'}, {e3: 'wind'}],
+        where: [
+            [hidden_variant.v1, {->: 0.6}, e1],
+            [hidden_variant.v2, {->: gassian(0.7, 0.1)}, e2],
+            [hidden_variant.v3, {->: 0.5}, e3],
+            [hidden_variant.v1, {->: 0.2}, hidden_variant.v2],
+            [hidden_variant.v2, {->: 0.3}, hidden_variant.v3],
+            [hidden_variant.v1, {->: 0.2}, hidden_variant.v1],
+            [hidden_variant.v2, {->: 0.2}, hidden_variant.v2],
+            [hidden_variant.v3, {->: 0.4}, hidden_variant.v3],
+        ]
+    };""")[0]
+    assert res.error is None
+    # each state emits a distinct symbol dominantly -> the identity path
+    assert res.rows == ["v1>v2>v3"]
+    row = res.df.collect()[0]
+    assert row["logp_e4"] < 0
+
+
+def test_gql_infer_statement_errors(db):
+    cases = [
+        ("{query: h, event: [{e1: 's'}], where: [[h.v1, {->: 'x'}, e1]]};",
+         "bad edge weight"),
+        ("{query: h, event: [], where: []};", "event list is empty"),
+        ("{query: h, event: [{e1: 's'}], where: [[q.v1, {->: 1}, e1]]};",
+         "edge source"),
+        ("{query: h, event: [{e1: 's'}], where: [[h.v1, {->: 1}, zz]]};",
+         "unknown edge target"),
+    ]
+    for gql, frag in cases:
+        r = db.exec(gql)[0]
+        assert r.status == "ERROR" and frag in r.error, (gql, r.error)
+
+
 def test_naive_bayes_separates_obvious_classes(spark):
     rows = [(i, " ".join(["alpha", "beta", "gamma"][i % 3] * 5), "en")
             for i in range(6)]
