@@ -535,6 +535,19 @@ def q_ann_lsh(spark, sf_dir):
             .withColumnRenamed("id", "vec_id"))
 
 
+def q_ann_ivf(spark, sf_dir):
+    """IVF ANN: deterministic sampling coarse quantizer (nlist lowest-id
+    vectors), max-inner-product list assignment as an inlined scalar
+    expression (no shuffle), nprobe-list probe + exact cosine re-rank.
+    Fully oracle-able: DuckDB rebuilds the identical inverted file."""
+    from gqlite_spark.operators.similarity import ivf_centroids, ivf_topk
+    emb = _load(spark, sf_dir, "embeddings")
+    qvec = emb.filter(F.col("vec_id") == 0).select("embedding").collect()[0][0]
+    cents = ivf_centroids(emb, nlist=16)
+    return (ivf_topk(emb, [float(x) for x in qvec], cents, nprobe=4, k=10)
+            .withColumnRenamed("id", "vec_id"))
+
+
 # --------------------------------------------------------------------------
 # Event windows (batch forms; streaming versions in gqlite_spark.streaming)
 # --------------------------------------------------------------------------
@@ -670,6 +683,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_cosine_topk": q_cosine_topk,
         "sim_knn_join": q_knn_join,
         "sim_ann_lsh": q_ann_lsh,
+        "sim_ann_ivf": q_ann_ivf,
         "window_tumbling": q_window_tumbling,
         "window_sliding": q_window_sliding,
         "window_session": q_window_session,
@@ -802,6 +816,36 @@ def _ann_lsh_sql(dim: int = 64, n_planes: int = 4, n_tables: int = 2,
         " SELECT vec_id, round(list_inner_product(v, qv) /"
         " (sqrt(list_inner_product(v, v)) * sqrt(list_inner_product(qv, qv))), 4)"
         " AS cosine FROM cand"
+        " ORDER BY list_inner_product(v, qv) /"
+        " (sqrt(list_inner_product(v, v)) * sqrt(list_inner_product(qv, qv)))"
+        f" DESC, vec_id ASC LIMIT {k}")
+
+
+def _ann_ivf_sql(nlist: int = 16, nprobe: int = 4, k: int = 10,
+                 query_id: int = 0) -> str:
+    """IVF oracle: rebuild the identical inverted file in SQL — sampling
+    centroids (nlist lowest vec_ids), max-inner-product assignment with
+    smallest-cid tie-break, probe the query's nprobe lists, exact-cosine
+    top-k.  list_inner_product sums dims in order, matching F.aggregate's
+    fold, so assignments are bit-identical."""
+    return (
+        "WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),"
+        f" cents AS (SELECT vec_id AS cid, v AS cv FROM v"
+        f" ORDER BY vec_id LIMIT {nlist}),"
+        f" qv AS (SELECT v AS qv FROM v WHERE vec_id = {query_id}),"
+        f" probe AS (SELECT cid FROM cents, qv"
+        f" ORDER BY list_inner_product(cv, qv) DESC, cid ASC"
+        f" LIMIT {nprobe}),"
+        " assign AS (SELECT vec_id, cid FROM"
+        " (SELECT v.vec_id, c.cid, row_number() OVER (PARTITION BY v.vec_id"
+        " ORDER BY list_inner_product(v.v, c.cv) DESC, c.cid ASC) AS rn"
+        " FROM v CROSS JOIN cents c) WHERE rn = 1),"
+        " cand AS (SELECT v.vec_id, v.v FROM v"
+        " JOIN assign a ON a.vec_id = v.vec_id"
+        " JOIN probe p ON p.cid = a.cid)"
+        " SELECT vec_id, round(list_inner_product(v, qv) /"
+        " (sqrt(list_inner_product(v, v)) * sqrt(list_inner_product(qv, qv))), 4)"
+        " AS cosine FROM cand, qv"
         " ORDER BY list_inner_product(v, qv) /"
         " (sqrt(list_inner_product(v, v)) * sqrt(list_inner_product(qv, qv)))"
         f" DESC, vec_id ASC LIMIT {k}")
@@ -1090,6 +1134,7 @@ def oracle_sql() -> dict[str, str]:
         "graph_random_walk": _random_walk_sql(4, 42),
         "dedup_minhash_lsh": _MINHASH_ORACLE_SQL,
         "sim_ann_lsh": _ann_lsh_sql(64, 4, 2, 10),
+        "sim_ann_ivf": _ann_ivf_sql(16, 4, 10),
         "graph_degrees":
             "WITH e AS (SELECT 'o' || o_orderkey AS src,"
             " 'c' || o_custkey AS dst FROM orders),"

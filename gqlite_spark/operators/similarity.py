@@ -271,6 +271,143 @@ def ann_topk_indexed(df: DataFrame, query_vec: list[float],
     return cosine_topk(cand, q, k, id_col, vec_col)
 
 
+# ---------------------------------------------------------------------------
+# IVF (inverted-file) ANN: coarse quantizer -> list assignment -> probe
+# ---------------------------------------------------------------------------
+
+def ivf_centroids(df: DataFrame, nlist: int = 16, id_col: str = "vec_id",
+                  vec_col: str = "embedding") -> list[tuple]:
+    """Deterministic coarse quantizer: the ``nlist`` lowest-id corpus
+    vectors as centroids (a sampling quantizer — reproducible across
+    engines with no RNG/training state, so an external SQL oracle can
+    rebuild the identical index).  For production recall, refine with
+    :func:`lloyd_refine`.  Returns [(cid, vector), ...] sorted by cid."""
+    rows = (df.orderBy(id_col).limit(nlist)
+            .select(F.col(id_col).alias("cid"),
+                    F.col(vec_col).cast("array<double>").alias("cv"))
+            .collect())
+    return [(r["cid"], list(r["cv"])) for r in rows]
+
+
+def lloyd_refine(df: DataFrame, centroids: list[tuple], iters: int = 2,
+                 id_col: str = "vec_id", vec_col: str = "embedding"
+                 ) -> list[tuple]:
+    """k-means (Lloyd) refinement of IVF centroids, DataFrame-native: each
+    iteration assigns by max inner product (inlined centroid literals — a
+    scalar expression, NO join/shuffle on the corpus) then recomputes list
+    means with one groupBy over (list, dim).  Centroid state is nlist×dim
+    doubles on the driver — trivially small at any corpus scale.
+
+    Refined centroids are float means (engine-order-dependent sums), so
+    use the UNREFINED sampling quantizer when an external oracle must
+    rebuild the index bit-for-bit."""
+    cents = centroids
+    for _ in range(iters):
+        assigned = df.select(
+            F.col(id_col).alias("id"),
+            F.col(vec_col).cast("array<double>").alias("v"),
+            _ivf_list_expr(cents, vec_col).alias("list_id"))
+        means = (assigned.select("list_id", F.posexplode("v")
+                                 .alias("pos", "x"))
+                 .groupBy("list_id", "pos").agg(F.avg("x").alias("m")))
+        by_list: dict = {}
+        for r in means.collect():
+            by_list.setdefault(r["list_id"], {})[r["pos"]] = r["m"]
+        cents = [(cid, [dims[i] for i in range(len(dims))])
+                 for cid, dims in sorted(by_list.items())]
+    return cents
+
+
+def _ivf_list_expr(centroids: list[tuple], vec_col: str):
+    """list id = cid of the max-inner-product centroid (ties -> smallest
+    cid; centroids are cid-sorted so first array position wins)."""
+    v = F.col(vec_col).cast("array<double>")
+    dots = F.array(*[_dot(v, F.array(*[F.lit(float(x)) for x in cv]))
+                     for _, cv in centroids])
+    pos = F.array_position(dots, F.array_max(dots))  # 1-based, first match
+    cids = F.array(*[F.lit(int(cid)) for cid, _ in centroids])
+    return F.element_at(cids, pos.cast("int")).cast("long")
+
+
+def ivf_assign(df: DataFrame, centroids: list[tuple],
+               id_col: str = "vec_id", vec_col: str = "embedding"
+               ) -> DataFrame:
+    """(id, list_id) inverted-file assignment — a pure scalar expression
+    over the scan (centroid literals inlined), zero shuffle."""
+    return df.select(F.col(id_col).alias("id"),
+                     _ivf_list_expr(centroids, vec_col).alias("list_id"))
+
+
+def ivf_probe_lists(query_vec: list[float], centroids: list[tuple],
+                    nprobe: int = 4) -> list[int]:
+    """The nprobe list ids nearest the query by inner product (driver-side;
+    ties -> smallest cid)."""
+    q = [float(x) for x in query_vec]
+    scored = [(sum(a * b for a, b in zip(q, cv)), cid)
+              for cid, cv in centroids]
+    scored.sort(key=lambda t: (-t[0], t[1]))
+    return [cid for _, cid in scored[:nprobe]]
+
+
+def ivf_topk(df: DataFrame, query_vec: list[float], centroids: list[tuple],
+             nprobe: int = 4, k: int = 10, id_col: str = "vec_id",
+             vec_col: str = "embedding") -> DataFrame:
+    """IVF ANN top-k: filter the corpus to the query's nprobe nearest
+    inverted lists (scalar list-id expression — no join), exact cosine
+    re-rank on the ~nprobe/nlist surviving fraction.
+
+    The FAISS-style IVF shape re-expressed relationally; complements the
+    LSH path (ann_topk) as the second bucketed ANN strategy.  Reference
+    index parity: HNSW.cpp build/search."""
+    lists = ivf_probe_lists(query_vec, centroids, nprobe)
+    cand = df.where(_ivf_list_expr(centroids, vec_col).isin(
+        [int(x) for x in lists]))
+    return cosine_topk(cand, [float(x) for x in query_vec], k,
+                       id_col, vec_col)
+
+
+def save_ivf_index(df: DataFrame, path: str, nlist: int = 16,
+                   refine_iters: int = 0, id_col: str = "vec_id",
+                   vec_col: str = "embedding") -> None:
+    """Persist the inverted file: (id, list_id) parquet partitioned by
+    list_id (probe reads only its partitions) + centroid sidecar.  Same
+    index-persistence contract as save_ann_index."""
+    import json
+    import os
+    cents = ivf_centroids(df, nlist, id_col, vec_col)
+    if refine_iters:
+        cents = lloyd_refine(df, cents, refine_iters, id_col, vec_col)
+    (ivf_assign(df, cents, id_col, vec_col)
+     .write.mode("overwrite").partitionBy("list_id")
+     .parquet(os.path.join(path, "ivf.parquet")))
+    with open(os.path.join(path, "ivf_params.json"), "w") as f:
+        json.dump({"nlist": nlist, "id_col": id_col, "vec_col": vec_col,
+                   "centroids": [[cid, cv] for cid, cv in cents]}, f)
+
+
+def load_ivf_index(spark, path: str) -> "tuple[DataFrame, dict]":
+    import json
+    import os
+    with open(os.path.join(path, "ivf_params.json")) as f:
+        params = json.load(f)
+    params["centroids"] = [(cid, cv) for cid, cv in params["centroids"]]
+    return spark.read.parquet(os.path.join(path, "ivf.parquet")), params
+
+
+def ivf_topk_indexed(df: DataFrame, query_vec: list[float],
+                     index: DataFrame, params: dict, nprobe: int = 4,
+                     k: int = 10) -> DataFrame:
+    """Top-k against a persisted inverted file: partition-pruned index
+    scan -> id semi-join -> exact re-rank; no assignment recomputation."""
+    lists = ivf_probe_lists(query_vec, params["centroids"], nprobe)
+    id_col, vec_col = params["id_col"], params["vec_col"]
+    cand_ids = (index.where(F.col("list_id").isin([int(x) for x in lists]))
+                .select("id"))
+    cand = df.join(cand_ids.withColumnRenamed("id", id_col), id_col)
+    return cosine_topk(cand, [float(x) for x in query_vec], k,
+                       id_col, vec_col)
+
+
 # Access-path selection threshold: below this corpus size, exact brute-force
 # top-k (one scan + TakeOrderedAndProject) beats LSH's extra passes; above
 # it, bucket pruning wins.  Mirrors the reference's cost-ordered candidate

@@ -343,3 +343,72 @@ def test_ngram_jaccard_hot_shingle_cap(spark):
     base = ngram_jaccard_pairs(df, threshold=0.9).collect()
     assert [(r["doc_a"], r["doc_b"], r["jaccard"]) for r in base] == \
         [(100, 101, 1.0)]
+
+
+def test_ivf_assignment_is_true_argmax(spark):
+    """Every vector lands in the list of its max-inner-product centroid
+    (ties -> smallest cid)."""
+    import math
+    from gqlite_spark.operators.similarity import ivf_assign, ivf_centroids
+    vecs = [(i, [math.cos(i / 6), math.sin(i / 6)]) for i in range(60)]
+    df = spark.createDataFrame(vecs, "vec_id long, embedding array<double>")
+    cents = ivf_centroids(df, nlist=4)
+    got = {r["id"]: r["list_id"] for r in ivf_assign(df, cents).collect()}
+    for i, v in vecs:
+        dots = [(sum(a * b for a, b in zip(v, cv)), cid) for cid, cv in cents]
+        best = max(dots, key=lambda t: (t[0], -t[1]))[1]
+        assert got[i] == best, i
+
+
+def test_ivf_topk_finds_near_neighbor(spark):
+    import math
+    from gqlite_spark.operators.similarity import ivf_centroids, ivf_topk
+    # i/20 keeps all angles < 2*pi (no wrap-around near the query)
+    vecs = [(i, [math.cos(i / 20), math.sin(i / 20)]) for i in range(80)]
+    df = spark.createDataFrame(vecs, "vec_id long, embedding array<double>")
+    cents = ivf_centroids(df, nlist=8)
+    out = ivf_topk(df, [math.cos(0.03), math.sin(0.03)], cents,
+                   nprobe=3, k=3).collect()
+    assert out and out[0]["id"] in (0, 1)
+
+
+def test_ivf_index_save_load_roundtrip(spark, tmp_path):
+    """Persisted inverted file: partition-pruned scan (list_id partitions)
+    returns the same top-k as the inline path."""
+    import math
+    from gqlite_spark.operators.similarity import (
+        ivf_centroids, ivf_topk, ivf_topk_indexed, load_ivf_index,
+        save_ivf_index)
+    vecs = [(i, [math.cos(i / 7), math.sin(i / 7), math.cos(i / 3),
+                 math.sin(i / 3)]) for i in range(150)]
+    df = spark.createDataFrame(vecs, "vec_id long, embedding array<double>")
+    path = str(tmp_path / "ivfidx")
+    save_ivf_index(df, path, nlist=6)
+    idx, params = load_ivf_index(spark, path)
+    q = [math.cos(0.1), math.sin(0.1), math.cos(0.2), math.sin(0.2)]
+    via_index = ivf_topk_indexed(df, q, idx, params, nprobe=3, k=5).collect()
+    cents = ivf_centroids(df, nlist=6)
+    inline = ivf_topk(df, q, cents, nprobe=3, k=5).collect()
+    assert [(r["id"], r["cosine"]) for r in via_index] == \
+           [(r["id"], r["cosine"]) for r in inline]
+
+
+def test_ivf_lloyd_refine_improves_quantization(spark):
+    """Refined centroids reduce (or keep) total within-list quantization
+    error vs the raw sampling quantizer."""
+    import math
+    from gqlite_spark.operators.similarity import ivf_centroids, lloyd_refine
+
+    def sse(cents, vecs):
+        tot = 0.0
+        for _, v in vecs:
+            tot += min(sum((a - b) ** 2 for a, b in zip(v, cv))
+                       for _, cv in cents)
+        return tot
+
+    vecs = [(i, [math.cos(i / 5) + (i % 3), math.sin(i / 5)])
+            for i in range(90)]
+    df = spark.createDataFrame(vecs, "vec_id long, embedding array<double>")
+    raw = ivf_centroids(df, nlist=3)
+    refined = lloyd_refine(df, raw, iters=3)
+    assert sse(refined, vecs) <= sse(raw, vecs) + 1e-9
