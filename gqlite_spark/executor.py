@@ -27,7 +27,7 @@ from .gql.ast import (AstStmt, CallExpr, CreateStmt, DropStmt, DumpStmt,
                       QueryStmt,
                       RemoveEdgeStmt, RemoveVertexStmt, ShowGraphStmt,
                       UpsetEdgeStmt, UpsetPropertyStmt, UpsetVertexStmt,
-                      WalkPattern)
+                      UseGraphStmt, WalkPattern)
 from .planner import (PredicateCompiler, apply_knn, key_literal,
                       order_for_group, pattern_filter)
 
@@ -125,6 +125,10 @@ class GQLite:
                                        value=g.schema_json())
             return StatementResult(status="EXECUTE COMMAND SUCCESS",
                                    value=self.catalog.list_graphs())
+        if isinstance(stmt, UseGraphStmt):
+            self.catalog.graph(stmt.graph)   # raises graph-not-exist parity
+            self.current_graph = stmt.graph
+            return StatementResult(status="EXECUTE COMMAND SUCCESS")
         if isinstance(stmt, AstStmt):
             return StatementResult(status="EXECUTE COMMAND SUCCESS",
                                    value=stmt.inner)

@@ -199,6 +199,14 @@ class ShowGraphStmt:
 
 
 @dataclass
+class UseGraphStmt:
+    """``use graph 'x'`` (README.md §5 Utility — declared, not in the
+    reference grammar): set the session's default graph so subsequent
+    statements may omit ``in:``."""
+    graph: str
+
+
+@dataclass
 class AstStmt:
     inner: Any
 

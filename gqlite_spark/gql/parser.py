@@ -22,7 +22,7 @@ from .ast import (
     MemberRef,
     PatternNode, Pred, ProfileStmt, QueryStmt, RemoveEdgeStmt,
     RemoveVertexStmt, ShowGraphStmt, UpsetEdgeStmt, UpsetPropertyStmt,
-    UpsetVertexStmt, WalkPattern, Wildcard,
+    UpsetVertexStmt, UseGraphStmt, WalkPattern, Wildcard,
 )
 
 _ARROWS = {L.ARROW_R: "->", L.ARROW_L: "<-", L.DASH2: "--"}
@@ -94,6 +94,12 @@ class Parser:
             if word == "import":
                 self.next()
                 return ImportStmt(self.expect(L.STRING).value)
+            if word == "use":
+                # README §5 Utility: use graph 'xxx' (declared there,
+                # absent from the reference grammar)
+                self.next()
+                self.expect(L.IDENT)  # 'graph'
+                return UseGraphStmt(self.expect(L.STRING).value)
             raise GQLParseError(f"unknown command {word!r} at offset {t.pos}")
         obj = self.parse_object()
         return self._build_statement(obj)

@@ -132,10 +132,15 @@ def _plan_bytes(df: DataFrame) -> int:
 
 
 # Below this input size the shingle cache costs more (job-barrier
-# materialization) than recomputing the subtree; above it, a second full
-# corpus scan + shingle explode dominates and caching wins.  The crossover
-# is low because shingling fans each input byte out ~n-gram-fold.
-CACHE_INPUT_BYTES = 4 << 20
+# materialization + row serialization) than recomputing the subtree.
+# Measured on local[32]: cache=False wins 5.4s→1.0s at 5k parquet docs,
+# 7.4s→2.3s at 50k docs, 10.7s→3.9s at 200k docs — recompute is one extra
+# in-memory scan + explode, while the cache barrier serializes the full
+# multi-million-row shingle table before ANY downstream stage starts.  The
+# crossover only arrives when the corpus scan itself is expensive (remote
+# object-store I/O at cluster scale) — hence a high threshold; cluster
+# deployments reading 100 TB should pass cache=True explicitly.
+CACHE_INPUT_BYTES = 256 << 20
 
 
 def hashed_shingles(df: DataFrame, id_col: str = "doc_id",

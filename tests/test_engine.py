@@ -402,3 +402,15 @@ def test_profile_statement(qdb):
     res = qdb.exec("profile {query: 'ruins', in: 'qdb'};")
     assert res[0].error is None
     assert "Physical Plan" in res[0].value
+
+
+def test_use_graph_statement(db):
+    """README §5 'use graph' (declared there, absent from the reference
+    grammar): sets the session default so queries may omit in:."""
+    db.exec("{create: 'g1', group: ['a']}; {create: 'g2', group: ['b']};")
+    db.exec("{upset: 'b', vertex: [['x', {v: 1}]]};")
+    assert db.exec("use graph 'g2';")[0].error is None
+    res = db.exec("{query: 'b'};")[0]          # no in: — uses g2
+    assert res.error is None and len(res.rows) == 1
+    bad = db.exec("use graph 'nope';")[0]
+    assert bad.status == "ERROR" and "not exist" in bad.error
