@@ -580,6 +580,13 @@ def q_window_session(spark, sf_dir):
     return sessionize(_load(spark, sf_dir, "events"), gap_minutes=30)
 
 
+def q_interval_join(spark, sf_dir):
+    """Event-time interval join (purchase within 1h after a click by the
+    same user) — batch twin of the stream-stream watermarked join."""
+    from gqlite_spark.operators.windows import interval_join
+    return interval_join(_load(spark, sf_dir, "events"))
+
+
 # --------------------------------------------------------------------------
 # Inference (reference README §4.6 declared surface, 0 LoC in reference)
 # --------------------------------------------------------------------------
@@ -687,6 +694,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "window_tumbling": q_window_tumbling,
         "window_sliding": q_window_sliding,
         "window_session": q_window_session,
+        "window_interval_join": q_interval_join,
         "multimodal_bytes": q_multimodal_bytes,
     }
 
@@ -1236,6 +1244,18 @@ def oracle_sql() -> dict[str, str]:
             " SELECT q_id, vec_id, cos, ROW_NUMBER() OVER (PARTITION BY q_id"
             " ORDER BY cos DESC, vec_id ASC) AS rank FROM s)"
             " WHERE rank <= 5",
+        "window_interval_join":
+            "WITH e AS (SELECT event_id, user_id, event_type,"
+            " CAST(FLOOR(epoch(ts)) AS BIGINT) AS es FROM events),"
+            " t AS (SELECT user_id, event_id AS trigger_id, es AS trigger_es"
+            "       FROM e WHERE event_type = 'click'),"
+            " p AS (SELECT user_id, event_id AS effect_id, es AS effect_es"
+            "       FROM e WHERE event_type = 'purchase')"
+            " SELECT t.user_id, trigger_id, effect_id, trigger_es,"
+            " effect_es, effect_es - trigger_es AS lag_s"
+            " FROM t JOIN p ON p.user_id = t.user_id"
+            " AND p.effect_es >= t.trigger_es"
+            " AND p.effect_es <= t.trigger_es + 3600",
         "window_tumbling":
             "SELECT CAST(FLOOR(epoch(ts) / 3600) AS BIGINT) * 3600 AS window_start,"
             " event_type, COUNT(*)::BIGINT AS n_events,"

@@ -82,3 +82,38 @@ def sessionize(df: DataFrame, ts_col: str = "ts", user_col: str = "user_id",
                  F.count("*").alias("n_events"),
                  (F.max("_es") - F.min("_es")).alias("duration_s"))
             .select(user_col, "session_start", "n_events", "duration_s"))
+
+
+def interval_join(df: DataFrame, trigger_type: str = "click",
+                  effect_type: str = "purchase",
+                  interval_seconds: int = 3600, ts_col: str = "ts",
+                  user_col: str = "user_id") -> DataFrame:
+    """Event-time interval (range) join: every ``effect_type`` event within
+    ``interval_seconds`` AFTER a ``trigger_type`` event by the same user
+    (classic attribution join).  Returns (user_id, trigger_id, effect_id,
+    trigger_es, effect_es, lag_s).
+
+    Batch twin of streaming.events.interval_join_stream — identical
+    semantics by construction, oracle-checkable here.  The equality key
+    (user) drives the shuffle; the range condition is a post-join filter,
+    so the plan is a plain hash join on user_id — no cartesian stage.
+    """
+    es = epoch_seconds(df, ts_col)
+    base = df.select(F.col(user_col).alias("user_id"),
+                     F.col("event_id"), F.col("event_type"),
+                     es.alias("es"))
+    trig = (base.where(F.col("event_type") == trigger_type)
+            .select("user_id", F.col("event_id").alias("trigger_id"),
+                    F.col("es").alias("trigger_es")))
+    eff = (base.where(F.col("event_type") == effect_type)
+           .select(F.col("user_id").alias("e_user"),
+                   F.col("event_id").alias("effect_id"),
+                   F.col("es").alias("effect_es")))
+    return (trig.join(eff, (F.col("user_id") == F.col("e_user")) &
+                      (F.col("effect_es") >= F.col("trigger_es")) &
+                      (F.col("effect_es") <= F.col("trigger_es")
+                       + F.lit(interval_seconds)))
+            .select("user_id", "trigger_id", "effect_id",
+                    "trigger_es", "effect_es",
+                    (F.col("effect_es") - F.col("trigger_es"))
+                    .alias("lag_s")))

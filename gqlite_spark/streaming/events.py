@@ -93,3 +93,36 @@ def run_to_memory(stream_df: DataFrame, name: str,
             .queryName(name).outputMode(mode)
             .trigger(availableNow=True)
             .start())
+
+
+def interval_join_stream(triggers: DataFrame, effects: DataFrame,
+                         interval: str = "1 hour",
+                         trigger_wm: str = "2 hours",
+                         effect_wm: str = "3 hours",
+                         key: str = "user_id",
+                         ts_col: str = "ts") -> DataFrame:
+    """Stream-stream event-time interval join (attribution): each effect
+    event joins the same-key trigger events it follows within
+    ``interval``.  Both sides carry watermarks and the join condition
+    bounds event-time distance, so Spark evicts join state once the
+    watermark passes — bounded state on unbounded streams.  The effect
+    watermark must cover trigger_wm + interval for no-loss semantics.
+
+    Batch twin (oracle-checked): operators.windows.interval_join."""
+    t = (triggers.withWatermark(ts_col, trigger_wm)
+         .select(F.col(key).alias("t_key"),
+                 F.col("event_id").alias("trigger_id"),
+                 F.col(ts_col).alias("t_ts")))
+    e = (effects.withWatermark(ts_col, effect_wm)
+         .select(F.col(key).alias("e_key"),
+                 F.col("event_id").alias("effect_id"),
+                 F.col(ts_col).alias("e_ts")))
+    cond = ((F.col("t_key") == F.col("e_key")) &
+            (F.col("e_ts") >= F.col("t_ts")) &
+            (F.col("e_ts") <= F.col("t_ts") + F.expr(f"INTERVAL {interval}")))
+    return (t.join(e, cond, "inner")
+            .select(F.col("t_key").alias(key), "trigger_id", "effect_id",
+                    F.unix_timestamp("t_ts").alias("trigger_es"),
+                    F.unix_timestamp("e_ts").alias("effect_es"),
+                    (F.unix_timestamp("e_ts") - F.unix_timestamp("t_ts"))
+                    .alias("lag_s")))

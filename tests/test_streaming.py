@@ -117,3 +117,23 @@ def test_stateful_running_stats(spark, event_dir):
         assert latest[uid]["n_events"] == row["n"]
         assert abs(latest[uid]["sum_value"] - row["s"]) < 1e-6
         assert latest[uid]["max_value"] == row["m"]
+
+
+def test_interval_join_stream_matches_batch(spark, event_dir):
+    """Stream-stream watermarked interval join equals the batch interval
+    join on the same data (attribution semantics parity)."""
+    from gqlite_spark.operators.windows import interval_join
+    from gqlite_spark.streaming.events import (interval_join_stream,
+                                               stream_from_directory)
+    trig = stream_from_directory(spark, event_dir).where(
+        F.col("event_type") == "click")
+    eff = stream_from_directory(spark, event_dir).where(
+        F.col("event_type") == "purchase")
+    out = _run(spark, interval_join_stream(trig, eff), "t_ivjoin",
+               mode="append")
+    got = {(r["user_id"], r["trigger_id"], r["effect_id"], r["lag_s"])
+           for r in out.collect()}
+    batch = interval_join(spark.read.parquet(event_dir))
+    want = {(r["user_id"], r["trigger_id"], r["effect_id"], r["lag_s"])
+            for r in batch.collect()}
+    assert got == want and want
