@@ -618,6 +618,41 @@ def q_bayes_classify(spark, sf_dir):
 
 
 # --------------------------------------------------------------------------
+# Sampling / quantiles / decontamination (training-pipeline operators)
+# --------------------------------------------------------------------------
+
+def q_sample_stratified(spark, sf_dir):
+    """Deterministic per-language sampling (md5-prefix membership): keep
+    50% of en, 25% of zh, 12.5% of everything else.  Pure Column predicate
+    — one scan, no shuffle, reproducible on any engine with md5."""
+    from gqlite_spark.operators.sampling import stratified_sample
+    d = _load(spark, sf_dir, "documents")
+    out = stratified_sample(d, "lang", {"en": 0.5, "zh": 0.25},
+                            id_col="doc_id", default_rate=0.125)
+    return out.select("doc_id", "lang", "n_chars")
+
+
+def q_doc_length_percentiles(spark, sf_dir):
+    """Exact per-language p50/p90/p99 of document length via the value-
+    histogram algorithm (shuffle O(distinct lengths), never a per-stratum
+    row sort) — integer-exact percentile_disc semantics."""
+    from gqlite_spark.operators.sampling import length_percentiles
+    d = _load(spark, sf_dir, "documents")
+    return length_percentiles(d, "lang", "n_chars", (0.5, 0.9, 0.99))
+
+
+def q_decontaminate(spark, sf_dir):
+    """Train-test decontamination: flag training docs sharing any word
+    8-gram with the benchmark subset (doc_id % 7 == 0).  Benchmark shingles
+    broadcast; corpus side streams; one shuffle (per-doc aggregate)."""
+    from gqlite_spark.operators.sampling import benchmark_contamination
+    d = _load(spark, sf_dir, "documents")
+    bench = d.filter(F.col("doc_id") % 7 == 0)
+    train = d.filter(F.col("doc_id") % 7 != 0)
+    return benchmark_contamination(train, bench, n=8)
+
+
+# --------------------------------------------------------------------------
 # Multimodal plumbing (binary columns + Arrow-batched pandas processing)
 # --------------------------------------------------------------------------
 
@@ -696,6 +731,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "window_session": q_window_session,
         "window_interval_join": q_interval_join,
         "multimodal_bytes": q_multimodal_bytes,
+        "sample_stratified": q_sample_stratified,
+        "doc_length_percentiles": q_doc_length_percentiles,
+        "decontaminate": q_decontaminate,
     }
 
 
@@ -1286,6 +1324,37 @@ def oracle_sql() -> dict[str, str]:
         "multimodal_bytes":
             "SELECT doc_id, octet_length(encode(text))::BIGINT AS n_bytes,"
             " md5(text) AS digest FROM documents",
+        "sample_stratified":
+            "SELECT doc_id, lang, n_chars FROM documents"
+            " WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) <"
+            " CASE lang WHEN 'en' THEN '80000000'"
+            " WHEN 'zh' THEN '40000000' ELSE '20000000' END",
+        "doc_length_percentiles":
+            "WITH hist AS (SELECT lang, n_chars, COUNT(*) AS c"
+            " FROM documents GROUP BY 1, 2),"
+            " tot AS (SELECT lang, SUM(c) AS n FROM hist GROUP BY 1),"
+            " cum AS (SELECT lang, n_chars,"
+            " SUM(c) OVER (PARTITION BY lang ORDER BY n_chars) AS cum"
+            " FROM hist)"
+            " SELECT cum.lang,"
+            " MIN(CASE WHEN cum >= (50*n + 99) // 100 THEN n_chars END)::BIGINT AS p50,"
+            " MIN(CASE WHEN cum >= (90*n + 99) // 100 THEN n_chars END)::BIGINT AS p90,"
+            " MIN(CASE WHEN cum >= (99*n + 99) // 100 THEN n_chars END)::BIGINT AS p99,"
+            " MAX(n)::BIGINT AS n_docs"
+            " FROM cum JOIN tot USING (lang) GROUP BY cum.lang",
+        "decontaminate":
+            "WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws"
+            " FROM documents),"
+            " g AS (SELECT doc_id, unnest(list_transform("
+            "generate_series(1, greatest(len(ws) - 7, 0)),"
+            " i -> array_to_string(list_slice(ws, i, i + 7), ' '))) AS s"
+            " FROM w),"
+            " b AS (SELECT DISTINCT doc_id AS bench_id, s FROM g"
+            " WHERE doc_id % 7 = 0),"
+            " d AS (SELECT DISTINCT g.doc_id, b.bench_id FROM g"
+            " JOIN b USING (s) WHERE g.doc_id % 7 <> 0)"
+            " SELECT doc_id, COUNT(*)::BIGINT AS n_benchmark_matches"
+            " FROM d GROUP BY doc_id",
         "rollup_revenue":
             "SELECT r_name, c_mktsegment,"
             " SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT))::BIGINT AS revenue_cents,"

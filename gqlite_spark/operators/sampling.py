@@ -1,0 +1,165 @@
+"""Deterministic sampling, exact quantiles, and benchmark-decontamination
+operators for training-data pipelines (beyond-reference, driver north star).
+
+Design points for the 100 TB case:
+
+- ``hash_sample`` / ``stratified_sample`` key membership on an md5 hex
+  prefix of the row's own id, so selection is a pure Column predicate:
+  every executor decides membership locally from row bytes — zero shuffle,
+  zero RNG state, reproducible across engines and runs (unlike
+  ``DataFrame.sample``, whose output depends on partition layout).  The
+  predicate composes with scan pushdown and costs one substring compare.
+
+- ``length_percentiles`` computes EXACT discrete percentiles via a value
+  histogram: groupBy (stratum, value) first, then a cumulative sum over
+  the (tiny) histogram.  The shuffle is O(distinct values), not O(rows) —
+  the classic fix for the single-reducer-per-stratum window sort that a
+  naive ``row_number`` percentile would cost at scale.  (For continuous
+  high-cardinality measures use ``F.approx_percentile``; doc/token lengths
+  are small-integer-valued, so the histogram is exact AND cheap.)
+
+- ``benchmark_contamination`` flags training documents sharing any word
+  n-gram with a benchmark/eval set (train-test decontamination).  The
+  benchmark shingle table is small by construction (eval sets are orders
+  of magnitude smaller than the corpus) and is broadcast; the corpus side
+  streams map-side through the join, and the only shuffle is the final
+  per-doc aggregate with map-side partial ``collect_set``.
+
+No reference parity to cite: webbery/GQLite has no sampling surface; these
+are the training-pipeline operators the driver brief names as first-class.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+
+# --------------------------------------------------------------------------
+# deterministic hash sampling
+# --------------------------------------------------------------------------
+
+_HEX_DIGITS = 8  # 32 bits of the md5 — rate resolution 1/2^32
+
+
+def _hex_threshold(rate: float) -> str:
+    """Hex literal h with P[md5_prefix < h] == floor(rate·16^8)/16^8.
+
+    md5 hex is lowercase [0-9a-f]; lexicographic order on those chars is
+    numeric order (ASCII '9' < 'a'), so a plain string compare against the
+    threshold implements the rate in ANY engine with md5 — the property
+    the DuckDB oracle relies on.
+    """
+    if not 0.0 <= rate <= 1.0:
+        raise ValueError(f"rate must be in [0,1], got {rate}")
+    return format(int(rate * 16 ** _HEX_DIGITS), f"0{_HEX_DIGITS}x")
+
+
+def sample_key(id_col, salt: str = "") -> F.Column:
+    """The 8-hex-digit deterministic sample key for a row id."""
+    base = F.concat(F.lit(salt), F.col(id_col).cast("string")) if salt \
+        else F.col(id_col).cast("string")
+    return F.substring(F.md5(base.cast("binary")), 1, _HEX_DIGITS)
+
+
+def hash_sample(df: DataFrame, id_col: str = "doc_id", rate: float = 0.1,
+                salt: str = "") -> DataFrame:
+    """Deterministic ~``rate`` sample keyed on md5(salt||id).
+
+    Different ``salt`` values give independent splits (e.g. train/eval
+    carve-outs that stay disjoint under re-runs and engine changes).
+    """
+    return df.filter(sample_key(id_col, salt) < F.lit(_hex_threshold(rate)))
+
+
+def stratified_sample(df: DataFrame, strata_col: str,
+                      rates: dict[str, float],
+                      id_col: str = "doc_id",
+                      default_rate: float = 0.0,
+                      salt: str = "") -> DataFrame:
+    """Per-stratum deterministic sampling (e.g. language rebalancing:
+    downsample dominant languages, keep the tail).
+
+    ``rates`` maps stratum value → sampling rate; strata not listed get
+    ``default_rate``.  Selection stays a single Column predicate (a CASE
+    over threshold literals), so the full sample is one scan, no shuffle.
+    """
+    thr = F.lit(_hex_threshold(default_rate))
+    for value, rate in rates.items():
+        thr = F.when(F.col(strata_col) == value,
+                     F.lit(_hex_threshold(rate))).otherwise(thr)
+    return df.filter(sample_key(id_col, salt) < thr)
+
+
+# --------------------------------------------------------------------------
+# exact discrete percentiles via value histogram
+# --------------------------------------------------------------------------
+
+def length_percentiles(df: DataFrame, strata_col: str = "lang",
+                       value_col: str = "n_chars",
+                       percentiles: tuple[float, ...] = (0.5, 0.9, 0.99),
+                       ) -> DataFrame:
+    """Exact per-stratum discrete percentiles (percentile_disc semantics:
+    the smallest value whose cumulative count reaches ceil(p·n)).
+
+    All arithmetic is integer (ranks via (k·n + k) div m), so results are
+    bit-identical across engines — no float-interpolation drift.
+    Output: (strata_col, p50, p90, ... , n_docs) — one row per stratum.
+    """
+    from pyspark.sql import Window
+
+    hist = (df.groupBy(strata_col, value_col)
+              .agg(F.count(F.lit(1)).alias("c")))
+    w = Window.partitionBy(strata_col).orderBy(value_col)
+    cum = hist.withColumn("cum", F.sum("c").over(w))
+    tot = hist.groupBy(strata_col).agg(F.sum("c").alias("n"))
+    j = cum.join(F.broadcast(tot), strata_col)
+
+    aggs = []
+    for p in percentiles:
+        # rank = ceil(p·n) with p = num/100 exactly: (num·n + 99) div 100 —
+        # integer arithmetic only, so ranks match the SQL oracle's literals
+        num, den = int(round(p * 100)), 100
+        rank = F.floor((F.lit(num) * F.col("n") + F.lit(den - 1)) / F.lit(den))
+        label = f"p{num}"
+        aggs.append(F.min(F.when(F.col("cum") >= rank, F.col(value_col)))
+                    .cast("long").alias(label))
+    aggs.append(F.max("n").cast("long").alias("n_docs"))
+    return j.groupBy(strata_col).agg(*aggs)
+
+
+# --------------------------------------------------------------------------
+# train-test decontamination (word n-gram containment)
+# --------------------------------------------------------------------------
+
+def word_ngrams(text_col, n: int) -> F.Column:
+    """Array of word n-grams (space-joined) of a single-space-tokenized
+    text column; empty array when the text has fewer than n words."""
+    words = F.split(text_col, " ")
+    cnt = F.size(words) - F.lit(n - 1)
+    return F.when(cnt >= 1,
+                  F.transform(F.sequence(F.lit(1), cnt),
+                              lambda i: F.concat_ws(" ", F.slice(words, i, n)))
+                  ).otherwise(F.array().cast("array<string>"))
+
+
+def benchmark_contamination(docs: DataFrame, benchmark: DataFrame,
+                            n: int = 8,
+                            id_col: str = "doc_id",
+                            text_col: str = "text") -> DataFrame:
+    """Training docs that share ≥1 word ``n``-gram with any benchmark doc.
+
+    ``benchmark`` carries (id_col, text_col) for the eval set; its distinct
+    shingle table is broadcast (eval sets are small), so the corpus pass is
+    a map-side join over the scan + ONE shuffle for the per-doc aggregate.
+    Output: (doc_id, n_benchmark_matches) for contaminated docs only.
+    """
+    bench_sh = (benchmark
+                .select(F.col(id_col).alias("bench_id"),
+                        F.explode(word_ngrams(F.col(text_col), n)).alias("s"))
+                .dropDuplicates(["bench_id", "s"]))
+    doc_sh = docs.select(F.col(id_col),
+                         F.explode(word_ngrams(F.col(text_col), n)).alias("s"))
+    return (doc_sh.join(F.broadcast(bench_sh), "s")
+            .groupBy(id_col)
+            .agg(F.size(F.collect_set("bench_id")).cast("long")
+                 .alias("n_benchmark_matches")))

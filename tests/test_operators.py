@@ -412,3 +412,83 @@ def test_ivf_lloyd_refine_improves_quantization(spark):
     raw = ivf_centroids(df, nlist=3)
     refined = lloyd_refine(df, raw, iters=3)
     assert sse(refined, vecs) <= sse(raw, vecs) + 1e-9
+
+
+# --------------------------------------------------------------------------
+# sampling / quantiles / decontamination
+# --------------------------------------------------------------------------
+
+def test_hash_sample_membership_is_md5_exact(spark):
+    """Selected ids are exactly those whose md5 hex prefix is under the
+    threshold (verified against hashlib), and reruns are identical."""
+    import hashlib
+    from gqlite_spark.operators.sampling import hash_sample
+    df = spark.createDataFrame([(i,) for i in range(500)], "doc_id long")
+    got = sorted(r["doc_id"] for r in hash_sample(df, rate=0.2).collect())
+    exp = [i for i in range(500)
+           if hashlib.md5(str(i).encode()).hexdigest()[:8] < format(
+               int(0.2 * 16 ** 8), "08x")]
+    assert got == exp
+    assert sorted(r["doc_id"] for r in hash_sample(df, rate=0.2).collect()) == exp
+
+
+def test_hash_sample_salts_give_independent_splits(spark):
+    from gqlite_spark.operators.sampling import hash_sample
+    df = spark.createDataFrame([(i,) for i in range(2000)], "doc_id long")
+    a = {r["doc_id"] for r in hash_sample(df, rate=0.3, salt="train").collect()}
+    b = {r["doc_id"] for r in hash_sample(df, rate=0.3, salt="eval").collect()}
+    assert a != b
+    # both near the target rate (md5 uniformity; wide tolerance)
+    assert 0.2 < len(a) / 2000 < 0.4 and 0.2 < len(b) / 2000 < 0.4
+
+
+def test_stratified_sample_rates(spark):
+    import hashlib
+    from gqlite_spark.operators.sampling import stratified_sample
+    rows = [(i, "en" if i % 2 == 0 else "zh") for i in range(400)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string")
+    got = {r["doc_id"] for r in stratified_sample(
+        df, "lang", {"en": 0.5}, default_rate=0.1).collect()}
+    for i, lang in rows:
+        thr = format(int((0.5 if lang == "en" else 0.1) * 16 ** 8), "08x")
+        expect_in = hashlib.md5(str(i).encode()).hexdigest()[:8] < thr
+        assert (i in got) == expect_in
+
+
+def test_length_percentiles_match_sorted_pick(spark):
+    import math
+    from gqlite_spark.operators.sampling import length_percentiles
+    vals = {"a": [5, 1, 9, 3, 7, 7, 2, 8, 4, 6], "b": [10, 30, 20]}
+    rows = [(k, v) for k, vs in vals.items() for v in vs]
+    df = spark.createDataFrame(rows, "lang string, n_chars long")
+    out = {r["lang"]: r for r in
+           length_percentiles(df, "lang", "n_chars").collect()}
+    for k, vs in vals.items():
+        s = sorted(vs)
+        for p, col in [(0.5, "p50"), (0.9, "p90"), (0.99, "p99")]:
+            assert out[k][col] == s[math.ceil(p * len(s)) - 1], (k, col)
+        assert out[k]["n_docs"] == len(s)
+
+
+def test_word_ngrams_short_and_exact(spark):
+    from pyspark.sql import functions as F
+    from gqlite_spark.operators.sampling import word_ngrams
+    df = spark.createDataFrame([("a b c d",), ("a b",)], "text string")
+    got = df.select(word_ngrams(F.col("text"), 3).alias("g")).collect()
+    assert got[0]["g"] == ["a b c", "b c d"]
+    assert got[1]["g"] == []
+
+
+def test_benchmark_contamination_flags_shared_ngram(spark):
+    from gqlite_spark.operators.sampling import benchmark_contamination
+    shared = "one two three four five six seven eight"
+    docs = spark.createDataFrame(
+        [(1, f"prefix {shared} suffix"),
+         (2, "totally different words with no overlap at all here")],
+        "doc_id long, text string")
+    bench = spark.createDataFrame(
+        [(100, f"intro {shared} outro"), (101, f"again {shared} end")],
+        "doc_id long, text string")
+    got = {r["doc_id"]: r["n_benchmark_matches"]
+           for r in benchmark_contamination(docs, bench, n=8).collect()}
+    assert got == {1: 2}
