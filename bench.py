@@ -62,12 +62,19 @@ def main() -> None:
 
     qs = entry.queries()
     timings: dict[str, float] = {}
+    warm: dict[str, float] = {}
     for name in HEADLINE:
         fn = qs[name]
         t0 = time.time()
         df = fn(spark, sf_dir)
         df.write.format("noop").mode("overwrite").save()
         timings[name] = round(time.time() - t0, 3)
+        # second run: whole-stage-codegen classes are compiled and parquet
+        # footers cached, so this is the steady-state per-query cost — the
+        # number that scales with data, vs the one-time JIT fixed cost
+        t0 = time.time()
+        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        warm[name] = round(time.time() - t0, 3)
 
     total = round(sum(timings.values()), 3)
     print(json.dumps({
@@ -76,6 +83,8 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "value_warm": round(sum(warm.values()), 3),
+        "queries_warm": warm,
     }))
 
 
