@@ -655,12 +655,14 @@ class GQLite:
         for name in sorted(g.groups):
             grp = g.groups[name]
             m = grp.meta
+            dp = ",".join(f"'{p}'" for p in m.declared_props)
             if m.is_edge:
-                parts.append(f"['{m.src_group}', '{name}', '{m.dst_group}']")
+                mid = f"{{{name}: [{dp}]}}" if dp else f"'{name}'"
+                parts.append(f"['{m.src_group}', {mid}, '{m.dst_group}']")
             else:
                 idx = (", index: [" + ",".join(f"'{i}'" for i in sorted(m.indexes)) + "]"
                        if m.indexes else "")
-                parts.append(f"{{{name}: []{idx}}}")
+                parts.append(f"{{{name}: [{dp}]{idx}}}")
         lines = [f"{{create: '{graph_name}', group: [" + ",".join(parts) + "]};"]
         for name in sorted(g.groups):
             grp = g.groups[name]

@@ -1,0 +1,44 @@
+"""Self-golden regression harness: replays tests/goldens/corpus.gql and
+compares the engine's full rendered output byte-for-byte with the
+committed tests/goldens/corpus.expect.
+
+Unlike tests/test_reference_goldens.py (parity vs the reference's own
+corpora, skipped when /root/reference is absent), this harness is fully
+standalone: the corpus and its expected output live in THIS repo, so any
+change to parser, executor, row formatting, ordering, or error texts is
+caught even without the reference checkout.  Re-record deliberately with
+`python tools/record_goldens.py` and review the diff.
+"""
+
+import difflib
+import os
+import sys
+
+GOLDEN_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                          "goldens")
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def test_corpus_replay_matches_committed_golden(db):
+    from tools.record_goldens import render
+    script = open(os.path.join(GOLDEN_DIR, "corpus.gql"),
+                  encoding="utf-8").read()
+    got = render(db.exec(script))
+    expect = open(os.path.join(GOLDEN_DIR, "corpus.expect"),
+                  encoding="utf-8").read()
+    if got != expect:
+        diff = "\n".join(difflib.unified_diff(
+            expect.splitlines(), got.splitlines(),
+            "corpus.expect", "engine output", lineterm=""))
+        raise AssertionError(
+            f"golden mismatch (re-record with tools/record_goldens.py "
+            f"if deliberate):\n{diff}")
+
+
+def test_corpus_replay_is_deterministic(db):
+    """Two replays in the same session render identically (ordering and
+    formatting carry no partition- or time-dependence)."""
+    from tools.record_goldens import render
+    script = open(os.path.join(GOLDEN_DIR, "corpus.gql"),
+                  encoding="utf-8").read()
+    assert render(db.exec(script)) == render(db.exec(script))
