@@ -414,3 +414,29 @@ def test_use_graph_statement(db):
     assert res.error is None and len(res.rows) == 1
     bad = db.exec("use graph 'nope';")[0]
     assert bad.status == "ERROR" and "not exist" in bad.error
+
+
+def test_bulk_group_keyed_range_read_pushdown(db, spark, tmp_path):
+    """A GQL keyed range read ({id: {$gt: ...}}) on a bulk parquet-backed
+    group must reach the parquet scan as a pushed filter (range-read-by-key
+    parity for the 100 TB ingestion path — no full-table scan)."""
+    import contextlib
+    import io
+
+    path = str(tmp_path / "bulkkeys")
+    spark.createDataFrame([(i, i * 2.0) for i in range(1000)],
+                          "id long, val double").write.parquet(path)
+    db.exec("{create: 'bkr', group: ['rows']};")
+    g = db.catalog.graph("bkr").groups["rows"]
+    g.register_df(spark.read.parquet(path))
+
+    res = db.exec("{query: 'rows', in: 'bkr', where: {id: {$gt: 990}}};")[0]
+    assert res.error is None, res.error
+    got = sorted(r["id"] for r in res.df.collect())
+    assert got == list(range(991, 1000))
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        res.df.explain("formatted")
+    plan = buf.getvalue()
+    assert "GreaterThan(id,990)" in plan, plan
