@@ -617,6 +617,25 @@ def q_bayes_classify(spark, sf_dir):
     return naive_bayes_predict(_load(spark, sf_dir, "documents"))
 
 
+def q_asof_attribution(spark, sf_dir):
+    """As-of join (point-in-time lookup): for each click event, the most
+    recent prior-or-same-time view by the same user.  Union+ordered-window
+    algorithm — one keyed shuffle, no range join (operators/temporal.py).
+    Oracle: DuckDB's native ASOF LEFT JOIN."""
+    from gqlite_spark.operators.temporal import asof_join
+    e = _load(spark, sf_dir, "events")          # ts = long nanoseconds
+    clicks = e.filter(F.col("event_type") == "click") \
+              .select("event_id", "user_id", "ts")
+    views = e.filter(F.col("event_type") == "view") \
+             .select("user_id", "ts", F.col("event_id").alias("view_id"))
+    j = asof_join(clicks, views, on="ts", by="user_id",
+                  right_cols=["view_id"])
+    # emit microseconds: DuckDB surfaces TIMESTAMP(NANOS) at micro precision
+    return j.select("event_id", "user_id",
+                    F.expr("ts div 1000").alias("click_ts_us"), "view_id",
+                    F.expr("_match_time div 1000").alias("view_ts_us"))
+
+
 # --------------------------------------------------------------------------
 # Sampling / quantiles / decontamination (training-pipeline operators)
 # --------------------------------------------------------------------------
@@ -734,6 +753,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sample_stratified": q_sample_stratified,
         "doc_length_percentiles": q_doc_length_percentiles,
         "decontaminate": q_decontaminate,
+        "asof_attribution": q_asof_attribution,
     }
 
 
@@ -1324,6 +1344,13 @@ def oracle_sql() -> dict[str, str]:
         "multimodal_bytes":
             "SELECT doc_id, octet_length(encode(text))::BIGINT AS n_bytes,"
             " md5(text) AS digest FROM documents",
+        "asof_attribution":
+            "SELECT c.event_id, c.user_id,"
+            " epoch_us(c.ts)::BIGINT AS click_ts_us,"
+            " v.event_id AS view_id, epoch_us(v.ts)::BIGINT AS view_ts_us"
+            " FROM (SELECT * FROM events WHERE event_type = 'click') c"
+            " ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') v"
+            " ON c.user_id = v.user_id AND v.ts <= c.ts",
         "sample_stratified":
             "SELECT doc_id, lang, n_chars FROM documents"
             " WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) <"

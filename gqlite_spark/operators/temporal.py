@@ -1,0 +1,90 @@
+"""Temporal joins for event streams: as-of join (point-in-time lookup).
+
+The as-of join — "for each left row, the latest right row at or before its
+timestamp, per key" — is the workhorse of feature attribution and
+point-in-time-correct training-data assembly.  Spark has no built-in;
+the naive formulations both fail at scale:
+
+- inequality theta-join + row_number: Catalyst plans a broadcast-nested-
+  loop or cartesian range join, quadratic per key;
+- per-key ``applyInPandas`` merge: Python in the hot path.
+
+This implementation uses the UNION + ORDERED WINDOW technique (the classic
+distributed as-of algorithm): tag both sides, union them into one event
+sequence, and carry the most recent right payload forward with
+``last(..., ignorenulls=True)`` over a (key)-partitioned, time-ordered
+window.  Cost: ONE shuffle on the key (same as any keyed join) + a per-key
+sort — no range join, no Python, no per-key quadratic blowup.  AQE's skew
+handling applies to the single exchange, and whole-stage codegen covers
+the window pass.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+
+def asof_join(left: DataFrame, right: DataFrame,
+              on: str, by: list[str] | str,
+              right_cols: list[str] | None = None,
+              direction: str = "backward",
+              strict: bool = False,
+              tolerance: int | None = None) -> DataFrame:
+    """Point-in-time join: for each ``left`` row, attach the latest
+    ``right`` row with ``right.on <= left.on`` (direction="backward";
+    "forward" gives the earliest right row at-or-after), matching on the
+    ``by`` key(s).  Left rows with no eligible right row keep nulls
+    (left-outer semantics).
+
+    on         time column name, present in both sides, totally ordered
+               (numeric or timestamp).
+    right_cols right columns to attach (default: all non-key, non-time);
+               attached under their own names — alias beforehand if they
+               collide with left columns.
+    strict     exclude right rows at exactly the same time (< instead of <=).
+    tolerance  max |left.on - right.on| (same units as ``on``); matches
+               farther than this come back as nulls.
+    """
+    if direction not in ("backward", "forward"):
+        raise ValueError("direction must be 'backward' or 'forward'")
+    keys = [by] if isinstance(by, str) else list(by)
+    if right_cols is None:
+        right_cols = [c for c in right.columns if c not in keys and c != on]
+
+    payload = F.struct(*[F.col(c) for c in right_cols]).alias("_r")
+    r = right.select(*keys, F.col(on).alias("_t"), payload,
+                     F.lit(0).alias("_side"))
+    l = left.select("*", F.col(on).alias("_t"),
+                    F.lit(None).cast(r.schema["_r"].dataType).alias("_r"),
+                    F.lit(1).alias("_side"))
+    # column-order-align the two sides for unionByName
+    merged = l.unionByName(r, allowMissingColumns=True)
+
+    asc = direction == "backward"
+    # at equal _t the right row must sort BEFORE the left row so it is
+    # visible to the window (inclusive join); strict mode reverses that
+    side_first = F.col("_side").asc() if not strict else F.col("_side").desc()
+    order = [F.col("_t").asc() if asc else F.col("_t").desc(), side_first]
+    w = (Window.partitionBy(*keys).orderBy(*order)
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    # both carried values in ONE projection → a single Window node over the
+    # shared (key-partitioned, time-sorted) frame
+    matched = (merged
+               .select("*",
+                       F.last("_r", ignorenulls=True).over(w).alias("_m"),
+                       F.last(F.when(F.col("_side") == 0, F.col("_t")),
+                              ignorenulls=True).over(w).alias("_mt"))
+               .filter(F.col("_side") == 1))
+    if strict:
+        # right rows at the same _t sorted after left → a match at equal
+        # time can never be picked up; nothing more to do
+        pass
+    if tolerance is not None:
+        in_tol = F.abs(F.col("_t") - F.col("_mt")) <= tolerance
+        matched = (matched
+                   .withColumn("_m", F.when(in_tol, F.col("_m")))
+                   .withColumn("_mt", F.when(in_tol, F.col("_mt"))))
+    out = matched.withColumn("_match_time", F.col("_mt"))
+    for c in right_cols:
+        out = out.withColumn(c, F.col("_m")[c])
+    return out.drop("_r", "_side", "_t", "_m", "_mt")

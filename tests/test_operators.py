@@ -492,3 +492,55 @@ def test_benchmark_contamination_flags_shared_ngram(spark):
     got = {r["doc_id"]: r["n_benchmark_matches"]
            for r in benchmark_contamination(docs, bench, n=8).collect()}
     assert got == {1: 2}
+
+
+# --------------------------------------------------------------------------
+# as-of join
+# --------------------------------------------------------------------------
+
+def _asof_fixture(spark):
+    left = spark.createDataFrame(
+        [("a", 10, "l1"), ("a", 20, "l2"), ("a", 5, "l0"), ("b", 10, "l3")],
+        "k string, ts long, lbl string")
+    right = spark.createDataFrame(
+        [("a", 5, "r5"), ("a", 10, "r10"), ("a", 15, "r15"), ("c", 1, "rc")],
+        "k string, ts long, rv string")
+    return left, right
+
+
+def test_asof_backward_inclusive(spark):
+    from gqlite_spark.operators.temporal import asof_join
+    left, right = _asof_fixture(spark)
+    got = {r["lbl"]: (r["rv"], r["_match_time"]) for r in
+           asof_join(left, right, on="ts", by="k").collect()}
+    assert got == {"l0": ("r5", 5),      # equal time matches (inclusive)
+                   "l1": ("r10", 10),
+                   "l2": ("r15", 15),
+                   "l3": (None, None)}   # key 'b' has no right rows
+
+
+def test_asof_backward_strict(spark):
+    from gqlite_spark.operators.temporal import asof_join
+    left, right = _asof_fixture(spark)
+    got = {r["lbl"]: r["rv"] for r in
+           asof_join(left, right, on="ts", by="k", strict=True).collect()}
+    assert got == {"l0": None,           # r5 at the same instant excluded
+                   "l1": "r5", "l2": "r15", "l3": None}
+
+
+def test_asof_forward(spark):
+    from gqlite_spark.operators.temporal import asof_join
+    left, right = _asof_fixture(spark)
+    got = {r["lbl"]: r["rv"] for r in
+           asof_join(left, right, on="ts", by="k",
+                     direction="forward").collect()}
+    assert got == {"l0": "r5", "l1": "r10", "l2": None, "l3": None}
+
+
+def test_asof_tolerance(spark):
+    from gqlite_spark.operators.temporal import asof_join
+    left, right = _asof_fixture(spark)
+    got = {r["lbl"]: r["rv"] for r in
+           asof_join(left, right, on="ts", by="k", tolerance=3).collect()}
+    # l2(ts=20) best match r15 is 5 away > 3 → nulled
+    assert got == {"l0": "r5", "l1": "r10", "l2": None, "l3": None}
