@@ -617,6 +617,21 @@ def q_bayes_classify(spark, sf_dir):
     return naive_bayes_predict(_load(spark, sf_dir, "documents"))
 
 
+def q_text_token_budget(spark, sf_dir):
+    """BPE-ish regex token estimate + chars-per-token (packing profile).
+    Built-in regexp_count — codegen, no UDF."""
+    from gqlite_spark.operators.text import token_budget
+    return token_budget(_load(spark, sf_dir, "documents"))
+
+
+def q_text_winnow_fp(spark, sf_dir):
+    """Winnowing fingerprints (rolling-hash minima): k=8 char shingles,
+    w=4 windows over docs < 200.  Pure array expressions per row."""
+    from gqlite_spark.operators.text import winnow_fingerprints
+    d = _load(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    return winnow_fingerprints(d, k=8, w=4)
+
+
 def q_asof_attribution(spark, sf_dir):
     """As-of join (point-in-time lookup): for each click event, the most
     recent prior-or-same-time view by the same user.  Union+ordered-window
@@ -754,6 +769,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_length_percentiles": q_doc_length_percentiles,
         "decontaminate": q_decontaminate,
         "asof_attribution": q_asof_attribution,
+        "text_token_budget": q_text_token_budget,
+        "text_winnow_fp": q_text_winnow_fp,
     }
 
 
@@ -1344,6 +1361,23 @@ def oracle_sql() -> dict[str, str]:
         "multimodal_bytes":
             "SELECT doc_id, octet_length(encode(text))::BIGINT AS n_bytes,"
             " md5(text) AS digest FROM documents",
+        "text_token_budget":
+            f"SELECT doc_id, CAST({ntok} AS BIGINT) AS n_ws_tokens,"
+            " len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9 ]'))"
+            "::BIGINT AS n_bpe_tokens,"
+            " round(length(text) / len(regexp_extract_all(text,"
+            " '[A-Za-z]+|[0-9]|[^A-Za-z0-9 ]')), 4) AS chars_per_bpe_token"
+            " FROM documents",
+        "text_winnow_fp":
+            "WITH d AS (SELECT doc_id, text FROM documents"
+            " WHERE doc_id < 200 AND length(text) >= 11),"
+            " h AS (SELECT doc_id, list_transform("
+            "generate_series(1, length(text) - 7),"
+            f" i -> {_md5_60bit('substr(text, i, 8)')}) AS hs FROM d),"
+            " m AS (SELECT doc_id, list_distinct(list_transform("
+            "generate_series(1, len(hs) - 3),"
+            " j -> list_min(hs[j:j+3]))) AS fps FROM h)"
+            " SELECT doc_id, unnest(fps) AS fp FROM m",
         "asof_attribution":
             "SELECT c.event_id, c.user_id,"
             " epoch_us(c.ts)::BIGINT AS click_ts_us,"

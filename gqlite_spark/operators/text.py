@@ -119,3 +119,62 @@ def fingerprint(df: DataFrame, id_col: str = "doc_id",
     lowercased text — the join key for cross-corpus exact dedup."""
     norm = F.lower(F.trim(F.col(text_col)))
     return df.select(F.col(id_col), F.md5(norm).alias("fingerprint"))
+
+
+# BPE-ish token pattern: letter runs are one piece, digits and punctuation
+# tokenize singly — the shape (if not the merges) of byte-pair vocabularies.
+# Explicit ASCII classes so Java (Spark) and RE2 (DuckDB) agree byte-for-byte.
+BPE_PATTERN = "[A-Za-z]+|[0-9]|[^A-Za-z0-9 ]"
+
+
+def bpe_token_count(text_col: Column, pattern: str = BPE_PATTERN) -> Column:
+    """Regex token-count estimator for budget/packing decisions (the
+    whitespace count undercounts code/punctuation-heavy text)."""
+    return F.regexp_count(text_col, F.lit(pattern)).cast("long")
+
+
+def token_budget(df: DataFrame, id_col: str = "doc_id",
+                 text_col: str = "text") -> DataFrame:
+    """(doc_id, n_ws_tokens, n_bpe_tokens, chars_per_bpe_token) — the
+    sizing profile used to pack documents into training sequences."""
+    t = F.col(text_col)
+    bpe = bpe_token_count(t)
+    return df.select(
+        F.col(id_col),
+        token_count(t).alias("n_ws_tokens"),
+        bpe.alias("n_bpe_tokens"),
+        F.round(F.length(t) / bpe, 4).alias("chars_per_bpe_token"))
+
+
+def winnow_fingerprints(df: DataFrame, k: int = 8, w: int = 4,
+                        id_col: str = "doc_id",
+                        text_col: str = "text") -> DataFrame:
+    """Winnowing document fingerprints (rolling-hash selection, the
+    Schleimer/Wilkerson/Aiken scheme): hash every k-char shingle, keep the
+    minimum hash of each w-window of consecutive shingles, emit the
+    distinct minima as the doc's fingerprint set.
+
+    Guarantees any shared substring of length >= k + w - 1 yields a shared
+    fingerprint (the near-dup/plagiarism detection property), at ~1/w the
+    fingerprint density of full shingling.  All per-row array expressions
+    (whole-stage codegen, no shuffle until the caller aggregates); the
+    60-bit md5-prefix hash replays exactly in SQL.
+    Output: (doc_id, fp) exploded rows.
+    """
+    t = F.col(text_col)
+    n_sh = F.length(t) - F.lit(k - 1)
+    hashes = F.transform(
+        F.sequence(F.lit(1), F.greatest(n_sh, F.lit(1))),
+        lambda i: F.conv(F.substring(F.md5(t.substr(i, F.lit(k))), 1, 15),
+                         16, 10).cast("long"))
+    # materialize the hash array under a name BEFORE the window-min pass:
+    # embedding `hashes` directly in the second transform makes Catalyst
+    # inline the whole shingle-hash computation into EVERY window element
+    # (O(doc_len·w) md5 calls instead of O(doc_len) — measured 15× slower)
+    base = (df.filter(F.length(t) >= k + w - 1)
+            .select(F.col(id_col), hashes.alias("_hs")))
+    n_win = F.size(F.col("_hs")) - F.lit(w - 1)
+    mins = F.array_distinct(F.transform(
+        F.sequence(F.lit(1), F.greatest(n_win, F.lit(1))),
+        lambda j: F.array_min(F.slice(F.col("_hs"), j, w))))
+    return base.select(F.col(id_col), F.explode(mins).alias("fp"))

@@ -544,3 +544,39 @@ def test_asof_tolerance(spark):
            asof_join(left, right, on="ts", by="k", tolerance=3).collect()}
     # l2(ts=20) best match r15 is 5 away > 3 → nulled
     assert got == {"l0": "r5", "l1": "r10", "l2": None, "l3": None}
+
+
+def test_token_budget_bpe_counts(spark):
+    from gqlite_spark.operators.text import token_budget
+    df = spark.createDataFrame([(1, "Hello, world 42 times!")],
+                               "doc_id long, text string")
+    r = token_budget(df).collect()[0]
+    # Hello , world 4 2 times !  → 7 BPE-ish pieces; 4 whitespace tokens
+    assert r["n_ws_tokens"] == 4 and r["n_bpe_tokens"] == 7
+
+
+def test_winnow_shared_substring_guarantee(spark):
+    """Winnowing property: two docs sharing a substring of length
+    >= k + w - 1 share at least one fingerprint."""
+    from gqlite_spark.operators.text import winnow_fingerprints
+    shared = "abcdefghijklmnopqrs"       # 19 chars >= 8 + 4 - 1 = 11
+    df = spark.createDataFrame(
+        [(1, f"xxxx {shared} yyyy"), (2, f"zz {shared} qqqq"),
+         (3, "completely unrelated text with nothing in common at all")],
+        "doc_id long, text string")
+    fps = winnow_fingerprints(df, k=8, w=4).collect()
+    by_doc = {}
+    for r in fps:
+        by_doc.setdefault(r["doc_id"], set()).add(r["fp"])
+    assert by_doc[1] & by_doc[2]
+    assert not (by_doc[1] & by_doc[3]) and not (by_doc[2] & by_doc[3])
+
+
+def test_winnow_density(spark):
+    """Fingerprint count is ~1/w of the shingle count (the whole point)."""
+    from gqlite_spark.operators.text import winnow_fingerprints
+    text = " ".join(f"tok{i}" for i in range(200))
+    df = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    n_fp = winnow_fingerprints(df, k=8, w=4).count()
+    n_shingles = len(text) - 7
+    assert n_fp < n_shingles / 2
