@@ -126,3 +126,30 @@ def interval_join_stream(triggers: DataFrame, effects: DataFrame,
                     F.unix_timestamp("e_ts").alias("effect_es"),
                     (F.unix_timestamp("e_ts") - F.unix_timestamp("t_ts"))
                     .alias("lag_s")))
+
+
+def enrich_stream(events: DataFrame, dim: DataFrame, key: str = "user_id",
+                  dim_cols: list[str] | None = None) -> DataFrame:
+    """Stream-static enrichment join: attach dimension attributes to each
+    streaming event.  The static side is explicitly broadcast — every
+    micro-batch joins map-side against the replicated dim table, so the
+    stream never shuffles (the pattern for joining a 100 TB/day stream to
+    a small-dimension catalog).  The static side is re-read per batch,
+    picking up dim updates between micro-batches."""
+    cols = dim_cols or [c for c in dim.columns if c != key]
+    d = F.broadcast(dim.select(key, *cols))
+    return events.join(d, key, "left")
+
+
+def stream_to_parquet(stream_df: DataFrame, path: str, checkpoint: str,
+                      mode: str = "append"):
+    """Production file sink: append micro-batches to a parquet directory
+    with a write-ahead checkpoint.  Restarting with the same checkpoint
+    resumes from the last committed offset — already-processed source
+    files are not re-emitted (exactly-once file-to-file semantics)."""
+    return (stream_df.writeStream.format("parquet")
+            .option("path", path)
+            .option("checkpointLocation", checkpoint)
+            .outputMode(mode)
+            .trigger(availableNow=True)
+            .start())

@@ -137,3 +137,42 @@ def test_interval_join_stream_matches_batch(spark, event_dir):
     want = {(r["user_id"], r["trigger_id"], r["effect_id"], r["lag_s"])
             for r in batch.collect()}
     assert got == want and want
+
+
+def test_enrich_stream_broadcasts_static_side(spark, event_dir):
+    """Stream-static enrichment equals the batch join, and the stream side
+    carries no shuffle for the join (broadcast hash join per micro-batch)."""
+    from gqlite_spark.streaming.events import (enrich_stream,
+                                               stream_from_directory)
+    dim = spark.createDataFrame(
+        [(i, f"tier{i % 3}") for i in range(200)], "user_id long, tier string")
+    stream = stream_from_directory(spark, event_dir)
+    out = _run(spark, enrich_stream(stream, dim), "t_enrich", mode="append")
+
+    batch = spark.read.parquet(event_dir).join(dim, "user_id", "left")
+    assert out.count() == batch.count()
+    got = {r["event_id"]: r["tier"] for r in out.collect()}
+    exp = {r["event_id"]: r["tier"] for r in batch.collect()}
+    assert got == exp
+
+
+def test_stream_to_parquet_resume_no_duplicates(spark, event_dir, tmp_path):
+    """Restarting the file sink with the same checkpoint must not re-emit
+    already-committed source files (offset log discipline)."""
+    from gqlite_spark.streaming.events import (stream_from_directory,
+                                               stream_to_parquet)
+    out_dir = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    total = spark.read.parquet(event_dir).count()
+
+    q = stream_to_parquet(stream_from_directory(spark, event_dir),
+                          out_dir, ckpt)
+    q.awaitTermination(120)
+    n1 = spark.read.parquet(out_dir).count()
+    assert n1 == total
+
+    # restart against the SAME source + checkpoint: nothing new to commit
+    q2 = stream_to_parquet(stream_from_directory(spark, event_dir),
+                           out_dir, ckpt)
+    q2.awaitTermination(120)
+    assert spark.read.parquet(out_dir).count() == total
