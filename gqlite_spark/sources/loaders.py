@@ -130,3 +130,27 @@ def load_ngql_inserts(db: GQLite, graph: str, text: str) -> None:
             vlist = [_parse_value(v) for v in vals.split(",")] if vals.strip() else []
             grp.upsert_edge(_parse_value(src), "->", _parse_value(dst),
                             dict(zip(props, vlist)) or None)
+
+
+def load_jsonl_vertices(db: GQLite, graph: str, group: str, path: str,
+                        key_col: str, multiline: bool = False) -> DataFrame:
+    """Ingest newline-delimited JSON as a vertex group (bulk registration;
+    schema inferred by the Spark JSON source, nested fields preserved)."""
+    df = db.spark.read.json(path, multiLine=multiline)
+    g = db.catalog.graph(graph)
+    grp = g.groups.get(group) or g.create_group(group)
+    grp.register_df(df, key_col=key_col)
+    return df
+
+
+def load_jsonl_edges(db: GQLite, graph: str, group: str, path: str,
+                     src_col: str, dst_col: str,
+                     src_group: Optional[str] = None,
+                     dst_group: Optional[str] = None) -> DataFrame:
+    """Ingest newline-delimited JSON as an edge group."""
+    df = db.spark.read.json(path)
+    g = db.catalog.graph(graph)
+    grp = g.groups.get(group) or g.create_group(
+        group, is_edge=True, src_group=src_group, dst_group=dst_group)
+    grp.register_df(df, src_col=src_col, dst_col=dst_col)
+    return df

@@ -580,3 +580,24 @@ def test_winnow_density(spark):
     n_fp = winnow_fingerprints(df, k=8, w=4).count()
     n_shingles = len(text) - 7
     assert n_fp < n_shingles / 2
+
+
+def test_salted_join_equals_plain_join(spark):
+    from gqlite_spark.operators.joins import salted_join
+    import pytest as _pytest
+    # one hot key (0) carrying half the rows
+    big = spark.createDataFrame(
+        [(i % 2 and i % 50 or 0, i) for i in range(2000)], "k long, v long")
+    small = spark.createDataFrame(
+        [(i, f"dim{i}") for i in range(50)], "k long, name string")
+    plain = big.join(small, "k").groupBy("k").count()
+    salted = salted_join(big, small, "k", salts=8).groupBy("k").count()
+    assert {(r["k"], r["count"]) for r in plain.collect()} == \
+           {(r["k"], r["count"]) for r in salted.collect()}
+    # left join keeps unmatched big rows exactly once
+    big2 = big.union(spark.createDataFrame([(999, 1)], "k long, v long"))
+    lj = salted_join(big2, small, "k", salts=8, how="left")
+    assert lj.filter("k = 999").count() == 1
+    assert lj.filter("k = 999").collect()[0]["name"] is None
+    with _pytest.raises(ValueError):
+        salted_join(big, small, "k", how="full")

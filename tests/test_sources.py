@@ -86,3 +86,27 @@ def test_import_gql_script(db, tmp_path):
 def test_import_missing_file(db):
     res = db.exec("import '/no/such/file.dot';")
     assert res[0].status == "ERROR" and "import" in res[0].error
+
+
+def test_jsonl_loader_roundtrip(db, tmp_path):
+    import json
+    p = tmp_path / "people.jsonl"
+    p.write_text("\n".join(json.dumps(d) for d in [
+        {"pid": "p1", "name": "Ann", "score": 9.5},
+        {"pid": "p2", "name": "Bo", "score": 7.0},
+        {"pid": "p3", "name": "Cy", "score": 8.1}]))
+    e = tmp_path / "follows.jsonl"
+    e.write_text("\n".join(json.dumps(d) for d in [
+        {"a": "p1", "b": "p2"}, {"a": "p2", "b": "p3"}]))
+
+    from gqlite_spark.sources.loaders import (load_jsonl_edges,
+                                              load_jsonl_vertices)
+    db.exec("{create: 'jg', group: ['people', ['people', 'follows', 'people']]};")
+    load_jsonl_vertices(db, "jg", "people", str(p), key_col="pid")
+    load_jsonl_edges(db, "jg", "follows", str(e), src_col="a", dst_col="b")
+
+    r = db.exec("{query: 'people', in: 'jg', where: {score: {$gt: 8}}};")[0]
+    assert r.error is None
+    assert sorted(row["id"] for row in r.df.collect()) == ["p1", "p3"]
+    r2 = db.exec("{query: 'follows', in: 'jg', where: ['p1', ->, *]};")[0]
+    assert r2.error is None and r2.df.count() == 1
