@@ -617,6 +617,17 @@ def q_bayes_classify(spark, sf_dir):
     return naive_bayes_predict(_load(spark, sf_dir, "documents"))
 
 
+def q_pack_sequences(spark, sf_dir):
+    """Training-sequence packing: concat-then-chunk document placement
+    into 10k-char sequences over 8 parallel packing streams (bucket =
+    doc_id % 8 for SQL portability; production uses xxhash64 buckets).
+    One window pass partitioned by bucket — parallelism = stream count."""
+    from gqlite_spark.operators.sampling import pack_sequences
+    d = _load(spark, sf_dir, "documents") \
+        .withColumn("bucket", (F.col("doc_id") % 8).cast("long"))
+    return pack_sequences(d, "n_chars", budget=10000, bucket_col="bucket")
+
+
 def q_text_token_budget(spark, sf_dir):
     """BPE-ish regex token estimate + chars-per-token (packing profile).
     Built-in regexp_count — codegen, no UDF."""
@@ -771,6 +782,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_attribution": q_asof_attribution,
         "text_token_budget": q_text_token_budget,
         "text_winnow_fp": q_text_winnow_fp,
+        "pack_sequences": q_pack_sequences,
     }
 
 
@@ -1361,6 +1373,13 @@ def oracle_sql() -> dict[str, str]:
         "multimodal_bytes":
             "SELECT doc_id, octet_length(encode(text))::BIGINT AS n_bytes,"
             " md5(text) AS digest FROM documents",
+        "pack_sequences":
+            "SELECT doc_id, n_chars, (doc_id % 8)::BIGINT AS bucket,"
+            " (SUM(n_chars) OVER (PARTITION BY doc_id % 8 ORDER BY doc_id)"
+            " - n_chars)::BIGINT AS offset,"
+            " ((SUM(n_chars) OVER (PARTITION BY doc_id % 8 ORDER BY doc_id)"
+            " - n_chars) // 10000)::BIGINT AS seq_id"
+            " FROM documents",
         "text_token_budget":
             f"SELECT doc_id, CAST({ntok} AS BIGINT) AS n_ws_tokens,"
             " len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9 ]'))"

@@ -163,3 +163,50 @@ def benchmark_contamination(docs: DataFrame, benchmark: DataFrame,
             .groupBy(id_col)
             .agg(F.size(F.collect_set("bench_id")).cast("long")
                  .alias("n_benchmark_matches")))
+
+
+# --------------------------------------------------------------------------
+# sequence packing (training-batch assembly)
+# --------------------------------------------------------------------------
+
+def pack_sequences(df: DataFrame, token_col: str,
+                   budget: int,
+                   id_col: str = "doc_id",
+                   buckets: int = 1024,
+                   bucket_col: str | None = None) -> DataFrame:
+    """Assign each document to a fixed-token-budget training sequence by
+    back-to-back concatenation order: documents are hashed into
+    ``buckets`` independent packing streams, ordered deterministically
+    within each stream, and a running token total places every doc at its
+    byte-exact offset; ``seq_id`` is the sequence its FIRST token lands in
+    (concat-then-chunk packing, docs spanning a boundary overflow into the
+    next chunk).
+
+    Scale shape: the per-stream cumulative sum is one window pass whose
+    partitions are the hash buckets — raise ``buckets`` so each stream's
+    row count fits a single task comfortably (1024 streams over 1 B docs
+    ≈ 1 M docs/stream).  A global single-stream packing (buckets=1) is the
+    exact sequential semantics but caps out at one reducer — the bucketed
+    form is the 100 TB design, trading global order for parallelism while
+    keeping every sequence exactly ``budget`` tokens (except each stream's
+    last).
+
+    Output: (id_col, token_col, bucket, seq_id, offset) — offset is the
+    doc's start position within its stream's concatenated token tape.
+    """
+    from pyspark.sql import Window
+
+    # pass bucket_col to use a pre-assigned stream (e.g. a SQL-portable
+    # id % N); default is an xxhash64 bucket (robust to correlated ids)
+    bucket = (F.col(bucket_col) if bucket_col else
+              F.pmod(F.xxhash64(F.col(id_col)), F.lit(buckets))).alias("bucket")
+    w = (Window.partitionBy("bucket").orderBy(id_col)
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    out = (df.select(F.col(id_col), F.col(token_col), bucket)
+           .withColumn("_cum", F.sum(token_col).over(w))
+           .withColumn("offset", (F.col("_cum") - F.col(token_col))
+                       .cast("long"))
+           .withColumn("seq_id", F.floor(F.col("offset") / budget)
+                       .cast("long"))
+           .drop("_cum"))
+    return out

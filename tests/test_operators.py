@@ -601,3 +601,30 @@ def test_salted_join_equals_plain_join(spark):
     assert lj.filter("k = 999").collect()[0]["name"] is None
     with _pytest.raises(ValueError):
         salted_join(big, small, "k", how="full")
+
+
+def test_pack_sequences_offsets_and_chunking(spark):
+    from gqlite_spark.operators.sampling import pack_sequences
+    rows = [(i, 30 + (i * 7) % 50) for i in range(100)]
+    df = spark.createDataFrame(rows, "doc_id long, n_tok long")
+    out = pack_sequences(df, "n_tok", budget=100, buckets=4).collect()
+    assert len(out) == 100
+    by_bucket = {}
+    for r in sorted(out, key=lambda r: (r["bucket"], r["doc_id"])):
+        cum = by_bucket.get(r["bucket"], 0)
+        assert r["offset"] == cum, r          # back-to-back concatenation
+        assert r["seq_id"] == cum // 100, r   # chunk containing first token
+        by_bucket[r["bucket"]] = cum + r["n_tok"]
+
+
+def test_pack_sequences_explicit_bucket_col(spark):
+    from gqlite_spark.operators.sampling import pack_sequences
+    from pyspark.sql import functions as F
+    df = (spark.createDataFrame([(i, 10) for i in range(20)],
+                                "doc_id long, n_tok long")
+          .withColumn("b", (F.col("doc_id") % 2).cast("long")))
+    out = {r["doc_id"]: r for r in
+           pack_sequences(df, "n_tok", budget=25, bucket_col="b").collect()}
+    # bucket 0 docs: 0,2,4,... offsets 0,10,20,...; seq boundaries at 25
+    assert out[4]["offset"] == 20 and out[4]["seq_id"] == 0
+    assert out[6]["offset"] == 30 and out[6]["seq_id"] == 1
