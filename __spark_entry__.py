@@ -640,7 +640,7 @@ def q_text_winnow_fp(spark, sf_dir):
     w=4 windows over docs < 200.  Pure array expressions per row."""
     from gqlite_spark.operators.text import winnow_fingerprints
     d = _load(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
-    return winnow_fingerprints(d, k=8, w=4)
+    return winnow_fingerprints(d, k=8, w=4, hash_fn="md5")
 
 
 def q_asof_attribution(spark, sf_dir):

@@ -148,7 +148,8 @@ def token_budget(df: DataFrame, id_col: str = "doc_id",
 
 def winnow_fingerprints(df: DataFrame, k: int = 8, w: int = 4,
                         id_col: str = "doc_id",
-                        text_col: str = "text") -> DataFrame:
+                        text_col: str = "text",
+                        hash_fn: str = "xxhash64") -> DataFrame:
     """Winnowing document fingerprints (rolling-hash selection, the
     Schleimer/Wilkerson/Aiken scheme): hash every k-char shingle, keep the
     minimum hash of each w-window of consecutive shingles, emit the
@@ -163,10 +164,19 @@ def winnow_fingerprints(df: DataFrame, k: int = 8, w: int = 4,
     """
     t = F.col(text_col)
     n_sh = F.length(t) - F.lit(k - 1)
-    hashes = F.transform(
-        F.sequence(F.lit(1), F.greatest(n_sh, F.lit(1))),
-        lambda i: F.conv(F.substring(F.md5(t.substr(i, F.lit(k))), 1, 15),
-                         16, 10).cast("long"))
+    if hash_fn == "xxhash64":
+        # production path: cheap JVM hash (~6× faster than md5; winnowing
+        # needs uniformity, not cryptographic strength)
+        def _h(i):
+            return F.xxhash64(t.substr(i, F.lit(k)))
+    elif hash_fn == "md5":
+        # SQL-oracle-replayable path (md5 exists in every engine)
+        def _h(i):
+            return F.conv(F.substring(F.md5(t.substr(i, F.lit(k))), 1, 15),
+                          16, 10).cast("long")
+    else:
+        raise ValueError(f"hash_fn must be 'xxhash64' or 'md5', got {hash_fn}")
+    hashes = F.transform(F.sequence(F.lit(1), F.greatest(n_sh, F.lit(1))), _h)
     # materialize the hash array under a name BEFORE the window-min pass:
     # embedding `hashes` directly in the second transform makes Catalyst
     # inline the whole shingle-hash computation into EVERY window element

@@ -122,6 +122,63 @@ def main() -> None:
     print(f"cosine_topk(500k x 64d): {time.time()-t:.1f}s")
     emb.unpersist()
 
+    # as-of join at scale: one keyed shuffle + sort, no range join
+    from gqlite_spark.operators.temporal import asof_join
+    n_ev = 5_000_000
+    keys = 100_000
+    left = (spark.range(n_ev)
+            .select((F.col("id") % keys).alias("k"),
+                    F.xxhash64("id").alias("ts"), F.col("id").alias("lid")))
+    right = (spark.range(n_ev)
+             .select((F.col("id") % keys).alias("k"),
+                     F.xxhash64("id", F.lit(7)).alias("ts"),
+                     F.col("id").alias("rid")))
+    t = time.time()
+    aj = asof_join(left, right, on="ts", by="k", right_cols=["rid"])
+    plan = aj._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan
+    # aggregate a window-derived column so the Window isn't pruned away
+    row = aj.agg(F.count(F.lit(1)).alias("n"),
+                 F.count("rid").alias("matched")).collect()[0]
+    print(f"asof_join({n_ev:,} x {n_ev:,}, {keys:,} keys): "
+          f"{time.time()-t:.1f}s  rows={row['n']:,} matched={row['matched']:,}")
+
+    # decontamination at 500k docs vs 5k-doc benchmark (broadcast shingles)
+    from gqlite_spark.operators.sampling import benchmark_contamination
+    n_corpus = 500_000
+    cwords = F.transform(F.sequence(F.lit(1), F.lit(60)),
+                         lambda i: F.concat(F.lit("w"),
+                                            F.pmod(F.xxhash64("id", i),
+                                                   F.lit(50_000)).cast("string")))
+    corpus = (spark.range(n_corpus)
+              .select(F.col("id").alias("doc_id"),
+                      F.concat_ws(" ", cwords).alias("text"))).persist()
+    corpus.count()
+    bench = corpus.filter(F.col("doc_id") % 100 == 0)
+    t = time.time()
+    nc = benchmark_contamination(corpus.filter(F.col("doc_id") % 100 != 0),
+                                 bench, n=8).count()
+    print(f"decontaminate({n_corpus:,} docs vs {n_corpus//100:,} bench): "
+          f"{time.time()-t:.1f}s  contaminated={nc:,}")
+
+    # winnowing fingerprints over 100k docs (per-row arrays, no shuffle)
+    from gqlite_spark.operators.text import winnow_fingerprints
+    t = time.time()
+    nf = winnow_fingerprints(corpus.limit(100_000), k=8, w=4).count()
+    print(f"winnow_fp(100k docs): {time.time()-t:.1f}s  fingerprints={nf:,}")
+    corpus.unpersist()
+
+    # stratified sample over 10M rows: scan-only predicate, no shuffle
+    from gqlite_spark.operators.sampling import stratified_sample
+    big = (spark.range(10_000_000)
+           .select(F.col("id").alias("doc_id"),
+                   F.concat(F.lit("s"), (F.col("id") % 5).cast("string"))
+                   .alias("lang")))
+    t = time.time()
+    ns = stratified_sample(big, "lang", {"s0": 0.5, "s1": 0.25},
+                           default_rate=0.05).count()
+    print(f"stratified_sample(10M rows): {time.time()-t:.1f}s  kept={ns:,}")
+
 
 if __name__ == "__main__":
     main()
