@@ -441,6 +441,30 @@ def q_triangles(spark, sf_dir):
     return triangle_count(region_clique_edges(spark, sf_dir))
 
 
+def q_kcore(spark, sf_dir):
+    """3-core of the clique-bridge graph: the pendant path 10..14 peels
+    off over six supersteps, the two K10 cliques survive (core_degree 9)."""
+    from gqlite_spark.operators.graph_algos import k_core
+    from gqlite_spark.sources.testdata import clique_bridge_edges
+    return k_core(clique_bridge_edges(spark, sf_dir), k=3)
+
+
+def q_label_prop(spark, sf_dir):
+    """4-iteration synchronous label propagation (deterministic mode-label
+    with min tie-break) on the clique-bridge graph."""
+    from gqlite_spark.operators.graph_algos import label_propagation
+    from gqlite_spark.sources.testdata import clique_bridge_edges
+    return label_propagation(clique_bridge_edges(spark, sf_dir), iterations=4)
+
+
+def q_node_jaccard(spark, sf_dir):
+    """Neighborhood Jaccard similarity of every connected pair on the
+    clique-bridge graph (wedge-join common-neighbor counting)."""
+    from gqlite_spark.operators.graph_algos import neighborhood_jaccard
+    from gqlite_spark.sources.testdata import clique_bridge_edges
+    return neighborhood_jaccard(clique_bridge_edges(spark, sf_dir))
+
+
 # --------------------------------------------------------------------------
 # Dedup / text analysis / similarity (beyond-reference pipeline operators)
 # --------------------------------------------------------------------------
@@ -754,6 +778,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_triangles": q_triangles,
         "graph_scc": q_scc,
         "graph_random_walk": q_random_walk,
+        "graph_kcore": q_kcore,
+        "graph_label_prop": q_label_prop,
+        "graph_node_jaccard": q_node_jaccard,
         "stats_entropy_gain": q_entropy,
         "hmm_viterbi": q_hmm_viterbi,
         "hmm_forward": q_hmm_forward,
@@ -1058,6 +1085,73 @@ JOIN documents d ON d.doc_id = s.doc_id
 WHERE s.rnk = 1"""
 
 
+# Clique-bridge fixture (testdata.clique_bridge_edges) as symmetric-edge
+# CTE: two K10 cliques over nations 0-9 / 15-24 + path 9-10-...-14.
+_CLIQUE_BRIDGE_E = (
+    "raw AS ("
+    " SELECT CAST(a.n_nationkey AS BIGINT) AS src,"
+    " CAST(b.n_nationkey AS BIGINT) AS dst FROM nation a JOIN nation b"
+    " ON a.n_nationkey < b.n_nationkey AND b.n_nationkey <= 9"
+    " UNION ALL SELECT CAST(a.n_nationkey AS BIGINT),"
+    " CAST(b.n_nationkey AS BIGINT) FROM nation a JOIN nation b"
+    " ON a.n_nationkey < b.n_nationkey AND a.n_nationkey >= 15"
+    " UNION ALL SELECT CAST(n_nationkey AS BIGINT),"
+    " CAST(n_nationkey + 1 AS BIGINT) FROM nation"
+    " WHERE n_nationkey BETWEEN 9 AND 13),\n"
+    "e AS (SELECT src, dst FROM raw UNION SELECT dst, src FROM raw)")
+
+
+def _kcore_sql(k: int = 3, rounds: int = 8) -> str:
+    """Unrolled peeling, same trick as the pagerank oracle: round N
+    recomputes degrees within round N-1's survivors.  The fixture
+    converges in 6 rounds; 8 gives slack, and at the fixpoint the last
+    degree table is the in-core degree (matches Spark's k_core)."""
+    parts = [f"WITH {_CLIQUE_BRIDGE_E},",
+             "a0 AS (SELECT DISTINCT src AS id FROM e),"]
+    for n in range(1, rounds + 1):
+        parts.append(
+            f"d{n} AS (SELECT e.src AS id, COUNT(*) AS c FROM e"
+            f" JOIN a{n-1} s ON e.src = s.id"
+            f" JOIN a{n-1} t ON e.dst = t.id GROUP BY e.src),")
+        parts.append(f"a{n} AS (SELECT id FROM d{n} WHERE c >= {k}),")
+    body = "\n".join(parts).rstrip(",")
+    return (body + f"\nSELECT id, c AS core_degree FROM d{rounds}"
+            f" WHERE c >= {k}")
+
+
+def _label_prop_sql(iterations: int = 4) -> str:
+    """Synchronous LPA unroll: per round, count neighbor labels then pick
+    (count DESC, label ASC) per vertex — exactly Spark's window pick."""
+    parts = [f"WITH {_CLIQUE_BRIDGE_E},",
+             "v AS (SELECT DISTINCT src AS id FROM e),",
+             "l0 AS (SELECT id, id AS label FROM v),"]
+    for n in range(1, iterations + 1):
+        parts.append(
+            f"c{n} AS (SELECT e.dst AS id, l.label, COUNT(*) AS c FROM e"
+            f" JOIN l{n-1} l ON l.id = e.src GROUP BY e.dst, l.label),")
+        parts.append(
+            f"l{n} AS (SELECT id, label FROM (SELECT id, label,"
+            f" row_number() OVER (PARTITION BY id ORDER BY c DESC,"
+            f" label ASC) AS rn FROM c{n}) WHERE rn = 1),")
+    body = "\n".join(parts).rstrip(",")
+    return body + f"\nSELECT id, label FROM l{iterations}"
+
+
+_NODE_JACCARD_SQL = f"""\
+WITH {_CLIQUE_BRIDGE_E},
+deg AS (SELECT src AS id, COUNT(*) AS d FROM e GROUP BY src),
+canon AS (SELECT src, dst FROM e WHERE src < dst),
+common AS (SELECT a.dst AS s, b.dst AS t, COUNT(*) AS cn
+  FROM e a JOIN e b ON a.src = b.src AND a.dst < b.dst
+  GROUP BY a.dst, b.dst)
+SELECT c.src, c.dst,
+  round(COALESCE(cn, 0) / (da.d + db.d - COALESCE(cn, 0)), 4) AS jaccard
+FROM canon c
+LEFT JOIN common ON common.s = c.src AND common.t = c.dst
+JOIN deg da ON da.id = c.src
+JOIN deg db ON db.id = c.dst"""
+
+
 def _pagerank_sql(iterations: int = 10) -> str:
     parts = [
         "WITH e AS (SELECT CAST(n_nationkey AS BIGINT) AS src,"
@@ -1226,6 +1320,9 @@ def oracle_sql() -> dict[str, str]:
             " MIN(CAST(n_nationkey AS BIGINT))"
             " OVER (PARTITION BY n_regionkey) AS component FROM nation",
         "graph_pagerank": _pagerank_sql(10),
+        "graph_kcore": _kcore_sql(3, 8),
+        "graph_label_prop": _label_prop_sql(4),
+        "graph_node_jaccard": _NODE_JACCARD_SQL,
         "graph_random_walk": _random_walk_sql(4, 42),
         "dedup_minhash_lsh": _MINHASH_ORACLE_SQL,
         "sim_ann_lsh": _ann_lsh_sql(64, 4, 2, 10),

@@ -419,3 +419,117 @@ def random_walk(edges: DataFrame, starts: DataFrame, steps: int = 5,
             _CHECKPOINT_EVERY - 1 else nxt
     ranked.unpersist()
     return walks.select("walk_id", "path")
+
+
+def k_core(edges: DataFrame, k: int, max_iter: int = 64) -> DataFrame:
+    """Vertices of the k-core (maximal subgraph where every vertex has
+    degree >= k) of the undirected simple graph.  Distributed peeling:
+    each superstep drops every vertex whose degree *within the surviving
+    subgraph* is below k; converges in at most the degeneracy-ordering
+    depth.  Returns (id, core_degree) with core_degree = the vertex's
+    degree inside the final core (deterministic).
+
+    Scale notes: the symmetric edge table is built once and cached; each
+    superstep is two semi-joins (edges x alive, keyed on the endpoint) +
+    one groupBy count — all shuffles keyed on vertex id, state is
+    vertex-sized.  Convergence check is a strictly-decreasing count(), so
+    one cheap action per superstep and no diff join.  Beyond-reference
+    analytics in the spirit of src/operand/analysis (DegreeCentrality /
+    Tarjan stubs)."""
+    with _iterative_shuffle_scope(edges):
+        sym = (normalize_edges(edges, undirected=True)
+               .select("src", "dst").filter(F.col("src") != F.col("dst"))
+               .distinct().cache())
+        alive = sym.select(F.col("src").alias("id")).distinct()
+        n_alive = alive.count()
+        survivors = None
+        # Two peel rounds chained lazily per action (counts are monotone
+        # decreasing, so equal counts two rounds apart ⇒ fixpoint) —
+        # halves the per-superstep job-launch overhead.
+        batch = 2
+        for _ in range(0, max_iter, batch):
+            for _b in range(batch):
+                live = (sym.join(alive.withColumnRenamed("id", "src"),
+                                 "src", "left_semi")
+                        .join(alive.withColumnRenamed("id", "dst"),
+                              "dst", "left_semi"))
+                deg = (live.groupBy(F.col("src").alias("id"))
+                       .agg(F.count("*").alias("core_degree")))
+                survivors = deg.filter(F.col("core_degree") >= k)
+                alive = survivors.select("id")
+            survivors = _ckpt(survivors)
+            alive = survivors.select("id")
+            n_next = survivors.count()
+            if n_next == n_alive:
+                break
+            n_alive = n_next
+        sym.unpersist()
+        return survivors
+
+
+def label_propagation(edges: DataFrame, iterations: int = 4) -> DataFrame:
+    """Synchronous label propagation (community detection).  Every vertex
+    starts with its own id as label; each superstep it adopts the most
+    frequent label among its neighbors, ties broken by the smallest
+    label.  A FIXED iteration count with synchronous updates makes the
+    result deterministic (and SQL-expressible for the oracle), unlike the
+    classic randomized-order LPA.  Returns (id, label).
+
+    Each superstep = one join (labels x symmetric edges, keyed on src) +
+    one groupBy(id, label) count + one per-id window pick — shuffles are
+    keyed on vertex id and state is vertex-sized; localCheckpoint per
+    superstep keeps lineage flat."""
+    with _iterative_shuffle_scope(edges):
+        sym = (normalize_edges(edges, undirected=True)
+               .select("src", "dst").filter(F.col("src") != F.col("dst"))
+               .distinct().cache())
+        verts = sym.select(F.col("src").alias("id")).distinct()
+        labels = verts.withColumn("label", F.col("id"))
+        w = Window.partitionBy("id").orderBy(F.col("c").desc(),
+                                             F.col("label").asc())
+        for _ in range(iterations):
+            msgs = (sym.join(labels.withColumnRenamed("id", "src"), "src")
+                    .select(F.col("dst").alias("id"), "label"))
+            counts = msgs.groupBy("id", "label").agg(F.count("*").alias("c"))
+            labels = _ckpt(
+                counts.withColumn("_rn", F.row_number().over(w))
+                .filter(F.col("_rn") == 1).select("id", "label"))
+        sym.unpersist()
+        return labels
+
+
+def neighborhood_jaccard(edges: DataFrame) -> DataFrame:
+    """Jaccard similarity of the neighbor sets of every connected vertex
+    pair (a, b) with a < b: |N(a) ∩ N(b)| / |N(a) ∪ N(b)|.  The classic
+    link-prediction / node-similarity measure (reference intent: the
+    similarity matrix in DegreeCentrality.cpp's operator-).
+
+    Wedge-join formulation — common neighbors are counted by joining the
+    symmetric edge table with itself on the shared endpoint (one shuffle
+    keyed on the wedge center), never by materializing neighbor sets as
+    arrays: at 100 TB a hub's neighbor array would blow a single task,
+    while the wedge join partitions by the center vertex and is skew-
+    salvageable with AQE.  Returns (src, dst, jaccard) rounded to 4."""
+    sym = (normalize_edges(edges, undirected=True)
+           .select("src", "dst").filter(F.col("src") != F.col("dst"))
+           .distinct())
+    deg = sym.groupBy(F.col("src").alias("id")) \
+             .agg(F.count("*").alias("deg"))
+    canon = sym.filter(F.col("src") < F.col("dst")).cache()
+    a, b = sym.alias("a"), sym.alias("b")
+    common = (a.join(b, F.col("a.src") == F.col("b.src"))
+              .filter(F.col("a.dst") < F.col("b.dst"))
+              .groupBy(F.col("a.dst").alias("src"),
+                       F.col("b.dst").alias("dst"))
+              .agg(F.count("*").alias("common")))
+    out = (canon.join(common, ["src", "dst"], "left")
+           .fillna(0, subset=["common"])
+           .join(deg.withColumnRenamed("id", "src")
+                 .withColumnRenamed("deg", "deg_a"), "src")
+           .join(deg.withColumnRenamed("id", "dst")
+                 .withColumnRenamed("deg", "deg_b"), "dst")
+           .select("src", "dst",
+                   F.round(F.col("common") /
+                           (F.col("deg_a") + F.col("deg_b") -
+                            F.col("common")), 4).alias("jaccard")))
+    return out

@@ -119,3 +119,23 @@ def region_clique_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (a.join(b, F.col("a.n_regionkey") == F.col("b.n_regionkey"))
             .filter(F.col("a.k") < F.col("b.k"))
             .select(F.col("a.k").alias("src"), F.col("b.k").alias("dst")))
+
+
+def clique_bridge_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two K10 cliques (nations 0-9 and 15-24) bridged by the path
+    9-10-11-12-13-14.  The pendant path makes k-core peeling cascade
+    (k=3 strips 14, then 13, ... then 10 — six supersteps) and gives
+    label propagation / Jaccard similarity a non-uniform structure."""
+    n = load(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").cast("long").alias("k"))
+    a, b = n.alias("a"), n.alias("b")
+    c1 = (a.join(b, F.col("a.k") < F.col("b.k"))
+          .filter(F.col("b.k") <= 9)
+          .select(F.col("a.k").alias("src"), F.col("b.k").alias("dst")))
+    c2 = (a.join(b, F.col("a.k") < F.col("b.k"))
+          .filter(F.col("a.k") >= 15)
+          .select(F.col("a.k").alias("src"), F.col("b.k").alias("dst")))
+    path = (n.filter(F.col("k").between(9, 13))
+            .select(F.col("k").alias("src"), (F.col("k") + 1).alias("dst")))
+    return (c1.unionByName(c2).unionByName(path)
+            .withColumn("direction", F.lit("--")))

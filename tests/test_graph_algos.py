@@ -132,3 +132,50 @@ def test_shortest_path_equal_cost_tie_propagates(spark):
     cost, path = shortest_path(e, 0, 10, weight_col="w")
     assert cost == 4.0
     assert path == [0, 1, 2, 9, 10]
+
+
+def test_k_core_pendant_cascade(spark):
+    from gqlite_spark.operators.graph_algos import k_core
+    # triangle 1-2-3 + pendant chain 3-4-5-6: 2-core strips the chain
+    # node by node (three cascade rounds), keeps the triangle.
+    e = spark.createDataFrame(
+        [(1, 2), (2, 3), (1, 3), (3, 4), (4, 5), (5, 6)],
+        "src long, dst long")
+    got = {(r["id"], r["core_degree"]) for r in k_core(e, 2).collect()}
+    assert got == {(1, 2), (2, 2), (3, 2)}
+
+
+def test_k_core_keeps_whole_graph(spark):
+    from gqlite_spark.operators.graph_algos import k_core
+    e = spark.createDataFrame([(1, 2), (2, 3), (1, 3)], "src long, dst long")
+    assert k_core(e, 2).count() == 3
+    assert k_core(e, 3).count() == 0  # triangle has no 3-core
+
+
+def test_label_propagation_two_cliques(spark):
+    from gqlite_spark.operators.graph_algos import label_propagation
+    # two K4 cliques joined by one bridge edge: labels converge to each
+    # clique's min id; the bridge is too thin to flip either side.
+    k4a = [(a, b) for a in range(1, 5) for b in range(a + 1, 5)]
+    k4b = [(a, b) for a in range(10, 14) for b in range(a + 1, 14)]
+    e = spark.createDataFrame(k4a + k4b + [(4, 10)], "src long, dst long")
+    labels = {r["id"]: r["label"]
+              for r in label_propagation(e, iterations=4).collect()}
+    assert all(labels[v] == 1 for v in range(1, 5))
+    assert all(labels[v] == 10 for v in range(10, 14))
+
+
+def test_neighborhood_jaccard_known_values(spark):
+    from gqlite_spark.operators.graph_algos import neighborhood_jaccard
+    # K4 over {1,2,3,4} + pendant 4-5.
+    e = spark.createDataFrame(
+        [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4), (4, 5)],
+        "src long, dst long")
+    j = {(r["src"], r["dst"]): r["jaccard"]
+         for r in neighborhood_jaccard(e).collect()}
+    # edge (1,2): N(1)={2,3,4}, N(2)={1,3,4} → common {3,4}, union 4 → 0.5
+    assert j[(1, 2)] == 0.5
+    # edge (3,4): N(3)={1,2,4}, N(4)={1,2,3,5} → common {1,2} / union 5
+    assert j[(3, 4)] == 0.4
+    # pendant edge (4,5): N(5)={4}, no common neighbors → 0.0
+    assert j[(4, 5)] == 0.0
