@@ -528,6 +528,19 @@ def q_text_fingerprint(spark, sf_dir):
     return fingerprint(_load(spark, sf_dir, "documents"))
 
 
+def q_text_repetition(spark, sf_dir):
+    """Gopher-style repetition/boilerplate metrics (zero-shuffle array
+    expressions)."""
+    from gqlite_spark.operators.text import repetition_metrics
+    return repetition_metrics(_load(spark, sf_dir, "documents"))
+
+
+def q_text_tfidf(spark, sf_dir):
+    """Top-5 TF-IDF terms per document (broadcast idf join)."""
+    from gqlite_spark.operators.text import tfidf_top_terms
+    return tfidf_top_terms(_load(spark, sf_dir, "documents"), k=5)
+
+
 def q_cosine_topk(spark, sf_dir):
     from gqlite_spark.operators.similarity import cosine_topk
     emb = _load(spark, sf_dir, "embeddings")
@@ -809,6 +822,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_attribution": q_asof_attribution,
         "text_token_budget": q_text_token_budget,
         "text_winnow_fp": q_text_winnow_fp,
+        "text_repetition": q_text_repetition,
+        "text_tfidf": q_text_tfidf,
         "pack_sequences": q_pack_sequences,
     }
 
@@ -1407,6 +1422,38 @@ def oracle_sql() -> dict[str, str]:
             f" CAST({lang_best} AS BIGINT) AS marker_hits FROM documents",
         "text_fingerprint":
             "SELECT doc_id, md5(lower(trim(text))) AS fingerprint FROM documents",
+        "text_repetition":
+            "WITH base AS (SELECT doc_id, string_split(text, ' ') AS toks"
+            " FROM documents),"
+            " m AS (SELECT doc_id, len(toks) AS n,"
+            " len(list_distinct(toks)) AS nd,"
+            " CASE WHEN len(toks) >= 3 THEN"
+            " list_transform(generate_series(1, len(toks) - 2),"
+            " i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])"
+            " ELSE [] END AS grams FROM base),"
+            " tokc AS (SELECT doc_id, tok, COUNT(*) AS c FROM"
+            " (SELECT doc_id, unnest(toks) AS tok FROM base) GROUP BY doc_id, tok),"
+            " top AS (SELECT doc_id, MAX(c) AS mc FROM tokc GROUP BY doc_id)"
+            " SELECT m.doc_id, n AS n_tokens, round(nd / n, 4) AS distinct_ratio,"
+            " CASE WHEN n >= 3 THEN round((len(grams) -"
+            " len(list_distinct(grams))) / len(grams), 4)"
+            " ELSE 0.0 END AS dup_3gram_frac,"
+            " round(mc / n, 4) AS top_token_frac"
+            " FROM m JOIN top ON m.doc_id = top.doc_id",
+        "text_tfidf":
+            "WITH tf AS (SELECT doc_id, tok AS term, COUNT(*) AS tf FROM"
+            " (SELECT doc_id, unnest(string_split(text, ' ')) AS tok"
+            " FROM documents) GROUP BY doc_id, tok),"
+            " nn AS (SELECT COUNT(*) AS n FROM documents),"
+            " idf AS (SELECT term, ln((1 + (SELECT n FROM nn)) /"
+            " (1 + COUNT(DISTINCT doc_id))) + 1.0 AS idf"
+            " FROM tf GROUP BY term),"
+            " r AS (SELECT tf.doc_id, tf.term, tf.tf * idf.idf AS x,"
+            " row_number() OVER (PARTITION BY tf.doc_id"
+            " ORDER BY tf.tf * idf.idf DESC, tf.term ASC) AS rank"
+            " FROM tf JOIN idf ON tf.term = idf.term)"
+            " SELECT doc_id, rank, term, round(x, 4) AS tfidf FROM r"
+            " WHERE rank <= 5",
         "sim_cosine_topk":
             "WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings"
             " WHERE vec_id = 0),"

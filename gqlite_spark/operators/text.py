@@ -188,3 +188,67 @@ def winnow_fingerprints(df: DataFrame, k: int = 8, w: int = 4,
         F.sequence(F.lit(1), F.greatest(n_win, F.lit(1))),
         lambda j: F.array_min(F.slice(F.col("_hs"), j, w))))
     return base.select(F.col(id_col), F.explode(mins).alias("fp"))
+
+
+def repetition_metrics(df: DataFrame, id_col: str = "doc_id",
+                       text_col: str = "text") -> DataFrame:
+    """Gopher-style within-document repetition / boilerplate signals:
+
+    - ``n_tokens``            whitespace token count
+    - ``distinct_ratio``      distinct tokens / tokens (round 4)
+    - ``dup_3gram_frac``      (3-grams − distinct 3-grams) / 3-grams
+    - ``top_token_frac``      occurrences of the most frequent token / tokens
+
+    Everything except ``top_token_frac`` is a zero-shuffle array expression
+    (split → array_distinct → size, whole-stage codegen, embarrassingly
+    parallel — the right shape for a 100 TB quality-filter pass).  The
+    top-token count uses aggregate-over-distinct-tokens (still per-row, no
+    shuffle): O(distinct × n) per document, bounded by document length."""
+    toks = F.split(F.col(text_col), " ")
+    n = F.size(toks)
+    grams = F.transform(
+        F.sequence(F.lit(0), n - 3),
+        lambda i: F.concat_ws(" ", F.element_at(toks, i + 1),
+                              F.element_at(toks, i + 2),
+                              F.element_at(toks, i + 3)))
+    top_cnt = F.array_max(F.transform(
+        F.array_distinct(toks),
+        lambda t: F.size(F.filter(toks, lambda x: x == t))))
+    return df.select(
+        F.col(id_col),
+        n.cast("long").alias("n_tokens"),
+        F.round(F.size(F.array_distinct(toks)) / n, 4)
+        .alias("distinct_ratio"),
+        F.when(n >= 3,
+               F.round((F.size(grams) - F.size(F.array_distinct(grams)))
+                       / F.size(grams), 4))
+        .otherwise(F.lit(0.0)).alias("dup_3gram_frac"),
+        F.round(top_cnt / n, 4).alias("top_token_frac"))
+
+
+def tfidf_top_terms(df: DataFrame, k: int = 5, id_col: str = "doc_id",
+                    text_col: str = "text") -> DataFrame:
+    """Top-k TF-IDF terms per document (sklearn-style smooth idf:
+    ln((1+N)/(1+df)) + 1).  Returns (doc_id, rank, term, tfidf round 4).
+
+    Scale shape: one explode + groupBy keyed on (doc, term) for term
+    frequencies; document frequencies aggregate the (doc, term) table
+    (vocabulary-sized result) and come back as a BROADCAST join — the fact
+    table never shuffles twice.  Top-k per doc is a window over the doc's
+    own terms (partition = doc, bounded by vocabulary)."""
+    from pyspark.sql import Window
+    n_docs = df.count()
+    tf = (df.select(F.col(id_col),
+                    F.explode(F.split(F.col(text_col), " ")).alias("term"))
+          .groupBy(id_col, "term").agg(F.count("*").alias("tf")))
+    dfreq = tf.groupBy("term").agg(F.count("*").alias("df"))
+    idf = dfreq.select(
+        "term", (F.log((1.0 + n_docs) / (1.0 + F.col("df"))) + 1.0)
+        .alias("idf"))
+    w = Window.partitionBy(id_col).orderBy(
+        (F.col("tf") * F.col("idf")).desc(), F.col("term").asc())
+    return (tf.join(F.broadcast(idf), "term")
+            .withColumn("rank", F.row_number().over(w).cast("long"))
+            .filter(F.col("rank") <= k)
+            .select(id_col, "rank", "term",
+                    F.round(F.col("tf") * F.col("idf"), 4).alias("tfidf")))

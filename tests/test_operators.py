@@ -628,3 +628,33 @@ def test_pack_sequences_explicit_bucket_col(spark):
     # bucket 0 docs: 0,2,4,... offsets 0,10,20,...; seq boundaries at 25
     assert out[4]["offset"] == 20 and out[4]["seq_id"] == 0
     assert out[6]["offset"] == 30 and out[6]["seq_id"] == 1
+
+
+def test_repetition_metrics_known(spark):
+    from gqlite_spark.operators.text import repetition_metrics
+    df = spark.createDataFrame([(1, "a b a b a b"), (2, "x y")],
+                               "doc_id long, text string")
+    out = {r["doc_id"]: r for r in repetition_metrics(df).collect()}
+    r1 = out[1]
+    assert r1["n_tokens"] == 6
+    assert r1["distinct_ratio"] == 0.3333
+    # 3-grams: "a b a","b a b","a b a","b a b" → 4 total, 2 distinct
+    assert r1["dup_3gram_frac"] == 0.5
+    assert r1["top_token_frac"] == 0.5
+    r2 = out[2]
+    assert r2["dup_3gram_frac"] == 0.0 and r2["distinct_ratio"] == 1.0
+
+
+def test_tfidf_top_terms_known(spark):
+    import math
+    from gqlite_spark.operators.text import tfidf_top_terms
+    df = spark.createDataFrame([(1, "x x y"), (2, "y z")],
+                               "doc_id long, text string")
+    out = {(r["doc_id"], r["rank"]): r
+           for r in tfidf_top_terms(df, k=5).collect()}
+    idf_rare = math.log(3 / 2) + 1.0           # df=1, N=2
+    assert out[(1, 1)]["term"] == "x"
+    assert out[(1, 1)]["tfidf"] == round(2 * idf_rare, 4)
+    assert out[(1, 2)]["term"] == "y" and out[(1, 2)]["tfidf"] == 1.0
+    assert out[(2, 1)]["term"] == "z"
+    assert out[(2, 1)]["tfidf"] == round(idf_rare, 4)
