@@ -153,3 +153,46 @@ def stream_to_parquet(stream_df: DataFrame, path: str, checkpoint: str,
             .outputMode(mode)
             .trigger(availableNow=True)
             .start())
+
+
+def stream_upsert_vertices(stream_df: DataFrame, group, checkpoint: str,
+                           key_col: str = "id",
+                           version_col: str | None = None):
+    """Streaming → graph ingestion: LWW-upsert every micro-batch into a
+    catalog ``Group`` via foreachBatch (the streaming twin of the bulk
+    scan→update mutation path; reference intent: continuous ``upset``,
+    UpsetPlan.cpp:88-127).
+
+    Within each batch one row per key survives — max ``version_col``,
+    ties (and the no-version case) broken by the max struct of the
+    remaining columns, so ingestion is deterministic regardless of batch
+    partitioning.  The merge is new-keys-override (anti-join + union),
+    identical to the engine's LWW semantics, and the merged state is
+    eagerly localCheckpointed per batch: foreachBatch frames are only
+    valid inside the callback, and an unbounded stream must not accrete
+    lineage.  State lives driver-side only as a plan handle — the data
+    stays distributed."""
+    def _merge(batch_df, batch_id):
+        cols = [c for c in batch_df.columns if c != key_col]
+        order = ([F.col(version_col)] if version_col else []) + \
+            [F.col(c) for c in cols if c != version_col]
+        dedup = (batch_df.groupBy(F.col(key_col).alias("id"))
+                 .agg(F.max(F.struct(*order)).alias("_s"))
+                 .select("id", *[F.col(f"_s.{c}").alias(c)
+                                 for c in ([version_col] if version_col else [])
+                                 + [c for c in cols if c != version_col]]))
+        if not dedup.take(1):
+            return
+        if group.bulk_df is None:
+            group.register_df(dedup.localCheckpoint(eager=True),
+                              key_col="id")
+        else:
+            merged = (group.bulk_df.join(dedup.select("id"), "id",
+                                         "left_anti")
+                      .unionByName(dedup, allowMissingColumns=True))
+            group.bulk_df = merged.localCheckpoint(eager=True)
+        group._invalidate()
+
+    return (stream_df.writeStream.foreachBatch(_merge)
+            .option("checkpointLocation", checkpoint)
+            .trigger(availableNow=True).start())

@@ -176,3 +176,62 @@ def test_stream_to_parquet_resume_no_duplicates(spark, event_dir, tmp_path):
                            out_dir, ckpt)
     q2.awaitTermination(120)
     assert spark.read.parquet(out_dir).count() == total
+
+
+def test_stream_upsert_vertices_lww(spark, tmp_path):
+    """Streaming → graph ingestion: two micro-batches LWW-merge into a
+    catalog Group; the later batch's rows win on key collision."""
+    import glob
+    import shutil
+
+    from gqlite_spark.catalog import Graph
+    from gqlite_spark.streaming.events import stream_upsert_vertices
+
+    src = tmp_path / "src"
+    src.mkdir()
+
+    def _one_file(rows, name, mtime):
+        stage = str(tmp_path / ("stage_" + name))
+        spark.createDataFrame(
+            rows, "id long, score double, tag string").coalesce(1) \
+            .write.mode("overwrite").parquet(stage)
+        part = glob.glob(stage + "/part-*.parquet")[0]
+        dest = str(src / name)
+        shutil.move(part, dest)
+        os.utime(dest, (mtime, mtime))
+
+    _one_file([(1, 10.0, "a"), (2, 20.0, "b")], "b1.parquet", 1_000_000)
+    _one_file([(2, 99.0, "b2"), (3, 30.0, "c")], "b2.parquet", 1_000_100)
+
+    g = Graph(spark, "stream_g").create_group("user")
+    stream = (spark.readStream.format("parquet")
+              .schema("id long, score double, tag string")
+              .option("maxFilesPerTrigger", 1).load(str(src)))
+    q = stream_upsert_vertices(stream, g, str(tmp_path / "ckpt"))
+    q.awaitTermination(120)
+
+    got = {r["id"]: (r["score"], r["tag"]) for r in g.to_df().collect()}
+    assert got == {1: (10.0, "a"), 2: (99.0, "b2"), 3: (30.0, "c")}
+
+
+def test_stream_upsert_within_batch_version_wins(spark, tmp_path):
+    """Same-batch duplicate keys resolve by max version_col, not file
+    order."""
+    from gqlite_spark.catalog import Graph
+    from gqlite_spark.streaming.events import stream_upsert_vertices
+
+    src = tmp_path / "src"
+    src.mkdir()
+    spark.createDataFrame(
+        [(1, 5, 1.0), (1, 9, 2.0), (1, 7, 3.0), (2, 1, 4.0)],
+        "id long, ver long, score double").repartition(2) \
+        .write.mode("overwrite").parquet(str(src))
+
+    g = Graph(spark, "stream_g2").create_group("user")
+    stream = (spark.readStream.format("parquet")
+              .schema("id long, ver long, score double").load(str(src)))
+    q = stream_upsert_vertices(stream, g, str(tmp_path / "ckpt"),
+                               version_col="ver")
+    q.awaitTermination(120)
+    got = {r["id"]: (r["ver"], r["score"]) for r in g.to_df().collect()}
+    assert got == {1: (9, 2.0), 2: (1, 4.0)}
