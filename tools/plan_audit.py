@@ -31,6 +31,7 @@ def main() -> None:
     spark = get_spark()
     spark.sparkContext.setLogLevel("ERROR")
     audited = ["scan_filter_eq", "point_lookup", "pricing_summary",
+               "graph_node_jaccard", "text_repetition", "text_tfidf",
                "join_region_revenue", "join_2hop_revenue", "topk_orders",
                "knn_near_limit", "upsert_lww", "window_tumbling",
                "dedup_exact", "sim_knn_join"]

@@ -50,7 +50,30 @@ def main() -> None:
     t = time.time()
     reach = k_hop(e, 0, 2, direction="->").count()
     print(f"k_hop(2): {time.time()-t:.1f}s  reached={reach:,}")
+
+    from gqlite_spark.operators.graph_algos import (k_core,
+                                                    label_propagation,
+                                                    neighborhood_jaccard)
+    t = time.time()
+    core = k_core(e, k=15).count()
+    print(f"k_core(15): {time.time()-t:.1f}s  in_core={core:,}")
+
+    t = time.time()
+    nlab = (label_propagation(e, iterations=3)
+            .select("label").distinct().count())
+    print(f"label_propagation(3 iters): {time.time()-t:.1f}s  labels={nlab:,}")
     e.unpersist()
+
+    # wedge-join Jaccard is O(sum deg^2) — probe on a thinner slice so the
+    # wedge count (~n_verts * avgdeg^2) stays representative of a per-
+    # partition workload, not a stress test of local[32]'s single JVM
+    ej = e.filter(F.pmod(F.xxhash64("src", "dst"), F.lit(4)) == 0).persist()
+    nej = ej.count()
+    t = time.time()
+    npairs = neighborhood_jaccard(ej).count()
+    print(f"neighborhood_jaccard({nej:,} edges): {time.time()-t:.1f}s  "
+          f"pairs={npairs:,}")
+    ej.unpersist()
 
     # synthetic near-dup corpus: base docs + mutated copies
     words = F.transform(F.sequence(F.lit(1), F.lit(80)),
@@ -166,6 +189,22 @@ def main() -> None:
     t = time.time()
     nf = winnow_fingerprints(corpus.limit(100_000), k=8, w=4).count()
     print(f"winnow_fp(100k docs): {time.time()-t:.1f}s  fingerprints={nf:,}")
+
+    # repetition metrics: per-row array expressions, zero shuffle
+    from gqlite_spark.operators.text import repetition_metrics, \
+        tfidf_top_terms
+    t = time.time()
+    # aggregate over a computed column — a bare count() would skip the
+    # projection entirely and measure nothing
+    nr = (repetition_metrics(corpus)
+          .agg(F.sum("dup_3gram_frac")).collect()[0][0])
+    print(f"repetition_metrics({n_corpus:,} docs): {time.time()-t:.1f}s")
+
+    # tf-idf: explode + (doc,term) groupBy + broadcast idf join
+    t = time.time()
+    nt = tfidf_top_terms(corpus, k=5).count()
+    print(f"tfidf_top_terms({n_corpus:,} docs): {time.time()-t:.1f}s  "
+          f"rows={nt:,}")
     corpus.unpersist()
 
     # stratified sample over 10M rows: scan-only predicate, no shuffle
