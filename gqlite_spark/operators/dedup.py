@@ -368,7 +368,11 @@ def embedding_near_dups(df: DataFrame, id_col: str = "vec_id",
       same-bucket pairs in any table are compared — then the TRUE cosine is
       computed on candidates only.  Precision stays exact; recall is
       probabilistic but high for near-dup thresholds (θ = arccos(0.99) ≈ 8°
-      → per-table collision ≈ 0.96^planes; 4 tables at 8 planes ≈ 0.99).
+      → per-table collision ≈ 0.96^planes; 4 tables at 8 planes ≈ 0.99 —
+      but rows that land in OVERFLOWED coarse buckets are re-bucketed on
+      planes+8 bits, where per-table collision drops to 0.96^(planes+8);
+      on heavily skewed corpora where many rows sit in hot buckets,
+      budget recall with the refined exponent, not the coarse one).
       The candidate join is keyed on (table, bucket) — near-linear at
       100 TB, never a cartesian product.
 

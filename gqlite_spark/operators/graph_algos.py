@@ -515,7 +515,7 @@ def neighborhood_jaccard(edges: DataFrame) -> DataFrame:
            .distinct())
     deg = sym.groupBy(F.col("src").alias("id")) \
              .agg(F.count("*").alias("deg"))
-    canon = sym.filter(F.col("src") < F.col("dst")).cache()
+    canon = sym.filter(F.col("src") < F.col("dst"))
     a, b = sym.alias("a"), sym.alias("b")
     common = (a.join(b, F.col("a.src") == F.col("b.src"))
               .filter(F.col("a.dst") < F.col("b.dst"))

@@ -247,17 +247,21 @@ def tfidf_top_terms(df: DataFrame, k: int = 5, id_col: str = "doc_id",
     Scale shape: one explode + groupBy keyed on (doc, term) for term
     frequencies; document frequencies aggregate the (doc, term) table
     (vocabulary-sized result) and come back as a BROADCAST join — the fact
-    table never shuffles twice.  Top-k per doc is a window over the doc's
-    own terms (partition = doc, bounded by vocabulary)."""
+    table never shuffles twice.  The corpus size enters the plan as a
+    lazy broadcast scalar (crossJoin on a 1-row aggregate), NOT an eager
+    df.count() — no extra scan job at plan-construction time.  Top-k per
+    doc is a window over the doc's own terms (partition = doc, bounded by
+    vocabulary)."""
     from pyspark.sql import Window
-    n_docs = df.count()
+    n_docs = df.agg(F.count("*").alias("_n"))
     tf = (df.select(F.col(id_col),
                     F.explode(F.split(F.col(text_col), " ")).alias("term"))
           .groupBy(id_col, "term").agg(F.count("*").alias("tf")))
     dfreq = tf.groupBy("term").agg(F.count("*").alias("df"))
-    idf = dfreq.select(
-        "term", (F.log((1.0 + n_docs) / (1.0 + F.col("df"))) + 1.0)
-        .alias("idf"))
+    idf = (dfreq.crossJoin(F.broadcast(n_docs))
+           .select("term",
+                   (F.log((1.0 + F.col("_n")) / (1.0 + F.col("df"))) + 1.0)
+                   .alias("idf")))
     w = Window.partitionBy(id_col).orderBy(
         (F.col("tf") * F.col("idf")).desc(), F.col("term").asc())
     return (tf.join(F.broadcast(idf), "term")

@@ -155,7 +155,8 @@ def stream_to_parquet(stream_df: DataFrame, path: str, checkpoint: str,
             .start())
 
 
-def stream_upsert_vertices(stream_df: DataFrame, group, checkpoint: str,
+def stream_upsert_vertices(stream_df: DataFrame, group,
+                           checkpoint: str | None = None,
                            key_col: str = "id",
                            version_col: str | None = None):
     """Streaming → graph ingestion: LWW-upsert every micro-batch into a
@@ -163,36 +164,60 @@ def stream_upsert_vertices(stream_df: DataFrame, group, checkpoint: str,
     scan→update mutation path; reference intent: continuous ``upset``,
     UpsetPlan.cpp:88-127).
 
-    Within each batch one row per key survives — max ``version_col``,
-    ties (and the no-version case) broken by the max struct of the
-    remaining columns, so ingestion is deterministic regardless of batch
-    partitioning.  The merge is new-keys-override (anti-join + union),
-    identical to the engine's LWW semantics, and the merged state is
-    eagerly localCheckpointed per batch: foreachBatch frames are only
-    valid inside the callback, and an unbounded stream must not accrete
-    lineage.  State lives driver-side only as a plan handle — the data
-    stays distributed."""
-    def _merge(batch_df, batch_id):
-        cols = [c for c in batch_df.columns if c != key_col]
-        order = ([F.col(version_col)] if version_col else []) + \
+    Semantics: with ``version_col``, the GLOBAL max-version row per key
+    wins — the merge re-reduces old state ∪ new batch, so the result is
+    independent of how rows fall into micro-batches and an out-of-order
+    batch cannot regress a newer write.  Without ``version_col``,
+    arrival order wins (later batches override; within a batch the max
+    struct of the columns is the deterministic tie-break).
+
+    The merged state is eagerly localCheckpointed once per batch
+    (foreachBatch frames are only valid inside the callback, and an
+    unbounded stream must not accrete lineage); state lives driver-side
+    only as a plan handle — the data stays distributed.
+
+    ``checkpoint``: a Structured Streaming checkpointLocation replays
+    only UNSEEN source files — pair it with a Graph persisted via
+    ``Graph.save``/``load``.  Reusing a checkpoint with a fresh, empty
+    Group would skip the already-committed batches; leave it None
+    (default) for re-runnable ingestion into ephemeral groups."""
+    def _reduce(df, cols):
+        order = ([F.col(version_col)] if version_col and
+                 version_col in cols else []) + \
             [F.col(c) for c in cols if c != version_col]
-        dedup = (batch_df.groupBy(F.col(key_col).alias("id"))
-                 .agg(F.max(F.struct(*order)).alias("_s"))
-                 .select("id", *[F.col(f"_s.{c}").alias(c)
-                                 for c in ([version_col] if version_col else [])
-                                 + [c for c in cols if c != version_col]]))
-        if not dedup.take(1):
+        names = ([version_col] if version_col and version_col in cols
+                 else []) + [c for c in cols if c != version_col]
+        return (df.groupBy("id")
+                .agg(F.max(F.struct(*order)).alias("_s"))
+                .select("id", *[F.col(f"_s.{c}").alias(c) for c in names]))
+
+    def _merge(batch_df, batch_id):
+        if not batch_df.take(1):
             return
+        cols = [c for c in batch_df.columns if c != key_col]
+        dedup = _reduce(batch_df.withColumnRenamed(key_col, "id"), cols)
         if group.bulk_df is None:
-            group.register_df(dedup.localCheckpoint(eager=True),
-                              key_col="id")
+            merged = dedup
+        elif version_col:
+            # version-aware merge: re-reduce old ∪ new so max version
+            # wins across batch boundaries (a null version — e.g. rows
+            # that predate the stream — loses to any versioned row:
+            # struct-max sorts nulls first)
+            both = group.bulk_df.unionByName(dedup,
+                                             allowMissingColumns=True)
+            merged = _reduce(both, [c for c in both.columns if c != "id"])
         else:
             merged = (group.bulk_df.join(dedup.select("id"), "id",
                                          "left_anti")
                       .unionByName(dedup, allowMissingColumns=True))
-            group.bulk_df = merged.localCheckpoint(eager=True)
+        # register_df (not a bare bulk_df assignment) so meta.props
+        # accretes any columns this stream introduces — to_df() projects
+        # through the schema, and unregistered columns would be invisible
+        group.register_df(merged.localCheckpoint(eager=True),
+                          key_col="id")
         group._invalidate()
 
-    return (stream_df.writeStream.foreachBatch(_merge)
-            .option("checkpointLocation", checkpoint)
-            .trigger(availableNow=True).start())
+    w = stream_df.writeStream.foreachBatch(_merge)
+    if checkpoint:
+        w = w.option("checkpointLocation", checkpoint)
+    return w.trigger(availableNow=True).start()

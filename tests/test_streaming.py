@@ -235,3 +235,68 @@ def test_stream_upsert_within_batch_version_wins(spark, tmp_path):
     q.awaitTermination(120)
     got = {r["id"]: (r["ver"], r["score"]) for r in g.to_df().collect()}
     assert got == {1: (9, 2.0), 2: (1, 4.0)}
+
+
+def test_stream_upsert_version_wins_across_batches(spark, tmp_path):
+    """A later micro-batch carrying a STALE version must not regress a
+    newer write: final state is the global max-version row per key."""
+    import glob
+    import shutil
+
+    from gqlite_spark.catalog import Graph
+    from gqlite_spark.streaming.events import stream_upsert_vertices
+
+    src = tmp_path / "src"
+    src.mkdir()
+
+    def _one_file(rows, name, mtime):
+        stage = str(tmp_path / ("stage_" + name))
+        spark.createDataFrame(
+            rows, "id long, ver long, score double").coalesce(1) \
+            .write.mode("overwrite").parquet(stage)
+        part = glob.glob(stage + "/part-*.parquet")[0]
+        dest = str(src / name)
+        shutil.move(part, dest)
+        os.utime(dest, (mtime, mtime))
+
+    _one_file([(1, 9, 1.0), (2, 1, 2.0)], "b1.parquet", 1_000_000)
+    _one_file([(1, 5, 11.0), (3, 2, 3.0)], "b2.parquet", 1_000_100)
+
+    g = Graph(spark, "stream_g3").create_group("user")
+    stream = (spark.readStream.format("parquet")
+              .schema("id long, ver long, score double")
+              .option("maxFilesPerTrigger", 1).load(str(src)))
+    q = stream_upsert_vertices(stream, g, str(tmp_path / "ckpt"),
+                               version_col="ver")
+    q.awaitTermination(120)
+    got = {r["id"]: (r["ver"], r["score"]) for r in g.to_df().collect()}
+    # key 1: ver=9 from batch 1 survives the stale ver=5 in batch 2
+    assert got == {1: (9, 1.0), 2: (1, 2.0), 3: (2, 3.0)}
+
+
+def test_stream_upsert_accretes_new_columns(spark, tmp_path):
+    """Streaming into a group with pre-existing bulk data must register
+    the stream's new columns in the group schema (not silently drop
+    them in to_df())."""
+    from gqlite_spark.catalog import Graph
+    from gqlite_spark.streaming.events import stream_upsert_vertices
+
+    g = Graph(spark, "stream_g4")
+    grp = g.create_group("user")
+    grp.register_df(spark.createDataFrame([(1, "ann")],
+                                          "id long, name string"))
+    src = tmp_path / "src"
+    src.mkdir()
+    spark.createDataFrame([(10, 0.5, "t")],
+                          "id long, score double, tag string") \
+        .coalesce(1).write.mode("overwrite").parquet(str(src))
+
+    stream = (spark.readStream.format("parquet")
+              .schema("id long, score double, tag string").load(str(src)))
+    q = stream_upsert_vertices(stream, grp)
+    q.awaitTermination(120)
+    out = grp.to_df()
+    assert {"id", "name", "score", "tag"} <= set(out.columns)
+    rows = {r["id"]: r for r in out.collect()}
+    assert rows[10]["score"] == 0.5 and rows[10]["tag"] == "t"
+    assert rows[1]["name"] == "ann"
