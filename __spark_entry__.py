@@ -465,6 +465,14 @@ def q_node_jaccard(spark, sf_dir):
     return neighborhood_jaccard(clique_bridge_edges(spark, sf_dir))
 
 
+def q_clustering_coef(spark, sf_dir):
+    """Local clustering coefficient on the clique-bridge graph (clique
+    interiors 1.0, bridge-path nodes 0.0)."""
+    from gqlite_spark.operators.graph_algos import clustering_coefficient
+    from gqlite_spark.sources.testdata import clique_bridge_edges
+    return clustering_coefficient(clique_bridge_edges(spark, sf_dir))
+
+
 # --------------------------------------------------------------------------
 # Dedup / text analysis / similarity (beyond-reference pipeline operators)
 # --------------------------------------------------------------------------
@@ -794,6 +802,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_kcore": q_kcore,
         "graph_label_prop": q_label_prop,
         "graph_node_jaccard": q_node_jaccard,
+        "graph_clustering_coef": q_clustering_coef,
         "stats_entropy_gain": q_entropy,
         "hmm_viterbi": q_hmm_viterbi,
         "hmm_forward": q_hmm_forward,
@@ -1152,6 +1161,23 @@ def _label_prop_sql(iterations: int = 4) -> str:
     return body + f"\nSELECT id, label FROM l{iterations}"
 
 
+_CLUSTERING_COEF_SQL = f"""\
+WITH {_CLIQUE_BRIDGE_E},
+deg AS (SELECT src AS id, COUNT(*) AS d FROM e GROUP BY src),
+canon AS (SELECT src AS a, dst AS b FROM e WHERE src < dst),
+tris AS (SELECT x.a AS a, x.b AS b, y.b AS c
+  FROM canon x JOIN canon y ON y.a = x.b
+  JOIN canon z ON z.a = x.a AND z.b = y.b),
+per AS (SELECT id, COUNT(*) AS t FROM (
+  SELECT a AS id FROM tris UNION ALL SELECT b FROM tris
+  UNION ALL SELECT c FROM tris) GROUP BY id)
+SELECT deg.id, deg.d AS degree, COALESCE(per.t, 0) AS triangles,
+  CASE WHEN deg.d >= 2
+       THEN round(COALESCE(per.t, 0) / (deg.d * (deg.d - 1) / 2), 4)
+       ELSE 0.0 END AS coefficient
+FROM deg LEFT JOIN per ON per.id = deg.id"""
+
+
 _NODE_JACCARD_SQL = f"""\
 WITH {_CLIQUE_BRIDGE_E},
 deg AS (SELECT src AS id, COUNT(*) AS d FROM e GROUP BY src),
@@ -1338,6 +1364,7 @@ def oracle_sql() -> dict[str, str]:
         "graph_kcore": _kcore_sql(3, 8),
         "graph_label_prop": _label_prop_sql(4),
         "graph_node_jaccard": _NODE_JACCARD_SQL,
+        "graph_clustering_coef": _CLUSTERING_COEF_SQL,
         "graph_random_walk": _random_walk_sql(4, 42),
         "dedup_minhash_lsh": _MINHASH_ORACLE_SQL,
         "sim_ann_lsh": _ann_lsh_sql(64, 4, 2, 10),

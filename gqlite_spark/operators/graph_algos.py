@@ -533,3 +533,25 @@ def neighborhood_jaccard(edges: DataFrame) -> DataFrame:
                            (F.col("deg_a") + F.col("deg_b") -
                             F.col("common")), 4).alias("jaccard")))
     return out
+
+
+def clustering_coefficient(edges: DataFrame) -> DataFrame:
+    """Local clustering coefficient per vertex: triangles(v) /
+    C(degree(v), 2) — how close the neighborhood is to a clique (0.0 for
+    degree < 2).  Composes :func:`triangle_count` (canonical-orientation
+    wedge join) with the degree aggregate; both shuffle keyed on vertex
+    id, so the composition adds one outer join on id and nothing else.
+    Returns (id, degree, triangles, coefficient round 4)."""
+    und = (normalize_edges(edges, undirected=True)
+           .select("src", "dst").filter(F.col("src") != F.col("dst"))
+           .distinct())
+    deg = und.groupBy(F.col("src").alias("id")) \
+             .agg(F.count("*").alias("degree"))
+    tri = triangle_count(edges)
+    possible = F.col("degree") * (F.col("degree") - 1) / 2
+    return (deg.join(tri, "id", "left")
+            .fillna(0, subset=["triangles"])
+            .select("id", "degree", "triangles",
+                    F.when(F.col("degree") >= 2,
+                           F.round(F.col("triangles") / possible, 4))
+                    .otherwise(F.lit(0.0)).alias("coefficient")))

@@ -179,3 +179,17 @@ def test_neighborhood_jaccard_known_values(spark):
     assert j[(3, 4)] == 0.4
     # pendant edge (4,5): N(5)={4}, no common neighbors → 0.0
     assert j[(4, 5)] == 0.0
+
+
+def test_clustering_coefficient_known(spark):
+    from gqlite_spark.operators.graph_algos import clustering_coefficient
+    # K4 over {1,2,3,4} + pendant 4-5: interior nodes are fully clustered
+    e = spark.createDataFrame(
+        [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4), (4, 5)],
+        "src long, dst long")
+    c = {r["id"]: r for r in clustering_coefficient(e).collect()}
+    assert c[1]["coefficient"] == 1.0          # 3 triangles / C(3,2)=3
+    # node 4: degree 4, triangles 3, C(4,2)=6 → 0.5
+    assert c[4]["degree"] == 4 and c[4]["triangles"] == 3
+    assert c[4]["coefficient"] == 0.5
+    assert c[5]["coefficient"] == 0.0 and c[5]["degree"] == 1
