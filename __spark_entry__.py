@@ -473,6 +473,14 @@ def q_clustering_coef(spark, sf_dir):
     return clustering_coefficient(clique_bridge_edges(spark, sf_dir))
 
 
+def q_closeness(spark, sf_dir):
+    """Exact closeness centrality (all-sources multi-source BFS) on the
+    clique-bridge graph — two components, so reachable counts differ."""
+    from gqlite_spark.operators.graph_algos import closeness_centrality
+    from gqlite_spark.sources.testdata import clique_bridge_edges
+    return closeness_centrality(clique_bridge_edges(spark, sf_dir))
+
+
 # --------------------------------------------------------------------------
 # Dedup / text analysis / similarity (beyond-reference pipeline operators)
 # --------------------------------------------------------------------------
@@ -803,6 +811,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_label_prop": q_label_prop,
         "graph_node_jaccard": q_node_jaccard,
         "graph_clustering_coef": q_clustering_coef,
+        "graph_closeness": q_closeness,
         "stats_entropy_gain": q_entropy,
         "hmm_viterbi": q_hmm_viterbi,
         "hmm_forward": q_hmm_forward,
@@ -1178,6 +1187,26 @@ SELECT deg.id, deg.d AS degree, COALESCE(per.t, 0) AS triangles,
 FROM deg LEFT JOIN per ON per.id = deg.id"""
 
 
+def _closeness_sql(rounds: int = 8) -> str:
+    """Multi-source BFS unroll: round k takes the min distance over
+    round k-1 ∪ one-step expansions; 8 rounds covers the fixture's
+    diameter (6) with slack."""
+    parts = [f"WITH {_CLIQUE_BRIDGE_E},",
+             "v AS (SELECT DISTINCT src AS id FROM e),",
+             "d0 AS (SELECT id AS s, id AS v, 0 AS d FROM v),"]
+    for k in range(1, rounds + 1):
+        parts.append(
+            f"d{k} AS (SELECT s, v, MIN(d) AS d FROM ("
+            f"SELECT s, v, d FROM d{k-1}"
+            f" UNION ALL SELECT p.s, e.dst AS v, p.d + 1 AS d"
+            f" FROM d{k-1} p JOIN e ON e.src = p.v) GROUP BY s, v),")
+    body = "\n".join(parts).rstrip(",")
+    return (body + f"\nSELECT s AS id, COUNT(*) AS reachable,"
+            f" CASE WHEN SUM(d) > 0 THEN"
+            f" round((COUNT(*) - 1) / SUM(d), 4)"
+            f" ELSE 0.0 END AS closeness FROM d{rounds} GROUP BY s")
+
+
 _NODE_JACCARD_SQL = f"""\
 WITH {_CLIQUE_BRIDGE_E},
 deg AS (SELECT src AS id, COUNT(*) AS d FROM e GROUP BY src),
@@ -1365,6 +1394,7 @@ def oracle_sql() -> dict[str, str]:
         "graph_label_prop": _label_prop_sql(4),
         "graph_node_jaccard": _NODE_JACCARD_SQL,
         "graph_clustering_coef": _CLUSTERING_COEF_SQL,
+        "graph_closeness": _closeness_sql(8),
         "graph_random_walk": _random_walk_sql(4, 42),
         "dedup_minhash_lsh": _MINHASH_ORACLE_SQL,
         "sim_ann_lsh": _ann_lsh_sql(64, 4, 2, 10),

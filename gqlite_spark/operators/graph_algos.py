@@ -555,3 +555,51 @@ def clustering_coefficient(edges: DataFrame) -> DataFrame:
                     F.when(F.col("degree") >= 2,
                            F.round(F.col("triangles") / possible, 4))
                     .otherwise(F.lit(0.0)).alias("coefficient")))
+
+
+def closeness_centrality(edges: DataFrame, sources: "Optional[list]" = None,
+                         max_iter: int = 64) -> DataFrame:
+    """Closeness centrality by multi-source BFS: closeness(v) =
+    (reachable−1) / Σ dist(v,·) over v's connected component (0.0 for
+    isolated sources).  ``sources`` restricts the computation to landmark
+    vertices — the standard approximation at scale, where all-sources
+    state (O(n·k) pairs) is the cost driver; None = every vertex (exact).
+
+    Each superstep expands the frontier through one join keyed on the
+    current vertex and discovers first-arrival (= minimal) distances via
+    an anti-join on (source, vertex) — no min-aggregate needed, BFS layer
+    order guarantees minimality.  State only grows, so the fixpoint is
+    "no new pairs".  Returns (id, reachable, closeness round 4)."""
+    with _iterative_shuffle_scope(edges):
+        e = (normalize_edges(edges, undirected=True)
+             .select("src", "dst").filter(F.col("src") != F.col("dst"))
+             .distinct().cache())
+        verts = e.select(F.col("src").alias("id")).distinct()
+        srcs = (verts.filter(F.col("id").isin(sources)) if sources
+                else verts)
+        dist = srcs.select(F.col("id").alias("s"), F.col("id").alias("v"),
+                           F.lit(0).alias("d"))
+        frontier = dist
+        for _ in range(max_iter):
+            nxt = (frontier.join(e, frontier.v == e.src)
+                   .select("s", F.col("dst").alias("v"),
+                           (F.col("d") + 1).alias("d"))
+                   .distinct()
+                   .join(dist.select("s", "v"), ["s", "v"], "left_anti"))
+            nxt = _ckpt(nxt)
+            if not nxt.take(1):
+                break
+            # dist is a union of already-checkpointed frontiers — plan
+            # grows O(diameter) in width but every leaf is materialized,
+            # so re-checkpointing the union would only add an action
+            dist = dist.unionByName(nxt)
+            frontier = nxt
+        e.unpersist()
+        return (dist.groupBy(F.col("s").alias("id"))
+                .agg(F.count("*").alias("reachable"),
+                     F.sum("d").alias("_sum"))
+                .select("id", "reachable",
+                        F.when(F.col("_sum") > 0,
+                               F.round((F.col("reachable") - 1)
+                                       / F.col("_sum"), 4))
+                        .otherwise(F.lit(0.0)).alias("closeness")))

@@ -193,3 +193,25 @@ def test_clustering_coefficient_known(spark):
     assert c[4]["degree"] == 4 and c[4]["triangles"] == 3
     assert c[4]["coefficient"] == 0.5
     assert c[5]["coefficient"] == 0.0 and c[5]["degree"] == 1
+
+
+def test_closeness_centrality_path(spark):
+    from gqlite_spark.operators.graph_algos import closeness_centrality
+    # path 1-2-3: center has dist sum 2, ends 3
+    e = spark.createDataFrame([(1, 2), (2, 3)], "src long, dst long")
+    c = {r["id"]: r for r in closeness_centrality(e).collect()}
+    assert c[2]["closeness"] == 1.0            # (3-1)/2
+    assert c[1]["closeness"] == round(2 / 3, 4)
+    assert c[1]["reachable"] == 3
+
+
+def test_closeness_centrality_landmarks_and_components(spark):
+    from gqlite_spark.operators.graph_algos import closeness_centrality
+    # two components; landmark restriction computes only the asked rows
+    e = spark.createDataFrame([(1, 2), (10, 11), (11, 12)],
+                              "src long, dst long")
+    all_rows = {r["id"]: r for r in closeness_centrality(e).collect()}
+    assert all_rows[1]["reachable"] == 2 and all_rows[10]["reachable"] == 3
+    lm = closeness_centrality(e, sources=[11]).collect()
+    assert len(lm) == 1 and lm[0]["id"] == 11
+    assert lm[0]["closeness"] == 1.0           # dist sum 2, reachable 3

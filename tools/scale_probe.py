@@ -62,6 +62,12 @@ def main() -> None:
     nlab = (label_propagation(e, iterations=3)
             .select("label").distinct().count())
     print(f"label_propagation(3 iters): {time.time()-t:.1f}s  labels={nlab:,}")
+
+    from gqlite_spark.operators.graph_algos import closeness_centrality
+    t = time.time()
+    cl = closeness_centrality(e, sources=[0, 1, 2, 3], max_iter=8).collect()
+    print(f"closeness(4 landmarks, ≤8 hops): {time.time()-t:.1f}s  "
+          f"{[(r['id'], r['reachable']) for r in sorted(cl)[:2]]}")
     e.unpersist()
 
     # wedge-join Jaccard is O(sum deg^2) — probe on a thinner slice so the
