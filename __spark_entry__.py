@@ -481,6 +481,15 @@ def q_closeness(spark, sf_dir):
     return closeness_centrality(clique_bridge_edges(spark, sf_dir))
 
 
+def q_betweenness(spark, sf_dir):
+    """Exact Brandes betweenness on the region chains (path graphs: all
+    sigma/delta values stay integral, so the float sums are
+    order-independent and the oracle hashes bit-exact)."""
+    from gqlite_spark.operators.graph_algos import betweenness_centrality
+    from gqlite_spark.sources.testdata import region_chain_edges
+    return betweenness_centrality(region_chain_edges(spark, sf_dir))
+
+
 # --------------------------------------------------------------------------
 # Dedup / text analysis / similarity (beyond-reference pipeline operators)
 # --------------------------------------------------------------------------
@@ -812,6 +821,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_node_jaccard": q_node_jaccard,
         "graph_clustering_coef": q_clustering_coef,
         "graph_closeness": q_closeness,
+        "graph_betweenness": q_betweenness,
         "stats_entropy_gain": q_entropy,
         "hmm_viterbi": q_hmm_viterbi,
         "hmm_forward": q_hmm_forward,
@@ -1143,10 +1153,10 @@ def _kcore_sql(k: int = 3, rounds: int = 8) -> str:
              "a0 AS (SELECT DISTINCT src AS id FROM e),"]
     for n in range(1, rounds + 1):
         parts.append(
-            f"d{n} AS (SELECT e.src AS id, COUNT(*) AS c FROM e"
+            f"d{n} AS MATERIALIZED (SELECT e.src AS id, COUNT(*) AS c FROM e"
             f" JOIN a{n-1} s ON e.src = s.id"
             f" JOIN a{n-1} t ON e.dst = t.id GROUP BY e.src),")
-        parts.append(f"a{n} AS (SELECT id FROM d{n} WHERE c >= {k}),")
+        parts.append(f"a{n} AS MATERIALIZED (SELECT id FROM d{n} WHERE c >= {k}),")
     body = "\n".join(parts).rstrip(",")
     return (body + f"\nSELECT id, c AS core_degree FROM d{rounds}"
             f" WHERE c >= {k}")
@@ -1160,10 +1170,10 @@ def _label_prop_sql(iterations: int = 4) -> str:
              "l0 AS (SELECT id, id AS label FROM v),"]
     for n in range(1, iterations + 1):
         parts.append(
-            f"c{n} AS (SELECT e.dst AS id, l.label, COUNT(*) AS c FROM e"
+            f"c{n} AS MATERIALIZED (SELECT e.dst AS id, l.label, COUNT(*) AS c FROM e"
             f" JOIN l{n-1} l ON l.id = e.src GROUP BY e.dst, l.label),")
         parts.append(
-            f"l{n} AS (SELECT id, label FROM (SELECT id, label,"
+            f"l{n} AS MATERIALIZED (SELECT id, label FROM (SELECT id, label,"
             f" row_number() OVER (PARTITION BY id ORDER BY c DESC,"
             f" label ASC) AS rn FROM c{n}) WHERE rn = 1),")
     body = "\n".join(parts).rstrip(",")
@@ -1196,7 +1206,7 @@ def _closeness_sql(rounds: int = 8) -> str:
              "d0 AS (SELECT id AS s, id AS v, 0 AS d FROM v),"]
     for k in range(1, rounds + 1):
         parts.append(
-            f"d{k} AS (SELECT s, v, MIN(d) AS d FROM ("
+            f"d{k} AS MATERIALIZED (SELECT s, v, MIN(d) AS d FROM ("
             f"SELECT s, v, d FROM d{k-1}"
             f" UNION ALL SELECT p.s, e.dst AS v, p.d + 1 AS d"
             f" FROM d{k-1} p JOIN e ON e.src = p.v) GROUP BY s, v),")
@@ -1205,6 +1215,52 @@ def _closeness_sql(rounds: int = 8) -> str:
             f" CASE WHEN SUM(d) > 0 THEN"
             f" round((COUNT(*) - 1) / SUM(d), 4)"
             f" ELSE 0.0 END AS closeness FROM d{rounds} GROUP BY s")
+
+
+def _betweenness_sql(depth: int = 5) -> str:
+    """Brandes unroll on the region-chain fixture (max layer 4, 5 gives
+    slack): forward layers n1..nD count shortest paths (sigma, frontier
+    anti-joined against the cumulative visited set a{k}); backward layers
+    b{D}..b1 accumulate delta(u) = Σ σ(u)/σ(w)·(1+δ(w)) exactly as the
+    Spark loop sums the per-successor terms.  On path graphs every term
+    is integral, so cross-engine double sums are order-independent."""
+    parts = [
+        "WITH raw AS MATERIALIZED (SELECT CAST(a.n_nationkey AS BIGINT) AS src,"
+        " CAST(b.n_nationkey AS BIGINT) AS dst FROM nation a"
+        " JOIN nation b ON a.n_regionkey = b.n_regionkey"
+        " AND b.n_nationkey = (SELECT MIN(c.n_nationkey) FROM nation c"
+        " WHERE c.n_regionkey = a.n_regionkey"
+        " AND c.n_nationkey > a.n_nationkey)),",
+        "e AS MATERIALIZED (SELECT src, dst FROM raw UNION SELECT dst, src FROM raw),",
+        "v AS MATERIALIZED (SELECT DISTINCT src AS id FROM e),",
+        "n0 AS MATERIALIZED (SELECT id AS s, id AS v, CAST(1 AS BIGINT) AS sigma FROM v),",
+        "a0 AS MATERIALIZED (SELECT s, v FROM n0),",
+    ]
+    for k in range(1, depth + 1):
+        parts.append(
+            f"n{k} AS MATERIALIZED (SELECT p.s, e.dst AS v, SUM(p.sigma) AS sigma"
+            f" FROM n{k-1} p JOIN e ON e.src = p.v"
+            f" LEFT JOIN a{k-1} q ON q.s = p.s AND q.v = e.dst"
+            f" WHERE q.v IS NULL GROUP BY p.s, e.dst),")
+        parts.append(
+            f"a{k} AS MATERIALIZED (SELECT s, v FROM a{k-1}"
+            f" UNION ALL SELECT s, v FROM n{k}),")
+    parts.append(
+        f"b{depth} AS MATERIALIZED (SELECT s, v, sigma, CAST(0 AS DOUBLE) AS delta"
+        f" FROM n{depth}),")
+    for k in range(depth - 1, 0, -1):
+        parts.append(
+            f"b{k} AS MATERIALIZED (SELECT u.s, u.v, u.sigma,"
+            f" COALESCE(SUM(u.sigma * 1.0 / w.sigma * (1.0 + w.delta)),"
+            f" 0.0) AS delta"
+            f" FROM n{k} u LEFT JOIN e ON e.src = u.v"
+            f" LEFT JOIN b{k+1} w ON w.s = u.s AND w.v = e.dst"
+            f" GROUP BY u.s, u.v, u.sigma),")
+    body = "\n".join(parts).rstrip(",")
+    unions = " UNION ALL ".join(
+        f"SELECT s, v, delta FROM b{k}" for k in range(depth, 0, -1))
+    return (body + f"\nSELECT v AS id, round(SUM(delta) / 2.0, 4)"
+            f" AS betweenness FROM ({unions}) WHERE v <> s GROUP BY v")
 
 
 _NODE_JACCARD_SQL = f"""\
@@ -1234,7 +1290,7 @@ def _pagerank_sql(iterations: int = 10) -> str:
     ]
     for k in range(1, iterations + 1):
         parts.append(
-            f"r{k} AS (SELECT v.id AS id, 0.15 + 0.85 *"
+            f"r{k} AS MATERIALIZED (SELECT v.id AS id, 0.15 + 0.85 *"
             f" COALESCE(SUM(r{k-1}.rank / outdeg.d), 0) AS rank"
             f" FROM v LEFT JOIN e ON e.dst = v.id"
             f" LEFT JOIN r{k-1} ON r{k-1}.id = e.src"
@@ -1395,6 +1451,7 @@ def oracle_sql() -> dict[str, str]:
         "graph_node_jaccard": _NODE_JACCARD_SQL,
         "graph_clustering_coef": _CLUSTERING_COEF_SQL,
         "graph_closeness": _closeness_sql(8),
+        "graph_betweenness": _betweenness_sql(5),
         "graph_random_walk": _random_walk_sql(4, 42),
         "dedup_minhash_lsh": _MINHASH_ORACLE_SQL,
         "sim_ann_lsh": _ann_lsh_sql(64, 4, 2, 10),

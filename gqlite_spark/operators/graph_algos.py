@@ -603,3 +603,80 @@ def closeness_centrality(edges: DataFrame, sources: "Optional[list]" = None,
                                F.round((F.col("reachable") - 1)
                                        / F.col("_sum"), 4))
                         .otherwise(F.lit(0.0)).alias("closeness")))
+
+
+def betweenness_centrality(edges: DataFrame,
+                           sources: "Optional[list]" = None,
+                           max_iter: int = 64) -> DataFrame:
+    """Betweenness centrality via distributed Brandes: a layered
+    multi-source BFS counts shortest paths (sigma), then dependencies
+    (delta) accumulate backward layer by layer —
+    δ(u) = Σ_{w : succ} σ(u)/σ(w) · (1 + δ(w)).  Exact over the given
+    ``sources`` (None = all vertices); pass landmark sources at scale —
+    state is O(n·k) (source, vertex) pairs and the standard approximation
+    is uniformly-sampled sources.  Undirected; each unordered pair is
+    counted from both endpoints, so the final score is halved.  Returns
+    (id, betweenness round 4).
+
+    Every superstep (forward and backward) is one join keyed on the
+    frontier vertex + one groupBy keyed on (source, vertex) — the same
+    shuffle discipline as the other Pregel loops; per-layer states are
+    localCheckpointed, and the accumulated tables are unions of
+    checkpointed leaves."""
+    with _iterative_shuffle_scope(edges):
+        e = (normalize_edges(edges, undirected=True)
+             .select("src", "dst").filter(F.col("src") != F.col("dst"))
+             .distinct().cache())
+        verts = e.select(F.col("src").alias("id")).distinct()
+        srcs = (verts.filter(F.col("id").isin(sources)) if sources
+                else verts)
+        f = srcs.select(F.col("id").alias("s"), F.col("id").alias("v"),
+                        F.lit(0).alias("d"),
+                        F.lit(1).cast("long").alias("sigma"))
+        layers = [f]          # f[k] = (s, v, d=k, sigma), checkpointed
+        frontier = f
+        depth = 0
+        for k in range(1, max_iter + 1):
+            contrib = (frontier.join(e, frontier.v == e.src)
+                       .select("s", F.col("dst").alias("v"), "sigma"))
+            seen = f.select("s", "v")
+            newf = (contrib.groupBy("s", "v")
+                    .agg(F.sum("sigma").alias("sigma"))
+                    .join(seen, ["s", "v"], "left_anti")
+                    .select("s", "v", F.lit(k).alias("d"), "sigma"))
+            newf = _ckpt(newf)
+            if not newf.take(1):
+                break
+            layers.append(newf)
+            f = f.unionByName(newf)
+            depth = k
+            frontier = newf
+        # backward accumulation: delta = 0 at the deepest layer
+        acc = None
+        delta = layers[depth].select("s", "v", "sigma",
+                                     F.lit(0.0).alias("delta"))
+        for k in range(depth, 0, -1):
+            acc = delta if acc is None else acc.unionByName(delta)
+            preds = (delta.join(e, delta.v == e.dst)
+                     .select("s", F.col("src").alias("v"),
+                             (F.lit(1.0) + F.col("delta")).alias("w1"),
+                             F.col("sigma").alias("sigma_w")))
+            up = layers[k - 1]
+            contrib = (preds.join(up.select("s", "v", "sigma"), ["s", "v"])
+                       .select("s", "v", "sigma",
+                               (F.col("sigma") / F.col("sigma_w")
+                                * F.col("w1")).alias("c")))
+            delta = _ckpt(
+                up.select("s", "v", "sigma")
+                .join(contrib.groupBy("s", "v", "sigma")
+                      .agg(F.sum("c").alias("delta")),
+                      ["s", "v", "sigma"], "left")
+                .fillna(0.0, subset=["delta"]))
+        if acc is not None:
+            acc = acc.unionByName(delta)
+        else:
+            acc = delta
+        e.unpersist()
+        return (acc.filter(F.col("v") != F.col("s"))
+                .groupBy(F.col("v").alias("id"))
+                .agg(F.round(F.sum("delta") / 2.0, 4).alias("betweenness")))

@@ -215,3 +215,35 @@ def test_closeness_centrality_landmarks_and_components(spark):
     lm = closeness_centrality(e, sources=[11]).collect()
     assert len(lm) == 1 and lm[0]["id"] == 11
     assert lm[0]["closeness"] == 1.0           # dist sum 2, reachable 3
+
+
+def test_betweenness_path_graph(spark):
+    from gqlite_spark.operators.graph_algos import betweenness_centrality
+    # path 1-2-3-4-5: CB = i*(n-1-i) = 0,3,4,3,0
+    e = spark.createDataFrame([(1, 2), (2, 3), (3, 4), (4, 5)],
+                              "src long, dst long")
+    b = {r["id"]: r["betweenness"]
+         for r in betweenness_centrality(e).collect()}
+    assert b == {1: 0.0, 2: 3.0, 3: 4.0, 4: 3.0, 5: 0.0}
+
+
+def test_betweenness_diamond_splits_dependency(spark):
+    from gqlite_spark.operators.graph_algos import betweenness_centrality
+    # diamond 1-2-4, 1-3-4: two shortest paths per opposite pair → every
+    # vertex carries exactly half a pair's dependency
+    e = spark.createDataFrame([(1, 2), (1, 3), (2, 4), (3, 4)],
+                              "src long, dst long")
+    b = {r["id"]: r["betweenness"]
+         for r in betweenness_centrality(e).collect()}
+    assert b == {1: 0.5, 2: 0.5, 3: 0.5, 4: 0.5}
+
+
+def test_betweenness_landmark_subset(spark):
+    from gqlite_spark.operators.graph_algos import betweenness_centrality
+    # contributions only from the chosen source: for s=1 on the path,
+    # delta(2)=3, delta(3)=2, delta(4)=1 (halved by the undirected 1/2)
+    e = spark.createDataFrame([(1, 2), (2, 3), (3, 4), (4, 5)],
+                              "src long, dst long")
+    b = {r["id"]: r["betweenness"]
+         for r in betweenness_centrality(e, sources=[1]).collect()}
+    assert b[2] == 1.5 and b[3] == 1.0 and b[4] == 0.5 and b[5] == 0.0

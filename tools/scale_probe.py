@@ -68,6 +68,12 @@ def main() -> None:
     cl = closeness_centrality(e, sources=[0, 1, 2, 3], max_iter=8).collect()
     print(f"closeness(4 landmarks, ≤8 hops): {time.time()-t:.1f}s  "
           f"{[(r['id'], r['reachable']) for r in sorted(cl)[:2]]}")
+
+    from gqlite_spark.operators.graph_algos import betweenness_centrality
+    t = time.time()
+    nb = betweenness_centrality(e, sources=[0, 1], max_iter=6).count()
+    print(f"betweenness(2 landmarks, ≤6 hops): {time.time()-t:.1f}s  "
+          f"rows={nb:,}")
     e.unpersist()
 
     # wedge-join Jaccard is O(sum deg^2) — probe on a thinner slice so the
