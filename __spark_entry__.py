@@ -566,6 +566,12 @@ def q_text_tfidf(spark, sf_dir):
     return tfidf_top_terms(_load(spark, sf_dir, "documents"), k=5)
 
 
+def q_text_redact_pii(spark, sf_dir):
+    """PII scrub (emails/IPv4/phones → tokens) with audit counts."""
+    from gqlite_spark.operators.text import redact_pii
+    return redact_pii(_load(spark, sf_dir, "documents"))
+
+
 def q_cosine_topk(spark, sf_dir):
     from gqlite_spark.operators.similarity import cosine_topk
     emb = _load(spark, sf_dir, "embeddings")
@@ -851,6 +857,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_token_budget": q_text_token_budget,
         "text_winnow_fp": q_text_winnow_fp,
         "text_repetition": q_text_repetition,
+        "text_redact_pii": q_text_redact_pii,
         "text_tfidf": q_text_tfidf,
         "pack_sequences": q_pack_sequences,
     }
@@ -1299,6 +1306,11 @@ def _pagerank_sql(iterations: int = 10) -> str:
     return (body + f"\nSELECT id, round(rank, 6) AS rank FROM r{iterations}")
 
 
+from gqlite_spark.operators.text import (PII_EMAIL as _EMAIL,
+                                         PII_IPV4 as _IPV4,
+                                         PII_PHONE as _PHONE)
+
+
 def oracle_sql() -> dict[str, str]:
     langs = ["en", "es", "fr", "de"]
     marker = {L: _marker_sum_sql(ws) for L, ws in _LANG_MARKERS.items()}
@@ -1536,6 +1548,14 @@ def oracle_sql() -> dict[str, str]:
             f" CAST({lang_best} AS BIGINT) AS marker_hits FROM documents",
         "text_fingerprint":
             "SELECT doc_id, md5(lower(trim(text))) AS fingerprint FROM documents",
+        "text_redact_pii": (
+            "SELECT doc_id, regexp_replace(regexp_replace(regexp_replace("
+            f"text, '{_EMAIL}', '<EMAIL>', 'g'), '{_IPV4}', '<IP>', 'g'),"
+            f" '{_PHONE}', '<PHONE>', 'g') AS text,"
+            f" len(regexp_extract_all(text, '{_EMAIL}'))::BIGINT AS n_emails,"
+            f" len(regexp_extract_all(text, '{_IPV4}'))::BIGINT AS n_ipv4,"
+            f" len(regexp_extract_all(text, '{_PHONE}'))::BIGINT AS n_phones"
+            " FROM documents"),
         "text_repetition":
             "WITH base AS (SELECT doc_id, string_split(text, ' ') AS toks"
             " FROM documents),"

@@ -269,3 +269,36 @@ def tfidf_top_terms(df: DataFrame, k: int = 5, id_col: str = "doc_id",
             .filter(F.col("rank") <= k)
             .select(id_col, "rank", "term",
                     F.round(F.col("tf") * F.col("idf"), 4).alias("tfidf")))
+
+
+# PII patterns: intersection of Java-regex (Spark) and RE2 (DuckDB)
+# syntax — no backreferences, no lookarounds, explicit character classes.
+PII_EMAIL = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z][A-Za-z]+"
+PII_IPV4 = ("[0-9][0-9]?[0-9]?\\.[0-9][0-9]?[0-9]?\\."
+            "[0-9][0-9]?[0-9]?\\.[0-9][0-9]?[0-9]?")
+PII_PHONE = "\\+[0-9][0-9 ()-]{6,14}[0-9]"
+
+
+def redact_pii(df: DataFrame, id_col: str = "doc_id",
+               text_col: str = "text") -> DataFrame:
+    """Scrub common PII from a text corpus: emails, IPv4 addresses and
+    international-format phone numbers become ``<EMAIL>``/``<IP>``/
+    ``<PHONE>`` tokens.  Returns (doc_id, text, n_emails, n_ipv4,
+    n_phones) — counts are pre-redaction match counts for audit.
+
+    Pure regexp built-ins (whole-stage codegen, zero shuffle — the same
+    embarrassingly-parallel shape as the quality metrics).  The patterns
+    deliberately use only the Java∩RE2 common syntax so the operator is
+    portable across engines (and oracle-checkable against DuckDB, whose
+    regexp_replace needs the 'g' flag for global replacement)."""
+    t = F.col(text_col)
+    out = (F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(t, PII_EMAIL, "<EMAIL>"),
+            PII_IPV4, "<IP>"),
+        PII_PHONE, "<PHONE>"))
+    return df.select(
+        F.col(id_col), out.alias(text_col),
+        F.regexp_count(t, F.lit(PII_EMAIL)).cast("long").alias("n_emails"),
+        F.regexp_count(t, F.lit(PII_IPV4)).cast("long").alias("n_ipv4"),
+        F.regexp_count(t, F.lit(PII_PHONE)).cast("long").alias("n_phones"))

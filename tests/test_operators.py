@@ -658,3 +658,39 @@ def test_tfidf_top_terms_known(spark):
     assert out[(1, 2)]["term"] == "y" and out[(1, 2)]["tfidf"] == 1.0
     assert out[(2, 1)]["term"] == "z"
     assert out[(2, 1)]["tfidf"] == round(idf_rare, 4)
+
+
+def test_redact_pii_planted_cross_engine(spark):
+    """Planted emails/IPs/phones: Spark redaction must equal DuckDB's
+    (same patterns, 'g' flag) — guards against Java-vs-RE2 divergence."""
+    import duckdb
+
+    from gqlite_spark.operators.text import (PII_EMAIL, PII_IPV4, PII_PHONE,
+                                             redact_pii)
+    rows = [
+        (1, "contact bob.smith+x@ex-ample.org or 10.0.255.7 today"),
+        (2, "call +1 (555) 123-4567 and 192.168.1.1 x@y.io end"),
+        (3, "no pii here just words"),
+        (4, "a@b.co a@b.co twice"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r for r in redact_pii(df).collect()}
+    assert got[1]["text"] == "contact <EMAIL> or <IP> today"
+    assert got[1]["n_emails"] == 1 and got[1]["n_ipv4"] == 1
+    assert got[2]["n_phones"] == 1 and got[2]["n_ipv4"] == 1
+    assert got[2]["text"] == "call <PHONE> and <IP> <EMAIL> end"
+    assert got[3]["text"] == rows[2][1]
+    assert got[4]["n_emails"] == 2 and got[4]["text"] == "<EMAIL> <EMAIL> twice"
+
+    con = duckdb.connect()
+    for doc_id, text in rows:
+        sql = ("SELECT regexp_replace(regexp_replace(regexp_replace(?,"
+               f" '{PII_EMAIL}', '<EMAIL>', 'g'), '{PII_IPV4}', '<IP>', 'g'),"
+               f" '{PII_PHONE}', '<PHONE>', 'g'),"
+               f" len(regexp_extract_all(?, '{PII_EMAIL}')),"
+               f" len(regexp_extract_all(?, '{PII_IPV4}')),"
+               f" len(regexp_extract_all(?, '{PII_PHONE}'))")
+        txt, ne, ni, np_ = con.execute(sql, [text] * 4).fetchone()
+        r = got[doc_id]
+        assert (txt, ne, ni, np_) == (r["text"], r["n_emails"],
+                                      r["n_ipv4"], r["n_phones"]), doc_id
