@@ -154,6 +154,10 @@ class Parser:
             return t.value
         if t.kind in _ARROWS:
             return _ARROWS[t.kind]
+        # `inf` lexes as the infinity FLOAT literal (reference gql.l:159-164)
+        # but is a perfectly good property name in key position
+        if t.kind == L.FLOAT and t.value == float("inf"):
+            return "inf"
         raise GQLParseError(f"bad object key {t.kind} at offset {t.pos}")
 
     def parse_array(self) -> list:

@@ -558,10 +558,13 @@ def clustering_coefficient(edges: DataFrame) -> DataFrame:
 
 
 def closeness_centrality(edges: DataFrame, sources: "Optional[list]" = None,
-                         max_iter: int = 64) -> DataFrame:
+                         max_iter: int = 64,
+                         harmonic: bool = False) -> DataFrame:
     """Closeness centrality by multi-source BFS: closeness(v) =
     (reachable−1) / Σ dist(v,·) over v's connected component (0.0 for
-    isolated sources).  ``sources`` restricts the computation to landmark
+    isolated sources); with ``harmonic=True``, Σ 1/dist(v,·) instead —
+    the variant that stays meaningful on disconnected graphs.
+    ``sources`` restricts the computation to landmark
     vertices — the standard approximation at scale, where all-sources
     state (O(n·k) pairs) is the cost driver; None = every vertex (exact).
 
@@ -595,6 +598,12 @@ def closeness_centrality(edges: DataFrame, sources: "Optional[list]" = None,
             dist = dist.unionByName(nxt)
             frontier = nxt
         e.unpersist()
+        if harmonic:
+            return (dist.filter(F.col("d") > 0)
+                    .groupBy(F.col("s").alias("id"))
+                    .agg((F.count("*") + 1).alias("reachable"),
+                         F.round(F.sum(F.lit(1.0) / F.col("d")), 4)
+                         .alias("closeness")))
         return (dist.groupBy(F.col("s").alias("id"))
                 .agg(F.count("*").alias("reachable"),
                      F.sum("d").alias("_sum"))

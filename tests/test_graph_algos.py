@@ -247,3 +247,12 @@ def test_betweenness_landmark_subset(spark):
     b = {r["id"]: r["betweenness"]
          for r in betweenness_centrality(e, sources=[1]).collect()}
     assert b[2] == 1.5 and b[3] == 1.0 and b[4] == 0.5 and b[5] == 0.0
+
+
+def test_harmonic_closeness(spark):
+    from gqlite_spark.operators.graph_algos import closeness_centrality
+    # path 1-2-3: harmonic(2) = 1/1 + 1/1 = 2.0; harmonic(1) = 1 + 1/2
+    e = spark.createDataFrame([(1, 2), (2, 3)], "src long, dst long")
+    h = {r["id"]: r["closeness"]
+         for r in closeness_centrality(e, harmonic=True).collect()}
+    assert h[2] == 2.0 and h[1] == 1.5 and h[3] == 1.5
