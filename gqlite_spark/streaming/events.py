@@ -181,21 +181,52 @@ def stream_upsert_vertices(stream_df: DataFrame, group,
     ``Graph.save``/``load``.  Reusing a checkpoint with a fresh, empty
     Group would skip the already-committed batches; leave it None
     (default) for re-runnable ingestion into ephemeral groups."""
+    return _stream_upsert(
+        stream_df.withColumnRenamed(key_col, "id"), group, ["id"],
+        checkpoint, version_col)
+
+
+def stream_upsert_edges(stream_df: DataFrame, group,
+                        checkpoint: str | None = None,
+                        version_col: str | None = None):
+    """Edge twin of :func:`stream_upsert_vertices`: LWW-upsert streamed
+    edges into an edge ``Group``, keyed on (src, dst, direction) — the
+    engine's edge identity (reference edge_id packing, gutil.h:45-63).
+    A missing ``direction`` column defaults to ``'->'``.  Same
+    version-aware cross-batch merge semantics and checkpoint caveats as
+    the vertex form."""
+    if "direction" not in stream_df.columns:
+        stream_df = stream_df.withColumn("direction", F.lit("->"))
+    return _stream_upsert(stream_df, group, ["src", "dst", "direction"],
+                          checkpoint, version_col)
+
+
+def _stream_upsert(stream_df, group, key_cols, checkpoint, version_col):
     def _reduce(df, cols):
         order = ([F.col(version_col)] if version_col and
                  version_col in cols else []) + \
             [F.col(c) for c in cols if c != version_col]
         names = ([version_col] if version_col and version_col in cols
                  else []) + [c for c in cols if c != version_col]
-        return (df.groupBy("id")
+        return (df.groupBy(*key_cols)
                 .agg(F.max(F.struct(*order)).alias("_s"))
-                .select("id", *[F.col(f"_s.{c}").alias(c) for c in names]))
+                .select(*key_cols,
+                        *[F.col(f"_s.{c}").alias(c) for c in names]))
+
+    def _register(df):
+        # register_df (not a bare bulk_df assignment) so meta.props
+        # accretes any columns this stream introduces — to_df() projects
+        # through the schema, and unregistered columns would be invisible
+        if group.meta.is_edge:
+            group.register_df(df, src_col="src", dst_col="dst")
+        else:
+            group.register_df(df, key_col="id")
 
     def _merge(batch_df, batch_id):
         if not batch_df.take(1):
             return
-        cols = [c for c in batch_df.columns if c != key_col]
-        dedup = _reduce(batch_df.withColumnRenamed(key_col, "id"), cols)
+        cols = [c for c in batch_df.columns if c not in key_cols]
+        dedup = _reduce(batch_df, cols)
         if group.bulk_df is None:
             merged = dedup
         elif version_col:
@@ -205,16 +236,13 @@ def stream_upsert_vertices(stream_df: DataFrame, group,
             # struct-max sorts nulls first)
             both = group.bulk_df.unionByName(dedup,
                                              allowMissingColumns=True)
-            merged = _reduce(both, [c for c in both.columns if c != "id"])
+            merged = _reduce(both,
+                             [c for c in both.columns if c not in key_cols])
         else:
-            merged = (group.bulk_df.join(dedup.select("id"), "id",
-                                         "left_anti")
+            merged = (group.bulk_df.join(dedup.select(*key_cols),
+                                         key_cols, "left_anti")
                       .unionByName(dedup, allowMissingColumns=True))
-        # register_df (not a bare bulk_df assignment) so meta.props
-        # accretes any columns this stream introduces — to_df() projects
-        # through the schema, and unregistered columns would be invisible
-        group.register_df(merged.localCheckpoint(eager=True),
-                          key_col="id")
+        _register(merged.localCheckpoint(eager=True))
         group._invalidate()
 
     w = stream_df.writeStream.foreachBatch(_merge)

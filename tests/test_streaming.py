@@ -300,3 +300,30 @@ def test_stream_upsert_accretes_new_columns(spark, tmp_path):
     rows = {r["id"]: r for r in out.collect()}
     assert rows[10]["score"] == 0.5 and rows[10]["tag"] == "t"
     assert rows[1]["name"] == "ann"
+
+
+def test_stream_upsert_edges_lww(spark, tmp_path):
+    """Edge-stream ingestion: LWW keyed on (src, dst, direction);
+    default direction '->' is applied when absent."""
+    from gqlite_spark.catalog import Graph
+    from gqlite_spark.streaming.events import stream_upsert_edges
+
+    g = Graph(spark, "stream_e1")
+    g.create_group("person")
+    knows = g.create_group("knows", is_edge=True, src_group="person",
+                           dst_group="person")
+    src = tmp_path / "src"
+    src.mkdir()
+    spark.createDataFrame(
+        [(1, 2, 5, 0.9), (1, 2, 9, 0.1), (2, 3, 1, 0.5)],
+        "src long, dst long, ver long, weight double") \
+        .repartition(2).write.mode("overwrite").parquet(str(src))
+
+    stream = (spark.readStream.format("parquet")
+              .schema("src long, dst long, ver long, weight double")
+              .load(str(src)))
+    q = stream_upsert_edges(stream, knows, version_col="ver")
+    q.awaitTermination(120)
+    rows = {(r["src"], r["dst"], r["direction"]): (r["ver"], r["weight"])
+            for r in knows.to_df().collect()}
+    assert rows == {(1, 2, "->"): (9, 0.1), (2, 3, "->"): (1, 0.5)}
