@@ -559,7 +559,8 @@ def clustering_coefficient(edges: DataFrame) -> DataFrame:
 
 def closeness_centrality(edges: DataFrame, sources: "Optional[list]" = None,
                          max_iter: int = 64,
-                         harmonic: bool = False) -> DataFrame:
+                         harmonic: bool = False,
+                         weight_col: "Optional[str]" = None) -> DataFrame:
     """Closeness centrality by multi-source BFS: closeness(v) =
     (reachable−1) / Σ dist(v,·) over v's connected component (0.0 for
     isolated sources); with ``harmonic=True``, Σ 1/dist(v,·) instead —
@@ -568,12 +569,19 @@ def closeness_centrality(edges: DataFrame, sources: "Optional[list]" = None,
     vertices — the standard approximation at scale, where all-sources
     state (O(n·k) pairs) is the cost driver; None = every vertex (exact).
 
-    Each superstep expands the frontier through one join keyed on the
-    current vertex and discovers first-arrival (= minimal) distances via
-    an anti-join on (source, vertex) — no min-aggregate needed, BFS layer
-    order guarantees minimality.  State only grows, so the fixpoint is
-    "no new pairs".  Returns (id, reachable, closeness round 4)."""
+    Unweighted: each superstep expands the frontier through one join
+    keyed on the current vertex and discovers first-arrival (= minimal)
+    distances via an anti-join on (source, vertex) — no min-aggregate
+    needed, BFS layer order guarantees minimality; state only grows, so
+    the fixpoint is "no new pairs".  With ``weight_col``, distances come
+    from multi-source Bellman-Ford relaxation instead (min-aggregate per
+    superstep, improvement rows re-expand — the shortest_path shape
+    without the path arrays).  Returns (id, reachable, closeness
+    round 4)."""
     with _iterative_shuffle_scope(edges):
+        if weight_col:
+            return _weighted_closeness(edges, sources, max_iter, harmonic,
+                                       weight_col)
         e = (normalize_edges(edges, undirected=True)
              .select("src", "dst").filter(F.col("src") != F.col("dst"))
              .distinct().cache())
@@ -598,20 +606,55 @@ def closeness_centrality(edges: DataFrame, sources: "Optional[list]" = None,
             dist = dist.unionByName(nxt)
             frontier = nxt
         e.unpersist()
-        if harmonic:
-            return (dist.filter(F.col("d") > 0)
-                    .groupBy(F.col("s").alias("id"))
-                    .agg((F.count("*") + 1).alias("reachable"),
-                         F.round(F.sum(F.lit(1.0) / F.col("d")), 4)
-                         .alias("closeness")))
-        return (dist.groupBy(F.col("s").alias("id"))
-                .agg(F.count("*").alias("reachable"),
-                     F.sum("d").alias("_sum"))
-                .select("id", "reachable",
-                        F.when(F.col("_sum") > 0,
-                               F.round((F.col("reachable") - 1)
-                                       / F.col("_sum"), 4))
-                        .otherwise(F.lit(0.0)).alias("closeness")))
+        return _closeness_agg(dist, harmonic)
+
+
+def _closeness_agg(dist: DataFrame, harmonic: bool) -> DataFrame:
+    """(s, v, d) distance pairs → per-source closeness."""
+    if harmonic:
+        return (dist.filter(F.col("d") > 0)
+                .groupBy(F.col("s").alias("id"))
+                .agg((F.count("*") + 1).alias("reachable"),
+                     F.round(F.sum(F.lit(1.0) / F.col("d")), 4)
+                     .alias("closeness")))
+    return (dist.groupBy(F.col("s").alias("id"))
+            .agg(F.count("*").alias("reachable"),
+                 F.sum("d").alias("_sum"))
+            .select("id", "reachable",
+                    F.when(F.col("_sum") > 0,
+                           F.round((F.col("reachable") - 1)
+                                   / F.col("_sum"), 4))
+                    .otherwise(F.lit(0.0)).alias("closeness")))
+
+
+def _weighted_closeness(edges: DataFrame, sources, max_iter: int,
+                        harmonic: bool, weight_col: str) -> DataFrame:
+    """Multi-source Bellman-Ford relaxation: per superstep, min-aggregate
+    the union of current bests and one-step extensions; only improved
+    (source, vertex) rows re-expand."""
+    e = (normalize_edges(edges, weight_col, undirected=True)
+         .filter(F.col("src") != F.col("dst")).cache())
+    verts = e.select(F.col("src").alias("id")).distinct()
+    srcs = verts.filter(F.col("id").isin(sources)) if sources else verts
+    best = srcs.select(F.col("id").alias("s"), F.col("id").alias("v"),
+                       F.lit(0.0).alias("d"))
+    frontier = best
+    for _ in range(max_iter):
+        msgs = (frontier.join(e, frontier.v == e.src)
+                .select("s", F.col("dst").alias("v"),
+                        (F.col("d") + F.col("w")).alias("d")))
+        new_best = _ckpt(best.unionByName(msgs).groupBy("s", "v")
+                         .agg(F.min("d").alias("d")))
+        frontier = _ckpt(
+            new_best.alias("n")
+            .join(best.alias("o"), ["s", "v"], "left")
+            .filter(F.col("o.d").isNull() | (F.col("n.d") < F.col("o.d")))
+            .select("s", "v", F.col("n.d").alias("d")))
+        best = new_best
+        if not frontier.take(1):
+            break
+    e.unpersist()
+    return _closeness_agg(best, harmonic)
 
 
 def betweenness_centrality(edges: DataFrame,

@@ -256,3 +256,15 @@ def test_harmonic_closeness(spark):
     h = {r["id"]: r["closeness"]
          for r in closeness_centrality(e, harmonic=True).collect()}
     assert h[2] == 2.0 and h[1] == 1.5 and h[3] == 1.5
+
+
+def test_weighted_closeness(spark):
+    from gqlite_spark.operators.graph_algos import closeness_centrality
+    # triangle 1-2 (w=1), 2-3 (w=1), 1-3 (w=5): dist(1,3)=2 via 2
+    e = spark.createDataFrame([(1, 2, 1.0), (2, 3, 1.0), (1, 3, 5.0)],
+                              "src long, dst long, cost double")
+    c = {r["id"]: r for r in
+         closeness_centrality(e, weight_col="cost").collect()}
+    assert c[2]["closeness"] == 1.0            # (3-1)/(1+1)
+    assert c[1]["closeness"] == round(2 / 3, 4)
+    assert c[1]["reachable"] == 3
