@@ -533,6 +533,27 @@ def q_dedup_embedding(spark, sf_dir):
                                threshold=0.45)
 
 
+def q_dedup_lines(spark, sf_dir):
+    """Corpus-wide duplicate-line scrub (CCNet/RefinedWeb-style boilerplate
+    removal).  The synthetic corpus is single-line, so documents are first
+    re-lined deterministically — consecutive 8-token windows become lines —
+    and planted near-dup documents then share whole lines, which the
+    corpus-frequency scrub removes (df >= 2)."""
+    from gqlite_spark.operators.dedup import line_dedup
+    d = _load(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.split(F.col("text"), " ").alias("_t"))
+    nch = F.ceil(F.size("_t") / F.lit(8)).cast("int")
+    relined = toks.select(
+        "doc_id",
+        F.array_join(
+            F.transform(
+                F.sequence(F.lit(1), nch),
+                lambda i: F.array_join(
+                    F.slice(F.col("_t"), (i - 1) * 8 + 1, 8), " ")),
+            "\n").alias("text"))
+    return line_dedup(relined, min_doc_frequency=2)
+
+
 def q_text_stats(spark, sf_dir):
     from gqlite_spark.operators.text import token_stats
     return token_stats(_load(spark, sf_dir, "documents"))
@@ -837,6 +858,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash_lsh": q_dedup_minhash,
         "dedup_simhash": q_dedup_simhash,
         "dedup_embedding_cosine": q_dedup_embedding,
+        "dedup_lines": q_dedup_lines,
         "text_token_stats": q_text_stats,
         "text_quality": q_text_quality,
         "text_langid": q_text_langid,
@@ -1523,6 +1545,28 @@ def oracle_sql() -> dict[str, str]:
             " JOIN sizes sb ON sb.id = doc_b"
             " WHERE c / (sa.n + sb.n - c) >= 0.5",
         "dedup_simhash": _simhash_sql(6),
+        "dedup_lines": (
+            "WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t"
+            " FROM documents),"
+            " chunks AS (SELECT doc_id,"
+            " unnest(generate_series(1, CAST(ceil(len(t)/8.0) AS BIGINT)))"
+            " AS pos, t FROM toks),"
+            " lines AS (SELECT doc_id, pos,"
+            " array_to_string(list_slice(t, (pos-1)*8+1, pos*8), ' ')"
+            " AS line FROM chunks),"
+            " lh AS (SELECT doc_id, pos, line, md5(trim(lower(line))) AS h,"
+            " length(trim(line)) >= 1 AS elig FROM lines),"
+            " dup AS (SELECT h FROM (SELECT DISTINCT h, doc_id FROM lh"
+            " WHERE elig) GROUP BY h HAVING COUNT(*) >= 2),"
+            " flagged AS (SELECT l.doc_id, l.pos, l.line,"
+            " (d.h IS NOT NULL AND l.elig) AS rm"
+            " FROM lh l LEFT JOIN dup d ON l.h = d.h)"
+            " SELECT doc_id,"
+            " COALESCE(string_agg(CASE WHEN NOT rm THEN line END, chr(10)"
+            " ORDER BY pos), '') AS text,"
+            " COUNT(*)::BIGINT AS n_lines,"
+            " SUM(CASE WHEN rm THEN 1 ELSE 0 END)::BIGINT AS n_removed"
+            " FROM flagged GROUP BY doc_id"),
         "dedup_embedding_cosine":
             "WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),"
             " n AS (SELECT vec_id, v, sqrt(list_inner_product(v, v)) AS nrm FROM v)"

@@ -254,6 +254,62 @@ def minhash_lsh_pairs(df: DataFrame, id_col: str = "doc_id",
             .select("doc_a", "doc_b", F.round(jac, 4).alias("jaccard")))
 
 
+def line_dedup(df: DataFrame, id_col: str = "doc_id",
+               text_col: str = "text", delim: str = "\n",
+               min_doc_frequency: int = 2,
+               min_line_chars: int = 1) -> DataFrame:
+    """Corpus-wide duplicate-line removal (the CCNet/RefinedWeb boilerplate
+    scrub): split every document into lines, hash each normalized line,
+    count the number of DISTINCT documents containing it, and drop lines
+    appearing in ≥ ``min_doc_frequency`` documents (navigation chrome,
+    cookie banners, licence footers).  Documents are reassembled in
+    original line order.  Returns (doc_id, text, n_lines, n_removed).
+
+    Scale shape (the 100 TB path): three shuffles, all well-keyed —
+    (1) groupBy(line_hash) with partial aggregation for document
+    frequencies (hot boilerplate lines combine map-side, so skew is
+    absorbed before the exchange); (2) the kept-lines anti-join keyed on
+    the 16-byte hash — the duplicate-line table is bounded by the number
+    of distinct lines with df ≥ threshold, typically small enough that AQE
+    broadcasts it; (3) the per-document reassembly groupBy keyed on doc id
+    (bounded by document size).  No UDFs, no driver collect.
+
+    ``min_line_chars`` exempts ultra-short lines (e.g. empty separators)
+    from removal — they are structure, not boilerplate, and their hash is
+    the one genuinely hot anti-join key.
+    """
+    lines = df.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), delim, -1))
+        .alias("_pos", "_line"))
+    norm = F.md5(F.trim(F.lower(F.col("_line"))))
+    lines = lines.withColumn("_lh", norm)
+    # df counts only lines long enough to be removable; countDistinct via
+    # (hash, doc) pre-dedup keeps the per-line count exact when a doc
+    # repeats its own boilerplate
+    eligible = lines.filter(F.length(F.trim(F.col("_line")))
+                            >= min_line_chars)
+    dup = (eligible.select("_lh", F.col(id_col)).distinct()
+           .groupBy("_lh").agg(F.count("*").alias("_df"))
+           .filter(F.col("_df") >= min_doc_frequency)
+           .select("_lh", F.lit(True).alias("_dup")))
+    flagged = (lines.join(dup, "_lh", "left")
+               .withColumn("_rm", F.col("_dup").isNotNull() &
+                           (F.length(F.trim(F.col("_line")))
+                            >= min_line_chars)))
+    out = (flagged.groupBy(id_col).agg(
+        F.count("*").alias("n_lines"),
+        F.sum(F.col("_rm").cast("long")).alias("n_removed"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(
+                    F.when(~F.col("_rm"),
+                           F.struct(F.col("_pos"), F.col("_line"))))),
+                lambda s: s["_line"]),
+            delim).alias(text_col)))
+    return out.select(id_col, text_col, "n_lines", "n_removed")
+
+
 def simhash64(df: DataFrame, id_col: str = "doc_id",
               text_col: str = "text") -> DataFrame:
     """64-bit SimHash over whitespace tokens (deterministic md5 bit mixing).

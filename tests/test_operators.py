@@ -130,6 +130,35 @@ def test_exact_duplicates(spark):
     assert out == {1: 3, 2: 1}
 
 
+def test_line_dedup_removes_boilerplate(spark):
+    from gqlite_spark.operators.dedup import line_dedup
+    df = spark.createDataFrame(
+        [(1, "unique first line\ncookie banner\nbody one\n\nfooter legal"),
+         (2, "cookie banner\nbody two\nfooter legal"),
+         (3, "totally original\nnothing shared here"),
+         (4, "cookie banner\ncookie banner\nonly banners")],
+        "doc_id long, text string")
+    out = {r["doc_id"]: r for r in line_dedup(df).collect()}
+    # shared lines (banner, footer) removed; empty separator line kept
+    assert out[1]["text"] == "unique first line\nbody one\n"
+    assert (out[1]["n_lines"], out[1]["n_removed"]) == (5, 2)
+    assert out[2]["text"] == "body two"
+    assert out[3]["text"] == "totally original\nnothing shared here"
+    assert out[3]["n_removed"] == 0
+    # in-document repeats count once for df, still removed everywhere
+    assert out[4]["text"] == "only banners"
+    assert out[4]["n_removed"] == 2
+
+
+def test_line_dedup_all_removed_doc(spark):
+    from gqlite_spark.operators.dedup import line_dedup
+    df = spark.createDataFrame(
+        [(1, "same"), (2, "same")], "doc_id long, text string")
+    out = {r["doc_id"]: r for r in line_dedup(df).collect()}
+    assert out[1]["text"] == "" and out[2]["text"] == ""
+    assert out[1]["n_removed"] == 1
+
+
 def test_ngram_jaccard_exact_value(spark):
     from gqlite_spark.operators.dedup import ngram_jaccard_pairs
     df = spark.createDataFrame([(1, "abcd"), (2, "abcd"), (3, "zzzz")],
