@@ -273,32 +273,90 @@ def tfidf_top_terms(df: DataFrame, k: int = 5, id_col: str = "doc_id",
 
 # PII patterns: intersection of Java-regex (Spark) and RE2 (DuckDB)
 # syntax — no backreferences, no lookarounds, explicit character classes.
+# (\b IS in the common subset: RE2 and java.util.regex agree on ASCII
+# word boundaries for these digit/uppercase patterns.)
 PII_EMAIL = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z][A-Za-z]+"
 PII_IPV4 = ("[0-9][0-9]?[0-9]?\\.[0-9][0-9]?[0-9]?\\."
             "[0-9][0-9]?[0-9]?\\.[0-9][0-9]?[0-9]?")
 PII_PHONE = "\\+[0-9][0-9 ()-]{6,14}[0-9]"
+PII_SSN = "\\b[0-9]{3}-[0-9]{2}-[0-9]{4}\\b"
+PII_CC = "\\b[0-9]{4}[- ][0-9]{4}[- ][0-9]{4}[- ][0-9]{4}\\b"
+PII_IBAN = "\\b[A-Z]{2}[0-9]{2}[A-Z0-9]{12,30}\\b"
 
 
 def redact_pii(df: DataFrame, id_col: str = "doc_id",
                text_col: str = "text") -> DataFrame:
-    """Scrub common PII from a text corpus: emails, IPv4 addresses and
-    international-format phone numbers become ``<EMAIL>``/``<IP>``/
-    ``<PHONE>`` tokens.  Returns (doc_id, text, n_emails, n_ipv4,
-    n_phones) — counts are pre-redaction match counts for audit.
+    """Scrub common PII from a text corpus: emails, IPv4 addresses,
+    international-format phone numbers, US SSNs, separator-formatted
+    16-digit card numbers and IBANs become ``<EMAIL>``/``<IP>``/
+    ``<PHONE>``/``<SSN>``/``<CC>``/``<IBAN>`` tokens.  Returns (doc_id,
+    text, n_emails, n_ipv4, n_phones, n_ssn, n_cc, n_iban) — counts are
+    pre-redaction match counts for audit.
 
     Pure regexp built-ins (whole-stage codegen, zero shuffle — the same
     embarrassingly-parallel shape as the quality metrics).  The patterns
     deliberately use only the Java∩RE2 common syntax so the operator is
     portable across engines (and oracle-checkable against DuckDB, whose
-    regexp_replace needs the 'g' flag for global replacement)."""
+    regexp_replace needs the 'g' flag for global replacement).
+    Replacement order (email → ip → phone → ssn → cc → iban) is fixed;
+    the six patterns are mutually non-overlapping by construction
+    (phone requires a leading '+', ssn/cc have distinct digit-group
+    shapes, iban needs a leading uppercase country code) so the audit
+    counts — computed on the ORIGINAL text — are order-independent."""
     t = F.col(text_col)
-    out = (F.regexp_replace(
-        F.regexp_replace(
-            F.regexp_replace(t, PII_EMAIL, "<EMAIL>"),
-            PII_IPV4, "<IP>"),
-        PII_PHONE, "<PHONE>"))
+    out = t
+    for pat, tok in ((PII_EMAIL, "<EMAIL>"), (PII_IPV4, "<IP>"),
+                     (PII_PHONE, "<PHONE>"), (PII_SSN, "<SSN>"),
+                     (PII_CC, "<CC>"), (PII_IBAN, "<IBAN>")):
+        out = F.regexp_replace(out, pat, tok)
     return df.select(
         F.col(id_col), out.alias(text_col),
         F.regexp_count(t, F.lit(PII_EMAIL)).cast("long").alias("n_emails"),
         F.regexp_count(t, F.lit(PII_IPV4)).cast("long").alias("n_ipv4"),
-        F.regexp_count(t, F.lit(PII_PHONE)).cast("long").alias("n_phones"))
+        F.regexp_count(t, F.lit(PII_PHONE)).cast("long").alias("n_phones"),
+        F.regexp_count(t, F.lit(PII_SSN)).cast("long").alias("n_ssn"),
+        F.regexp_count(t, F.lit(PII_CC)).cast("long").alias("n_cc"),
+        F.regexp_count(t, F.lit(PII_IBAN)).cast("long").alias("n_iban"))
+
+
+def chunk_documents(df: DataFrame, id_col: str = "doc_id",
+                    text_col: str = "text", chunk_tokens: int = 64,
+                    overlap: int = 8) -> DataFrame:
+    """Split each document into fixed-size whitespace-token chunks with
+    ``overlap`` tokens of left-context carried into each following chunk
+    — the standard pre-tokenization step before embedding / indexing a
+    long-document corpus.
+
+    Chunk starts are ``1, 1+step, 1+2·step, …`` with
+    ``step = chunk_tokens − overlap``, emitted while
+    ``start ≤ max(n_tokens − overlap, 1)`` — so the final (possibly
+    short) chunk is kept but a trailing start whose tokens are entirely
+    contained in the previous chunk is not.
+
+    Embarrassingly parallel: one ``split`` + array transforms + a
+    ``posexplode`` per row, no shuffle, whole-stage codegen throughout —
+    at 100 TB this is a pure map stage whose output partitioning follows
+    the input.  Returns (doc_id, chunk_idx 1-based, n_chunk_tokens,
+    chunk_text).
+    """
+    if overlap >= chunk_tokens:
+        raise ValueError("overlap must be < chunk_tokens")
+    step = chunk_tokens - overlap
+    base = df.select(F.col(id_col),
+                     F.split(F.col(text_col), " ").alias("_tk"))
+    n = F.size(F.col("_tk"))
+    starts = F.sequence(F.lit(1), F.greatest(n - F.lit(overlap), F.lit(1)),
+                        F.lit(step))
+    chunks = F.transform(
+        starts,
+        lambda s: F.struct(
+            F.least(F.lit(chunk_tokens), n - s + 1).alias("n_chunk_tokens"),
+            F.array_join(F.slice(F.col("_tk"), s, chunk_tokens), " ")
+            .alias("chunk_text")))
+    return (base.select(F.col(id_col),
+                        F.posexplode(chunks).alias("_pos", "_c"))
+            .select(F.col(id_col),
+                    (F.col("_pos") + 1).cast("long").alias("chunk_idx"),
+                    F.col("_c.n_chunk_tokens").cast("long")
+                    .alias("n_chunk_tokens"),
+                    F.col("_c.chunk_text").alias("chunk_text")))
