@@ -588,7 +588,8 @@ def q_text_tfidf(spark, sf_dir):
 
 
 def q_text_redact_pii(spark, sf_dir):
-    """PII scrub (emails/IPv4/phones → tokens) with audit counts."""
+    """PII scrub (emails/IPv4/phones/SSNs/cards/IBANs → tokens) with
+    per-pattern audit counts; oracle mirrors all 6 patterns."""
     from gqlite_spark.operators.text import redact_pii
     return redact_pii(_load(spark, sf_dir, "documents"))
 
@@ -737,18 +738,22 @@ def q_asof_attribution(spark, sf_dir):
     recent prior-or-same-time view by the same user.  Union+ordered-window
     algorithm — one keyed shuffle, no range join (operators/temporal.py).
     Oracle: DuckDB's native ASOF LEFT JOIN."""
-    from gqlite_spark.operators.temporal import asof_join
-    e = _load(spark, sf_dir, "events")          # ts = long nanoseconds
+    from gqlite_spark.operators.temporal import asof_join, epoch_micros
+    e = _load(spark, sf_dir, "events")
+    # events.ts is parquet TIMESTAMP(MICROS) → Spark TIMESTAMP_NTZ; join on
+    # epoch microseconds (bigint) so the as-of window orders on a long and
+    # the output matches DuckDB's epoch_us() exactly
+    us = epoch_micros(e, "ts")
     clicks = e.filter(F.col("event_type") == "click") \
-              .select("event_id", "user_id", "ts")
+              .select("event_id", "user_id", us.alias("ts"))
     views = e.filter(F.col("event_type") == "view") \
-             .select("user_id", "ts", F.col("event_id").alias("view_id"))
+             .select("user_id", us.alias("ts"),
+                     F.col("event_id").alias("view_id"))
     j = asof_join(clicks, views, on="ts", by="user_id",
                   right_cols=["view_id"])
-    # emit microseconds: DuckDB surfaces TIMESTAMP(NANOS) at micro precision
     return j.select("event_id", "user_id",
-                    F.expr("ts div 1000").alias("click_ts_us"), "view_id",
-                    F.expr("_match_time div 1000").alias("view_ts_us"))
+                    F.col("ts").alias("click_ts_us"), "view_id",
+                    F.col("_match_time").alias("view_ts_us"))
 
 
 # --------------------------------------------------------------------------
@@ -1352,7 +1357,10 @@ def _pagerank_sql(iterations: int = 10) -> str:
 
 from gqlite_spark.operators.text import (PII_EMAIL as _EMAIL,
                                          PII_IPV4 as _IPV4,
-                                         PII_PHONE as _PHONE)
+                                         PII_PHONE as _PHONE,
+                                         PII_SSN as _SSN,
+                                         PII_CC as _CC,
+                                         PII_IBAN as _IBAN)
 
 
 def oracle_sql() -> dict[str, str]:
@@ -1615,12 +1623,21 @@ def oracle_sql() -> dict[str, str]:
         "text_fingerprint":
             "SELECT doc_id, md5(lower(trim(text))) AS fingerprint FROM documents",
         "text_redact_pii": (
-            "SELECT doc_id, regexp_replace(regexp_replace(regexp_replace("
+            # same 6 patterns, same order as operators/text.redact_pii —
+            # patterns live in the Java∩RE2 subset so one string works in
+            # both engines; counts are pre-redaction (on original text)
+            "SELECT doc_id,"
+            " regexp_replace(regexp_replace(regexp_replace(regexp_replace("
+            "regexp_replace(regexp_replace("
             f"text, '{_EMAIL}', '<EMAIL>', 'g'), '{_IPV4}', '<IP>', 'g'),"
-            f" '{_PHONE}', '<PHONE>', 'g') AS text,"
+            f" '{_PHONE}', '<PHONE>', 'g'), '{_SSN}', '<SSN>', 'g'),"
+            f" '{_CC}', '<CC>', 'g'), '{_IBAN}', '<IBAN>', 'g') AS text,"
             f" len(regexp_extract_all(text, '{_EMAIL}'))::BIGINT AS n_emails,"
             f" len(regexp_extract_all(text, '{_IPV4}'))::BIGINT AS n_ipv4,"
-            f" len(regexp_extract_all(text, '{_PHONE}'))::BIGINT AS n_phones"
+            f" len(regexp_extract_all(text, '{_PHONE}'))::BIGINT AS n_phones,"
+            f" len(regexp_extract_all(text, '{_SSN}'))::BIGINT AS n_ssn,"
+            f" len(regexp_extract_all(text, '{_CC}'))::BIGINT AS n_cc,"
+            f" len(regexp_extract_all(text, '{_IBAN}'))::BIGINT AS n_iban"
             " FROM documents"),
         "text_repetition":
             "WITH base AS (SELECT doc_id, string_split(text, ' ') AS toks"

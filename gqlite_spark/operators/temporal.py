@@ -22,6 +22,21 @@ the window pass.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window, functions as F
+from pyspark.sql import types as T
+
+
+def epoch_micros(df: DataFrame, ts_col: str):
+    """Event time as epoch microseconds (bigint), from any of the ts
+    encodings the test parquet may carry: TimestampType / TimestampNTZType
+    (parquet TIMESTAMP(MICROS) — the shipped encoding at every sf) or long
+    nanoseconds (parquet TIMESTAMP(NANOS) read with
+    spark.sql.legacy.parquet.nanosAsLong).  NTZ needs an explicit cast to
+    TimestampType before unix_micros; callers must run with session
+    TZ=UTC (sources.testdata.load sets it) for the epoch to be stable."""
+    dt = df.schema[ts_col].dataType
+    if isinstance(dt, T.LongType):
+        return F.expr(f"{ts_col} div 1000")
+    return F.unix_micros(F.col(ts_col).cast("timestamp"))
 
 
 def asof_join(left: DataFrame, right: DataFrame,

@@ -298,11 +298,12 @@ def redact_pii(df: DataFrame, id_col: str = "doc_id",
     deliberately use only the Java∩RE2 common syntax so the operator is
     portable across engines (and oracle-checkable against DuckDB, whose
     regexp_replace needs the 'g' flag for global replacement).
-    Replacement order (email → ip → phone → ssn → cc → iban) is fixed;
-    the six patterns are mutually non-overlapping by construction
-    (phone requires a leading '+', ssn/cc have distinct digit-group
-    shapes, iban needs a leading uppercase country code) so the audit
-    counts — computed on the ORIGINAL text — are order-independent."""
+    Replacement order (email → ip → phone → ssn → cc → iban) is fixed.
+    Audit counts are per-pattern matches on the RAW text; patterns rarely
+    overlap (phone needs a leading '+', ssn/cc have distinct digit-group
+    shapes, iban a leading uppercase country code) but adversarial inputs
+    can double-count (e.g. '+44 123-45-6789' hits both phone and ssn) —
+    counts may then disagree with what survived in the redacted text."""
     t = F.col(text_col)
     out = t
     for pat, tok in ((PII_EMAIL, "<EMAIL>"), (PII_IPV4, "<IP>"),

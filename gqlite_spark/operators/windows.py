@@ -16,13 +16,15 @@ from pyspark.sql import types as T
 
 
 def epoch_seconds(df: DataFrame, ts_col: str):
-    """Event time as epoch seconds (bigint) from either a TimestampType
-    column or a long-nanoseconds column (parquet TIMESTAMP(NANOS) read with
+    """Event time as epoch seconds (bigint) from a TimestampType /
+    TimestampNTZType column (events.ts is parquet TIMESTAMP(MICROS) →
+    NTZ; the cast makes unix_timestamp legal on it, TZ=UTC assumed) or a
+    long-nanoseconds column (parquet TIMESTAMP(NANOS) read with
     spark.sql.legacy.parquet.nanosAsLong)."""
     dt = df.schema[ts_col].dataType
     if isinstance(dt, T.LongType):
         return F.expr(f"{ts_col} div 1000000000")
-    return F.unix_timestamp(F.col(ts_col))
+    return F.unix_timestamp(F.col(ts_col).cast("timestamp"))
 
 
 def tumbling(df: DataFrame, ts_col: str = "ts", every: str = "hour",

@@ -41,8 +41,9 @@ def get_spark(app_name: str = "gqlite-spark",
         # yields sanely-sized tasks.
         .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
         .config("spark.sql.parquet.filterPushdown", "true")
-        # events.parquet carries TIMESTAMP(NANOS); Spark reads them as long
-        # nanoseconds with this flag (operators handle both encodings)
+        # events.parquet carries TIMESTAMP(MICROS) (read as TIMESTAMP_NTZ);
+        # the flag is defensive — if a generator ever writes NANOS, Spark
+        # surfaces long nanoseconds and the epoch helpers handle both
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.ui.enabled", "false")

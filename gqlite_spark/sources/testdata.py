@@ -19,6 +19,7 @@ import os
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
@@ -32,13 +33,26 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     except Exception:
         pass
     if name == "events":
-        # events.ts is parquet TIMESTAMP(NANOS) — unreadable by Spark unless
-        # surfaced as long nanoseconds (set defensively: the driver may hand
-        # us a session built without gqlite_spark.session.get_spark)
+        # events.ts is parquet TIMESTAMP(MICROS) → Spark TIMESTAMP_NTZ at
+        # every shipped sf (verified against parquet metadata).  Keep the
+        # nanosAsLong flag defensively: if a future generator ever writes
+        # TIMESTAMP(NANOS), Spark surfaces it as long nanoseconds and the
+        # epoch helpers (operators/windows.epoch_seconds,
+        # operators/temporal.epoch_micros) handle both encodings.
         try:
             spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         except Exception:
             pass
+        df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+        ts_t = df.schema["ts"].dataType
+        if not isinstance(ts_t, (T.TimestampType, T.TimestampNTZType,
+                                 T.LongType)):
+            raise TypeError(
+                f"events.ts read as {ts_t}; expected TimestampType/"
+                "TimestampNTZType (parquet MICROS) or LongType (parquet "
+                "NANOS with nanosAsLong) — the epoch helpers support only "
+                "these encodings")
+        return df
     return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
 
 

@@ -690,17 +690,22 @@ def test_tfidf_top_terms_known(spark):
 
 
 def test_redact_pii_planted_cross_engine(spark):
-    """Planted emails/IPs/phones: Spark redaction must equal DuckDB's
-    (same patterns, 'g' flag) — guards against Java-vs-RE2 divergence."""
+    """Planted emails/IPs/phones/SSNs/cards/IBANs: Spark redaction must
+    equal DuckDB's (same 6 patterns, 'g' flag) — guards against
+    Java-vs-RE2 divergence."""
     import duckdb
 
-    from gqlite_spark.operators.text import (PII_EMAIL, PII_IPV4, PII_PHONE,
+    from gqlite_spark.operators.text import (PII_CC, PII_EMAIL, PII_IBAN,
+                                             PII_IPV4, PII_PHONE, PII_SSN,
                                              redact_pii)
     rows = [
         (1, "contact bob.smith+x@ex-ample.org or 10.0.255.7 today"),
         (2, "call +1 (555) 123-4567 and 192.168.1.1 x@y.io end"),
         (3, "no pii here just words"),
         (4, "a@b.co a@b.co twice"),
+        (5, "ssn 123-45-6789 card 4111-1111 1111-1111 ok"),
+        (6, "wire to DE89370400440532013000 iban and 078-05-1120"),
+        (7, "not-a-ssn 1234-56-789 and GB12X low gb82west12345698765432"),
     ]
     df = spark.createDataFrame(rows, "doc_id long, text string")
     got = {r["doc_id"]: r for r in redact_pii(df).collect()}
@@ -710,16 +715,29 @@ def test_redact_pii_planted_cross_engine(spark):
     assert got[2]["text"] == "call <PHONE> and <IP> <EMAIL> end"
     assert got[3]["text"] == rows[2][1]
     assert got[4]["n_emails"] == 2 and got[4]["text"] == "<EMAIL> <EMAIL> twice"
+    assert got[5]["text"] == "ssn <SSN> card <CC> ok"
+    assert got[5]["n_ssn"] == 1 and got[5]["n_cc"] == 1
+    assert got[6]["text"] == "wire to <IBAN> iban and <SSN>"
+    assert got[6]["n_iban"] == 1 and got[6]["n_ssn"] == 1
+    # near-misses must NOT be redacted (wrong group shape / lowercase)
+    assert got[7]["n_ssn"] == 0 and got[7]["n_cc"] == 0
+    assert got[7]["n_iban"] == 0 and got[7]["text"] == rows[6][1]
 
     con = duckdb.connect()
     for doc_id, text in rows:
-        sql = ("SELECT regexp_replace(regexp_replace(regexp_replace(?,"
+        sql = ("SELECT regexp_replace(regexp_replace(regexp_replace("
+               "regexp_replace(regexp_replace(regexp_replace(?,"
                f" '{PII_EMAIL}', '<EMAIL>', 'g'), '{PII_IPV4}', '<IP>', 'g'),"
-               f" '{PII_PHONE}', '<PHONE>', 'g'),"
+               f" '{PII_PHONE}', '<PHONE>', 'g'), '{PII_SSN}', '<SSN>', 'g'),"
+               f" '{PII_CC}', '<CC>', 'g'), '{PII_IBAN}', '<IBAN>', 'g'),"
                f" len(regexp_extract_all(?, '{PII_EMAIL}')),"
                f" len(regexp_extract_all(?, '{PII_IPV4}')),"
-               f" len(regexp_extract_all(?, '{PII_PHONE}'))")
-        txt, ne, ni, np_ = con.execute(sql, [text] * 4).fetchone()
+               f" len(regexp_extract_all(?, '{PII_PHONE}')),"
+               f" len(regexp_extract_all(?, '{PII_SSN}')),"
+               f" len(regexp_extract_all(?, '{PII_CC}')),"
+               f" len(regexp_extract_all(?, '{PII_IBAN}'))")
+        txt, ne, ni, np_, ns, nc, nb = con.execute(sql, [text] * 7).fetchone()
         r = got[doc_id]
-        assert (txt, ne, ni, np_) == (r["text"], r["n_emails"],
-                                      r["n_ipv4"], r["n_phones"]), doc_id
+        assert (txt, ne, ni, np_, ns, nc, nb) == (
+            r["text"], r["n_emails"], r["n_ipv4"], r["n_phones"],
+            r["n_ssn"], r["n_cc"], r["n_iban"]), doc_id

@@ -6,17 +6,23 @@ import os
 
 import pytest
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 
 @pytest.fixture(scope="module")
 def event_dir(spark, tmp_path_factory):
     """Write the sf0.001 events out as several parquet files with
-    second-precision timestamps (streaming needs TimestampType)."""
+    TimestampType timestamps (streaming watermarks need TimestampType,
+    not TIMESTAMP_NTZ).  events.ts is parquet TIMESTAMP(MICROS) →
+    TIMESTAMP_NTZ; also accept the long-nanoseconds encoding."""
     path = str(tmp_path_factory.mktemp("events_stream"))
     src = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    if isinstance(src.schema["ts"].dataType, T.LongType):
+        ts = F.timestamp_seconds(F.expr("ts div 1000000000"))
+    else:
+        ts = F.col("ts").cast("timestamp")
     ev = src.select(
-        "event_id",
-        F.timestamp_seconds(F.expr("ts div 1000000000")).alias("ts"),
+        "event_id", ts.alias("ts"),
         "user_id", "event_type", "value", "props")
     ev.repartition(4).write.mode("overwrite").parquet(path)
     return path
