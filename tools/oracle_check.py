@@ -2,7 +2,12 @@
 and its oracle_sql() side-by-side, compare row count + schema + order-
 insensitive values.  Usage:
 
-    python tools/oracle_check.py [sf_dir] [query ...]
+    python tools/oracle_check.py [--json OUT.json] [sf_dir] [query ...]
+
+With --json, also writes a driver-format report (one object per query:
+rows_match / schema_match / hash_match / spark_rows / oracle_rows / err)
+— used to publish CORRECTNESS_FULL.json for the entries past the
+driver's 50-query window.
 """
 
 from __future__ import annotations
@@ -64,8 +69,13 @@ def compare(spark_pdf: pd.DataFrame, duck_pdf: pd.DataFrame) -> str:
 
 
 def main():
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
-    only = set(sys.argv[2:])
+    argv = sys.argv[1:]
+    json_out = None
+    if argv and argv[0] == "--json":
+        json_out = argv[1]
+        argv = argv[2:]
+    sf_dir = argv[0] if argv else "/root/testdata/sf0.001"
+    only = set(argv[1:])
 
     import __spark_entry__ as entry
     from gqlite_spark.session import get_spark
@@ -77,6 +87,7 @@ def main():
     qs = entry.queries()
     oracles = entry.oracle_sql()
     failures = 0
+    report = {}
     for name, fn in qs.items():
         if only and name not in only:
             continue
@@ -86,24 +97,48 @@ def main():
         except Exception as e:
             print(f"{name:28s} SPARK-ERROR {type(e).__name__}: {str(e)[:200]}")
             failures += 1
+            report[name] = {"rows_match": None, "schema_match": None,
+                            "hash_match": None, "spark_rows": None,
+                            "oracle_rows": None,
+                            "err": f"{type(e).__name__}: {str(e)[:300]}"}
             continue
         if name not in oracles:
             print(f"{name:28s} rows-only ({len(sdf)} rows, "
                   f"{time.time()-t0:.1f}s)")
+            report[name] = {"rows_match": None, "schema_match": None,
+                            "hash_match": None, "spark_rows": len(sdf),
+                            "oracle_rows": None, "err": None,
+                            "mode": "rows-only"}
             continue
         try:
             ddf = con.execute(oracles[name]).fetchdf()
         except Exception as e:
             print(f"{name:28s} DUCK-ERROR {str(e)[:200]}")
             failures += 1
+            report[name] = {"rows_match": None, "schema_match": None,
+                            "hash_match": None, "spark_rows": len(sdf),
+                            "oracle_rows": None,
+                            "err": f"oracle: {str(e)[:300]}"}
             continue
         verdict = compare(sdf, ddf)
-        status = "OK" if verdict.startswith("OK") else "FAIL"
-        if status == "FAIL":
+        ok = verdict.startswith("OK")
+        if not ok:
             failures += 1
+        report[name] = {
+            "rows_match": len(sdf) == len(ddf),
+            "schema_match": not verdict.startswith(("SCHEMA", "ROWS")),
+            "hash_match": ok,
+            "spark_rows": len(sdf), "oracle_rows": len(ddf), "err": None}
         print(f"{name:28s} {verdict[:160]}  ({len(sdf)} rows, "
               f"{time.time()-t0:.1f}s)")
     print(f"\n{'ALL OK' if failures == 0 else f'{failures} FAILURES'}")
+    if json_out:
+        import json
+        with open(json_out, "w") as f:
+            json.dump({"sf_dir": sf_dir, "n_queries": len(report),
+                       "n_failures": failures, "results": report}, f,
+                      indent=1)
+        print(f"wrote {json_out} ({len(report)} queries)")
     return failures
 
 
