@@ -1,11 +1,11 @@
 """Multimodal column plumbing: opaque binary payloads + typed metadata,
 processed with Arrow-batched pandas (mapInPandas).
 
-Beyond-reference capability (driver north star).  Image/audio/video decode
-libraries are not in this container, so the decode/feature-extract stage is
-STUBBED behind ``decode_image`` (raises NotImplementedError) with a
-deterministic fake (``fake_decode_meta``) — the real, tested parts are the
-Spark-side schema, Arrow batch shape, partitioning, and UDF signatures.
+Beyond-reference capability (driver north star).  ``decode_image`` does
+real header-level image decode when PIL is importable and raises
+NotImplementedError otherwise (this container ships no image libs); the
+deterministic fake (``fake_decode_meta``) keeps the Spark-side schema,
+Arrow batch shape, partitioning, and UDF signatures tested either way.
 
 Scale notes: payload columns ride in the same Parquet row groups as the
 metadata; mapInPandas streams Arrow batches (bounded by
@@ -16,11 +16,17 @@ regardless of corpus size; per-batch work is embarrassingly parallel.
 from __future__ import annotations
 
 import hashlib
-from typing import Iterator
+import io
+from typing import Callable, Iterator
 
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+try:  # optional dependency: real image decode when the lib is present
+    from PIL import Image as _PILImage
+except ImportError:  # container default: plumbing runs on the fake decoder
+    _PILImage = None
 
 PAYLOAD_SCHEMA = ("doc_id bigint, payload binary, media_type string, "
                   "n_bytes bigint")
@@ -57,17 +63,22 @@ def payload_stats(df: DataFrame) -> DataFrame:
     return df.mapInPandas(process, STATS_SCHEMA)
 
 
-def decode_image(payload: bytes) -> "object":
-    """Decode an image payload to pixels.
-
-    STUB: image decode libraries (PIL/opencv) are not available in this
-    container.  At deploy time, implement with
-    ``PIL.Image.open(io.BytesIO(payload))`` inside the mapInPandas batch
-    loop — the surrounding plumbing (payload_stats / extract_meta) is
-    already batch-shaped for it.
-    """
-    raise NotImplementedError("image decode requires PIL/opencv; "
-                              "see fake_decode_meta for the tested plumbing")
+def decode_image(payload: bytes) -> tuple[str, int, int, int]:
+    """Decode an image payload to (media_type, width, height, n_frames)
+    with PIL when it is importable; raises NotImplementedError otherwise
+    (this container ships no image libs — the deterministic
+    ``fake_decode_meta`` keeps the batch plumbing tested either way).
+    Runs inside the mapInPandas batch loop via ``extract_meta(df,
+    decoder=decode_image)`` — header-only metadata read, pixels are not
+    materialized."""
+    if _PILImage is None:
+        raise NotImplementedError(
+            "image decode requires PIL/opencv; see fake_decode_meta for "
+            "the tested plumbing")
+    img = _PILImage.open(io.BytesIO(payload))
+    fmt = (img.format or "unknown").lower()
+    return (f"image/{fmt}", int(img.width), int(img.height),
+            int(getattr(img, "n_frames", 1)))
 
 
 def fake_decode_meta(payload: bytes) -> tuple[str, int, int, int]:
@@ -78,13 +89,19 @@ def fake_decode_meta(payload: bytes) -> tuple[str, int, int, int]:
     return ("image/fake", 16 + h[0] % 64, 16 + h[1] % 64, 1 + h[2] % 8)
 
 
-def extract_meta(df: DataFrame) -> DataFrame:
-    """mapInPandas metadata extraction using the deterministic fake decoder
-    (swap fake_decode_meta → real decode when libs are present)."""
+def extract_meta(df: DataFrame,
+                 decoder: Callable[[bytes], tuple[str, int, int, int]]
+                 | None = None) -> DataFrame:
+    """mapInPandas metadata extraction.  ``decoder`` maps payload bytes →
+    (media_type, width, height, n_frames); default is the deterministic
+    ``fake_decode_meta`` (oracle-stable — the test payloads are text
+    bytes, not real images).  Pass ``decoder=decode_image`` for real PIL
+    decode on an actual image corpus."""
+    decoder = decoder or fake_decode_meta
 
     def process(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            metas = pdf["payload"].map(lambda b: fake_decode_meta(bytes(b)))
+            metas = pdf["payload"].map(lambda b: decoder(bytes(b)))
             yield pd.DataFrame({
                 "doc_id": pdf["doc_id"],
                 "media_type": metas.map(lambda m: m[0]),

@@ -283,6 +283,38 @@ def test_multimodal_meta_plumbing(spark):
     assert out == again
 
 
+def test_multimodal_real_decode_requires_pil():
+    """Without PIL, decode_image must refuse loudly (documented stub);
+    the real-decode path is covered by test_multimodal_real_decode."""
+    import importlib.util
+
+    from gqlite_spark.operators.multimodal import decode_image
+    if importlib.util.find_spec("PIL") is not None:
+        pytest.skip("PIL present; the real-decode test covers this")
+    with pytest.raises(NotImplementedError):
+        decode_image(b"\x89PNG\r\n\x1a\n")
+
+
+def test_multimodal_real_decode(spark):
+    """With PIL installed, extract_meta(decoder=decode_image) reads real
+    image headers through the same mapInPandas plumbing.  Skipped when
+    the container has no image libs."""
+    PIL_Image = pytest.importorskip("PIL.Image")
+    import io as _io
+
+    from gqlite_spark.operators.multimodal import decode_image, extract_meta
+
+    buf = _io.BytesIO()
+    PIL_Image.new("RGB", (20, 12)).save(buf, format="PNG")
+    png = buf.getvalue()
+    df = spark.createDataFrame(
+        [(1, bytearray(png), "image/png", len(png))],
+        "doc_id long, payload binary, media_type string, n_bytes long")
+    row = extract_meta(df, decoder=decode_image).collect()[0]
+    assert (row["media_type"], row["width"], row["height"],
+            row["n_frames"]) == ("image/png", 20, 12, 1)
+
+
 def test_knn_auto_paths(spark):
     from gqlite_spark.operators.similarity import knn_auto
     df = spark.createDataFrame(
