@@ -587,6 +587,15 @@ def q_text_tfidf(spark, sf_dir):
     return tfidf_top_terms(_load(spark, sf_dir, "documents"), k=5)
 
 
+def q_text_chunking(spark, sf_dir):
+    """Fixed-size overlapping token chunks per document (64-token chunks,
+    8-token overlap) — the pre-embedding segmentation stage.  Pure map
+    (split + sequence + posexplode), no shuffle."""
+    from gqlite_spark.operators.text import chunk_documents
+    return chunk_documents(_load(spark, sf_dir, "documents"),
+                           chunk_tokens=64, overlap=8)
+
+
 def q_text_redact_pii(spark, sf_dir):
     """PII scrub (emails/IPv4/phones/SSNs/cards/IBANs → tokens) with
     per-pattern audit counts; oracle mirrors all 6 patterns."""
@@ -910,6 +919,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_token_budget": q_text_token_budget,
         "text_winnow_fp": q_text_winnow_fp,
         "text_tfidf": q_text_tfidf,
+        "text_chunking": q_text_chunking,
     }
 
 
@@ -1759,6 +1769,17 @@ def oracle_sql() -> dict[str, str]:
             "generate_series(1, len(hs) - 3),"
             " j -> list_min(hs[j:j+3]))) AS fps FROM h)"
             " SELECT doc_id, unnest(fps) AS fp FROM m",
+        "text_chunking":
+            # 64-token chunks, 8-token overlap → step 56; chunk_idx from
+            # the start offset; DuckDB list slice is inclusive-inclusive
+            "WITH base AS (SELECT doc_id,"
+            " string_split(coalesce(text, ''), ' ') AS tk FROM documents),"
+            " ex AS (SELECT doc_id, tk, len(tk) AS n,"
+            " unnest(generate_series(1, GREATEST(len(tk) - 8, 1), 56)) AS s"
+            " FROM base)"
+            " SELECT doc_id, ((s - 1) // 56 + 1)::BIGINT AS chunk_idx,"
+            " LEAST(64, n - s + 1)::BIGINT AS n_chunk_tokens,"
+            " array_to_string(tk[s : s + 63], ' ') AS chunk_text FROM ex",
         "asof_attribution":
             "SELECT c.event_id, c.user_id,"
             " epoch_us(c.ts)::BIGINT AS click_ts_us,"

@@ -343,8 +343,11 @@ def chunk_documents(df: DataFrame, id_col: str = "doc_id",
     if overlap >= chunk_tokens:
         raise ValueError("overlap must be < chunk_tokens")
     step = chunk_tokens - overlap
+    # NULL text → one empty chunk row (sequence over null would silently
+    # drop the document in posexplode)
     base = df.select(F.col(id_col),
-                     F.split(F.col(text_col), " ").alias("_tk"))
+                     F.split(F.coalesce(F.col(text_col), F.lit("")), " ")
+                     .alias("_tk"))
     n = F.size(F.col("_tk"))
     starts = F.sequence(F.lit(1), F.greatest(n - F.lit(overlap), F.lit(1)),
                         F.lit(step))

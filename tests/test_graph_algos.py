@@ -268,3 +268,103 @@ def test_weighted_closeness(spark):
     assert c[2]["closeness"] == 1.0            # (3-1)/(1+1)
     assert c[1]["closeness"] == round(2 / 3, 4)
     assert c[1]["reachable"] == 3
+
+
+# -- mid-size stress: deterministic pseudo-random graph vs a pure-Python
+# BFS/Brandes oracle.  The 4-5 node fixtures above pin the formulas; this
+# catches layer-synchronization bugs (frontier dedup, anti-join scope,
+# backward-accumulation ordering) that only appear with many overlapping
+# BFS layers.  n=220/m=900 keeps the superstep count (~diameter 5) and
+# runtime bounded while the (source, vertex) state is ~48 000 pairs.
+
+def _pseudo_edges(n=220, m=900, seed=7):
+    """LCG-generated undirected edge list — identical for Spark and the
+    Python oracle, no RNG-module dependence."""
+    x = seed
+    out = []
+    for _ in range(m):
+        x = (1103515245 * x + 12345) % (2 ** 31)
+        a = x % n
+        x = (1103515245 * x + 12345) % (2 ** 31)
+        b = x % n
+        if a != b:
+            out.append((a, b))
+    return out
+
+
+def _adjacency(edges):
+    adj = {}
+    for a, b in edges:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    return adj
+
+
+def _bfs_dist(adj, s):
+    from collections import deque
+    dist = {s: 0}
+    q = deque([s])
+    while q:
+        u = q.popleft()
+        for v in adj[u]:
+            if v not in dist:
+                dist[v] = dist[u] + 1
+                q.append(v)
+    return dist
+
+
+def test_closeness_midsize_vs_python_oracle(spark):
+    from gqlite_spark.operators.graph_algos import closeness_centrality
+    edges = _pseudo_edges()
+    adj = _adjacency(edges)
+    e = spark.createDataFrame(edges, "src long, dst long")
+    got = {r["id"]: r for r in closeness_centrality(e).collect()}
+    assert set(got) == set(adj)
+    for v in adj:
+        dist = _bfs_dist(adj, v)
+        reach = len(dist)
+        total = sum(dist.values())
+        want = round((reach - 1) / total, 4) if total else 0.0
+        assert got[v]["reachable"] == reach, v
+        assert abs(got[v]["closeness"] - want) <= 1e-4, v
+
+
+def test_betweenness_midsize_vs_python_oracle(spark):
+    from collections import deque
+
+    from gqlite_spark.operators.graph_algos import betweenness_centrality
+    edges = _pseudo_edges()
+    adj = _adjacency(edges)
+    sources = sorted(adj)[::10]          # 22 landmark sources
+    e = spark.createDataFrame(edges, "src long, dst long")
+    got = {r["id"]: r["betweenness"]
+           for r in betweenness_centrality(e, sources=sources).collect()}
+
+    # reference Brandes restricted to the same sources, halved like the
+    # implementation (each unordered pair seen from both endpoints only
+    # when both are sources; landmark mode halves uniformly — mirror it)
+    bc = {v: 0.0 for v in adj}
+    for s in sources:
+        order, preds = [], {v: [] for v in adj}
+        sigma = {v: 0 for v in adj}
+        sigma[s] = 1
+        dist = {s: 0}
+        q = deque([s])
+        while q:
+            u = q.popleft()
+            order.append(u)
+            for w in adj[u]:
+                if w not in dist:
+                    dist[w] = dist[u] + 1
+                    q.append(w)
+                if dist[w] == dist[u] + 1:
+                    sigma[w] += sigma[u]
+                    preds[w].append(u)
+        delta = {v: 0.0 for v in adj}
+        for w in reversed(order):
+            for u in preds[w]:
+                delta[u] += sigma[u] / sigma[w] * (1 + delta[w])
+            if w != s:
+                bc[w] += delta[w]
+    for v in adj:
+        assert abs(got.get(v, 0.0) - round(bc[v] / 2, 4)) <= 1e-3, v

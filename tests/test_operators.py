@@ -721,6 +721,34 @@ def test_tfidf_top_terms_known(spark):
     assert out[(2, 1)]["tfidf"] == round(idf_rare, 4)
 
 
+def test_chunk_documents_overlap_and_nulls(spark):
+    """Chunk boundaries, overlap carry-over, tail handling, and the
+    NULL-text guard (a null doc must yield one empty chunk, not vanish)."""
+    from gqlite_spark.operators.text import chunk_documents
+    toks = [f"w{i}" for i in range(1, 11)]          # 10 tokens
+    df = spark.createDataFrame(
+        [(1, " ".join(toks)), (2, "a b"), (3, None)],
+        "doc_id long, text string")
+    out = chunk_documents(df, chunk_tokens=4, overlap=1)
+    rows = {(r["doc_id"], r["chunk_idx"]): r for r in out.collect()}
+    # doc 1: starts 1,4,7 (step 3, while start <= 10-1=9) → 3 chunks
+    assert {k for k in rows if k[0] == 1} == {(1, 1), (1, 2), (1, 3)}
+    assert rows[(1, 1)]["chunk_text"] == "w1 w2 w3 w4"
+    # overlap: chunk 2 re-carries chunk 1's last token
+    assert rows[(1, 2)]["chunk_text"] == "w4 w5 w6 w7"
+    assert rows[(1, 3)]["chunk_text"] == "w7 w8 w9 w10"
+    assert rows[(1, 3)]["n_chunk_tokens"] == 4
+    # short doc: single (short) chunk
+    assert rows[(2, 1)]["chunk_text"] == "a b"
+    assert rows[(2, 1)]["n_chunk_tokens"] == 2
+    # null text: one empty chunk row survives
+    assert rows[(3, 1)]["chunk_text"] == ""
+    assert rows[(3, 1)]["n_chunk_tokens"] == 1
+    assert len(rows) == 5
+    with pytest.raises(ValueError):
+        chunk_documents(df, chunk_tokens=4, overlap=4)
+
+
 def test_redact_pii_planted_cross_engine(spark):
     """Planted emails/IPs/phones/SSNs/cards/IBANs: Spark redaction must
     equal DuckDB's (same 6 patterns, 'g' flag) — guards against
