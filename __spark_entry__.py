@@ -587,6 +587,14 @@ def q_text_tfidf(spark, sf_dir):
     return tfidf_top_terms(_load(spark, sf_dir, "documents"), k=5)
 
 
+def q_text_lm_score(spark, sf_dir):
+    """Corpus-trained char-trigram LM quality score (CCNet-style
+    filtering signal); integer micro-nat model keeps the cross-engine
+    comparison exact."""
+    from gqlite_spark.operators.text import lm_score
+    return lm_score(_load(spark, sf_dir, "documents"))
+
+
 def q_text_chunking(spark, sf_dir):
     """Fixed-size overlapping token chunks per document (64-token chunks,
     8-token overlap) — the pre-embedding segmentation stage.  Pure map
@@ -920,6 +928,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_winnow_fp": q_text_winnow_fp,
         "text_tfidf": q_text_tfidf,
         "text_chunking": q_text_chunking,
+        "text_lm_score": q_text_lm_score,
     }
 
 
@@ -1780,6 +1789,22 @@ def oracle_sql() -> dict[str, str]:
             " SELECT doc_id, ((s - 1) // 56 + 1)::BIGINT AS chunk_idx,"
             " LEAST(64, n - s + 1)::BIGINT AS n_chunk_tokens,"
             " array_to_string(tk[s : s + 63], ' ') AS chunk_text FROM ex",
+        "text_lm_score":
+            # integer micro-nat model (floor(ln(p)*1e6+0.5)) → per-doc
+            # sums are integer-exact; only the per-trigram ln touches
+            # floats, on identical double inputs in both engines
+            "WITH d AS (SELECT doc_id, text FROM documents"
+            " WHERE length(coalesce(text, '')) >= 3),"
+            " g AS (SELECT doc_id, unnest(list_transform("
+            "generate_series(1, length(text) - 2),"
+            " i -> substr(text, i, 3))) AS g FROM d),"
+            " c AS (SELECT g, COUNT(*) AS c FROM g GROUP BY g),"
+            " tot AS (SELECT SUM(c) AS t FROM c),"
+            " m AS (SELECT g, FLOOR(LN(c / t) * 1000000 + 0.5)::BIGINT"
+            " AS lp FROM c, tot)"
+            " SELECT doc_id, COUNT(*)::BIGINT AS n_grams,"
+            " ROUND(SUM(lp) / COUNT(*) / 1000000.0, 4) AS avg_logp"
+            " FROM g JOIN m USING (g) GROUP BY doc_id",
         "asof_attribution":
             "SELECT c.event_id, c.user_id,"
             " epoch_us(c.ts)::BIGINT AS click_ts_us,"

@@ -271,6 +271,48 @@ def tfidf_top_terms(df: DataFrame, k: int = 5, id_col: str = "doc_id",
                     F.round(F.col("tf") * F.col("idf"), 4).alias("tfidf")))
 
 
+def lm_score(df: DataFrame, id_col: str = "doc_id",
+             text_col: str = "text", n: int = 3) -> DataFrame:
+    """Character n-gram language-model quality score, trained on the
+    corpus itself (the CCNet/C4 filtering signal: documents whose
+    character statistics diverge from the corpus — boilerplate, encoding
+    garbage, wrong-script spam — score low and get filtered).
+
+    Model: MLE n-gram probabilities over the whole corpus, log-probs
+    quantized to integer micro-nats (``floor(ln(c/total)·1e6 + 0.5)``)
+    so per-document sums are integer-exact and engine/order-independent
+    (the repo's cross-engine float convention).  Score: mean log-prob of
+    the document's n-grams, rounded to 4 places.  Documents shorter than
+    ``n`` chars have no n-grams and are excluded (both engines drop them
+    identically).
+
+    Scale shape: explode n-grams (pure map) → vocabulary-sized count
+    aggregate (char-n-gram vocab is BOUNDED — ~alphabet^n — independent
+    of corpus size, so the model broadcast stays small at 100 TB) →
+    broadcast join back → one groupBy keyed on the document.  Two
+    shuffles total, one of them vocabulary-sized.  No UDFs."""
+    t = F.coalesce(F.col(text_col), F.lit(""))
+    docs = df.filter(F.length(t) >= n)
+    grams = F.transform(
+        F.sequence(F.lit(1), F.length(t) - (n - 1)),
+        lambda i: F.substr(t, i, F.lit(n)))
+    base = docs.select(F.col(id_col), F.explode(grams).alias("g"))
+    counts = base.groupBy("g").agg(F.count("*").alias("c"))
+    total = counts.agg(F.sum("c").alias("_t"))
+    model = (counts.crossJoin(F.broadcast(total))
+             .select("g",
+                     F.floor(F.log(F.col("c") / F.col("_t")) * 1e6 + 0.5)
+                     .cast("long").alias("lp_e6")))
+    return (base.join(F.broadcast(model), "g")
+            .groupBy(id_col)
+            .agg(F.count("*").alias("n_grams"),
+                 F.sum("lp_e6").alias("_s"))
+            .select(F.col(id_col),
+                    F.col("n_grams").cast("long"),
+                    F.round(F.col("_s") / F.col("n_grams") / 1e6, 4)
+                    .alias("avg_logp")))
+
+
 # PII patterns: intersection of Java-regex (Spark) and RE2 (DuckDB)
 # syntax — no backreferences, no lookarounds, explicit character classes.
 # (\b IS in the common subset: RE2 and java.util.regex agree on ASCII

@@ -721,6 +721,29 @@ def test_tfidf_top_terms_known(spark):
     assert out[(2, 1)]["tfidf"] == round(idf_rare, 4)
 
 
+def test_lm_score_known_values(spark):
+    """Hand-computed trigram model on a 3-doc corpus: repeated-pattern
+    docs score higher (less surprising) than the mixed doc; short and
+    null docs drop."""
+    import math
+
+    from gqlite_spark.operators.text import lm_score
+    rows = [(1, "aaaa"), (2, "abcd"), (3, "aa"), (4, None)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in lm_score(df).collect()}
+    # corpus trigrams: doc1 {aaa, aaa}, doc2 {abc, bcd}; total 4
+    # p(aaa)=2/4, p(abc)=p(bcd)=1/4
+    lp = {g: math.floor(math.log(p) * 1e6 + 0.5)
+          for g, p in (("aaa", 0.5), ("abc", 0.25), ("bcd", 0.25))}
+    assert set(out) == {1, 2}                     # doc 3 too short, 4 null
+    assert out[1]["n_grams"] == 2
+    assert out[1]["avg_logp"] == round(lp["aaa"] / 1e6, 4)
+    assert out[2]["n_grams"] == 2
+    assert out[2]["avg_logp"] == round(
+        (lp["abc"] + lp["bcd"]) / 2 / 1e6, 4)
+    assert out[1]["avg_logp"] > out[2]["avg_logp"]
+
+
 def test_chunk_documents_overlap_and_nulls(spark):
     """Chunk boundaries, overlap carry-over, tail handling, and the
     NULL-text guard (a null doc must yield one empty chunk, not vanish)."""
