@@ -777,6 +777,18 @@ def q_asof_attribution(spark, sf_dir):
 # Sampling / quantiles / decontamination (training-pipeline operators)
 # --------------------------------------------------------------------------
 
+def q_sample_mixture(spark, sf_dir):
+    """Mixture sampling to a target language recipe (en 30 / zh 20 /
+    es 20 / de 15 / fr 15): largest no-upsampling total, md5-prefix
+    membership, rates computed in-plan."""
+    from gqlite_spark.operators.sampling import mixture_sample
+    d = _load(spark, sf_dir, "documents")
+    out = mixture_sample(d, "lang",
+                         {"en": 0.30, "zh": 0.20, "es": 0.20,
+                          "de": 0.15, "fr": 0.15})
+    return out.select("doc_id", "lang", "source")
+
+
 def q_sample_stratified(spark, sf_dir):
     """Deterministic per-language sampling (md5-prefix membership): keep
     50% of en, 25% of zh, 12.5% of everything else.  Pure Column predicate
@@ -929,6 +941,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_tfidf": q_text_tfidf,
         "text_chunking": q_text_chunking,
         "text_lm_score": q_text_lm_score,
+        "sample_mixture": q_sample_mixture,
     }
 
 
@@ -1812,6 +1825,27 @@ def oracle_sql() -> dict[str, str]:
             " FROM (SELECT * FROM events WHERE event_type = 'click') c"
             " ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') v"
             " ON c.user_id = v.user_id AND v.ts <= c.ts",
+        "sample_mixture": (
+            # rates computed with the SAME association as the Spark plan:
+            # K = MIN(n/p); rate = (K*p)/n; threshold = first 8 hex chars
+            # ('g' = keep-all sentinel, sorts above every hex digit)
+            "WITH p AS (SELECT * FROM (VALUES"
+            " ('en', 0.30::DOUBLE), ('zh', 0.20::DOUBLE),"
+            " ('es', 0.20::DOUBLE), ('de', 0.15::DOUBLE),"
+            " ('fr', 0.15::DOUBLE)) t(lang, prop)),"
+            " c AS (SELECT lang, COUNT(*) AS n FROM documents"
+            " WHERE lang IN (SELECT lang FROM p) GROUP BY lang),"
+            " k AS (SELECT MIN(n / prop) AS k FROM c JOIN p USING (lang)),"
+            " r AS (SELECT lang, LEAST(1.0, (k * prop) / n) AS rate"
+            " FROM c JOIN p USING (lang), k),"
+            " t AS (SELECT lang, CASE WHEN rate >= 1.0 THEN 'g' ELSE"
+            # to_hex is UPPERCASE in DuckDB; md5 is lowercase — lower() or
+            # the string compare silently diverges
+            " lower(lpad(to_hex(CAST(FLOOR(rate * 4294967296.0) AS"
+            " BIGINT)), 8, '0')) END AS thr FROM r)"
+            " SELECT d.doc_id, d.lang, d.source FROM documents d"
+            " JOIN t USING (lang)"
+            " WHERE substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8) < t.thr"),
         "sample_stratified":
             "SELECT doc_id, lang, n_chars FROM documents"
             " WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) <"

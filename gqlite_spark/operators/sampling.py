@@ -48,10 +48,18 @@ def _hex_threshold(rate: float) -> str:
     numeric order (ASCII '9' < 'a'), so a plain string compare against the
     threshold implements the rate in ANY engine with md5 — the property
     the DuckDB oracle relies on.
+
+    rate == 1.0 must NOT format as '100000000': that 9-char string sorts
+    BELOW any 8-char prefix starting with a letter (ASCII '1' < 'a'),
+    silently keeping ~1/16 of rows.  'g' sorts above every hex digit, so
+    it is the keep-everything threshold.
     """
     if not 0.0 <= rate <= 1.0:
         raise ValueError(f"rate must be in [0,1], got {rate}")
-    return format(int(rate * 16 ** _HEX_DIGITS), f"0{_HEX_DIGITS}x")
+    n = int(rate * 16 ** _HEX_DIGITS)
+    if n >= 16 ** _HEX_DIGITS:
+        return "g"
+    return format(n, f"0{_HEX_DIGITS}x")
 
 
 def sample_key(id_col, salt: str = "") -> F.Column:
@@ -88,6 +96,59 @@ def stratified_sample(df: DataFrame, strata_col: str,
         thr = F.when(F.col(strata_col) == value,
                      F.lit(_hex_threshold(rate))).otherwise(thr)
     return df.filter(sample_key(id_col, salt) < thr)
+
+
+def mixture_sample(df: DataFrame, group_col: str,
+                   target_props: dict[str, float],
+                   id_col: str = "doc_id",
+                   salt: str = "") -> DataFrame:
+    """Deterministic data-mixing: downsample groups so the OUTPUT follows
+    ``target_props`` (the mixture-weighting step before training — e.g.
+    rebalance languages or sources to a recipe).
+
+    Per-group acceptance rates come from the observed counts: the largest
+    achievable total K with no upsampling is ``K = min_g n_g / p_g``
+    (the binding group keeps everything, rate 1.0), then
+    ``rate_g = K·p_g / n_g``.  Groups absent from ``target_props`` are
+    dropped (prop 0).  Row selection reuses the md5-prefix membership of
+    :func:`hash_sample`, so the sample is reproducible on any engine —
+    the whole rate computation stays IN-PLAN (count aggregate → 1-row
+    min → broadcast threshold join): no driver collect, and arithmetic
+    is ordered identically to the SQL oracle so thresholds match
+    bit-for-bit.
+
+    Scale shape: one group-cardinality-sized aggregate (broadcast back)
+    + one scan with a pushed-down-able predicate — the fact table never
+    shuffles."""
+    if not target_props:
+        raise ValueError("target_props must be non-empty")
+    for g, p in target_props.items():
+        if p <= 0:
+            raise ValueError(f"target proportion for {g!r} must be > 0")
+    prop = F.lit(None).cast("double")
+    for g, p in target_props.items():
+        prop = F.when(F.col(group_col) == g, F.lit(float(p))).otherwise(prop)
+    counts = (df.filter(F.col(group_col).isin(list(target_props)))
+              .groupBy(group_col).agg(F.count(F.lit(1)).alias("_n"))
+              .withColumn("_p", prop))
+    k = counts.agg(F.min(F.col("_n") / F.col("_p")).alias("_k"))
+    # rate = (K·p)/n, associated exactly as in the oracle SQL so the
+    # doubles (and the floor'd thresholds) are IEEE-identical
+    rates = (counts.crossJoin(F.broadcast(k))
+             .select(group_col,
+                     F.least(F.lit(1.0),
+                             (F.col("_k") * F.col("_p")) / F.col("_n"))
+                     .alias("_rate")))
+    thr = (rates.select(
+        group_col,
+        F.when(F.col("_rate") >= 1.0, F.lit("g"))
+        .otherwise(F.lower(F.lpad(F.hex(
+            F.floor(F.col("_rate") * F.lit(float(16 ** _HEX_DIGITS)))
+            .cast("long")), _HEX_DIGITS, "0")))
+        .alias("_thr")))
+    return (df.join(F.broadcast(thr), group_col)
+            .filter(sample_key(id_col, salt) < F.col("_thr"))
+            .drop("_thr"))
 
 
 # --------------------------------------------------------------------------

@@ -721,6 +721,42 @@ def test_tfidf_top_terms_known(spark):
     assert out[(2, 1)]["tfidf"] == round(idf_rare, 4)
 
 
+def test_hash_sample_rate_one_keeps_everything(spark):
+    """rate=1.0 must keep ALL rows — the naive 9-char hex threshold
+    '100000000' sorts below letter-prefixed md5s and silently kept ~1/16."""
+    from gqlite_spark.operators.sampling import hash_sample
+    df = spark.range(200).withColumnRenamed("id", "doc_id")
+    assert hash_sample(df, rate=1.0).count() == 200
+    assert hash_sample(df, rate=0.0).count() == 0
+
+
+def test_mixture_sample_hits_target_recipe(spark):
+    """Rates derive from observed counts: the binding group keeps all its
+    rows (rate 1.0) and the others downsample toward the target mix;
+    unlisted groups drop; determinism across calls."""
+    from gqlite_spark.operators.sampling import mixture_sample
+    rows = [(i, "en" if i < 600 else ("zh" if i < 800 else "xx"))
+            for i in range(1000)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string")
+    out = mixture_sample(df, "lang", {"en": 0.5, "zh": 0.5})
+    got = {r["lang"]: r["cnt"] for r in
+           out.groupBy("lang").agg(F.count("*").alias("cnt")).collect()}
+    # K = min(600/0.5, 200/0.5) = 400 → zh rate 1.0 (keeps all 200),
+    # en rate 400*0.5/600 = 1/3 (~200 of 600, md5-binomial jitter)
+    assert "xx" not in got
+    assert got["zh"] == 200
+    assert 160 <= got["en"] <= 240
+    # deterministic: identical sample on re-run
+    a = sorted(r["doc_id"] for r in out.collect())
+    b = sorted(r["doc_id"] for r in
+               mixture_sample(df, "lang", {"en": 0.5, "zh": 0.5}).collect())
+    assert a == b
+    with pytest.raises(ValueError):
+        mixture_sample(df, "lang", {})
+    with pytest.raises(ValueError):
+        mixture_sample(df, "lang", {"en": 0.0})
+
+
 def test_lm_score_known_values(spark):
     """Hand-computed trigram model on a 3-doc corpus: repeated-pattern
     docs score higher (less surprising) than the mixed doc; short and
