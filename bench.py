@@ -37,6 +37,15 @@ def _point_lookup_raw(spark, sf_dir):
 
 DIAGNOSTIC = {"point_lookup_raw": _point_lookup_raw}
 
+# queries() entries benched for visibility but EXCLUDED from the totals
+# (keeps round-over-round totals comparable to the original 19-query set)
+DIAGNOSTIC_QUERIES = [
+    "dedup_lines",
+    "text_chunking",
+    "text_lm_score",
+    "sample_mixture",
+]
+
 HEADLINE = [
     "point_lookup",          # reference benchmark workload (vertex.gs)
     "scan_filter_eq",
@@ -79,7 +88,7 @@ def main() -> None:
     qs = entry.queries()
     timings: dict[str, float] = {}
     warm: dict[str, float] = {}
-    for name in HEADLINE + list(DIAGNOSTIC):
+    for name in HEADLINE + DIAGNOSTIC_QUERIES + list(DIAGNOSTIC):
         fn = qs[name] if name in qs else DIAGNOSTIC[name]
         t0 = time.time()
         df = fn(spark, sf_dir)

@@ -293,12 +293,22 @@ def lm_score(df: DataFrame, id_col: str = "doc_id",
     shuffles total, one of them vocabulary-sized.  No UDFs."""
     t = F.coalesce(F.col(text_col), F.lit(""))
     docs = df.filter(F.length(t) >= n)
-    grams = F.transform(
-        F.sequence(F.lit(1), F.length(t) - (n - 1)),
-        lambda i: F.substr(t, i, F.lit(n)))
-    base = docs.select(F.col(id_col), F.explode(grams).alias("g"))
+    # explode integer POSITIONS and slice with a plain substr expression:
+    # a transform(...) lambda building the grams would be interpreted per
+    # element (repo lesson: HOF lambdas are not codegen) — this keeps the
+    # hot path in WholeStageCodegen; the carried text column is a pointer
+    # within the fused Generate→Project stage, not a per-row copy
+    base = (docs
+            .select(F.col(id_col), t.alias("_t"),
+                    F.explode(F.sequence(F.lit(1),
+                                         F.length(t) - (n - 1))).alias("_i"))
+            .select(F.col(id_col),
+                    F.substr(F.col("_t"), F.col("_i"), F.lit(n)).alias("g")))
     counts = base.groupBy("g").agg(F.count("*").alias("c"))
-    total = counts.agg(F.sum("c").alias("_t"))
+    # total n-grams = Σ(length - (n-1)) over the kept docs — identical to
+    # SUM(counts.c) but computed from a light column scan, so the plan
+    # explodes the corpus TWICE (count + score), not three times
+    total = docs.agg(F.sum(F.length(t) - (n - 1)).alias("_t"))
     model = (counts.crossJoin(F.broadcast(total))
              .select("g",
                      F.floor(F.log(F.col("c") / F.col("_t")) * 1e6 + 0.5)
