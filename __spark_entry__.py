@@ -777,6 +777,22 @@ def q_asof_attribution(spark, sf_dir):
 # Sampling / quantiles / decontamination (training-pipeline operators)
 # --------------------------------------------------------------------------
 
+def q_event_funnel(spark, sf_dir):
+    """Ordered view→click→purchase conversion funnel (first-touch,
+    strictly step-ordered per user); per-step reach counts."""
+    from gqlite_spark.operators.temporal import funnel
+    e = _load(spark, sf_dir, "events")
+    return funnel(e, ["view", "click", "purchase"])
+
+
+def q_event_cohort_retention(spark, sf_dir):
+    """Daily cohort retention matrix over the events stream — all-integer
+    bucket arithmetic (epoch-day cohorts, offset in days)."""
+    from gqlite_spark.operators.temporal import cohort_retention
+    e = _load(spark, sf_dir, "events")
+    return cohort_retention(e)
+
+
 def q_sample_mixture(spark, sf_dir):
     """Mixture sampling to a target language recipe (en 30 / zh 20 /
     es 20 / de 15 / fr 15): largest no-upsampling total, md5-prefix
@@ -942,6 +958,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_chunking": q_text_chunking,
         "text_lm_score": q_text_lm_score,
         "sample_mixture": q_sample_mixture,
+        "event_funnel": q_event_funnel,
+        "event_cohort_retention": q_event_cohort_retention,
     }
 
 
@@ -1825,6 +1843,29 @@ def oracle_sql() -> dict[str, str]:
             " FROM (SELECT * FROM events WHERE event_type = 'click') c"
             " ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') v"
             " ON c.user_id = v.user_id AND v.ts <= c.ts",
+        "event_funnel": (
+            "WITH e AS (SELECT user_id AS u, event_type AS t,"
+            " epoch_us(ts)::BIGINT AS e FROM events),"
+            " s1 AS (SELECT u, MIN(e) AS r FROM e WHERE t = 'view'"
+            " GROUP BY u),"
+            " s2 AS (SELECT e.u, MIN(e.e) AS r FROM e JOIN s1 ON e.u = s1.u"
+            " WHERE e.t = 'click' AND e.e >= s1.r GROUP BY e.u),"
+            " s3 AS (SELECT e.u, MIN(e.e) AS r FROM e JOIN s2 ON e.u = s2.u"
+            " WHERE e.t = 'purchase' AND e.e >= s2.r GROUP BY e.u)"
+            " SELECT 1::BIGINT AS step_idx, 'view' AS step,"
+            " COUNT(*)::BIGINT AS n_users FROM s1"
+            " UNION ALL SELECT 2::BIGINT, 'click', COUNT(*)::BIGINT FROM s2"
+            " UNION ALL SELECT 3::BIGINT, 'purchase', COUNT(*)::BIGINT"
+            " FROM s3"),
+        "event_cohort_retention": (
+            # all-integer day buckets: micros // 1e6 // 86400 (floor) —
+            # DuckDB epoch() returns fractional DOUBLE seconds, avoid it
+            "WITH ev AS (SELECT DISTINCT user_id AS u,"
+            " (epoch_us(ts)::BIGINT // 1000000) // 86400 AS b FROM events),"
+            " f AS (SELECT u, MIN(b) AS cohort FROM ev GROUP BY u)"
+            " SELECT cohort AS cohort_bucket, b - cohort AS bucket_offset,"
+            " COUNT(*)::BIGINT AS n_active"
+            " FROM ev JOIN f USING (u) GROUP BY 1, 2"),
         "sample_mixture": (
             # rates computed with the SAME association as the Spark plan:
             # K = MIN(n/p); rate = (K*p)/n; threshold = first 8 hex chars

@@ -103,3 +103,70 @@ def asof_join(left: DataFrame, right: DataFrame,
     for c in right_cols:
         out = out.withColumn(c, F.col("_m")[c])
     return out.drop("_r", "_side", "_t", "_m", "_mt")
+
+
+def funnel(events: DataFrame, steps: list[str],
+           user_col: str = "user_id", type_col: str = "event_type",
+           ts_col: str = "ts") -> DataFrame:
+    """Ordered conversion funnel: for each user, the earliest time they
+    complete step k AFTER having completed step k-1 (strictly ordered
+    first-touch attribution).  Returns one row per step:
+    (step_idx 1-based, step, n_users) with n_users monotonically
+    non-increasing down the funnel.
+
+    Scale shape: one filtered aggregate per step, each keyed on the user
+    (map-side partial min), chained by broadcast-joining the previous
+    step's per-user completion time when it is dimension-sized, else a
+    keyed join — never a window over the raw event stream, and each pass
+    scans only that step's events (predicate pushed to the source).
+    k steps → k keyed aggregates; state is O(users reaching the step)."""
+    if not steps:
+        raise ValueError("steps must be non-empty")
+    us = epoch_micros(events, ts_col)
+    ev = events.select(F.col(user_col).alias("u"),
+                       F.col(type_col).alias("t"), us.alias("e"))
+    prev = None          # DataFrame (u, reach_k) — per-user completion time
+    out_rows = []
+    for idx, step in enumerate(steps, start=1):
+        mine = ev.filter(F.col("t") == step)
+        if prev is None:
+            reach = mine.groupBy("u").agg(F.min("e").alias("r"))
+        else:
+            reach = (mine.join(prev, "u")
+                     .filter(F.col("e") >= F.col("r_prev"))
+                     .groupBy("u").agg(F.min("e").alias("r")))
+        prev = reach.select("u", F.col("r").alias("r_prev"))
+        out_rows.append(reach.agg(
+            F.lit(idx).cast("long").alias("step_idx"),
+            F.lit(step).alias("step"),
+            F.count("*").cast("long").alias("n_users")))
+    res = out_rows[0]
+    for r in out_rows[1:]:
+        res = res.unionByName(r)
+    return res
+
+
+def cohort_retention(events: DataFrame, user_col: str = "user_id",
+                     ts_col: str = "ts",
+                     bucket_seconds: int = 86400) -> DataFrame:
+    """Cohort retention matrix: users are cohorted by the bucket of their
+    FIRST event; each later active bucket contributes to that cohort's
+    retention curve.  Returns (cohort_bucket, bucket_offset, n_active)
+    with bucket epochs in whole ``bucket_seconds`` units — all-integer
+    arithmetic, engine-exact.
+
+    Scale shape: one per-user min aggregate (the cohort assignment,
+    user-keyed shuffle), one distinct over (user, bucket) fused with the
+    join back, one final count keyed on the (cohort, offset) pair —
+    state bounded by users + active (user, bucket) pairs, never raw
+    events."""
+    from .windows import epoch_seconds
+    es = epoch_seconds(events, ts_col)
+    b = (es - es % bucket_seconds) / bucket_seconds
+    ev = events.select(F.col(user_col).alias("u"),
+                       b.cast("long").alias("b")).distinct()
+    first = ev.groupBy("u").agg(F.min("b").alias("cohort"))
+    return (ev.join(first, "u")
+            .groupBy(F.col("cohort").alias("cohort_bucket"),
+                     (F.col("b") - F.col("cohort")).alias("bucket_offset"))
+            .agg(F.count("*").cast("long").alias("n_active")))

@@ -721,7 +721,50 @@ def test_tfidf_top_terms_known(spark):
     assert out[(2, 1)]["tfidf"] == round(idf_rare, 4)
 
 
-def test_hash_sample_rate_one_keeps_everything(spark):
+def test_funnel_strict_step_ordering(spark):
+    """A user who clicks BEFORE their first view must not count as a
+    click conversion; re-ordering is the funnel's whole point."""
+    from gqlite_spark.operators.temporal import funnel
+    rows = [
+        (1, 10, "view"), (1, 20, "click"), (1, 30, "purchase"),  # full
+        (2, 10, "click"), (2, 20, "view"),                       # click<view
+        (3, 10, "view"), (3, 20, "click"),                       # no purchase
+        (4, 10, "purchase"),                                     # cold buy
+        (5, 10, "view"), (5, 10, "click"),                       # same-time ok
+    ]
+    # long ts = nanoseconds (the dual-encoding epoch_micros contract)
+    df = spark.createDataFrame(
+        [(u, t * 1_000_000_000, ty) for u, t, ty in rows],
+        "user_id long, e long, t string")
+    out = {r["step"]: r for r in
+           funnel(df, ["view", "click", "purchase"],
+                  type_col="t", ts_col="e").collect()}
+    assert out["view"]["n_users"] == 4          # users 1,2,3,5
+    assert out["click"]["n_users"] == 3         # 1,3,5 (2's click too early)
+    assert out["purchase"]["n_users"] == 1      # only 1 (4 never viewed)
+    assert [out[s]["step_idx"] for s in ("view", "click", "purchase")] \
+        == [1, 2, 3]
+    with pytest.raises(ValueError):
+        funnel(df, [], type_col="t", ts_col="e")
+
+
+def test_cohort_retention_buckets(spark):
+    """First-event bucket defines the cohort; later activity lands at
+    integer offsets; multiple events in one bucket count once."""
+    from gqlite_spark.operators.temporal import cohort_retention
+    day = 86400
+    rows = [(1, 0), (1, 10), (1, day), (1, 3 * day),     # cohort 0
+            (2, day), (2, day + 5), (2, 2 * day),        # cohort 1
+            (3, 0)]                                      # cohort 0, one day
+    df = spark.createDataFrame(
+        [(u, s * 1_000_000_000) for u, s in rows], "user_id long, ts long")
+    # long-nanoseconds ts exercises the dual-encoding epoch path
+    got = {(r["cohort_bucket"], r["bucket_offset"]): r["n_active"]
+           for r in cohort_retention(df).collect()}
+    assert got[(0, 0)] == 2 and got[(0, 1)] == 1 and got[(0, 3)] == 1
+    assert got[(1, 0)] == 1 and got[(1, 1)] == 1
+    assert (0, 2) not in got
+    assert sum(v for (c, o), v in got.items() if c == 0 and o == 0) == 2
     """rate=1.0 must keep ALL rows — the naive 9-char hex threshold
     '100000000' sorts below letter-prefixed md5s and silently kept ~1/16."""
     from gqlite_spark.operators.sampling import hash_sample
