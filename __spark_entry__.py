@@ -517,6 +517,14 @@ def q_dedup_minhash(spark, sf_dir):
     return minhash_lsh_pairs(_load(spark, sf_dir, "documents"), threshold=0.7)
 
 
+def q_dedup_clusters(spark, sf_dir):
+    """Transitive near-dup clusters (LSH pairs → connected components →
+    min-id representative); oracle replays the closure with a recursive
+    CTE over the exact-Jaccard pair set."""
+    from gqlite_spark.operators.dedup import near_dup_clusters
+    return near_dup_clusters(_load(spark, sf_dir, "documents"))
+
+
 def q_dedup_simhash(spark, sf_dir):
     """SimHash near-dup pairs.  Oracle-checkable since r2: 7-chunk blocking
     guarantees exact recall for hamming ≤ 6 (pigeonhole), and the
@@ -960,6 +968,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sample_mixture": q_sample_mixture,
         "event_funnel": q_event_funnel,
         "event_cohort_retention": q_event_cohort_retention,
+        "dedup_clusters": q_dedup_clusters,
     }
 
 
@@ -1843,6 +1852,17 @@ def oracle_sql() -> dict[str, str]:
             " FROM (SELECT * FROM events WHERE event_type = 'click') c"
             " ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') v"
             " ON c.user_id = v.user_id AND v.ts <= c.ts",
+        "dedup_clusters": (
+            # transitive closure over the exact near-dup pair set (same
+            # pair semantics as dedup_minhash_lsh's oracle), min-id rep
+            "WITH RECURSIVE pairs AS (" + _MINHASH_ORACLE_SQL + "),"
+            " und AS (SELECT doc_a AS a, doc_b AS b FROM pairs"
+            " UNION SELECT doc_b, doc_a FROM pairs),"
+            " reach(a, b) AS (SELECT a, b FROM und"
+            " UNION SELECT r.a, u.b FROM reach r JOIN und u ON r.b = u.a"
+            " WHERE r.a <> u.b)"
+            " SELECT a AS doc_id, LEAST(a, MIN(b)) AS cluster_rep,"
+            " a = LEAST(a, MIN(b)) AS keep FROM reach GROUP BY a"),
         "event_funnel": (
             "WITH e AS (SELECT user_id AS u, event_type AS t,"
             " epoch_us(ts)::BIGINT AS e FROM events),"

@@ -511,3 +511,30 @@ def embedding_near_dups(df: DataFrame, id_col: str = "vec_id",
     return (pairs.withColumn("cosine", cos)
             .filter(F.col("cosine") >= threshold)
             .select("doc_a", "doc_b", F.round("cosine", 4).alias("cosine")))
+
+
+def near_dup_clusters(df: DataFrame, id_col: str = "doc_id",
+                      text_col: str = "text", threshold: float = 0.7,
+                      **lsh_kwargs) -> DataFrame:
+    """Transitive near-duplicate clusters with a canonical representative
+    — the purge-decision step of a dedup pipeline: A~B and B~C put A, B,
+    C in ONE cluster even when A~C is below threshold, and every cluster
+    keeps exactly its min-id member.
+
+    Composition: :func:`minhash_lsh_pairs` (bucketed candidates, exact
+    verify) → min-label-propagation connected components over the pair
+    graph → ``keep = (doc_id == cluster_rep)``.  Output: (doc_id,
+    cluster_rep, keep) for documents in clusters of ≥2; untouched
+    documents are implicitly kept (anti-join against keep=false is the
+    purge).  Scale shape: the pair graph is sparse (near-dup pairs, not
+    the corpus), so the CC iterations run on a graph orders of magnitude
+    smaller than the input — the LSH stage stays the cost driver."""
+    from .graph_algos import connected_components
+    pairs = minhash_lsh_pairs(df, id_col=id_col, text_col=text_col,
+                              threshold=threshold, **lsh_kwargs)
+    comp = connected_components(
+        pairs.select(F.col("doc_a").alias("src"),
+                     F.col("doc_b").alias("dst")))
+    return comp.select(F.col("id").alias(id_col),
+                       F.col("component").alias("cluster_rep"),
+                       (F.col("id") == F.col("component")).alias("keep"))

@@ -180,6 +180,25 @@ def test_minhash_finds_near_dups(spark):
     assert [(r["doc_a"], r["doc_b"]) for r in rows] == [(1, 2)]
 
 
+def test_near_dup_clusters_transitive_chain(spark):
+    """A~B and B~C must land in one cluster with the min-id kept, even
+    when A~C alone is below threshold; isolated docs stay out."""
+    from gqlite_spark.operators.dedup import near_dup_clusters
+    words = [f"w{i}" for i in range(60)]
+    a = " ".join(words)
+    b = " ".join(words[6:] + [f"b{i}" for i in range(6)])    # ~B high
+    c = " ".join(words[12:] + [f"b{i}" for i in range(6)]
+                 + [f"c{i}" for i in range(6)])              # ~B high, ~A lower
+    lone = " ".join(f"z{i}" for i in range(60))
+    df = spark.createDataFrame([(1, a), (2, b), (3, c), (9, lone)],
+                               "doc_id long, text string")
+    out = {r["doc_id"]: r for r in
+           near_dup_clusters(df, threshold=0.6).collect()}
+    assert set(out) == {1, 2, 3}
+    assert all(r["cluster_rep"] == 1 for r in out.values())
+    assert out[1]["keep"] and not out[2]["keep"] and not out[3]["keep"]
+
+
 def test_simhash_identical_distance_zero(spark):
     from gqlite_spark.operators.dedup import simhash_near_pairs
     df = spark.createDataFrame(
