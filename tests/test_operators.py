@@ -626,6 +626,56 @@ def test_asof_tolerance(spark):
     assert got == {"l0": "r5", "l1": "r10", "l2": None, "l3": None}
 
 
+def test_asof_randomized_vs_pandas_merge_asof(spark):
+    """Seeded random datasets vs pandas.merge_asof (the reference
+    implementation of as-of semantics) across backward / forward /
+    strict / tolerance.  Right timestamps are unique per key so both
+    engines' equal-time tie-breaks coincide."""
+    import random
+
+    import pandas as pd
+
+    from gqlite_spark.operators.temporal import asof_join
+
+    for seed in (11, 42, 99):
+        rng = random.Random(seed)
+        keys = ["a", "b", "c", "d"]
+        left_rows = [(rng.choice(keys), rng.randrange(0, 500), i)
+                     for i in range(120)]
+        right_rows = []
+        for k in keys[:3]:                      # key 'd' never matches
+            for t in rng.sample(range(0, 500), 40):
+                right_rows.append((k, t, rng.randrange(1000)))
+        lpdf = pd.DataFrame(left_rows, columns=["k", "ts", "lid"])
+        rpdf = pd.DataFrame(right_rows, columns=["k", "ts", "val"])
+        left = spark.createDataFrame(lpdf.astype(
+            {"k": str, "ts": "int64", "lid": "int64"}))
+        right = spark.createDataFrame(rpdf.astype(
+            {"k": str, "ts": "int64", "val": "int64"}))
+
+        cases = [
+            (dict(), dict(direction="backward")),
+            (dict(direction="forward"), dict(direction="forward")),
+            (dict(strict=True),
+             dict(direction="backward", allow_exact_matches=False)),
+            (dict(tolerance=25), dict(direction="backward", tolerance=25)),
+        ]
+        for spark_kw, pd_kw in cases:
+            sd = dict(pd_kw)
+            sd.pop("direction", None)
+            got = {r["lid"]: r["val"] for r in
+                   asof_join(left, right, on="ts", by="k",
+                             right_cols=["val"], **spark_kw).collect()}
+            direction = pd_kw.pop("direction", "backward")
+            exp_df = pd.merge_asof(
+                lpdf.sort_values("ts"), rpdf.sort_values("ts"),
+                on="ts", by="k", direction=direction, **pd_kw)
+            exp = {int(r.lid): (None if pd.isna(r.val) else int(r.val))
+                   for r in exp_df.itertuples()}
+            assert got == exp, (seed, spark_kw)
+            pd_kw["direction"] = direction
+
+
 def test_token_budget_bpe_counts(spark):
     from gqlite_spark.operators.text import token_budget
     df = spark.createDataFrame([(1, "Hello, world 42 times!")],
