@@ -659,7 +659,8 @@ def _weighted_closeness(edges: DataFrame, sources, max_iter: int,
 
 def betweenness_centrality(edges: DataFrame,
                            sources: "Optional[list]" = None,
-                           max_iter: int = 64) -> DataFrame:
+                           max_iter: int = 64,
+                           weight_col: "Optional[str]" = None) -> DataFrame:
     """Betweenness centrality via distributed Brandes: a layered
     multi-source BFS counts shortest paths (sigma), then dependencies
     (delta) accumulate backward layer by layer —
@@ -674,8 +675,17 @@ def betweenness_centrality(edges: DataFrame,
     frontier vertex + one groupBy keyed on (source, vertex) — the same
     shuffle discipline as the other Pregel loops; per-layer states are
     localCheckpointed, and the accumulated tables are unions of
-    checkpointed leaves."""
+    checkpointed leaves.
+
+    With ``weight_col``, distances come from Bellman-Ford relaxation and
+    sigma/delta from fixpoints over the shortest-path DAG (see
+    :func:`_weighted_betweenness`); weights must be positive, and
+    co-optimal path detection uses exact double equality — exact for
+    integer-valued weights."""
     with _iterative_shuffle_scope(edges):
+        if weight_col:
+            return _weighted_betweenness(edges, sources, max_iter,
+                                         weight_col)
         e = (normalize_edges(edges, undirected=True)
              .select("src", "dst").filter(F.col("src") != F.col("dst"))
              .distinct().cache())
@@ -732,3 +742,113 @@ def betweenness_centrality(edges: DataFrame,
         return (acc.filter(F.col("v") != F.col("s"))
                 .groupBy(F.col("v").alias("id"))
                 .agg(F.round(F.sum("delta") / 2.0, 4).alias("betweenness")))
+
+
+def _hash_fixpoint(df: DataFrame, cols: list[str]):
+    """Order-independent state digest (the _cc_impl convergence trick):
+    decimal sum of per-row xxhash64 — one cheap action per superstep."""
+    return df.agg(F.sum(F.xxhash64(*cols).cast("decimal(38,0)"))
+                  ).collect()[0][0]
+
+
+def _weighted_betweenness(edges: DataFrame, sources, max_iter: int,
+                          weight_col: str) -> DataFrame:
+    """Weighted Brandes in three superstep loops, all keyed on
+    (source, vertex) — BFS layers don't exist under weights, so each
+    phase runs to a hash-detected fixpoint instead:
+
+    1. distances: multi-source Bellman-Ford relaxation (the
+       _weighted_closeness shape) — O(max hop count of shortest paths)
+       supersteps;
+    2. sigma (shortest-path counts): propagate counts along the
+       shortest-path DAG (edges u→v with d(u) + w(u,v) == d(v)) from
+       the sources — the DAG is materialized ONCE and reused;
+    3. delta (dependencies): iterate δ(u) = Σ_{v: DAG succ}
+       σ(u)/σ(v)·(1+δ(v)) from zero — after k supersteps every vertex
+       whose downstream DAG depth ≤ k is settled, so the fixpoint is
+       exact in DAG-depth iterations.
+
+    Positive weights required.  Co-optimal predecessors are detected by
+    exact double equality of d(u)+w against d(v) — exact whenever
+    weights are integer-valued (floats may drop co-optimal paths whose
+    sums differ in the last ulp; distances themselves stay correct)."""
+    e = (normalize_edges(edges, weight_col, undirected=True)
+         .filter(F.col("src") != F.col("dst"))
+         .groupBy("src", "dst").agg(F.min("w").alias("w")).cache())
+    verts = e.select(F.col("src").alias("id")).distinct()
+    srcs = verts.filter(F.col("id").isin(sources)) if sources else verts
+
+    # -- phase 1: distances --------------------------------------------
+    best = srcs.select(F.col("id").alias("s"), F.col("id").alias("v"),
+                       F.lit(0.0).alias("d"))
+    frontier = best
+    for _ in range(max_iter):
+        msgs = (frontier.join(e, frontier.v == e.src)
+                .select("s", F.col("dst").alias("v"),
+                        (F.col("d") + F.col("w")).alias("d")))
+        new_best = _ckpt(best.unionByName(msgs).groupBy("s", "v")
+                         .agg(F.min("d").alias("d")))
+        frontier = _ckpt(
+            new_best.alias("n")
+            .join(best.alias("o"), ["s", "v"], "left")
+            .filter(F.col("o.d").isNull() | (F.col("n.d") < F.col("o.d")))
+            .select("s", "v", F.col("n.d").alias("d")))
+        best = new_best
+        if not frontier.take(1):
+            break
+
+    # -- shortest-path DAG (per source), materialized once -------------
+    du = best.select("s", F.col("v").alias("u"), F.col("d").alias("du"))
+    dv = best.select("s", "v", F.col("d").alias("dvv"))
+    dag = _ckpt(
+        du.join(e, du.u == e.src)
+        .select("s", "u", F.col("dst").alias("v"),
+                (F.col("du") + F.col("w")).alias("dw"))
+        .join(dv, ["s", "v"])
+        .filter(F.col("dw") == F.col("dvv"))
+        .select("s", "u", "v"))
+
+    # -- phase 2: sigma fixpoint (only nonzero rows tracked) -----------
+    seeds = srcs.select(F.col("id").alias("s"), F.col("id").alias("v"),
+                        F.lit(1).cast("long").alias("sigma"))
+    sig = seeds
+    prev = None
+    for _ in range(max_iter):
+        sig_u = sig.select("s", F.col("v").alias("u"),
+                           F.col("sigma").alias("sig_u"))
+        prop = (dag.join(sig_u, ["s", "u"])
+                .groupBy("s", "v").agg(F.sum("sig_u").alias("sigma")))
+        sig = _ckpt(seeds.unionByName(prop))
+        h = _hash_fixpoint(sig, ["s", "v", "sigma"])
+        if h == prev:
+            break
+        prev = h
+
+    # -- phase 3: delta fixpoint ---------------------------------------
+    sig_u = sig.select("s", F.col("v").alias("u"),
+                       F.col("sigma").alias("sig_u"))
+    sig_v = sig.select("s", "v", F.col("sigma").alias("sig_v"))
+    pairs = best.select("s", "v")
+    delta = pairs.withColumn("delta", F.lit(0.0))
+    prev = None
+    for _ in range(max_iter):
+        dl_v = delta.select("s", "v", F.col("delta").alias("delta_v"))
+        contrib = (dag.join(sig_u, ["s", "u"]).join(sig_v, ["s", "v"])
+                   .join(dl_v, ["s", "v"])
+                   .select("s", "u",
+                           (F.col("sig_u") / F.col("sig_v")
+                            * (F.lit(1.0) + F.col("delta_v"))).alias("c"))
+                   .groupBy("s", "u").agg(F.sum("c").alias("delta")))
+        delta = _ckpt(
+            pairs.join(contrib.withColumnRenamed("u", "v"), ["s", "v"],
+                       "left")
+            .fillna(0.0, subset=["delta"]))
+        h = _hash_fixpoint(delta, ["s", "v", "delta"])
+        if h == prev:
+            break
+        prev = h
+
+    e.unpersist()
+    return (delta.filter(F.col("v") != F.col("s"))
+            .groupBy(F.col("v").alias("id"))
+            .agg(F.round(F.sum("delta") / 2.0, 4).alias("betweenness")))

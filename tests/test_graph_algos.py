@@ -368,3 +368,72 @@ def test_betweenness_midsize_vs_python_oracle(spark):
                 bc[w] += delta[w]
     for v in adj:
         assert abs(got.get(v, 0.0) - round(bc[v] / 2, 4)) <= 1e-3, v
+
+
+def test_weighted_betweenness_detour_square(spark):
+    """Square with one heavy edge: 1-2(1), 2-3(1), 1-4(1), 4-3(3).
+    Pair (1,3) routes via 2; pair (2,4) via 1; pair (3,4) TIES between
+    the direct heavy edge and 3-2-1-4 (sigma split 1/2 each way) →
+    bc(1) = bc(2) = 1.5, bc(3) = bc(4) = 0."""
+    from gqlite_spark.operators.graph_algos import betweenness_centrality
+    e = spark.createDataFrame(
+        [(1, 2, 1.0), (2, 3, 1.0), (1, 4, 1.0), (4, 3, 3.0)],
+        "src long, dst long, cost double")
+    got = {r["id"]: r["betweenness"] for r in
+           betweenness_centrality(e, weight_col="cost").collect()}
+    assert got == {1: 1.5, 2: 1.5, 3: 0.0, 4: 0.0}
+
+
+def test_weighted_betweenness_vs_python_dijkstra_brandes(spark):
+    """Random integer-weighted graph vs an exact heap-Dijkstra Brandes
+    reference — validates distances, co-optimal path counting, and the
+    delta fixpoint together."""
+    import heapq
+
+    from gqlite_spark.operators.graph_algos import betweenness_centrality
+    edges = [(a, b, float(1 + ((a * 7 + b * 13) % 4)))
+             for a, b in _pseudo_edges(n=60, m=240, seed=3)]
+    adj = {}
+    for a, b, w in edges:
+        adj.setdefault(a, {})
+        adj.setdefault(b, {})
+        # parallel edges keep the MIN weight (matches the operator)
+        adj[a][b] = min(adj[a].get(b, w), w)
+        adj[b][a] = min(adj[b].get(a, w), w)
+    nodes = sorted(adj)
+    bc = {v: 0.0 for v in nodes}
+    for s in nodes:
+        dist = {s: 0}
+        sigma = {v: 0 for v in nodes}
+        sigma[s] = 1
+        preds = {v: [] for v in nodes}
+        seen = []
+        pq = [(0, s)]
+        done = set()
+        while pq:
+            d, u = heapq.heappop(pq)
+            if u in done:
+                continue
+            done.add(u)
+            seen.append(u)
+            for v, w in adj[u].items():
+                nd = d + w
+                if v not in dist or nd < dist[v]:
+                    dist[v] = nd
+                    sigma[v] = sigma[u]
+                    preds[v] = [u]
+                    heapq.heappush(pq, (nd, v))
+                elif nd == dist[v] and u not in preds[v]:
+                    sigma[v] += sigma[u]
+                    preds[v].append(u)
+        delta = {v: 0.0 for v in nodes}
+        for w_ in reversed(seen):
+            for u in preds[w_]:
+                delta[u] += sigma[u] / sigma[w_] * (1 + delta[w_])
+            if w_ != s:
+                bc[w_] += delta[w_]
+    df = spark.createDataFrame(edges, "src long, dst long, cost double")
+    got = {r["id"]: r["betweenness"] for r in
+           betweenness_centrality(df, weight_col="cost").collect()}
+    for v in nodes:
+        assert abs(got.get(v, 0.0) - round(bc[v] / 2, 4)) <= 1e-3, v
