@@ -107,10 +107,13 @@ def asof_join(left: DataFrame, right: DataFrame,
 
 def funnel(events: DataFrame, steps: list[str],
            user_col: str = "user_id", type_col: str = "event_type",
-           ts_col: str = "ts") -> DataFrame:
+           ts_col: str = "ts",
+           within_micros: "int | None" = None) -> DataFrame:
     """Ordered conversion funnel: for each user, the earliest time they
     complete step k AFTER having completed step k-1 (strictly ordered
-    first-touch attribution).  Returns one row per step:
+    first-touch attribution).  ``within_micros`` additionally requires
+    step k within that many microseconds of the user's step k-1 time
+    (conversion-window semantics).  Returns one row per step:
     (step_idx 1-based, step, n_users) with n_users monotonically
     non-increasing down the funnel.
 
@@ -132,8 +135,12 @@ def funnel(events: DataFrame, steps: list[str],
         if prev is None:
             reach = mine.groupBy("u").agg(F.min("e").alias("r"))
         else:
+            cond = F.col("e") >= F.col("r_prev")
+            if within_micros is not None:
+                cond = cond & (F.col("e") <= F.col("r_prev")
+                               + F.lit(int(within_micros)))
             reach = (mine.join(prev, "u")
-                     .filter(F.col("e") >= F.col("r_prev"))
+                     .filter(cond)
                      .groupBy("u").agg(F.min("e").alias("r")))
         prev = reach.select("u", F.col("r").alias("r_prev"))
         out_rows.append(reach.agg(

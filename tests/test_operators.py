@@ -816,6 +816,18 @@ def test_funnel_strict_step_ordering(spark):
     with pytest.raises(ValueError):
         funnel(df, [], type_col="t", ts_col="e")
 
+    # conversion window: user 1's click is 10 s after the view — a 5 s
+    # window drops it (and transitively the purchase); user 5 (same-time
+    # click) and user 3 (10 s apart) sit exactly on/inside the boundary
+    win = {r["step"]: r["n_users"] for r in
+           funnel(df, ["view", "click", "purchase"], type_col="t",
+                  ts_col="e", within_micros=5_000_000).collect()}
+    assert win["view"] == 4 and win["click"] == 1 and win["purchase"] == 0
+    win10 = {r["step"]: r["n_users"] for r in
+             funnel(df, ["view", "click", "purchase"], type_col="t",
+                    ts_col="e", within_micros=10_000_000).collect()}
+    assert win10["click"] == 3 and win10["purchase"] == 1
+
 
 def test_cohort_retention_buckets(spark):
     """First-event bucket defines the cohort; later activity lands at
