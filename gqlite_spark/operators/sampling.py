@@ -131,14 +131,18 @@ def mixture_sample(df: DataFrame, group_col: str,
     counts = (df.filter(F.col(group_col).isin(list(target_props)))
               .groupBy(group_col).agg(F.count(F.lit(1)).alias("_n"))
               .withColumn("_p", prop))
-    k = counts.agg(F.min(F.col("_n") / F.col("_p")).alias("_k"))
+    # K via a GLOBAL window over the group-cardinality-sized counts table
+    # — one subtree, one scan (a crossJoin on counts.agg(min) would
+    # re-expand the counts lineage and scan the source twice)
+    from pyspark.sql import Window
+    k = F.min(F.col("_n") / F.col("_p")).over(
+        Window.partitionBy(F.lit(1)))
     # rate = (K·p)/n, associated exactly as in the oracle SQL so the
     # doubles (and the floor'd thresholds) are IEEE-identical
-    rates = (counts.crossJoin(F.broadcast(k))
-             .select(group_col,
-                     F.least(F.lit(1.0),
-                             (F.col("_k") * F.col("_p")) / F.col("_n"))
-                     .alias("_rate")))
+    rates = counts.select(group_col,
+                          F.least(F.lit(1.0),
+                                  (k * F.col("_p")) / F.col("_n"))
+                          .alias("_rate"))
     thr = (rates.select(
         group_col,
         F.when(F.col("_rate") >= 1.0, F.lit("g"))
