@@ -877,7 +877,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # an in-cap family member.  ALL entries (in-cap + overflow) are
     # verified each round by `python tools/oracle_check.py --json
     # CORRECTNESS_FULL.json /root/testdata/sf0.01` — the committed
-    # CORRECTNESS_FULL.json is that run's output — plus pytest.
+    # CORRECTNESS_FULL.json (sf0.01, the driver's gate scale) and
+    # CORRECTNESS_SF01.json (sf0.1, the bench scale — float-drift
+    # stress) are those runs' outputs — plus pytest.
     return {
         # -- scans / predicates / projection (SURVEY §2.2-2.3) --
         "scan_filter_eq": q_scan_filter_eq,
