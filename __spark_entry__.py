@@ -650,6 +650,19 @@ def q_ann_lsh(spark, sf_dir):
             .withColumnRenamed("id", "vec_id"))
 
 
+def q_ann_pq(spark, sf_dir):
+    """PQ ANN: deterministic sampling codebooks (ksub lowest-id vectors'
+    sub-vectors), in-plan encoding, inlined ADC table lookup ranking +
+    exact cosine re-rank.  DuckDB rebuilds the identical codebooks."""
+    from gqlite_spark.operators.similarity import pq_codebooks, pq_topk
+    emb = _load(spark, sf_dir, "embeddings")
+    qvec = emb.filter(F.col("vec_id") == 0).select("embedding").collect()[0][0]
+    books = pq_codebooks(emb, m=4, ksub=16)
+    return (pq_topk(emb, [float(x) for x in qvec], books, k=10,
+                    candidates=50)
+            .withColumnRenamed("id", "vec_id"))
+
+
 def q_ann_ivf(spark, sf_dir):
     """IVF ANN: deterministic sampling coarse quantizer (nlist lowest-id
     vectors), max-inner-product list assignment as an inlined scalar
@@ -971,6 +984,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_funnel": q_event_funnel,
         "event_cohort_retention": q_event_cohort_retention,
         "dedup_clusters": q_dedup_clusters,
+        "sim_ann_pq": q_ann_pq,
     }
 
 
@@ -1131,6 +1145,50 @@ def _ann_ivf_sql(nlist: int = 16, nprobe: int = 4, k: int = 10,
         " AS cosine FROM cand, qv"
         " ORDER BY list_inner_product(v, qv) /"
         " (sqrt(list_inner_product(v, v)) * sqrt(list_inner_product(qv, qv)))"
+        f" DESC, vec_id ASC LIMIT {k}")
+
+
+def _ann_pq_sql(m: int = 4, dsub: int = 16, ksub: int = 16,
+                candidates: int = 50, k: int = 10,
+                query_id: int = 0) -> str:
+    """PQ oracle: rebuild the identical codebooks in SQL (ksub lowest
+    vec_ids' sub-vectors, code = rank), assign codes by min sub-d2 with
+    smallest-code tie-break, rank by the ADC sum in subspace order
+    (ordered SUM = the Spark side's left-assoc j fold), exact-cosine
+    re-rank of the candidate set.  Sub-d2 is an in-order element sum —
+    the same fold as F.aggregate — so every double matches bit-for-bit."""
+    sub_d2 = (f"list_aggregate(list_transform(generate_series(1, {dsub}),"
+              " i -> ({V}[{J}*%d + i] - cb.cv[{J}*%d + i])"
+              " * ({V}[{J}*%d + i] - cb.cv[{J}*%d + i])), 'sum')"
+              % (dsub, dsub, dsub, dsub))
+    d2_vec = sub_d2.replace("{V}", "v.v").replace("{J}", "s.j")
+    d2_q = sub_d2.replace("{V}", "qv.qv").replace("{J}", "s.j")
+    return (
+        "WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),"
+        " cb AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS code,"
+        " v AS cv FROM (SELECT vec_id, v FROM v ORDER BY vec_id"
+        f" LIMIT {ksub})),"
+        f" qv AS (SELECT v AS qv FROM v WHERE vec_id = {query_id}),"
+        f" subs AS (SELECT unnest(generate_series(0, {m - 1})) AS j),"
+        f" d2 AS (SELECT v.vec_id, s.j, cb.code, {d2_vec} AS d"
+        " FROM v CROSS JOIN subs s CROSS JOIN cb),"
+        " codes AS (SELECT vec_id, j, code FROM (SELECT *, row_number()"
+        " OVER (PARTITION BY vec_id, j ORDER BY d ASC, code ASC) AS rn"
+        " FROM d2) WHERE rn = 1),"
+        f" adc AS (SELECT s.j, cb.code, {d2_q} AS d"
+        " FROM subs s CROSS JOIN cb CROSS JOIN qv),"
+        " approx AS (SELECT c.vec_id, SUM(a.d ORDER BY c.j) AS ad"
+        " FROM codes c JOIN adc a ON a.j = c.j AND a.code = c.code"
+        " GROUP BY c.vec_id),"
+        " cand AS (SELECT vec_id FROM approx"
+        f" ORDER BY ad ASC, vec_id ASC LIMIT {candidates})"
+        " SELECT v.vec_id, round(list_inner_product(v.v, qv) /"
+        " (sqrt(list_inner_product(v.v, v.v)) *"
+        " sqrt(list_inner_product(qv, qv))), 4) AS cosine"
+        " FROM v JOIN cand USING (vec_id), qv"
+        " ORDER BY list_inner_product(v.v, qv) /"
+        " (sqrt(list_inner_product(v.v, v.v)) *"
+        " sqrt(list_inner_product(qv, qv)))"
         f" DESC, vec_id ASC LIMIT {k}")
 
 
@@ -1582,6 +1640,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_minhash_lsh": _MINHASH_ORACLE_SQL,
         "sim_ann_lsh": _ann_lsh_sql(64, 4, 2, 10),
         "sim_ann_ivf": _ann_ivf_sql(16, 4, 10),
+        "sim_ann_pq": _ann_pq_sql(4, 16, 16, 50, 10),
         "graph_degrees":
             "WITH e AS (SELECT 'o' || o_orderkey AS src,"
             " 'c' || o_custkey AS dst FROM orders),"

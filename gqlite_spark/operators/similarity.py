@@ -434,3 +434,94 @@ def knn_auto(df: DataFrame, query_vec: list[float], k: int = 10,
     planes = max(4, min(16, int(_m.log2(max(2, n / target)))))
     return ann_topk(df, query_vec, dim=dim, k=k, n_planes=planes,
                     id_col=id_col, vec_col=vec_col)
+
+
+# --------------------------------------------------------------------------
+# Product quantization (PQ) — compressed codes + asymmetric-distance search
+# --------------------------------------------------------------------------
+
+def pq_codebooks(df: DataFrame, m: int = 4, ksub: int = 16,
+                 id_col: str = "vec_id", vec_col: str = "embedding"
+                 ) -> list[list[list[float]]]:
+    """Deterministic per-subspace PQ codebooks: the ``ksub`` lowest-id
+    corpus vectors' sub-vectors, code = rank order (the same sampling-
+    quantizer convention as :func:`ivf_centroids` — no RNG/training
+    state, so an external SQL oracle rebuilds the identical codebooks).
+    Returns ``books[j][code] = sub-vector`` for subspace j of m.  The
+    vector dim must divide evenly by ``m``."""
+    rows = (df.orderBy(id_col).limit(ksub)
+            .select(F.col(vec_col).cast("array<double>").alias("v"))
+            .collect())
+    vecs = [list(r["v"]) for r in rows]
+    dim = len(vecs[0])
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    dsub = dim // m
+    return [[vec[j * dsub:(j + 1) * dsub] for vec in vecs]
+            for j in range(m)]
+
+
+def _pq_sub_d2(vcol, j: int, dsub: int, cent: list[float]):
+    """Squared L2 between subspace j of ``vcol`` and a centroid literal —
+    the same left-assoc fold as l2_topk, so doubles match the oracle's
+    in-order list sum."""
+    sub = F.slice(vcol, j * dsub + 1, dsub)
+    c = F.array(*[F.lit(float(x)) for x in cent])
+    return F.aggregate(F.zip_with(sub, c, lambda a, b: (a - b) * (a - b)),
+                       F.lit(0.0), lambda acc, x: acc + x)
+
+
+def _pq_code_expr(vcol, j: int, dsub: int, book: list[list[float]]):
+    """code = index of the min-d2 centroid (first-match min → smallest
+    code on ties, mirroring the oracle's rn=1 over (d2 ASC, code ASC))."""
+    d2s = F.array(*[_pq_sub_d2(vcol, j, dsub, cent) for cent in book])
+    return (F.array_position(d2s, F.array_min(d2s)) - 1).cast("int")
+
+
+def pq_encode(df: DataFrame, books: list[list[list[float]]],
+              id_col: str = "vec_id", vec_col: str = "embedding"
+              ) -> DataFrame:
+    """(id, codes array<int>) PQ compression — a pure scalar expression
+    over the scan (codebook literals inlined), zero shuffle.  m bytes-ish
+    per vector instead of dim floats: the representation that makes
+    billion-vector ANN memory-resident.  Encode once and persist the
+    codes table; scans of the code table replace scans of the vectors."""
+    dsub = len(books[0][0])
+    v = F.col(vec_col).cast("array<double>")
+    codes = F.array(*[_pq_code_expr(v, j, dsub, book)
+                      for j, book in enumerate(books)])
+    return df.select(F.col(id_col).alias("id"), codes.alias("codes"))
+
+
+def pq_topk(df: DataFrame, query_vec: list[float],
+            books: list[list[list[float]]], k: int = 10,
+            candidates: int = 50, id_col: str = "vec_id",
+            vec_col: str = "embedding") -> DataFrame:
+    """PQ ANN top-k by asymmetric distance (ADC): the query's per-
+    subspace distance table to every codebook entry is computed driver-
+    side (m × ksub doubles) and inlined, so the scan ranks each vector
+    by ``Σ_j adc_j[code_j]`` — table lookups + m-term add, no
+    vector math on the corpus — then the ``candidates`` best are
+    re-ranked by exact cosine.  Third bucketed-ANN strategy beside LSH
+    (ann_topk) and IVF (ivf_topk); reference index parity HNSW.cpp.
+
+    The ADC python floats, the in-plan fold, and the SQL oracle's
+    in-order list sums are all left-associated over the same element
+    order, so candidate sets replay exactly cross-engine."""
+    q = [float(x) for x in query_vec]
+    dsub = len(books[0][0])
+    v = F.col(vec_col).cast("array<double>")
+    approx = None
+    for j, book in enumerate(books):
+        qsub = q[j * dsub:(j + 1) * dsub]
+        adc = [sum((a - b) * (a - b) for a, b in zip(qsub, cent))
+               for cent in book]
+        code = _pq_code_expr(v, j, dsub, book)
+        term = F.element_at(F.array(*[F.lit(float(d)) for d in adc]),
+                            code + 1)
+        approx = term if approx is None else approx + term
+    cand = (df.select(F.col(id_col), F.col(vec_col),
+                      approx.alias("_adc"))
+            .orderBy(F.col("_adc").asc(), F.col(id_col).asc())
+            .limit(candidates))
+    return cosine_topk(cand, q, k, id_col, vec_col)

@@ -208,6 +208,34 @@ def test_simhash_identical_distance_zero(spark):
     assert [(r["doc_a"], r["doc_b"], r["hamming"]) for r in rows] == [(1, 2, 0)]
 
 
+def test_pq_encode_and_topk(spark):
+    """PQ codes are deterministic (codebook vectors encode to their own
+    code with distance 0) and ADC search surfaces the exact top match."""
+    from gqlite_spark.operators.similarity import (pq_codebooks, pq_encode,
+                                                   pq_topk)
+    import math
+    rows = []
+    for i in range(40):
+        v = [math.sin(0.1 * i * (d + 1)) for d in range(8)]
+        rows.append((i, v))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    books = pq_codebooks(df, m=2, ksub=4)
+    assert len(books) == 2 and len(books[0]) == 4 and len(books[0][0]) == 4
+    codes = {r["id"]: list(r["codes"]) for r in pq_encode(df, books).collect()}
+    assert len(codes) == 40 and all(len(c) == 2 for c in codes.values())
+    # codebook source vectors must encode to their own code exactly
+    for i in range(4):
+        assert codes[i] == [i, i], codes[i]
+    # repeat-encode determinism
+    again = {r["id"]: list(r["codes"]) for r in pq_encode(df, books).collect()}
+    assert codes == again
+    # query with vector 7 itself: exact re-rank puts 7 first, cosine 1.0
+    out = pq_topk(df, rows[7][1], books, k=3, candidates=10).collect()
+    assert out[0]["id"] == 7 and out[0]["cosine"] == 1.0
+    with pytest.raises(ValueError):
+        pq_codebooks(df, m=3, ksub=4)     # 8 % 3 != 0
+
+
 def test_cosine_topk_self_first(spark):
     from gqlite_spark.operators.similarity import cosine_topk
     df = spark.createDataFrame(
