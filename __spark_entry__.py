@@ -1480,7 +1480,8 @@ from gqlite_spark.operators.text import (PII_EMAIL as _EMAIL,
                                          PII_PHONE as _PHONE,
                                          PII_SSN as _SSN,
                                          PII_CC as _CC,
-                                         PII_IBAN as _IBAN)
+                                         PII_IBAN as _IBAN,
+                                         det_ln_e6_sql as _det_ln)
 
 
 def oracle_sql() -> dict[str, str]:
@@ -1891,17 +1892,17 @@ def oracle_sql() -> dict[str, str]:
             " LEAST(64, n - s + 1)::BIGINT AS n_chunk_tokens,"
             " array_to_string(tk[s : s + 63], ' ') AS chunk_text FROM ex",
         "text_lm_score":
-            # integer micro-nat model (floor(ln(p)*1e6+0.5)) → per-doc
-            # sums are integer-exact; only the per-trigram ln touches
-            # floats, on identical double inputs in both engines
+            # integer micro-nat model — the ln is det_ln_e6_sql's libm-free
+            # polynomial, bit-identical across engines by construction, so
+            # the quantized model can never flip at a floor boundary
             "WITH d AS (SELECT doc_id, text FROM documents"
             " WHERE length(coalesce(text, '')) >= 3),"
             " g AS (SELECT doc_id, unnest(list_transform("
             "generate_series(1, length(text) - 2),"
             " i -> substr(text, i, 3))) AS g FROM d),"
             " c AS (SELECT g, COUNT(*) AS c FROM g GROUP BY g),"
-            " tot AS (SELECT SUM(c) AS t FROM c),"
-            " m AS (SELECT g, FLOOR(LN(c / t) * 1000000 + 0.5)::BIGINT"
+            " tot AS (SELECT SUM(c)::BIGINT AS t FROM c),"
+            " m AS (SELECT g, " + _det_ln("c", "t", "duck") +
             " AS lp FROM c, tot)"
             " SELECT doc_id, COUNT(*)::BIGINT AS n_grams,"
             " ROUND(SUM(lp) / COUNT(*) / 1000000.0, 4) AS avg_logp"

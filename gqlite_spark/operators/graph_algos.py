@@ -17,6 +17,7 @@ DataFrames: superstep = join(messages = frontier ⋈ edges) → groupBy(min/sum)
 
 from __future__ import annotations
 
+import warnings
 from typing import Optional
 
 from pyspark.sql import DataFrame, Window
@@ -771,7 +772,13 @@ def _weighted_betweenness(edges: DataFrame, sources, max_iter: int,
     Positive weights required.  Co-optimal predecessors are detected by
     exact double equality of d(u)+w against d(v) — exact whenever
     weights are integer-valued (floats may drop co-optimal paths whose
-    sums differ in the last ulp; distances themselves stay correct)."""
+    sums differ in the last ulp; distances themselves stay correct).
+
+    Each phase warns (``RuntimeWarning``) if it exhausts ``max_iter``
+    supersteps without reaching its fixpoint — non-convergence in phase 1
+    corrupts all three downstream phases, so a silent truncation would
+    return plausible-looking but wrong centralities on graphs whose
+    shortest-path hop depth exceeds ``max_iter``."""
     e = (normalize_edges(edges, weight_col, undirected=True)
          .filter(F.col("src") != F.col("dst"))
          .groupBy("src", "dst").agg(F.min("w").alias("w")).cache())
@@ -796,6 +803,12 @@ def _weighted_betweenness(edges: DataFrame, sources, max_iter: int,
         best = new_best
         if not frontier.take(1):
             break
+    else:
+        warnings.warn(
+            f"weighted betweenness: distance phase did not converge within "
+            f"max_iter={max_iter} supersteps; results are truncated at that "
+            f"hop depth and downstream sigma/delta phases inherit the error",
+            RuntimeWarning)
 
     # -- shortest-path DAG (per source), materialized once -------------
     du = best.select("s", F.col("v").alias("u"), F.col("d").alias("du"))
@@ -823,6 +836,11 @@ def _weighted_betweenness(edges: DataFrame, sources, max_iter: int,
         if h == prev:
             break
         prev = h
+    else:
+        warnings.warn(
+            f"weighted betweenness: sigma phase did not reach its fixpoint "
+            f"within max_iter={max_iter} supersteps; path counts (and the "
+            f"delta phase that consumes them) may be wrong", RuntimeWarning)
 
     # -- phase 3: delta fixpoint ---------------------------------------
     sig_u = sig.select("s", F.col("v").alias("u"),
@@ -847,6 +865,11 @@ def _weighted_betweenness(edges: DataFrame, sources, max_iter: int,
         if h == prev:
             break
         prev = h
+    else:
+        warnings.warn(
+            f"weighted betweenness: delta phase did not reach its fixpoint "
+            f"within max_iter={max_iter} supersteps; dependency scores are "
+            f"truncated at that DAG depth", RuntimeWarning)
 
     e.unpersist()
     return (delta.filter(F.col("v") != F.col("s"))

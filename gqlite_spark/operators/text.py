@@ -271,6 +271,56 @@ def tfidf_top_terms(df: DataFrame, k: int = 5, id_col: str = "doc_id",
                     F.round(F.col("tf") * F.col("idf"), 4).alias("tfidf")))
 
 
+# -- deterministic cross-engine ln --------------------------------------
+# Coefficients 1/(2j+1) of the atanh series ln(m) = 2·Σ z^(2j+1)/(2j+1),
+# z = (m-1)/(m+1), m ∈ [1, 2) ⇒ z ∈ [0, 1/3); 13 terms bound the
+# truncation error by 2·(1/3)^27/27 ≈ 1e-14 — far inside micro-nat
+# quantization.  17-significant-digit reprs parse to the identical double
+# in every engine (decimal→double conversion is correctly rounded).
+_ATANH_COEFFS = ["%.17g" % (1.0 / (2 * j + 1)) for j in range(13)]
+_LN2 = "0.69314718055994531"  # repr-exact nearest double to ln 2
+
+
+def det_ln_e6_sql(num: str, den: str, dialect: str = "spark") -> str:
+    """SQL text for ``floor((ln(num) - ln(den))·1e6 + 0.5)`` as BIGINT,
+    computed WITHOUT libm so Spark and DuckDB agree bit-for-bit.
+
+    libm ``ln`` is not required to be correctly rounded, and a last-ulp
+    disagreement between java.lang.Math.log and C std::log on a value
+    landing exactly at a ``floor(x·1e6 + 0.5)`` boundary would flip one
+    micro-nat and break cross-engine hash equality (ADVICE r4).  This
+    expression uses only +, −, ×, ÷ on doubles — all IEEE-754
+    correctly-rounded, hence deterministic across engines — plus exact
+    integer bit-length range reduction:
+
+        k = bitlen(x) − 1;  m = x / 2^k ∈ [1, 2)   (division by a power
+        of two is exact), then ln(m) via the atanh Horner series and
+        ln(x) = ln(m) + k·ln2.
+
+    ``num``/``den`` must be SQL expressions yielding positive BIGINTs
+    < 2^53.  Both engines evaluate the identical expression tree (each
+    SQL operator is a separate kernel — no cross-op FMA contraction), so
+    the result is a deterministic function of (num, den).
+    """
+    def pln(x: str) -> str:
+        k = f"(length(bin({x})) - 1)"
+        if dialect == "spark":
+            shift = f"shiftleft(cast(1 as bigint), {k})"
+        else:
+            shift = f"(cast(1 as bigint) << {k})"
+        m = f"(cast({x} as double) / cast({shift} as double))"
+        z = f"(({m} - 1.0) / ({m} + 1.0))"
+        z2 = f"({z} * {z})"
+        h = f"cast({_ATANH_COEFFS[12]} as double)"
+        for j in range(11, -1, -1):
+            h = f"(cast({_ATANH_COEFFS[j]} as double) + {z2} * {h})"
+        return (f"(2.0 * {z} * {h}"
+                f" + cast({k} as double) * cast({_LN2} as double))")
+
+    return (f"cast(floor(({pln(num)} - {pln(den)}) * 1e6 + 0.5)"
+            f" as bigint)")
+
+
 def lm_score(df: DataFrame, id_col: str = "doc_id",
              text_col: str = "text", n: int = 3) -> DataFrame:
     """Character n-gram language-model quality score, trained on the
@@ -279,9 +329,11 @@ def lm_score(df: DataFrame, id_col: str = "doc_id",
     garbage, wrong-script spam — score low and get filtered).
 
     Model: MLE n-gram probabilities over the whole corpus, log-probs
-    quantized to integer micro-nats (``floor(ln(c/total)·1e6 + 0.5)``)
-    so per-document sums are integer-exact and engine/order-independent
-    (the repo's cross-engine float convention).  Score: mean log-prob of
+    quantized to integer micro-nats (``floor((ln c − ln total)·1e6 +
+    0.5)``) so per-document sums are integer-exact and engine/order-
+    independent.  The ln itself is the deterministic polynomial of
+    :func:`det_ln_e6_sql` — NOT libm — so the quantized model is
+    bit-identical across engines even at floor boundaries (ADVICE r4).  Score: mean log-prob of
     the document's n-grams, rounded to 4 places.  Documents shorter than
     ``n`` chars have no n-grams and are excluded (both engines drop them
     identically).
@@ -311,8 +363,8 @@ def lm_score(df: DataFrame, id_col: str = "doc_id",
     total = docs.agg(F.sum(F.length(t) - (n - 1)).alias("_t"))
     model = (counts.crossJoin(F.broadcast(total))
              .select("g",
-                     F.floor(F.log(F.col("c") / F.col("_t")) * 1e6 + 0.5)
-                     .cast("long").alias("lp_e6")))
+                     F.expr(det_ln_e6_sql("c", "_t", "spark"))
+                     .alias("lp_e6")))
     return (base.join(F.broadcast(model), "g")
             .groupBy(id_col)
             .agg(F.count("*").alias("n_grams"),

@@ -874,6 +874,9 @@ def test_cohort_retention_buckets(spark):
     assert got[(1, 0)] == 1 and got[(1, 1)] == 1
     assert (0, 2) not in got
     assert sum(v for (c, o), v in got.items() if c == 0 and o == 0) == 2
+
+
+def test_hash_sample_rate_one_keeps_all(spark):
     """rate=1.0 must keep ALL rows — the naive 9-char hex threshold
     '100000000' sorts below letter-prefixed md5s and silently kept ~1/16."""
     from gqlite_spark.operators.sampling import hash_sample
@@ -930,6 +933,34 @@ def test_lm_score_known_values(spark):
     assert out[2]["avg_logp"] == round(
         (lp["abc"] + lp["bcd"]) / 2 / 1e6, 4)
     assert out[1]["avg_logp"] > out[2]["avg_logp"]
+
+
+def test_det_ln_e6_cross_engine_bit_identity(spark):
+    """The libm-free ln powering lm_score must be bit-identical between
+    Spark and DuckDB (ADVICE r4: java Math.log vs C std::log can differ
+    in the last ulp exactly at a floor(x*1e6+0.5) boundary) and track
+    libm ln within 1 micro-nat."""
+    import math
+    import random
+
+    import duckdb
+
+    from gqlite_spark.operators.text import det_ln_e6_sql
+    random.seed(11)
+    pairs = [(1, 1), (1, 2), (3, 7), (1, 10**15), (2**52, 2**53 - 1)] + \
+        [(random.randint(1, 10**12), 10**12) for _ in range(500)]
+    df = spark.createDataFrame(pairs, "c long, t long")
+    sv = [r[0] for r in
+          df.select(F.expr(det_ln_e6_sql("c", "t", "spark"))).collect()]
+    con = duckdb.connect()
+    dv = [r[0] for r in con.execute(
+        "SELECT " + det_ln_e6_sql("c", "t", "duck") +
+        " FROM (SELECT unnest($1) c, unnest($2) t)",
+        [[p[0] for p in pairs], [p[1] for p in pairs]]).fetchall()]
+    assert sv == dv                       # bit-identical across engines
+    for (c, t), v in zip(pairs, sv):      # and within 1 µnat of libm
+        assert abs(v - math.floor(
+            (math.log(c) - math.log(t)) * 1e6 + 0.5)) <= 1
 
 
 def test_chunk_documents_overlap_and_nulls(spark):

@@ -126,7 +126,7 @@ def main():
             failures += 1
         report[name] = {
             "rows_match": len(sdf) == len(ddf),
-            "schema_match": not verdict.startswith(("SCHEMA", "ROWS")),
+            "schema_match": not verdict.startswith("SCHEMA"),
             "hash_match": ok,
             "spark_rows": len(sdf), "oracle_rows": len(ddf), "err": None}
         print(f"{name:28s} {verdict[:160]}  ({len(sdf)} rows, "
