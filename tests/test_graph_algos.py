@@ -249,6 +249,55 @@ def test_betweenness_landmark_subset(spark):
     assert b[2] == 1.5 and b[3] == 1.0 and b[4] == 0.5 and b[5] == 0.0
 
 
+def test_all_sources_guard_auto_landmarks(spark):
+    """sources=None above the vertex threshold must auto-select
+    deterministic md5-ordered landmarks with a RuntimeWarning instead of
+    building O(n^2) state; the result equals an explicit sources= call
+    with the same landmarks (VERDICT r4 advisory #1)."""
+    import warnings as _w
+
+    from pyspark.sql import functions as SF
+
+    from gqlite_spark.operators.graph_algos import (betweenness_centrality,
+                                                    closeness_centrality)
+    # 26-vertex cycle, threshold 20 → guard trips; n_landmarks=3
+    n = 26
+    e = spark.createDataFrame([(i, (i + 1) % n) for i in range(n)],
+                              "src long, dst long")
+    with _w.catch_warnings(record=True) as rec:
+        _w.simplefilter("always")
+        auto = closeness_centrality(e, auto_landmark_threshold=20,
+                                    n_landmarks=3).collect()
+    assert any("auto-selected 3 deterministic md5-ordered landmark" in
+               str(w.message) for w in rec)
+    assert len(auto) == 3                     # one row per landmark source
+    expected = [r["id"] for r in
+                spark.range(n).orderBy(SF.md5(SF.col("id").cast("string")),
+                                       SF.col("id")).limit(3).collect()]
+    explicit = closeness_centrality(e, sources=expected).collect()
+    assert sorted(map(tuple, auto)) == sorted(map(tuple, explicit))
+    with _w.catch_warnings(record=True) as rec:
+        _w.simplefilter("always")
+        bw = betweenness_centrality(e, auto_landmark_threshold=20,
+                                    n_landmarks=3).collect()
+    assert any("betweenness_centrality" in str(w.message) for w in rec)
+    bw_explicit = betweenness_centrality(e, sources=expected).collect()
+    assert sorted(map(tuple, bw)) == sorted(map(tuple, bw_explicit))
+
+
+def test_all_sources_guard_quiet_below_threshold(spark):
+    """Small graphs keep exact all-sources behavior, no warning."""
+    import warnings as _w
+
+    from gqlite_spark.operators.graph_algos import closeness_centrality
+    e = spark.createDataFrame([(1, 2), (2, 3)], "src long, dst long")
+    with _w.catch_warnings(record=True) as rec:
+        _w.simplefilter("always")
+        rows = closeness_centrality(e).collect()
+    assert len(rows) == 3                     # exact: every vertex a source
+    assert not [w for w in rec if "auto-selected" in str(w.message)]
+
+
 def test_harmonic_closeness(spark):
     from gqlite_spark.operators.graph_algos import closeness_centrality
     # path 1-2-3: harmonic(2) = 1/1 + 1/1 = 2.0; harmonic(1) = 1 + 1/2
