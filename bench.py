@@ -38,15 +38,12 @@ def _point_lookup_raw(spark, sf_dir):
 DIAGNOSTIC = {"point_lookup_raw": _point_lookup_raw}
 
 # queries() entries benched for visibility but EXCLUDED from the totals
-# (keeps round-over-round totals comparable to the original 19-query set)
-DIAGNOSTIC_QUERIES = [
-    "dedup_lines",
-    "text_chunking",
-    "text_lm_score",
-    "sample_mixture",
-]
+DIAGNOSTIC_QUERIES: list[str] = []
 
-HEADLINE = [
+# the original 19-query headline set (rounds 1-4) — reported separately
+# as value_19q so round-over-round totals stay comparable across the
+# round-5 headline expansion
+HEADLINE_19Q = [
     "point_lookup",          # reference benchmark workload (vertex.gs)
     "scan_filter_eq",
     "filter_range_and",
@@ -66,6 +63,16 @@ HEADLINE = [
     "text_quality",
     "window_tumbling",
     "window_session",
+]
+
+# round 5 (VERDICT r4 #7): the four r4 diagnostics join the headline so
+# regressions on them trip the same total-vs-prior-round comparison;
+# NOTES.md records the r4-equivalent 23-query baseline
+HEADLINE = HEADLINE_19Q + [
+    "dedup_lines",
+    "text_chunking",
+    "text_lm_score",
+    "sample_mixture",
 ]
 
 
@@ -110,6 +117,9 @@ def main() -> None:
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         "value_warm": round(sum(warm[n] for n in HEADLINE), 3),
         "queries_warm": warm,
+        # round-over-round comparability across the r5 headline expansion
+        "value_19q": round(sum(timings[n] for n in HEADLINE_19Q), 3),
+        "value_19q_warm": round(sum(warm[n] for n in HEADLINE_19Q), 3),
     }))
 
 

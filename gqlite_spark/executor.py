@@ -22,9 +22,10 @@ from .catalog import (K_BINARY, K_DATETIME, K_VECTOR, Catalog, Graph, Group)
 from .errors import (GQLiteError, GQLParseError, GraphNotExistError,
                      GroupNotExistError)
 from .gql import parser as gql_parser
-from .gql.ast import (AstStmt, CallExpr, CreateStmt, DropStmt, DumpStmt,
+from .gql.ast import (AstStmt, CallExpr, ChunkStmt, CreateStmt, DedupStmt,
+                      DropStmt, DumpStmt,
                       ImportStmt, InferStmt, MemberRef, Pred, ProfileStmt,
-                      QueryStmt,
+                      QueryStmt, SimilarStmt,
                       RemoveEdgeStmt, RemoveVertexStmt, ShowGraphStmt,
                       UpsetEdgeStmt, UpsetPropertyStmt, UpsetVertexStmt,
                       UseGraphStmt, WalkPattern)
@@ -148,7 +149,120 @@ class GQLite:
             return self._import(stmt)
         if isinstance(stmt, InferStmt):
             return self._infer_hmm(stmt)
+        if isinstance(stmt, DedupStmt):
+            return self._dedup(stmt)
+        if isinstance(stmt, SimilarStmt):
+            return self._similar(stmt)
+        if isinstance(stmt, ChunkStmt):
+            return self._chunk(stmt)
         raise GQLiteError(f"unsupported statement {type(stmt).__name__}")
+
+    def _pipeline_group_df(self, graph_name, group_name: str,
+                           on: "str | None", default_prop: str):
+        """Shared front half of the pipeline statements: resolve the
+        group, materialize its DataFrame, and validate the target
+        property.  Returns (df, prop) or (None, prop) for an empty
+        group."""
+        graph = self._graph(graph_name)
+        grp = graph.group(group_name)
+        df = grp.to_df()
+        prop = on or default_prop
+        if df is None:
+            return None, prop
+        if prop not in df.columns:
+            raise GQLiteError(
+                f"group '{group_name}' has no property '{prop}'")
+        return df, prop
+
+    def _dedup(self, stmt: DedupStmt) -> StatementResult:
+        """``{dedup: 'docs', in: 'g', method: 'minhash', on: 'text',
+        threshold: 0.8};`` — the training-data dedup family as engine
+        statements, lowering straight onto operators/dedup.py (same
+        bucketed 100 TB plans as the library API; the group's key column
+        plays doc_id).  Beyond-reference surface: the reference has no
+        dedup statement."""
+        from .operators import dedup as D
+        df, prop = self._pipeline_group_df(
+            stmt.graph, stmt.group, stmt.on,
+            "embedding" if stmt.method == "embedding" else "text")
+        if df is None:
+            return StatementResult(status="QUERY SUCCESS", rows=[], df=None)
+        m = stmt.method
+        if m == "exact":
+            out = D.exact_duplicates(df, id_col="id", text_col=prop)
+        elif m == "minhash":
+            out = D.minhash_lsh_pairs(df, id_col="id", text_col=prop,
+                                      threshold=stmt.threshold)
+        elif m == "jaccard":
+            out = D.ngram_jaccard_pairs(df, id_col="id", text_col=prop,
+                                        threshold=stmt.threshold)
+        elif m == "simhash":
+            out = D.simhash_near_pairs(df, id_col="id", text_col=prop)
+        elif m == "lines":
+            out = D.line_dedup(df, id_col="id", text_col=prop)
+        elif m == "clusters":
+            out = D.near_dup_clusters(df, id_col="id", text_col=prop,
+                                      threshold=stmt.threshold)
+        elif m == "embedding":
+            out = D.embedding_near_dups(df, id_col="id", vec_col=prop,
+                                        threshold=stmt.threshold)
+        else:
+            raise GQLiteError(
+                f"dedup: unknown method '{m}' (want exact|minhash|jaccard|"
+                f"simhash|lines|clusters|embedding)")
+        return StatementResult(
+            status="QUERY SUCCESS", df=out,
+            rows_fn=lambda out=out: [list(r) for r in out.collect()])
+
+    def _similar(self, stmt: SimilarStmt) -> StatementResult:
+        """``{similar: 'vecs', in: 'g', to: [0.1, ...], top: 5,
+        method: 'lsh'};`` — top-k vector search as an engine statement
+        over a group's array property, lowering onto
+        operators/similarity.py (brute = exact cosine scan+
+        TakeOrderedAndProject; lsh/ivf/pq = the bucketed ANN paths).
+        Engine analogue of the reference's HNSW-backed $near."""
+        from .operators import similarity as S
+        df, prop = self._pipeline_group_df(stmt.graph, stmt.group,
+                                           stmt.on, "embedding")
+        if df is None:
+            return StatementResult(status="QUERY SUCCESS", rows=[], df=None)
+        q, k, m = stmt.to, stmt.top, stmt.method
+        if m == "brute":
+            out = S.cosine_topk(df, q, k, id_col="id", vec_col=prop)
+        elif m == "lsh":
+            out = S.ann_topk(df, q, dim=len(q), k=k, id_col="id",
+                             vec_col=prop)
+        elif m == "ivf":
+            cents = S.ivf_centroids(df, nlist=16, id_col="id",
+                                    vec_col=prop)
+            out = S.ivf_topk(df, q, cents, k=k, id_col="id", vec_col=prop)
+        elif m == "pq":
+            dim = len(q)
+            msub = next(m_ for m_ in (4, 2, 1) if dim % m_ == 0)
+            books = S.pq_codebooks(df, m=msub, ksub=16, id_col="id",
+                                   vec_col=prop)
+            out = S.pq_topk(df, q, books, k=k, id_col="id", vec_col=prop)
+        else:
+            raise GQLiteError(
+                f"similar: unknown method '{m}' (want brute|lsh|ivf|pq)")
+        return StatementResult(
+            status="QUERY SUCCESS", df=out,
+            rows_fn=lambda out=out: [list(r) for r in out.collect()])
+
+    def _chunk(self, stmt: ChunkStmt) -> StatementResult:
+        """``{chunk: 'docs', in: 'g', size: 64, overlap: 8};`` — document
+        chunking as an engine statement (operators/text.py
+        chunk_documents: pure map stage, zero shuffle)."""
+        from .operators.text import chunk_documents
+        df, prop = self._pipeline_group_df(stmt.graph, stmt.group,
+                                           stmt.on, "text")
+        if df is None:
+            return StatementResult(status="QUERY SUCCESS", rows=[], df=None)
+        out = chunk_documents(df, id_col="id", text_col=prop,
+                              chunk_tokens=stmt.size, overlap=stmt.overlap)
+        return StatementResult(
+            status="QUERY SUCCESS", df=out,
+            rows_fn=lambda out=out: [list(r) for r in out.collect()])
 
     def _infer_hmm(self, stmt: InferStmt) -> StatementResult:
         """``{query: hidden, event: [...], where: [[hidden.v1, {->: w},

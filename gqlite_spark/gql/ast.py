@@ -172,6 +172,45 @@ class InferStmt:
 
 
 @dataclass
+class DedupStmt:
+    """``{dedup: group, in: g, method: m, on: prop, threshold: t}`` —
+    engine-level surface over the training-data dedup operators (beyond
+    the reference, which has no dedup statement; the engine analogue of
+    the library operators in operators/dedup.py)."""
+    group: str
+    graph: Optional[str] = None
+    method: str = "exact"   # exact|minhash|jaccard|simhash|lines|clusters|embedding
+    on: Optional[str] = None
+    threshold: float = 0.8
+
+
+@dataclass
+class SimilarStmt:
+    """``{similar: group, in: g, to: [vec], top: k, on: prop,
+    method: m}`` — ANN/top-k search over a group's vector property
+    (engine analogue of operators/similarity.py; the reference's closest
+    surface is the HNSW $near query)."""
+    group: str
+    to: list
+    graph: Optional[str] = None
+    top: int = 10
+    on: str = "embedding"
+    method: str = "brute"   # brute|lsh|ivf|pq
+
+
+@dataclass
+class ChunkStmt:
+    """``{chunk: group, in: g, on: prop, size: n, overlap: m}`` —
+    document chunking as an engine statement (operators/text.py
+    chunk_documents)."""
+    group: str
+    graph: Optional[str] = None
+    on: str = "text"
+    size: int = 64
+    overlap: int = 8
+
+
+@dataclass
 class RemoveVertexStmt:
     group: str
     where: Any

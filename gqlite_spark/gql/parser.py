@@ -17,9 +17,10 @@ from typing import Any
 from ..errors import GQLParseError
 from . import lexer as L
 from .ast import (
-    STAR, AstStmt, BinaryLit, CallExpr, CreateStmt, DatetimeLit, DropStmt,
+    STAR, AstStmt, BinaryLit, CallExpr, ChunkStmt, CreateStmt, DatetimeLit,
+    DedupStmt, DropStmt,
     DumpStmt, EdgeConn, GeohashLit, GroupDef, ImportStmt, InferStmt, Lambda,
-    MemberRef,
+    MemberRef, SimilarStmt,
     PatternNode, Pred, ProfileStmt, QueryStmt, RemoveEdgeStmt,
     RemoveVertexStmt, ShowGraphStmt, UpsetEdgeStmt, UpsetPropertyStmt,
     UpsetVertexStmt, UseGraphStmt, WalkPattern, Wildcard,
@@ -311,6 +312,39 @@ class Parser:
             return DropStmt(obj["drop"])
         if "dump" in obj:
             return DumpStmt(obj["dump"])
+        if "dedup" in obj:
+            thr = obj.get("threshold", 0.8)
+            if not isinstance(thr, (int, float)) or isinstance(thr, bool):
+                raise GQLParseError("dedup: threshold must be a number")
+            return DedupStmt(obj["dedup"], obj.get("in"),
+                             str(obj.get("method", "exact")),
+                             obj.get("on"), float(thr))
+        if "similar" in obj:
+            vec = obj.get("to")
+            if (not isinstance(vec, list) or not vec
+                    or not all(isinstance(x, (int, float))
+                               and not isinstance(x, bool) for x in vec)):
+                raise GQLParseError("similar: to must be a numeric vector")
+            top = obj.get("top", 10)
+            if not isinstance(top, int) or isinstance(top, bool) or top < 1:
+                raise GQLParseError("similar: top must be a positive integer")
+            return SimilarStmt(obj["similar"], [float(x) for x in vec],
+                               obj.get("in"), top,
+                               str(obj.get("on", "embedding")),
+                               str(obj.get("method", "brute")))
+        if "chunk" in obj:
+            size = obj.get("size", 64)
+            overlap = obj.get("overlap", 8)
+            for nm, v in (("size", size), ("overlap", overlap)):
+                if not isinstance(v, int) or isinstance(v, bool) or v < 0:
+                    raise GQLParseError(
+                        f"chunk: {nm} must be a non-negative integer")
+            if size < 1:
+                raise GQLParseError("chunk: size must be >= 1")
+            if overlap >= size:
+                raise GQLParseError("chunk: overlap must be < size")
+            return ChunkStmt(obj["chunk"], obj.get("in"),
+                             str(obj.get("on", "text")), size, overlap)
         raise GQLParseError(f"unrecognized statement keys: {sorted(obj)}")
 
     def _build_groups(self, raw: list) -> list[GroupDef]:

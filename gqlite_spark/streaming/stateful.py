@@ -1,18 +1,28 @@
 """Custom stateful streaming operators via applyInPandasWithState.
 
 The built-in window/session operators (streaming/events.py) cover the
-declarative cases; this module is the template for operator semantics Spark
-lacks — per-key running state updated batch-by-batch with explicit timeout
-handling.  Example implemented: per-user running aggregate with anomaly
-flagging (count, sum, max seen so far; emits one row per user per
-micro-batch)."""
+declarative cases; this module holds operator semantics Spark lacks —
+per-key running state updated batch-by-batch with explicit timeout
+handling:
+
+- :func:`running_user_stats` — per-user running aggregate with anomaly
+  flagging (the plumbing template);
+- :func:`funnel_stream` / :func:`cohort_stream` — streaming twins of
+  ``operators.temporal.funnel`` / ``cohort_retention`` (VERDICT r4 #5).
+  Both emit the user's CURRENT state each micro-batch (update-stream
+  shape); on a drained stream the final row per user reproduces the batch
+  operator's per-user result exactly, including cross-batch out-of-order
+  arrival, because the state buffers the (bounded) per-step/bucket time
+  sets rather than a running scalar that late data could corrupt."""
 
 from __future__ import annotations
 
+import json
 from typing import Any, Iterable, Iterator, Tuple
 
 import pandas as pd
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
 OUTPUT_SCHEMA = ("user_id bigint, n_events bigint, sum_value double, "
@@ -62,4 +72,146 @@ def running_user_stats(events: DataFrame) -> DataFrame:
                 outputStructType=OUTPUT_SCHEMA,
                 stateStructType=STATE_SCHEMA,
                 outputMode="append",
+                timeoutConf=GroupStateTimeout.ProcessingTimeTimeout))
+
+
+# --------------------------------------------------------------------------
+# Streaming funnel / cohort twins (operators.temporal parity)
+# --------------------------------------------------------------------------
+
+FUNNEL_OUT_SCHEMA = ("user_id bigint, n_events_seen bigint, "
+                     "reach_times array<bigint>")
+COHORT_OUT_SCHEMA = ("user_id bigint, cohort_bucket bigint, "
+                     "offsets array<bigint>, n_buckets bigint")
+_JSON_STATE = "js string"
+
+
+def _funnel_chain(bufs: list[list[int]],
+                  within: "int | None") -> list[int]:
+    """The batch funnel recurrence over buffered per-step times:
+    r_1 = min(times_1); r_k = min{t in times_k : t >= r_(k-1)
+    [and t <= r_(k-1) + within]} — identical to operators.temporal.funnel
+    (each r_k is the earliest completion AFTER the previous step).
+    Returns the COMPLETED PREFIX only (the chain stalls monotonically, so
+    the stalled suffix carries no information): len(result) = number of
+    funnel steps the user has completed."""
+    reach: list[int] = []
+    prev = None
+    for i, times in enumerate(bufs):
+        elig = [t for t in times
+                if i == 0 or (t >= prev
+                              and (within is None or t <= prev + within))]
+        if not elig:
+            break
+        prev = min(elig)
+        reach.append(prev)
+    return reach
+
+
+def funnel_stream(events: DataFrame, steps: list[str],
+                  user_col: str = "user_id", type_col: str = "event_type",
+                  ts_col: str = "ts",
+                  within_micros: "int | None" = None,
+                  max_buffer: int = 128) -> DataFrame:
+    """Streaming conversion funnel: per user, emit the current
+    first-touch step-completion chain (epoch-micros of the completed
+    step prefix; the list length = steps completed) after every
+    micro-batch that touches the user.  Counting final rows with
+    ``len(reach_times) > k`` = batch ``funnel``'s n_users for step k+1.
+
+    State per user: the ``max_buffer`` SMALLEST event times per step.
+    The chain thresholds r_k only ever DECREASE as more events arrive,
+    so keeping the smallest times is exactly sufficient — state is lossy
+    only for a user with more than ``max_buffer`` step-k events earlier
+    than the final r_(k-1), and bounded at steps × max_buffer longs per
+    user regardless of stream length.  Late events that lower an earlier
+    step's time correctly re-derive the downstream chain from the
+    buffers (a running-scalar implementation could not).  Keyed on the
+    user — one shuffle per micro-batch, the same key the batch operator
+    aggregates on."""
+    if not steps:
+        raise ValueError("steps must be non-empty")
+    from ..operators.temporal import epoch_micros
+    n_steps = len(steps)
+    step_idx = {s: i for i, s in enumerate(steps)}
+
+    def update(key: Tuple[Any, ...], pdfs: Iterable[pd.DataFrame],
+               state: GroupState) -> Iterator[pd.DataFrame]:
+        (user_id,) = key
+        if state.hasTimedOut:
+            state.remove()
+            return
+        st = (json.loads(state.get[0]) if state.exists
+              else {"n": 0, "bufs": [[] for _ in range(n_steps)]})
+        for pdf in pdfs:
+            st["n"] += int(len(pdf))
+            for s, t in zip(pdf["t"], pdf["e"]):
+                i = step_idx.get(s)
+                if i is not None:
+                    st["bufs"][i].append(int(t))
+        st["bufs"] = [sorted(b)[:max_buffer] for b in st["bufs"]]
+        state.update((json.dumps(st),))
+        state.setTimeoutDuration(24 * 3600 * 1000)
+        yield pd.DataFrame({
+            "user_id": [user_id],
+            "n_events_seen": [st["n"]],
+            "reach_times": [_funnel_chain(st["bufs"], within_micros)],
+        })
+
+    prep = events.select(F.col(user_col).alias("user_id"),
+                         F.col(type_col).alias("t"),
+                         epoch_micros(events, ts_col).alias("e"))
+    return (prep.groupBy("user_id")
+            .applyInPandasWithState(
+                update, outputStructType=FUNNEL_OUT_SCHEMA,
+                stateStructType=_JSON_STATE, outputMode="append",
+                timeoutConf=GroupStateTimeout.ProcessingTimeTimeout))
+
+
+def cohort_stream(events: DataFrame, user_col: str = "user_id",
+                  ts_col: str = "ts", bucket_seconds: int = 86400,
+                  max_buckets: int = 512) -> DataFrame:
+    """Streaming cohort-retention state: per user, emit (cohort bucket =
+    min active bucket so far, sorted offsets of all active buckets) after
+    every micro-batch that touches the user.  Exploding the final rows to
+    (cohort_bucket, offset) and counting users reproduces batch
+    ``cohort_retention`` exactly.
+
+    State per user: the ``max_buckets`` smallest distinct activity
+    buckets (integer epoch-bucket ids — all-integer arithmetic, the
+    batch twin's engine-exact convention).  The cohort assignment is a
+    running min, so late events re-base the cohort and the emitted
+    offsets shift accordingly — consumers of the update stream keep the
+    user's latest row.  Bounded state: max_buckets longs per user (a
+    user active in more distinct buckets than that drops the largest —
+    document/raise max_buckets for multi-year horizons)."""
+    from ..operators.windows import epoch_seconds
+
+    def update(key: Tuple[Any, ...], pdfs: Iterable[pd.DataFrame],
+               state: GroupState) -> Iterator[pd.DataFrame]:
+        (user_id,) = key
+        if state.hasTimedOut:
+            state.remove()
+            return
+        buckets = set(json.loads(state.get[0])) if state.exists else set()
+        for pdf in pdfs:
+            buckets.update(int(b) for b in pdf["b"])
+        kept = sorted(buckets)[:max_buckets]
+        state.update((json.dumps(kept),))
+        state.setTimeoutDuration(24 * 3600 * 1000)
+        cohort = kept[0]
+        yield pd.DataFrame({
+            "user_id": [user_id],
+            "cohort_bucket": [cohort],
+            "offsets": [[b - cohort for b in kept]],
+            "n_buckets": [len(kept)],
+        })
+
+    es = epoch_seconds(events, ts_col)
+    b = ((es - es % bucket_seconds) / bucket_seconds).cast("long")
+    prep = events.select(F.col(user_col).alias("user_id"), b.alias("b"))
+    return (prep.groupBy("user_id")
+            .applyInPandasWithState(
+                update, outputStructType=COHORT_OUT_SCHEMA,
+                stateStructType=_JSON_STATE, outputMode="append",
                 timeoutConf=GroupStateTimeout.ProcessingTimeTimeout))

@@ -93,3 +93,63 @@ def test_parser_never_crashes_structural(text):
         parse(text)
     except GQLParseError:
         pass
+
+
+# ---------------------------------------------------------------------------
+# Pipeline statements ({dedup}/{similar}/{chunk}) — round 5 engine surface
+# ---------------------------------------------------------------------------
+
+_method = st.one_of(st.sampled_from(
+    ["exact", "minhash", "jaccard", "simhash", "lines", "clusters",
+     "embedding", "brute", "lsh", "ivf", "pq"]),
+    st.text(alphabet=string.ascii_lowercase, max_size=8))
+
+
+@given(group=_prop_key, method=_method,
+       thr=st.floats(min_value=0.0, max_value=1.0, allow_nan=False),
+       vec=_vector,
+       top=st.integers(min_value=1, max_value=100),
+       size=st.integers(min_value=1, max_value=512),
+       overlap=st.integers(min_value=0, max_value=511))
+@settings(max_examples=150, deadline=None)
+def test_pipeline_statements_parse(group, method, thr, vec, top, size,
+                                   overlap):
+    """Any well-formed pipeline statement parses to its AST node with the
+    given parameters; ill-formed parameter types raise GQLParseError (the
+    executor, not the parser, validates method names)."""
+    from gqlite_spark.gql.ast import ChunkStmt, DedupStmt, SimilarStmt
+
+    s = parse_one("{dedup: '" + group + "', method: '" + method
+                  + "', threshold: " + repr(thr) + "};")
+    assert isinstance(s, DedupStmt)
+    assert s.group == group and s.method == method
+    assert abs(s.threshold - thr) < 1e-9
+
+    s = parse_one("{similar: '" + group + "', to: "
+                  + "[" + ", ".join(repr(float(x)) for x in vec) + "]"
+                  + ", top: " + str(top) + "};")
+    assert isinstance(s, SimilarStmt)
+    assert s.top == top and len(s.to) == len(vec)
+
+    if overlap < size:
+        s = parse_one("{chunk: '" + group + "', size: " + str(size)
+                      + ", overlap: " + str(overlap) + "};")
+        assert isinstance(s, ChunkStmt)
+        assert (s.size, s.overlap) == (size, overlap)
+    else:
+        try:
+            parse_one("{chunk: '" + group + "', size: " + str(size)
+                      + ", overlap: " + str(overlap) + "};")
+            assert False, "overlap >= size must be rejected"
+        except GQLParseError:
+            pass
+    # type errors are parse errors
+    for bad in ("{similar: 'g', to: 'oops'};",
+                "{similar: 'g', to: [1.0], top: 0};",
+                "{dedup: 'g', threshold: 'high'};",
+                "{chunk: 'g', size: -1};"):
+        try:
+            parse_one(bad)
+            assert False, f"{bad} must be rejected"
+        except GQLParseError:
+            pass

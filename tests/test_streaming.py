@@ -125,6 +125,67 @@ def test_stateful_running_stats(spark, event_dir):
         assert latest[uid]["max_value"] == row["m"]
 
 
+def _one_file_stream(spark, event_dir):
+    """Force one micro-batch per parquet file (the fixture has 4) so the
+    stateful twins are exercised across several batches, including
+    whatever event-time disorder the file split introduces."""
+    schema = spark.read.parquet(event_dir).schema
+    return (spark.readStream.format("parquet").schema(schema)
+            .option("maxFilesPerTrigger", 1).load(event_dir))
+
+
+def test_funnel_stream_matches_batch(spark, event_dir):
+    """Streaming funnel state (applyInPandasWithState) must converge to
+    the batch funnel: per-step user counts from the final per-user chain
+    equal operators.temporal.funnel on the same events, across multiple
+    micro-batches."""
+    from gqlite_spark.operators.temporal import funnel
+    from gqlite_spark.streaming.events import run_to_memory
+    from gqlite_spark.streaming.stateful import funnel_stream
+    steps = ["view", "click", "purchase"]
+    q = run_to_memory(
+        funnel_stream(_one_file_stream(spark, event_dir), steps),
+        "t_funnel", mode="append")
+    q.awaitTermination(120)
+    latest = {}
+    for r in spark.sql("SELECT * FROM t_funnel").collect():
+        latest[r["user_id"]] = r    # memory sink appends in batch order
+    got = [sum(1 for r in latest.values() if len(r["reach_times"]) > i)
+           for i in range(len(steps))]
+    want_rows = funnel(spark.read.parquet(event_dir), steps).collect()
+    want = [r["n_users"] for r in
+            sorted(want_rows, key=lambda r: r["step_idx"])]
+    assert got == want and want[0] > 0
+    # chains are monotone: each step completes at or after the previous
+    for r in latest.values():
+        chain = list(r["reach_times"])
+        assert chain == sorted(chain)
+
+
+def test_cohort_stream_matches_batch(spark, event_dir):
+    """Streaming cohort state exploded to (cohort, offset) user counts
+    equals batch cohort_retention on the same events."""
+    from gqlite_spark.operators.temporal import cohort_retention
+    from gqlite_spark.streaming.events import run_to_memory
+    from gqlite_spark.streaming.stateful import cohort_stream
+    q = run_to_memory(
+        cohort_stream(_one_file_stream(spark, event_dir)),
+        "t_cohort", mode="append")
+    q.awaitTermination(120)
+    latest = {}
+    for r in spark.sql("SELECT * FROM t_cohort").collect():
+        latest[r["user_id"]] = r
+    got: dict = {}
+    for r in latest.values():
+        for off in r["offsets"]:
+            key = (r["cohort_bucket"], off)
+            got[key] = got.get(key, 0) + 1
+    want = {(r["cohort_bucket"], r["bucket_offset"]): r["n_active"]
+            for r in cohort_retention(
+                spark.read.parquet(event_dir)).collect()}
+    assert got == want and want
+
+
 def test_interval_join_stream_matches_batch(spark, event_dir):
     """Stream-stream watermarked interval join equals the batch interval
     join on the same data (attribution semantics parity)."""
