@@ -59,13 +59,14 @@ class _iterative_shuffle_scope:
 
 
 def _ckpt(df: DataFrame) -> DataFrame:
-    """Eager localCheckpoint with partition-count discipline: iterative
-    state is usually far smaller than the session's shuffle-partition
-    default (200 on a stock session) — materializing 200 near-empty tasks
-    per superstep dominates wall-clock.  Coalesce to the cluster's core
-    parallelism first (a narrow no-shuffle op)."""
-    p = df.sparkSession.sparkContext.defaultParallelism
-    return df.coalesce(p).localCheckpoint()
+    """Eager checkpoint with partition-count discipline: iterative state
+    is usually far smaller than the session's shuffle-partition default
+    (200 on a stock session) — materializing 200 near-empty tasks per
+    superstep dominates wall-clock, so coalesce to the cluster's core
+    parallelism first (a narrow no-shuffle op).  Strategy (local vs
+    reliable) comes from the session conf — see operators/ckpt.py."""
+    from .ckpt import materialize
+    return materialize(df, eager=True, coalesce=True)
 
 
 def normalize_edges(edges: DataFrame, weight_col: Optional[str] = None,

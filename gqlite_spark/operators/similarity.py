@@ -461,6 +461,44 @@ def pq_codebooks(df: DataFrame, m: int = 4, ksub: int = 16,
             for j in range(m)]
 
 
+def pq_refine(df: DataFrame, books: list[list[list[float]]],
+              iters: int = 2, id_col: str = "vec_id",
+              vec_col: str = "embedding") -> list[list[list[float]]]:
+    """Per-subspace Lloyd (k-means) refinement of PQ codebooks, DataFrame-
+    native: each iteration encodes every subspace with the current books
+    (scalar expressions — no corpus shuffle) and recomputes codeword means
+    with ONE groupBy over (subspace, code, dim).  Codebook state is
+    m × ksub × dsub doubles on the driver — model-sized at any corpus
+    scale.  Empty codewords keep their previous centroid.
+
+    Refined books are float means (engine-order-dependent sums), so use
+    the UNREFINED sampling books when an external oracle must rebuild the
+    codes bit-for-bit; use refined books when recall matters."""
+    m = len(books)
+    dsub = len(books[0][0])
+    for _ in range(iters):
+        v = F.col(vec_col).cast("array<double>")
+        cols = []
+        for j, book in enumerate(books):
+            cols.append(F.struct(
+                F.lit(j).alias("j"),
+                _pq_code_expr(v, j, dsub, book).alias("code"),
+                F.slice(v, j * dsub + 1, dsub).alias("sub")))
+        exploded = (df.select(F.explode(F.array(*cols)).alias("s"))
+                    .select("s.j", "s.code",
+                            F.posexplode("s.sub").alias("pos", "x")))
+        means = (exploded.groupBy("j", "code", "pos")
+                 .agg(F.avg("x").alias("m")).collect())
+        table: dict = {}
+        for r in means:
+            table.setdefault((r["j"], r["code"]), {})[r["pos"]] = r["m"]
+        books = [[([table[(j, c)][i] for i in range(dsub)]
+                   if (j, c) in table else books[j][c])
+                  for c in range(len(books[j]))]
+                 for j in range(m)]
+    return books
+
+
 def _pq_sub_d2(vcol, j: int, dsub: int, cent: list[float]):
     """Squared L2 between subspace j of ``vcol`` and a centroid literal —
     the same left-assoc fold as l2_topk, so doubles match the oracle's

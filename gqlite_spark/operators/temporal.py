@@ -143,11 +143,13 @@ def funnel(events: DataFrame, steps: list[str],
                      .filter(cond)
                      .groupBy("u").agg(F.min("e").alias("r")))
         # each reach table feeds BOTH its count row and the next step's
-        # join; a LAZY localCheckpoint materializes it once per action
-        # and truncates lineage, so step k doesn't re-scan steps 1..k-1
+        # join; a LAZY checkpoint materializes it once per action and
+        # truncates lineage, so step k doesn't re-scan steps 1..k-1
         # (k steps → k source scans, not k(k+1)/2) while query
-        # construction stays job-free
-        reach = reach.localCheckpoint(eager=False)
+        # construction stays job-free.  Strategy (executor-local vs
+        # reliable-dir, for lossy clusters) per session conf — ckpt.py.
+        from .ckpt import materialize
+        reach = materialize(reach, eager=False, coalesce=False)
         prev = reach.select("u", F.col("r").alias("r_prev"))
         out_rows.append(reach.agg(
             F.lit(idx).cast("long").alias("step_idx"),

@@ -242,7 +242,8 @@ def _stream_upsert(stream_df, group, key_cols, checkpoint, version_col):
             merged = (group.bulk_df.join(dedup.select(*key_cols),
                                          key_cols, "left_anti")
                       .unionByName(dedup, allowMissingColumns=True))
-        _register(merged.localCheckpoint(eager=True))
+        from ..operators.ckpt import materialize
+        _register(materialize(merged, eager=True, coalesce=False))
         group._invalidate()
 
     w = stream_df.writeStream.foreachBatch(_merge)

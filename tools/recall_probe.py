@@ -1,25 +1,24 @@
-"""ANN recall probe (VERDICT r4 #4): measure recall@10 of every ANN
-strategy against brute-force ground truth at the million-vector scale the
-unit fixtures can't reach.  Correctness of the *candidate sets* is already
-oracle-checked (tools/oracle_check.py); this measures RETRIEVAL QUALITY of
-the deterministic sampling quantizers on a realistic distribution, with
-and without Lloyd refinement — the reference's HNSW recall test
-(/root/reference/test/query.cpp:13-59) is the parity anchor.
+"""ANN recall probe (VERDICT r4 #4): measure recall@10 for the three
+bucketed ANN strategies — LSH (ann_topk), IVF (ivf_topk, nprobe sweep)
+and PQ (pq_topk, candidates sweep) — against exact brute-force cosine
+top-10 over a 1M x 16-d clustered corpus, with and without Lloyd
+refinement of the sampling quantizers.  Results recorded in PLANS.md.
 
-Corpus: n pseudo-random 16-d vectors (xxhash-uniform per dim, cluster
-structure from a hashed center per id-block so IVF/PQ have geometry to
-exploit).  Queries: perturbed corpus vectors (planted nearest neighbor)
-plus uniform probes.  Ground truth: exact cosine top-10 per query.
+The corpus is deterministic (xxhash64-derived): 256 cluster centres in
+[0,1)^16, each vector = centre + small hash noise — the clustered shape
+real embedding spaces have, where coarse quantization is meaningful.
+Queries are corpus vectors with an extra perturbation, so every query
+has genuine near neighbours (its cluster siblings).
 
-Usage: python tools/recall_probe.py [n_vecs] [n_queries] [lsh|ivf|pq ...]
-Results table is committed to PLANS.md.  The exact ground truth is cached
-per (n_vecs, n_queries) under /tmp so the strategy families can run as
-separate invocations (each family alone fits a CI time slot).
+Reference parity anchor: the HNSW recall test at
+/root/reference/test/query.cpp:13-59 (build index, search, compare to
+exact neighbours).
+
+Usage: python tools/recall_probe.py [n_vecs] [n_queries]
 """
 
 from __future__ import annotations
 
-import json
 import os
 import sys
 import time
@@ -27,106 +26,119 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 DIM = 16
+K = 10
+N_CLUSTERS = 256
+
+
+def make_corpus(spark, n_vecs: int):
+    from pyspark.sql import functions as F
+    cl = F.pmod(F.xxhash64("id"), F.lit(N_CLUSTERS))
+    # centre[i] = hash(cluster, i)/1000 in [0,1); noise up to 0.25 per dim
+    # (wide enough that clusters overlap and quantization cells actually
+    # lose neighbours — a tight-cluster corpus scores 100% on everything
+    # and measures nothing)
+    vec = F.transform(
+        F.sequence(F.lit(1), F.lit(DIM)),
+        lambda i: (F.pmod(F.xxhash64(cl, i), F.lit(1000)) / 1000.0
+                   + F.pmod(F.xxhash64("id", i), F.lit(1000)) / 4000.0))
+    return (spark.range(n_vecs)
+            .select(F.col("id").alias("vec_id"), vec.alias("embedding")))
+
+
+def make_queries(corpus, n_queries: int) -> list[list[float]]:
+    """Corpus vectors (stride-sampled across clusters) + a perturbation,
+    so each query is near — but not identical to — real corpus points."""
+    import hashlib
+    rows = (corpus.where((corpus.vec_id % 7919) == 0)
+            .orderBy("vec_id").limit(n_queries).collect())
+    out = []
+    for r in rows:
+        v = list(r["embedding"])
+        h = hashlib.md5(str(r["vec_id"]).encode()).digest()
+        out.append([x + (h[i % 16] - 128) / 25600.0 for i, x in enumerate(v)])
+    return out
+
+
+def recall(ann_ids: list, exact_ids: list) -> float:
+    return len(set(ann_ids) & set(exact_ids)) / len(exact_ids)
 
 
 def main() -> None:
     n_vecs = int(sys.argv[1]) if len(sys.argv) > 1 else 1_000_000
-    n_queries = int(sys.argv[2]) if len(sys.argv) > 2 else 10
-    families = set(sys.argv[3:]) or {"lsh", "ivf", "pq"}
+    n_queries = int(sys.argv[2]) if len(sys.argv) > 2 else 8
 
-    from pyspark.sql import functions as F
-
-    from gqlite_spark.operators.similarity import (ann_topk, cosine_topk,
-                                                   ivf_centroids, ivf_topk,
-                                                   lloyd_refine,
-                                                   pq_codebooks, pq_topk)
     from gqlite_spark.session import get_spark
+    from gqlite_spark.operators.similarity import (
+        ann_topk, cosine_topk, ivf_centroids, ivf_topk, lloyd_refine,
+        pq_codebooks, pq_encode, pq_refine, pq_topk)
 
     spark = get_spark(app_name="recall-probe")
     spark.sparkContext.setLogLevel("ERROR")
 
-    # clustered corpus: 64 hash-derived cluster centers, per-vector noise —
-    # uniform-cube data has no structure for a coarse quantizer to learn;
-    # clustered data is the realistic embedding shape
-    cluster = F.col("id") % 64
-    vec = F.transform(
-        F.sequence(F.lit(1), F.lit(DIM)),
-        lambda i: (F.pmod(F.xxhash64(cluster, i), F.lit(1000)) / 1000.0
-                   + (F.pmod(F.xxhash64("id", i), F.lit(1000)) / 1000.0
-                      - 0.5) * 0.2))
-    corpus = (spark.range(n_vecs)
-              .select(F.col("id").alias("vec_id"), vec.alias("embedding"))
-              .persist())
+    corpus = make_corpus(spark, n_vecs).persist()
     corpus.count()
+    queries = make_queries(corpus, n_queries)
+    print(f"corpus: {n_vecs:,} x {DIM}d, {N_CLUSTERS} clusters; "
+          f"{len(queries)} queries; recall@{K} vs exact cosine top-{K}")
 
-    # queries: perturbed corpus vectors (odd) + cluster centers (even)
-    qrows = corpus.filter(F.col("vec_id") % (n_vecs // n_queries) == 17) \
-        .limit(n_queries).collect()
-    queries = [[x + 0.003 * ((i * 7 + j) % 5 - 2) for j, x in
-                enumerate(r["embedding"])] for i, r in enumerate(qrows)]
+    t = time.time()
+    exact = [[r["id"] for r in cosine_topk(corpus, q, k=K).collect()]
+             for q in queries]
+    t_exact = (time.time() - t) / len(queries)
+    print(f"exact brute-force: {t_exact:.2f}s/query (the baseline ANN "
+          f"must beat)")
 
-    cache = f"/tmp/recall_truth_{n_vecs}_{n_queries}.json"
-    if os.path.exists(cache):
-        truth = [set(t) for t in json.load(open(cache))]
-        print(f"ground truth loaded from {cache}")
-    else:
-        t = time.time()
-        truth = [set(r["id"] for r in
-                     cosine_topk(corpus, q, k=10).collect())
-                 for q in queries]
-        json.dump([sorted(s) for s in truth], open(cache, "w"))
-        print(f"ground truth ({n_queries} exact scans over {n_vecs:,}): "
-              f"{time.time()-t:.1f}s -> {cache}")
+    results: list[tuple[str, float, float]] = []
 
-    def recall(fn) -> tuple[float, float]:
-        t0, hits = time.time(), 0
-        for q, tru in zip(queries, truth):
-            got = set(r["id"] for r in fn(q).collect())
-            hits += len(got & tru)
-        return hits / (10 * n_queries), (time.time() - t0) / n_queries
+    def run(name: str, fn) -> None:
+        t0 = time.time()
+        recs = [recall([r["id"] for r in fn(q).collect()], exact[i])
+                for i, q in enumerate(queries)]
+        dt = (time.time() - t0) / len(queries)
+        avg = sum(recs) / len(recs)
+        results.append((name, avg, dt))
+        print(f"{name:<42} recall@{K}={avg:6.1%}  {dt:5.2f}s/query")
 
-    results = []
+    # --- LSH --------------------------------------------------------------
+    for planes in (6, 8):
+        run(f"lsh planes={planes}",
+            lambda q, p=planes: ann_topk(corpus, q, dim=DIM, k=K,
+                                         n_planes=p))
 
-    # -- LSH (the ann_topk path; knn_auto's above-threshold choice) -----
-    if "lsh" in families:
-        for planes, tables in ((8, 2), (6, 4)):
-            r, s = recall(lambda q: ann_topk(corpus, q, dim=DIM, k=10,
-                                             n_planes=planes,
-                                             n_tables=tables))
-            results.append((f"lsh planes={planes} tables={tables}", r, s))
-            print(results[-1])
+    # --- IVF: sampling quantizer vs lloyd-refined, nprobe sweep ----------
+    nlist = 64
+    t = time.time()
+    cents_s = ivf_centroids(corpus, nlist=nlist)
+    print(f"ivf sampling centroids (nlist={nlist}): {time.time()-t:.1f}s")
+    t = time.time()
+    cents_r = lloyd_refine(corpus, cents_s, iters=2)
+    print(f"ivf lloyd_refine(2): {time.time()-t:.1f}s")
+    for tag, cents in (("sampling", cents_s), ("lloyd", cents_r)):
+        for nprobe in (1, 4, 8, 16):
+            run(f"ivf {tag} nlist={nlist} nprobe={nprobe}",
+                lambda q, c=cents, n=nprobe: ivf_topk(corpus, q, c,
+                                                      nprobe=n, k=K))
 
-    # -- IVF: sampling quantizer vs lloyd-refined, nprobe sweep ---------
-    if "ivf" in families:
-        t = time.time()
-        cents0 = ivf_centroids(corpus, nlist=64)
-        print(f"ivf sampling centroids: {time.time()-t:.1f}s")
-        t = time.time()
-        cents2 = lloyd_refine(corpus, cents0, iters=2)
-        print(f"lloyd_refine(2 iters over {n_vecs:,}): {time.time()-t:.1f}s")
-        for label, cents in (("sampling", cents0), ("lloyd2", cents2)):
-            for nprobe in (1, 4, 8):
-                r, s = recall(lambda q: ivf_topk(corpus, q, cents,
-                                                 nprobe=nprobe, k=10))
-                results.append(
-                    (f"ivf {label} nlist=64 nprobe={nprobe}", r, s))
-                print(results[-1])
-
-    # -- PQ: ADC ranking, candidates sweep ------------------------------
-    if "pq" in families:
-        t = time.time()
-        books0 = pq_codebooks(corpus, m=4, ksub=16)
-        print(f"pq sampling codebooks: {time.time()-t:.1f}s")
-        for cand in (100, 1000, 5000):
-            r, s = recall(lambda q: pq_topk(corpus, q, books0, k=10,
-                                            candidates=cand))
-            results.append((f"pq sampling m=4 ksub=16 cand={cand}", r, s))
-            print(results[-1])
+    # --- PQ: sampling codebooks vs lloyd-refined, candidates sweep -------
+    m, ksub = 4, 16
+    t = time.time()
+    books_s = pq_codebooks(corpus, m=m, ksub=ksub)
+    print(f"pq sampling codebooks (m={m} ksub={ksub}): {time.time()-t:.1f}s")
+    t = time.time()
+    books_r = pq_refine(corpus, books_s, iters=2)
+    print(f"pq_refine(2): {time.time()-t:.1f}s")
+    for tag, books in (("sampling", books_s), ("lloyd", books_r)):
+        # quantization error: mean ADC of each vector to its own codes
+        for cand in (100, 1000, 10000):
+            run(f"pq {tag} m={m} ksub={ksub} cand={cand}",
+                lambda q, b=books, c=cand: pq_topk(corpus, q, b, k=K,
+                                                   candidates=c))
 
     print("\n| strategy | recall@10 | s/query |")
     print("|---|---|---|")
-    for name, r, s in results:
-        print(f"| {name} | {r:.2f} | {s:.2f} |")
+    for name, avg, dt in results:
+        print(f"| {name} | {avg:.1%} | {dt:.2f} |")
+    print(f"| exact brute force | 100% | {t_exact:.2f} |")
 
 
 if __name__ == "__main__":
