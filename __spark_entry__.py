@@ -876,6 +876,21 @@ def q_multimodal_meta(spark, sf_dir):
                         decoder=decode_image_headers)
 
 
+def q_multimodal_av_meta(spark, sf_dir):
+    """Real audio/video container decode, end-to-end: synthesize a REAL
+    WAV (RIFF/WAVE PCM) or MP4 (ISO BMFF ftyp+moov) blob per document —
+    alternating by doc_id — then parse the container headers back with
+    the stdlib-only decoder (chunk/box walk, no media libraries).  The
+    oracle predicts duration/rate/channels/dims from the same integer
+    arithmetic, so the encode→parse round trip over real container bytes
+    is what's being checked.  See gqlite_spark/operators/multimodal.py
+    (synth_media / decode_media_headers)."""
+    from gqlite_spark.operators.multimodal import (extract_av_meta,
+                                                   synth_media_payloads)
+    d = _load(spark, sf_dir, "documents")
+    return extract_av_meta(synth_media_payloads(d))
+
+
 def q_multimodal_bytes(spark, sf_dir):
     """Opaque-binary column processing via mapInPandas: encode text as a
     binary payload column, then batch-process (size + digest).  Real image
@@ -964,6 +979,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # ==== demoted past the cap: every entry below is driver-green in
         # ==== CORRECTNESS_r04 (still oracle-checked locally every round)
         "multimodal_bytes": q_multimodal_bytes,
+        "multimodal_av_meta": q_multimodal_av_meta,
         "scan_filter_eq": q_scan_filter_eq,
         "filter_range_and": q_filter_range_and,
         "filter_or": q_filter_or,
@@ -1861,6 +1877,27 @@ def oracle_sql() -> dict[str, str]:
         "multimodal_bytes":
             "SELECT doc_id, octet_length(encode(text))::BIGINT AS n_bytes,"
             " md5(text) AS digest FROM documents",
+        "multimodal_av_meta":
+            # predicts the encode→header-parse round trip of REAL A/V
+            # container bytes (synth_media_payloads →
+            # decode_media_headers): wav/mp4 alternate by doc_id % 2;
+            # WAV duration is all-integer samples*1000 // rate
+            "SELECT doc_id,"
+            " CASE WHEN doc_id % 2 = 0 THEN 'audio/wav'"
+            " ELSE 'video/mp4' END AS media_type,"
+            " CAST(CASE WHEN doc_id % 2 = 0"
+            " THEN ((doc_id % 500 + 1) * 1000) //"
+            " (8000 + (n_chars % 8) * 1000)"
+            " ELSE doc_id % 90000 + 1 END AS BIGINT) AS duration_ms,"
+            " CAST(CASE WHEN doc_id % 2 = 0"
+            " THEN 8000 + (n_chars % 8) * 1000"
+            " ELSE 0 END AS INTEGER) AS sample_rate,"
+            " CAST(CASE WHEN doc_id % 2 = 0 THEN (doc_id % 4) // 2 + 1"
+            " ELSE 0 END AS INTEGER) AS channels,"
+            " CAST(CASE WHEN doc_id % 2 = 1 THEN n_chars % 320 + 16"
+            " ELSE 0 END AS INTEGER) AS width,"
+            " CAST(CASE WHEN doc_id % 2 = 1 THEN doc_id % 240 + 16"
+            " ELSE 0 END AS INTEGER) AS height FROM documents",
         "multimodal_meta":
             # predicts the encode→header-parse round trip of REAL image
             # bytes (synth_image_payloads → decode_image_headers): format

@@ -22,10 +22,11 @@ from .catalog import (K_BINARY, K_DATETIME, K_VECTOR, Catalog, Graph, Group)
 from .errors import (GQLiteError, GQLParseError, GraphNotExistError,
                      GroupNotExistError)
 from .gql import parser as gql_parser
-from .gql.ast import (AstStmt, CallExpr, ChunkStmt, CreateStmt, DedupStmt,
-                      DropStmt, DumpStmt,
+from .gql.ast import (AstStmt, CallExpr, ChunkStmt, CohortStmt, CreateStmt,
+                      DedupStmt,
+                      DropStmt, DumpStmt, FunnelStmt,
                       ImportStmt, InferStmt, MemberRef, Pred, ProfileStmt,
-                      QueryStmt, SimilarStmt,
+                      QueryStmt, SampleStmt, SimilarStmt,
                       RemoveEdgeStmt, RemoveVertexStmt, ShowGraphStmt,
                       UpsetEdgeStmt, UpsetPropertyStmt, UpsetVertexStmt,
                       UseGraphStmt, WalkPattern)
@@ -155,6 +156,12 @@ class GQLite:
             return self._similar(stmt)
         if isinstance(stmt, ChunkStmt):
             return self._chunk(stmt)
+        if isinstance(stmt, FunnelStmt):
+            return self._funnel(stmt)
+        if isinstance(stmt, CohortStmt):
+            return self._cohort(stmt)
+        if isinstance(stmt, SampleStmt):
+            return self._sample(stmt)
         raise GQLiteError(f"unsupported statement {type(stmt).__name__}")
 
     def _pipeline_group_df(self, graph_name, group_name: str,
@@ -260,6 +267,75 @@ class GQLite:
             return StatementResult(status="QUERY SUCCESS", rows=[], df=None)
         out = chunk_documents(df, id_col="id", text_col=prop,
                               chunk_tokens=stmt.size, overlap=stmt.overlap)
+        return StatementResult(
+            status="QUERY SUCCESS", df=out,
+            rows_fn=lambda out=out: [list(r) for r in out.collect()])
+
+    def _funnel(self, stmt: FunnelStmt) -> StatementResult:
+        """``{funnel: 'events', in: 'g', steps: ['view', 'click'],
+        by: 'user', on: 'etype', ts: 'ts', within: 5000000};`` —
+        conversion funnel as an engine statement, lowering onto
+        operators/temporal.py funnel (k filtered keyed aggregates; the
+        ts property follows the library's dual-encoding contract:
+        timestamp-typed or long nanoseconds)."""
+        from .operators.temporal import funnel as _fn
+        df, _ = self._pipeline_group_df(stmt.graph, stmt.group, stmt.on,
+                                        "event_type")
+        if df is None:
+            return StatementResult(status="QUERY SUCCESS", rows=[], df=None)
+        for c in (stmt.by, stmt.ts):
+            if c not in df.columns:
+                raise GQLiteError(
+                    f"group '{stmt.group}' has no property '{c}'")
+        out = _fn(df, [str(s) for s in stmt.steps], user_col=stmt.by,
+                  type_col=stmt.on, ts_col=stmt.ts,
+                  within_micros=stmt.within)
+        return StatementResult(
+            status="QUERY SUCCESS", df=out,
+            rows_fn=lambda out=out: [list(r) for r in out.collect()])
+
+    def _cohort(self, stmt: CohortStmt) -> StatementResult:
+        """``{cohort: 'events', in: 'g', by: 'user', ts: 'ts',
+        bucket: 86400};`` — cohort retention as an engine statement
+        (operators/temporal.py cohort_retention: two keyed aggregates
+        over (user, bucket) distinct state)."""
+        from .operators.temporal import cohort_retention
+        df, _ = self._pipeline_group_df(stmt.graph, stmt.group, stmt.ts,
+                                        "ts")
+        if df is None:
+            return StatementResult(status="QUERY SUCCESS", rows=[], df=None)
+        if stmt.by not in df.columns:
+            raise GQLiteError(
+                f"group '{stmt.group}' has no property '{stmt.by}'")
+        out = cohort_retention(df, user_col=stmt.by, ts_col=stmt.ts,
+                               bucket_seconds=stmt.bucket)
+        return StatementResult(
+            status="QUERY SUCCESS", df=out,
+            rows_fn=lambda out=out: [list(r) for r in out.collect()])
+
+    def _sample(self, stmt: SampleStmt) -> StatementResult:
+        """``{sample: 'docs', in: 'g', rate: 0.25};`` (hash sample) or
+        ``{sample: 'docs', in: 'g', by: 'lang', rates: {en: 0.1},
+        default: 0.5};`` (stratified) — deterministic md5-keyed sampling
+        as an engine statement (operators/sampling.py: membership is a
+        scan-only predicate on the group's key, zero shuffle, stable
+        across engines and re-runs)."""
+        from .operators.sampling import hash_sample, stratified_sample
+        graph = self._graph(stmt.graph)
+        grp = graph.group(stmt.group)
+        df = grp.to_df()
+        if df is None:
+            return StatementResult(status="QUERY SUCCESS", rows=[], df=None)
+        if stmt.rate is not None:
+            out = hash_sample(df, id_col="id", rate=stmt.rate,
+                              salt=stmt.salt)
+        else:
+            if stmt.by not in df.columns:
+                raise GQLiteError(
+                    f"group '{stmt.group}' has no property '{stmt.by}'")
+            out = stratified_sample(df, stmt.by, stmt.rates, id_col="id",
+                                    default_rate=stmt.default,
+                                    salt=stmt.salt)
         return StatementResult(
             status="QUERY SUCCESS", df=out,
             rows_fn=lambda out=out: [list(r) for r in out.collect()])

@@ -211,6 +211,49 @@ class ChunkStmt:
 
 
 @dataclass
+class FunnelStmt:
+    """``{funnel: group, in: g, steps: [a, b, ...], by: user_prop,
+    on: type_prop, ts: ts_prop, within: micros}`` — ordered conversion
+    funnel as an engine statement (operators/temporal.py funnel: k
+    filtered keyed aggregates, no window over raw events)."""
+    group: str
+    steps: list
+    graph: Optional[str] = None
+    by: str = "user_id"
+    on: str = "event_type"
+    ts: str = "ts"
+    within: Optional[int] = None
+
+
+@dataclass
+class CohortStmt:
+    """``{cohort: group, in: g, by: user_prop, ts: ts_prop,
+    bucket: seconds}`` — cohort retention matrix as an engine statement
+    (operators/temporal.py cohort_retention)."""
+    group: str
+    graph: Optional[str] = None
+    by: str = "user_id"
+    ts: str = "ts"
+    bucket: int = 86400
+
+
+@dataclass
+class SampleStmt:
+    """``{sample: group, in: g, rate: r}`` (hash sample) or
+    ``{sample: group, in: g, by: prop, rates: {v: r, ...}, default: r}``
+    (stratified) — deterministic md5-keyed sampling as an engine
+    statement (operators/sampling.py: scan-only predicate, no
+    shuffle)."""
+    group: str
+    graph: Optional[str] = None
+    rate: Optional[float] = None
+    by: Optional[str] = None
+    rates: Optional[dict] = None
+    default: float = 0.0
+    salt: str = ""
+
+
+@dataclass
 class RemoveVertexStmt:
     group: str
     where: Any

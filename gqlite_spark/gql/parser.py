@@ -18,9 +18,10 @@ from ..errors import GQLParseError
 from . import lexer as L
 from .ast import (
     STAR, AstStmt, BinaryLit, CallExpr, ChunkStmt, CreateStmt, DatetimeLit,
-    DedupStmt, DropStmt,
-    DumpStmt, EdgeConn, GeohashLit, GroupDef, ImportStmt, InferStmt, Lambda,
-    MemberRef, SimilarStmt,
+    CohortStmt, DedupStmt, DropStmt,
+    DumpStmt, EdgeConn, FunnelStmt, GeohashLit, GroupDef, ImportStmt,
+    InferStmt, Lambda,
+    MemberRef, SampleStmt, SimilarStmt,
     PatternNode, Pred, ProfileStmt, QueryStmt, RemoveEdgeStmt,
     RemoveVertexStmt, ShowGraphStmt, UpsetEdgeStmt, UpsetPropertyStmt,
     UpsetVertexStmt, UseGraphStmt, WalkPattern, Wildcard,
@@ -345,6 +346,60 @@ class Parser:
                 raise GQLParseError("chunk: overlap must be < size")
             return ChunkStmt(obj["chunk"], obj.get("in"),
                              str(obj.get("on", "text")), size, overlap)
+        if "funnel" in obj:
+            steps = obj.get("steps")
+            if (not isinstance(steps, list) or not steps
+                    or not all(isinstance(s, str) for s in steps)):
+                raise GQLParseError(
+                    "funnel: steps must be a non-empty string list")
+            within = obj.get("within")
+            if within is not None and (not isinstance(within, int)
+                                       or isinstance(within, bool)
+                                       or within < 0):
+                raise GQLParseError(
+                    "funnel: within must be a non-negative integer")
+            return FunnelStmt(obj["funnel"], steps, obj.get("in"),
+                              str(obj.get("by", "user_id")),
+                              str(obj.get("on", "event_type")),
+                              str(obj.get("ts", "ts")), within)
+        if "cohort" in obj:
+            bucket = obj.get("bucket", 86400)
+            if not isinstance(bucket, int) or isinstance(bucket, bool) \
+                    or bucket < 1:
+                raise GQLParseError(
+                    "cohort: bucket must be a positive integer (seconds)")
+            return CohortStmt(obj["cohort"], obj.get("in"),
+                              str(obj.get("by", "user_id")),
+                              str(obj.get("ts", "ts")), bucket)
+        if "sample" in obj:
+            rate, rates = obj.get("rate"), obj.get("rates")
+            if (rate is None) == (rates is None):
+                raise GQLParseError(
+                    "sample: exactly one of rate / rates is required")
+            if rate is not None:
+                if not isinstance(rate, (int, float)) \
+                        or isinstance(rate, bool) or not 0 <= rate <= 1:
+                    raise GQLParseError("sample: rate must be in [0, 1]")
+            else:
+                if not isinstance(rates, dict) or not rates \
+                        or "by" not in obj:
+                    raise GQLParseError(
+                        "sample: rates requires a dict and a by: property")
+                for v in rates.values():
+                    if not isinstance(v, (int, float)) \
+                            or isinstance(v, bool) or not 0 <= v <= 1:
+                        raise GQLParseError(
+                            "sample: every rates value must be in [0, 1]")
+            dflt = obj.get("default", 0.0)
+            if not isinstance(dflt, (int, float)) or isinstance(dflt, bool) \
+                    or not 0 <= dflt <= 1:
+                raise GQLParseError("sample: default must be in [0, 1]")
+            return SampleStmt(obj["sample"], obj.get("in"),
+                              None if rate is None else float(rate),
+                              obj.get("by"),
+                              None if rates is None else
+                              {str(k): float(v) for k, v in rates.items()},
+                              float(dflt), str(obj.get("salt", "")))
         raise GQLParseError(f"unrecognized statement keys: {sorted(obj)}")
 
     def _build_groups(self, raw: list) -> list[GroupDef]:

@@ -217,6 +217,173 @@ def synth_image(fmt: str, w: int, h: int, frames: int = 1) -> bytes:
     raise ValueError(f"unknown format {fmt!r}")
 
 
+AV_META_SCHEMA = ("doc_id bigint, media_type string, duration_ms bigint, "
+                  "sample_rate int, channels int, width int, height int")
+
+
+def synth_media(fmt: str, **kw) -> bytes:
+    """Construct REAL audio/video container bytes with stdlib ``struct``
+    only — the A/V counterpart of :func:`synth_image`.
+
+    - ``wav``: a fully valid RIFF/WAVE PCM file (fmt chunk + silent data
+      chunk).  kw: sample_rate, channels, n_samples (per channel, 16-bit).
+    - ``mp4``: spec-correct ISO BMFF box structure — ftyp + moov{mvhd
+      (timescale/duration) + trak{tkhd (16.16 fixed-point width/height)}}.
+      kw: duration_ms (timescale fixed at 1000), width, height.
+    """
+    if fmt == "wav":
+        rate = int(kw["sample_rate"])
+        ch = int(kw["channels"])
+        n = int(kw["n_samples"])
+        data = b"\x00" * (n * ch * 2)
+        fmt_ck = struct.pack("<HHIIHH", 1, ch, rate, rate * ch * 2,
+                             ch * 2, 16)
+        body = (b"WAVE" + b"fmt " + struct.pack("<I", len(fmt_ck)) + fmt_ck
+                + b"data" + struct.pack("<I", len(data)) + data)
+        return b"RIFF" + struct.pack("<I", len(body)) + body
+
+    if fmt == "mp4":
+        dur = int(kw["duration_ms"])
+        w, h = int(kw["width"]), int(kw["height"])
+
+        def box(typ: bytes, payload: bytes) -> bytes:
+            return struct.pack(">I", 8 + len(payload)) + typ + payload
+
+        mvhd = box(b"mvhd", struct.pack(">IIIII", 0, 0, 0, 1000, dur)
+                   + struct.pack(">IHH", 0x00010000, 0x0100, 0)
+                   + b"\x00" * 8
+                   + struct.pack(">9I", 0x10000, 0, 0, 0, 0x10000, 0,
+                                 0, 0, 0x40000000)
+                   + b"\x00" * 24 + struct.pack(">I", 2))
+        tkhd = box(b"tkhd", struct.pack(">IIIIII", 0x00000007, 0, 0, 1,
+                                        0, dur)
+                   + b"\x00" * 8 + struct.pack(">HHHH", 0, 0, 0, 0)
+                   + struct.pack(">9I", 0x10000, 0, 0, 0, 0x10000, 0,
+                                 0, 0, 0x40000000)
+                   + struct.pack(">II", w << 16, h << 16))
+        return (box(b"ftyp", b"isom" + struct.pack(">I", 0))
+                + box(b"moov", mvhd + box(b"trak", tkhd)))
+    raise ValueError(f"unknown media format {fmt!r}")
+
+
+def decode_media_headers(payload: bytes
+                         ) -> tuple[str, int, int, int, int, int]:
+    """Header-only audio/video metadata decode, pure stdlib — the A/V
+    counterpart of :func:`decode_image_headers`.  Returns
+    (media_type, duration_ms, sample_rate, channels, width, height);
+    fields a container doesn't carry are 0.
+
+    - RIFF/WAVE: chunk walk to ``fmt `` (rate/channels/bits) and ``data``
+      (byte count) — duration_ms = samples * 1000 // rate, all-integer.
+    - ISO BMFF (MP4/MOV): top-level box walk to ``moov``, then ``mvhd``
+      (timescale + duration) and the first ``trak``/``tkhd`` (16.16
+      fixed-point width/height).  duration_ms = duration * 1000 //
+      timescale.
+
+    Bytes read are O(header size); media data is never materialized.
+    Raises ValueError on unrecognized/truncated streams."""
+    b = bytes(payload)
+    if b[:4] == b"RIFF" and b[8:12] == b"WAVE":
+        rate = ch = bits = data_len = None
+        off = 12
+        while off + 8 <= len(b):
+            ck, ln = b[off:off + 4], struct.unpack("<I", b[off + 4:off + 8])[0]
+            if ck == b"fmt ":
+                _, ch, rate, _, _, bits = struct.unpack(
+                    "<HHIIHH", b[off + 8:off + 24])
+            elif ck == b"data":
+                data_len = ln
+            off += 8 + ln + (ln & 1)            # chunks pad to even
+        if rate is None or data_len is None:
+            raise ValueError("WAVE stream missing fmt/data chunk")
+        n_samples = data_len // (ch * bits // 8)
+        return ("audio/wav", n_samples * 1000 // rate, int(rate), int(ch),
+                0, 0)
+
+    if len(b) >= 12 and b[4:8] == b"ftyp":
+        dur_ms = w = h = 0
+        off = 0
+        while off + 8 <= len(b):
+            (sz,) = struct.unpack(">I", b[off:off + 4])
+            typ = b[off + 4:off + 8]
+            if typ == b"moov":
+                inner = off + 8
+                end = off + sz
+                while inner + 8 <= end:
+                    (isz,) = struct.unpack(">I", b[inner:inner + 4])
+                    ityp = b[inner + 4:inner + 8]
+                    if ityp == b"mvhd":
+                        ts, dur = struct.unpack(">II",
+                                                b[inner + 20:inner + 28])
+                        dur_ms = dur * 1000 // ts
+                    elif ityp == b"trak" and not w:
+                        (tsz,) = struct.unpack(">I", b[inner + 8:inner + 12])
+                        if b[inner + 12:inner + 16] == b"tkhd":
+                            wf, hf = struct.unpack(
+                                ">II", b[inner + 92:inner + 100])
+                            w, h = wf >> 16, hf >> 16
+                    inner += max(isz, 8)
+            off += max(sz, 8)
+        return ("video/mp4", dur_ms, 0, 0, int(w), int(h))
+    raise ValueError("unrecognized media container (RIFF/WAVE or ISO BMFF)")
+
+
+def synth_media_payloads(df: DataFrame, id_col: str = "doc_id",
+                         size_col: str = "n_chars") -> DataFrame:
+    """Turn a plain table into a multimodal A/V corpus of REAL container
+    blobs: rows alternate wav/mp4 by ``id % 2``; WAV gets sample_rate
+    8000 + (size % 8)*1000, (id % 4)//2 + 1 channels, id % 500 + 1
+    samples;
+    MP4 gets duration id % 90000 + 1 ms and (size % 320 + 16) x
+    (id % 240 + 16) dims.  Deterministic, so a SQL oracle predicts the
+    decoded metadata exactly (the encode→parse round trip is the tested
+    contract).  Arrow-batched via mapInPandas like the image path."""
+
+    def build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids = pdf[id_col].astype("int64")
+            sizes = pdf[size_col].astype("int64")
+            payloads, types = [], []
+            for i, s in zip(ids, sizes):
+                if i % 2 == 0:
+                    payloads.append(synth_media(
+                        "wav", sample_rate=8000 + (s % 8) * 1000,
+                        channels=(i % 4) // 2 + 1, n_samples=i % 500 + 1))
+                    types.append("audio/wav")
+                else:
+                    payloads.append(synth_media(
+                        "mp4", duration_ms=i % 90000 + 1,
+                        width=s % 320 + 16, height=i % 240 + 16))
+                    types.append("video/mp4")
+            yield pd.DataFrame({
+                "doc_id": ids, "payload": payloads, "media_type": types,
+                "n_bytes": pd.Series([len(p) for p in payloads],
+                                     dtype="int64")})
+
+    return df.select(id_col, size_col).mapInPandas(build, PAYLOAD_SCHEMA)
+
+
+def extract_av_meta(df: DataFrame) -> DataFrame:
+    """mapInPandas A/V metadata extraction over the payload column via
+    :func:`decode_media_headers` — schema AV_META_SCHEMA."""
+
+    def process(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            metas = pdf["payload"].map(
+                lambda b: decode_media_headers(bytes(b)))
+            yield pd.DataFrame({
+                "doc_id": pdf["doc_id"],
+                "media_type": metas.map(lambda m: m[0]),
+                "duration_ms": metas.map(lambda m: m[1]).astype("int64"),
+                "sample_rate": metas.map(lambda m: m[2]).astype("int32"),
+                "channels": metas.map(lambda m: m[3]).astype("int32"),
+                "width": metas.map(lambda m: m[4]).astype("int32"),
+                "height": metas.map(lambda m: m[5]).astype("int32"),
+            })
+
+    return df.mapInPandas(process, AV_META_SCHEMA)
+
+
 def fake_decode_meta(payload: bytes) -> tuple[str, int, int, int]:
     """Deterministic stand-in for media decode: derives (media_type, width,
     height, n_frames) from the payload bytes, exercising the same batch

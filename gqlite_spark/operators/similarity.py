@@ -563,3 +563,73 @@ def pq_topk(df: DataFrame, query_vec: list[float],
             .orderBy(F.col("_adc").asc(), F.col(id_col).asc())
             .limit(candidates))
     return cosine_topk(cand, q, k, id_col, vec_col)
+
+
+def _adc_expr(query_vec: list[float], books: list[list[list[float]]]):
+    """ADC score over a ``codes`` column: the query's per-subspace
+    distance table (m × ksub doubles, driver-side) inlined as array
+    literals — per row this is m element_at lookups + adds, no vector
+    math."""
+    q = [float(x) for x in query_vec]
+    dsub = len(books[0][0])
+    approx = None
+    for j, book in enumerate(books):
+        qsub = q[j * dsub:(j + 1) * dsub]
+        adc = [sum((a - b) * (a - b) for a, b in zip(qsub, cent))
+               for cent in book]
+        term = F.element_at(F.array(*[F.lit(float(d)) for d in adc]),
+                            F.element_at("codes", j + 1) + 1)
+        approx = term if approx is None else approx + term
+    return approx
+
+
+def save_pq_index(df: DataFrame, path: str, m: int = 4, ksub: int = 16,
+                  refine_iters: int = 0, id_col: str = "vec_id",
+                  vec_col: str = "embedding") -> None:
+    """Persist the PQ index: the (id, codes) table as parquet (m small
+    ints per vector — the compressed representation that replaces corpus
+    scans) + codebook sidecar.  ``refine_iters`` > 0 runs
+    :func:`pq_refine` (recommended for recall; the 1M-vector probe in
+    PLANS.md shows sampling codebooks lose most neighbours).  Same
+    persistence contract as save_ann_index / save_ivf_index."""
+    import json
+    import os
+    books = pq_codebooks(df, m, ksub, id_col, vec_col)
+    if refine_iters:
+        books = pq_refine(df, books, refine_iters, id_col, vec_col)
+    (pq_encode(df, books, id_col, vec_col)
+     .write.mode("overwrite").parquet(os.path.join(path, "pq.parquet")))
+    with open(os.path.join(path, "pq_params.json"), "w") as f:
+        json.dump({"m": m, "ksub": ksub, "id_col": id_col,
+                   "vec_col": vec_col, "books": books}, f)
+
+
+def load_pq_index(spark, path: str) -> "tuple[DataFrame, dict]":
+    import json
+    import os
+    with open(os.path.join(path, "pq_params.json")) as f:
+        params = json.load(f)
+    return spark.read.parquet(os.path.join(path, "pq.parquet")), params
+
+
+def pq_topk_indexed(df: DataFrame, query_vec: list[float],
+                    codes: DataFrame, params: dict, k: int = 10,
+                    candidates: int = 1000) -> DataFrame:
+    """PQ ANN top-k against a persisted codes table: ADC ranking scans
+    ONLY the (id, codes) table — m byte-ish codes per vector instead of
+    dim floats, so the scan is ~dim·4/m times smaller than the corpus
+    and there is no per-row vector math — then the ``candidates`` best
+    ids join back to the corpus (broadcast: candidate set is
+    driver-bounded) for exact cosine re-rank.  This is the
+    memory-resident billion-vector search shape; :func:`pq_topk` is the
+    index-free variant that recomputes codes in-query."""
+    id_col, vec_col = params["id_col"], params["vec_col"]
+    cand_ids = (codes.select("id", _adc_expr(query_vec, params["books"])
+                             .alias("_adc"))
+                .orderBy(F.col("_adc").asc(), F.col("id").asc())
+                .limit(candidates)
+                .select("id"))
+    cand = df.join(F.broadcast(cand_ids.withColumnRenamed("id", id_col)),
+                   id_col)
+    return cosine_topk(cand, [float(x) for x in query_vec], k,
+                       id_col, vec_col)

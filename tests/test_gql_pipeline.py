@@ -69,6 +69,80 @@ def test_gql_similar_methods(pdb):
             assert ids == [10, 11]            # then the nearby vector
 
 
+EVENTS_SETUP = """
+{create: 'eg', group: ['ev']};
+{upset: 'ev', vertex: [
+  [100, {u: 1, et: 'view', at: 10000000000}],
+  [101, {u: 1, et: 'click', at: 20000000000}],
+  [102, {u: 2, et: 'click', at: 10000000000}],
+  [103, {u: 2, et: 'view', at: 20000000000}],
+  [104, {u: 3, et: 'view', at: 100000000000000}]]};
+"""
+
+
+@pytest.fixture()
+def edb(db):
+    for r in db.exec(EVENTS_SETUP):
+        assert r.error is None, r.error
+    return db
+
+
+def test_gql_funnel(edb):
+    """Funnel over a group's event properties: user 1 converts in order,
+    user 2 clicked before viewing, user 3 never clicked.  Timestamps are
+    long nanoseconds (the dual-encoding contract)."""
+    res = _one(edb, "{funnel: 'ev', in: 'eg', steps: ['view', 'click'],"
+                    " by: 'u', on: 'et', ts: 'at'};")
+    by_step = {r[1]: r[2] for r in res.rows}
+    assert by_step == {"view": 3, "click": 1}
+    # conversion window: user 1's click is 10 s after the view
+    res = _one(edb, "{funnel: 'ev', in: 'eg', steps: ['view', 'click'],"
+                    " by: 'u', on: 'et', ts: 'at', within: 5000000};")
+    by_step = {r[1]: r[2] for r in res.rows}
+    assert by_step["click"] == 0
+
+
+def test_gql_cohort(edb):
+    """Daily-bucket cohort: users 1+2 start in bucket 0 (both active only
+    there); user 3 starts and stays in bucket 1."""
+    res = _one(edb, "{cohort: 'ev', in: 'eg', by: 'u', ts: 'at',"
+                    " bucket: 86400};")
+    rows = {(r[0], r[1]): r[2] for r in res.rows}
+    assert rows[(0, 0)] == 2 and rows[(1, 0)] == 1
+    assert (0, 1) not in rows                  # nobody from cohort 0 returns
+
+
+def test_gql_sample(pdb):
+    res = _one(pdb, "{sample: 'docs', in: 'pg', rate: 1.0};")
+    assert len(res.rows) == 4                  # rate 1.0 keeps everything
+    res = _one(pdb, "{sample: 'docs', in: 'pg', rate: 0.0};")
+    assert res.rows == []
+    # stratified: per-stratum rates over a property
+    assert pdb.exec("{upset: 'docs', property: {lang: 'en'},"
+                    " where: {id: {$lt: 3}}};")[0].error is None
+    assert pdb.exec("{upset: 'docs', property: {lang: 'fr'},"
+                    " where: {id: {$gte: 3}}};")[0].error is None
+    res = _one(pdb, "{sample: 'docs', in: 'pg', by: 'lang',"
+                    " rates: {en: 1.0}, default: 0.0};")
+    ids = sorted(r[0] for r in res.rows)
+    assert ids == [1, 2]                       # en kept, fr dropped
+
+
+def test_gql_funnel_sample_parse_errors(pdb):
+    r = pdb.exec("{funnel: 'ev', in: 'pg', steps: []};")[0]
+    assert r.error and "steps" in r.error
+    r = pdb.exec("{funnel: 'ev', in: 'pg', steps: ['a'], within: -1};")[0]
+    assert r.error and "within" in r.error
+    r = pdb.exec("{cohort: 'ev', in: 'pg', bucket: 0};")[0]
+    assert r.error and "bucket" in r.error
+    r = pdb.exec("{sample: 'docs', in: 'pg'};")[0]
+    assert r.error and "rate" in r.error
+    r = pdb.exec("{sample: 'docs', in: 'pg', rate: 1.5};")[0]
+    assert r.error and "rate" in r.error
+    r = pdb.exec("{sample: 'docs', in: 'pg', rates: {en: 0.5}};")[0]
+    assert r.error and "by" in r.error
+
+
 def test_gql_pipeline_errors(pdb):
     r = pdb.exec("{dedup: 'docs', in: 'pg', method: 'nope'};")[0]
     assert r.error and "unknown method" in r.error

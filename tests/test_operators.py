@@ -375,6 +375,60 @@ def test_decode_image_headers_real_bytes():
         decode_image_headers(b"\xff\xd8\xff\xe0\x00\x02")  # JPEG, no SOF
 
 
+def test_decode_media_headers_real_bytes():
+    """Stdlib A/V container decoder on REAL WAV/MP4 bytes: RIFF chunk
+    walk (incl. odd-length padding and extra chunks before fmt) and ISO
+    BMFF box walk; loud failure on garbage/truncation."""
+    import struct as _struct
+
+    from gqlite_spark.operators.multimodal import (decode_media_headers,
+                                                   synth_media)
+    w = synth_media("wav", sample_rate=44100, channels=2, n_samples=44100)
+    assert decode_media_headers(w) == ("audio/wav", 1000, 44100, 2, 0, 0)
+    # integer-floor duration: 123 samples @ 11 kHz -> 11 ms
+    w2 = synth_media("wav", sample_rate=11000, channels=1, n_samples=123)
+    assert decode_media_headers(w2)[1] == 123 * 1000 // 11000
+    # an odd-length LIST chunk before fmt must be skipped with padding
+    body = w[12:]                               # fmt + data chunks
+    extra = b"LIST" + _struct.pack("<I", 5) + b"INFOx" + b"\x00"
+    padded = b"RIFF" + _struct.pack("<I", 4 + len(extra) + len(body)) \
+        + b"WAVE" + extra + body
+    assert decode_media_headers(padded)[2] == 44100
+    m = synth_media("mp4", duration_ms=90001, width=1920, height=1080)
+    assert decode_media_headers(m) == ("video/mp4", 90001, 0, 0, 1920, 1080)
+    with pytest.raises(ValueError):
+        decode_media_headers(b"RIFF\x00\x00\x00\x00WAVE")  # no fmt/data
+    with pytest.raises(ValueError):
+        decode_media_headers(b"garbage bytes here")
+
+
+def test_multimodal_av_meta_plumbing(spark):
+    """synth_media_payloads → extract_av_meta round trip through the
+    Arrow-batched mapInPandas path — the multimodal_av_meta contract
+    query runs this shape."""
+    from gqlite_spark.operators.multimodal import (extract_av_meta,
+                                                   synth_media_payloads)
+    docs = spark.createDataFrame([(i, f"x{i}", 10 + i) for i in range(8)],
+                                 "doc_id long, text string, n_chars long")
+    metas = {r["doc_id"]: r for r in
+             extract_av_meta(synth_media_payloads(docs)).collect()}
+    assert len(metas) == 8
+    for i in range(8):
+        r, s = metas[i], 10 + i
+        if i % 2 == 0:
+            assert r["media_type"] == "audio/wav"
+            assert r["sample_rate"] == 8000 + (s % 8) * 1000
+            assert r["channels"] == (i % 4) // 2 + 1
+            assert r["duration_ms"] == (i % 500 + 1) * 1000 \
+                // (8000 + (s % 8) * 1000)
+            assert (r["width"], r["height"]) == (0, 0)
+        else:
+            assert r["media_type"] == "video/mp4"
+            assert r["duration_ms"] == i % 90000 + 1
+            assert (r["width"], r["height"]) == (s % 320 + 16, i % 240 + 16)
+            assert (r["sample_rate"], r["channels"]) == (0, 0)
+
+
 def test_multimodal_meta_real_decode(spark):
     """extract_meta(decoder=decode_image_headers) reads real image bytes
     through the same Arrow-batched mapInPandas plumbing the fake decoder
@@ -542,6 +596,54 @@ def test_ivf_index_save_load_roundtrip(spark, tmp_path):
     inline = ivf_topk(df, q, cents, nprobe=3, k=5).collect()
     assert [(r["id"], r["cosine"]) for r in via_index] == \
            [(r["id"], r["cosine"]) for r in inline]
+
+
+def test_pq_index_save_load_roundtrip(spark, tmp_path):
+    """Persisted PQ codes table: ADC ranking over (id, codes) + exact
+    re-rank returns the same top-k as the index-free pq_topk when both
+    consider enough candidates."""
+    import math
+    from gqlite_spark.operators.similarity import (
+        load_pq_index, pq_codebooks, pq_topk, pq_topk_indexed,
+        save_pq_index)
+    vecs = [(i, [math.cos(i / 7), math.sin(i / 7), math.cos(i / 3),
+                 math.sin(i / 3)]) for i in range(150)]
+    df = spark.createDataFrame(vecs, "vec_id long, embedding array<double>")
+    path = str(tmp_path / "pqidx")
+    save_pq_index(df, path, m=2, ksub=8)
+    codes, params = load_pq_index(spark, path)
+    q = [math.cos(0.1), math.sin(0.1), math.cos(0.2), math.sin(0.2)]
+    via_index = pq_topk_indexed(df, q, codes, params, k=5,
+                                candidates=40).collect()
+    books = pq_codebooks(df, m=2, ksub=8)
+    inline = pq_topk(df, q, books, k=5, candidates=40).collect()
+    assert [(r["id"], r["cosine"]) for r in via_index] == \
+           [(r["id"], r["cosine"]) for r in inline]
+
+
+def test_pq_refine_improves_quantization(spark):
+    """Lloyd-refined codebooks reduce (or keep) total ADC quantization
+    error vs the raw sampling codebooks."""
+    import math
+    from gqlite_spark.operators.similarity import pq_codebooks, pq_refine
+
+    def sse(books, vecs):
+        dsub = len(books[0][0])
+        tot = 0.0
+        for _, v in vecs:
+            for j, book in enumerate(books):
+                sub = v[j * dsub:(j + 1) * dsub]
+                tot += min(sum((a - b) ** 2 for a, b in zip(sub, cent))
+                           for cent in book)
+        return tot
+
+    vecs = [(i, [math.cos(i / 5) + (i % 3), math.sin(i / 5),
+                 math.cos(i / 11), math.sin(i / 11) - (i % 2)])
+            for i in range(120)]
+    df = spark.createDataFrame(vecs, "vec_id long, embedding array<double>")
+    raw = pq_codebooks(df, m=2, ksub=4)
+    refined = pq_refine(df, raw, iters=3)
+    assert sse(refined, vecs) <= sse(raw, vecs) + 1e-9
 
 
 def test_ivf_lloyd_refine_improves_quantization(spark):

@@ -153,3 +153,47 @@ def test_pipeline_statements_parse(group, method, thr, vec, top, size,
             assert False, f"{bad} must be rejected"
         except GQLParseError:
             pass
+
+
+@given(group=_prop_key,
+       steps=st.lists(st.text(alphabet=string.ascii_lowercase,
+                              min_size=1, max_size=8),
+                      min_size=1, max_size=5),
+       within=st.one_of(st.none(),
+                        st.integers(min_value=0, max_value=10**12)),
+       bucket=st.integers(min_value=1, max_value=10**7),
+       rate=st.floats(min_value=0.0, max_value=1.0, allow_nan=False))
+@settings(max_examples=100, deadline=None)
+def test_funnel_cohort_sample_parse(group, steps, within, bucket, rate):
+    """The round-5 statements ({funnel}/{cohort}/{sample}) parse to their
+    AST nodes; malformed steps/bucket/rate raise GQLParseError."""
+    from gqlite_spark.gql.ast import CohortStmt, FunnelStmt, SampleStmt
+
+    w = "" if within is None else ", within: " + str(within)
+    s = parse_one("{funnel: '" + group + "', steps: ["
+                  + ", ".join("'" + x + "'" for x in steps) + "]"
+                  + w + "};")
+    assert isinstance(s, FunnelStmt)
+    assert s.steps == steps and s.within == within
+
+    s = parse_one("{cohort: '" + group + "', bucket: " + str(bucket) + "};")
+    assert isinstance(s, CohortStmt)
+    assert s.bucket == bucket
+
+    s = parse_one("{sample: '" + group + "', rate: " + repr(rate) + "};")
+    assert isinstance(s, SampleStmt)
+    assert abs(s.rate - rate) < 1e-9 and s.rates is None
+
+    for bad in ("{funnel: 'g', steps: []};",
+                "{funnel: 'g', steps: [1]};",
+                "{funnel: 'g', steps: ['a'], within: -1};",
+                "{cohort: 'g', bucket: 0};",
+                "{sample: 'g'};",
+                "{sample: 'g', rate: 0.5, rates: {a: 0.1}};",
+                "{sample: 'g', rate: 2.0};",
+                "{sample: 'g', rates: {a: 0.5}};"):
+        try:
+            parse_one(bad)
+            assert False, f"{bad} must be rejected"
+        except GQLParseError:
+            pass

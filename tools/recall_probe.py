@@ -14,7 +14,10 @@ Reference parity anchor: the HNSW recall test at
 /root/reference/test/query.cpp:13-59 (build index, search, compare to
 exact neighbours).
 
-Usage: python tools/recall_probe.py [n_vecs] [n_queries]
+Usage: python tools/recall_probe.py [n_vecs] [n_queries] [family ...]
+with families from {lsh, ivf, pq, pqx} (default: all).  ``pqx`` is the
+persisted-codes PQ path (pq_topk_indexed: ADC over the encoded table,
+refined ksub=64 codebooks) — the shape that actually ships at scale.
 """
 
 from __future__ import annotations
@@ -66,11 +69,13 @@ def recall(ann_ids: list, exact_ids: list) -> float:
 def main() -> None:
     n_vecs = int(sys.argv[1]) if len(sys.argv) > 1 else 1_000_000
     n_queries = int(sys.argv[2]) if len(sys.argv) > 2 else 8
+    families = set(sys.argv[3:]) or {"lsh", "ivf", "pq", "pqx"}
 
     from gqlite_spark.session import get_spark
     from gqlite_spark.operators.similarity import (
-        ann_topk, cosine_topk, ivf_centroids, ivf_topk, lloyd_refine,
-        pq_codebooks, pq_encode, pq_refine, pq_topk)
+        ann_topk, cosine_topk, ivf_centroids, ivf_topk, load_pq_index,
+        lloyd_refine,
+        pq_codebooks, pq_refine, pq_topk, pq_topk_indexed, save_pq_index)
 
     spark = get_spark(app_name="recall-probe")
     spark.sparkContext.setLogLevel("ERROR")
@@ -100,39 +105,61 @@ def main() -> None:
         print(f"{name:<42} recall@{K}={avg:6.1%}  {dt:5.2f}s/query")
 
     # --- LSH --------------------------------------------------------------
-    for planes in (6, 8):
-        run(f"lsh planes={planes}",
-            lambda q, p=planes: ann_topk(corpus, q, dim=DIM, k=K,
-                                         n_planes=p))
+    if "lsh" in families:
+        for planes in (6, 8):
+            run(f"lsh planes={planes}",
+                lambda q, p=planes: ann_topk(corpus, q, dim=DIM, k=K,
+                                             n_planes=p))
 
     # --- IVF: sampling quantizer vs lloyd-refined, nprobe sweep ----------
-    nlist = 64
-    t = time.time()
-    cents_s = ivf_centroids(corpus, nlist=nlist)
-    print(f"ivf sampling centroids (nlist={nlist}): {time.time()-t:.1f}s")
-    t = time.time()
-    cents_r = lloyd_refine(corpus, cents_s, iters=2)
-    print(f"ivf lloyd_refine(2): {time.time()-t:.1f}s")
-    for tag, cents in (("sampling", cents_s), ("lloyd", cents_r)):
-        for nprobe in (1, 4, 8, 16):
-            run(f"ivf {tag} nlist={nlist} nprobe={nprobe}",
-                lambda q, c=cents, n=nprobe: ivf_topk(corpus, q, c,
-                                                      nprobe=n, k=K))
+    if "ivf" in families:
+        nlist = 64
+        t = time.time()
+        cents_s = ivf_centroids(corpus, nlist=nlist)
+        print(f"ivf sampling centroids (nlist={nlist}): "
+              f"{time.time()-t:.1f}s")
+        t = time.time()
+        cents_r = lloyd_refine(corpus, cents_s, iters=2)
+        print(f"ivf lloyd_refine(2): {time.time()-t:.1f}s")
+        for tag, cents in (("sampling", cents_s), ("lloyd", cents_r)):
+            for nprobe in (1, 4, 8, 16):
+                run(f"ivf {tag} nlist={nlist} nprobe={nprobe}",
+                    lambda q, c=cents, n=nprobe: ivf_topk(corpus, q, c,
+                                                          nprobe=n, k=K))
 
-    # --- PQ: sampling codebooks vs lloyd-refined, candidates sweep -------
-    m, ksub = 4, 16
-    t = time.time()
-    books_s = pq_codebooks(corpus, m=m, ksub=ksub)
-    print(f"pq sampling codebooks (m={m} ksub={ksub}): {time.time()-t:.1f}s")
-    t = time.time()
-    books_r = pq_refine(corpus, books_s, iters=2)
-    print(f"pq_refine(2): {time.time()-t:.1f}s")
-    for tag, books in (("sampling", books_s), ("lloyd", books_r)):
-        # quantization error: mean ADC of each vector to its own codes
+    # --- PQ, index-free: sampling vs lloyd codebooks, candidates sweep ---
+    if "pq" in families:
+        m, ksub = 4, 16
+        t = time.time()
+        books_s = pq_codebooks(corpus, m=m, ksub=ksub)
+        print(f"pq sampling codebooks (m={m} ksub={ksub}): "
+              f"{time.time()-t:.1f}s")
+        t = time.time()
+        books_r = pq_refine(corpus, books_s, iters=2)
+        print(f"pq_refine(2): {time.time()-t:.1f}s")
+        for tag, books in (("sampling", books_s), ("lloyd", books_r)):
+            for cand in (100, 1000, 10000):
+                run(f"pq {tag} m={m} ksub={ksub} cand={cand}",
+                    lambda q, b=books, c=cand: pq_topk(corpus, q, b, k=K,
+                                                       candidates=c))
+
+    # --- PQ, persisted codes (the shipping shape): refined ksub=64 -------
+    if "pqx" in families:
+        import tempfile
+        m, ksub = 4, 64
+        path = tempfile.mkdtemp(prefix="pq-probe-")
+        t = time.time()
+        save_pq_index(corpus, path, m=m, ksub=ksub, refine_iters=2)
+        print(f"save_pq_index (m={m} ksub={ksub} refined): "
+              f"{time.time()-t:.1f}s")
+        codes, params = load_pq_index(spark, path)
+        codes = codes.persist()
+        codes.count()
         for cand in (100, 1000, 10000):
-            run(f"pq {tag} m={m} ksub={ksub} cand={cand}",
-                lambda q, b=books, c=cand: pq_topk(corpus, q, b, k=K,
-                                                   candidates=c))
+            run(f"pqx indexed m={m} ksub={ksub} cand={cand}",
+                lambda q, c=cand: pq_topk_indexed(corpus, q, codes,
+                                                  params, k=K,
+                                                  candidates=c))
 
     print("\n| strategy | recall@10 | s/query |")
     print("|---|---|---|")
