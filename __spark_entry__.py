@@ -499,6 +499,34 @@ def q_dedup_exact(spark, sf_dir):
     return exact_duplicates(_load(spark, sf_dir, "documents"))
 
 
+def q_dedup_url(spark, sf_dir):
+    """URL-level dedup: synthesize messy URL variants per document
+    (uppercase scheme/host, :80 default port + utm params, trailing
+    slash, fragment — cycling by doc_id % 4), then canonicalize and
+    exact-dedup on the canonical form.  The oracle predicts the
+    canonical URL from the same arithmetic, so the whole normalization
+    chain (case, port, utm, slash, fragment) is what is checked.  See
+    operators/text.py canonicalize_urls (zero-shuffle regexp chain) +
+    url_dedup (one keyed aggregate)."""
+    from gqlite_spark.operators.text import url_dedup
+    d = _load(spark, sf_dir, "documents")
+    page = F.floor(F.col("doc_id") / 4).cast("string")
+    url = (F.when(F.col("doc_id") % 4 == 0,
+                  F.concat(F.lit("HTTP://WWW."), F.col("source"),
+                           F.lit(".COM/"), page))
+           .when(F.col("doc_id") % 4 == 1,
+                 F.concat(F.lit("http://www."), F.col("source"),
+                          F.lit(".com:80/"), page,
+                          F.lit("?utm_source=feed&utm_medium=rss")))
+           .when(F.col("doc_id") % 4 == 2,
+                 F.concat(F.lit("http://www."), F.col("source"),
+                          F.lit(".com/"), page, F.lit("/")))
+           .otherwise(
+               F.concat(F.lit("http://www."), F.col("source"),
+                        F.lit(".com/"), page, F.lit("#section2"))))
+    return url_dedup(d.select("doc_id", url.alias("url")))
+
+
 def q_dedup_ngram_jaccard(spark, sf_dir):
     from gqlite_spark.operators.dedup import ngram_jaccard_pairs
     d = _load(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
@@ -826,6 +854,18 @@ def q_sample_mixture(spark, sf_dir):
     return out.select("doc_id", "lang", "source")
 
 
+def q_sample_shuffle(spark, sf_dir):
+    """Deterministic global training-order shuffle: md5(salt||id) sort
+    key + range-partitioned total order (operators/sampling.py
+    shuffle_rows).  Checked via the first 100 rows of the order — a
+    TakeOrderedAndProject, not a full materialized sort — which pins the
+    exact key values AND the orderings cross-engine."""
+    from gqlite_spark.operators.sampling import shuffle_rows
+    d = _load(spark, sf_dir, "documents")
+    return (shuffle_rows(d.select("doc_id"), id_col="doc_id")
+            .limit(100))
+
+
 def q_sample_stratified(spark, sf_dir):
     """Deterministic per-language sampling (md5-prefix membership): keep
     50% of en, 25% of zh, 12.5% of everything else.  Pure Column predicate
@@ -956,6 +996,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_attribution": q_asof_attribution,
         "text_redact_pii": q_text_redact_pii,
         "dedup_exact": q_dedup_exact,
+        "dedup_url": q_dedup_url,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "dedup_minhash_lsh": q_dedup_minhash,
         "dedup_simhash": q_dedup_simhash,
@@ -972,14 +1013,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "window_session": q_window_session,
         "window_interval_join": q_interval_join,
         "multimodal_meta": q_multimodal_meta,
+        "multimodal_av_meta": q_multimodal_av_meta,
         "sample_stratified": q_sample_stratified,
+        "sample_shuffle": q_sample_shuffle,
         "decontaminate": q_decontaminate,
         "pack_sequences": q_pack_sequences,
         "graph_betweenness": q_betweenness,
         # ==== demoted past the cap: every entry below is driver-green in
         # ==== CORRECTNESS_r04 (still oracle-checked locally every round)
         "multimodal_bytes": q_multimodal_bytes,
-        "multimodal_av_meta": q_multimodal_av_meta,
         "scan_filter_eq": q_scan_filter_eq,
         "filter_range_and": q_filter_range_and,
         "filter_or": q_filter_or,
@@ -1707,6 +1749,17 @@ def oracle_sql() -> dict[str, str]:
         "dedup_exact":
             "SELECT md5(text) AS text_hash, MIN(doc_id)::BIGINT AS representative,"
             " COUNT(*)::BIGINT AS n_copies FROM documents GROUP BY md5(text)",
+        "dedup_url":
+            # predicts the canonicalize→dedup round trip: every messy
+            # variant (case, :80, utm params, trailing /, fragment) must
+            # collapse to http://www.<lower(source)>.com/<doc_id//4>
+            "SELECT 'http://www.' || lower(source) || '.com/' ||"
+            " CAST(doc_id // 4 AS VARCHAR) AS url_canon,"
+            " MIN(doc_id)::BIGINT AS rep_id, COUNT(*)::BIGINT AS n_copies"
+            " FROM documents GROUP BY 1",
+        "sample_shuffle":
+            "SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) AS shuffle_key"
+            " FROM documents ORDER BY shuffle_key, doc_id LIMIT 100",
         "dedup_ngram_jaccard":
             f"WITH {shingles_cte},"
             " sizes AS (SELECT id, COUNT(*) AS n FROM sh GROUP BY id),"

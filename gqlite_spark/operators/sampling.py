@@ -275,3 +275,21 @@ def pack_sequences(df: DataFrame, token_col: str,
                        .cast("long"))
            .drop("_cum"))
     return out
+
+
+def shuffle_rows(df: DataFrame, id_col: str = "doc_id",
+                 salt: str = "") -> DataFrame:
+    """Deterministic global shuffle: append ``shuffle_key`` =
+    md5(salt||id) and total-order the rows by it — the training-order
+    randomization step before sequence packing / epoch writes.
+
+    ``orderBy`` on a DataFrame is a range-partitioned distributed sort
+    (sampled range boundaries → one exchange → per-partition sort), so
+    the "shuffle" scales as a normal sort job; determinism comes from
+    the md5 key (same order on any cluster, any partitioning, any
+    engine — the DuckDB oracle replays it exactly).  Different ``salt``
+    values give independent epoch orders."""
+    key = F.md5(F.concat(F.lit(salt), F.col(id_col).cast("string"))
+                .cast("binary"))
+    return (df.withColumn("shuffle_key", key)
+            .orderBy("shuffle_key", id_col))

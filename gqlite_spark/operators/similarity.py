@@ -588,10 +588,15 @@ def save_pq_index(df: DataFrame, path: str, m: int = 4, ksub: int = 16,
                   vec_col: str = "embedding") -> None:
     """Persist the PQ index: the (id, codes) table as parquet (m small
     ints per vector — the compressed representation that replaces corpus
-    scans) + codebook sidecar.  ``refine_iters`` > 0 runs
-    :func:`pq_refine` (recommended for recall; the 1M-vector probe in
-    PLANS.md shows sampling codebooks lose most neighbours).  Same
-    persistence contract as save_ann_index / save_ivf_index."""
+    scans) + codebook sidecar.  Same persistence contract as
+    save_ann_index / save_ivf_index.
+
+    Production guidance (1M-vector probe, PLANS.md): recall is bound by
+    total code bits m·log2(ksub) — use m ≥ dim/2 subspaces with
+    ksub=64+ and ``refine_iters=2``, and search with candidates ≥ 0.1%
+    of the corpus.  The m=4/ksub=16 defaults exist for oracle parity
+    (deterministic sampling codebooks an external SQL engine can
+    rebuild), not for production recall."""
     import json
     import os
     books = pq_codebooks(df, m, ksub, id_col, vec_col)

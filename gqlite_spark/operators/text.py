@@ -468,3 +468,49 @@ def chunk_documents(df: DataFrame, id_col: str = "doc_id",
                     F.col("_c.n_chunk_tokens").cast("long")
                     .alias("n_chunk_tokens"),
                     F.col("_c.chunk_text").alias("chunk_text")))
+
+
+def canonicalize_urls(df: DataFrame, url_col: str = "url") -> DataFrame:
+    """Append a ``url_canon`` column: the crawl-dedup canonical form of a
+    URL — lowercased scheme+host, default :80/:443 ports stripped,
+    fragment stripped, ``utm_*`` tracking parameters removed (with
+    separator repair), trailing ``/`` and dangling ``?``/``&`` stripped.
+
+    The normalization every web-scale corpus needs before URL-level
+    dedup: the same page arrives as ``HTTP://Site.com/a/``,
+    ``http://site.com:80/a?utm_source=x`` and ``http://site.com/a`` —
+    one canonical key collapses them.
+
+    Pure regexp/string built-ins in the Java∩RE2 common syntax (like
+    redact_pii), so the exact same normalization replays in DuckDB for
+    the oracle — zero shuffle, whole-stage codegen, scan-speed at any
+    corpus size."""
+    u = F.col(url_col)
+    scheme = F.regexp_extract(u, "^([A-Za-z][A-Za-z0-9+.-]*)://", 1)
+    host = F.regexp_extract(u, "^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)", 1)
+    rest = F.regexp_extract(u, "^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*(.*)$", 1)
+    c = F.concat(F.lower(scheme), F.lit("://"), F.lower(host), rest)
+    c = F.regexp_replace(c, "#.*$", "")              # fragment
+    # default ports (two lookahead-free patterns: RE2 has no lookahead)
+    c = F.regexp_replace(c, "(://[^/?#:]*):(80|443)([/?])", "$1$3")
+    c = F.regexp_replace(c, "(://[^/?#:]*):(80|443)$", "$1")
+    # utm params: bounded passes handle runs of consecutive utm_* pairs
+    # (single-pass replace can't, non-overlapping matches share the '&')
+    for _ in range(3):
+        c = F.regexp_replace(c, "([?&])utm_[^&#]*&", "$1")
+    c = F.regexp_replace(c, "[?&]utm_[^&#]*$", "")
+    c = F.regexp_replace(c, "/$", "")                # trailing slash
+    c = F.regexp_replace(c, "[?&]$", "")             # dangling separator
+    return df.withColumn("url_canon", c)
+
+
+def url_dedup(df: DataFrame, id_col: str = "doc_id",
+              url_col: str = "url") -> DataFrame:
+    """URL-level exact dedup on the canonical form: one row per distinct
+    canonical URL with (url_canon, rep_id = min id, n_copies).  One
+    hash-keyed aggregate (map-side partial min/count) — the same one-
+    shuffle shape as exact text dedup, keyed on a far smaller string."""
+    return (canonicalize_urls(df, url_col)
+            .groupBy("url_canon")
+            .agg(F.min(F.col(id_col)).alias("rep_id"),
+                 F.count("*").alias("n_copies")))

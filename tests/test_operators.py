@@ -1188,3 +1188,56 @@ def test_redact_pii_planted_cross_engine(spark):
         assert (txt, ne, ni, np_, ns, nc, nb) == (
             r["text"], r["n_emails"], r["n_ipv4"], r["n_phones"],
             r["n_ssn"], r["n_cc"], r["n_iban"]), doc_id
+
+
+def test_canonicalize_urls_edge_cases(spark):
+    """The crawl-dedup normalization chain: case, default ports, runs of
+    utm params, fragments, trailing slashes, dangling separators — and
+    the things it must NOT touch (non-default ports, non-utm params,
+    path case)."""
+    from gqlite_spark.operators.text import canonicalize_urls
+    cases = [
+        ("HTTP://WWW.Site.COM/A/b", "http://www.site.com/A/b"),
+        ("https://site.com:443/x", "https://site.com/x"),
+        ("http://site.com:80", "http://site.com"),
+        ("http://site.com:8080/x", "http://site.com:8080/x"),
+        ("http://s.com/p?utm_source=a&utm_medium=b&utm_term=c&q=1",
+         "http://s.com/p?q=1"),
+        ("http://s.com/p?utm_source=a", "http://s.com/p"),
+        ("http://s.com/p?q=1&utm_source=a", "http://s.com/p?q=1"),
+        ("http://s.com/p#frag", "http://s.com/p"),
+        ("http://s.com/p/", "http://s.com/p"),
+        ("http://s.com/p?q=1#frag", "http://s.com/p?q=1"),
+        ("http://s.com/", "http://s.com"),
+    ]
+    df = spark.createDataFrame([(i, u) for i, (u, _) in enumerate(cases)],
+                               "doc_id long, url string")
+    got = {r["url"]: r["url_canon"]
+           for r in canonicalize_urls(df).collect()}
+    for raw, want in cases:
+        assert got[raw] == want, raw
+
+
+def test_url_dedup_collapses_variants(spark):
+    from gqlite_spark.operators.text import url_dedup
+    rows = [(1, "HTTP://A.com/x"), (2, "http://a.com:80/x/"),
+            (3, "http://a.com/x?utm_source=z"), (4, "http://a.com/y")]
+    df = spark.createDataFrame(rows, "doc_id long, url string")
+    out = {r["url_canon"]: (r["rep_id"], r["n_copies"])
+           for r in url_dedup(df).collect()}
+    assert out["http://a.com/x"] == (1, 3)
+    assert out["http://a.com/y"] == (4, 1)
+
+
+def test_shuffle_rows_deterministic_order(spark):
+    """Global order equals the md5-of-id order computed in Python; a salt
+    gives a different (still deterministic) permutation."""
+    import hashlib
+    from gqlite_spark.operators.sampling import shuffle_rows
+    df = spark.createDataFrame([(i,) for i in range(50)], "doc_id long")
+    got = [r["doc_id"] for r in shuffle_rows(df).collect()]
+    want = sorted(range(50),
+                  key=lambda i: hashlib.md5(str(i).encode()).hexdigest())
+    assert got == want
+    salted = [r["doc_id"] for r in shuffle_rows(df, salt="ep2").collect()]
+    assert sorted(salted) == sorted(got) and salted != got

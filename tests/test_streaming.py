@@ -98,6 +98,37 @@ def test_streaming_dedup(spark, event_dir):
     assert n == distinct_ids
 
 
+def test_stateless_pipeline_ops_work_on_streams(spark, event_dir):
+    """The scan-predicate / pure-map pipeline operators (hash_sample,
+    redact_pii) apply to a streaming DataFrame UNCHANGED — deterministic
+    md5 membership and regex redaction are stateless Column expressions,
+    so the same code covers batch and streams.  Stream output must equal
+    the batch operator on the same files."""
+    from gqlite_spark.operators.sampling import hash_sample
+    from gqlite_spark.operators.text import redact_pii
+    from gqlite_spark.streaming.events import stream_from_directory
+
+    stream = stream_from_directory(spark, event_dir)
+    sampled = hash_sample(stream.select("event_id", "user_id"),
+                          id_col="event_id", rate=0.25)
+    out = _run(spark, sampled, "t_sample_stream", mode="append")
+    batch = hash_sample(
+        spark.read.parquet(event_dir).select("event_id", "user_id"),
+        id_col="event_id", rate=0.25)
+    assert sorted(r["event_id"] for r in out.collect()) == \
+           sorted(r["event_id"] for r in batch.collect())
+    assert 0 < out.count() < spark.read.parquet(event_dir).count()
+
+    docs = stream.select(
+        "event_id",
+        F.concat(F.lit("contact me at a"), F.col("event_id").cast("string"),
+                 F.lit("@example.com now")).alias("text"))
+    red = redact_pii(docs, id_col="event_id")
+    out2 = _run(spark, red, "t_redact_stream", mode="append")
+    row = out2.limit(1).collect()[0]
+    assert "<EMAIL>" in row["text"] and row["n_emails"] == 1
+
+
 def test_stateful_running_stats(spark, event_dir):
     """applyInPandasWithState custom operator: running per-user aggregates
     across micro-batches must converge to the batch groundtruth."""

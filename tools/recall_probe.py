@@ -144,9 +144,11 @@ def main() -> None:
                                                        candidates=c))
 
     # --- PQ, persisted codes (the shipping shape): refined ksub=64 -------
-    if "pqx" in families:
+    # family "pqx" = m=4; "pqx8" = m=8 (twice the code bits: recall is
+    # bound by m*log2(ksub) total bits, not ksub alone)
+    if "pqx" in families or "pqx8" in families:
         import tempfile
-        m, ksub = 4, 64
+        m, ksub = (8 if "pqx8" in families else 4), 64
         path = tempfile.mkdtemp(prefix="pq-probe-")
         t = time.time()
         save_pq_index(corpus, path, m=m, ksub=ksub, refine_iters=2)
