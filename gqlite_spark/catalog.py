@@ -149,6 +149,10 @@ class Group:
         self.rows: dict[Any, dict] = {}
         self.bulk_df: Optional[DataFrame] = None
         self._mat_cache: Optional[DataFrame] = None
+        # ANN model cache for the {similar:} statement: (method, prop) →
+        # quantizer state (IVF centroids / PQ codebooks / LSH offsets) —
+        # model-sized driver objects, rebuilt lazily after any mutation
+        self._ann_cache: dict = {}
 
     # ------------------------------------------------------------ mutation
     def _check_key(self, key: Any) -> Any:
@@ -311,6 +315,7 @@ class Group:
 
     def _invalidate(self) -> None:
         self._mat_cache = None
+        self._ann_cache = {}
 
     # ------------------------------------------------------------- loading
     def register_df(self, df: DataFrame, key_col: str = "id",

@@ -229,25 +229,39 @@ class GQLite:
         TakeOrderedAndProject; lsh/ivf/pq = the bucketed ANN paths).
         Engine analogue of the reference's HNSW-backed $near."""
         from .operators import similarity as S
+        graph = self._graph(stmt.graph)
+        grp = graph.group(stmt.group)
         df, prop = self._pipeline_group_df(stmt.graph, stmt.group,
                                            stmt.on, "embedding")
         if df is None:
             return StatementResult(status="QUERY SUCCESS", rows=[], df=None)
         q, k, m = stmt.to, stmt.top, stmt.method
+        # quantizer state (IVF centroids / PQ codebooks) is cached on the
+        # Group and invalidated by any mutation, so repeated {similar:}
+        # statements skip the model-building scans (the engine analogue
+        # of a persisted index; save_ivf_index/save_pq_index is the
+        # cross-session form)
+        cache_key = (m, prop)
         if m == "brute":
             out = S.cosine_topk(df, q, k, id_col="id", vec_col=prop)
         elif m == "lsh":
             out = S.ann_topk(df, q, dim=len(q), k=k, id_col="id",
                              vec_col=prop)
         elif m == "ivf":
-            cents = S.ivf_centroids(df, nlist=16, id_col="id",
-                                    vec_col=prop)
+            cents = grp._ann_cache.get(cache_key)
+            if cents is None:
+                cents = S.ivf_centroids(df, nlist=16, id_col="id",
+                                        vec_col=prop)
+                grp._ann_cache[cache_key] = cents
             out = S.ivf_topk(df, q, cents, k=k, id_col="id", vec_col=prop)
         elif m == "pq":
             dim = len(q)
-            msub = next(m_ for m_ in (4, 2, 1) if dim % m_ == 0)
-            books = S.pq_codebooks(df, m=msub, ksub=16, id_col="id",
-                                   vec_col=prop)
+            books = grp._ann_cache.get(cache_key)
+            if books is None:
+                msub = next(m_ for m_ in (4, 2, 1) if dim % m_ == 0)
+                books = S.pq_codebooks(df, m=msub, ksub=16, id_col="id",
+                                       vec_col=prop)
+                grp._ann_cache[cache_key] = books
             out = S.pq_topk(df, q, books, k=k, id_col="id", vec_col=prop)
         else:
             raise GQLiteError(
@@ -440,6 +454,9 @@ class GQLite:
         if path.endswith(".dot"):
             self.current_graph = loaders.load_dot(self, text,
                                                   graph=self.current_graph)
+        elif path.endswith(".graphml") or path.endswith(".xml"):
+            self.current_graph = loaders.load_graphml(
+                self, text, graph=self.current_graph)
         elif path.endswith(".ngql"):
             if not self.current_graph:
                 raise GQLiteError("import: create/select a graph before "

@@ -183,22 +183,42 @@ def degrees(edges: DataFrame, undirected: bool = False) -> DataFrame:
 
 
 def pagerank(edges: DataFrame, iterations: int = 10,
-             damping: float = 0.85) -> DataFrame:
+             damping: float = 0.85,
+             personalized_for: "list | None" = None) -> DataFrame:
     """Fixed-iteration PageRank (reference stub PageRank.cpp:5-23 — empty
     loops; implemented for real here).  Deterministic for a fixed iteration
-    count.  Dangling-node mass is redistributed uniformly each superstep so
-    ranks sum to N.  Returns (id, rank)."""
+    count.  Dangling-node mass is redistributed each superstep so ranks
+    sum to N.  Returns (id, rank).
+
+    ``personalized_for``: a list of source vertex ids switches to
+    personalized PageRank — the teleport (and dangling) mass returns to
+    the source set instead of spreading uniformly, ranking vertices by
+    proximity to the sources (the recommendation / similar-entity
+    query).  Same superstep shape: one keyed shuffle per iteration; the
+    teleport set is a driver-side literal (dimension-sized by
+    assumption)."""
     e = edges.select("src", "dst").cache()
     verts = (e.select(F.col("src").alias("id"))
              .unionByName(e.select(F.col("dst").alias("id")))
              .distinct().cache())
     n = verts.count()
+    if personalized_for is not None:
+        sources = [s for s in personalized_for]
+        if not sources:
+            raise ValueError("personalized_for must be non-empty")
+        in_sources = F.col("id").isin(sources)
+        # teleport mass N/|S| per source keeps total rank mass = N,
+        # matching the uniform variant's scale
+        tele = F.when(in_sources, F.lit(float(n) / len(sources))) \
+                .otherwise(F.lit(0.0))
+    else:
+        tele = F.lit(1.0)
     outdeg = e.groupBy(F.col("src").alias("id")) \
               .agg(F.count("*").alias("outdeg"))
     # links: src → dst with 1/outdeg share; broadcast-size in tests, shuffle
     # join keyed on id at scale
     links = e.join(outdeg.withColumnRenamed("id", "src"), "src").cache()
-    ranks = verts.withColumn("rank", F.lit(1.0))
+    ranks = verts.withColumn("rank", tele)
     # dangling vertices (no out-edges) checked ONCE; the per-iteration mass
     # collect only runs when they exist
     has_dangling = bool(verts.join(outdeg, "id", "left_anti").take(1))
@@ -213,9 +233,11 @@ def pagerank(edges: DataFrame, iterations: int = 10,
                         .collect()[0][0])
         else:
             dangling = 0.0
-        base = (1.0 - damping) + damping * dangling / n
+        # teleport + dangling mass land on the teleport distribution
+        # (uniform: tele == 1 everywhere; personalized: sources only)
+        base = ((1.0 - damping) + damping * dangling / n) * tele
         ranks = (verts.join(agg, "id", "left")
-                 .select("id", (F.lit(base) + F.lit(damping) *
+                 .select("id", (base + F.lit(damping) *
                                 F.coalesce(F.col("s"), F.lit(0.0))).alias("rank")))
         ranks = _ckpt(ranks)
     links.unpersist()

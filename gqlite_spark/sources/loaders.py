@@ -154,3 +154,78 @@ def load_jsonl_edges(db: GQLite, graph: str, group: str, path: str,
         group, is_edge=True, src_group=src_group, dst_group=dst_group)
     grp.register_df(df, src_col=src_col, dst_col=dst_col)
     return df
+
+
+def load_graphml(db: GQLite, text: str, graph: Optional[str] = None,
+                 vertex_group: str = "node",
+                 edge_group: str = "edge") -> str:
+    """Parse a GraphML document (the standard XML graph-interchange
+    format: <graph> with <node>/<edge> elements, typed <key>/<data>
+    attributes) into a GQLite graph — stdlib ``xml.etree`` only.
+    Returns the graph name (GraphML graph id unless overridden).
+
+    Sits beside the CSV/DOT/nGQL/JSONL loaders as the fourth interchange
+    source; ``edgedefault="undirected"`` maps to ``--`` edges, directed
+    to ``->``; ``<data>`` values are coerced through the key's declared
+    ``attr.type`` (int/long → int, float/double → float, else string).
+
+    Like the other text loaders this is a driver-side ingest for
+    interchange-sized graphs; bulk data goes through
+    ``Group.register_df`` / parquet."""
+    import xml.etree.ElementTree as ET
+
+    from ..errors import GQLiteError
+    try:
+        root = ET.fromstring(text)
+    except ET.ParseError as e:
+        raise GQLiteError(f"import: not a GraphML document ({e})")
+    ns = ""
+    if root.tag.startswith("{"):
+        ns = root.tag[:root.tag.index("}") + 1]
+    if root.tag != f"{ns}graphml":
+        raise GQLiteError("import: not a GraphML document (no <graphml>)")
+    gml = root.find(f"{ns}graph")
+    if gml is None:
+        raise GQLiteError("import: GraphML document has no <graph>")
+
+    keys: dict[str, tuple[str, str]] = {}    # key id → (attr name, type)
+    for k in root.iter(f"{ns}key"):
+        keys[k.get("id", "")] = (k.get("attr.name", k.get("id", "")),
+                                 k.get("attr.type", "string"))
+
+    def props_of(el) -> "Optional[dict]":
+        out = {}
+        for d in el.findall(f"{ns}data"):
+            name, typ = keys.get(d.get("key", ""),
+                                 (d.get("key", ""), "string"))
+            v = d.text or ""
+            if typ in ("int", "long", "integer"):
+                v = int(v)
+            elif typ in ("float", "double"):
+                v = float(v)
+            elif typ in ("boolean", "bool"):
+                v = v.strip().lower() == "true"
+            out[name] = v
+        return out or None
+
+    name = graph or gml.get("id") or "g"
+    g = db.catalog.create_graph(name)
+    vg = g.groups.get(vertex_group) or g.create_group(vertex_group)
+    eg = g.groups.get(edge_group) or g.create_group(
+        edge_group, is_edge=True, src_group=vertex_group,
+        dst_group=vertex_group)
+    default_dir = "->" if gml.get("edgedefault", "directed") == "directed" \
+        else "--"
+    for nd in gml.findall(f"{ns}node"):
+        vg.upsert_vertex(_parse_value(nd.get("id", "")), props_of(nd))
+    for ed in gml.findall(f"{ns}edge"):
+        src = _parse_value(ed.get("source", ""))
+        dst = _parse_value(ed.get("target", ""))
+        directed = ed.get("directed")
+        op = default_dir if directed is None else \
+            ("->" if directed == "true" else "--")
+        for key in (src, dst):
+            if key not in vg.rows:
+                vg.upsert_vertex(key, None)
+        eg.upsert_edge(src, op, dst, props_of(ed))
+    return name

@@ -164,3 +164,21 @@ def test_gql_pipeline_profile_and_ast(pdb):
     assert isinstance(res.value, ChunkStmt)
     res = _one(pdb, "profile {similar: 'vecs', in: 'pg', to: [1.0, 0.0]};")
     assert "TakeOrderedAndProject" in res.value
+
+
+def test_gql_similar_caches_quantizer_until_mutation(pdb):
+    """IVF centroids / PQ codebooks built by {similar:} are cached on the
+    Group (no rebuild scans on repeat queries) and invalidated by any
+    mutation — a stale quantizer would silently miss new vectors."""
+    grp = pdb._graph("pg").group("vecs")
+    _one(pdb, "{similar: 'vecs', in: 'pg', to: [1.0, 0.0], method: 'ivf'};")
+    _one(pdb, "{similar: 'vecs', in: 'pg', to: [1.0, 0.0], method: 'pq'};")
+    assert ("ivf", "embedding") in grp._ann_cache
+    assert ("pq", "embedding") in grp._ann_cache
+    # mutation invalidates: the new vector must be findable
+    assert pdb.exec("{upset: 'vecs', vertex: [[99, {embedding:"
+                    " [1.0, 0.001]}]]};")[0].error is None
+    assert grp._ann_cache == {}
+    res = _one(pdb, "{similar: 'vecs', in: 'pg', to: [1.0, 0.001],"
+                    " top: 1, method: 'ivf'};")
+    assert res.rows[0][0] == 99

@@ -486,3 +486,43 @@ def test_weighted_betweenness_vs_python_dijkstra_brandes(spark):
            betweenness_centrality(df, weight_col="cost").collect()}
     for v in nodes:
         assert abs(got.get(v, 0.0) - round(bc[v] / 2, 4)) <= 1e-3, v
+
+
+def test_personalized_pagerank_matches_reference_impl(spark):
+    """Personalized PageRank vs a pure-Python power iteration with the
+    identical update rule (teleport + dangling mass to the source set);
+    proximity ordering must favour the sources' neighbourhood."""
+    from gqlite_spark.operators.graph_algos import pagerank
+    edges = [(1, 2), (2, 3), (3, 1), (3, 4), (4, 5), (5, 4)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    sources, d, iters = [1], 0.85, 8
+    got = {r["id"]: r["rank"]
+           for r in pagerank(df, iterations=iters, damping=d,
+                             personalized_for=sources).collect()}
+
+    verts = sorted({v for e in edges for v in e})
+    n = len(verts)
+    out = {}
+    for s, t in edges:
+        out.setdefault(s, []).append(t)
+    tele = {v: (n / len(sources) if v in sources else 0.0) for v in verts}
+    rank = dict(tele)
+    for _ in range(iters):
+        contrib = {v: 0.0 for v in verts}
+        for s, ts in out.items():
+            for t in ts:
+                contrib[t] += rank[s] / len(ts)
+        dang = sum(rank[v] for v in verts if v not in out)
+        rank = {v: ((1 - d) + d * dang / n) * tele[v] + d * contrib[v]
+                for v in verts}
+    for v in verts:
+        assert abs(got[v] - rank[v]) < 1e-9, v
+    # mass is conserved (sums to N like the uniform variant), and the
+    # teleport target outranks its own rank under uniform PageRank
+    assert abs(sum(got.values()) - n) < 1e-6
+    uni = {r["id"]: r["rank"]
+           for r in pagerank(df, iterations=iters, damping=d).collect()}
+    assert got[1] > uni[1]
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        pagerank(df, personalized_for=[])

@@ -110,3 +110,56 @@ def test_jsonl_loader_roundtrip(db, tmp_path):
     assert sorted(row["id"] for row in r.df.collect()) == ["p1", "p3"]
     r2 = db.exec("{query: 'follows', in: 'jg', where: ['p1', ->, *]};")[0]
     assert r2.error is None and r2.df.count() == 1
+
+
+GRAPHML = """<?xml version="1.0" encoding="UTF-8"?>
+<graphml xmlns="http://graphml.graphdrawing.org/xmlns">
+  <key id="d0" for="node" attr.name="color" attr.type="string"/>
+  <key id="d1" for="edge" attr.name="weight" attr.type="double"/>
+  <key id="d2" for="node" attr.name="size" attr.type="int"/>
+  <graph id="gm" edgedefault="undirected">
+    <node id="n0"><data key="d0">green</data><data key="d2">4</data></node>
+    <node id="n1"/>
+    <node id="n2"><data key="d0">blue</data></node>
+    <edge source="n0" target="n1"><data key="d1">1.5</data></edge>
+    <edge source="n1" target="n2" directed="true"/>
+  </graph>
+</graphml>
+"""
+
+
+def test_import_graphml_statement(db, tmp_path):
+    """GraphML interchange: namespaced XML, typed keys, edgedefault
+    undirected with a per-edge directed override."""
+    p = tmp_path / "g.graphml"
+    p.write_text(GRAPHML)
+    r = db.exec(f"import '{p}';")[0]
+    assert r.error is None, r.error
+    q = db.exec("{query: 'node', in: 'gm', where: {color: 'green'}};")[0]
+    assert q.error is None
+    row = q.df.collect()[0]
+    assert row["id"] == "n0" and row["size"] == 4
+    # undirected default: the n0--n1 edge matches in both orders
+    for a, b in (("n0", "n1"), ("n1", "n0")):
+        e = db.exec("{query: 'edge', in: 'gm',"
+                    f" where: ['{a}', --, '{b}']}};")[0]
+        assert e.error is None and e.df.count() == 1, (a, b)
+    # per-edge directed="true" override: -> matches, reverse doesn't
+    e = db.exec("{query: 'edge', in: 'gm', where: ['n1', ->, 'n2']};")[0]
+    assert e.error is None and e.df.count() == 1
+    e = db.exec("{query: 'edge', in: 'gm', where: ['n2', ->, '*']};")[0]
+    assert e.error is None and e.df.count() == 0
+    # weight prop typed as double
+    w = db.exec("{query: 'edge', in: 'gm', where: ['n0', --, 'n1']};")[0]
+    assert w.df.collect()[0]["weight"] == 1.5
+
+
+def test_import_graphml_malformed(db, tmp_path):
+    p = tmp_path / "bad.graphml"
+    p.write_text("<graphml><graph><node id='x'/>")
+    r = db.exec(f"import '{p}';")[0]
+    assert r.error and "GraphML" in r.error
+    p2 = tmp_path / "notg.xml"
+    p2.write_text("<foo/>")
+    r2 = db.exec(f"import '{p2}';")[0]
+    assert r2.error and "GraphML" in r2.error

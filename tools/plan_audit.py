@@ -34,7 +34,9 @@ def main() -> None:
                "graph_node_jaccard", "text_repetition", "text_tfidf",
                "join_region_revenue", "join_2hop_revenue", "topk_orders",
                "knn_near_limit", "upsert_lww", "window_tumbling",
-               "dedup_exact", "sim_knn_join"]
+               "dedup_exact", "sim_knn_join", "dedup_url",
+               "sample_shuffle", "event_funnel", "asof_attribution",
+               "multimodal_av_meta"]
     qs = entry.queries()
     for name in audited:
         df = qs[name](spark, sf_dir)
