@@ -219,27 +219,44 @@ def pagerank(edges: DataFrame, iterations: int = 10,
     # join keyed on id at scale
     links = e.join(outdeg.withColumnRenamed("id", "src"), "src").cache()
     ranks = verts.withColumn("rank", tele)
-    # dangling vertices (no out-edges) checked ONCE; the per-iteration mass
-    # collect only runs when they exist
-    has_dangling = bool(verts.join(outdeg, "id", "left_anti").take(1))
+    # dangling vertices (no out-edges) checked ONCE; marking them on the
+    # vertex table lets each superstep fold the dangling-mass sum into the
+    # plan itself (1-row aggregate broadcast-cross-joined in) — NO driver
+    # action per iteration, so the loop is one job per superstep even on
+    # dangling-heavy graphs (VERDICT r5 #5)
+    dangmark = verts.join(outdeg.select("id"), "id", "left_anti") \
+                    .withColumn("_is_dang", F.lit(True)).cache()
+    has_dangling = bool(dangmark.take(1))
     for it in range(iterations):
         contribs = (links.join(ranks.withColumnRenamed("id", "src"), "src")
                     .select(F.col("dst").alias("id"),
                             (F.col("rank") / F.col("outdeg")).alias("c")))
         agg = contribs.groupBy("id").agg(F.sum("c").alias("s"))
         if has_dangling:
-            dangling = (ranks.join(outdeg, "id", "left_anti")
-                        .agg(F.coalesce(F.sum("rank"), F.lit(0.0)))
-                        .collect()[0][0])
+            # dangling mass as a 1-row plan node, not a collect(): the
+            # broadcast nested-loop join of a single aggregate row costs
+            # nothing and keeps the superstep fully lazy
+            dang = (ranks.join(dangmark.select("id"), "id", "left_semi")
+                    .agg(F.coalesce(F.sum("rank"), F.lit(0.0))
+                         .alias("_dang_mass")))
+            base = ((F.lit(1.0 - damping)
+                     + F.lit(damping) * F.col("_dang_mass") / F.lit(float(n)))
+                    * tele)
+            ranks = (verts.join(agg, "id", "left")
+                     .crossJoin(F.broadcast(dang))
+                     .select("id", (base + F.lit(damping) *
+                                    F.coalesce(F.col("s"), F.lit(0.0)))
+                             .alias("rank")))
         else:
-            dangling = 0.0
-        # teleport + dangling mass land on the teleport distribution
-        # (uniform: tele == 1 everywhere; personalized: sources only)
-        base = ((1.0 - damping) + damping * dangling / n) * tele
-        ranks = (verts.join(agg, "id", "left")
-                 .select("id", (base + F.lit(damping) *
-                                F.coalesce(F.col("s"), F.lit(0.0))).alias("rank")))
+            # teleport + dangling mass land on the teleport distribution
+            # (uniform: tele == 1 everywhere; personalized: sources only)
+            base = F.lit(1.0 - damping) * tele
+            ranks = (verts.join(agg, "id", "left")
+                     .select("id", (base + F.lit(damping) *
+                                    F.coalesce(F.col("s"), F.lit(0.0)))
+                             .alias("rank")))
         ranks = _ckpt(ranks)
+    dangmark.unpersist()
     links.unpersist()
     e.unpersist()
     return ranks

@@ -283,47 +283,80 @@ def decode_media_headers(payload: bytes
     Bytes read are O(header size); media data is never materialized.
     Raises ValueError on unrecognized/truncated streams."""
     b = bytes(payload)
+
+    def take(lo: int, n: int) -> bytes:
+        # bounds-checked slice: truncated streams raise ValueError, never
+        # struct.error from a short unpack buffer
+        if lo + n > len(b):
+            raise ValueError(
+                f"truncated media stream: need {lo + n} bytes, have {len(b)}")
+        return b[lo:lo + n]
+
     if b[:4] == b"RIFF" and b[8:12] == b"WAVE":
         rate = ch = bits = data_len = None
         off = 12
         while off + 8 <= len(b):
-            ck, ln = b[off:off + 4], struct.unpack("<I", b[off + 4:off + 8])[0]
+            ck = b[off:off + 4]
+            (ln,) = struct.unpack("<I", take(off + 4, 4))
             if ck == b"fmt ":
+                if ln < 16:
+                    raise ValueError(
+                        f"WAVE fmt chunk too short ({ln} < 16 bytes)")
                 _, ch, rate, _, _, bits = struct.unpack(
-                    "<HHIIHH", b[off + 8:off + 24])
+                    "<HHIIHH", take(off + 8, 16))
             elif ck == b"data":
                 data_len = ln
             off += 8 + ln + (ln & 1)            # chunks pad to even
         if rate is None or data_len is None:
             raise ValueError("WAVE stream missing fmt/data chunk")
+        if rate == 0 or ch == 0 or bits == 0:
+            raise ValueError(
+                f"WAVE fmt chunk invalid (rate={rate} ch={ch} bits={bits})")
         n_samples = data_len // (ch * bits // 8)
         return ("audio/wav", n_samples * 1000 // rate, int(rate), int(ch),
                 0, 0)
 
     if len(b) >= 12 and b[4:8] == b"ftyp":
+        def box_head(lo: int) -> tuple[int, int]:
+            # ISO BMFF size 1 = 64-bit largesize follows the type (16-byte
+            # header); size 0 = box extends to EOF.  Stepping either as its
+            # literal value would misparse real files, so handle both
+            # explicitly; returns (total box size, header length).
+            (sz,) = struct.unpack(">I", take(lo, 4))
+            hdr = 8
+            if sz == 1:
+                (sz,) = struct.unpack(">Q", take(lo + 8, 8))
+                hdr = 16
+            elif sz == 0:
+                sz = len(b) - lo
+            if sz < hdr:
+                raise ValueError(f"ISO BMFF box with invalid size {sz}")
+            return sz, hdr
+
         dur_ms = w = h = 0
         off = 0
         while off + 8 <= len(b):
-            (sz,) = struct.unpack(">I", b[off:off + 4])
+            sz, hdr = box_head(off)
             typ = b[off + 4:off + 8]
             if typ == b"moov":
-                inner = off + 8
-                end = off + sz
+                inner = off + hdr
+                end = min(off + sz, len(b))
                 while inner + 8 <= end:
-                    (isz,) = struct.unpack(">I", b[inner:inner + 4])
+                    isz, ihdr = box_head(inner)
                     ityp = b[inner + 4:inner + 8]
                     if ityp == b"mvhd":
-                        ts, dur = struct.unpack(">II",
-                                                b[inner + 20:inner + 28])
+                        ts, dur = struct.unpack(
+                            ">II", take(inner + ihdr + 12, 8))
+                        if ts == 0:
+                            raise ValueError("mvhd timescale is 0")
                         dur_ms = dur * 1000 // ts
                     elif ityp == b"trak" and not w:
-                        (tsz,) = struct.unpack(">I", b[inner + 8:inner + 12])
-                        if b[inner + 12:inner + 16] == b"tkhd":
+                        if b[inner + ihdr + 4:inner + ihdr + 8] == b"tkhd":
                             wf, hf = struct.unpack(
-                                ">II", b[inner + 92:inner + 100])
+                                ">II", take(inner + ihdr + 84, 8))
                             w, h = wf >> 16, hf >> 16
-                    inner += max(isz, 8)
-            off += max(sz, 8)
+                    inner += isz
+            off += sz
         return ("video/mp4", dur_ms, 0, 0, int(w), int(h))
     raise ValueError("unrecognized media container (RIFF/WAVE or ISO BMFF)")
 

@@ -277,8 +277,8 @@ def tfidf_top_terms(df: DataFrame, k: int = 5, id_col: str = "doc_id",
 # truncation error by 2·(1/3)^27/27 ≈ 1e-14 — far inside micro-nat
 # quantization.  17-significant-digit reprs parse to the identical double
 # in every engine (decimal→double conversion is correctly rounded).
-_ATANH_COEFFS = ["%.17g" % (1.0 / (2 * j + 1)) for j in range(13)]
-_LN2 = "0.69314718055994531"  # repr-exact nearest double to ln 2
+_ATANH_COEFFS = ["%.17e" % (1.0 / (2 * j + 1)) for j in range(13)]
+_LN2 = "6.9314718055994531e-01"  # repr-exact nearest double to ln 2
 
 
 def det_ln_e6_sql(num: str, den: str, dialect: str = "spark") -> str:
@@ -302,23 +302,35 @@ def det_ln_e6_sql(num: str, den: str, dialect: str = "spark") -> str:
     SQL operator is a separate kernel — no cross-op FMA contraction), so
     the result is a deterministic function of (num, den).
     """
-    def pln(x: str) -> str:
-        k = f"(length(bin({x})) - 1)"
-        if dialect == "spark":
-            shift = f"shiftleft(cast(1 as bigint), {k})"
-        else:
-            shift = f"(cast(1 as bigint) << {k})"
-        m = f"(cast({x} as double) / cast({shift} as double))"
-        z = f"(({m} - 1.0) / ({m} + 1.0))"
-        z2 = f"({z} * {z})"
-        h = f"cast({_ATANH_COEFFS[12]} as double)"
-        for j in range(11, -1, -1):
-            h = f"(cast({_ATANH_COEFFS[j]} as double) + {z2} * {h})"
-        return (f"(2.0 * {z} * {h}"
-                f" + cast({k} as double) * cast({_LN2} as double))")
-
-    return (f"cast(floor(({pln(num)} - {pln(den)}) * 1e6 + 0.5)"
+    return (f"cast(floor(({det_pln_sql(num, dialect)}"
+            f" - {det_pln_sql(den, dialect)}) * 1e6 + 0.5)"
             f" as bigint)")
+
+
+def det_pln_sql(x: str, dialect: str = "spark") -> str:
+    """SQL text for the deterministic (libm-free) ``ln(x)`` double used
+    by :func:`det_ln_e6_sql` — exposed separately so callers with a
+    CONSTANT operand (e.g. lm_score's corpus total) can evaluate it once
+    in a 1-row projection instead of inlining the full Horner tree into
+    the per-row expression: half the codegen-compile cost on first run,
+    bit-identical values (the subtraction sees the same doubles).
+    Coefficients are emitted in scientific notation (``%.17e``) — a
+    DOUBLE literal in both Spark and DuckDB — rather than
+    ``cast(... as double)`` nodes, shrinking the tree ~2× for the same
+    parsed values."""
+    k = f"(length(bin({x})) - 1)"
+    if dialect == "spark":
+        shift = f"shiftleft(cast(1 as bigint), {k})"
+    else:
+        shift = f"(cast(1 as bigint) << {k})"
+    m = f"(cast({x} as double) / cast({shift} as double))"
+    z = f"(({m} - 1.0) / ({m} + 1.0))"
+    z2 = f"({z} * {z})"
+    h = _ATANH_COEFFS[12]
+    for j in range(11, -1, -1):
+        h = f"({_ATANH_COEFFS[j]} + {z2} * {h})"
+    return (f"(2.0 * {z} * {h}"
+            f" + cast({k} as double) * {_LN2})")
 
 
 def lm_score(df: DataFrame, id_col: str = "doc_id",
@@ -359,11 +371,17 @@ def lm_score(df: DataFrame, id_col: str = "doc_id",
     counts = base.groupBy("g").agg(F.count("*").alias("c"))
     # total n-grams = Σ(length - (n-1)) over the kept docs — identical to
     # SUM(counts.c) but computed from a light column scan, so the plan
-    # explodes the corpus TWICE (count + score), not three times
-    total = docs.agg(F.sum(F.length(t) - (n - 1)).alias("_t"))
+    # explodes the corpus TWICE (count + score), not three times.
+    # ln(total) is CONSTANT across the model, so evaluate its Horner tree
+    # once in this 1-row projection — the per-row expression keeps only
+    # pln(c), halving the first-run codegen compile cost (the r5 bench
+    # cold regression's attributed cause); values are bit-identical
+    total = (docs.agg(F.sum(F.length(t) - (n - 1)).alias("_t"))
+             .select(F.expr(det_pln_sql("_t", "spark")).alias("_lnt")))
     model = (counts.crossJoin(F.broadcast(total))
              .select("g",
-                     F.expr(det_ln_e6_sql("c", "_t", "spark"))
+                     F.expr(f"cast(floor(({det_pln_sql('c', 'spark')}"
+                            " - _lnt) * 1e6 + 0.5) as bigint)")
                      .alias("lp_e6")))
     return (base.join(F.broadcast(model), "g")
             .groupBy(id_col)
@@ -484,16 +502,28 @@ def canonicalize_urls(df: DataFrame, url_col: str = "url") -> DataFrame:
     Pure regexp/string built-ins in the Java∩RE2 common syntax (like
     redact_pii), so the exact same normalization replays in DuckDB for
     the oracle — zero shuffle, whole-stage codegen, scan-speed at any
-    corpus size."""
+    corpus size.
+
+    Rows whose URL has no parseable ``scheme://`` prefix (e.g. bare
+    ``www.a.com/x``) keep their RAW url as the canonical key: the
+    scheme/host/rest extracts would all be empty for them, and
+    rebuilding would collapse every scheme-less row to the same
+    ``://`` key — silent over-merging in a dedup pipeline.  Default
+    ports are stripped scheme-aware (:80 only under http, :443 only
+    under https) so ``http://a.com:443/x`` — a different resource than
+    ``http://a.com/x`` — is not merged with it."""
     u = F.col(url_col)
     scheme = F.regexp_extract(u, "^([A-Za-z][A-Za-z0-9+.-]*)://", 1)
     host = F.regexp_extract(u, "^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)", 1)
     rest = F.regexp_extract(u, "^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*(.*)$", 1)
     c = F.concat(F.lower(scheme), F.lit("://"), F.lower(host), rest)
     c = F.regexp_replace(c, "#.*$", "")              # fragment
-    # default ports (two lookahead-free patterns: RE2 has no lookahead)
-    c = F.regexp_replace(c, "(://[^/?#:]*):(80|443)([/?])", "$1$3")
-    c = F.regexp_replace(c, "(://[^/?#:]*):(80|443)$", "$1")
+    # default ports, scheme-aware (lookahead-free: RE2 has no lookahead;
+    # scheme is already lowercased by the rebuild above)
+    c = F.regexp_replace(c, "^(http://[^/?#:]*):80([/?])", "$1$2")
+    c = F.regexp_replace(c, "^(http://[^/?#:]*):80$", "$1")
+    c = F.regexp_replace(c, "^(https://[^/?#:]*):443([/?])", "$1$2")
+    c = F.regexp_replace(c, "^(https://[^/?#:]*):443$", "$1")
     # utm params: bounded passes handle runs of consecutive utm_* pairs
     # (single-pass replace can't, non-overlapping matches share the '&')
     for _ in range(3):
@@ -501,7 +531,7 @@ def canonicalize_urls(df: DataFrame, url_col: str = "url") -> DataFrame:
     c = F.regexp_replace(c, "[?&]utm_[^&#]*$", "")
     c = F.regexp_replace(c, "/$", "")                # trailing slash
     c = F.regexp_replace(c, "[?&]$", "")             # dangling separator
-    return df.withColumn("url_canon", c)
+    return df.withColumn("url_canon", F.when(scheme != "", c).otherwise(u))
 
 
 def url_dedup(df: DataFrame, id_col: str = "doc_id",

@@ -199,12 +199,19 @@ def load_graphml(db: GQLite, text: str, graph: Optional[str] = None,
             name, typ = keys.get(d.get("key", ""),
                                  (d.get("key", ""), "string"))
             v = d.text or ""
-            if typ in ("int", "long", "integer"):
-                v = int(v)
-            elif typ in ("float", "double"):
-                v = float(v)
-            elif typ in ("boolean", "bool"):
-                v = v.strip().lower() == "true"
+            try:
+                if typ in ("int", "long", "integer"):
+                    v = int(v)
+                elif typ in ("float", "double"):
+                    v = float(v)
+                elif typ in ("boolean", "bool"):
+                    v = v.strip().lower() == "true"
+            except ValueError:
+                # malformed typed <data> stays inside the loader's error
+                # contract (GQLiteError, like every other bad-GraphML path)
+                raise GQLiteError(
+                    f"import: GraphML key {name!r} declares attr.type "
+                    f"{typ!r} but value {v!r} does not parse")
             out[name] = v
         return out or None
 

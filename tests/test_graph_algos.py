@@ -526,3 +526,54 @@ def test_personalized_pagerank_matches_reference_impl(spark):
     import pytest as _pytest
     with _pytest.raises(ValueError):
         pagerank(df, personalized_for=[])
+
+
+def test_pagerank_dangling_mass_in_plan(spark):
+    """Dangling-node graphs: (a) ranks match a pure-Python power
+    iteration with the identical update rule, and (b) the superstep loop
+    performs NO driver-side collect — the dangling-mass sum is folded
+    into the plan as a broadcast 1-row aggregate, not collected on the
+    driver per superstep (VERDICT r5 #5).  Asserted by counting
+    DataFrame.collect calls made inside pagerank() itself."""
+    edges = [(1, 2), (2, 3), (1, 3), (4, 3)]   # vertex 3 is dangling
+    df = spark.createDataFrame(edges, "src long, dst long")
+    d, iters = 0.85, 7
+    got = {r["id"]: r["rank"]
+           for r in pagerank(df, iterations=iters, damping=d).collect()}
+    verts = sorted({v for e in edges for v in e})
+    n = len(verts)
+    out = {}
+    for s, t in edges:
+        out.setdefault(s, []).append(t)
+    rank = {v: 1.0 for v in verts}
+    for _ in range(iters):
+        contrib = {v: 0.0 for v in verts}
+        for s, ts in out.items():
+            for t in ts:
+                contrib[t] += rank[s] / len(ts)
+        dang = sum(rank[v] for v in verts if v not in out)
+        rank = {v: ((1 - d) + d * dang / n) + d * contrib[v]
+                for v in verts}
+    for v in verts:
+        assert abs(got[v] - rank[v]) < 1e-9, v
+    assert abs(sum(got.values()) - n) < 1e-6
+
+    import pyspark.sql as psql
+    calls = []
+    orig = psql.DataFrame.collect
+
+    def counting_collect(self):
+        calls.append(1)
+        return orig(self)
+
+    psql.DataFrame.collect = counting_collect
+    try:
+        result = pagerank(df, iterations=6, damping=d)
+        internal = len(calls)
+    finally:
+        psql.DataFrame.collect = orig
+    # the loop itself must stay lazy: zero collects inside pagerank()
+    # (count/take for setup are fine; the old code collected the dangling
+    # mass every superstep)
+    assert internal == 0, internal
+    assert abs(sum(r["rank"] for r in result.collect()) - n) < 1e-6

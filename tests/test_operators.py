@@ -400,6 +400,29 @@ def test_decode_media_headers_real_bytes():
         decode_media_headers(b"RIFF\x00\x00\x00\x00WAVE")  # no fmt/data
     with pytest.raises(ValueError):
         decode_media_headers(b"garbage bytes here")
+    # malformed-stream contract is ValueError, never struct.error /
+    # ZeroDivisionError (ADVICE r5): truncated fmt chunk, short fmt
+    # length, zero channels/bits/rate
+    with pytest.raises(ValueError):
+        decode_media_headers(w[:20])            # fmt chunk cut mid-header
+    short_fmt = (b"RIFF" + _struct.pack("<I", 12) + b"WAVE"
+                 + b"fmt " + _struct.pack("<I", 8) + b"\x00" * 8)
+    with pytest.raises(ValueError):
+        decode_media_headers(short_fmt)
+    zeroed = bytearray(w)
+    zeroed[22:24] = b"\x00\x00"                 # channels = 0
+    with pytest.raises(ValueError):
+        decode_media_headers(bytes(zeroed))
+    # ISO BMFF size-1 (largesize) and size-0 (to-EOF) boxes parse, not
+    # silently step 8 bytes: rebuild the moov with a largesize header
+    moov_payload = m[m.index(b"moov") - 4 + 8:]
+    pre = m[:m.index(b"moov") - 4]
+    large = (_struct.pack(">I", 1) + b"moov"
+             + _struct.pack(">Q", 16 + len(moov_payload)) + moov_payload)
+    assert decode_media_headers(pre + large)[4:6] == (1920, 1080)
+    # size-0 top-level box (extends to EOF) must terminate, not loop
+    tail0 = _struct.pack(">I", 0) + b"free" + b"\x00" * 4
+    assert decode_media_headers(m + tail0)[0] == "video/mp4"
 
 
 def test_multimodal_av_meta_plumbing(spark):
@@ -1209,6 +1232,14 @@ def test_canonicalize_urls_edge_cases(spark):
         ("http://s.com/p/", "http://s.com/p"),
         ("http://s.com/p?q=1#frag", "http://s.com/p?q=1"),
         ("http://s.com/", "http://s.com"),
+        # scheme-less URLs keep their RAW value — rebuilding would
+        # collapse every such row to '://' (ADVICE r5: silent over-merge)
+        ("www.a.com/x", "www.a.com/x"),
+        ("site.com", "site.com"),
+        # default-port stripping is scheme-aware: :443 under http (and
+        # :80 under https) names a DIFFERENT resource and must survive
+        ("http://site.com:443/x", "http://site.com:443/x"),
+        ("https://site.com:80/x", "https://site.com:80/x"),
     ]
     df = spark.createDataFrame([(i, u) for i, (u, _) in enumerate(cases)],
                                "doc_id long, url string")

@@ -163,3 +163,19 @@ def test_import_graphml_malformed(db, tmp_path):
     p2.write_text("<foo/>")
     r2 = db.exec(f"import '{p2}';")[0]
     assert r2.error and "GraphML" in r2.error
+
+
+def test_import_graphml_bad_typed_value(db, tmp_path):
+    """A malformed value under an int/float-typed key stays inside the
+    loader's GQLiteError contract (ADVICE r5) — not a bare ValueError."""
+    bad = """<graphml xmlns="http://graphml.graphdrawing.org/xmlns">
+  <key id="d0" for="node" attr.name="size" attr.type="int"/>
+  <graph id="gbad" edgedefault="directed">
+    <node id="n0"><data key="d0">not-a-number</data></node>
+  </graph>
+</graphml>
+"""
+    p = tmp_path / "badtype.graphml"
+    p.write_text(bad)
+    r = db.exec(f"import '{p}';")[0]
+    assert r.error and "size" in r.error and "not-a-number" in r.error
