@@ -1272,3 +1272,50 @@ def test_shuffle_rows_deterministic_order(spark):
     assert got == want
     salted = [r["doc_id"] for r in shuffle_rows(df, salt="ep2").collect()]
     assert sorted(salted) == sorted(got) and salted != got
+
+
+def test_pq_default_recall_tripwire(spark, tmp_path):
+    """Recall tripwire for the PQ defaults (VERDICT r5 #6): on a dense-
+    cluster corpus (16 clusters × ~250 vectors — the regime where a
+    coarse codebook actually loses neighbours) the default
+    save_pq_index → pq_topk_indexed path must hold recall@10 ≥ 0.9 at
+    candidates = 2% of the corpus.  The remediated m=8/ksub=64/refine=2
+    config measures 1.0 here; the old m=4/ksub=16 config measures 0.66 —
+    any future quantizer change that silently regresses gets caught."""
+    import hashlib
+
+    from gqlite_spark.operators.similarity import (cosine_topk,
+                                                   load_pq_index,
+                                                   pq_topk_indexed,
+                                                   save_pq_index)
+    DIM, NCL = 16, 16
+    cl = F.pmod(F.xxhash64("id"), F.lit(NCL))
+    vec = F.transform(
+        F.sequence(F.lit(1), F.lit(DIM)),
+        lambda i: (F.pmod(F.xxhash64(cl, i), F.lit(1000)) / 1000.0
+                   + F.pmod(F.xxhash64("id", i), F.lit(1000)) / 4000.0))
+    corpus = (spark.range(4000)
+              .select(F.col("id").alias("vec_id"), vec.alias("embedding"))
+              .cache())
+    rows = (corpus.where((F.col("vec_id") % 797) == 0)
+            .orderBy("vec_id").limit(5).collect())
+    queries = []
+    for r in rows:
+        v = list(r["embedding"])
+        h = hashlib.md5(str(r["vec_id"]).encode()).digest()
+        queries.append([x + (h[i % 16] - 128) / 25600.0
+                        for i, x in enumerate(v)])
+    path = str(tmp_path / "pqidx")
+    save_pq_index(corpus, path)                 # DEFAULTS under test
+    codes, params = load_pq_index(spark, path)
+    codes = codes.cache()
+    recalls = []
+    for q in queries:
+        exact = {r["id"] for r in cosine_topk(corpus, q, 10).collect()}
+        ann = {r["id"] for r in
+               pq_topk_indexed(corpus, q, codes, params,
+                               k=10, candidates=80).collect()}
+        recalls.append(len(ann & exact) / len(exact))
+    corpus.unpersist()
+    codes.unpersist()
+    assert sum(recalls) / len(recalls) >= 0.9, recalls
