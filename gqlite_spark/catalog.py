@@ -153,6 +153,9 @@ class Group:
         # quantizer state (IVF centroids / PQ codebooks / LSH offsets) —
         # model-sized driver objects, rebuilt lazily after any mutation
         self._ann_cache: dict = {}
+        # cached row count for cost-based routing decisions ($near exact
+        # vs ANN); invalidated with the other caches on any mutation
+        self._count_cache: Optional[int] = None
 
     # ------------------------------------------------------------ mutation
     def _check_key(self, key: Any) -> Any:
@@ -316,6 +319,19 @@ class Group:
     def _invalidate(self) -> None:
         self._mat_cache = None
         self._ann_cache = {}
+        self._count_cache = None
+
+    def row_count(self) -> int:
+        """Cached group cardinality (bulk + local rows; the tiny
+        overcount when a local row shadows a bulk key is irrelevant for
+        the routing decisions this feeds).  One count job on first use
+        per mutation epoch — parquet counts are metadata-cheap."""
+        if self._count_cache is None:
+            n = len(self.rows)
+            if self.bulk_df is not None:
+                n += self.bulk_df.count()
+            self._count_cache = n
+        return self._count_cache
 
     # ------------------------------------------------------------- loading
     def register_df(self, df: DataFrame, key_col: str = "id",

@@ -329,6 +329,39 @@ def _ivf_list_expr(centroids: list[tuple], vec_col: str):
     return F.element_at(cids, pos.cast("int")).cast("long")
 
 
+def _ivf_list_l2_sql(centroids: list[tuple], vec_col: str) -> str:
+    """SQL text: list id = cid of the MIN squared-L2 centroid (ties →
+    first, i.e. smallest cid — centroids are cid-sorted).  The L2 twin
+    of :func:`_ivf_list_expr`'s max-inner-product assignment, for
+    geometry ($near) routing where distance, not angle, is the metric."""
+    d2s = "array(" + ", ".join(
+        f"aggregate(zip_with(cast({vec_col} as array<double>), "
+        "array(" + ", ".join(_f17(x) for x in cv) + "), "
+        "(a, b) -> (a - b) * (a - b)), "
+        "cast(0.0 as double), (acc, x) -> acc + x)"
+        for _, cv in centroids) + ")"
+    cids = "array(" + ", ".join(str(int(cid)) for cid, _ in centroids) + ")"
+    return (f"element_at({cids}, "
+            f"cast(array_position({d2s}, array_min({d2s})) as int))")
+
+
+def knn_probe_filter(df: DataFrame, query_vec: list[float],
+                     centroids: list[tuple], nprobe: int = 8,
+                     vec_col: str = "embedding") -> DataFrame:
+    """Prune a corpus to the query's ``nprobe`` nearest inverted lists by
+    squared L2 — a pure scalar filter expression over the scan (centroid
+    literals inlined, zero shuffle), keeping EVERY column so an exact
+    top-k can run downstream.  The ANN fast path for GQL ``$near``+limit
+    above the cost threshold: the exact TakeOrderedAndProject then scans
+    ~nprobe/nlist of the corpus instead of all of it."""
+    q = [float(x) for x in query_vec]
+    scored = sorted((sum((a - b) * (a - b) for a, b in zip(q, cv)), cid)
+                    for cid, cv in centroids)
+    probe = [int(cid) for _, cid in scored[:nprobe]]
+    return df.filter(
+        F.expr(_ivf_list_l2_sql(centroids, vec_col)).isin(probe))
+
+
 def ivf_assign(df: DataFrame, centroids: list[tuple],
                id_col: str = "vec_id", vec_col: str = "embedding"
                ) -> DataFrame:
