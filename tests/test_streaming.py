@@ -425,3 +425,66 @@ def test_stream_upsert_edges_lww(spark, tmp_path):
     rows = {(r["src"], r["dst"], r["direction"]): (r["ver"], r["weight"])
             for r in knows.to_df().collect()}
     assert rows == {(1, 2, "->"): (9, 0.1), (2, 3, "->"): (1, 0.5)}
+
+
+def test_funnel_stream_event_time_matches_batch(spark, event_dir):
+    """Event-time variant (VERDICT r5 #4): watermark + EventTimeTimeout
+    replaces the wall-clock TTL.  With a watermark wide enough that no
+    fixture event is dropped, the final per-user chains must still equal
+    the batch funnel across micro-batches."""
+    from gqlite_spark.operators.temporal import funnel
+    from gqlite_spark.streaming.events import run_to_memory
+    from gqlite_spark.streaming.stateful import funnel_stream
+    steps = ["view", "click", "purchase"]
+    q = run_to_memory(
+        funnel_stream(_one_file_stream(spark, event_dir), steps,
+                      timeout_mode="event", watermark_delay="365 days"),
+        "t_funnel_et", mode="append")
+    q.awaitTermination(120)
+    latest = {}
+    for r in spark.sql("SELECT * FROM t_funnel_et").collect():
+        latest[r["user_id"]] = r
+    got = [sum(1 for r in latest.values() if len(r["reach_times"]) > i)
+           for i in range(len(steps))]
+    want_rows = funnel(spark.read.parquet(event_dir), steps).collect()
+    want = [r["n_users"] for r in
+            sorted(want_rows, key=lambda r: r["step_idx"])]
+    assert got == want and want[0] > 0
+
+
+def test_cohort_stream_event_time_late_replay(spark, event_dir,
+                                              tmp_path):
+    """Late events replayed across micro-batches in event-time mode: the
+    stream sees the LATER half of the events first, then the earlier
+    half arrives late (within the watermark).  The late batch must
+    re-base each user's cohort — final state equals batch
+    cohort_retention on everything."""
+    import time as _time
+
+    from gqlite_spark.operators.temporal import cohort_retention
+    from gqlite_spark.streaming.events import run_to_memory
+    from gqlite_spark.streaming.stateful import cohort_stream
+    src = spark.read.parquet(event_dir)
+    mid = src.agg(F.expr("percentile_approx(ts, 0.5)")).collect()[0][0]
+    late_dir = str(tmp_path / "late_replay")
+    (src.where(F.col("ts") >= mid).repartition(1)
+     .write.mode("overwrite").parquet(late_dir))
+    _time.sleep(1.1)                  # file source orders by mod time
+    (src.where(F.col("ts") < mid).repartition(1)
+     .write.mode("append").parquet(late_dir))
+    q = run_to_memory(
+        cohort_stream(_one_file_stream(spark, late_dir),
+                      timeout_mode="event", watermark_delay="365 days"),
+        "t_cohort_et", mode="append")
+    q.awaitTermination(120)
+    latest = {}
+    for r in spark.sql("SELECT * FROM t_cohort_et").collect():
+        latest[r["user_id"]] = r
+    got: dict = {}
+    for r in latest.values():
+        for off in r["offsets"]:
+            key = (r["cohort_bucket"], off)
+            got[key] = got.get(key, 0) + 1
+    want = {(r["cohort_bucket"], r["bucket_offset"]): r["n_active"]
+            for r in cohort_retention(src).collect()}
+    assert got == want and want
