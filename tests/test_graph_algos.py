@@ -577,3 +577,30 @@ def test_pagerank_dangling_mass_in_plan(spark):
     # mass every superstep)
     assert internal == 0, internal
     assert abs(sum(r["rank"] for r in result.collect()) - n) < 1e-6
+
+
+def test_all_sources_guard_threshold_boundary(spark):
+    """The guard trips strictly ABOVE the threshold: a graph with exactly
+    `auto_landmark_threshold` vertices stays exact (no warning, one row
+    per vertex); one more vertex switches to landmarks (VERDICT r5 #7)."""
+    import warnings as _w
+
+    from gqlite_spark.operators.graph_algos import closeness_centrality
+
+    def cycle(n):
+        return spark.createDataFrame([(i, (i + 1) % n) for i in range(n)],
+                                     "src long, dst long")
+
+    with _w.catch_warnings(record=True) as rec:
+        _w.simplefilter("always")
+        at = closeness_centrality(cycle(20), auto_landmark_threshold=20,
+                                  n_landmarks=3).collect()
+    assert len(at) == 20                       # exact at n == threshold
+    assert not [w for w in rec if "auto-selected" in str(w.message)]
+
+    with _w.catch_warnings(record=True) as rec:
+        _w.simplefilter("always")
+        above = closeness_centrality(cycle(21), auto_landmark_threshold=20,
+                                     n_landmarks=3).collect()
+    assert len(above) == 3                     # landmarks at n == threshold+1
+    assert [w for w in rec if "auto-selected" in str(w.message)]
