@@ -42,3 +42,30 @@ def test_corpus_replay_is_deterministic(db):
     script = open(os.path.join(GOLDEN_DIR, "corpus.gql"),
                   encoding="utf-8").read()
     assert render(db.exec(script)) == render(db.exec(script))
+
+
+def test_pipeline_corpus_replay_matches_committed_golden(db):
+    """Pipeline-statement golden (VERDICT r5 #8): the {dedup}/{similar}/
+    {chunk}/{funnel}/{cohort}/{sample} surface replays byte-for-byte
+    (rows order-insensitive within a statement — DataFrame results carry
+    no ORDER BY contract; statuses and error texts exact)."""
+    from tools.record_goldens import render_sorted
+    script = open(os.path.join(GOLDEN_DIR, "pipeline.gql"),
+                  encoding="utf-8").read()
+    got = render_sorted(db.exec(script))
+    expect = open(os.path.join(GOLDEN_DIR, "pipeline.expect"),
+                  encoding="utf-8").read()
+    if got != expect:
+        diff = "\n".join(difflib.unified_diff(
+            expect.splitlines(), got.splitlines(),
+            "pipeline.expect", "engine output", lineterm=""))
+        raise AssertionError(
+            f"pipeline golden mismatch (re-record with "
+            f"tools/record_goldens.py if deliberate):\n{diff}")
+
+
+def test_pipeline_corpus_replay_is_deterministic(db):
+    from tools.record_goldens import render_sorted
+    script = open(os.path.join(GOLDEN_DIR, "pipeline.gql"),
+                  encoding="utf-8").read()
+    assert render_sorted(db.exec(script)) == render_sorted(db.exec(script))

@@ -35,6 +35,24 @@ def render(results) -> str:
     return "\n".join(out) + "\n"
 
 
+def render_sorted(results) -> str:
+    """Like :func:`render` but rows are sorted WITHIN each statement:
+    the pipeline statements ({dedup}/{similar}/{chunk}/{funnel}/{cohort}/
+    {sample}) return DataFrame results whose row order is not part of
+    their contract (no ORDER BY semantics), so their golden compares
+    order-insensitively per statement — content, statuses, and error
+    texts stay byte-exact."""
+    out = []
+    for i, res in enumerate(results):
+        out.append(f"[{i}]:\t")
+        if res.error is not None:
+            out.append(res.error)
+        else:
+            out.extend(sorted(str(row) for row in res.rows))
+            out.append(res.status)
+    return "\n".join(out) + "\n"
+
+
 def main() -> None:
     from gqlite_spark import GQLite
     from gqlite_spark.session import get_spark
@@ -42,14 +60,15 @@ def main() -> None:
     spark = get_spark(app_name="gqlite-goldens", shuffle_partitions=8)
     spark.sparkContext.setLogLevel("ERROR")
     db = GQLite(spark)
-    script = open(os.path.join(GOLDEN_DIR, "corpus.gql"),
-                  encoding="utf-8").read()
-    text = render(db.exec(script))
-    with open(os.path.join(GOLDEN_DIR, "corpus.expect"), "w",
-              encoding="utf-8") as f:
-        f.write(text)
-    print(text)
-    print(f"wrote {os.path.join(GOLDEN_DIR, 'corpus.expect')}")
+    for name, renderer in (("corpus", render), ("pipeline", render_sorted)):
+        script = open(os.path.join(GOLDEN_DIR, f"{name}.gql"),
+                      encoding="utf-8").read()
+        text = renderer(db.exec(script))
+        with open(os.path.join(GOLDEN_DIR, f"{name}.expect"), "w",
+                  encoding="utf-8") as f:
+            f.write(text)
+        print(text)
+        print(f"wrote {os.path.join(GOLDEN_DIR, f'{name}.expect')}")
 
 
 if __name__ == "__main__":
