@@ -288,7 +288,13 @@ def shuffle_rows(df: DataFrame, id_col: str = "doc_id",
     the "shuffle" scales as a normal sort job; determinism comes from
     the md5 key (same order on any cluster, any partitioning, any
     engine — the DuckDB oracle replays it exactly).  Different ``salt``
-    values give independent epoch orders."""
+    values give independent epoch orders.
+
+    This materializes a TOTAL order — right when epoch files must be
+    globally ordered.  Writers that only need within-file randomness
+    should instead ``repartition(n, "shuffle_key")`` +
+    ``sortWithinPartitions("shuffle_key")``: same determinism, no
+    global range exchange."""
     key = F.md5(F.concat(F.lit(salt), F.col(id_col).cast("string"))
                 .cast("binary"))
     return (df.withColumn("shuffle_key", key)
