@@ -299,3 +299,32 @@ def shuffle_rows(df: DataFrame, id_col: str = "doc_id",
                 .cast("binary"))
     return (df.withColumn("shuffle_key", key)
             .orderBy("shuffle_key", id_col))
+
+
+def write_training_shards(df: DataFrame, path: str, n_shards: int = 32,
+                          id_col: str = "doc_id", salt: str = "",
+                          mode: str = "overwrite") -> None:
+    """Deterministic epoch-shard writer: the scale-correct form of
+    :func:`shuffle_rows` for training-data output.
+
+    Every row gets ``shuffle_key`` = md5(salt||id) and a shard id =
+    (first 4 hex digits of the key) mod ``n_shards`` — both pure
+    functions of (salt, id), so the LAYOUT is identical on any cluster,
+    any partitioning, any engine (a SQL engine can replay the
+    assignment).  Rows are hash-repartitioned on the shard id (all rows
+    of one shard land in exactly one task, so each ``_shard=k``
+    directory holds exactly one file), sorted within the shard by
+    ``shuffle_key``, and written with ``partitionBy`` — within-shard
+    order is deterministic with NO global range exchange: the sort is
+    per-partition, which is the whole point versus a total-order
+    ``orderBy`` write.  Different ``salt`` values give independent epoch
+    shuffles of the same corpus."""
+    key = F.md5(F.concat(F.lit(salt), F.col(id_col).cast("string"))
+                .cast("binary"))
+    shard = F.pmod(F.conv(F.substring(key, 1, 4), 16, 10).cast("long"),
+                   F.lit(n_shards))
+    out = (df.withColumn("shuffle_key", key)
+           .withColumn("_shard", shard))
+    (out.repartition(n_shards, "_shard")
+     .sortWithinPartitions("_shard", "shuffle_key", id_col)
+     .write.partitionBy("_shard").mode(mode).parquet(path))

@@ -86,6 +86,26 @@ def streaming_dedup(events: DataFrame, watermark: str = "2 hours",
             .dropDuplicates(["event_id"]))
 
 
+def content_dedup_stream(docs: DataFrame, watermark: str = "24 hours",
+                         ts_col: str = "ts",
+                         text_col: str = "text") -> DataFrame:
+    """Streaming CONTENT dedup for continuous corpus ingest: only the
+    first-arriving document per md5(text) passes; later exact copies are
+    dropped — the stream twin of ``operators.dedup.exact_duplicates``
+    (same 16-byte hash key, state bounded by the watermark horizon
+    instead of a corpus-wide groupBy).
+
+    Semantics note vs the batch twin: batch picks the MIN-id
+    representative over the whole corpus; the stream necessarily keeps
+    the first ARRIVAL (later arrivals are gone by the time a smaller id
+    shows up).  The surviving hash SET is identical — the parity the
+    test asserts."""
+    return (docs
+            .withColumn("text_hash", F.md5(F.col(text_col)))
+            .withWatermark(ts_col, watermark)
+            .dropDuplicates(["text_hash"]))
+
+
 def run_to_memory(stream_df: DataFrame, name: str,
                   mode: str = "append"):
     """Drive a streaming query into an in-memory sink (testing harness)."""

@@ -1319,3 +1319,53 @@ def test_pq_default_recall_tripwire(spark, tmp_path):
     corpus.unpersist()
     codes.unpersist()
     assert sum(recalls) / len(recalls) >= 0.9, recalls
+
+
+def test_write_training_shards_deterministic_layout(spark, tmp_path):
+    """Epoch-shard writer: shard assignment is a pure function of
+    (salt, id) matching the python md5 arithmetic; each shard directory
+    holds exactly ONE file whose rows are sorted by shuffle_key; the
+    union round-trips the input; a re-write is byte-deterministic; a
+    different salt permutes rows across shards."""
+    import glob
+    import hashlib
+    import os
+
+    from gqlite_spark.operators.sampling import write_training_shards
+    docs = spark.createDataFrame([(i, f"doc {i}") for i in range(200)],
+                                 "doc_id long, text string")
+    path = str(tmp_path / "shards")
+    write_training_shards(docs, path, n_shards=8)
+
+    def py_shard(i, salt=""):
+        h = hashlib.md5(f"{salt}{i}".encode()).hexdigest()
+        return int(h[:4], 16) % 8
+
+    seen = {}
+    for d in sorted(glob.glob(os.path.join(path, "_shard=*"))):
+        k = int(d.rsplit("=", 1)[1])
+        files = glob.glob(os.path.join(d, "*.parquet"))
+        assert len(files) == 1, (k, files)    # all of a shard in one task
+        rows = spark.read.parquet(files[0]).collect()
+        keys = [r["shuffle_key"] for r in rows]
+        assert keys == sorted(keys), k        # within-shard order
+        for r in rows:
+            assert py_shard(r["doc_id"]) == k
+            seen[r["doc_id"]] = r["shuffle_key"]
+    assert sorted(seen) == list(range(200))   # lossless round trip
+    for i, key in seen.items():
+        assert key == hashlib.md5(str(i).encode()).hexdigest()
+
+    # identical re-write; different salt → different assignment
+    path2 = str(tmp_path / "shards2")
+    write_training_shards(docs, path2, n_shards=8)
+    a = spark.read.parquet(path).orderBy("doc_id").collect()
+    b = spark.read.parquet(path2).orderBy("doc_id").collect()
+    assert a == b
+    path3 = str(tmp_path / "shards3")
+    write_training_shards(docs, path3, n_shards=8, salt="ep2")
+    c = {r["doc_id"]: r["_shard"] for r in
+         spark.read.parquet(path3).collect()}
+    assert any(c[i] != py_shard(i) for i in range(200))
+    for i in range(200):
+        assert c[i] == py_shard(i, "ep2")

@@ -488,3 +488,40 @@ def test_cohort_stream_event_time_late_replay(spark, event_dir,
     want = {(r["cohort_bucket"], r["bucket_offset"]): r["n_active"]
             for r in cohort_retention(src).collect()}
     assert got == want and want
+
+
+def test_content_dedup_stream_matches_batch_hash_set(spark, tmp_path):
+    """Streaming content dedup: duplicates arriving in LATER micro-batches
+    are dropped; the surviving text_hash set equals the batch
+    exact_duplicates hash set, and exactly one row survives per hash."""
+    import time as _time
+
+    from gqlite_spark.operators.dedup import exact_duplicates
+    from gqlite_spark.streaming.events import (content_dedup_stream,
+                                               run_to_memory)
+    base = "2024-01-01 00:{:02d}:00"
+    b1 = [(1, "alpha text", base.format(1)), (2, "beta text", base.format(2)),
+          (3, "alpha text", base.format(3))]     # in-batch dup
+    b2 = [(4, "beta text", base.format(10)),     # cross-batch dup
+          (5, "gamma text", base.format(11)),
+          (6, "alpha text", base.format(12))]    # cross-batch dup
+    schema = "doc_id long, text string, ts_s string"
+    d = str(tmp_path / "docs_stream")
+    for batch in (b1, b2):
+        (spark.createDataFrame(batch, schema)
+         .select("doc_id", "text", F.col("ts_s").cast("timestamp").alias("ts"))
+         .write.mode("append").parquet(d))
+        _time.sleep(1.1)                         # file order = batch order
+    rd_schema = spark.read.parquet(d).schema
+    stream = (spark.readStream.format("parquet").schema(rd_schema)
+              .option("maxFilesPerTrigger", 1).load(d))
+    q = run_to_memory(content_dedup_stream(stream), "t_cdedup",
+                      mode="append")
+    q.awaitTermination(120)
+    out = spark.sql("SELECT * FROM t_cdedup").collect()
+    got_hashes = sorted(r["text_hash"] for r in out)
+    assert len(got_hashes) == len(set(got_hashes)) == 3
+    batch_hashes = sorted(
+        r["text_hash"] for r in
+        exact_duplicates(spark.read.parquet(d)).collect())
+    assert got_hashes == batch_hashes
