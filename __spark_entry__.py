@@ -765,6 +765,50 @@ def q_ann_pq_indexed(spark, sf_dir):
             .withColumnRenamed("id", "vec_id"))
 
 
+def q_ann_lsh_indexed(spark, sf_dir):
+    """LSH ANN against a PERSISTED bucket index (HNSW.cpp:282-328
+    persistence parity): save_ann_index writes the (table, bucket, id)
+    parquet sorted for row-group pruning; ann_topk_indexed prunes by the
+    query's bucket keys, semi-joins the corpus, exact-cosine re-ranks —
+    no projection recomputation over the corpus.  Query vec_id 2 to
+    distinguish from in-query sim_ann_lsh."""
+    import tempfile
+
+    from gqlite_spark.operators.similarity import (ann_topk_indexed,
+                                                   load_ann_index,
+                                                   save_ann_index)
+    emb = _load(spark, sf_dir, "embeddings")
+    qvec = emb.filter(F.col("vec_id") == 2).select("embedding").collect()[0][0]
+    path = tempfile.mkdtemp(prefix="gqlite_lshidx_")
+    save_ann_index(emb, path, dim=len(qvec), n_planes=4, n_tables=2)
+    index, params = load_ann_index(spark, path)
+    return (ann_topk_indexed(emb, [float(x) for x in qvec], index, params,
+                             k=10)
+            .withColumnRenamed("id", "vec_id"))
+
+
+def q_ann_ivf_indexed(spark, sf_dir):
+    """IVF ANN against a PERSISTED inverted file: save_ivf_index writes
+    (id, list_id) partitioned by list_id (probes read only their
+    partitions) + centroid sidecar; ivf_topk_indexed partition-prunes,
+    semi-joins, exact-cosine re-ranks.  Sampling centroids
+    (refine_iters=0) so DuckDB rebuilds the identical index; query
+    vec_id 2."""
+    import tempfile
+
+    from gqlite_spark.operators.similarity import (ivf_topk_indexed,
+                                                   load_ivf_index,
+                                                   save_ivf_index)
+    emb = _load(spark, sf_dir, "embeddings")
+    qvec = emb.filter(F.col("vec_id") == 2).select("embedding").collect()[0][0]
+    path = tempfile.mkdtemp(prefix="gqlite_ivfidx_")
+    save_ivf_index(emb, path, nlist=16, refine_iters=0)
+    index, params = load_ivf_index(spark, path)
+    return (ivf_topk_indexed(emb, [float(x) for x in qvec], index, params,
+                             nprobe=4, k=10)
+            .withColumnRenamed("id", "vec_id"))
+
+
 def q_ann_ivf(spark, sf_dir):
     """IVF ANN: deterministic sampling coarse quantizer (nlist lowest-id
     vectors), max-inner-product list assignment as an inlined scalar
@@ -1042,6 +1086,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # ==== a driver row immediately ====
         "graph_pagerank_personalized": q_pagerank_personalized,
         "sim_ann_pq_indexed": q_ann_pq_indexed,
+        "sim_ann_lsh_indexed": q_ann_lsh_indexed,
+        "sim_ann_ivf_indexed": q_ann_ivf_indexed,
         "graphml_roundtrip": q_graphml_roundtrip,
         # ==== promoted: never driver-checked before round 5 ====
         "filter_in": q_filter_in,
@@ -1223,7 +1269,8 @@ def _random_walk_sql(steps: int = 4, seed: int = 42) -> str:
 
 
 def _ann_lsh_sql(dim: int = 64, n_planes: int = 4, n_tables: int = 2,
-                 k: int = 10, seed: str = "gqlite") -> str:
+                 k: int = 10, seed: str = "gqlite",
+                 query_id: int = 0) -> str:
     """Bucket-exact ANN oracle: the deterministic md5-seeded hyperplanes are
     inlined as literal arrays, bucket bits recomputed with
     list_inner_product, candidates restricted to the query's bucket in any
@@ -1248,7 +1295,7 @@ def _ann_lsh_sql(dim: int = 64, n_planes: int = 4, n_tables: int = 2,
     match = " OR ".join(f"b.b{t} = q.qb{t}" for t in range(n_tables))
     return (
         "WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),"
-        " qv AS (SELECT v AS qv FROM v WHERE vec_id = 0),"
+        f" qv AS (SELECT v AS qv FROM v WHERE vec_id = {query_id}),"
         f" b AS (SELECT vec_id, v, {bsel} FROM v),"
         f" q AS (SELECT {qsel}, qv FROM qv),"
         f" cand AS (SELECT b.vec_id, b.v, q.qv FROM b, q WHERE {match})"
@@ -1831,6 +1878,8 @@ def oracle_sql() -> dict[str, str]:
         "sim_ann_ivf": _ann_ivf_sql(16, 4, 10),
         "sim_ann_pq": _ann_pq_sql(4, 16, 16, 50, 10),
         "sim_ann_pq_indexed": _ann_pq_sql(4, 16, 16, 100, 10, query_id=1),
+        "sim_ann_lsh_indexed": _ann_lsh_sql(64, 4, 2, 10, query_id=2),
+        "sim_ann_ivf_indexed": _ann_ivf_sql(16, 4, 10, query_id=2),
         "graph_degrees":
             "WITH e AS (SELECT 'o' || o_orderkey AS src,"
             " 'c' || o_custkey AS dst FROM orders),"
