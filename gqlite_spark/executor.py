@@ -26,7 +26,7 @@ from .gql.ast import (AstStmt, CallExpr, ChunkStmt, CohortStmt, CreateStmt,
                       DedupStmt,
                       DropStmt, DumpStmt, FunnelStmt,
                       ImportStmt, InferStmt, MemberRef, Pred, ProfileStmt,
-                      QueryStmt, SampleStmt, SimilarStmt,
+                      QueryStmt, SampleStmt, ShardsStmt, SimilarStmt,
                       RemoveEdgeStmt, RemoveVertexStmt, ShowGraphStmt,
                       UpsetEdgeStmt, UpsetPropertyStmt, UpsetVertexStmt,
                       UseGraphStmt, WalkPattern)
@@ -162,6 +162,8 @@ class GQLite:
             return self._cohort(stmt)
         if isinstance(stmt, SampleStmt):
             return self._sample(stmt)
+        if isinstance(stmt, ShardsStmt):
+            return self._shards(stmt)
         raise GQLiteError(f"unsupported statement {type(stmt).__name__}")
 
     def _pipeline_group_df(self, graph_name, group_name: str,
@@ -350,6 +352,29 @@ class GQLite:
             out = stratified_sample(df, stmt.by, stmt.rates, id_col="id",
                                     default_rate=stmt.default,
                                     salt=stmt.salt)
+        return StatementResult(
+            status="QUERY SUCCESS", df=out,
+            rows_fn=lambda out=out: [list(r) for r in out.collect()])
+
+    def _shards(self, stmt: ShardsStmt) -> StatementResult:
+        """``{shards: 'docs', in: 'g', path: '/data/ep1', n: 64,
+        salt: 'ep1'};`` — deterministic epoch-shard export
+        (operators/sampling.py::write_training_shards: md5 shard
+        assignment + within-shard sort, one file per shard, no global
+        range exchange).  Result rows = (shard, n_rows) so the export is
+        observable/auditable from GQL."""
+        from .operators.sampling import write_training_shards
+        graph = self._graph(stmt.graph)
+        grp = graph.group(stmt.group)
+        df = grp.to_df()
+        if df is None:
+            return StatementResult(status="QUERY SUCCESS", rows=[], df=None)
+        write_training_shards(df, stmt.path, n_shards=stmt.n,
+                              id_col="id", salt=stmt.salt)
+        out = (grp.spark.read.parquet(stmt.path)
+               .groupBy(F.col("_shard").alias("shard"))
+               .agg(F.count("*").alias("n_rows"))
+               .orderBy("shard"))
         return StatementResult(
             status="QUERY SUCCESS", df=out,
             rows_fn=lambda out=out: [list(r) for r in out.collect()])

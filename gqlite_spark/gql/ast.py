@@ -254,6 +254,20 @@ class SampleStmt:
 
 
 @dataclass
+class ShardsStmt:
+    """``{shards: group, in: g, path: 'dir', n: 8, salt: 'ep1'}`` —
+    deterministic epoch-shard export: md5 shard assignment + within-
+    shard sort, one file per shard, layout a pure function of
+    (salt, id) (operators/sampling.py::write_training_shards).  Result
+    rows are the per-shard counts."""
+    group: str
+    path: str
+    graph: Optional[str] = None
+    n: int = 32
+    salt: str = ""
+
+
+@dataclass
 class RemoveVertexStmt:
     group: str
     where: Any

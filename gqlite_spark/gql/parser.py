@@ -21,7 +21,7 @@ from .ast import (
     CohortStmt, DedupStmt, DropStmt,
     DumpStmt, EdgeConn, FunnelStmt, GeohashLit, GroupDef, ImportStmt,
     InferStmt, Lambda,
-    MemberRef, SampleStmt, SimilarStmt,
+    MemberRef, SampleStmt, ShardsStmt, SimilarStmt,
     PatternNode, Pred, ProfileStmt, QueryStmt, RemoveEdgeStmt,
     RemoveVertexStmt, ShowGraphStmt, UpsetEdgeStmt, UpsetPropertyStmt,
     UpsetVertexStmt, UseGraphStmt, WalkPattern, Wildcard,
@@ -400,6 +400,15 @@ class Parser:
                               None if rates is None else
                               {str(k): float(v) for k, v in rates.items()},
                               float(dflt), str(obj.get("salt", "")))
+        if "shards" in obj:
+            path = obj.get("path")
+            if not isinstance(path, str) or not path:
+                raise GQLParseError("shards: a path: string is required")
+            nsh = obj.get("n", 32)
+            if not isinstance(nsh, int) or isinstance(nsh, bool) or nsh < 1:
+                raise GQLParseError("shards: n must be a positive integer")
+            return ShardsStmt(obj["shards"], path, obj.get("in"),
+                              nsh, str(obj.get("salt", "")))
         raise GQLParseError(f"unrecognized statement keys: {sorted(obj)}")
 
     def _build_groups(self, raw: list) -> list[GroupDef]:

@@ -182,3 +182,30 @@ def test_gql_similar_caches_quantizer_until_mutation(pdb):
     res = _one(pdb, "{similar: 'vecs', in: 'pg', to: [1.0, 0.001],"
                     " top: 1, method: 'ivf'};")
     assert res.rows[0][0] == 99
+
+
+def test_gql_shards_export(pdb, tmp_path):
+    """{shards} exports the group as deterministic epoch shards and
+    reports per-shard counts; the files round-trip and the layout is a
+    pure function of (salt, id)."""
+    import glob
+    import hashlib
+
+    p = str(tmp_path / "ep1")
+    res = _one(pdb, f"{{shards: 'docs', in: 'pg', path: '{p}', n: 4}};")
+    counts = {r[0]: r[1] for r in res.rows}
+    assert sum(counts.values()) == 4
+    dirs = glob.glob(p + "/_shard=*")
+    assert 1 <= len(dirs) <= 4
+    for i in (1, 2, 3, 4):
+        shard = int(hashlib.md5(str(i).encode()).hexdigest()[:4], 16) % 4
+        assert shard in counts
+
+
+def test_gql_shards_parse_errors(pdb):
+    r = pdb.exec("{shards: 'docs', in: 'pg', n: 4};")[0]
+    assert r.error and "path" in r.error
+    r = pdb.exec("{shards: 'docs', in: 'pg', path: '/tmp/x', n: 0};")[0]
+    assert r.error and "positive" in r.error
+    r = pdb.exec("{shards: 'docs', in: 'nope', path: '/tmp/x'};")[0]
+    assert r.error == "graph is not exist: nope"
