@@ -193,12 +193,16 @@ class GQLite:
         from .operators import dedup as D
         df, prop = self._pipeline_group_df(
             stmt.graph, stmt.group, stmt.on,
-            "embedding" if stmt.method == "embedding" else "text")
+            "embedding" if stmt.method == "embedding"
+            else "url" if stmt.method == "url" else "text")
         if df is None:
             return StatementResult(status="QUERY SUCCESS", rows=[], df=None)
         m = stmt.method
         if m == "exact":
             out = D.exact_duplicates(df, id_col="id", text_col=prop)
+        elif m == "url":
+            from .operators.text import url_dedup
+            out = url_dedup(df, id_col="id", url_col=prop)
         elif m == "minhash":
             out = D.minhash_lsh_pairs(df, id_col="id", text_col=prop,
                                       threshold=stmt.threshold)
@@ -217,8 +221,8 @@ class GQLite:
                                         threshold=stmt.threshold)
         else:
             raise GQLiteError(
-                f"dedup: unknown method '{m}' (want exact|minhash|jaccard|"
-                f"simhash|lines|clusters|embedding)")
+                f"dedup: unknown method '{m}' (want exact|url|minhash|"
+                f"jaccard|simhash|lines|clusters|embedding)")
         return StatementResult(
             status="QUERY SUCCESS", df=out,
             rows_fn=lambda out=out: [list(r) for r in out.collect()])

@@ -209,3 +209,24 @@ def test_gql_shards_parse_errors(pdb):
     assert r.error and "positive" in r.error
     r = pdb.exec("{shards: 'docs', in: 'nope', path: '/tmp/x'};")[0]
     assert r.error == "graph is not exist: nope"
+
+
+def test_gql_dedup_url(db):
+    """{dedup method: 'url'}: canonicalize (case/port/utm/slash) then
+    exact-dedup on the canonical form via the statement surface."""
+    setup = """
+{create: 'ug', group: ['pages']};
+{upset: 'pages', vertex: [
+  [1, {u: 'HTTP://A.com/x'}],
+  [2, {u: 'http://a.com:80/x/'}],
+  [3, {u: 'http://a.com/x?utm_source=z'}],
+  [4, {u: 'http://a.com/y'}]]};
+"""
+    for r in db.exec(setup):
+        assert r.error is None, r.error
+    res = _one(db, "{dedup: 'pages', in: 'ug', method: 'url', on: 'u'};")
+    out = {r[0]: (r[1], r[2]) for r in res.rows}
+    assert out["http://a.com/x"] == (1, 3)
+    assert out["http://a.com/y"] == (4, 1)
+    bad = db.exec("{dedup: 'pages', in: 'ug', method: 'bogus', on: 'u'};")[0]
+    assert bad.error and "exact|url|minhash" in bad.error
