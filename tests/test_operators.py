@@ -1369,3 +1369,48 @@ def test_write_training_shards_deterministic_layout(spark, tmp_path):
     assert any(c[i] != py_shard(i) for i in range(200))
     for i in range(200):
         assert c[i] == py_shard(i, "ep2")
+
+
+def test_canonicalize_urls_combinatorial_vs_python_model(spark):
+    """Exhaustive combination sweep (scheme × port × path × params ×
+    fragment × trailing slash — ~1.5k URLs, one Spark job) against a
+    pure-Python model of the documented spec: lowercased scheme+host,
+    scheme-aware default-port strip, fragment drop, utm_* removal,
+    trailing-slash/dangling-separator strip, scheme-less rows raw."""
+    import itertools
+    import re as _re
+
+    from gqlite_spark.operators.text import canonicalize_urls
+
+    def model(url):
+        m = _re.match(r"^([A-Za-z][A-Za-z0-9+.-]*)://([^/?#]*)(.*)$", url)
+        if not m:
+            return url
+        c = m.group(1).lower() + "://" + m.group(2).lower() + m.group(3)
+        c = _re.sub(r"#.*$", "", c)
+        c = _re.sub(r"^(http://[^/?#:]*):80([/?])", r"\1\2", c)
+        c = _re.sub(r"^(http://[^/?#:]*):80$", r"\1", c)
+        c = _re.sub(r"^(https://[^/?#:]*):443([/?])", r"\1\2", c)
+        c = _re.sub(r"^(https://[^/?#:]*):443$", r"\1", c)
+        for _ in range(3):
+            c = _re.sub(r"([?&])utm_[^&#]*&", r"\1", c)
+        c = _re.sub(r"[?&]utm_[^&#]*$", "", c)
+        c = _re.sub(r"/$", "", c)
+        c = _re.sub(r"[?&]$", "", c)
+        return c
+
+    schemes = ["http://", "https://", "HTTP://", "ftp://", ""]
+    hosts = ["Site.COM", "a.b.example"]
+    ports = ["", ":80", ":443", ":8080"]
+    paths = ["", "/A/b", "/x/"]
+    queries = ["", "?q=1", "?utm_source=a", "?utm_source=a&utm_medium=b",
+               "?q=1&utm_term=c", "?utm_campaign=x&q=2"]
+    frags = ["", "#Frag"]
+    urls = ["".join(parts) for parts in
+            itertools.product(schemes, hosts, ports, paths, queries, frags)]
+    df = spark.createDataFrame([(i, u) for i, u in enumerate(urls)],
+                               "doc_id long, url string")
+    got = {r["doc_id"]: r["url_canon"]
+           for r in canonicalize_urls(df).collect()}
+    for i, u in enumerate(urls):
+        assert got[i] == model(u), (u, got[i], model(u))
