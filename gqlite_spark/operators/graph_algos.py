@@ -598,15 +598,27 @@ def clustering_coefficient(edges: DataFrame) -> DataFrame:
                     .otherwise(F.lit(0.0)).alias("coefficient")))
 
 
+def _auto_landmark_count(n: int) -> int:
+    """Landmark count for an ``n``-vertex graph when the caller didn't
+    choose one: max(64, √n), capped at 1024.  The √n growth follows the
+    measured accuracy curve (tools/landmark_probe.py, PLANS.md): sampled-
+    Brandes rank fidelity scales like O(1/√|S|) (ρ 0.687 → 0.757 → 0.839
+    at 64/128/256 landmarks on the 2 k worst-case fixture), so a fixed
+    64 would silently degrade as graphs grow while √n holds the relative
+    sampling density; the 1024 cap bounds state at O(1024·n) pairs."""
+    return min(1024, max(64, int(round(n ** 0.5))))
+
+
 def _guard_all_sources(edges: DataFrame, sources, fn_name: str,
-                       threshold: int, n_landmarks: int):
+                       threshold: int, n_landmarks: "int | None"):
     """All-sources exact centrality keeps O(n_vertices · n_sources)
     (source, vertex) state — correct, but a state explosion when a caller
     forgets ``sources=`` on a large graph (VERDICT r4 advisory #1).  When
     ``sources is None`` and the graph exceeds ``threshold`` vertices,
     auto-select ``n_landmarks`` deterministic landmarks (lowest
     ``md5(id)`` order — uniform over vertices, stable across runs and
-    engines) and warn; below the threshold return None (exact mode)."""
+    engines) and warn; below the threshold return None (exact mode).
+    ``n_landmarks=None`` → :func:`_auto_landmark_count` (√n-scaled)."""
     if sources is not None:
         return sources
     verts = (normalize_edges(edges, undirected=True)
@@ -614,6 +626,8 @@ def _guard_all_sources(edges: DataFrame, sources, fn_name: str,
     n = verts.count()
     if n <= threshold:
         return None
+    if n_landmarks is None:
+        n_landmarks = _auto_landmark_count(n)
     picked = [r["id"] for r in
               verts.orderBy(F.md5(F.col("id").cast("string")), F.col("id"))
               .limit(n_landmarks).collect()]
@@ -632,7 +646,7 @@ def closeness_centrality(edges: DataFrame, sources: "Optional[list]" = None,
                          harmonic: bool = False,
                          weight_col: "Optional[str]" = None,
                          auto_landmark_threshold: int = 10_000,
-                         n_landmarks: int = 64) -> DataFrame:
+                         n_landmarks: "int | None" = None) -> DataFrame:
     """Closeness centrality by multi-source BFS: closeness(v) =
     (reachable−1) / Σ dist(v,·) over v's connected component (0.0 for
     isolated sources); with ``harmonic=True``, Σ 1/dist(v,·) instead —
@@ -741,7 +755,7 @@ def betweenness_centrality(edges: DataFrame,
                            max_iter: int = 64,
                            weight_col: "Optional[str]" = None,
                            auto_landmark_threshold: int = 10_000,
-                           n_landmarks: int = 64) -> DataFrame:
+                           n_landmarks: "int | None" = None) -> DataFrame:
     """Betweenness centrality via distributed Brandes: a layered
     multi-source BFS counts shortest paths (sigma), then dependencies
     (delta) accumulate backward layer by layer —

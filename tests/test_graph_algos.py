@@ -604,3 +604,32 @@ def test_all_sources_guard_threshold_boundary(spark):
                                      n_landmarks=3).collect()
     assert len(above) == 3                     # landmarks at n == threshold+1
     assert [w for w in rec if "auto-selected" in str(w.message)]
+
+
+def test_auto_landmark_count_sqrt_scaling():
+    """n_landmarks=None scales with the measured O(1/sqrt(|S|)) accuracy
+    curve (PLANS.md): max(64, sqrt(n)) capped at 1024."""
+    from gqlite_spark.operators.graph_algos import _auto_landmark_count
+    assert _auto_landmark_count(100) == 64
+    assert _auto_landmark_count(4096) == 64
+    assert _auto_landmark_count(20_000) == 141
+    assert _auto_landmark_count(1_000_000) == 1000
+    assert _auto_landmark_count(10_000_000) == 1024
+
+
+def test_all_sources_guard_auto_landmark_default(spark):
+    """With the default n_landmarks=None, a tripped guard picks the
+    sqrt-scaled count (floored at 64 → all 26 vertices here, since
+    limit(64) of a 26-vertex graph is everything — i.e. small graphs
+    just past the threshold stay effectively exact)."""
+    import warnings as _w
+
+    from gqlite_spark.operators.graph_algos import closeness_centrality
+    n = 26
+    e = spark.createDataFrame([(i, (i + 1) % n) for i in range(n)],
+                              "src long, dst long")
+    with _w.catch_warnings(record=True) as rec:
+        _w.simplefilter("always")
+        rows = closeness_centrality(e, auto_landmark_threshold=20).collect()
+    assert len(rows) == 26            # 64-landmark floor covers the graph
+    assert [w for w in rec if "auto-selected" in str(w.message)]

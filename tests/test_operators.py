@@ -1414,3 +1414,23 @@ def test_canonicalize_urls_combinatorial_vs_python_model(spark):
            for r in canonicalize_urls(df).collect()}
     for i, u in enumerate(urls):
         assert got[i] == model(u), (u, got[i], model(u))
+
+
+def test_det_ln_accuracy_vs_libm(spark):
+    """The deterministic polynomial ln must agree with libm to well
+    under a micro-nat across magnitudes (else quantized log-probs would
+    drift from true MLE scores, not just between engines): check
+    floor((ln(c)-ln(t))*1e6+0.5) against Python math.log over a spread
+    of count/total pairs, allowing ≤1 ulp-at-the-floor-boundary step."""
+    import math
+
+    from gqlite_spark.operators.text import det_ln_e6_sql
+    pairs = [(c, t) for c in
+             [1, 2, 3, 7, 10, 999, 12345, 10**6, 10**9, 2**52 - 1]
+             for t in [10**6, 10**9, 2**53 - 1] if c <= t]
+    df = spark.createDataFrame(pairs, "c long, t long")
+    got = [r[0] for r in
+           df.select(F.expr(det_ln_e6_sql("c", "t", "spark"))).collect()]
+    for (c, t), g in zip(pairs, got):
+        want = math.floor((math.log(c) - math.log(t)) * 1e6 + 0.5)
+        assert abs(g - want) <= 1, (c, t, g, want)
