@@ -364,6 +364,17 @@ def q_connected_components(spark, sf_dir):
     return connected_components(region_chain_edges(spark, sf_dir))
 
 
+def q_cc_twophase(spark, sf_dir):
+    """Large-star/small-star components (Kiveris et al.) on the same
+    region chains — the O(log n)-round scale path for high-diameter
+    graphs (HashMin is O(diameter) supersteps); identical output
+    contract, same SQL oracle."""
+    from gqlite_spark.operators.graph_algos import \
+        connected_components_twophase
+    from gqlite_spark.sources.testdata import region_chain_edges
+    return connected_components_twophase(region_chain_edges(spark, sf_dir))
+
+
 def q_pagerank(spark, sf_dir):
     """10-iteration PageRank on the deterministic 2-regular nation digraph
     (reference stub PageRank.cpp:5-23, implemented for real)."""
@@ -1089,6 +1100,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_ann_lsh_indexed": q_ann_lsh_indexed,
         "sim_ann_ivf_indexed": q_ann_ivf_indexed,
         "graphml_roundtrip": q_graphml_roundtrip,
+        "graph_cc_twophase": q_cc_twophase,
         # ==== promoted: never driver-checked before round 5 ====
         "filter_in": q_filter_in,
         "count_group": q_count,
@@ -1854,6 +1866,10 @@ def oracle_sql() -> dict[str, str]:
             " UNION ALL SELECT e.dst, p.cost + e.w FROM p JOIN e ON e.src = p.node)"
             " SELECT CAST(MIN(cost) AS BIGINT) AS cost FROM p WHERE node = 11",
         "graph_connected_components":
+            "SELECT CAST(n_nationkey AS BIGINT) AS id,"
+            " MIN(CAST(n_nationkey AS BIGINT))"
+            " OVER (PARTITION BY n_regionkey) AS component FROM nation",
+        "graph_cc_twophase":
             "SELECT CAST(n_nationkey AS BIGINT) AS id,"
             " MIN(CAST(n_nationkey AS BIGINT))"
             " OVER (PARTITION BY n_regionkey) AS component FROM nation",

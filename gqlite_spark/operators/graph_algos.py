@@ -302,6 +302,76 @@ def _cc_impl(edges: DataFrame, max_iter: int) -> DataFrame:
     return labels
 
 
+def connected_components_twophase(edges: DataFrame,
+                                  max_rounds: int = 24) -> DataFrame:
+    """Connected components via alternating large-star / small-star
+    (Kiveris et al., "Connected Components in MapReduce and Beyond") —
+    the scale path for HIGH-DIAMETER graphs: HashMin label propagation
+    (:func:`connected_components`) needs O(diameter) supersteps, while
+    star contraction converges in O(log n) rounds regardless of
+    diameter (a 10 M-hop path graph is ~24 rounds, not 10 M).
+
+    Each half-round is one groupBy on the node (min over the
+    neighborhood) + one projection emitting the re-rooted edges — the
+    same one-keyed-shuffle discipline as the other loops; convergence is
+    the edge multiset reaching a fixpoint (type-agnostic xxhash sum,
+    like the HashMin loop).  Returns (id, component = min id in the
+    component), identical to :func:`connected_components`."""
+    with _iterative_shuffle_scope(edges):
+        und = (normalize_edges(edges, undirected=True)
+               .select("src", "dst").distinct())
+        verts = (und.select(F.col("src").alias("id")).distinct().cache())
+        # work on directed (u → current-parent) pairs, self-loops included
+        # so isolated vertices survive the contraction
+        e = _ckpt(und.filter(F.col("src") != F.col("dst"))
+                  .unionByName(verts.select(F.col("id").alias("src"),
+                                            F.col("id").alias("dst"))))
+        chg = F.sum(F.xxhash64("src", "dst").cast("decimal(38,0)"))
+        prev = e.agg(chg).collect()[0][0]
+
+        def star(edges_uv: DataFrame, large: bool) -> DataFrame:
+            # neighborhoods in BOTH orientations; m = min(N(u) ∪ {u})
+            nbrs = edges_uv.unionByName(
+                edges_uv.select(F.col("dst").alias("src"),
+                                F.col("src").alias("dst")))
+            m = (nbrs.groupBy("src").agg(F.min("dst").alias("_mn"))
+                 .select("src", F.least(F.col("_mn"), F.col("src"))
+                         .alias("m")))
+            j = nbrs.join(m, "src")
+            if large:
+                # strictly-larger neighbors re-root to the min; roots keep
+                # a self-edge so singleton components survive the pass
+                out = (j.filter(F.col("dst") > F.col("src"))
+                       .select(F.col("dst").alias("src"),
+                               F.col("m").alias("dst"))
+                       .unionByName(
+                           m.filter(F.col("src") == F.col("m"))
+                           .select("src", F.col("m").alias("dst"))))
+            else:
+                # smaller-or-equal neighbors (and u itself) re-root
+                out = (j.filter(F.col("dst") <= F.col("src"))
+                       .select(F.col("dst").alias("src"),
+                               F.col("m").alias("dst"))
+                       .unionByName(m.select("src",
+                                             F.col("m").alias("dst"))))
+            return out.distinct()
+
+        for _ in range(max_rounds):
+            e = _ckpt(star(e, large=True))
+            e = _ckpt(star(e, large=False))
+            cur = e.agg(chg).collect()[0][0]
+            if cur == prev:
+                break
+            prev = cur
+        # at the fixpoint every node's min neighbor IS the component root
+        nbrs = e.unionByName(e.select(F.col("dst").alias("src"),
+                                      F.col("src").alias("dst")))
+        out = (nbrs.groupBy(F.col("src").alias("id"))
+               .agg(F.min("dst").alias("component")))
+        verts.unpersist()
+        return out
+
+
 def triangle_count(edges: DataFrame) -> DataFrame:
     """Per-vertex triangle counts on the undirected simple graph.
 

@@ -633,3 +633,34 @@ def test_all_sources_guard_auto_landmark_default(spark):
         rows = closeness_centrality(e, auto_landmark_threshold=20).collect()
     assert len(rows) == 26            # 64-landmark floor covers the graph
     assert [w for w in rec if "auto-selected" in str(w.message)]
+
+
+def test_connected_components_twophase_parity(spark):
+    """Large-star/small-star CC equals HashMin CC on: the LCG stress
+    graph, a high-diameter string-keyed chain (the shape where two-phase
+    wins: O(log n) rounds vs O(diameter) supersteps), multi-component
+    graphs with isolated self-loop vertices."""
+    from gqlite_spark.operators.graph_algos import (
+        connected_components, connected_components_twophase)
+
+    def labels(fn, e):
+        return {r["id"]: r["component"] for r in fn(e).collect()}
+
+    # LCG pseudo-random graph
+    e1 = spark.createDataFrame(_pseudo_edges(), "src long, dst long")
+    assert labels(connected_components_twophase, e1) == \
+        labels(connected_components, e1)
+    # string-keyed chain of diameter 39 — converges well under the
+    # 24-round cap (log2(40) ≈ 5.3 rounds), where HashMin needs ~39
+    ids = [f"n{i:02d}" for i in range(40)]
+    e2 = spark.createDataFrame(
+        [(ids[i], ids[i + 1]) for i in range(39)], "src string, dst string")
+    got = labels(connected_components_twophase, e2)
+    assert set(got.values()) == {"n00"} and len(got) == 40
+    # disjoint components + isolated self-loop vertex
+    e3 = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11), (12, 12)], "src long, dst long")
+    cc = labels(connected_components_twophase, e3)
+    assert cc[1] == cc[2] == cc[3] == 1
+    assert cc[10] == cc[11] == 10
+    assert cc[12] == 12
