@@ -471,6 +471,12 @@ def test_knn_cost_based_ann_routing(spark):
         plan = routed._jdf.queryExecution().toString()
         assert "array_min" in plan            # probe filter in the plan
         assert [r["id"] for r in routed.collect()] == exact_ids
+        # radius + limit composes with the routed path (the exact top-k
+        # downstream still applies the squared-distance cut)
+        radius_gql = ("{query: 'pts', in: 'knnrt', where: {vec: {limit: 5,"
+                      " $near: {$geometry: [0, 0], $lte: 6.25}}}};")
+        assert [r["id"] for r in db.query_df(radius_gql).collect()] \
+            == [0, 1, 2]
         # quantizer is cached on the group and reused
         assert ("knn_l2", "vec") in grp._ann_cache
         # mutation invalidates the cached quantizer and the count
