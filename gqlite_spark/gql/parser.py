@@ -510,6 +510,14 @@ class Parser:
             return Pred(key, "in", val)
         return Pred(key, "eq", val)
 
+    @staticmethod
+    def _flag(v: Any) -> bool:
+        """Boolean-ish GQL value: bare identifiers tokenize as strings, so
+        ``exact: false`` arrives as the (truthy) string 'false'."""
+        if isinstance(v, str):
+            return v.lower() not in ("false", "0", "no", "")
+        return bool(v)
+
     def _build_op_pred(self, attr: str, spec: dict) -> Pred:
         ops = {k.lstrip("$"): v for k, v in spec.items()}
         if "near" in ops:
@@ -521,10 +529,12 @@ class Parser:
                 radius = near.get(f"${radius_op}", near.get(radius_op)) if radius_op else None
                 return Pred(attr, "near", {"geometry": geom, "radius": radius,
                                            "radius_op": radius_op or "lte",
-                                           "limit": ops.get("limit")})
+                                           "limit": ops.get("limit"),
+                                           "exact": self._flag(ops.get("exact"))})
             return Pred(attr, "near", {"geometry": near, "radius": None,
                                        "radius_op": "lte",
-                                       "limit": ops.get("limit")})
+                                       "limit": ops.get("limit"),
+                                       "exact": self._flag(ops.get("exact"))})
         children = []
         for op, v in ops.items():
             if op in ("lt", "gt", "lte", "gte", "eq"):

@@ -312,7 +312,14 @@ def decode_media_headers(payload: bytes
         if rate == 0 or ch == 0 or bits == 0:
             raise ValueError(
                 f"WAVE fmt chunk invalid (rate={rate} ch={ch} bits={bits})")
-        n_samples = data_len // (ch * bits // 8)
+        bytes_per_frame = ch * bits // 8
+        if bytes_per_frame == 0:
+            # e.g. 4-bit ADPCM mono: ch * bits // 8 == 0 would divide by
+            # zero below, escaping the ValueError-only malformed-stream
+            # contract (only >=8-bit PCM frames are parseable here)
+            raise ValueError(
+                f"WAVE frame smaller than a byte (ch={ch} bits={bits})")
+        n_samples = data_len // bytes_per_frame
         return ("audio/wav", n_samples * 1000 // rate, int(rate), int(ch),
                 0, 0)
 

@@ -345,6 +345,17 @@ def _ivf_list_l2_sql(centroids: list[tuple], vec_col: str) -> str:
             f"cast(array_position({d2s}, array_min({d2s})) as int))")
 
 
+def l2_probe_lists(query_vec: list[float], centroids: list[tuple],
+                   nprobe: int = 8) -> list[int]:
+    """The nprobe list ids nearest the query by squared L2 (driver-side;
+    ties -> smallest cid).  The L2 twin of :func:`ivf_probe_lists`, for
+    geometry ($near) routing."""
+    q = [float(x) for x in query_vec]
+    scored = sorted((sum((a - b) * (a - b) for a, b in zip(q, cv)), cid)
+                    for cid, cv in centroids)
+    return [int(cid) for _, cid in scored[:nprobe]]
+
+
 def knn_probe_filter(df: DataFrame, query_vec: list[float],
                      centroids: list[tuple], nprobe: int = 8,
                      vec_col: str = "embedding") -> DataFrame:
@@ -354,21 +365,30 @@ def knn_probe_filter(df: DataFrame, query_vec: list[float],
     top-k can run downstream.  The ANN fast path for GQL ``$near``+limit
     above the cost threshold: the exact TakeOrderedAndProject then scans
     ~nprobe/nlist of the corpus instead of all of it."""
-    q = [float(x) for x in query_vec]
-    scored = sorted((sum((a - b) * (a - b) for a, b in zip(q, cv)), cid)
-                    for cid, cv in centroids)
-    probe = [int(cid) for _, cid in scored[:nprobe]]
+    probe = l2_probe_lists(query_vec, centroids, nprobe)
     return df.filter(
         F.expr(_ivf_list_l2_sql(centroids, vec_col)).isin(probe))
 
 
+def _ivf_assign_expr(centroids: list[tuple], vec_col: str, metric: str):
+    """List-id assignment expression for the chosen metric: 'ip' =
+    max inner product (cosine-family search), 'l2' = min squared L2
+    (geometry $near routing).  Both tie-break to the smallest cid."""
+    if metric == "ip":
+        return _ivf_list_expr(centroids, vec_col)
+    if metric == "l2":
+        return F.expr(_ivf_list_l2_sql(centroids, vec_col))
+    raise ValueError(f"ivf metric must be 'ip' or 'l2', got {metric!r}")
+
+
 def ivf_assign(df: DataFrame, centroids: list[tuple],
-               id_col: str = "vec_id", vec_col: str = "embedding"
-               ) -> DataFrame:
+               id_col: str = "vec_id", vec_col: str = "embedding",
+               metric: str = "ip") -> DataFrame:
     """(id, list_id) inverted-file assignment — a pure scalar expression
     over the scan (centroid literals inlined), zero shuffle."""
     return df.select(F.col(id_col).alias("id"),
-                     _ivf_list_expr(centroids, vec_col).alias("list_id"))
+                     _ivf_assign_expr(centroids, vec_col, metric)
+                     .alias("list_id"))
 
 
 def ivf_probe_lists(query_vec: list[float], centroids: list[tuple],
@@ -401,20 +421,31 @@ def ivf_topk(df: DataFrame, query_vec: list[float], centroids: list[tuple],
 
 def save_ivf_index(df: DataFrame, path: str, nlist: int = 16,
                    refine_iters: int = 0, id_col: str = "vec_id",
-                   vec_col: str = "embedding") -> None:
+                   vec_col: str = "embedding", metric: str = "ip") -> None:
     """Persist the inverted file: (id, list_id) parquet partitioned by
     list_id (probe reads only its partitions) + centroid sidecar.  Same
-    index-persistence contract as save_ann_index."""
+    index-persistence contract as save_ann_index.
+
+    ``metric='l2'`` assigns by min squared L2 instead of max inner
+    product — the index form the cost-routed GQL ``$near``+limit path
+    consumes (``Group.attach_ivf_index``): at scale the routed query
+    joins this precomputed assignment instead of evaluating nlist
+    centroid distances per scanned row.  Lloyd refinement currently
+    assigns by inner product, so ``refine_iters`` requires 'ip'."""
     import json
     import os
+    if metric == "l2" and refine_iters:
+        raise ValueError("refine_iters requires metric='ip' "
+                         "(Lloyd assignment is inner-product)")
     cents = ivf_centroids(df, nlist, id_col, vec_col)
     if refine_iters:
         cents = lloyd_refine(df, cents, refine_iters, id_col, vec_col)
-    (ivf_assign(df, cents, id_col, vec_col)
+    (ivf_assign(df, cents, id_col, vec_col, metric)
      .write.mode("overwrite").partitionBy("list_id")
      .parquet(os.path.join(path, "ivf.parquet")))
     with open(os.path.join(path, "ivf_params.json"), "w") as f:
         json.dump({"nlist": nlist, "id_col": id_col, "vec_col": vec_col,
+                   "metric": metric,
                    "centroids": [[cid, cv] for cid, cv in cents]}, f)
 
 

@@ -125,7 +125,8 @@ class PredicateCompiler:
                 self.knn = {"attr": p.attr, "geometry": geom,
                             "limit": int(spec["limit"]),
                             "radius": spec.get("radius"),
-                            "radius_op": spec.get("radius_op", "lte")}
+                            "radius_op": spec.get("radius_op", "lte"),
+                            "exact": bool(spec.get("exact"))}
                 if spec.get("radius") is None:
                     return F.lit(True)
             radius = spec.get("radius")

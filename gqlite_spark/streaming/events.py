@@ -79,11 +79,19 @@ def sessionized_stream(events: DataFrame, gap: str = "30 minutes",
 
 def streaming_dedup(events: DataFrame, watermark: str = "2 hours",
                     ts_col: str = "ts") -> DataFrame:
-    """Streaming exact-once dedup on event_id within the watermark horizon
-    (dropDuplicates keeps state per key; the watermark bounds it)."""
+    """Streaming exact-once dedup on event_id within the watermark horizon.
+
+    ``dropDuplicatesWithinWatermark`` is the state-bounded form: Spark
+    evicts a key's dedup state once the watermark passes its last-seen
+    event time + delay.  Plain ``dropDuplicates`` would only evict state
+    when the event-time column itself is part of the dedup keys — with a
+    bare key column the state would grow without bound on a continuous
+    stream.  The contract is correspondingly windowed: a duplicate id
+    re-arriving MORE than ``watermark`` of event time later is treated
+    as a new event."""
     return (events
             .withWatermark(ts_col, watermark)
-            .dropDuplicates(["event_id"]))
+            .dropDuplicatesWithinWatermark(["event_id"]))
 
 
 def content_dedup_stream(docs: DataFrame, watermark: str = "24 hours",
@@ -95,15 +103,24 @@ def content_dedup_stream(docs: DataFrame, watermark: str = "24 hours",
     (same 16-byte hash key, state bounded by the watermark horizon
     instead of a corpus-wide groupBy).
 
+    State bound: ``dropDuplicatesWithinWatermark`` evicts a hash's state
+    once the watermark passes its last-seen event time + ``watermark`` —
+    plain ``dropDuplicates`` on a non-event-time key would never evict
+    and grow without bound on continuous ingest.  The dedup horizon is
+    therefore the watermark delay: an exact copy arriving more than
+    ``watermark`` of event time after the previous sighting passes again
+    (re-deduplicate downstream in batch if the corpus needs a global
+    guarantee).
+
     Semantics note vs the batch twin: batch picks the MIN-id
     representative over the whole corpus; the stream necessarily keeps
     the first ARRIVAL (later arrivals are gone by the time a smaller id
-    shows up).  The surviving hash SET is identical — the parity the
-    test asserts."""
+    shows up).  The surviving hash SET is identical within the horizon —
+    the parity the test asserts."""
     return (docs
             .withColumn("text_hash", F.md5(F.col(text_col)))
             .withWatermark(ts_col, watermark)
-            .dropDuplicates(["text_hash"]))
+            .dropDuplicatesWithinWatermark(["text_hash"]))
 
 
 def run_to_memory(stream_df: DataFrame, name: str,

@@ -118,18 +118,27 @@ def _timeout_conf(timeout_mode: str):
 
 
 def _arm_timeout(state: GroupState, timeout_mode: str,
-                 state_ttl_ms: int) -> None:
+                 state_ttl_ms: int, max_event_ms: int = 0) -> None:
     """Arm state eviction.  Processing mode: wall-clock TTL since last
     touch.  Event mode: the state dies when the WATERMARK passes
-    last-watermark + ttl — a declarative event-time bound (late data
-    beyond the watermark is already dropped by Spark before the operator,
-    and state lifetime is measured in stream time, not wall time — the
-    production late-data story, VERDICT r5 #4)."""
+    max(user's last observed event time, current watermark) + ttl — a
+    declarative event-time bound (late data beyond the watermark is
+    already dropped by Spark before the operator, and state lifetime is
+    measured in stream time, not wall time — the production late-data
+    story, VERDICT r5 #4).
+
+    The max() matters in the FIRST micro-batch, where the watermark is
+    still 0 (it only advances between batches): arming off the watermark
+    alone would give a ~1970-epoch timeout and evict the key as soon as
+    the batch-2 watermark advanced — far earlier than the documented
+    'state dies state_ttl_ms of event time after the user's last
+    update'.  ``max_event_ms`` is the running per-user max event time
+    (tracked in state), so eviction is tied to the user's last update."""
     if timeout_mode == "processing":
         state.setTimeoutDuration(state_ttl_ms)
     else:
-        state.setTimeoutTimestamp(state.getCurrentWatermarkMs()
-                                  + state_ttl_ms)
+        base = max(int(max_event_ms), state.getCurrentWatermarkMs())
+        state.setTimeoutTimestamp(base + state_ttl_ms)
 
 
 def funnel_stream(events: DataFrame, steps: list[str],
@@ -179,16 +188,19 @@ def funnel_stream(events: DataFrame, steps: list[str],
             state.remove()
             return
         st = (json.loads(state.get[0]) if state.exists
-              else {"n": 0, "bufs": [[] for _ in range(n_steps)]})
+              else {"n": 0, "mx": 0, "bufs": [[] for _ in range(n_steps)]})
         for pdf in pdfs:
             st["n"] += int(len(pdf))
             for s, t in zip(pdf["t"], pdf["e"]):
                 i = step_idx.get(s)
+                # running max over ALL events (not just funnel steps):
+                # eviction is tied to the user's last update (micros->ms)
+                st["mx"] = max(st.get("mx", 0), int(t) // 1000)
                 if i is not None:
                     st["bufs"][i].append(int(t))
         st["bufs"] = [sorted(b)[:max_buffer] for b in st["bufs"]]
         state.update((json.dumps(st),))
-        _arm_timeout(state, timeout_mode, state_ttl_ms)
+        _arm_timeout(state, timeout_mode, state_ttl_ms, st.get("mx", 0))
         yield pd.DataFrame({
             "user_id": [user_id],
             "n_events_seen": [st["n"]],
@@ -244,12 +256,22 @@ def cohort_stream(events: DataFrame, user_col: str = "user_id",
         if state.hasTimedOut:
             state.remove()
             return
-        buckets = set(json.loads(state.get[0])) if state.exists else set()
+        st = (json.loads(state.get[0]) if state.exists
+              else {"k": [], "mx": 0})
+        if isinstance(st, list):          # pre-r7 state layout (bare list)
+            st = {"k": st, "mx": 0}
+        buckets = set(st["k"])
+        mx = int(st.get("mx", 0))
         for pdf in pdfs:
             buckets.update(int(b) for b in pdf["b"])
+            if "_wm_ts" in pdf.columns and len(pdf):
+                # event mode: running max event time (ms) so eviction is
+                # tied to the user's last update, not the batch watermark
+                mx = max(mx, int(pd.Timestamp(pdf["_wm_ts"].max()).value
+                                 // 1_000_000))
         kept = sorted(buckets)[:max_buckets]
-        state.update((json.dumps(kept),))
-        _arm_timeout(state, timeout_mode, state_ttl_ms)
+        state.update((json.dumps({"k": kept, "mx": mx}),))
+        _arm_timeout(state, timeout_mode, state_ttl_ms, mx)
         cohort = kept[0]
         yield pd.DataFrame({
             "user_id": [user_id],

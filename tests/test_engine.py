@@ -477,11 +477,108 @@ def test_knn_cost_based_ann_routing(spark):
                       " $near: {$geometry: [0, 0], $lte: 6.25}}}};")
         assert [r["id"] for r in db.query_df(radius_gql).collect()] \
             == [0, 1, 2]
-        # quantizer is cached on the group and reused
-        assert ("knn_l2", "vec") in grp._ann_cache
+        # quantizer is cached on the group and reused (keyed by nlist —
+        # 200 rows clamps the auto-√n to the 64 floor)
+        assert ("knn_l2", "vec", 64) in grp._ann_cache
         # mutation invalidates the cached quantizer and the count
         grp.upsert_vertex(1000, {"vec": [1000.0, 0.0]})
         assert not grp._ann_cache
         assert grp._count_cache is None
+    finally:
+        spark.conf.set("spark.gqlite.knn.ann_threshold", "100000")
+
+
+def _line_fixture_group(spark, db_name):
+    from gqlite_spark import GQLite
+    db = GQLite(spark)
+    db.catalog.create_graph(db_name)
+    g = db.catalog.graphs[db_name]
+    grp = g.create_group("pts")
+    rows = [(i, [float(i), 0.0]) for i in range(200)]
+    grp.register_df(
+        spark.createDataFrame(rows, "id long, vec array<double>"))
+    return db, grp
+
+
+def test_knn_routed_exact_optin(spark):
+    """``exact: true`` beside $near keeps the exact TakeOrderedAndProject
+    plan even above the ann_threshold (ADVICE r6 #5: the exact→ANN flip
+    must be per-query controllable at the query surface)."""
+    db, grp = _line_fixture_group(spark, "knnrt_e")
+    spark.conf.set("spark.gqlite.knn.ann_threshold", "50")
+    try:
+        df = db.query_df(
+            "{query: 'pts', in: 'knnrt_e', where:"
+            " {vec: {limit: 3, exact: true, $near: [0, 0]}}};")
+        assert "array_min" not in df._jdf.queryExecution().toString()
+        assert [r["id"] for r in df.collect()] == [0, 1, 2]
+        # `exact: false` (bare-ident string) still routes
+        routed = db.query_df(
+            "{query: 'pts', in: 'knnrt_e', where:"
+            " {vec: {limit: 3, exact: false, $near: [0, 0]}}};")
+        assert "array_min" in routed._jdf.queryExecution().toString()
+    finally:
+        spark.conf.set("spark.gqlite.knn.ann_threshold", "100000")
+
+
+def test_knn_routed_nlist_conf_and_unfiltered_centroids(spark):
+    """nlist comes from conf (auto-√n clamped to [64, cap] otherwise) and
+    the cached quantizer is built from the UNFILTERED group: a selective
+    first query must not bias the centroids every later query reuses
+    (ADVICE r6 #3)."""
+    db, grp = _line_fixture_group(spark, "knnrt_n")
+    spark.conf.set("spark.gqlite.knn.ann_threshold", "50")
+    spark.conf.set("spark.gqlite.knn.nlist", "16")
+    # probe every list: this test is about quantizer provenance, not
+    # recall — with all lists probed the routed result is exact
+    spark.conf.set("spark.gqlite.knn.nprobe", "16")
+    try:
+        # first routed query carries a highly selective predicate
+        sel = db.query_df(
+            "{query: 'pts', in: 'knnrt_n', where: {$and: ["
+            " {id: {$gt: 150}},"
+            " {vec: {limit: 3, $near: [0, 0]}}]}};")
+        assert [r["id"] for r in sel.collect()] == [151, 152, 153]
+        cents = grp._ann_cache[("knn_l2", "vec", 16)]
+        # centroids are the 16 lowest GROUP ids, not the filtered ids
+        assert [cid for cid, _ in cents] == list(range(16))
+        # a later unfiltered query reuses the pure-function quantizer
+        full = db.query_df(
+            "{query: 'pts', in: 'knnrt_n', where:"
+            " {vec: {limit: 3, $near: [0, 0]}}};")
+        assert [r["id"] for r in full.collect()] == [0, 1, 2]
+    finally:
+        spark.conf.unset("spark.gqlite.knn.nlist")
+        spark.conf.unset("spark.gqlite.knn.nprobe")
+        spark.conf.set("spark.gqlite.knn.ann_threshold", "100000")
+
+
+def test_knn_routed_persisted_ivf_index(spark, tmp_path):
+    """When an l2-metric IVF index is attached, the routed path JOINS the
+    persisted (id, list_id) assignment (partition-pruned to the probed
+    lists) instead of evaluating the inline centroid expression — the
+    production path at nlist beyond the inline cap (VERDICT r6 next #5;
+    reference lazy index reload HNSW.cpp:358-374)."""
+    from gqlite_spark.operators.similarity import save_ivf_index
+    db, grp = _line_fixture_group(spark, "knnrt_i")
+    idx = str(tmp_path / "ivf_l2")
+    save_ivf_index(grp.to_df(), idx, nlist=8, id_col="id",
+                   vec_col="vec", metric="l2")
+    grp.attach_ivf_index("vec", idx)
+    spark.conf.set("spark.gqlite.knn.ann_threshold", "50")
+    try:
+        gql = ("{query: 'pts', in: 'knnrt_i', where:"
+               " {vec: {limit: 3, $near: [0, 0]}}};")
+        routed = db.query_df(gql)
+        plan = routed._jdf.queryExecution().toString()
+        assert "array_min" not in plan        # no inline centroid math
+        assert "list_id" in plan              # index scan in the plan
+        assert [r["id"] for r in routed.collect()] == [0, 1, 2]
+        # mutation detaches the stale index; the inline path takes over
+        grp.upsert_vertex(1000, {"vec": [1000.0, 0.0]})
+        assert not grp._ivf_attach
+        routed2 = db.query_df(gql)
+        assert "array_min" in routed2._jdf.queryExecution().toString()
+        assert [r["id"] for r in routed2.collect()] == [0, 1, 2]
     finally:
         spark.conf.set("spark.gqlite.knn.ann_threshold", "100000")

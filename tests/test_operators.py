@@ -413,6 +413,12 @@ def test_decode_media_headers_real_bytes():
     zeroed[22:24] = b"\x00\x00"                 # channels = 0
     with pytest.raises(ValueError):
         decode_media_headers(bytes(zeroed))
+    # sub-byte frames (ADVICE r6 #4): 4-bit mono -> ch * bits // 8 == 0
+    # must raise ValueError, not ZeroDivisionError
+    subbyte = bytearray(w2)                     # mono fixture
+    subbyte[34:36] = _struct.pack("<H", 4)      # bits-per-sample = 4
+    with pytest.raises(ValueError, match="frame smaller"):
+        decode_media_headers(bytes(subbyte))
     # ISO BMFF size-1 (largesize) and size-0 (to-EOF) boxes parse, not
     # silently step 8 bytes: rebuild the moov with a largesize header
     moov_payload = m[m.index(b"moov") - 4 + 8:]

@@ -525,3 +525,91 @@ def test_content_dedup_stream_matches_batch_hash_set(spark, tmp_path):
         r["text_hash"] for r in
         exact_duplicates(spark.read.parquet(d)).collect())
     assert got_hashes == batch_hashes
+
+
+def test_funnel_event_mode_state_survives_first_batch_gap(spark, tmp_path):
+    """ADVICE r6 #1 regression: in the FIRST micro-batch the watermark is
+    still 0, so arming eviction off the watermark alone gives a
+    ~1970-epoch timeout and the key dies as soon as the watermark
+    advances — long before 'state_ttl_ms of event time after the user's
+    last update'.  Fixture: user 1 completes view+click in batch 1, gets
+    NO data for two batches while other users advance the watermark past
+    1970+ttl (but not past user 1's last event + ttl), then purchases.
+    The final chain must include the batch-1 steps."""
+    import time as _time
+
+    from gqlite_spark.streaming.events import run_to_memory
+    from gqlite_spark.streaming.stateful import funnel_stream
+    schema = "user_id long, event_type string, ts_s string"
+    d0 = "2024-01-01 00:00:{:02d}"
+    batches = [
+        [(1, "view", d0.format(0)), (1, "click", d0.format(10))],
+        [(2, "view", "2024-01-02 00:00:00")],       # watermark → D0+1d
+        [(2, "view", "2024-01-03 00:00:00")],       # timeout check fires
+        [(1, "purchase", "2024-01-03 01:00:00")],   # user 1 returns
+    ]
+    d = str(tmp_path / "gap_stream")
+    for b in batches:
+        (spark.createDataFrame(b, schema)
+         .select("user_id", "event_type",
+                 F.col("ts_s").cast("timestamp").alias("ts"))
+         .coalesce(1).write.mode("append").parquet(d))
+        _time.sleep(1.1)                            # file order = batch order
+    rd_schema = spark.read.parquet(d).schema
+    stream = (spark.readStream.format("parquet").schema(rd_schema)
+              .option("maxFilesPerTrigger", 1).load(d))
+    ttl_ms = 10 * 24 * 3600 * 1000                  # 10 days of event time
+    q = run_to_memory(
+        funnel_stream(stream, ["view", "click", "purchase"],
+                      timeout_mode="event", watermark_delay="1 minute",
+                      state_ttl_ms=ttl_ms),
+        "t_funnel_gap", mode="append")
+    q.awaitTermination(120)
+    latest = {}
+    for r in spark.sql("SELECT * FROM t_funnel_gap").collect():
+        latest[r["user_id"]] = r
+    # with the bug, user 1's state was evicted at batch 3 and the late
+    # purchase rebuilt from empty → chain length 0
+    assert len(latest[1]["reach_times"]) == 3
+
+
+def test_cohort_event_mode_state_survives_first_batch_gap(spark, tmp_path):
+    """Cohort twin of the first-batch eviction regression: user 1's
+    batch-1 cohort bucket must survive a two-batch gap that advances the
+    watermark past the 1970-epoch mis-arm, so the final row keeps the
+    original cohort instead of re-basing at the late event."""
+    import time as _time
+
+    from gqlite_spark.streaming.events import run_to_memory
+    from gqlite_spark.streaming.stateful import cohort_stream
+    schema = "user_id long, ts_s string"
+    batches = [
+        [(1, "2024-01-01 00:00:00")],
+        [(2, "2024-01-02 00:00:00")],
+        [(2, "2024-01-03 00:00:00")],
+        [(1, "2024-01-03 01:00:00")],
+    ]
+    d = str(tmp_path / "gap_cohort")
+    for b in batches:
+        (spark.createDataFrame(b, schema)
+         .select("user_id", F.col("ts_s").cast("timestamp").alias("ts"))
+         .coalesce(1).write.mode("append").parquet(d))
+        _time.sleep(1.1)
+    rd_schema = spark.read.parquet(d).schema
+    stream = (spark.readStream.format("parquet").schema(rd_schema)
+              .option("maxFilesPerTrigger", 1).load(d))
+    q = run_to_memory(
+        cohort_stream(stream, timeout_mode="event",
+                      watermark_delay="1 minute",
+                      state_ttl_ms=10 * 24 * 3600 * 1000),
+        "t_cohort_gap", mode="append")
+    q.awaitTermination(120)
+    latest = {}
+    for r in spark.sql("SELECT * FROM t_cohort_gap").collect():
+        latest[r["user_id"]] = r
+    day = 86400
+    d0_bucket = latest[1]["cohort_bucket"]
+    # cohort stays based at 2024-01-01 (not re-based to the late event)
+    assert sorted(latest[1]["offsets"]) == [0, 2]
+    assert latest[2]["cohort_bucket"] == d0_bucket + 1 * 1
+    assert (latest[2]["cohort_bucket"] - d0_bucket) == 1
