@@ -333,11 +333,32 @@ class Group:
         """Register a persisted IVF index (written by
         ``operators.similarity.save_ivf_index`` with ``metric='l2'``) for
         ``attr``.  While attached, the cost-routed ``$near``+limit path
-        semi-joins the index's precomputed (id, list_id) assignment —
-        partition-pruned to the probed lists — instead of evaluating the
-        nlist-centroid distance expression per scanned row.  Any mutation
-        of the group detaches it (the assignment would be stale)."""
+        probes the index instead of scanning everything — with a
+        MATERIALIZED index (``include_vectors=True``) only the probed
+        lists' vector data is read at all.  Any mutation of the group
+        detaches it (the assignment would be stale)."""
         self._ivf_attach[attr] = path
+
+    def build_ivf_index(self, attr: str, path: str,
+                        nlist: "Optional[int]" = None) -> int:
+        """Build + attach a materialized l2 IVF index for ``attr`` in one
+        call: √n-auto nlist (``operators.similarity.auto_nlist``) unless
+        given, vectors stored in the index partitions so routed
+        ``$near``+limit queries read only the probed nprobe/nlist slice.
+        Returns the nlist used.  The index is a one-time build cost (one
+        scan + one partitioned write) amortized over every later routed
+        query — the reference's build-once/search-many HNSW lifecycle
+        (HNSW.cpp:282-328)."""
+        from .operators.similarity import auto_nlist, save_ivf_index
+        df = self.to_df()
+        if df is None:
+            raise GQLiteError(f"group '{self.meta.name}' has no data")
+        df = df.filter(F.col(attr).isNotNull())
+        n = nlist or auto_nlist(df.count())
+        save_ivf_index(df, path, nlist=n, id_col="id", vec_col=attr,
+                       metric="l2", include_vectors=True)
+        self.attach_ivf_index(attr, path)
+        return n
 
     def row_count(self) -> int:
         """Cached group cardinality (bulk + local rows; the tiny

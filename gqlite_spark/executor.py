@@ -12,7 +12,6 @@ from __future__ import annotations
 
 import base64
 import logging
-import math
 from dataclasses import dataclass, field
 from typing import Any, Optional
 
@@ -640,7 +639,8 @@ class GQLite:
         if cond is not None:
             df = df.filter(cond)
         if comp.knn:
-            df = self._apply_knn_routed(grp, df, comp.knn)
+            df = self._apply_knn_routed(grp, df, comp.knn,
+                                        pure_knn=comp.n_plain == 0)
             return StatementResult(
                 status="QUERY SUCCESS", df=df,
                 rows_fn=lambda df=df, grp=grp: self._beautify_vertices(df, grp))
@@ -657,43 +657,47 @@ class GQLite:
             status="QUERY SUCCESS", df=df,
             rows_fn=lambda df=df, grp=grp, b=beaut, o=order: b(df.orderBy(*o), grp))
 
-    # cap for the INLINE quantizer: the assignment is a per-row scalar
-    # expression with nlist centroid literals, so very large nlist blows
-    # past codegen limits and makes every scanned row pay O(nlist*dim).
-    # Above this, attach a persisted l2 IVF index (save_ivf_index +
-    # Group.attach_ivf_index) — the routed query then JOINS the
-    # precomputed assignment instead of evaluating centroids per row.
-    _KNN_INLINE_NLIST_CAP = 256
-
-    def _apply_knn_routed(self, grp, df: DataFrame, knn: dict) -> DataFrame:
-        """Cost-based ``$near``+limit routing (VERDICT r5 #3).
+    def _apply_knn_routed(self, grp, df: DataFrame, knn: dict,
+                          pure_knn: bool = True) -> DataFrame:
+        """Cost-based ``$near``+limit routing (VERDICT r5 #3, redesigned
+        r7 on measurement).
 
         Below ``spark.gqlite.knn.ann_threshold`` rows (default 100 000)
-        the exact path wins: TakeOrderedAndProject is a single
-        shuffle-free scan, and its results are bit-stable for external
-        oracles.  Above it — where a full scan per query is the 100 TB
-        anti-pattern — the scan is pruned to the query's ``nprobe`` of
-        ``nlist`` nearest inverted lists, and the SAME exact top-k runs
-        on the survivors.  Two ANN implementations:
+        — or whenever no l2-metric IVF index is attached — the exact
+        path runs: TakeOrderedAndProject is a single shuffle-free scan
+        computing ONE distance per row, and its results are bit-stable
+        for external oracles.
 
-        * **persisted index** (production): if ``attach_ivf_index``
-          registered an l2-metric inverted file for the attr, semi-join
-          its precomputed (id, list_id) assignment, partition-pruned to
-          the probed lists — no per-row centroid math at any nlist.
-        * **inline quantizer** (default): centroids built once from the
-          UNFILTERED group (a pure function of group contents — query
-          predicates must not leak into the cached quantizer) and cached
-          until mutation; assignment is a scalar filter expression.
-          ``nlist`` auto-scales √n-style, clamped to
-          [64, ``_KNN_INLINE_NLIST_CAP``] so the probed fraction shrinks
-          as the corpus grows, until the persisted index takes over.
+        Above the threshold WITH an attached index
+        (``Group.attach_ivf_index``; built by ``save_ivf_index(metric=
+        'l2')``), the query probes its ``nprobe`` nearest inverted
+        lists:
+
+        * **materialized index** (``include_vectors=True`` — the
+          production form): top-k runs directly on the partition-pruned
+          index parquet, so only ~nprobe/nlist of the vector data is
+          READ; the k winners broadcast-join back to the group for the
+          full rows.  Requires the query to carry no non-$near
+          predicates (``pure_knn``) — otherwise the id semi-join form
+          below applies them first.
+        * **id-only index**: semi-join the pruned (id, list_id)
+          assignment against the (predicate-filtered) corpus, then
+          exact top-k.  Bounds top-k input, not the scan.
+
+        An earlier design also offered an INLINE quantizer (a per-row
+        nlist-centroid argmin filter expression) as the no-index
+        fallback.  Measured at 1 M × 64d it is a 100× LOSS — exact scan
+        1.0 s vs 124 s routed (tools/scale_probe.py --r7): the
+        assignment evaluates nlist distances per scanned row to save
+        only the top-k heap, and it cannot prune I/O.  ANN that does
+        not change what is READ is slower than exact, so without an
+        index the router now stays exact and logs the hint.
 
         Conf: ``spark.gqlite.knn.ann_threshold`` (-1 forces exact),
-        ``spark.gqlite.knn.nlist`` (0 = auto √n),
         ``spark.gqlite.knn.nprobe`` (default 8).  Per-query opt-out:
-        ``exact: true`` beside ``$near`` keeps the exact plan at any
-        size.  Routing to ANN is logged (the semantics flip from exact
-        to approximate is otherwise invisible at the query surface)."""
+        ``exact: true`` beside ``$near``.  Routing to ANN is logged
+        (the semantics flip from exact to approximate is otherwise
+        invisible at the query surface)."""
         from .operators import similarity as S
         spark = df.sparkSession
 
@@ -708,58 +712,53 @@ class GQLite:
                 or grp.row_count() <= threshold:
             return apply_knn(df, knn)
         attr = knn["attr"]
-        nprobe = max(1, _iconf("spark.gqlite.knn.nprobe", 8))
-        base = df.filter(F.col(attr).isNotNull())
         log = logging.getLogger("gqlite_spark.knn")
 
-        # persisted-index path: reuse the l2 inverted file when attached
         idx_path = grp._ivf_attach.get(attr)
-        if idx_path is not None:
-            cached = grp._ann_cache.get(("knn_ivf_idx", attr))
-            if cached is None or cached[2] != idx_path:
-                index, params = S.load_ivf_index(spark, idx_path)
-                cached = (index, params, idx_path)
-                grp._ann_cache[("knn_ivf_idx", attr)] = cached
-            index, params, _ = cached
-            if params.get("metric", "ip") == "l2":
-                log.warning(
-                    "$near+limit on %r routed to ANN (persisted IVF "
-                    "index, nlist=%s nprobe=%d); add 'exact: true' to "
-                    "the $near spec to force the exact plan",
-                    attr, params.get("nlist"), nprobe)
-                probe = S.l2_probe_lists(knn["geometry"],
-                                         params["centroids"], nprobe)
-                cand_ids = (index.where(F.col("list_id").isin(probe))
-                            .select("id"))
-                return apply_knn(base.join(cand_ids, "id"), knn)
-            log.warning(
-                "attached IVF index for %r has metric=%r (need 'l2' for "
-                "$near routing) — falling back to the inline quantizer",
-                attr, params.get("metric", "ip"))
+        if idx_path is None:
+            log.info(
+                "$near+limit on %r: %d rows exceed the ann_threshold "
+                "but no l2 IVF index is attached — running the exact "
+                "scan (build one with save_ivf_index(metric='l2', "
+                "include_vectors=True) + attach_ivf_index to prune "
+                "the read)", attr, grp.row_count())
+            return apply_knn(df, knn)
 
-        # inline-quantizer path
-        nlist = _iconf("spark.gqlite.knn.nlist", 0)
-        if nlist <= 0:
-            nlist = min(self._KNN_INLINE_NLIST_CAP,
-                        max(64, math.isqrt(grp.row_count())))
+        cached = grp._ann_cache.get(("knn_ivf_idx", attr))
+        if cached is None or cached[2] != idx_path:
+            index, params = S.load_ivf_index(spark, idx_path)
+            cached = (index, params, idx_path)
+            grp._ann_cache[("knn_ivf_idx", attr)] = cached
+        index, params, _ = cached
+        if params.get("metric", "ip") != "l2":
+            log.warning(
+                "attached IVF index for %r has metric=%r (need 'l2' "
+                "for $near routing) — running the exact scan",
+                attr, params.get("metric", "ip"))
+            return apply_knn(df, knn)
+
+        nprobe = max(1, _iconf("spark.gqlite.knn.nprobe", 8))
+        probe = S.l2_probe_lists(knn["geometry"], params["centroids"],
+                                 nprobe)
+        pruned = index.where(F.col("list_id").isin(probe))
+        materialized = params.get("include_vectors") and pure_knn
         log.warning(
-            "$near+limit on %r routed to ANN (inline quantizer, "
-            "nlist=%d nprobe=%d, ~%.1f%% of the corpus scanned); add "
-            "'exact: true' to the $near spec to force the exact plan",
-            attr, nlist, nprobe, 100.0 * min(1.0, nprobe / nlist))
-        cache_key = ("knn_l2", attr, nlist)
-        cents = grp._ann_cache.get(cache_key)
-        if cents is None:
-            # centroids from the UNFILTERED group (attr non-null only):
-            # a pure function of group contents, so routed results are
-            # independent of which query happened to run first
-            full = grp.to_df().filter(F.col(attr).isNotNull())
-            cents = S.ivf_centroids(full, nlist=nlist, id_col="id",
-                                    vec_col=attr)
-            grp._ann_cache[cache_key] = cents
-        cand = S.knn_probe_filter(base, knn["geometry"], cents,
-                                  nprobe=nprobe, vec_col=attr)
-        return apply_knn(cand, knn)
+            "$near+limit on %r routed to ANN (persisted IVF index, "
+            "nlist=%s nprobe=%d, %s); add 'exact: true' to the $near "
+            "spec to force the exact plan",
+            attr, params.get("nlist"), nprobe,
+            "partition-pruned read" if materialized
+            else "id semi-join")
+        if materialized:
+            # top-k over the pruned index partitions (reads only the
+            # probed lists' vectors), then recover the k full rows and
+            # re-establish distance order — k rows, broadcast join
+            top = apply_knn(
+                pruned.select("id", F.col("_vec").alias(attr)), knn)
+            return apply_knn(
+                df.join(F.broadcast(top.select("id")), "id"), knn)
+        base = df.filter(F.col(attr).isNotNull())
+        return apply_knn(base.join(pruned.select("id"), "id"), knn)
 
     def _target_group(self, target: Any) -> tuple[str, Optional[list[str]]]:
         if isinstance(target, str):

@@ -331,18 +331,24 @@ def _ivf_list_expr(centroids: list[tuple], vec_col: str):
 
 def _ivf_list_l2_sql(centroids: list[tuple], vec_col: str) -> str:
     """SQL text: list id = cid of the MIN squared-L2 centroid (ties →
-    first, i.e. smallest cid — centroids are cid-sorted).  The L2 twin
-    of :func:`_ivf_list_expr`'s max-inner-product assignment, for
-    geometry ($near) routing where distance, not angle, is the metric."""
-    d2s = "array(" + ", ".join(
+    smallest cid — struct ordering on (d2, cid) breaks ties exactly like
+    first-position-of-min over cid-sorted centroids).  The L2 twin of
+    :func:`_ivf_list_expr`'s max-inner-product assignment, for geometry
+    ($near) routing where distance, not angle, is the metric.
+
+    Shape: ``array_min`` over per-centroid (d2, cid) structs — each
+    centroid's distance fold appears ONCE in the expression tree (an
+    ``array_position(d2s, array_min(d2s))`` form would inline every
+    fold twice, doubling analysis/codegen cost at large nlist)."""
+    structs = ", ".join(
+        "named_struct('d', "
         f"aggregate(zip_with(cast({vec_col} as array<double>), "
         "array(" + ", ".join(_f17(x) for x in cv) + "), "
         "(a, b) -> (a - b) * (a - b)), "
-        "cast(0.0 as double), (acc, x) -> acc + x)"
-        for _, cv in centroids) + ")"
-    cids = "array(" + ", ".join(str(int(cid)) for cid, _ in centroids) + ")"
-    return (f"element_at({cids}, "
-            f"cast(array_position({d2s}, array_min({d2s})) as int))")
+        "cast(0.0 as double), (acc, x) -> acc + x), "
+        f"'c', {int(cid)}L)"
+        for cid, cv in centroids)
+    return f"array_min(array({structs})).c"
 
 
 def l2_probe_lists(query_vec: list[float], centroids: list[tuple],
@@ -362,9 +368,15 @@ def knn_probe_filter(df: DataFrame, query_vec: list[float],
     """Prune a corpus to the query's ``nprobe`` nearest inverted lists by
     squared L2 — a pure scalar filter expression over the scan (centroid
     literals inlined, zero shuffle), keeping EVERY column so an exact
-    top-k can run downstream.  The ANN fast path for GQL ``$near``+limit
-    above the cost threshold: the exact TakeOrderedAndProject then scans
-    ~nprobe/nlist of the corpus instead of all of it."""
+    top-k can run downstream.
+
+    NOTE (r7 measurement): this bounds what flows DOWNSTREAM, not what
+    is READ or COMPUTED per row — the filter itself evaluates nlist
+    centroid distances per scanned row, so for plain top-k it is
+    strictly slower than the exact scan (1 M × 64d: exact 1.0 s vs
+    124 s through this filter).  The GQL ``$near`` router therefore no
+    longer uses it; it remains for pipelines whose downstream per-row
+    work dwarfs the assignment (e.g. a heavy re-rank UDF)."""
     probe = l2_probe_lists(query_vec, centroids, nprobe)
     return df.filter(
         F.expr(_ivf_list_l2_sql(centroids, vec_col)).isin(probe))
@@ -381,11 +393,65 @@ def _ivf_assign_expr(centroids: list[tuple], vec_col: str, metric: str):
     raise ValueError(f"ivf metric must be 'ip' or 'l2', got {metric!r}")
 
 
+# expression-based assignment inlines nlist × dim literals and evaluates
+# nlist folds per row — bit-exact and oracle-replayable, but both the
+# analysis cost and the per-row work grow with nlist.  Above this, the
+# Arrow-batched matmul path wins by orders of magnitude (measured at
+# 1 M × 64d, nlist=1000: expression build >10 min vs ~seconds BLAS).
+IVF_ASSIGN_EXPR_MAX_NLIST = 128
+
+
+def _ivf_assign_pandas(df: DataFrame, centroids: list[tuple],
+                       id_col: str, vec_col: str,
+                       metric: str) -> DataFrame:
+    """Vectorized inverted-file assignment: one Arrow-batched pandas UDF
+    doing a (batch × dim) @ (dim × nlist) matmul + argmin/argmax per
+    batch — the legitimate UDF case (a per-row nlist-way comparison has
+    no efficient built-in form at large nlist).  Tie-break matches the
+    expression path (first index = smallest cid; centroids cid-sorted);
+    borderline FLOAT ties may resolve differently than the in-order SQL
+    fold (BLAS sums in a different order), which is why oracle-replayed
+    paths pin nlist ≤ IVF_ASSIGN_EXPR_MAX_NLIST."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    C = np.array([cv for _, cv in centroids], dtype=np.float64)
+    cids = np.array([int(cid) for cid, _ in centroids], dtype=np.int64)
+    c_norms = (C * C).sum(axis=1)
+    ip = metric == "ip"
+
+    def _assign(v):
+        M = np.array(v.tolist(), dtype=np.float64)
+        dots = M @ C.T
+        if ip:
+            idx = np.argmax(dots, axis=1)
+        else:
+            idx = np.argmin(-2.0 * dots + c_norms, axis=1)
+        return pd.Series(cids[idx])
+
+    # real class objects, not strings: this module's `from __future__
+    # import annotations` would otherwise leave pyspark unable to
+    # resolve the Series hints (pandas is imported lazily here)
+    _assign.__annotations__ = {"v": pd.Series, "return": pd.Series}
+    assign = pandas_udf(_assign, "long")
+
+    return df.select(F.col(id_col).alias("id"),
+                     assign(F.col(vec_col).cast("array<double>"))
+                     .alias("list_id"))
+
+
 def ivf_assign(df: DataFrame, centroids: list[tuple],
                id_col: str = "vec_id", vec_col: str = "embedding",
                metric: str = "ip") -> DataFrame:
-    """(id, list_id) inverted-file assignment — a pure scalar expression
-    over the scan (centroid literals inlined), zero shuffle."""
+    """(id, list_id) inverted-file assignment, zero shuffle.  Small
+    nlist: a pure scalar expression over the scan (centroid literals
+    inlined, bit-exact for SQL oracles).  Large nlist (>
+    ``IVF_ASSIGN_EXPR_MAX_NLIST``): Arrow-batched numpy matmul — the
+    expression form's analysis + per-row cost grows linearly with nlist
+    while one BLAS matmul per batch stays flat."""
+    if len(centroids) > IVF_ASSIGN_EXPR_MAX_NLIST:
+        return _ivf_assign_pandas(df, centroids, id_col, vec_col, metric)
     return df.select(F.col(id_col).alias("id"),
                      _ivf_assign_expr(centroids, vec_col, metric)
                      .alias("list_id"))
@@ -419,19 +485,36 @@ def ivf_topk(df: DataFrame, query_vec: list[float], centroids: list[tuple],
                        id_col, vec_col)
 
 
+def auto_nlist(n: int) -> int:
+    """Inverted-list count for an ``n``-vector corpus when the caller
+    didn't choose one: √n clamped to [16, 65536] — the standard IVF
+    sizing (keeps both the centroid table and the per-list size √n)."""
+    import math
+    return min(65536, max(16, math.isqrt(max(1, n))))
+
+
 def save_ivf_index(df: DataFrame, path: str, nlist: int = 16,
                    refine_iters: int = 0, id_col: str = "vec_id",
-                   vec_col: str = "embedding", metric: str = "ip") -> None:
+                   vec_col: str = "embedding", metric: str = "ip",
+                   include_vectors: bool = False) -> None:
     """Persist the inverted file: (id, list_id) parquet partitioned by
     list_id (probe reads only its partitions) + centroid sidecar.  Same
     index-persistence contract as save_ann_index.
 
     ``metric='l2'`` assigns by min squared L2 instead of max inner
     product — the index form the cost-routed GQL ``$near``+limit path
-    consumes (``Group.attach_ivf_index``): at scale the routed query
-    joins this precomputed assignment instead of evaluating nlist
-    centroid distances per scanned row.  Lloyd refinement currently
-    assigns by inner product, so ``refine_iters`` requires 'ip'."""
+    consumes (``Group.attach_ivf_index``).  Lloyd refinement currently
+    assigns by inner product, so ``refine_iters`` requires 'ip'.
+
+    ``include_vectors=True`` MATERIALIZES the vector column into the
+    index partitions (a FAISS-style inverted file holding the data, not
+    just ids).  This is what makes ANN routing actually faster at
+    scale: a probed query then READS only nprobe/nlist of the vector
+    data via partition pruning.  An id-only index can only semi-join
+    the corpus — the full corpus scan still happens, it just skips the
+    top-k for unprobed rows (measured at 1 M × 64d: exact full scan
+    1.0 s; id-only routing saves nothing; per-row inline centroid
+    assignment COSTS 124 s — tools/scale_probe.py --r7, PLANS.md)."""
     import json
     import os
     if metric == "l2" and refine_iters:
@@ -440,12 +523,16 @@ def save_ivf_index(df: DataFrame, path: str, nlist: int = 16,
     cents = ivf_centroids(df, nlist, id_col, vec_col)
     if refine_iters:
         cents = lloyd_refine(df, cents, refine_iters, id_col, vec_col)
-    (ivf_assign(df, cents, id_col, vec_col, metric)
-     .write.mode("overwrite").partitionBy("list_id")
+    assigned = ivf_assign(df, cents, id_col, vec_col, metric)
+    if include_vectors:
+        assigned = assigned.join(
+            df.select(F.col(id_col).alias("id"),
+                      F.col(vec_col).alias("_vec")), "id")
+    (assigned.write.mode("overwrite").partitionBy("list_id")
      .parquet(os.path.join(path, "ivf.parquet")))
     with open(os.path.join(path, "ivf_params.json"), "w") as f:
         json.dump({"nlist": nlist, "id_col": id_col, "vec_col": vec_col,
-                   "metric": metric,
+                   "metric": metric, "include_vectors": include_vectors,
                    "centroids": [[cid, cv] for cid, cv in cents]}, f)
 
 

@@ -74,6 +74,10 @@ class PredicateCompiler:
         self.meta = meta
         self.id_col = id_col
         self.knn: Optional[dict] = None   # set when a kNN (near+limit) is seen
+        # count of non-$near filter conjuncts: when 0 alongside a knn, the
+        # routed path may run top-k directly on a materialized IVF index
+        # (no corpus-side predicates to apply first)
+        self.n_plain = 0
 
     def compile(self, pred: Optional[Pred]) -> Optional[Column]:
         if pred is None:
@@ -88,13 +92,17 @@ class PredicateCompiler:
             return functools.reduce(operator.or_,
                                     (self._compile(c) for c in p.children))
         if p.op == "exists":
+            self.n_plain += 1
             return F.col(p.attr).isNotNull()
         if p.op == "eq" and p.attr == "id":
+            self.n_plain += 1
             return F.col(self.id_col) == F.lit(key_literal(self.meta, p.value))
         if p.op == "in":
+            self.n_plain += 1
             vals = [_lit_for(self.meta, p.attr, v) for v in p.value]
             return F.col(p.attr).isin(vals)
         if p.op in _CMP:
+            self.n_plain += 1
             value = p.value
             if isinstance(value, Lambda):
                 value = constant_fold(value)

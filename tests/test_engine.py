@@ -442,13 +442,17 @@ def test_bulk_group_keyed_range_read_pushdown(db, spark, tmp_path):
     assert "GreaterThan(id,990)" in plan, plan
 
 
-def test_knn_cost_based_ann_routing(spark):
-    """$near+limit routing (VERDICT r5 #3): below the ann_threshold conf
-    the plan is the exact full-scan TakeOrderedAndProject; above it the
-    group's cached L2 coarse quantizer prunes the scan to the probed
-    inverted lists (a scalar filter — visible as array_min in the plan)
-    before the SAME exact top-k.  On this line fixture the true top-k
-    lives inside the probed lists, so the routed result is identical."""
+def test_knn_cost_based_ann_routing(spark, tmp_path):
+    """$near+limit routing (VERDICT r5 #3; redesigned r7 on the 1M-vector
+    measurement — exact scan 1.0s vs inline-quantizer 124s): below the
+    ann_threshold conf — or above it with NO index attached — the plan
+    is the exact full-scan TakeOrderedAndProject (ANN that cannot prune
+    the READ is slower than exact).  With a materialized l2 IVF index
+    attached, the routed plan top-ks the partition-pruned index and
+    broadcast-joins the k winners back.  On this line fixture the true
+    top-k provably lies in the probed lists (query at the origin, lists
+    ordered along the line), so the routed result is identical to
+    exact."""
     from gqlite_spark import GQLite
     db = GQLite(spark)
     db.catalog.create_graph("knnrt")
@@ -461,15 +465,24 @@ def test_knn_cost_based_ann_routing(spark):
     gql = ("{query: 'pts', in: 'knnrt',"
            " where: {vec: {limit: 3, $near: [0, 0]}}};")
     exact = db.query_df(gql)
-    assert "array_min" not in exact._jdf.queryExecution().toString()
+    assert "list_id" not in exact._jdf.queryExecution().toString()
     exact_ids = [r["id"] for r in exact.collect()]
     assert exact_ids == [0, 1, 2]
 
     spark.conf.set("spark.gqlite.knn.ann_threshold", "50")
     try:
+        # above threshold but NO index: stays exact (no index scan)
+        noidx = db.query_df(gql)
+        assert "list_id" not in noidx._jdf.queryExecution().toString()
+        assert [r["id"] for r in noidx.collect()] == exact_ids
+
+        # build+attach a materialized index: routed via partition-pruned
+        # index top-k + broadcast id join
+        nlist = grp.build_ivf_index("vec", str(tmp_path / "ivf"))
+        assert nlist == 16      # auto_nlist floor at 200 vectors
         routed = db.query_df(gql)
         plan = routed._jdf.queryExecution().toString()
-        assert "array_min" in plan            # probe filter in the plan
+        assert "list_id" in plan
         assert [r["id"] for r in routed.collect()] == exact_ids
         # radius + limit composes with the routed path (the exact top-k
         # downstream still applies the squared-distance cut)
@@ -477,13 +490,16 @@ def test_knn_cost_based_ann_routing(spark):
                       " $near: {$geometry: [0, 0], $lte: 6.25}}}};")
         assert [r["id"] for r in db.query_df(radius_gql).collect()] \
             == [0, 1, 2]
-        # quantizer is cached on the group and reused (keyed by nlist —
-        # 200 rows clamps the auto-√n to the 64 floor)
-        assert ("knn_l2", "vec", 64) in grp._ann_cache
-        # mutation invalidates the cached quantizer and the count
+        # the loaded index is cached on the group
+        assert ("knn_ivf_idx", "vec") in grp._ann_cache
+        # mutation detaches the stale index and drops the caches —
+        # queries fall back to exact
         grp.upsert_vertex(1000, {"vec": [1000.0, 0.0]})
-        assert not grp._ann_cache
+        assert not grp._ann_cache and not grp._ivf_attach
         assert grp._count_cache is None
+        back = db.query_df(gql)
+        assert "list_id" not in back._jdf.queryExecution().toString()
+        assert [r["id"] for r in back.collect()] == exact_ids
     finally:
         spark.conf.set("spark.gqlite.knn.ann_threshold", "100000")
 
@@ -500,65 +516,61 @@ def _line_fixture_group(spark, db_name):
     return db, grp
 
 
-def test_knn_routed_exact_optin(spark):
+def test_knn_routed_exact_optin(spark, tmp_path):
     """``exact: true`` beside $near keeps the exact TakeOrderedAndProject
-    plan even above the ann_threshold (ADVICE r6 #5: the exact→ANN flip
-    must be per-query controllable at the query surface)."""
+    plan even above the ann_threshold with an index attached (ADVICE r6
+    #5: the exact→ANN flip must be per-query controllable at the query
+    surface)."""
     db, grp = _line_fixture_group(spark, "knnrt_e")
+    grp.build_ivf_index("vec", str(tmp_path / "ivf_e"))
     spark.conf.set("spark.gqlite.knn.ann_threshold", "50")
     try:
         df = db.query_df(
             "{query: 'pts', in: 'knnrt_e', where:"
             " {vec: {limit: 3, exact: true, $near: [0, 0]}}};")
-        assert "array_min" not in df._jdf.queryExecution().toString()
+        assert "list_id" not in df._jdf.queryExecution().toString()
         assert [r["id"] for r in df.collect()] == [0, 1, 2]
         # `exact: false` (bare-ident string) still routes
         routed = db.query_df(
             "{query: 'pts', in: 'knnrt_e', where:"
             " {vec: {limit: 3, exact: false, $near: [0, 0]}}};")
-        assert "array_min" in routed._jdf.queryExecution().toString()
+        assert "list_id" in routed._jdf.queryExecution().toString()
     finally:
         spark.conf.set("spark.gqlite.knn.ann_threshold", "100000")
 
 
-def test_knn_routed_nlist_conf_and_unfiltered_centroids(spark):
-    """nlist comes from conf (auto-√n clamped to [64, cap] otherwise) and
-    the cached quantizer is built from the UNFILTERED group: a selective
-    first query must not bias the centroids every later query reuses
-    (ADVICE r6 #3)."""
-    db, grp = _line_fixture_group(spark, "knnrt_n")
+def test_knn_routed_predicates_force_semijoin_path(spark, tmp_path):
+    """A non-$near predicate beside the kNN disables the index-only fast
+    path (predicates must filter the corpus BEFORE top-k): the routed
+    plan semi-joins the pruned index ids against the filtered corpus
+    instead, and results honor the predicate."""
+    db, grp = _line_fixture_group(spark, "knnrt_p")
+    grp.build_ivf_index("vec", str(tmp_path / "ivf_p"))
     spark.conf.set("spark.gqlite.knn.ann_threshold", "50")
-    spark.conf.set("spark.gqlite.knn.nlist", "16")
-    # probe every list: this test is about quantizer provenance, not
-    # recall — with all lists probed the routed result is exact
-    spark.conf.set("spark.gqlite.knn.nprobe", "16")
+    spark.conf.set("spark.gqlite.knn.nprobe", "16")   # probe all lists
     try:
-        # first routed query carries a highly selective predicate
         sel = db.query_df(
-            "{query: 'pts', in: 'knnrt_n', where: {$and: ["
+            "{query: 'pts', in: 'knnrt_p', where: {$and: ["
             " {id: {$gt: 150}},"
             " {vec: {limit: 3, $near: [0, 0]}}]}};")
         assert [r["id"] for r in sel.collect()] == [151, 152, 153]
-        cents = grp._ann_cache[("knn_l2", "vec", 16)]
-        # centroids are the 16 lowest GROUP ids, not the filtered ids
-        assert [cid for cid, _ in cents] == list(range(16))
-        # a later unfiltered query reuses the pure-function quantizer
-        full = db.query_df(
-            "{query: 'pts', in: 'knnrt_n', where:"
+        # pure-knn query on the same group still takes the fast path:
+        # top-k directly over the pruned index + broadcast id join
+        pure = db.query_df(
+            "{query: 'pts', in: 'knnrt_p', where:"
             " {vec: {limit: 3, $near: [0, 0]}}};")
-        assert [r["id"] for r in full.collect()] == [0, 1, 2]
+        assert "_vec" in pure._jdf.queryExecution().toString()
+        assert [r["id"] for r in pure.collect()] == [0, 1, 2]
     finally:
-        spark.conf.unset("spark.gqlite.knn.nlist")
         spark.conf.unset("spark.gqlite.knn.nprobe")
         spark.conf.set("spark.gqlite.knn.ann_threshold", "100000")
 
 
-def test_knn_routed_persisted_ivf_index(spark, tmp_path):
-    """When an l2-metric IVF index is attached, the routed path JOINS the
-    persisted (id, list_id) assignment (partition-pruned to the probed
-    lists) instead of evaluating the inline centroid expression — the
-    production path at nlist beyond the inline cap (VERDICT r6 next #5;
-    reference lazy index reload HNSW.cpp:358-374)."""
+def test_knn_routed_idonly_ivf_index(spark, tmp_path):
+    """An id-only (non-materialized) l2 index still routes via the
+    (id, list_id) semi-join — bounds top-k input, never reads vectors
+    from the index (VERDICT r6 next #5; reference lazy index reload
+    HNSW.cpp:358-374)."""
     from gqlite_spark.operators.similarity import save_ivf_index
     db, grp = _line_fixture_group(spark, "knnrt_i")
     idx = str(tmp_path / "ivf_l2")
@@ -571,14 +583,14 @@ def test_knn_routed_persisted_ivf_index(spark, tmp_path):
                " {vec: {limit: 3, $near: [0, 0]}}};")
         routed = db.query_df(gql)
         plan = routed._jdf.queryExecution().toString()
-        assert "array_min" not in plan        # no inline centroid math
         assert "list_id" in plan              # index scan in the plan
+        assert "_vec" not in plan             # no vectors in this index
         assert [r["id"] for r in routed.collect()] == [0, 1, 2]
-        # mutation detaches the stale index; the inline path takes over
+        # mutation detaches the stale index; exact path takes over
         grp.upsert_vertex(1000, {"vec": [1000.0, 0.0]})
         assert not grp._ivf_attach
         routed2 = db.query_df(gql)
-        assert "array_min" in routed2._jdf.queryExecution().toString()
+        assert "list_id" not in routed2._jdf.queryExecution().toString()
         assert [r["id"] for r in routed2.collect()] == [0, 1, 2]
     finally:
         spark.conf.set("spark.gqlite.knn.ann_threshold", "100000")

@@ -267,8 +267,9 @@ def test_all_sources_guard_auto_landmarks(spark):
     with _w.catch_warnings(record=True) as rec:
         _w.simplefilter("always")
         auto = closeness_centrality(e, auto_landmark_threshold=20,
-                                    n_landmarks=3).collect()
-    assert any("auto-selected 3 deterministic md5-ordered landmark" in
+                                    n_landmarks=3,
+                                    landmark_mode="md5").collect()
+    assert any("auto-selected 3 deterministic md5-mode landmark" in
                str(w.message) for w in rec)
     assert len(auto) == 3                     # one row per landmark source
     expected = [r["id"] for r in
@@ -693,3 +694,39 @@ def test_connected_components_twophase_fixed_rounds(spark):
     assert set(got.values()) == {"n00"} and len(got) == 40
     # exactly ONE collect: the final result materialization above
     assert len(calls) == 1
+
+
+def test_landmark_mode_degree_covers_hubs(spark):
+    """Degree-mode landmark selection (r7): half top-degree ∪ half md5
+    sample, deterministic.  On a star-ish fixture the hub MUST be in the
+    closeness output (uniform sampling misses it with high probability —
+    measured 0/50 head coverage on the 20k PA fixture), and betweenness
+    keeps the md5 default (see probe numbers in PLANS.md)."""
+    import warnings
+
+    from gqlite_spark.operators.graph_algos import (_guard_all_sources,
+                                                    closeness_centrality)
+    # hub 0 connects to everyone; plus a sparse ring
+    edges = ([(0, i) for i in range(1, 120)]
+             + [(i, i + 1) for i in range(1, 119)])
+    e = spark.createDataFrame(edges, "src long, dst long")
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore")
+        picked = _guard_all_sources(e, None, "t", 100, 16,
+                                    landmark_mode="degree")
+        picked2 = _guard_all_sources(e, None, "t", 100, 16,
+                                     landmark_mode="degree")
+    assert picked == picked2                  # deterministic
+    assert 0 in picked[:8]                    # hub in the top-degree half
+    assert len(picked) == len(set(picked)) == 16
+    with pytest.raises(ValueError):
+        _guard_all_sources(e, None, "t", 100, 16, landmark_mode="bogus")
+    # default closeness landmark mode reports the hub's (exact) closeness
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore")
+        rows = {r["id"]: r["closeness"]
+                for r in closeness_centrality(
+                    e, auto_landmark_threshold=100, n_landmarks=16)
+                .collect()}
+    assert 0 in rows
+    assert rows[0] == max(rows.values())      # the hub tops the sample

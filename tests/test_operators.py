@@ -594,6 +594,32 @@ def test_ivf_assignment_is_true_argmax(spark):
         assert got[i] == best, i
 
 
+def test_ivf_assign_vectorized_matches_expression(spark):
+    """Above IVF_ASSIGN_EXPR_MAX_NLIST the assignment switches to the
+    Arrow-batched numpy matmul; on non-borderline data it must agree
+    exactly with the expression path (same argmin/argmax, same smallest-
+    cid tie-break by construction)."""
+    import math
+    from gqlite_spark.operators.similarity import (_ivf_assign_pandas,
+                                                   ivf_assign,
+                                                   ivf_centroids)
+    vecs = [(i, [math.cos(i / 9), math.sin(i / 9), float(i % 7)])
+            for i in range(300)]
+    df = spark.createDataFrame(vecs, "vec_id long, embedding array<double>")
+    for metric in ("ip", "l2"):
+        cents = ivf_centroids(df, nlist=12)
+        expr = {r["id"]: r["list_id"]
+                for r in ivf_assign(df, cents, metric=metric).collect()}
+        vect = {r["id"]: r["list_id"]
+                for r in _ivf_assign_pandas(df, cents, "vec_id",
+                                            "embedding", metric).collect()}
+        assert expr == vect, metric
+    # the auto-switch engages past the expression cap
+    big_cents = [(i, [float(i), 0.0, 0.0]) for i in range(200)]
+    plan = ivf_assign(df, big_cents)._jdf.queryExecution().toString()
+    assert "pythonUDF" in plan or "ArrowEvalPython" in plan
+
+
 def test_ivf_topk_finds_near_neighbor(spark):
     import math
     from gqlite_spark.operators.similarity import ivf_centroids, ivf_topk

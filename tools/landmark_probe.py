@@ -46,6 +46,32 @@ def pseudo_edges(n: int, m: int, seed: int = 7) -> list[tuple[int, int]]:
     return out
 
 
+def pa_edges(n: int, m_per: int = 4, seed: int = 11) -> list[tuple[int, int]]:
+    """Deterministic preferential-attachment (Barabási–Albert-style)
+    generator: each new vertex attaches ``m_per`` times to the endpoint
+    of an LCG-chosen existing edge stub — picking a uniform stub IS
+    degree-proportional sampling, so the degree sequence is power-law
+    (hubs), the regime where uniform landmark sampling under-covers the
+    head of the betweenness distribution."""
+    x = seed
+
+    def rnd(mod: int) -> int:
+        nonlocal x
+        x = (1103515245 * x + 12345) % (2 ** 31)
+        return x % mod
+
+    edges = [(0, 1), (1, 2), (2, 0)]
+    stubs = [0, 1, 1, 2, 2, 0]
+    for v in range(3, n):
+        for _ in range(m_per):
+            u = stubs[rnd(len(stubs))]
+            if u != v:
+                edges.append((v, u))
+                stubs.append(v)
+                stubs.append(u)
+    return edges
+
+
 def adjacency(edges):
     adj: dict = {}
     for a, b in edges:
@@ -160,9 +186,11 @@ def probe(spark, n: int, m: int, reference: str) -> dict:
     with warnings.catch_warnings():
         warnings.simplefilter("ignore")
         close_lm = {r["id"]: r["closeness"] for r in closeness_centrality(
-            e, auto_landmark_threshold=100, n_landmarks=64).collect()}
+            e, auto_landmark_threshold=100, n_landmarks=64,
+            landmark_mode="md5").collect()}
         bw_lm = {r["id"]: r["betweenness"] for r in betweenness_centrality(
-            e, auto_landmark_threshold=100, n_landmarks=64).collect()}
+            e, auto_landmark_threshold=100, n_landmarks=64,
+            landmark_mode="md5").collect()}
 
     # closeness: landmark values must be EXACT for the sampled vertices
     close_exact_lm = closeness_exact(adj, landmarks)
@@ -187,9 +215,62 @@ def probe(spark, n: int, m: int, reference: str) -> dict:
     return out
 
 
+def probe_pa(spark, n: int = 20_000) -> dict:
+    """Hub-graph landmark fidelity (VERDICT r6 next #4): on a power-law
+    preferential-attachment fixture, score the √n auto-landmark default
+    under BOTH selection modes — uniform md5 vs degree∪md5 mix — against
+    a 512-source Brandes reference.  The number that matters is head
+    fidelity (top-50 overlap): hubs carry most shortest paths, and a
+    uniform sample that misses them misranks the head."""
+    import warnings
+
+    from gqlite_spark.operators.graph_algos import (_auto_landmark_count,
+                                                    betweenness_centrality)
+    edges = pa_edges(n)
+    adj = adjacency(edges)
+    e = spark.createDataFrame(edges, "src long, dst long")
+    n_lm = _auto_landmark_count(len(adj))
+    bw_ref = brandes(adj, md5_landmarks(spark, adj, 512))
+
+    out = {"n": len(adj), "m": len(edges), "fixture": "pref-attach",
+           "n_landmarks": n_lm, "reference": "brandes-512src"}
+    for mode in ("md5", "degree"):
+        with warnings.catch_warnings():
+            warnings.simplefilter("ignore")
+            bw = {r["id"]: r["betweenness"] for r in betweenness_centrality(
+                e, auto_landmark_threshold=100, landmark_mode=mode)
+                .collect()}
+        out[f"betweenness_spearman_{mode}"] = round(spearman(bw, bw_ref), 4)
+        out[f"betweenness_top50_overlap_{mode}"] = round(
+            top_overlap(bw, bw_ref, 50), 4)
+
+    # closeness HEAD COVERAGE: landmark closeness reports exact values
+    # for the SAMPLED vertices only, so the question is whether the true
+    # top-closeness vertices (≈ the hubs) are in the sample at all.
+    # Ground-truth head: exact BFS closeness over the top-500-degree
+    # vertices (on a PA graph the closeness head lives there).
+    from gqlite_spark.operators.graph_algos import _guard_all_sources
+    deg_order = sorted(adj, key=lambda v: (-len(adj[v]), v))
+    head_pool = deg_order[:500]
+    close = closeness_exact(adj, head_pool)
+    true_head = {v for v, _ in
+                 sorted(close.items(), key=lambda t: -t[1])[:50]}
+    for mode in ("md5", "degree"):
+        with warnings.catch_warnings():
+            warnings.simplefilter("ignore")
+            picked = set(_guard_all_sources(e, None, "probe", 100, None,
+                                            landmark_mode=mode))
+        out[f"closeness_head50_coverage_{mode}"] = round(
+            len(true_head & picked) / 50, 4)
+    return out
+
+
 def main():
     from gqlite_spark.session import get_spark
     spark = get_spark(app_name="landmark-probe")
+    if "--pa" in sys.argv:
+        print(json.dumps(probe_pa(spark)))
+        return
     print(json.dumps(probe(spark, 2_000, 8_000, "exact")))
     if "--small-only" not in sys.argv:
         print(json.dumps(probe(spark, 20_000, 80_000, "brandes-512src")))

@@ -3,6 +3,9 @@ well beyond the test SFs, to validate partition discipline (not correctness
 — that's tools/oracle_check.py).  Results recorded in PLANS.md.
 
 Usage: python tools/scale_probe.py [n_edges] [n_docs]
+       python tools/scale_probe.py --r7   # round-7 additions only:
+           two-phase CC on a 2M-edge path graph (the high-diameter case
+           HashMin cannot finish) and routed $near kNN at 1M vectors
 """
 
 from __future__ import annotations
@@ -14,7 +17,103 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
+def probe_r7(cc: bool = True, knn: bool = True) -> None:
+    from pyspark.sql import functions as F
+
+    from gqlite_spark.session import get_spark
+    spark = get_spark(app_name="scale-probe-r7")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    if not cc:
+        pass
+    else:
+        _probe_r7_cc(spark, F)
+    if knn:
+        _probe_r7_knn(spark, F)
+
+
+def _probe_r7_cc(spark, F) -> None:
+    # -- two-phase CC on a high-diameter path graph ----------------------
+    # a 2M-edge chain has diameter 2M: HashMin label propagation would
+    # need 2M supersteps (never finishes); large-star/small-star must
+    # close it in O(log n) rounds.  fixed_rounds=24 also demonstrates
+    # the zero-mid-loop-driver-action mode at its design scale.
+    from gqlite_spark.operators.graph_algos import (
+        connected_components_twophase)
+    n_chain = 2_000_000
+    chain = (spark.range(n_chain)
+             .select(F.col("id").alias("src"),
+                     (F.col("id") + 1).alias("dst"))).persist()
+    chain.count()
+    t = time.time()
+    cc = connected_components_twophase(chain, max_rounds=24,
+                                       fixed_rounds=True)
+    ncomp = cc.select("component").distinct().count()
+    print(f"cc_twophase(path graph, {n_chain:,} edges, diameter "
+          f"{n_chain:,}, fixed 24 rounds): {time.time()-t:.1f}s  "
+          f"components={ncomp} (HashMin would need {n_chain:,} "
+          f"supersteps)")
+    chain.unpersist()
+
+
+def _probe_r7_knn(spark, F) -> None:
+    # -- routed $near+limit at 1M vectors --------------------------------
+    # exact full-scan top-k vs the materialized-IVF-index routed path.
+    # (The r6 inline-quantizer design measured cold 124.5s / warm 156s
+    # against the 1.0s exact scan — per-row nlist-centroid assignment
+    # adds compute and prunes nothing that is read; it was removed.)
+    import tempfile
+
+    from gqlite_spark import GQLite
+    n_vecs = 1_000_000
+    dim = 64
+    vec = F.transform(F.sequence(F.lit(1), F.lit(dim)),
+                      lambda i: (F.pmod(F.xxhash64("id", i), F.lit(1000))
+                                 / 1000.0))
+    emb = (spark.range(n_vecs)
+           .select(F.col("id"), vec.alias("v"))).persist()
+    emb.count()
+    db = GQLite(spark)
+    db.catalog.create_graph("sp")
+    grp = db.catalog.graphs["sp"].create_group("vecs")
+    grp.register_df(emb)
+    qvec = emb.filter(F.col("id") == 0).select("v").collect()[0][0]
+    lit = ", ".join(repr(float(x)) for x in qvec)
+    gql = ("{query: 'vecs', in: 'sp', where: {v: {limit: 10, $near: ["
+           + lit + "]}}};")
+
+    spark.conf.set("spark.gqlite.knn.ann_threshold", "-1")
+    t = time.time()
+    exact = {r["id"] for r in db.query_df(gql).collect()}
+    t_exact = time.time() - t
+    print(f"$near exact full scan ({n_vecs:,} x {dim}d): {t_exact:.1f}s")
+
+    t = time.time()
+    nlist = grp.build_ivf_index("v", tempfile.mkdtemp(prefix="sp_ivf_"))
+    t_build = time.time() - t
+    spark.conf.set("spark.gqlite.knn.ann_threshold", "100000")
+    t = time.time()
+    routed = {r["id"] for r in db.query_df(gql).collect()}
+    t_cold = time.time() - t                 # first probe (loads index)
+    t = time.time()
+    routed2 = {r["id"] for r in db.query_df(gql).collect()}
+    t_warm = time.time() - t
+    recall = len(routed & exact) / len(exact)
+    print(f"$near routed via materialized IVF index (nlist={nlist}, "
+          f"nprobe 8, ~{800 / nlist:.1f}% of vectors read): build "
+          f"{t_build:.1f}s once, query cold {t_cold:.1f}s / warm "
+          f"{t_warm:.1f}s  recall@10={recall:.2f}  "
+          f"deterministic: {routed == routed2}")
+    emb.unpersist()
+
+
 def main() -> None:
+    if "--r7" in sys.argv:
+        probe_r7()
+        return
+    if "--r7-knn" in sys.argv:
+        probe_r7(cc=False)
+        return
     n_edges = int(sys.argv[1]) if len(sys.argv) > 1 else 2_000_000
     n_docs = int(sys.argv[2]) if len(sys.argv) > 2 else 50_000
 
