@@ -28,6 +28,7 @@ from .gql.ast import (AstStmt, CallExpr, ChunkStmt, CohortStmt, CreateStmt,
                       DropStmt, DumpStmt, FunnelStmt,
                       ImportStmt, InferStmt, MemberRef, Pred, ProfileStmt,
                       QueryStmt, SampleStmt, ShardsStmt, SimilarStmt,
+                      VIndexStmt,
                       RemoveEdgeStmt, RemoveVertexStmt, ShowGraphStmt,
                       UpsetEdgeStmt, UpsetPropertyStmt, UpsetVertexStmt,
                       UseGraphStmt, WalkPattern)
@@ -163,6 +164,8 @@ class GQLite:
             return self._cohort(stmt)
         if isinstance(stmt, SampleStmt):
             return self._sample(stmt)
+        if isinstance(stmt, VIndexStmt):
+            return self._vindex(stmt)
         if isinstance(stmt, ShardsStmt):
             return self._shards(stmt)
         raise GQLiteError(f"unsupported statement {type(stmt).__name__}")
@@ -360,6 +363,30 @@ class GQLite:
         return StatementResult(
             status="QUERY SUCCESS", df=out,
             rows_fn=lambda out=out: [list(r) for r in out.collect()])
+
+    def _vindex(self, stmt: VIndexStmt) -> StatementResult:
+        """``{vindex: 'vecs', in: 'g', on: 'embedding',
+        path: '/idx/vecs', nlist: 64};`` — build + attach a
+        MATERIALIZED l2 IVF vector index for the group's array
+        property (catalog.Group.build_ivf_index): one scan + one
+        partitioned write, then routed ``$near``+limit queries above
+        ``spark.gqlite.knn.ann_threshold`` read only the probed
+        nprobe/nlist slice of the vectors.  GQL surface of the
+        reference's persisted HNSW lifecycle (HNSW.cpp:282-328 /
+        358-374).  Result row: (nlist, n_vectors)."""
+        graph = self._graph(stmt.graph)
+        grp = graph.group(stmt.group)
+        df = grp.to_df()
+        if df is None:
+            return StatementResult(status="QUERY SUCCESS", rows=[], df=None)
+        if stmt.on not in df.columns:
+            raise GQLiteError(
+                f"group '{stmt.group}' has no property '{stmt.on}'")
+        n_vecs = df.filter(F.col(stmt.on).isNotNull()).count()
+        nlist = grp.build_ivf_index(stmt.on, stmt.path, nlist=stmt.nlist)
+        return StatementResult(
+            status="QUERY SUCCESS",
+            rows=[[nlist, n_vecs]], value=nlist)
 
     def _shards(self, stmt: ShardsStmt) -> StatementResult:
         """``{shards: 'docs', in: 'g', path: '/data/ep1', n: 64,

@@ -268,6 +268,22 @@ class ShardsStmt:
 
 
 @dataclass
+class VIndexStmt:
+    """``{vindex: group, in: g, on: 'embedding', path: 'dir',
+    nlist: 64}`` — build + attach a MATERIALIZED l2 IVF vector index
+    (catalog.Group.build_ivf_index): √n-auto nlist unless given,
+    vectors stored in the index partitions so routed ``$near``+limit
+    queries read only the probed lists.  The GQL surface of the
+    reference's persisted HNSW lifecycle (HNSW.cpp:282-328 build,
+    358-374 lazy reload).  Result row: (nlist, n_vectors)."""
+    group: str
+    path: str
+    graph: Optional[str] = None
+    on: str = "embedding"
+    nlist: Optional[int] = None
+
+
+@dataclass
 class RemoveVertexStmt:
     group: str
     where: Any

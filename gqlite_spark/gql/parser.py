@@ -21,7 +21,7 @@ from .ast import (
     CohortStmt, DedupStmt, DropStmt,
     DumpStmt, EdgeConn, FunnelStmt, GeohashLit, GroupDef, ImportStmt,
     InferStmt, Lambda,
-    MemberRef, SampleStmt, ShardsStmt, SimilarStmt,
+    MemberRef, SampleStmt, ShardsStmt, SimilarStmt, VIndexStmt,
     PatternNode, Pred, ProfileStmt, QueryStmt, RemoveEdgeStmt,
     RemoveVertexStmt, ShowGraphStmt, UpsetEdgeStmt, UpsetPropertyStmt,
     UpsetVertexStmt, UseGraphStmt, WalkPattern, Wildcard,
@@ -400,6 +400,18 @@ class Parser:
                               None if rates is None else
                               {str(k): float(v) for k, v in rates.items()},
                               float(dflt), str(obj.get("salt", "")))
+        if "vindex" in obj:
+            path = obj.get("path")
+            if not isinstance(path, str) or not path:
+                raise GQLParseError("vindex: a path: string is required")
+            nlist = obj.get("nlist")
+            if nlist is not None and (not isinstance(nlist, int)
+                                      or isinstance(nlist, bool)
+                                      or nlist < 1):
+                raise GQLParseError("vindex: nlist must be a positive "
+                                    "integer")
+            return VIndexStmt(obj["vindex"], path, obj.get("in"),
+                              str(obj.get("on", "embedding")), nlist)
         if "shards" in obj:
             path = obj.get("path")
             if not isinstance(path, str) or not path:

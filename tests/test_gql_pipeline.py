@@ -230,3 +230,28 @@ def test_gql_dedup_url(db):
     assert out["http://a.com/y"] == (4, 1)
     bad = db.exec("{dedup: 'pages', in: 'ug', method: 'bogus', on: 'u'};")[0]
     assert bad.error and "exact|url|minhash" in bad.error
+
+
+def test_gql_vindex_builds_and_routes(pdb, tmp_path, spark):
+    """{vindex} builds + attaches a materialized l2 IVF index from GQL;
+    a $near+limit above the threshold then routes through it (index
+    partitions in the plan), and parse errors are reported."""
+    p = str(tmp_path / "vidx")
+    res = _one(pdb, "{vindex: 'vecs', in: 'pg', on: 'embedding',"
+                    f" path: '{p}', nlist: 4}};")
+    assert res.rows[0][0] == 4                  # nlist used
+    assert res.rows[0][1] >= 4                  # vectors indexed
+    spark.conf.set("spark.gqlite.knn.ann_threshold", "1")
+    try:
+        out = pdb.query_df("{query: 'vecs', in: 'pg', where:"
+                           " {embedding: {limit: 1, $near: [1.0, 0.0]}}};")
+        assert "list_id" in out._jdf.queryExecution().toString()
+        assert out.collect()
+    finally:
+        spark.conf.set("spark.gqlite.knn.ann_threshold", "100000")
+    r = pdb.exec("{vindex: 'vecs', in: 'pg', nlist: 4};")[0]
+    assert r.error and "path" in r.error
+    r = pdb.exec(f"{{vindex: 'vecs', in: 'pg', path: '{p}', nlist: 0}};")[0]
+    assert r.error and "positive" in r.error
+    r = pdb.exec(f"{{vindex: 'vecs', in: 'pg', on: 'nope', path: '{p}'}};")[0]
+    assert r.error and "no property" in r.error
