@@ -340,14 +340,18 @@ class Group:
         self._ivf_attach[attr] = path
 
     def build_ivf_index(self, attr: str, path: str,
-                        nlist: "Optional[int]" = None) -> int:
+                        nlist: "Optional[int]" = None,
+                        refine_iters: int = 0) -> int:
         """Build + attach a materialized l2 IVF index for ``attr`` in one
         call: √n-auto nlist (``operators.similarity.auto_nlist``) unless
         given, vectors stored in the index partitions so routed
         ``$near``+limit queries read only the probed nprobe/nlist slice.
-        Returns the nlist used.  The index is a one-time build cost (one
-        scan + one partitioned write) amortized over every later routed
-        query — the reference's build-once/search-many HNSW lifecycle
+        ``refine_iters`` adds metric-matched Lloyd iterations (better-
+        balanced lists on clustered data; 0 keeps the sampling quantizer
+        an external SQL oracle can rebuild bit-for-bit).  Returns the
+        nlist used.  The index is a one-time build cost (one scan + one
+        partitioned write) amortized over every later routed query — the
+        reference's build-once/search-many HNSW lifecycle
         (HNSW.cpp:282-328)."""
         from .operators.similarity import auto_nlist, save_ivf_index
         df = self.to_df()
@@ -355,7 +359,8 @@ class Group:
             raise GQLiteError(f"group '{self.meta.name}' has no data")
         df = df.filter(F.col(attr).isNotNull())
         n = nlist or auto_nlist(df.count())
-        save_ivf_index(df, path, nlist=n, id_col="id", vec_col=attr,
+        save_ivf_index(df, path, nlist=n, refine_iters=refine_iters,
+                       id_col="id", vec_col=attr,
                        metric="l2", include_vectors=True)
         self.attach_ivf_index(attr, path)
         return n

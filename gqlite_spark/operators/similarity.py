@@ -290,31 +290,36 @@ def ivf_centroids(df: DataFrame, nlist: int = 16, id_col: str = "vec_id",
 
 
 def lloyd_refine(df: DataFrame, centroids: list[tuple], iters: int = 2,
-                 id_col: str = "vec_id", vec_col: str = "embedding"
-                 ) -> list[tuple]:
-    """k-means (Lloyd) refinement of IVF centroids, DataFrame-native: each
-    iteration assigns by max inner product (inlined centroid literals — a
-    scalar expression, NO join/shuffle on the corpus) then recomputes list
-    means with one groupBy over (list, dim).  Centroid state is nlist×dim
+                 id_col: str = "vec_id", vec_col: str = "embedding",
+                 metric: str = "ip") -> list[tuple]:
+    """k-means (Lloyd) refinement of IVF centroids, DataFrame-native:
+    each iteration assigns by the chosen metric (max inner product or
+    min squared L2; expression at small nlist, Arrow-batched matmul at
+    large — NO join/shuffle on the corpus) then recomputes list means
+    with one groupBy over (list, dim).  Centroid state is nlist×dim
     doubles on the driver — trivially small at any corpus scale.
 
-    Refined centroids are float means (engine-order-dependent sums), so
-    use the UNREFINED sampling quantizer when an external oracle must
-    rebuild the index bit-for-bit."""
+    An inverted list that captures no vectors in an iteration keeps its
+    previous centroid (standard empty-cluster handling; preserves
+    nlist).  Refined centroids are float means (engine-order-dependent
+    sums), so use the UNREFINED sampling quantizer when an external
+    oracle must rebuild the index bit-for-bit."""
     cents = centroids
     for _ in range(iters):
         assigned = df.select(
             F.col(id_col).alias("id"),
             F.col(vec_col).cast("array<double>").alias("v"),
-            _ivf_list_expr(cents, vec_col).alias("list_id"))
+            _ivf_assign_col(cents, vec_col, metric).alias("list_id"))
         means = (assigned.select("list_id", F.posexplode("v")
                                  .alias("pos", "x"))
                  .groupBy("list_id", "pos").agg(F.avg("x").alias("m")))
         by_list: dict = {}
         for r in means.collect():
             by_list.setdefault(r["list_id"], {})[r["pos"]] = r["m"]
-        cents = [(cid, [dims[i] for i in range(len(dims))])
-                 for cid, dims in sorted(by_list.items())]
+        prev = dict(cents)
+        cents = [(cid, ([by_list[cid][i] for i in range(len(by_list[cid]))]
+                        if cid in by_list else prev[cid]))
+                 for cid, _ in cents]
     return cents
 
 
@@ -401,17 +406,17 @@ def _ivf_assign_expr(centroids: list[tuple], vec_col: str, metric: str):
 IVF_ASSIGN_EXPR_MAX_NLIST = 128
 
 
-def _ivf_assign_pandas(df: DataFrame, centroids: list[tuple],
-                       id_col: str, vec_col: str,
-                       metric: str) -> DataFrame:
-    """Vectorized inverted-file assignment: one Arrow-batched pandas UDF
-    doing a (batch × dim) @ (dim × nlist) matmul + argmin/argmax per
-    batch — the legitimate UDF case (a per-row nlist-way comparison has
-    no efficient built-in form at large nlist).  Tie-break matches the
-    expression path (first index = smallest cid; centroids cid-sorted);
-    borderline FLOAT ties may resolve differently than the in-order SQL
-    fold (BLAS sums in a different order), which is why oracle-replayed
-    paths pin nlist ≤ IVF_ASSIGN_EXPR_MAX_NLIST."""
+def _ivf_assign_pandas_col(centroids: list[tuple], vec_col: str,
+                           metric: str):
+    """Vectorized inverted-file assignment Column: one Arrow-batched
+    pandas UDF doing a (batch × dim) @ (dim × nlist) matmul +
+    argmin/argmax per batch — the legitimate UDF case (a per-row
+    nlist-way comparison has no efficient built-in form at large
+    nlist).  Tie-break matches the expression path (first index =
+    smallest cid; centroids cid-sorted); borderline FLOAT ties may
+    resolve differently than the in-order SQL fold (BLAS sums in a
+    different order), which is why oracle-replayed paths pin
+    nlist ≤ IVF_ASSIGN_EXPR_MAX_NLIST."""
     import numpy as np
     import pandas as pd
     from pyspark.sql.functions import pandas_udf
@@ -435,9 +440,27 @@ def _ivf_assign_pandas(df: DataFrame, centroids: list[tuple],
     # resolve the Series hints (pandas is imported lazily here)
     _assign.__annotations__ = {"v": pd.Series, "return": pd.Series}
     assign = pandas_udf(_assign, "long")
+    return assign(F.col(vec_col).cast("array<double>"))
 
+
+def _ivf_assign_col(centroids: list[tuple], vec_col: str, metric: str):
+    """Assignment Column for any nlist: bit-exact literal expression up
+    to ``IVF_ASSIGN_EXPR_MAX_NLIST`` centroids (the SQL-oracle form),
+    Arrow-batched BLAS matmul beyond it (the expression's analysis +
+    per-row cost grows linearly with nlist; one matmul per batch stays
+    flat)."""
+    if len(centroids) > IVF_ASSIGN_EXPR_MAX_NLIST:
+        return _ivf_assign_pandas_col(centroids, vec_col, metric)
+    return _ivf_assign_expr(centroids, vec_col, metric)
+
+
+def _ivf_assign_pandas(df: DataFrame, centroids: list[tuple],
+                       id_col: str, vec_col: str,
+                       metric: str) -> DataFrame:
+    """(id, list_id) via the vectorized assignment Column — see
+    :func:`_ivf_assign_pandas_col`."""
     return df.select(F.col(id_col).alias("id"),
-                     assign(F.col(vec_col).cast("array<double>"))
+                     _ivf_assign_pandas_col(centroids, vec_col, metric)
                      .alias("list_id"))
 
 
@@ -447,13 +470,9 @@ def ivf_assign(df: DataFrame, centroids: list[tuple],
     """(id, list_id) inverted-file assignment, zero shuffle.  Small
     nlist: a pure scalar expression over the scan (centroid literals
     inlined, bit-exact for SQL oracles).  Large nlist (>
-    ``IVF_ASSIGN_EXPR_MAX_NLIST``): Arrow-batched numpy matmul — the
-    expression form's analysis + per-row cost grows linearly with nlist
-    while one BLAS matmul per batch stays flat."""
-    if len(centroids) > IVF_ASSIGN_EXPR_MAX_NLIST:
-        return _ivf_assign_pandas(df, centroids, id_col, vec_col, metric)
+    ``IVF_ASSIGN_EXPR_MAX_NLIST``): Arrow-batched numpy matmul."""
     return df.select(F.col(id_col).alias("id"),
-                     _ivf_assign_expr(centroids, vec_col, metric)
+                     _ivf_assign_col(centroids, vec_col, metric)
                      .alias("list_id"))
 
 
@@ -517,12 +536,13 @@ def save_ivf_index(df: DataFrame, path: str, nlist: int = 16,
     assignment COSTS 124 s — tools/scale_probe.py --r7, PLANS.md)."""
     import json
     import os
-    if metric == "l2" and refine_iters:
-        raise ValueError("refine_iters requires metric='ip' "
-                         "(Lloyd assignment is inner-product)")
     cents = ivf_centroids(df, nlist, id_col, vec_col)
     if refine_iters:
-        cents = lloyd_refine(df, cents, refine_iters, id_col, vec_col)
+        # metric-matched Lloyd: better-balanced lists on clustered data
+        # than the sampling quantizer; leave 0 when a SQL oracle must
+        # rebuild the index bit-for-bit (refined centroids = float means)
+        cents = lloyd_refine(df, cents, refine_iters, id_col, vec_col,
+                             metric)
     assigned = ivf_assign(df, cents, id_col, vec_col, metric)
     if include_vectors:
         assigned = assigned.join(

@@ -1466,3 +1466,57 @@ def test_det_ln_accuracy_vs_libm(spark):
     for (c, t), g in zip(pairs, got):
         want = math.floor((math.log(c) - math.log(t)) * 1e6 + 0.5)
         assert abs(g - want) <= 1, (c, t, g, want)
+
+
+def test_ivf_lloyd_refine_l2_metric(spark):
+    """Metric-matched Lloyd (r7): l2 refinement reduces (or keeps) the
+    within-list squared-L2 quantization error, preserves nlist even when
+    a list goes empty (empty-cluster carryover), and the refined index
+    round-trips through save_ivf_index(metric='l2', refine_iters>0)."""
+    import math
+
+    from gqlite_spark.operators.similarity import (ivf_centroids,
+                                                   lloyd_refine)
+
+    def sse(cents, vecs):
+        tot = 0.0
+        for _, v in vecs:
+            tot += min(sum((a - b) ** 2 for a, b in zip(v, cv))
+                       for _, cv in cents)
+        return tot
+
+    # two tight clusters far apart + the low-id sampling centroids all
+    # landing in cluster 0 — l2 Lloyd must migrate a centroid across
+    vecs = ([(i, [0.0 + i * 1e-3, 0.0]) for i in range(40)]
+            + [(100 + i, [50.0 + i * 1e-3, 50.0]) for i in range(40)])
+    df = spark.createDataFrame(vecs, "vec_id long, embedding array<double>")
+    raw = ivf_centroids(df, nlist=3)
+    refined = lloyd_refine(df, raw, iters=4, metric="l2")
+    assert len(refined) == 3                      # nlist preserved
+    assert sse(refined, vecs) < sse(raw, vecs) * 0.5
+    # some refined centroid now sits in the far cluster
+    assert any(cv[1] > 25 for _, cv in refined)
+
+
+def test_build_ivf_index_refined(spark, tmp_path):
+    """Group.build_ivf_index(refine_iters>0) builds a routed index with
+    Lloyd-refined centroids; routed results still match exact on a
+    well-separated fixture."""
+    from gqlite_spark import GQLite
+    db = GQLite(spark)
+    db.catalog.create_graph("lrg")
+    grp = db.catalog.graphs["lrg"].create_group("pts")
+    rows = ([(i, [float(i) / 100, 0.0]) for i in range(100)]
+            + [(200 + i, [90.0 + i / 100, 9.0]) for i in range(100)])
+    grp.register_df(
+        spark.createDataFrame(rows, "id long, vec array<double>"))
+    nlist = grp.build_ivf_index("vec", str(tmp_path / "ridx"),
+                                nlist=4, refine_iters=2)
+    assert nlist == 4
+    spark.conf.set("spark.gqlite.knn.ann_threshold", "50")
+    try:
+        out = db.query_df("{query: 'pts', in: 'lrg', where:"
+                          " {vec: {limit: 3, $near: [0, 0]}}};")
+        assert [r["id"] for r in out.collect()] == [0, 1, 2]
+    finally:
+        spark.conf.set("spark.gqlite.knn.ann_threshold", "100000")
