@@ -115,8 +115,18 @@ def main() -> None:
     # time tracks the sandbox machine, not the code.  Three rounds of
     # bench signal needed manual machine-drift attribution; comparing the
     # normalized series across rounds factors the machine out structurally.
+    # The floor itself is a sub-second measurement with real variance
+    # (observed 0.136-0.212 s across same-day runs), so the warm floor is
+    # the MIN of three extra runs — the stable fixed-cost estimate — not
+    # a single sample.
+    fn = DIAGNOSTIC["point_lookup_raw"]
+    extra = []
+    for _ in range(3):
+        t0 = time.time()
+        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        extra.append(time.time() - t0)
     floor_cold = max(timings["point_lookup_raw"], 1e-6)
-    floor_warm = max(warm["point_lookup_raw"], 1e-6)
+    floor_warm = max(min([warm["point_lookup_raw"]] + extra), 1e-6)
     norm = {n: round(timings[n] / floor_cold, 2)
             for n in HEADLINE + DIAGNOSTIC_QUERIES}
     norm_warm = {n: round(warm[n] / floor_warm, 2)
@@ -136,7 +146,7 @@ def main() -> None:
         # machine-drift-free comparison series (ratios to the same-run
         # point_lookup_raw floor, cold/cold and warm/warm)
         "floor": {"cold": timings["point_lookup_raw"],
-                  "warm": warm["point_lookup_raw"]},
+                  "warm": round(floor_warm, 3)},
         "queries_norm": norm,
         "queries_norm_warm": norm_warm,
         "value_norm": round(sum(norm[n] for n in HEADLINE), 1),
