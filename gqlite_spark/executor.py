@@ -383,7 +383,8 @@ class GQLite:
             raise GQLiteError(
                 f"group '{stmt.group}' has no property '{stmt.on}'")
         n_vecs = df.filter(F.col(stmt.on).isNotNull()).count()
-        nlist = grp.build_ivf_index(stmt.on, stmt.path, nlist=stmt.nlist)
+        nlist = grp.build_ivf_index(stmt.on, stmt.path, nlist=stmt.nlist,
+                                    refine_iters=stmt.refine)
         return StatementResult(
             status="QUERY SUCCESS",
             rows=[[nlist, n_vecs]], value=nlist)

@@ -281,6 +281,7 @@ class VIndexStmt:
     graph: Optional[str] = None
     on: str = "embedding"
     nlist: Optional[int] = None
+    refine: int = 0
 
 
 @dataclass

@@ -410,8 +410,14 @@ class Parser:
                                       or nlist < 1):
                 raise GQLParseError("vindex: nlist must be a positive "
                                     "integer")
+            refine = obj.get("refine", 0)
+            if not isinstance(refine, int) or isinstance(refine, bool) \
+                    or refine < 0:
+                raise GQLParseError("vindex: refine must be a non-negative "
+                                    "integer")
             return VIndexStmt(obj["vindex"], path, obj.get("in"),
-                              str(obj.get("on", "embedding")), nlist)
+                              str(obj.get("on", "embedding")), nlist,
+                              refine)
         if "shards" in obj:
             path = obj.get("path")
             if not isinstance(path, str) or not path:

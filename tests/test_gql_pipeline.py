@@ -255,3 +255,21 @@ def test_gql_vindex_builds_and_routes(pdb, tmp_path, spark):
     assert r.error and "positive" in r.error
     r = pdb.exec(f"{{vindex: 'vecs', in: 'pg', on: 'nope', path: '{p}'}};")[0]
     assert r.error and "no property" in r.error
+
+
+def test_gql_vindex_refine_option(pdb, tmp_path, spark):
+    """{vindex refine: k} runs metric-matched Lloyd before the final
+    assignment; the routed query still returns correct neighbors."""
+    p = str(tmp_path / "vidx_r")
+    res = _one(pdb, "{vindex: 'vecs', in: 'pg', on: 'embedding',"
+                    f" path: '{p}', nlist: 2, refine: 2}};")
+    assert res.rows[0] == [2, 4]
+    spark.conf.set("spark.gqlite.knn.ann_threshold", "1")
+    try:
+        out = pdb.query_df("{query: 'vecs', in: 'pg', where:"
+                           " {embedding: {limit: 1, $near: [1.0, 0.0]}}};")
+        assert [r["id"] for r in out.collect()] == [10]
+    finally:
+        spark.conf.set("spark.gqlite.knn.ann_threshold", "100000")
+    r = pdb.exec(f"{{vindex: 'vecs', in: 'pg', path: '{p}', refine: -1}};")[0]
+    assert r.error and "non-negative" in r.error
