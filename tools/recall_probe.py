@@ -163,6 +163,52 @@ def main() -> None:
                                                   params, k=K,
                                                   candidates=c))
 
+    # --- routed $near path: materialized l2 IVF index (r7) ---------------
+    # the production $near+limit shape: partition-pruned index top-k.
+    # Baseline switches to exact L2 (the router's metric); sampling vs
+    # Lloyd-refined centroids at the auto-√n nlist.
+    if "near" in families:
+        import tempfile
+
+        from pyspark.sql import functions as F
+
+        from gqlite_spark.operators.similarity import (auto_nlist,
+                                                       l2_probe_lists,
+                                                       l2_topk,
+                                                       load_ivf_index,
+                                                       save_ivf_index)
+        exact_l2 = [[r["id"] for r in l2_topk(corpus, q, k=K).collect()]
+                    for q in queries]
+        nlist = auto_nlist(n_vecs)
+        for refine in (0, 2):
+            path = tempfile.mkdtemp(prefix="near-probe-")
+            t = time.time()
+            save_ivf_index(corpus, path, nlist=nlist,
+                           refine_iters=refine, metric="l2",
+                           include_vectors=True)
+            print(f"save_ivf_index l2 materialized (nlist={nlist} "
+                  f"refine={refine}): {time.time()-t:.1f}s")
+            index, params = load_ivf_index(spark, path)
+
+            def routed(q, idx=index, prm=params):
+                probe = l2_probe_lists(q, prm["centroids"], 8)
+                pruned = (idx.where(F.col("list_id").isin(probe))
+                          .select(F.col("id").alias("vec_id"),
+                                  F.col("_vec").alias("embedding")))
+                return l2_topk(pruned, q, k=K)
+
+            tag = "lloyd" if refine else "sampling"
+            t0 = time.time()
+            recs = [recall([r["id"] for r in routed(q).collect()],
+                           exact_l2[i])
+                    for i, q in enumerate(queries)]
+            dt = (time.time() - t0) / len(queries)
+            avg = sum(recs) / len(recs)
+            results.append((f"near routed {tag} nlist={nlist} nprobe=8",
+                            avg, dt))
+            print(f"near routed {tag:<8} nlist={nlist} nprobe=8  "
+                  f"recall@{K}={avg:6.1%}  {dt:5.2f}s/query")
+
     print("\n| strategy | recall@10 | s/query |")
     print("|---|---|---|")
     for name, avg, dt in results:
