@@ -246,6 +246,15 @@ class GQLite:
         if df is None:
             return StatementResult(status="QUERY SUCCESS", rows=[], df=None)
         q, k, m = stmt.to, stmt.top, stmt.method
+        if stmt.index is not None:
+            # persisted-index search: load the on-disk index (lsh/ivf/pq
+            # as written by save_{ann,ivf,pq}_index) instead of the
+            # in-memory quantizer cache — the cross-session, build-once/
+            # search-many form (reference HNSW.cpp:358-374 lazy reload)
+            out = self._similar_indexed(grp, df, prop, q, k, m, stmt.index)
+            return StatementResult(
+                status="QUERY SUCCESS", df=out,
+                rows_fn=lambda out=out: [list(r) for r in out.collect()])
         # quantizer state (IVF centroids / PQ codebooks) is cached on the
         # Group and invalidated by any mutation, so repeated {similar:}
         # statements skip the model-building scans (the engine analogue
@@ -279,6 +288,34 @@ class GQLite:
         return StatementResult(
             status="QUERY SUCCESS", df=out,
             rows_fn=lambda out=out: [list(r) for r in out.collect()])
+
+    def _similar_indexed(self, grp, df: DataFrame, prop: str,
+                         q: list, k: int, m: str, path: str) -> DataFrame:
+        """{similar index: 'dir'} search paths — each loads the persisted
+        index once per statement and runs the *_topk_indexed form (bucket
+        or partition pruned; no quantizer recomputation over the
+        corpus)."""
+        from .operators import similarity as S
+        spark = grp.spark
+        loaders = {"lsh": (S.load_ann_index, S.ann_topk_indexed),
+                   "ivf": (S.load_ivf_index, S.ivf_topk_indexed),
+                   "pq": (S.load_pq_index, S.pq_topk_indexed)}
+        if m not in loaders:
+            raise GQLiteError(
+                f"similar: method '{m}' has no persisted-index form "
+                "(want lsh|ivf|pq)")
+        load, search = loaders[m]
+        try:
+            index, params = load(spark, path)
+        except FileNotFoundError as e:
+            raise GQLiteError(f"similar: no persisted index at "
+                              f"'{path}' ({e})") from e
+        # the *_topk_indexed forms address the corpus by the index's
+        # recorded id/vec column names
+        corpus = (df.select(F.col("id"), F.col(prop))
+                  .withColumnRenamed("id", params["id_col"])
+                  .withColumnRenamed(prop, params["vec_col"]))
+        return search(corpus, q, index, params, k=k)
 
     def _chunk(self, stmt: ChunkStmt) -> StatementResult:
         """``{chunk: 'docs', in: 'g', size: 64, overlap: 8};`` — document

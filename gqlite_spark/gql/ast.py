@@ -196,6 +196,7 @@ class SimilarStmt:
     top: int = 10
     on: str = "embedding"
     method: str = "brute"   # brute|lsh|ivf|pq
+    index: Optional[str] = None  # persisted-index dir (lsh/ivf/pq)
 
 
 @dataclass

@@ -329,10 +329,13 @@ class Parser:
             top = obj.get("top", 10)
             if not isinstance(top, int) or isinstance(top, bool) or top < 1:
                 raise GQLParseError("similar: top must be a positive integer")
+            idx = obj.get("index")
+            if idx is not None and (not isinstance(idx, str) or not idx):
+                raise GQLParseError("similar: index must be a path string")
             return SimilarStmt(obj["similar"], [float(x) for x in vec],
                                obj.get("in"), top,
                                str(obj.get("on", "embedding")),
-                               str(obj.get("method", "brute")))
+                               str(obj.get("method", "brute")), idx)
         if "chunk" in obj:
             size = obj.get("size", 64)
             overlap = obj.get("overlap", 8)

@@ -273,3 +273,34 @@ def test_gql_vindex_refine_option(pdb, tmp_path, spark):
         spark.conf.set("spark.gqlite.knn.ann_threshold", "100000")
     r = pdb.exec(f"{{vindex: 'vecs', in: 'pg', path: '{p}', refine: -1}};")[0]
     assert r.error and "non-negative" in r.error
+
+
+def test_gql_similar_with_persisted_index(pdb, tmp_path, spark):
+    """{similar index: 'dir'}: all three bucketed methods search their
+    persisted on-disk index form (no quantizer recomputation) and agree
+    with the brute-force top-1 on the fixture; missing/invalid index
+    paths error cleanly."""
+    from gqlite_spark.operators.similarity import (save_ann_index,
+                                                   save_ivf_index,
+                                                   save_pq_index)
+    grp = pdb.catalog.graphs["pg"].group("vecs")
+    corpus = grp.to_df().select("id", "embedding")
+    paths = {}
+    for m, saver, kw in (
+            ("lsh", save_ann_index, {"dim": 2, "n_planes": 2}),
+            ("ivf", save_ivf_index, {"nlist": 2}),
+            ("pq", save_pq_index, {"m": 2, "ksub": 4})):
+        paths[m] = str(tmp_path / f"sidx_{m}")
+        saver(corpus, paths[m], id_col="id", vec_col="embedding", **kw)
+    for m in ("lsh", "ivf", "pq"):
+        res = _one(pdb, "{similar: 'vecs', in: 'pg', to: [1.0, 0.0],"
+                        f" top: 1, method: '{m}', index: '{paths[m]}'}};")
+        assert res.rows and res.rows[0][0] == 10, (m, res.rows)
+    r = pdb.exec("{similar: 'vecs', in: 'pg', to: [1.0, 0.0],"
+                 " method: 'brute', index: '/nope'};")[0]
+    assert r.error and "persisted-index form" in r.error
+    r = pdb.exec("{similar: 'vecs', in: 'pg', to: [1.0, 0.0],"
+                 " method: 'ivf', index: '/nope'};")[0]
+    assert r.error and "no persisted index" in r.error
+    r = pdb.exec("{similar: 'vecs', in: 'pg', to: [1.0], index: 3};")[0]
+    assert r.error and "path string" in r.error

@@ -197,3 +197,39 @@ def test_funnel_cohort_sample_parse(group, steps, within, bucket, rate):
             assert False, f"{bad} must be rejected"
         except GQLParseError:
             pass
+
+
+@given(group=_prop_key,
+       n=st.integers(min_value=1, max_value=256),
+       nlist=st.one_of(st.none(), st.integers(min_value=1, max_value=4096)),
+       refine=st.integers(min_value=0, max_value=8),
+       salt=st.text(alphabet=string.ascii_lowercase, max_size=6))
+@settings(max_examples=100, deadline=None)
+def test_shards_vindex_parse(group, n, nlist, refine, salt):
+    """The r6/r7 export/index statements parse to their AST nodes with
+    the given parameters; bad n/nlist/refine/path types raise
+    GQLParseError."""
+    from gqlite_spark.gql.ast import ShardsStmt, VIndexStmt
+
+    s = parse_one("{shards: '" + group + "', path: '/tmp/x', n: "
+                  + str(n) + ", salt: '" + salt + "'};")
+    assert isinstance(s, ShardsStmt)
+    assert (s.group, s.n, s.salt) == (group, n, salt)
+
+    nl = "" if nlist is None else ", nlist: " + str(nlist)
+    s = parse_one("{vindex: '" + group + "', path: '/tmp/x'" + nl
+                  + ", refine: " + str(refine) + "};")
+    assert isinstance(s, VIndexStmt)
+    assert (s.group, s.nlist, s.refine) == (group, nlist, refine)
+
+    for bad in ("{shards: 'g', path: '/x', n: 0};",
+                "{shards: 'g', n: 4};",
+                "{vindex: 'g', path: '/x', nlist: 0};",
+                "{vindex: 'g', path: '/x', refine: -1};",
+                "{vindex: 'g', path: 3};",
+                "{similar: 'g', to: [1.0], index: 3};"):
+        try:
+            parse_one(bad)
+            raise AssertionError(f"parse accepted {bad!r}")
+        except GQLParseError:
+            pass
