@@ -320,6 +320,12 @@ def write_training_shards(df: DataFrame, path: str, n_shards: int = 32,
     ``orderBy`` write.  Different ``salt`` values give independent epoch
     shuffles of the same corpus.
 
+    Sizing at scale: the one-file-per-shard layout is the determinism
+    contract, so scale ``n_shards`` with the corpus (shard ≈ a few GB:
+    100 TB → n_shards ≈ 50–100 k), NOT the file size — md5 assignment
+    balances shard rows to within sampling noise at any count, and a
+    higher shard count is also what downstream data loaders want.
+
     Returns the per-shard audit report ``(shard, n_rows, min_key,
     max_key)`` as a lazy DataFrame over the PRE-write lineage — a
     map-side-partial count/min/max aggregation of the source, NOT a

@@ -483,6 +483,11 @@ def test_knn_cost_based_ann_routing(spark, tmp_path):
         routed = db.query_df(gql)
         plan = routed._jdf.queryExecution().toString()
         assert "list_id" in plan
+        # the probe reaches the scan as PARTITION pruning — only the
+        # probed lists' files are read, which is the whole point
+        phys = routed._jdf.queryExecution().executedPlan().toString()
+        pf = phys[phys.find("PartitionFilters"):].split("]", 1)[0]
+        assert "list_id" in pf and " IN " in pf, pf
         assert [r["id"] for r in routed.collect()] == exact_ids
         # radius + limit composes with the routed path (the exact top-k
         # downstream still applies the squared-distance cut)
