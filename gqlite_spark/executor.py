@@ -419,6 +419,15 @@ class GQLite:
         if stmt.on not in df.columns:
             raise GQLiteError(
                 f"group '{stmt.group}' has no property '{stmt.on}'")
+        from pyspark.sql import types as T
+        dtype = df.schema[stmt.on].dataType
+        if not (isinstance(dtype, T.ArrayType)
+                and isinstance(dtype.elementType,
+                               (T.DoubleType, T.FloatType, T.IntegerType,
+                                T.LongType, T.ShortType))):
+            raise GQLiteError(
+                f"vindex: property '{stmt.on}' is {dtype.simpleString()}, "
+                "not a numeric vector")
         n_vecs = df.filter(F.col(stmt.on).isNotNull()).count()
         nlist = grp.build_ivf_index(stmt.on, stmt.path, nlist=stmt.nlist,
                                     refine_iters=stmt.refine)

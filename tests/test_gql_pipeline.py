@@ -255,6 +255,8 @@ def test_gql_vindex_builds_and_routes(pdb, tmp_path, spark):
     assert r.error and "positive" in r.error
     r = pdb.exec(f"{{vindex: 'vecs', in: 'pg', on: 'nope', path: '{p}'}};")[0]
     assert r.error and "no property" in r.error
+    r = pdb.exec(f"{{vindex: 'docs', in: 'pg', on: 'text', path: '{p}'}};")[0]
+    assert r.error and "not a numeric vector" in r.error
 
 
 def test_gql_vindex_refine_option(pdb, tmp_path, spark):
