@@ -157,11 +157,11 @@ class Group:
         # vs ANN); invalidated with the other caches on any mutation
         self._count_cache: Optional[int] = None
         # attr → persisted IVF index path (attach_ivf_index); the routed
-        # $near path joins the precomputed (id, list_id) assignment
-        # instead of evaluating the per-row centroid expression.  Detached
-        # on any mutation — the persisted assignment is stale the moment
-        # the group changes (the reference's lazy index reload semantics,
-        # HNSW.cpp:358-374).
+        # $near path prunes to the index's precomputed inverted lists.
+        # LOCAL-overlay writes keep it attached (the routed query treats
+        # local rows as always-exact candidates — incremental-insert
+        # parity with GHNSW::insert); BULK mutations detach (stale
+        # assignment / deleted rows).  See _invalidate(local_only=...).
         self._ivf_attach: dict = {}
 
     # ------------------------------------------------------------ mutation
@@ -200,7 +200,7 @@ class Group:
         merge is the ``property:`` update statement, not vertex upsert."""
         key = self._check_key(key)
         self.rows[key] = self._merge_props(props)
-        self._invalidate()
+        self._invalidate(local_only=True)
 
     def update_props(self, key: Any, props: dict) -> None:
         """Merge new properties into an existing LOCAL row (UpsetPlan.cpp:
@@ -211,7 +211,7 @@ class Group:
         merged = dict(self.rows.get(key) or {})
         merged.update(stored)
         self.rows[key] = merged
-        self._invalidate()
+        self._invalidate(local_only=True)
 
     def update_where(self, cond, props: dict) -> None:
         """Distributed conditional property merge: local dict rows merge
@@ -284,7 +284,7 @@ class Group:
                 raise KeyTypeMismatchError(kt, cur)
         ekey = (src, direction, dst)
         self.rows[ekey] = self._merge_props(props)
-        self._invalidate()
+        self._invalidate(local_only=True)
 
     def delete_keys(self, keys: list) -> None:
         """Delete explicit keys.  The bulk side uses an ``isin`` filter —
@@ -323,11 +323,22 @@ class Group:
             self.bulk_df = b
         self._invalidate()
 
-    def _invalidate(self) -> None:
+    def _invalidate(self, local_only: bool = False) -> None:
+        """Drop caches after a mutation.  ``local_only=True`` (a write to
+        the LOCAL dict overlay — upsert/update_props) keeps any attached
+        IVF index: the index covers the immutable bulk side, and the
+        routed query treats local rows as always-exact candidates
+        (excluding shadowed ids from the index scan) — the engine
+        analogue of the reference's incremental HNSW insert
+        (GHNSW::insert), with no index rebuild per OLTP write.  Bulk
+        mutations (register_df / update_where / delete_* / cascades)
+        detach: the persisted assignment would be stale or cover deleted
+        rows."""
         self._mat_cache = None
         self._ann_cache = {}
         self._count_cache = None
-        self._ivf_attach = {}
+        if not local_only:
+            self._ivf_attach = {}
 
     def attach_ivf_index(self, attr: str, path: str) -> None:
         """Register a persisted IVF index (written by

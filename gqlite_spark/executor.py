@@ -816,23 +816,47 @@ class GQLite:
                                  nprobe)
         pruned = index.where(F.col("list_id").isin(probe))
         materialized = params.get("include_vectors") and pure_knn
+        # local-overlay rows (OLTP upserts since the index was built) are
+        # NOT in the index: they join the candidate set as always-exact
+        # candidates, and ids they shadow are dropped from the index side
+        # (the index holds the PRE-upsert vector).  This is why local
+        # writes don't detach the index — incremental-insert parity with
+        # the reference's GHNSW::insert, no rebuild per write.
+        local_keys = ([] if grp.meta.is_edge else list(grp.rows))
         log.warning(
             "$near+limit on %r routed to ANN (persisted IVF index, "
-            "nlist=%s nprobe=%d, %s); add 'exact: true' to the $near "
+            "nlist=%s nprobe=%d, %s%s); add 'exact: true' to the $near "
             "spec to force the exact plan",
             attr, params.get("nlist"), nprobe,
             "partition-pruned read" if materialized
-            else "id semi-join")
+            else "id semi-join",
+            f", +{len(local_keys)} local overlay rows" if local_keys
+            else "")
         if materialized:
             # top-k over the pruned index partitions (reads only the
-            # probed lists' vectors), then recover the k full rows and
-            # re-establish distance order — k rows, broadcast join
-            top = apply_knn(
-                pruned.select("id", F.col("_vec").alias(attr)), knn)
+            # probed lists' vectors) ∪ the local overlay, then recover
+            # the k full rows and re-establish distance order — k rows,
+            # broadcast join
+            cand = pruned.select(
+                "id", F.col("_vec").cast("array<double>").alias(attr))
+            if local_keys:
+                cand = (cand.filter(~F.col("id").isin(local_keys))
+                        .unionByName(
+                            grp._local_df()
+                            .select("id", F.col(attr)
+                                    .cast("array<double>").alias(attr))
+                            .filter(F.col(attr).isNotNull())))
+            top = apply_knn(cand, knn)
             return apply_knn(
                 df.join(F.broadcast(top.select("id")), "id"), knn)
         base = df.filter(F.col(attr).isNotNull())
-        return apply_knn(base.join(pruned.select("id"), "id"), knn)
+        cand_ids = pruned.select("id")
+        if local_keys:
+            # df rows for shadowed ids already carry the NEW vector, so
+            # including their ids is sufficient — distances come from df
+            cand_ids = cand_ids.unionByName(
+                grp._local_df().select("id")).distinct()
+        return apply_knn(base.join(cand_ids, "id"), knn)
 
     def _target_group(self, target: Any) -> tuple[str, Optional[list[str]]]:
         if isinstance(target, str):

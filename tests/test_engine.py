@@ -497,14 +497,25 @@ def test_knn_cost_based_ann_routing(spark, tmp_path):
             == [0, 1, 2]
         # the loaded index is cached on the group
         assert ("knn_ivf_idx", "vec") in grp._ann_cache
-        # mutation detaches the stale index and drops the caches —
-        # queries fall back to exact
-        grp.upsert_vertex(1000, {"vec": [1000.0, 0.0]})
-        assert not grp._ann_cache and not grp._ivf_attach
-        assert grp._count_cache is None
+        # LOCAL upserts keep the index attached (incremental-insert
+        # parity, GHNSW::insert): new rows join the candidate set as
+        # exact overlay candidates...
+        grp.upsert_vertex(999, {"vec": [-0.5, 0.0]})
+        assert grp._ivf_attach and grp._count_cache is None
+        over = db.query_df(gql)
+        assert "list_id" in over._jdf.queryExecution().toString()
+        assert [r["id"] for r in over.collect()] == [0, 999, 1]
+        # ...and a shadowed id's STALE index vector is excluded — the
+        # overlay's new vector decides, pushing id 0 out of the top-3
+        grp.upsert_vertex(0, {"vec": [500.0, 0.0]})
+        assert [r["id"] for r in db.query_df(gql).collect()] == [999, 1, 2]
+        # BULK mutation detaches; queries fall back to exact
+        from pyspark.sql import functions as SF
+        grp.delete_where(SF.col("id") == SF.lit(999))
+        assert not grp._ivf_attach
         back = db.query_df(gql)
         assert "list_id" not in back._jdf.queryExecution().toString()
-        assert [r["id"] for r in back.collect()] == exact_ids
+        assert [r["id"] for r in back.collect()] == [1, 2, 3]
     finally:
         spark.conf.set("spark.gqlite.knn.ann_threshold", "100000")
 
@@ -591,11 +602,19 @@ def test_knn_routed_idonly_ivf_index(spark, tmp_path):
         assert "list_id" in plan              # index scan in the plan
         assert "_vec" not in plan             # no vectors in this index
         assert [r["id"] for r in routed.collect()] == [0, 1, 2]
-        # mutation detaches the stale index; exact path takes over
-        grp.upsert_vertex(1000, {"vec": [1000.0, 0.0]})
-        assert not grp._ivf_attach
+        # LOCAL overlay on the semi-join path: the upserted row's id
+        # joins the candidate set and its df-side (current) vector wins
+        grp.upsert_vertex(1000, {"vec": [-0.25, 0.0]})
+        assert grp._ivf_attach                # index stays attached
         routed2 = db.query_df(gql)
-        assert "list_id" not in routed2._jdf.queryExecution().toString()
-        assert [r["id"] for r in routed2.collect()] == [0, 1, 2]
+        assert "list_id" in routed2._jdf.queryExecution().toString()
+        assert [r["id"] for r in routed2.collect()] == [0, 1000, 1]
+        # BULK mutation (update_where) detaches; exact path takes over
+        from pyspark.sql import functions as SF
+        grp.update_where(SF.col("id") == 5, {"vec": [5.5, 0.0]})
+        assert not grp._ivf_attach
+        routed3 = db.query_df(gql)
+        assert "list_id" not in routed3._jdf.queryExecution().toString()
+        assert [r["id"] for r in routed3.collect()] == [0, 1000, 1]
     finally:
         spark.conf.set("spark.gqlite.knn.ann_threshold", "100000")
