@@ -143,6 +143,14 @@ class PredicateCompiler:
             if isinstance(radius, Lambda):
                 radius = constant_fold(radius)
             op = operator.le if spec.get("radius_op", "lte") == "lte" else operator.lt
+            if not spec.get("limit"):
+                # a radius-only $near is a plain filter like any other
+                # conjunct: it must disqualify the pure-kNN fast path
+                # (which picks top-k from the index BEFORE df filters
+                # apply) or a combined radius+kNN query silently loses
+                # matching rows.  A radius on the kNN's OWN spec is
+                # exempt: apply_knn re-applies it on the candidate side.
+                self.n_plain += 1
             return op(dist, F.lit(float(radius)))
         if p.op == "khop":
             raise GQLiteError("k-hop spec must be handled by the executor")
