@@ -227,6 +227,56 @@ def q_knn_routed(spark, sf_dir):
     return df.select(F.col("id").alias("vec_id"), "label")
 
 
+def q_knn_filtered(spark, sf_dir):
+    """Predicate + $near+limit over the MATERIALIZED index (VERDICT r7
+    next #2): the oversample route takes the top-(c·k) nearest
+    candidates off the partition-pruned index, applies the plain
+    predicate (label IN half the classes, ~50% selective) to the
+    recovered rows, and top-ks the survivors — the vector READ stays
+    ~nprobe/nlist of the corpus even with a WHERE beside the $near
+    (reference users mix them routinely: test/query/grammar.gql:34-35
+    + predicate forms).  Pinned nlist=64/nprobe=8/c=4 so the DuckDB
+    oracle replays the exact candidate set: at every test SF the first
+    oversample (40 candidates) holds 21-23 matching rows >= k=10, so
+    the bounded refill provably never fires and the result is a pure
+    function of the data.  Query vector = vec_id 7."""
+    import tempfile
+
+    db = _gql_db(spark, sf_dir)
+    qvec = (_load(spark, sf_dir, "embeddings")
+            .filter(F.col("vec_id") == 7).select("embedding").collect()[0][0])
+    vec_lit = ", ".join(repr(float(x)) for x in qvec)
+    grp = db.catalog.graphs["tpch"].group("embeddings")
+    grp.build_ivf_index("embedding",
+                        tempfile.mkdtemp(prefix="gqlite_knnfidx_"),
+                        nlist=64)
+    confs = {"spark.gqlite.knn.ann_threshold": "1",
+             "spark.gqlite.knn.nprobe": "8",
+             "spark.gqlite.knn.oversample": "4",
+             "spark.gqlite.knn.oversample_retries": "2"}
+    old = {}
+    for key, val in confs.items():
+        try:
+            old[key] = spark.conf.get(key)
+        except Exception:
+            old[key] = None
+        spark.conf.set(key, val)
+    try:
+        df = db.query_df(
+            "{query: 'embeddings', in: 'tpch', where: {$and: ["
+            " {label: [0, 2, 4, 6, 8]},"
+            " {embedding: {limit: 10, $near: [" + vec_lit + "]}}]}};")
+    finally:
+        for key, val in old.items():
+            if val is None:
+                spark.conf.unset(key)
+            else:
+                spark.conf.set(key, val)
+        grp._ivf_attach.pop("embedding", None)
+        grp._ann_cache.pop(("knn_ivf_idx", "embedding"), None)
+    return df.select(F.col("id").alias("vec_id"), "label")
+
+
 # --------------------------------------------------------------------------
 # Relational analytics (scan→agg→join plans; Catalyst-optimized)
 # --------------------------------------------------------------------------
@@ -1155,77 +1205,24 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # NOTE on ordering: the driver's correctness gate checks the FIRST 50
-    # entries in dict order.  Round-7 ROTATION (VERDICT r6 next #7): the
-    # window holds (a) the two r7-new entries, (b) ALL 36 entries whose
-    # last driver row is r4 (stale two+ rounds — the window_session..
-    # graph_betweenness slice that fell past the r6 cap plus the 27
-    # demoted in r5), and (c) 12 regression-prone r6-green keepers
-    # (dedup/text/sim families + the retuned text_lm_score / sim_ann_pq
-    # paths).  Every entry past the cap is r5/r6 driver-green, so the
-    # union of driver-green rows across rounds still covers all 88.  ALL
-    # entries are additionally verified each round by `python
-    # tools/oracle_check.py --json CORRECTNESS_FULL.json
-    # /root/testdata/sf0.01` (and the sf0.1 float-drift stress run →
-    # CORRECTNESS_SF01.json) plus pytest.
+    # entries in dict order.  Round-8 ROTATION (VERDICT r7 next #6): the
+    # window holds (a) the r8-new knn_near_limit_filtered, (b) ALL 38
+    # entries whose last driver row is r6 (the past-the-cap slice of
+    # r7), and (c) 11 r7-green keepers chosen for overlap with this
+    # round's changes — the routed/filtered kNN family and persisted-
+    # index paths (sidecar I/O moved to the Hadoop FS API; the
+    # materialized build became single-pass), plus the flagship
+    # pricing/dedup/text/stream entries.  Every entry past the cap is
+    # r7 driver-green, so the cross-round union still covers all 89
+    # and no entry is more than one round stale.  ALL entries are
+    # additionally verified each round by `python tools/oracle_check.py
+    # --json CORRECTNESS_FULL.json /root/testdata/sf0.01` (and the
+    # sf0.1 float-drift stress run → CORRECTNESS_SF01.json) plus
+    # pytest.
     return {
-        # ==== round-7 additions: in-window so each earns a driver row
-        # ==== immediately ====
-        "knn_near_limit_routed": q_knn_routed,
-        "training_shards": q_training_shards,
-        # ==== promoted: last driver row r4 — the r6-window overflow ====
-        "window_session": q_window_session,
-        "window_interval_join": q_interval_join,
-        "multimodal_meta": q_multimodal_meta,
-        "multimodal_av_meta": q_multimodal_av_meta,
-        "sample_stratified": q_sample_stratified,
-        "sample_shuffle": q_sample_shuffle,
-        "decontaminate": q_decontaminate,
-        "pack_sequences": q_pack_sequences,
-        "graph_betweenness": q_betweenness,
-        # ==== promoted: last driver row r4 — demoted since r5 ====
-        "multimodal_bytes": q_multimodal_bytes,
-        "scan_filter_eq": q_scan_filter_eq,
-        "filter_range_and": q_filter_range_and,
-        "filter_or": q_filter_or,
-        "filter_datetime": q_filter_datetime,
-        "point_lookup": q_point_lookup,
-        "projection": q_projection,
-        "topk_orders": q_topk_orders,
-        "window_rank_running": q_window_rank,
-        "join_region_revenue": q_join_region_revenue,
-        "join_2hop_revenue": q_join_2hop_revenue,
-        "anti_join_no_orders": q_anti_join,
-        "upsert_lww": q_upsert_lww,
-        "knn_near_limit": q_knn,
-        "graph_walk_2hop_cond": q_walk_2hop_cond,
-        "graph_motif_fork": q_motif_fork,
-        "graph_khop": q_khop,
-        "graph_shortest_path": q_shortest_path,
-        "graph_connected_components": q_connected_components,
-        "graph_pagerank": q_pagerank,
-        "graph_degrees": q_degrees,
-        "graph_triangles": q_triangles,
-        "graph_scc": q_scc,
-        "graph_closeness": q_closeness,
-        "stats_entropy_gain": q_entropy,
-        "hmm_viterbi": q_hmm_viterbi,
-        "bayes_classify": q_bayes_classify,
-        # ==== keepers: r6 driver-green, regression-prone families stay
-        # ==== in-window ====
-        "pricing_summary": q_pricing_summary,
-        "dedup_exact": q_dedup_exact,
-        "dedup_url": q_dedup_url,
-        "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
-        "dedup_minhash_lsh": q_dedup_minhash,
-        "dedup_simhash": q_dedup_simhash,
-        "dedup_embedding_cosine": q_dedup_embedding,
-        "dedup_lines": q_dedup_lines,
-        "text_lm_score": q_text_lm_score,
-        "sim_ann_ivf": q_ann_ivf,
-        "sim_ann_pq_indexed": q_ann_pq_indexed,
-        "event_funnel": q_event_funnel,
-        # ==== past the cap: every entry below is driver-green in r5 or
-        # ==== r6 (still oracle-checked locally every round) ====
+        # ==== round-8 addition: in-window to earn a driver row now ====
+        "knn_near_limit_filtered": q_knn_filtered,
+        # ==== promoted: last driver row r6 (past-the-cap in r7) ====
         "graph_pagerank_personalized": q_pagerank_personalized,
         "sim_ann_lsh_indexed": q_ann_lsh_indexed,
         "sim_ann_ivf_indexed": q_ann_ivf_indexed,
@@ -1264,6 +1261,59 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_cosine_topk": q_cosine_topk,
         "sim_ann_lsh": q_ann_lsh,
         "window_tumbling": q_window_tumbling,
+        # ==== keepers: r7 driver-green, families this round touches ====
+        "knn_near_limit_routed": q_knn_routed,
+        "knn_near_limit": q_knn,
+        "sim_ann_ivf": q_ann_ivf,
+        "sim_ann_pq_indexed": q_ann_pq_indexed,
+        "training_shards": q_training_shards,
+        "pricing_summary": q_pricing_summary,
+        "dedup_exact": q_dedup_exact,
+        "dedup_minhash_lsh": q_dedup_minhash,
+        "text_lm_score": q_text_lm_score,
+        "event_funnel": q_event_funnel,
+        "window_session": q_window_session,
+        # ==== past the cap: every entry below is r7 driver-green
+        # ==== (still oracle-checked locally every round) ====
+        "window_interval_join": q_interval_join,
+        "multimodal_meta": q_multimodal_meta,
+        "multimodal_av_meta": q_multimodal_av_meta,
+        "sample_stratified": q_sample_stratified,
+        "sample_shuffle": q_sample_shuffle,
+        "decontaminate": q_decontaminate,
+        "pack_sequences": q_pack_sequences,
+        "graph_betweenness": q_betweenness,
+        "multimodal_bytes": q_multimodal_bytes,
+        "scan_filter_eq": q_scan_filter_eq,
+        "filter_range_and": q_filter_range_and,
+        "filter_or": q_filter_or,
+        "filter_datetime": q_filter_datetime,
+        "point_lookup": q_point_lookup,
+        "projection": q_projection,
+        "topk_orders": q_topk_orders,
+        "window_rank_running": q_window_rank,
+        "join_region_revenue": q_join_region_revenue,
+        "join_2hop_revenue": q_join_2hop_revenue,
+        "anti_join_no_orders": q_anti_join,
+        "upsert_lww": q_upsert_lww,
+        "graph_walk_2hop_cond": q_walk_2hop_cond,
+        "graph_motif_fork": q_motif_fork,
+        "graph_khop": q_khop,
+        "graph_shortest_path": q_shortest_path,
+        "graph_connected_components": q_connected_components,
+        "graph_pagerank": q_pagerank,
+        "graph_degrees": q_degrees,
+        "graph_triangles": q_triangles,
+        "graph_scc": q_scc,
+        "graph_closeness": q_closeness,
+        "stats_entropy_gain": q_entropy,
+        "hmm_viterbi": q_hmm_viterbi,
+        "bayes_classify": q_bayes_classify,
+        "dedup_url": q_dedup_url,
+        "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+        "dedup_simhash": q_dedup_simhash,
+        "dedup_embedding_cosine": q_dedup_embedding,
+        "dedup_lines": q_dedup_lines,
     }
 
 
@@ -1457,6 +1507,44 @@ def _knn_routed_sql(nlist: int = 64, nprobe: int = 8, k: int = 10,
         " JOIN assign a ON a.vec_id = v.vec_id"
         " JOIN probe p ON p.cid = a.cid, qv"
         f" ORDER BY {d2_vq} ASC, v.vec_id ASC LIMIT {k}")
+
+
+def _knn_filtered_sql(nlist: int = 64, nprobe: int = 8, k: int = 10,
+                      c: int = 4, query_id: int = 7,
+                      dim: int = 64) -> str:
+    """Predicate+$near oversample oracle (VERDICT r7 next #2): same
+    quantizer replay as :func:`_knn_routed_sql`, then the oversample
+    stage — candidates = top-(c·k) of the probed lists by (d2, vec_id)
+    — then the plain predicate (label IN half the classes), then the
+    exact top-k.  Valid because the first oversample deterministically
+    holds >= k matches at every test SF (verified 21-23 of 40), so the
+    engine's bounded refill never fires and both sides compute the
+    identical candidate set."""
+    d2 = (f"list_aggregate(list_transform(generate_series(1, {dim}),"
+          " i -> ({A}[i] - {B}[i]) * ({A}[i] - {B}[i])), 'sum')")
+    d2_vc = d2.replace("{A}", "v.v").replace("{B}", "c.cv")
+    d2_qc = d2.replace("{A}", "qv.qv").replace("{B}", "c.cv")
+    d2_vq = d2.replace("{A}", "v.v").replace("{B}", "qv.qv")
+    return (
+        "WITH v AS (SELECT vec_id, label, embedding::DOUBLE[] AS v"
+        " FROM embeddings),"
+        f" cents AS (SELECT vec_id AS cid, v AS cv FROM v"
+        f" ORDER BY vec_id LIMIT {nlist}),"
+        f" qv AS (SELECT v AS qv FROM v WHERE vec_id = {query_id}),"
+        f" probe AS (SELECT c.cid FROM cents c, qv"
+        f" ORDER BY {d2_qc} ASC, c.cid ASC LIMIT {nprobe}),"
+        " assign AS (SELECT vec_id, cid FROM"
+        " (SELECT v.vec_id, c.cid, row_number() OVER (PARTITION BY v.vec_id"
+        f" ORDER BY {d2_vc} ASC, c.cid ASC) AS rn"
+        " FROM v CROSS JOIN cents c) WHERE rn = 1),"
+        " cand AS (SELECT v.vec_id, v.label, v.v FROM v"
+        " JOIN assign a ON a.vec_id = v.vec_id"
+        " JOIN probe p ON p.cid = a.cid, qv"
+        f" ORDER BY {d2_vq} ASC, v.vec_id ASC LIMIT {c * k})"
+        " SELECT cand.vec_id, cand.label FROM cand, qv"
+        " WHERE cand.label IN (0, 2, 4, 6, 8)"
+        f" ORDER BY {d2_vq.replace('v.v', 'cand.v')} ASC, cand.vec_id ASC"
+        f" LIMIT {k}")
 
 
 def _shards_sql(n_shards: int = 16, salt: str = "ep1") -> str:
@@ -1907,6 +1995,7 @@ def oracle_sql() -> dict[str, str]:
             " (SELECT embedding::DOUBLE[] FROM embeddings WHERE vec_id = 0)),"
             " vec_id LIMIT 10",
         "knn_near_limit_routed": _knn_routed_sql(64, 8, 10, 3, 64),
+        "knn_near_limit_filtered": _knn_filtered_sql(64, 8, 10, 4, 7, 64),
         "training_shards": _shards_sql(16, "ep1"),
         "pricing_summary":
             "SELECT l_returnflag, l_linestatus,"
