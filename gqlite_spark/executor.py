@@ -778,7 +778,9 @@ class GQLite:
         index the router now stays exact and logs the hint.
 
         Conf: ``spark.gqlite.knn.ann_threshold`` (-1 forces exact),
-        ``spark.gqlite.knn.nprobe`` (default 8).  Per-query opt-out:
+        ``spark.gqlite.knn.nprobe`` (default max(8, nlist//64) —
+        ``operators.similarity.default_nprobe`` — so the probed
+        fraction holds as auto_nlist grows with √n).  Per-query opt-out:
         ``exact: true`` beside ``$near``.  Routing to ANN is logged
         (the semantics flip from exact to approximate is otherwise
         invisible at the query surface)."""
@@ -821,7 +823,13 @@ class GQLite:
                 attr, params.get("metric", "ip"))
             return apply_knn(df, knn)
 
-        nprobe = max(1, _iconf("spark.gqlite.knn.nprobe", 8))
+        # default probe width scales with the index's nlist so the
+        # probed FRACTION doesn't shrink as auto_nlist grows with √n
+        # (fixed nprobe=8 reads 0.25% of a 10 M-corpus index — recall
+        # decays silently at scale; similarity.default_nprobe, r8 sweep)
+        nprobe = max(1, _iconf(
+            "spark.gqlite.knn.nprobe",
+            S.default_nprobe(int(params.get("nlist") or 0))))
         probe = S.l2_probe_lists(knn["geometry"], params["centroids"],
                                  nprobe)
         pruned = index.where(F.col("list_id").isin(probe))

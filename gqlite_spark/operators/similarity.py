@@ -505,6 +505,19 @@ def ivf_topk(df: DataFrame, query_vec: list[float], centroids: list[tuple],
                        id_col, vec_col)
 
 
+def default_nprobe(nlist: int) -> int:
+    """Routed-$near probe width when the user didn't choose one
+    (``spark.gqlite.knn.nprobe`` unset): ``max(8, nlist // 64)``.
+
+    A FIXED nprobe with the √n-scaled :func:`auto_nlist` means the
+    probed fraction shrinks as the corpus grows (8/1000 = 0.8% at 1 M,
+    8/3162 = 0.25% at 10 M) and recall silently decays at scale; tying
+    the default to nlist keeps the probed fraction ≥ ~1.5% of lists.
+    Measured sweep (tools/recall_probe.py near, PLANS.md r8 table):
+    recall@10 vs nprobe at 1 M×16d / 10 M×16d / 1 M×256d."""
+    return max(8, int(nlist) // 64)
+
+
 def auto_nlist(n: int) -> int:
     """Inverted-list count for an ``n``-vector corpus when the caller
     didn't choose one: √n clamped to [16, 65536] — the standard IVF

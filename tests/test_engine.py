@@ -732,3 +732,30 @@ def test_vindex_requires_integer_keys(spark, tmp_path):
     grp.upsert_vertex("a", {"vec": [1.0, 0.0]})
     with pytest.raises(GQLiteError, match="integer"):
         grp.build_ivf_index("vec", str(tmp_path / "sidx"))
+
+
+def test_default_nprobe_scales_with_nlist(spark, tmp_path):
+    """VERDICT r7 next #5: nprobe's default must scale with nlist so the
+    probed fraction doesn't shrink as auto_nlist grows with √n.  The
+    conf still overrides (observed via the plan's partition filter)."""
+    from gqlite_spark.operators.similarity import default_nprobe
+    assert default_nprobe(64) == 8        # small index: old default
+    assert default_nprobe(512) == 8
+    assert default_nprobe(1024) == 16     # 1 M-ish corpus (auto_nlist)
+    assert default_nprobe(3162) == 49     # 10 M corpus
+    # conf override narrows the probe to exactly 2 lists
+    db, grp = _line_fixture_group(spark, "knnnp")
+    grp.build_ivf_index("vec", str(tmp_path / "ivf_np"))
+    spark.conf.set("spark.gqlite.knn.ann_threshold", "50")
+    spark.conf.set("spark.gqlite.knn.nprobe", "2")
+    try:
+        routed = db.query_df(
+            "{query: 'pts', in: 'knnnp', where:"
+            " {vec: {limit: 3, $near: [0, 0]}}};")
+        phys = routed._jdf.queryExecution().executedPlan().toString()
+        pf = phys[phys.find("PartitionFilters"):].split("]", 1)[0]
+        inlist = pf[pf.find("(") + 1:pf.find(")")]
+        assert len(inlist.split(",")) == 2, pf
+    finally:
+        spark.conf.unset("spark.gqlite.knn.nprobe")
+        spark.conf.set("spark.gqlite.knn.ann_threshold", "100000")

@@ -15,9 +15,16 @@ Reference parity anchor: the HNSW recall test at
 exact neighbours).
 
 Usage: python tools/recall_probe.py [n_vecs] [n_queries] [family ...]
-with families from {lsh, ivf, pq, pqx} (default: all).  ``pqx`` is the
-persisted-codes PQ path (pq_topk_indexed: ADC over the encoded table,
-refined ksub=64 codebooks) — the shape that actually ships at scale.
+with families from {lsh, ivf, pq, pqx, near} (default: all but near).
+``pqx`` is the persisted-codes PQ path (pq_topk_indexed: ADC over the
+encoded table, refined ksub=64 codebooks) — the shape that actually
+ships at scale.  ``near`` is the routed $near materialized-IVF path.
+
+Option tokens (r8, VERDICT r7 next #5 — recall/nprobe scaling past
+1 M): ``dim=256`` (corpus dimensionality), ``refine=0,2`` (Lloyd
+iterations to build the near-family index with), ``nprobe=4,8,16,32``
+(probe-width sweep for the near family; default adds the scaled
+``default_nprobe(nlist)`` point).
 """
 
 from __future__ import annotations
@@ -67,9 +74,19 @@ def recall(ann_ids: list, exact_ids: list) -> float:
 
 
 def main() -> None:
+    global DIM
     n_vecs = int(sys.argv[1]) if len(sys.argv) > 1 else 1_000_000
     n_queries = int(sys.argv[2]) if len(sys.argv) > 2 else 8
-    families = set(sys.argv[3:]) or {"lsh", "ivf", "pq", "pqx"}
+    families = set()
+    opts: dict[str, str] = {}
+    for tok in sys.argv[3:]:
+        if "=" in tok:
+            k, v = tok.split("=", 1)
+            opts[k] = v
+        else:
+            families.add(tok)
+    families = families or {"lsh", "ivf", "pq", "pqx"}
+    DIM = int(opts.get("dim", DIM))
 
     from gqlite_spark.session import get_spark
     from gqlite_spark.operators.similarity import (
@@ -173,14 +190,24 @@ def main() -> None:
         from pyspark.sql import functions as F
 
         from gqlite_spark.operators.similarity import (auto_nlist,
+                                                       default_nprobe,
                                                        l2_probe_lists,
                                                        l2_topk,
                                                        load_ivf_index,
                                                        save_ivf_index)
+        t = time.time()
         exact_l2 = [[r["id"] for r in l2_topk(corpus, q, k=K).collect()]
                     for q in queries]
+        t_exact_l2 = (time.time() - t) / len(queries)
+        print(f"exact L2 top-{K}: {t_exact_l2:.2f}s/query")
         nlist = auto_nlist(n_vecs)
-        for refine in (0, 2):
+        refines = [int(x) for x in opts.get("refine", "0,2").split(",")]
+        nprobes = [int(x) for x in
+                   opts.get("nprobe", "4,8,16,32").split(",")]
+        scaled = default_nprobe(nlist)
+        if scaled not in nprobes:
+            nprobes.append(scaled)
+        for refine in refines:
             path = tempfile.mkdtemp(prefix="near-probe-")
             t = time.time()
             save_ivf_index(corpus, path, nlist=nlist,
@@ -190,24 +217,28 @@ def main() -> None:
                   f"refine={refine}): {time.time()-t:.1f}s")
             index, params = load_ivf_index(spark, path)
 
-            def routed(q, idx=index, prm=params):
-                probe = l2_probe_lists(q, prm["centroids"], 8)
+            def routed(q, np_, idx=index, prm=params):
+                probe = l2_probe_lists(q, prm["centroids"], np_)
                 pruned = (idx.where(F.col("list_id").isin(probe))
                           .select(F.col("id").alias("vec_id"),
                                   F.col("_vec").alias("embedding")))
                 return l2_topk(pruned, q, k=K)
 
             tag = "lloyd" if refine else "sampling"
-            t0 = time.time()
-            recs = [recall([r["id"] for r in routed(q).collect()],
-                           exact_l2[i])
-                    for i, q in enumerate(queries)]
-            dt = (time.time() - t0) / len(queries)
-            avg = sum(recs) / len(recs)
-            results.append((f"near routed {tag} nlist={nlist} nprobe=8",
-                            avg, dt))
-            print(f"near routed {tag:<8} nlist={nlist} nprobe=8  "
-                  f"recall@{K}={avg:6.1%}  {dt:5.2f}s/query")
+            for np_ in nprobes:
+                mark = "*" if np_ == scaled else ""
+                t0 = time.time()
+                recs = [recall([r["id"] for r in routed(q, np_).collect()],
+                               exact_l2[i])
+                        for i, q in enumerate(queries)]
+                dt = (time.time() - t0) / len(queries)
+                avg = sum(recs) / len(recs)
+                name = (f"near routed {tag} dim={DIM} nlist={nlist} "
+                        f"nprobe={np_}{mark} ({np_ / nlist:.2%} of lists)")
+                results.append((name, avg, dt))
+                print(f"{name:<60} recall@{K}={avg:6.1%}  "
+                      f"{dt:5.2f}s/query")
+        results.append((f"exact L2 dim={DIM}", 1.0, t_exact_l2))
 
     print("\n| strategy | recall@10 | s/query |")
     print("|---|---|---|")
