@@ -396,6 +396,93 @@ class Group:
         self.attach_ivf_index(attr, path)
         return n
 
+    def compact_into_index(self, attr: str) -> dict:
+        """Fold the local OLTP overlay into the attached MATERIALIZED
+        IVF index by rewriting ONLY the affected list partitions
+        (VERDICT r7 next #3, the incremental option): overlay vectors
+        are assigned to their lists with the index's OWN centroids,
+        shadowed ids are dropped from the lists that held their
+        pre-upsert vectors, and just those partitions are overwritten
+        (dynamic partition overwrite) — write cost ∝ touched lists,
+        not corpus.  The overlay then merges into the bulk side and
+        the index STAYS attached, covering everything again: routed
+        queries go back to the zero-overlay plan.
+
+        The distributed, partition-scoped analogue of the reference's
+        incremental ``GHNSW::insert`` (HNSW.cpp:86-165) made durable —
+        where the reference mutates an in-memory graph per insert, the
+        Spark engine batches overlay rows and re-quantizes only the
+        lists they land in.  Returns
+        ``{"lists_rewritten": n, "rows_added": m}``."""
+        from . import fsio
+        from .operators.similarity import _ivf_assign_col, load_ivf_index
+        path = self._ivf_attach.get(attr)
+        if path is None:
+            raise GQLiteError(
+                f"no IVF index attached for '{attr}' on group "
+                f"'{self.meta.name}' — build one with {{vindex}} first")
+        if self.meta.is_edge:
+            raise GQLiteError("vindex compaction applies to vertex groups")
+        index, params = load_ivf_index(self.spark, path)
+        if not params.get("include_vectors"):
+            raise GQLiteError("vindex compaction requires a MATERIALIZED "
+                              "index (include_vectors=True)")
+        if not self.rows:
+            return {"lists_rewritten": 0, "rows_added": 0}
+        local = self._local_df()
+        merged = self.to_df()          # capture before clearing overlay
+        cents = params["centroids"]
+        assigned = (local.filter(F.col(attr).isNotNull())
+                    .select(F.col("id"),
+                            _ivf_assign_col(cents, attr,
+                                            params.get("metric", "ip"))
+                            .alias("list_id"),
+                            F.col(attr).cast("array<double>")
+                            .alias("_vec")))
+        local_ids = local.select("id")
+        # affected lists = lists holding a shadowed id's OLD vector ∪
+        # lists receiving a new vector — both collects are overlay-sized
+        shadow = {r["list_id"] for r in
+                  index.join(F.broadcast(local_ids), "id")
+                  .select("list_id").distinct().collect()}
+        fresh = {r["list_id"] for r in
+                 assigned.select("list_id").distinct().collect()}
+        affected = sorted(int(x) for x in shadow | fresh)
+        rows_added = assigned.count()
+        if affected:
+            keep = (index.where(F.col("list_id").isin(affected))
+                    .join(F.broadcast(local_ids), "id", "left_anti")
+                    .select("id", "_vec", "list_id"))
+            out = keep.unionByName(
+                assigned.select("id", "_vec", "list_id"))
+            # localCheckpoint detaches the lineage from the parquet we
+            # are about to overwrite (Spark refuses to overwrite a path
+            # its own plan reads); materialized size ∝ affected lists
+            out = out.localCheckpoint(eager=True)
+            conf_key = "spark.sql.sources.partitionOverwriteMode"
+            try:
+                old_mode = self.spark.conf.get(conf_key)
+            except Exception:
+                old_mode = None
+            self.spark.conf.set(conf_key, "dynamic")
+            try:
+                (out.write.mode("overwrite").partitionBy("list_id")
+                 .parquet(fsio.join(path, "ivf.parquet")))
+            finally:
+                if old_mode is None:
+                    self.spark.conf.unset(conf_key)
+                else:
+                    self.spark.conf.set(conf_key, old_mode)
+        # merge the overlay into the bulk side; the index now covers the
+        # whole group again, so it stays attached (bespoke cache reset —
+        # _invalidate() would detach)
+        self.bulk_df = merged
+        self.rows = {}
+        self._mat_cache = None
+        self._ann_cache = {}           # force index reload (partitions changed)
+        self._count_cache = None
+        return {"lists_rewritten": len(affected), "rows_added": rows_added}
+
     def row_count(self) -> int:
         """Cached group cardinality (bulk + local rows; the tiny
         overcount when a local row shadows a bulk key is irrelevant for

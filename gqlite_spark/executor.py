@@ -428,6 +428,21 @@ class GQLite:
             raise GQLiteError(
                 f"vindex: property '{stmt.on}' is {dtype.simpleString()}, "
                 "not a numeric vector")
+        if stmt.compact:
+            # fold the OLTP overlay into the existing index in place —
+            # rewrites only the affected list partitions.  Re-attaches
+            # first if needed (e.g. after an engine restart).
+            if stmt.on not in grp._ivf_attach:
+                grp.attach_ivf_index(stmt.on, stmt.path)
+            elif grp._ivf_attach[stmt.on] != stmt.path:
+                raise GQLiteError(
+                    f"vindex: index for '{stmt.on}' is attached at "
+                    f"'{grp._ivf_attach[stmt.on]}', not '{stmt.path}'")
+            rep = grp.compact_into_index(stmt.on)
+            return StatementResult(
+                status="QUERY SUCCESS",
+                rows=[[rep["lists_rewritten"], rep["rows_added"]]],
+                value=rep["rows_added"])
         n_vecs = df.filter(F.col(stmt.on).isNotNull()).count()
         nlist = grp.build_ivf_index(stmt.on, stmt.path, nlist=stmt.nlist,
                                     refine_iters=stmt.refine,
@@ -851,8 +866,9 @@ class GQLite:
             log.warning(
                 "group %r carries %d local-overlay rows over an attached "
                 "IVF index (cap for inline plans: %d) — excluding "
-                "shadowed ids via broadcast anti-join; rebuild the index "
-                "(build_ivf_index / {vindex}) to fold the overlay in",
+                "shadowed ids via broadcast anti-join; run {vindex ... "
+                "compact: true} (Group.compact_into_index) to fold the "
+                "overlay into the index, rewriting only affected lists",
                 grp.meta.name, len(local_keys), overlay_cap)
 
         def _minus_overlay(cand):

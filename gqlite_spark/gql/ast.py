@@ -276,13 +276,20 @@ class VIndexStmt:
     vectors stored in the index partitions so routed ``$near``+limit
     queries read only the probed lists.  The GQL surface of the
     reference's persisted HNSW lifecycle (HNSW.cpp:282-328 build,
-    358-374 lazy reload).  Result row: (nlist, n_vectors)."""
+    358-374 lazy reload).  Result row: (nlist, n_vectors).
+
+    ``compact: true`` instead folds the local OLTP overlay into the
+    ALREADY-attached index (catalog.Group.compact_into_index):
+    rewrites only the affected list partitions — the batched analogue
+    of the reference's incremental GHNSW::insert.  Result row:
+    (lists_rewritten, rows_added)."""
     group: str
     path: str
     graph: Optional[str] = None
     on: str = "embedding"
     nlist: Optional[int] = None
     refine: int = 0
+    compact: bool = False
 
 
 @dataclass

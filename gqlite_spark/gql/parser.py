@@ -418,9 +418,20 @@ class Parser:
                     or refine < 0:
                 raise GQLParseError("vindex: refine must be a non-negative "
                                     "integer")
+            compact = obj.get("compact", False)
+            if not isinstance(compact, bool):
+                if not (isinstance(compact, str) and compact.lower()
+                        in ("true", "false", "0", "1", "no", "yes")):
+                    raise GQLParseError(
+                        "vindex: compact must be true or false")
+                compact = self._flag(compact)
+            if compact and (nlist is not None or refine):
+                raise GQLParseError("vindex: compact folds the overlay "
+                                    "into the existing index — nlist/"
+                                    "refine do not apply")
             return VIndexStmt(obj["vindex"], path, obj.get("in"),
                               str(obj.get("on", "embedding")), nlist,
-                              refine)
+                              refine, compact)
         if "shards" in obj:
             path = obj.get("path")
             if not isinstance(path, str) or not path:

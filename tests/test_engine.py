@@ -759,3 +759,79 @@ def test_default_nprobe_scales_with_nlist(spark, tmp_path):
     finally:
         spark.conf.unset("spark.gqlite.knn.nprobe")
         spark.conf.set("spark.gqlite.knn.ann_threshold", "100000")
+
+
+def test_compact_overlay_into_index(spark, tmp_path):
+    """Incremental index compaction (VERDICT r7 next #3): local upserts
+    fold into the materialized index by rewriting ONLY the affected
+    list partitions; the index stays attached, covers everything, and
+    routed queries return to the zero-overlay plan."""
+    import os
+    db, grp = _line_fixture_group(spark, "knncp")
+    idx = str(tmp_path / "ivf_cp")
+    grp.build_ivf_index("vec", idx)
+    spark.conf.set("spark.gqlite.knn.ann_threshold", "50")
+    try:
+        # record per-partition file mtimes before compaction
+        pq = os.path.join(idx, "ivf.parquet")
+        def mtimes():
+            out = {}
+            for d in os.listdir(pq):
+                if d.startswith("list_id="):
+                    full = os.path.join(pq, d)
+                    out[d] = max(os.path.getmtime(os.path.join(full, f))
+                                 for f in os.listdir(full)
+                                 if f.endswith(".parquet"))
+            return out
+        before = mtimes()
+        # shadow id 0 far away; add a new near row 999
+        grp.upsert_vertex(0, {"vec": [500.0, 0.0]})
+        grp.upsert_vertex(999, {"vec": [-0.5, 0.0]})
+        rep = grp.compact_into_index("vec")
+        assert rep["rows_added"] == 2
+        assert 0 < rep["lists_rewritten"] < len(before)
+        after = mtimes()
+        changed = [d for d in before if after.get(d) != before[d]]
+        # only the affected partitions were rewritten
+        assert 0 < len(changed) <= rep["lists_rewritten"] + 1, changed
+        assert len(after) >= len(before)      # new lists may appear
+        # overlay is gone, index attached, routed results correct:
+        # id 0 now ranks by its far vector, 999 by its near one
+        assert not grp.rows and grp._ivf_attach
+        gql = ("{query: 'pts', in: 'knncp', where:"
+               " {vec: {limit: 3, $near: [0, 0]}}};")
+        routed = db.query_df(gql)
+        plan = routed._jdf.queryExecution().toString()
+        assert "list_id" in plan
+        assert [r["id"] for r in routed.collect()] == [999, 1, 2]
+    finally:
+        spark.conf.set("spark.gqlite.knn.ann_threshold", "100000")
+
+
+def test_vindex_compact_gql_statement(spark, tmp_path):
+    """{vindex ... compact: true} — the GQL surface of incremental
+    compaction; result row = (lists_rewritten, rows_added)."""
+    from gqlite_spark import GQLite
+    db = GQLite(spark)
+    db.catalog.create_graph("vcg")
+    g = db.catalog.graphs["vcg"]
+    grp = g.create_group("vecs")
+    rows = [(i, [float(i), 0.0]) for i in range(100)]
+    grp.register_df(spark.createDataFrame(
+        rows, "id long, embedding array<double>"))
+    p = str(tmp_path / "vc_idx")
+    r = db.exec(f"{{vindex: 'vecs', in: 'vcg', path: '{p}'}};")[0]
+    assert r.error is None
+    db.exec("{upset: 'vecs', vertex: [[500, {embedding: [0.5, 0.0]}]]};")
+    rep = db.exec(
+        f"{{vindex: 'vecs', in: 'vcg', path: '{p}', compact: true}};")[0]
+    assert rep.error is None and rep.rows == [[1, 1]], rep.rows
+    assert not grp.rows and grp._ivf_attach
+    # compact with nothing to fold is a no-op
+    rep2 = db.exec(
+        f"{{vindex: 'vecs', in: 'vcg', path: '{p}', compact: true}};")[0]
+    assert rep2.rows == [[0, 0]]
+    # nlist/refine are rejected alongside compact
+    bad = db.exec(f"{{vindex: 'vecs', in: 'vcg', path: '{p}',"
+                  " compact: true, nlist: 8};")[0]
+    assert bad.error and "compact" in bad.error
