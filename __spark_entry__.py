@@ -277,6 +277,79 @@ def q_knn_filtered(spark, sf_dir):
     return df.select(F.col("id").alias("vec_id"), "label")
 
 
+def q_knn_compacted(spark, sf_dir):
+    """Routed $near+limit AFTER incremental index compaction (VERDICT r7
+    next #3 made oracle-checkable): build the materialized index, upsert
+    two OLTP rows — vec_id 5 moved far away (every element +10.0) and a
+    brand-new near-duplicate of the query vector (vec 11's elements
+    +0.001, id 10,000,000) — then run ``{vindex ... compact: true}``,
+    which folds the overlay into the index by rewriting ONLY the
+    affected list partitions, and query through the zero-overlay routed
+    plan.  The DuckDB oracle replays the whole lifecycle: centroids
+    sampled from the PRE-upsert corpus (they are frozen at build time),
+    the post-compaction corpus expressed as original-minus-shadow plus
+    the two transform rows ROUNDED THROUGH FLOAT32 — compaction stores
+    overlay vectors at the index's element type, the corpus's float —
+    then argmin-L2 assignment → probe → exact top-k.  Correct iff
+    compaction (a) dropped the shadowed id's OLD vector, (b) inserted
+    both new vectors into the lists the build-time quantizer maps their
+    STORED values to, and (c) left every untouched partition
+    bit-identical.  Reference parity anchor: incremental
+    GHNSW::insert (HNSW.cpp:86-165) — the reference mutates its ANN
+    index in place on upsert; this is the batched, partition-scoped
+    Spark equivalent."""
+    import tempfile
+
+    db = _gql_db(spark, sf_dir)
+    emb = _load(spark, sf_dir, "embeddings")
+    vecs = {r["vec_id"]: list(r["embedding"]) for r in
+            emb.filter(F.col("vec_id").isin(5, 11)).collect()}
+    v5, v11 = vecs[5], vecs[11]
+    vec_lit = ", ".join(repr(float(x)) for x in v11)
+    grp = db.catalog.graphs["tpch"].group("embeddings")
+    saved_bulk = grp.bulk_df
+    idx = tempfile.mkdtemp(prefix="gqlite_knncpidx_")
+    grp.build_ivf_index("embedding", idx, nlist=64)
+    confs = {"spark.gqlite.knn.ann_threshold": "1",
+             "spark.gqlite.knn.nprobe": "8"}
+    old = {}
+    for key, val in confs.items():
+        try:
+            old[key] = spark.conf.get(key)
+        except Exception:
+            old[key] = None
+        spark.conf.set(key, val)
+    try:
+        grp.upsert_vertex(5, {"embedding": [float(x) + 10.0 for x in v5],
+                              "label": 55})
+        grp.upsert_vertex(10_000_000,
+                          {"embedding": [float(x) + 0.001 for x in v11],
+                           "label": 77})
+        rep = db.exec("{vindex: 'embeddings', in: 'tpch', path: '" + idx
+                      + "', on: 'embedding', compact: true};")[0]
+        if rep.error or grp.rows:
+            raise RuntimeError(f"compaction failed: {rep.error}")
+        df = db.query_df(
+            "{query: 'embeddings', in: 'tpch',"
+            " where: {embedding: {limit: 10, $near: [" + vec_lit + "]}}};")
+        return df.select(F.col("id").alias("vec_id"), "label")
+    finally:
+        for key, val in old.items():
+            if val is None:
+                spark.conf.unset(key)
+            else:
+                spark.conf.set(key, val)
+        # restore the shared cached engine's group to its pristine
+        # bulk-only state (compaction replaced bulk_df with the merged
+        # plan; the returned DataFrame holds its own immutable plan)
+        grp.bulk_df = saved_bulk
+        grp.rows = {}
+        grp._mat_cache = None
+        grp._count_cache = None
+        grp._ivf_attach.pop("embedding", None)
+        grp._ann_cache = {}
+
+
 # --------------------------------------------------------------------------
 # Relational analytics (scan→agg→join plans; Catalyst-optimized)
 # --------------------------------------------------------------------------
@@ -1206,22 +1279,23 @@ def entry(spark: SparkSession) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # NOTE on ordering: the driver's correctness gate checks the FIRST 50
     # entries in dict order.  Round-8 ROTATION (VERDICT r7 next #6): the
-    # window holds (a) the r8-new knn_near_limit_filtered, (b) ALL 38
-    # entries whose last driver row is r6 (the past-the-cap slice of
-    # r7), and (c) 11 r7-green keepers chosen for overlap with this
-    # round's changes — the routed/filtered kNN family and persisted-
-    # index paths (sidecar I/O moved to the Hadoop FS API; the
-    # materialized build became single-pass), plus the flagship
+    # window holds (a) the r8-new knn_near_limit_filtered and
+    # knn_compacted, (b) ALL 38 entries whose last driver row is r6 (the
+    # past-the-cap slice of r7), and (c) 10 r7-green keepers chosen for
+    # overlap with this round's changes — the routed/filtered kNN family
+    # and persisted-index paths (sidecar I/O moved to the Hadoop FS API;
+    # the materialized build became single-pass), plus the flagship
     # pricing/dedup/text/stream entries.  Every entry past the cap is
-    # r7 driver-green, so the cross-round union still covers all 89
+    # r7 driver-green, so the cross-round union still covers all 90
     # and no entry is more than one round stale.  ALL entries are
     # additionally verified each round by `python tools/oracle_check.py
     # --json CORRECTNESS_FULL.json /root/testdata/sf0.01` (and the
     # sf0.1 float-drift stress run → CORRECTNESS_SF01.json) plus
     # pytest.
     return {
-        # ==== round-8 addition: in-window to earn a driver row now ====
+        # ==== round-8 additions: in-window to earn a driver row now ====
         "knn_near_limit_filtered": q_knn_filtered,
+        "knn_compacted": q_knn_compacted,
         # ==== promoted: last driver row r6 (past-the-cap in r7) ====
         "graph_pagerank_personalized": q_pagerank_personalized,
         "sim_ann_lsh_indexed": q_ann_lsh_indexed,
@@ -1272,9 +1346,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash_lsh": q_dedup_minhash,
         "text_lm_score": q_text_lm_score,
         "event_funnel": q_event_funnel,
-        "window_session": q_window_session,
         # ==== past the cap: every entry below is r7 driver-green
         # ==== (still oracle-checked locally every round) ====
+        "window_session": q_window_session,
         "window_interval_join": q_interval_join,
         "multimodal_meta": q_multimodal_meta,
         "multimodal_av_meta": q_multimodal_av_meta,
@@ -1545,6 +1619,51 @@ def _knn_filtered_sql(nlist: int = 64, nprobe: int = 8, k: int = 10,
         " WHERE cand.label IN (0, 2, 4, 6, 8)"
         f" ORDER BY {d2_vq.replace('v.v', 'cand.v')} ASC, cand.vec_id ASC"
         f" LIMIT {k}")
+
+
+def _knn_compacted_sql(nlist: int = 64, nprobe: int = 8, k: int = 10,
+                       query_id: int = 11, shadow_id: int = 5,
+                       new_id: int = 10_000_000, dim: int = 64) -> str:
+    """Post-compaction routed-kNN oracle: centroids come from the
+    PRE-upsert corpus (frozen at index-build time — compaction assigns
+    overlay rows with the index's OWN quantizer, never re-clusters),
+    while the searched corpus is the post-compaction state: the shadowed
+    id replaced by its moved vector (+10.0/elem), plus the new near-dup
+    row (+0.001/elem of the query vector) — each transform rounded
+    through REAL (float32), replaying the engine's storage of overlay
+    vectors at the index's element type.  float32→double widening is
+    exact and x+c is computed once in the same order on both engines, so
+    assignment, probe and top-k replay bit-for-bit like
+    _knn_routed_sql."""
+    d2 = (f"list_aggregate(list_transform(generate_series(1, {dim}),"
+          " i -> ({A}[i] - {B}[i]) * ({A}[i] - {B}[i])), 'sum')")
+    d2_vc = d2.replace("{A}", "v.v").replace("{B}", "c.cv")
+    d2_qc = d2.replace("{A}", "qv.qv").replace("{B}", "c.cv")
+    d2_vq = d2.replace("{A}", "v.v").replace("{B}", "qv.qv")
+    return (
+        "WITH base AS (SELECT vec_id, label, embedding::DOUBLE[] AS v"
+        " FROM embeddings),"
+        f" cents AS (SELECT vec_id AS cid, v AS cv FROM base"
+        f" ORDER BY vec_id LIMIT {nlist}),"
+        f" qv AS (SELECT v AS qv FROM base WHERE vec_id = {query_id}),"
+        " v AS ("
+        f" SELECT vec_id, label, v FROM base WHERE vec_id <> {shadow_id}"
+        f" UNION ALL SELECT {shadow_id}, 55,"
+        f" list_transform(v, x -> CAST(CAST(x + 10.0 AS REAL) AS DOUBLE))"
+        f" FROM base WHERE vec_id = {shadow_id}"
+        f" UNION ALL SELECT {new_id}, 77,"
+        f" list_transform(v, x -> CAST(CAST(x + 0.001 AS REAL) AS DOUBLE))"
+        f" FROM base WHERE vec_id = {query_id}),"
+        f" probe AS (SELECT c.cid FROM cents c, qv"
+        f" ORDER BY {d2_qc} ASC, c.cid ASC LIMIT {nprobe}),"
+        " assign AS (SELECT vec_id, cid FROM"
+        " (SELECT v.vec_id, c.cid, row_number() OVER (PARTITION BY v.vec_id"
+        f" ORDER BY {d2_vc} ASC, c.cid ASC) AS rn"
+        " FROM v CROSS JOIN cents c) WHERE rn = 1)"
+        " SELECT v.vec_id, v.label FROM v"
+        " JOIN assign a ON a.vec_id = v.vec_id"
+        " JOIN probe p ON p.cid = a.cid, qv"
+        f" ORDER BY {d2_vq} ASC, v.vec_id ASC LIMIT {k}")
 
 
 def _shards_sql(n_shards: int = 16, salt: str = "ep1") -> str:
@@ -1996,6 +2115,8 @@ def oracle_sql() -> dict[str, str]:
             " vec_id LIMIT 10",
         "knn_near_limit_routed": _knn_routed_sql(64, 8, 10, 3, 64),
         "knn_near_limit_filtered": _knn_filtered_sql(64, 8, 10, 4, 7, 64),
+        "knn_compacted": _knn_compacted_sql(64, 8, 10, 11, 5,
+                                            10_000_000, 64),
         "training_shards": _shards_sql(16, "ep1"),
         "pricing_summary":
             "SELECT l_returnflag, l_linestatus,"

@@ -432,13 +432,19 @@ class Group:
         local = self._local_df()
         merged = self.to_df()          # capture before clearing overlay
         cents = params["centroids"]
+        # store overlay vectors at the INDEX's element type (the corpus
+        # type — float stays float: materialized-index bytes must not
+        # silently double at 100 TB), and assign on the STORED values so
+        # the list a vector lands in is a pure function of what a probe
+        # will later read
+        vec_dt = index.schema["_vec"].dataType
         assigned = (local.filter(F.col(attr).isNotNull())
                     .select(F.col("id"),
-                            _ivf_assign_col(cents, attr,
+                            F.col(attr).cast(vec_dt).alias("_vec"))
+                    .select(F.col("id"), F.col("_vec"),
+                            _ivf_assign_col(cents, "_vec",
                                             params.get("metric", "ip"))
-                            .alias("list_id"),
-                            F.col(attr).cast("array<double>")
-                            .alias("_vec")))
+                            .alias("list_id")))
         local_ids = local.select("id")
         # affected lists = lists holding a shadowed id's OLD vector ∪
         # lists receiving a new vector — both collects are overlay-sized

@@ -835,3 +835,37 @@ def test_vindex_compact_gql_statement(spark, tmp_path):
     bad = db.exec(f"{{vindex: 'vecs', in: 'vcg', path: '{p}',"
                   " compact: true, nlist: 8};")[0]
     assert bad.error and "compact" in bad.error
+
+
+def test_compact_preserves_float_index_storage(spark, tmp_path):
+    """Regression: an index built over an array<float> corpus stores
+    _vec as float; compaction must write overlay vectors at the INDEX's
+    element type (not a hard-coded double), or the rewritten partitions
+    fail to read against the float footer schema — and materialized
+    index bytes would silently double at scale."""
+    from gqlite_spark import GQLite
+    db = GQLite(spark)
+    db.catalog.create_graph("fcg")
+    g = db.catalog.graphs["fcg"]
+    grp = g.create_group("pts")
+    rows = [(i, [float(i), 0.0]) for i in range(100)]
+    grp.register_df(spark.createDataFrame(
+        rows, "id long, vec array<float>"))
+    idx = str(tmp_path / "ivf_float")
+    grp.build_ivf_index("vec", idx)
+    grp.upsert_vertex(500, {"vec": [0.25, 0.0]})
+    rep = grp.compact_into_index("vec")
+    assert rep["rows_added"] == 1
+    # index still reads, stays float-typed, and the routed query sees
+    # the compacted row
+    from gqlite_spark.operators.similarity import load_ivf_index
+    index, _ = load_ivf_index(spark, idx)
+    el = index.schema["_vec"].dataType.elementType.simpleString()
+    assert el == "float", el
+    spark.conf.set("spark.gqlite.knn.ann_threshold", "10")
+    try:
+        got = db.query_df("{query: 'pts', in: 'fcg', where:"
+                          " {vec: {limit: 2, $near: [0, 0]}}};")
+        assert [r["id"] for r in got.collect()] == [0, 500]
+    finally:
+        spark.conf.set("spark.gqlite.knn.ann_threshold", "100000")
