@@ -899,6 +899,45 @@ def q_knn_join(spark, sf_dir):
     return out.withColumnRenamed("id", "vec_id")
 
 
+def q_knn_join_ivf(spark, sf_dir):
+    """Distributed ANN join (r8): every (vec_id % 11 == 3) embedding
+    queries the WHOLE corpus for its top-3 cosine neighbours through the
+    IVF join — corpus assigned to nlist=16 inverted lists, each query
+    probing its nprobe=4 nearest lists, equi-join on list_id, exact
+    re-rank.  No broadcast of either side, no cross join: the 100 TB
+    shape for large-queries × large-corpus semantic search, vs
+    sim_knn_join's broadcast-the-queries plan.  Pinned nlist=16/nprobe=4
+    (expression path, ≤ IVF_ASSIGN_EXPR_MAX_NLIST) so the DuckDB oracle
+    replays assignment, per-query probe lists, the joined candidate set
+    and the final rank bit-for-bit.  Reference parity: the reference
+    loops single-query HNSW searches (HNSW.cpp:167-215); this is the
+    set-oriented equivalent."""
+    from gqlite_spark.operators.similarity import ivf_knn_join
+    emb = _load(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 11 == 3).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec"))
+    out = ivf_knn_join(emb, queries, k=3, nlist=16, nprobe=4)
+    return out.withColumnRenamed("id", "vec_id")
+
+
+def q_decontaminate_semantic(spark, sf_dir):
+    """Embedding-space train-vs-benchmark decontamination (r8): flag
+    training embeddings whose top-1 benchmark (vec_id % 7 == 0)
+    neighbour has cosine ≥ 0.4 — the semantic complement of the n-gram
+    `decontaminate` entry (paraphrased leakage shares no 8-gram but sits
+    on top of the benchmark in embedding space).  Runs the IVF join with
+    nprobe = nlist = 8, i.e. every list probed: candidate generation is
+    EXACT here, so the oracle is the plain per-train-row top-1 over the
+    benchmark — while the operator itself exercises the full
+    assignment → probe → list-join pipeline."""
+    from gqlite_spark.operators.sampling import semantic_contamination
+    emb = _load(spark, sf_dir, "embeddings")
+    bench = emb.filter(F.col("vec_id") % 7 == 0)
+    train = emb.filter(F.col("vec_id") % 7 != 0)
+    return semantic_contamination(train, bench, threshold=0.4,
+                                  nlist=8, nprobe=8)
+
+
 def q_ann_lsh(spark, sf_dir):
     """Approximate NN via sign-random-projection LSH buckets + exact
     re-rank.  Oracle since r2: the hyperplanes are deterministic
@@ -1279,14 +1318,15 @@ def entry(spark: SparkSession) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # NOTE on ordering: the driver's correctness gate checks the FIRST 50
     # entries in dict order.  Round-8 ROTATION (VERDICT r7 next #6): the
-    # window holds (a) the r8-new knn_near_limit_filtered and
-    # knn_compacted, (b) ALL 38 entries whose last driver row is r6 (the
-    # past-the-cap slice of r7), and (c) 10 r7-green keepers chosen for
-    # overlap with this round's changes — the routed/filtered kNN family
-    # and persisted-index paths (sidecar I/O moved to the Hadoop FS API;
-    # the materialized build became single-pass), plus the flagship
-    # pricing/dedup/text/stream entries.  Every entry past the cap is
-    # r7 driver-green, so the cross-round union still covers all 90
+    # window holds (a) the 4 r8-new entries (knn_near_limit_filtered,
+    # knn_compacted, sim_knn_join_ivf, decontaminate_semantic), (b) ALL
+    # 38 entries whose last driver row is r6 (the past-the-cap slice of
+    # r7), and (c) 8 r7-green keepers chosen for overlap with this
+    # round's changes — the routed/filtered kNN family and persisted-
+    # index paths (sidecar I/O moved to the Hadoop FS API; the
+    # materialized build became single-pass), plus the flagship
+    # pricing/dedup entries.  Every entry past the cap is
+    # r7 driver-green, so the cross-round union still covers all 92
     # and no entry is more than one round stale.  ALL entries are
     # additionally verified each round by `python tools/oracle_check.py
     # --json CORRECTNESS_FULL.json /root/testdata/sf0.01` (and the
@@ -1296,6 +1336,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # ==== round-8 additions: in-window to earn a driver row now ====
         "knn_near_limit_filtered": q_knn_filtered,
         "knn_compacted": q_knn_compacted,
+        "sim_knn_join_ivf": q_knn_join_ivf,
+        "decontaminate_semantic": q_decontaminate_semantic,
         # ==== promoted: last driver row r6 (past-the-cap in r7) ====
         "graph_pagerank_personalized": q_pagerank_personalized,
         "sim_ann_lsh_indexed": q_ann_lsh_indexed,
@@ -1344,10 +1386,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pricing_summary": q_pricing_summary,
         "dedup_exact": q_dedup_exact,
         "dedup_minhash_lsh": q_dedup_minhash,
-        "text_lm_score": q_text_lm_score,
-        "event_funnel": q_event_funnel,
         # ==== past the cap: every entry below is r7 driver-green
         # ==== (still oracle-checked locally every round) ====
+        "text_lm_score": q_text_lm_score,
+        "event_funnel": q_event_funnel,
         "window_session": q_window_session,
         "window_interval_join": q_interval_join,
         "multimodal_meta": q_multimodal_meta,
@@ -1619,6 +1661,66 @@ def _knn_filtered_sql(nlist: int = 64, nprobe: int = 8, k: int = 10,
         " WHERE cand.label IN (0, 2, 4, 6, 8)"
         f" ORDER BY {d2_vq.replace('v.v', 'cand.v')} ASC, cand.vec_id ASC"
         f" LIMIT {k}")
+
+
+def _knn_join_ivf_sql(nlist: int = 16, nprobe: int = 4, k: int = 3,
+                      q_mod: int = 11, q_rem: int = 3) -> str:
+    """IVF-join oracle: sampling centroids, max-inner-product assignment
+    for every corpus row (ties → smallest cid), per-QUERY top-nprobe
+    probe lists by the same in-order fold, candidates = corpus rows
+    whose list is probed by that query, exact-cosine top-k per query.
+    Replays gqlite_spark.operators.similarity.ivf_knn_join exactly at
+    nlist ≤ IVF_ASSIGN_EXPR_MAX_NLIST."""
+    cos = ("list_inner_product({V}, {Q}) /"
+           " (sqrt(list_inner_product({V}, {V})) *"
+           " sqrt(list_inner_product({Q}, {Q})))")
+    cos_p = cos.replace("{V}", "p.v").replace("{Q}", "p.qv")
+    return (
+        "WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS v"
+        " FROM embeddings),"
+        f" cents AS (SELECT vec_id AS cid, v AS cv FROM v"
+        f" ORDER BY vec_id LIMIT {nlist}),"
+        f" q AS (SELECT vec_id AS q_id, v AS qv FROM v"
+        f" WHERE vec_id % {q_mod} = {q_rem}),"
+        " probe AS (SELECT q_id, cid FROM"
+        " (SELECT q.q_id, c.cid, row_number() OVER (PARTITION BY q.q_id"
+        " ORDER BY list_inner_product(q.qv, c.cv) DESC, c.cid ASC) AS rn"
+        f" FROM q CROSS JOIN cents c) WHERE rn <= {nprobe}),"
+        " assign AS (SELECT vec_id, cid FROM"
+        " (SELECT v.vec_id, c.cid, row_number() OVER (PARTITION BY v.vec_id"
+        " ORDER BY list_inner_product(v.v, c.cv) DESC, c.cid ASC) AS rn"
+        " FROM v CROSS JOIN cents c) WHERE rn = 1),"
+        " pairs AS (SELECT q.q_id, q.qv, v.vec_id, v.v"
+        " FROM q JOIN probe p ON p.q_id = q.q_id"
+        " JOIN assign a ON a.cid = p.cid JOIN v ON v.vec_id = a.vec_id)"
+        " SELECT q_id, vec_id, rank, round(cos, 4) AS cosine FROM"
+        f" (SELECT p.q_id, p.vec_id, {cos_p} AS cos,"
+        " row_number() OVER (PARTITION BY p.q_id"
+        f" ORDER BY {cos_p} DESC, p.vec_id ASC) AS rank FROM pairs p)"
+        f" WHERE rank <= {k}")
+
+
+def _decontaminate_semantic_sql(threshold: float = 0.4,
+                                b_mod: int = 7) -> str:
+    """Semantic-decontamination oracle: the entry probes EVERY inverted
+    list (nprobe = nlist), so its candidate set is exact and the oracle
+    is the plain per-train-row top-1 over the benchmark, thresholded on
+    the rounded cosine."""
+    cos = ("list_inner_product(t.v, b.bv) /"
+           " (sqrt(list_inner_product(t.v, t.v)) *"
+           " sqrt(list_inner_product(b.bv, b.bv)))")
+    return (
+        "WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS v"
+        " FROM embeddings),"
+        f" b AS (SELECT vec_id AS bench_id, v AS bv FROM v"
+        f" WHERE vec_id % {b_mod} = 0),"
+        f" t AS (SELECT vec_id, v FROM v WHERE vec_id % {b_mod} <> 0),"
+        f" s AS (SELECT t.vec_id, b.bench_id, {cos} AS cos,"
+        " row_number() OVER (PARTITION BY t.vec_id"
+        f" ORDER BY {cos} DESC, b.bench_id ASC) AS rn"
+        " FROM t CROSS JOIN b)"
+        " SELECT vec_id, bench_id, round(cos, 4) AS cosine FROM s"
+        f" WHERE rn = 1 AND round(cos, 4) >= {threshold}")
 
 
 def _knn_compacted_sql(nlist: int = 64, nprobe: int = 8, k: int = 10,
@@ -2117,6 +2219,8 @@ def oracle_sql() -> dict[str, str]:
         "knn_near_limit_filtered": _knn_filtered_sql(64, 8, 10, 4, 7, 64),
         "knn_compacted": _knn_compacted_sql(64, 8, 10, 11, 5,
                                             10_000_000, 64),
+        "sim_knn_join_ivf": _knn_join_ivf_sql(16, 4, 3, 11, 3),
+        "decontaminate_semantic": _decontaminate_semantic_sql(0.4, 7),
         "training_shards": _shards_sql(16, "ep1"),
         "pricing_summary":
             "SELECT l_returnflag, l_linestatus,"

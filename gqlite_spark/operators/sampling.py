@@ -230,6 +230,42 @@ def benchmark_contamination(docs: DataFrame, benchmark: DataFrame,
                  .alias("n_benchmark_matches")))
 
 
+def semantic_contamination(train: DataFrame, benchmark: DataFrame,
+                           threshold: float = 0.90,
+                           nlist: "int | None" = None,
+                           nprobe: "int | None" = None,
+                           id_col: str = "vec_id",
+                           vec_col: str = "embedding",
+                           bench_id_col: "str | None" = None,
+                           bench_vec_col: "str | None" = None) -> DataFrame:
+    """Embedding-space train-vs-benchmark decontamination: training rows
+    whose nearest benchmark embedding has cosine ≥ ``threshold`` — the
+    semantic complement of :func:`benchmark_contamination`'s exact
+    n-gram match (paraphrased eval leakage shares no 8-gram but sits on
+    top of the benchmark in embedding space).
+
+    Scale shape: an :func:`~gqlite_spark.operators.similarity.
+    ivf_knn_join` with the BENCHMARK as the corpus side and every
+    training row as a query — no broadcast, no cross join; pair count
+    |train|·nprobe/nlist·|bench|.  APPROXIMATE by construction: a
+    contaminated pair is missed iff the benchmark neighbour's inverted
+    list is outside the query's ``nprobe`` probed lists — raise
+    ``nprobe`` (or pass more ``nlist`` granularity) to trade compute
+    for recall, or use :func:`~gqlite_spark.operators.similarity.
+    knn_join` (broadcast-exact) when the benchmark is driver-small.
+
+    Output: (``id_col``, bench_id, cosine) for flagged training rows
+    only, one row per training row (its top-1 benchmark hit)."""
+    from .similarity import ivf_knn_join
+    hits = ivf_knn_join(
+        benchmark, train, k=1, nlist=nlist, nprobe=nprobe,
+        id_col=bench_id_col or id_col, vec_col=bench_vec_col or vec_col,
+        q_id_col=id_col, q_vec_col=vec_col, metric="ip")
+    return (hits.filter(F.col("cosine") >= threshold)
+            .select(F.col("q_id").alias(id_col),
+                    F.col("id").alias("bench_id"), "cosine"))
+
+
 # --------------------------------------------------------------------------
 # sequence packing (training-batch assembly)
 # --------------------------------------------------------------------------

@@ -88,6 +88,165 @@ def knn_join(df: DataFrame, queries: DataFrame, k: int = 5,
             .select("q_id", "id", "rank", F.round("cosine", 4).alias("cosine")))
 
 
+def _ivf_probe_col(centroids: list[tuple], vec_col: str, nprobe: int,
+                   metric: str):
+    """Per-ROW probe lists: an ``array<long>`` Column of the ``nprobe``
+    list ids nearest each row's vector — the distributed twin of the
+    driver-side :func:`ivf_probe_lists` / :func:`l2_probe_lists`, for
+    joins where the QUERY side is itself a large DataFrame.  Bit-exact
+    literal expression (sortable (score, cid) structs; ties → smallest
+    cid) up to ``IVF_ASSIGN_EXPR_MAX_NLIST`` centroids, Arrow-batched
+    BLAS beyond."""
+    if metric not in ("ip", "l2"):
+        raise ValueError(f"ivf metric must be 'ip' or 'l2', got {metric!r}")
+    nprobe = min(int(nprobe), len(centroids))
+    if len(centroids) > IVF_ASSIGN_EXPR_MAX_NLIST:
+        return _ivf_probe_pandas_col(centroids, vec_col, nprobe, metric)
+    v = F.col(vec_col).cast("array<double>")
+    structs = []
+    for cid, cv in centroids:
+        c = F.array(*[F.lit(float(x)) for x in cv])
+        if metric == "ip":
+            score = -_dot(v, c)
+        else:
+            score = F.aggregate(F.zip_with(v, c, lambda a, b: (a - b) * (a - b)),
+                                F.lit(0.0), lambda acc, x: acc + x)
+        structs.append(F.struct(score.alias("d"),
+                                F.lit(int(cid)).alias("c")))
+    ranked = F.slice(F.array_sort(F.array(*structs)), 1, nprobe)
+    return F.transform(ranked, lambda s: s["c"].cast("long"))
+
+
+def _ivf_probe_pandas_col(centroids: list[tuple], vec_col: str,
+                          nprobe: int, metric: str):
+    """Vectorized probe-list Column: (batch × dim) @ (dim × nlist) then a
+    stable row-wise argsort — first index wins FP ties, and centroids are
+    cid-sorted, so tie-break matches the expression path on exact score
+    ties.  Caveat shared with :func:`_ivf_assign_pandas_col`: an exact
+    tie in the IN-ORDER distance fold may not be an exact tie in the
+    expanded BLAS form (−2·v·c + ‖c‖²), so borderline orderings can
+    differ — which is why oracle-replayed paths pin nlist ≤
+    IVF_ASSIGN_EXPR_MAX_NLIST."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    C = np.array([cv for _, cv in centroids], dtype=np.float64)
+    cids = np.array([int(cid) for cid, _ in centroids], dtype=np.int64)
+    c_norms = (C * C).sum(axis=1)
+    ip = metric == "ip"
+
+    def _probe(v):
+        M = np.array(v.tolist(), dtype=np.float64)
+        score = -(M @ C.T) if ip else (-2.0 * (M @ C.T) + c_norms)
+        idx = np.argsort(score, axis=1, kind="stable")[:, :nprobe]
+        return pd.Series([cids[row].tolist() for row in idx])
+
+    _probe.__annotations__ = {"v": pd.Series, "return": pd.Series}
+    probe = pandas_udf(_probe, "array<long>")
+    return probe(F.col(vec_col).cast("array<double>"))
+
+
+def ivf_knn_join(corpus: DataFrame, queries: DataFrame, k: int = 5,
+                 nlist: "int | None" = None, nprobe: "int | None" = None,
+                 centroids: "list[tuple] | None" = None,
+                 id_col: str = "vec_id", vec_col: str = "embedding",
+                 q_id_col: str = "q_id", q_vec_col: str = "q_vec",
+                 metric: str = "ip") -> DataFrame:
+    """Distributed ANN join: for EVERY query vector its k approximate
+    nearest corpus vectors — where BOTH sides are large DataFrames, the
+    case :func:`knn_join`'s broadcast-the-queries plan cannot serve.
+
+    Shape (the IVF join): assign each corpus row to its inverted list,
+    probe each query's ``nprobe`` nearest lists, equi-join on
+    ``list_id``, exact re-rank, per-query top-k.  No broadcast of either
+    side, no cross join — the pair count is |Q|·nprobe·(n/nlist) instead
+    of |Q|·n, and the only corpus-sized exchanges are the two hash
+    shuffles (by list_id, then by q_id).  With √n ``auto_nlist`` and
+    fixed nprobe the compared fraction shrinks as the corpus grows —
+    the 100 TB shape for cross-dataset semantic dedup / train-vs-bench
+    decontamination.  Skewed lists (heavily clustered corpora) are AQE
+    skew-join territory; ``lloyd_refine``-ed centroids balance them at
+    build time.
+
+    ``metric='ip'`` ranks by exact cosine (returns (q_id, id, rank,
+    cosine), :func:`knn_join`-compatible); ``'l2'`` by squared L2
+    (returns (q_id, id, rank, dist2)).  Assignment always uses the same
+    metric as the rank.  Deterministic given ``centroids`` (default: the
+    :func:`ivf_centroids` sampling quantizer over the corpus), so a SQL
+    oracle can replay the whole join at nlist ≤ 128.
+
+    Reference parity: the reference answers many-query search by looping
+    single-query HNSW searches on one node (HNSW.cpp:167-215); this is
+    the set-oriented equivalent."""
+    if centroids is None:
+        n = nlist or auto_nlist(corpus.count())
+        centroids = ivf_centroids(corpus, n, id_col, vec_col)
+    nprobe = nprobe or default_nprobe(len(centroids))
+    c = corpus.select(F.col(id_col).alias("id"),
+                      F.col(vec_col).cast("array<double>").alias("v"),
+                      _ivf_assign_col(centroids, vec_col, metric)
+                      .alias("list_id"))
+    q = queries.select(
+        F.col(q_id_col).alias("q_id"),
+        F.col(q_vec_col).cast("array<double>").alias("qv"),
+        F.explode(_ivf_probe_col(centroids, q_vec_col, nprobe, metric))
+        .alias("list_id"))
+    # each corpus row lives in exactly ONE list, so a (q, c) pair joins
+    # at most once — no post-join dedup needed
+    return _rank_join_pairs(q.join(c, "list_id"), k, metric)
+
+
+def ivf_knn_join_indexed(spark, path: str, queries: DataFrame, k: int = 5,
+                         nprobe: "int | None" = None,
+                         q_id_col: str = "q_id",
+                         q_vec_col: str = "q_vec") -> DataFrame:
+    """:func:`ivf_knn_join` with the corpus side served from a PERSISTED
+    materialized IVF index (:func:`save_ivf_index` with
+    ``include_vectors=True``): assignment cost was paid once at build
+    time, the scan arrives already hash-partitioned by ``list_id`` on
+    disk, and the join's corpus side needs no recompute — the
+    steady-state shape for a corpus that is searched by many query
+    batches.  Probes with the index's own metric and centroids."""
+    index, params = load_ivf_index(spark, path)
+    if not params.get("include_vectors"):
+        raise ValueError("ivf_knn_join_indexed requires a MATERIALIZED "
+                         "index (save_ivf_index(include_vectors=True))")
+    metric = params.get("metric", "ip")
+    cents = params["centroids"]
+    nprobe = nprobe or default_nprobe(len(cents))
+    q = queries.select(
+        F.col(q_id_col).alias("q_id"),
+        F.col(q_vec_col).cast("array<double>").alias("qv"),
+        F.explode(_ivf_probe_col(cents, q_vec_col, nprobe, metric))
+        .alias("list_id"))
+    c = index.select("id", F.col("_vec").cast("array<double>").alias("v"),
+                     "list_id")
+    return _rank_join_pairs(q.join(c, "list_id"), k, metric)
+
+
+def _rank_join_pairs(joined: DataFrame, k: int, metric: str) -> DataFrame:
+    """Exact re-rank + per-query top-k over (q_id, qv, id, v) candidate
+    pairs: cosine desc for 'ip' (column ``cosine``), squared L2 asc for
+    'l2' (column ``dist2``); ties → smallest id."""
+    if metric == "ip":
+        score = (_dot(F.col("v"), F.col("qv"))
+                 / (_norm(F.col("v")) * _norm(F.col("qv"))))
+        order, out_col = F.col("_s").desc(), "cosine"
+    else:
+        score = F.aggregate(
+            F.zip_with(F.col("v"), F.col("qv"),
+                       lambda a, b: (a - b) * (a - b)),
+            F.lit(0.0), lambda acc, x: acc + x)
+        order, out_col = F.col("_s").asc(), "dist2"
+    w = Window.partitionBy("q_id").orderBy(order, F.col("id").asc())
+    return (joined.withColumn("_s", score)
+            .withColumn("rank", F.row_number().over(w).cast("long"))
+            .filter(F.col("rank") <= k)
+            .select("q_id", "id", "rank",
+                    F.round("_s", 4).alias(out_col)))
+
+
 def _projection_vectors(dim: int, n_planes: int, seed: str) -> list[list[float]]:
     """Deterministic pseudo-random hyperplanes from md5(seed, plane, i) —
     reproducible across runs/engines with no RNG state."""

@@ -1520,3 +1520,133 @@ def test_build_ivf_index_refined(spark, tmp_path):
         assert [r["id"] for r in out.collect()] == [0, 1, 2]
     finally:
         spark.conf.set("spark.gqlite.knn.ann_threshold", "100000")
+
+
+# ------------------------------------------------- IVF kNN join (r8)
+
+def test_ivf_probe_col_matches_driver_probe(spark):
+    """The per-row probe-list Column agrees with the driver-side
+    ivf_probe_lists / l2_probe_lists for every row, on both the literal-
+    expression path and the Arrow-batched path.  Non-borderline data, as
+    in the assignment twin test: an EXACT tie in the true metric can
+    resolve differently under the BLAS path's expanded-form distances
+    (same caveat as _ivf_assign_pandas_col)."""
+    from gqlite_spark.operators.similarity import (
+        _ivf_probe_col, _ivf_probe_pandas_col, ivf_centroids,
+        ivf_probe_lists, l2_probe_lists)
+    # hash-derived components: lattices (cos/sin or modular) put pairs
+    # of centroids EXACTLY equidistant from rows between them, which is
+    # precisely the borderline-tie case the two formulas may split on
+    import hashlib
+    vecs = [(i, [int(hashlib.md5(f"{i}:{j}".encode()).hexdigest()[:8],
+                     16) / 2 ** 32 for j in range(3)])
+            for i in range(120)]
+    df = spark.createDataFrame(vecs, "vec_id long, embedding array<double>")
+    cents = ivf_centroids(df, nlist=10)
+    for metric, ref in (("ip", ivf_probe_lists), ("l2", l2_probe_lists)):
+        got = {r["vec_id"]: list(r["p"]) for r in df.select(
+            "vec_id", _ivf_probe_col(cents, "embedding", 3, metric)
+            .alias("p")).collect()}
+        vect = {r["vec_id"]: list(r["p"]) for r in df.select(
+            "vec_id", _ivf_probe_pandas_col(cents, "embedding", 3, metric)
+            .alias("p")).collect()}
+        for i, v in vecs:
+            assert got[i] == ref(v, cents, 3), (metric, i)
+            assert vect[i] == got[i], (metric, i)
+
+
+def test_ivf_knn_join_matches_bruteforce_when_probing_all(spark):
+    """With nprobe = nlist every list is probed, so the IVF join must
+    equal the exact broadcast knn_join row-for-row (same ranks, same
+    rounded cosine)."""
+    import math
+    from gqlite_spark.operators.similarity import ivf_knn_join, knn_join
+    vecs = [(i, [math.cos(i / 11), math.sin(i / 11)]) for i in range(90)]
+    corpus = spark.createDataFrame(vecs,
+                                   "vec_id long, embedding array<double>")
+    queries = (corpus.filter(F.col("vec_id") % 30 == 0)
+               .select(F.col("vec_id").alias("q_id"),
+                       F.col("embedding").alias("q_vec")))
+    exact = {(r["q_id"], r["rank"]): (r["id"], r["cosine"])
+             for r in knn_join(corpus, queries, k=4).collect()}
+    approx = {(r["q_id"], r["rank"]): (r["id"], r["cosine"])
+              for r in ivf_knn_join(corpus, queries, k=4, nlist=6,
+                                    nprobe=6).collect()}
+    assert approx == exact
+
+
+def test_ivf_knn_join_prunes_pairs(spark):
+    """With nprobe < nlist the join only compares a query against its
+    probed lists — on a well-separated clustered corpus recall stays
+    exact while the candidate pair count drops to ~nprobe/nlist."""
+    from gqlite_spark.operators.similarity import ivf_knn_join, knn_join
+    # 4 tight clusters at unit-circle corners
+    base = {0: [1.0, 0.0], 1: [0.0, 1.0], 2: [-1.0, 0.0], 3: [0.0, -1.0]}
+    vecs = [(i, [a + 0.01 * ((i % 7) - 3), b + 0.01 * ((i // 7) % 5 - 2)])
+            for i, (a, b) in ((i, base[i % 4]) for i in range(200))]
+    corpus = spark.createDataFrame(vecs,
+                                   "vec_id long, embedding array<double>")
+    queries = (corpus.filter(F.col("vec_id") < 8)
+               .select(F.col("vec_id").alias("q_id"),
+                       F.col("embedding").alias("q_vec")))
+    exact = {(r["q_id"], r["rank"]): r["id"]
+             for r in knn_join(corpus, queries, k=3).collect()}
+    approx = {(r["q_id"], r["rank"]): r["id"]
+              for r in ivf_knn_join(corpus, queries, k=3, nlist=16,
+                                    nprobe=4).collect()}
+    assert approx == exact
+
+
+def test_ivf_knn_join_l2_metric(spark):
+    """metric='l2' ranks by squared L2 ascending and returns dist2."""
+    from gqlite_spark.operators.similarity import ivf_knn_join
+    vecs = [(i, [float(i), 0.0]) for i in range(50)]
+    corpus = spark.createDataFrame(vecs,
+                                   "vec_id long, embedding array<double>")
+    queries = spark.createDataFrame([(100, [3.2, 0.0])],
+                                    "q_id long, q_vec array<double>")
+    out = ivf_knn_join(corpus, queries, k=3, nlist=8, nprobe=8,
+                       metric="l2").collect()
+    assert [r["id"] for r in out] == [3, 4, 2]
+    assert out[0]["dist2"] == pytest.approx(0.04)
+
+
+def test_ivf_knn_join_indexed_matches_inline(spark, tmp_path):
+    """The persisted-index corpus side returns the same rows as the
+    inline join given the same quantizer, and its scan is partition-
+    pruned storage (list_id hive layout)."""
+    import math
+    from gqlite_spark.operators.similarity import (
+        ivf_centroids, ivf_knn_join, ivf_knn_join_indexed, save_ivf_index)
+    vecs = [(i, [math.cos(i / 13), math.sin(i / 13), math.cos(i / 5)])
+            for i in range(120)]
+    corpus = spark.createDataFrame(vecs,
+                                   "vec_id long, embedding array<double>")
+    path = str(tmp_path / "join_idx")
+    save_ivf_index(corpus, path, nlist=6, include_vectors=True)
+    queries = (corpus.filter(F.col("vec_id") % 40 == 1)
+               .select(F.col("vec_id").alias("q_id"),
+                       F.col("embedding").alias("q_vec")))
+    cents = ivf_centroids(corpus, nlist=6)
+    inline = sorted(map(tuple, ivf_knn_join(
+        corpus, queries, k=3, centroids=cents, nprobe=2).collect()))
+    indexed = sorted(map(tuple, ivf_knn_join_indexed(
+        spark, path, queries, k=3, nprobe=2).collect()))
+    assert indexed == inline
+
+
+def test_semantic_contamination_flags_paraphrase(spark):
+    """A training row sitting on top of a benchmark embedding is
+    flagged with its top-1 benchmark hit; distant rows are not."""
+    from gqlite_spark.operators.sampling import semantic_contamination
+    bench = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [0.0, 1.0])],
+        "vec_id long, embedding array<double>")
+    train = spark.createDataFrame(
+        [(10, [0.999, 0.012]),    # near bench 1
+         (11, [-1.0, 0.0]),      # opposite — clean
+         (12, [0.6, 0.62])],     # diagonal — below threshold
+        "vec_id long, embedding array<double>")
+    got = {r["vec_id"]: r["bench_id"] for r in semantic_contamination(
+        train, bench, threshold=0.98, nlist=2, nprobe=2).collect()}
+    assert got == {10: 1}
