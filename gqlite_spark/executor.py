@@ -246,6 +246,46 @@ class GQLite:
         if df is None:
             return StatementResult(status="QUERY SUCCESS", rows=[], df=None)
         q, k, m = stmt.to, stmt.top, stmt.method
+        if stmt.queries is not None:
+            # JOIN form: every vector in the `queries` group searches
+            # this group.  brute = broadcast the query side (right only
+            # when it is small); ivf = the distributed list-bucketed
+            # join, optionally serving the corpus from a persisted
+            # materialized index — neither side broadcast, the 100 TB
+            # shape for cross-dataset semantic search/dedup.
+            if m not in ("brute", "ivf"):
+                raise GQLiteError(
+                    f"similar: join form (queries:) supports method "
+                    f"brute|ivf, got '{m}'")
+            qdf, qprop = self._pipeline_group_df(
+                stmt.graph, stmt.queries, stmt.qon or stmt.on,
+                "embedding")
+            if qdf is None:
+                return StatementResult(status="QUERY SUCCESS", rows=[],
+                                       df=None)
+            queries = qdf.select(F.col("id").alias("q_id"),
+                                 F.col(qprop).alias("q_vec"))
+            if m == "brute":
+                out = S.knn_join(df, queries, k=k, id_col="id",
+                                 vec_col=prop)
+            elif m == "ivf":
+                if stmt.index is not None:
+                    try:
+                        out = S.ivf_knn_join_indexed(
+                            grp.spark, stmt.index, queries, k=k,
+                            nprobe=stmt.nprobe)
+                    except (FileNotFoundError, ValueError) as e:
+                        raise GQLiteError(
+                            f"similar: cannot join through index at "
+                            f"'{stmt.index}' ({e})") from e
+                else:
+                    out = S.ivf_knn_join(df, queries, k=k,
+                                         nlist=stmt.nlist,
+                                         nprobe=stmt.nprobe,
+                                         id_col="id", vec_col=prop)
+            return StatementResult(
+                status="QUERY SUCCESS", df=out,
+                rows_fn=lambda out=out: [list(r) for r in out.collect()])
         if stmt.index is not None:
             # persisted-index search: load the on-disk index (lsh/ivf/pq
             # as written by save_{ann,ivf,pq}_index) instead of the

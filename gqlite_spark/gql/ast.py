@@ -187,16 +187,28 @@ class DedupStmt:
 @dataclass
 class SimilarStmt:
     """``{similar: group, in: g, to: [vec], top: k, on: prop,
-    method: m}`` — ANN/top-k search over a group's vector property
-    (engine analogue of operators/similarity.py; the reference's closest
-    surface is the HNSW $near query)."""
+    method: m}`` — ANN/top-k vector search over a group's vector
+    property (engine analogue of operators/similarity.py; the
+    reference's closest surface is the HNSW $near query).
+
+    JOIN form (r8): ``queries: 'other_group'`` replaces ``to`` — EVERY
+    vector in that group searches the corpus group (top-k each).
+    ``method: 'brute'`` broadcasts the query side
+    (similarity.knn_join); ``method: 'ivf'`` runs the distributed IVF
+    join (ivf_knn_join / ivf_knn_join_indexed when ``index:`` is
+    given) — no broadcast of either side.  ``qon``/``nlist``/``nprobe``
+    apply to the join form only."""
     group: str
-    to: list
+    to: Optional[list]
     graph: Optional[str] = None
     top: int = 10
     on: str = "embedding"
     method: str = "brute"   # brute|lsh|ivf|pq
     index: Optional[str] = None  # persisted-index dir (lsh/ivf/pq)
+    queries: Optional[str] = None  # join form: query-side group
+    qon: Optional[str] = None      # its vector property (default: on)
+    nlist: Optional[int] = None
+    nprobe: Optional[int] = None
 
 
 @dataclass

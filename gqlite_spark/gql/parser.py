@@ -322,7 +322,15 @@ class Parser:
                              obj.get("on"), float(thr))
         if "similar" in obj:
             vec = obj.get("to")
-            if (not isinstance(vec, list) or not vec
+            qgrp = obj.get("queries")
+            if qgrp is not None:
+                if not isinstance(qgrp, str) or not qgrp:
+                    raise GQLParseError("similar: queries must be a "
+                                        "group name")
+                if vec is not None:
+                    raise GQLParseError("similar: to and queries are "
+                                        "mutually exclusive")
+            elif (not isinstance(vec, list) or not vec
                     or not all(isinstance(x, (int, float))
                                and not isinstance(x, bool) for x in vec)):
                 raise GQLParseError("similar: to must be a numeric vector")
@@ -332,10 +340,28 @@ class Parser:
             idx = obj.get("index")
             if idx is not None and (not isinstance(idx, str) or not idx):
                 raise GQLParseError("similar: index must be a path string")
-            return SimilarStmt(obj["similar"], [float(x) for x in vec],
+            nlist, nprobe = obj.get("nlist"), obj.get("nprobe")
+            for nm, v in (("nlist", nlist), ("nprobe", nprobe)):
+                if v is None:
+                    continue
+                if qgrp is None:
+                    raise GQLParseError(f"similar: {nm} applies to the "
+                                        "join form (queries:) only")
+                if not isinstance(v, int) or isinstance(v, bool) or v < 1:
+                    raise GQLParseError(f"similar: {nm} must be a "
+                                        "positive integer")
+            qon = obj.get("qon")
+            if qon is not None and qgrp is None:
+                raise GQLParseError("similar: qon applies to the join "
+                                    "form (queries:) only")
+            return SimilarStmt(obj["similar"],
+                               None if vec is None
+                               else [float(x) for x in vec],
                                obj.get("in"), top,
                                str(obj.get("on", "embedding")),
-                               str(obj.get("method", "brute")), idx)
+                               str(obj.get("method", "brute")), idx,
+                               qgrp, None if qon is None else str(qon),
+                               nlist, nprobe)
         if "chunk" in obj:
             size = obj.get("size", 64)
             overlap = obj.get("overlap", 8)

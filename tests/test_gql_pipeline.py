@@ -306,3 +306,69 @@ def test_gql_similar_with_persisted_index(pdb, tmp_path, spark):
     assert r.error and "no persisted index" in r.error
     r = pdb.exec("{similar: 'vecs', in: 'pg', to: [1.0], index: 3};")[0]
     assert r.error and "path string" in r.error
+
+
+def test_gql_similar_join_form(pdb):
+    """{similar ... queries: 'grp'} — every vector in the query group
+    searches the corpus group; brute and ivf agree when every list is
+    probed."""
+    for r in pdb.exec("""
+      {create: 'pg', group: ['probes']};
+      {upset: 'probes', vertex: [
+        [100, {embedding: [0.95, 0.05]}],
+        [101, {embedding: [-0.9, 0.01]}]]};
+    """):
+        assert r.error is None, r.error
+    brute = _one(pdb, "{similar: 'vecs', in: 'pg', queries: 'probes',"
+                 " top: 2, method: 'brute'};")
+    ivf = _one(pdb, "{similar: 'vecs', in: 'pg', queries: 'probes',"
+               " top: 2, method: 'ivf', nlist: 2, nprobe: 2};")
+    assert sorted(map(tuple, brute.rows)) == sorted(map(tuple, ivf.rows))
+    by_q = {}
+    for q_id, vid, rank, cos in brute.rows:
+        by_q.setdefault(q_id, []).append(vid)
+    assert by_q[100][0] == 10 and by_q[101][0] == 13
+
+
+def test_gql_similar_join_indexed(pdb, tmp_path, spark):
+    """The join form through a persisted MATERIALIZED index matches the
+    inline ivf join."""
+    from gqlite_spark.operators.similarity import save_ivf_index
+    g = pdb.catalog.graphs["pg"]
+    corpus = g.group("vecs").to_df()
+    path = str(tmp_path / "join_idx")
+    save_ivf_index(corpus, path, nlist=2, id_col="id",
+                   vec_col="embedding", include_vectors=True)
+    for r in pdb.exec("""
+      {create: 'pg', group: ['probes2']};
+      {upset: 'probes2', vertex: [[200, {embedding: [0.8, 0.2]}]]};
+    """):
+        assert r.error is None, r.error
+    inline = _one(pdb, "{similar: 'vecs', in: 'pg', queries: 'probes2',"
+                  " top: 2, method: 'ivf', nlist: 2, nprobe: 2};")
+    via_idx = _one(pdb, "{similar: 'vecs', in: 'pg', queries: 'probes2',"
+                   f" top: 2, method: 'ivf', nprobe: 2, index: '{path}'}};")
+    assert sorted(map(tuple, via_idx.rows)) == sorted(map(tuple,
+                                                          inline.rows))
+    # a non-materialized index is a clean engine error
+    path2 = str(tmp_path / "join_idx_novec")
+    save_ivf_index(corpus, path2, nlist=2, id_col="id",
+                   vec_col="embedding", include_vectors=False)
+    r = pdb.exec("{similar: 'vecs', in: 'pg', queries: 'probes2',"
+                 f" method: 'ivf', index: '{path2}'}};")[0]
+    assert r.error and "MATERIALIZED" in r.error
+
+
+def test_gql_similar_join_parse_errors(pdb):
+    r = pdb.exec("{similar: 'vecs', in: 'pg', queries: 'probes',"
+                 " to: [1.0, 0.0]};")[0]
+    assert r.error and "mutually exclusive" in r.error
+    r = pdb.exec("{similar: 'vecs', in: 'pg', to: [1.0, 0.0],"
+                 " nlist: 4};")[0]
+    assert r.error and "join form" in r.error
+    r = pdb.exec("{similar: 'vecs', in: 'pg', queries: 'probes',"
+                 " nprobe: 0};")[0]
+    assert r.error and "positive integer" in r.error
+    r = pdb.exec("{similar: 'vecs', in: 'pg', queries: 'probes',"
+                 " method: 'pq'};")[0]
+    assert r.error and "brute|ivf" in r.error
