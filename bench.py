@@ -40,8 +40,12 @@ DIAGNOSTIC = {"point_lookup_raw": _point_lookup_raw}
 # queries() entries benched for visibility but EXCLUDED from the totals
 # (knn_near_limit_routed: the materialized-index ANN path — its cold
 # time is dominated by the one-time index build, so it would distort
-# totals; tracked here so routed-vs-exact stays visible per round)
-DIAGNOSTIC_QUERIES: list[str] = ["knn_near_limit_routed"]
+# totals; tracked here so routed-vs-exact stays visible per round.
+# r8 adds the distributed IVF join and semantic decontamination the
+# same way, keeping the cross-round total set frozen)
+DIAGNOSTIC_QUERIES: list[str] = ["knn_near_limit_routed",
+                                 "sim_knn_join_ivf",
+                                 "decontaminate_semantic"]
 
 # the original 19-query headline set (rounds 1-4) — reported separately
 # as value_19q so round-over-round totals stay comparable across the
