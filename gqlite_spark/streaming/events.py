@@ -123,6 +123,70 @@ def content_dedup_stream(docs: DataFrame, watermark: str = "24 hours",
             .dropDuplicatesWithinWatermark(["text_hash"]))
 
 
+def semantic_hits_stream(docs: DataFrame, index_path: str,
+                         threshold: float = 0.90,
+                         nprobe: "int | None" = None,
+                         id_col: str = "doc_id",
+                         vec_col: str = "embedding",
+                         ts_col: str = "ts",
+                         watermark: str = "1 hour") -> DataFrame:
+    """Streaming semantic filter against a PERSISTED materialized IVF
+    index: each arriving document probes its ``nprobe`` nearest inverted
+    lists, a stream-STATIC equi-join on ``list_id`` recovers only those
+    lists' vectors, and the doc is flagged when any candidate clears the
+    ``threshold`` (cosine ≥ t for an 'ip' index, squared L2 ≤ t for
+    'l2').  The stream twin of ``operators.sampling.
+    semantic_contamination`` — continuous-ingest decontamination /
+    near-dup quarantine where the benchmark/corpus index was built once
+    (``save_ivf_index(include_vectors=True)`` or ``{vindex}``) and the
+    document firehose never broadcasts or re-scans it beyond the probed
+    ~nprobe/nlist slice.
+
+    Emits ONE row (``id_col``, ``ts_col``) per flagged document: a doc's
+    multiple candidate hits land in its own micro-batch, so
+    ``dropDuplicatesWithinWatermark`` on the id collapses them with
+    state bounded by the watermark horizon (the same eviction contract
+    as :func:`content_dedup_stream`).  Route the hit stream to a
+    quarantine sink and anti-join downstream; Structured Streaming
+    cannot express the clean-side complement in-stream because a doc is
+    clean only when ALL its probe rows miss.
+
+    Approximate like its batch twin: a hit is missed iff the matching
+    vector's list is outside the doc's probed lists — raise ``nprobe``
+    to trade compute for recall."""
+    from ..operators.similarity import (_dot, _ivf_probe_col, _norm,
+                                        default_nprobe, load_ivf_index)
+    spark = docs.sparkSession
+    index, params = load_ivf_index(spark, index_path)
+    if not params.get("include_vectors"):
+        raise ValueError("semantic_hits_stream requires a MATERIALIZED "
+                         "index (save_ivf_index(include_vectors=True))")
+    cents = params["centroids"]
+    metric = params.get("metric", "ip")
+    nprobe = nprobe or default_nprobe(len(cents))
+    probed = docs.select(
+        F.col(id_col), F.col(ts_col),
+        F.col(vec_col).cast("array<double>").alias("qv"),
+        F.explode(_ivf_probe_col(cents, vec_col, nprobe, metric))
+        .alias("list_id"))
+    cand = index.select(F.col("_vec").cast("array<double>").alias("v"),
+                        "list_id")
+    joined = probed.join(cand, "list_id")
+    if metric == "ip":
+        score = (_dot(F.col("v"), F.col("qv"))
+                 / (_norm(F.col("v")) * _norm(F.col("qv"))))
+        hit = score >= threshold
+    else:
+        d2 = F.aggregate(F.zip_with(F.col("v"), F.col("qv"),
+                                    lambda a, b: (a - b) * (a - b)),
+                         F.lit(0.0), lambda acc, x: acc + x)
+        hit = d2 <= threshold
+    return (joined.filter(hit)
+            .select(id_col, ts_col)
+            .withWatermark(ts_col, watermark)
+            .dropDuplicatesWithinWatermark([id_col]))
+
+
 def run_to_memory(stream_df: DataFrame, name: str,
                   mode: str = "append"):
     """Drive a streaming query into an in-memory sink (testing harness)."""

@@ -613,3 +613,57 @@ def test_cohort_event_mode_state_survives_first_batch_gap(spark, tmp_path):
     assert sorted(latest[1]["offsets"]) == [0, 2]
     assert latest[2]["cohort_bucket"] == d0_bucket + 1 * 1
     assert (latest[2]["cohort_bucket"] - d0_bucket) == 1
+
+
+def test_semantic_hits_stream_matches_batch_twin(spark, tmp_path):
+    """Streaming semantic filter against a persisted materialized index:
+    docs arriving across micro-batches are flagged iff their nearest
+    benchmark vector clears the cosine threshold, one row per flagged
+    doc; the flagged id set equals the batch semantic_contamination on
+    the same files (nprobe = nlist on both sides: exact candidates)."""
+    import time as _time
+
+    from gqlite_spark.operators.sampling import semantic_contamination
+    from gqlite_spark.operators.similarity import save_ivf_index
+    from gqlite_spark.streaming.events import (run_to_memory,
+                                               semantic_hits_stream)
+    bench = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [0.0, 1.0]), (3, [-1.0, 0.0]),
+         (4, [0.0, -1.0])],
+        "vec_id long, embedding array<double>")
+    idx = str(tmp_path / "bench_idx")
+    save_ivf_index(bench, idx, nlist=2, include_vectors=True)
+    base = "2024-01-01 00:{:02d}:00"
+    b1 = [(10, [0.999, 0.01], base.format(1)),   # near bench 1 — hit
+          (11, [0.6, 0.62], base.format(2))]     # diagonal — clean
+    b2 = [(12, [0.01, -0.999], base.format(10)), # near bench 4 — hit
+          (13, [0.55, -0.6], base.format(11))]   # diagonal — clean
+    schema = "doc_id long, embedding array<double>, ts_s string"
+    d = str(tmp_path / "docs_sem")
+    for batch in (b1, b2):
+        (spark.createDataFrame(batch, schema)
+         .select("doc_id", "embedding",
+                 F.col("ts_s").cast("timestamp").alias("ts"))
+         .write.mode("append").parquet(d))
+        _time.sleep(1.1)
+    rd_schema = spark.read.parquet(d).schema
+    stream = (spark.readStream.format("parquet").schema(rd_schema)
+              .option("maxFilesPerTrigger", 1).load(d))
+    q = run_to_memory(
+        semantic_hits_stream(stream, idx, threshold=0.98, nprobe=2),
+        "t_semhits", mode="append")
+    q.awaitTermination(120)
+    got = sorted(r["doc_id"] for r in
+                 spark.sql("SELECT doc_id FROM t_semhits").collect())
+    assert got == [10, 12]
+    batch_flags = sorted(
+        r["doc_id"] for r in semantic_contamination(
+            spark.read.parquet(d), bench, threshold=0.98, nlist=2,
+            nprobe=2, id_col="doc_id",
+            bench_id_col="vec_id").collect())
+    assert got == batch_flags
+    # a non-materialized index is a clean contract error
+    idx2 = str(tmp_path / "bench_idx_novec")
+    save_ivf_index(bench, idx2, nlist=2, include_vectors=False)
+    with pytest.raises(ValueError, match="MATERIALIZED"):
+        semantic_hits_stream(stream, idx2)
