@@ -1031,6 +1031,32 @@ def q_ann_ivf_indexed(spark, sf_dir):
             .withColumnRenamed("id", "vec_id"))
 
 
+def q_ann_ivfpq_indexed(spark, sf_dir):
+    """IVF+PQ (IVFADC) ANN against a PERSISTED index: inverted lists
+    partitioned by list_id whose rows hold PQ CODES, not vectors —
+    the probed read is pruned (nprobe/nlist of the partitions) AND
+    each read row is m ints instead of dim floats.  ADC ranks the
+    pruned codes, the candidate ids exact-cosine re-rank against the
+    corpus.  Sampling quantizers (refine_iters=0) so DuckDB rebuilds
+    centroids, codebooks, assignments, codes, ADC sums, and the
+    re-rank bit-for-bit.  Query vec_id 3; l2 coarse metric (the
+    $near-routing form)."""
+    import tempfile
+
+    from gqlite_spark.operators.similarity import (ivfpq_topk_indexed,
+                                                   load_ivfpq_index,
+                                                   save_ivfpq_index)
+    emb = _load(spark, sf_dir, "embeddings")
+    qvec = emb.filter(F.col("vec_id") == 3).select("embedding").collect()[0][0]
+    path = tempfile.mkdtemp(prefix="gqlite_ivfpqidx_")
+    save_ivfpq_index(emb, path, nlist=16, m=4, ksub=16, refine_iters=0,
+                     metric="l2")
+    index, params = load_ivfpq_index(spark, path)
+    return (ivfpq_topk_indexed(emb, [float(x) for x in qvec], index, params,
+                               nprobe=4, k=10, candidates=100)
+            .withColumnRenamed("id", "vec_id"))
+
+
 def q_ann_ivf(spark, sf_dir):
     """IVF ANN: deterministic sampling coarse quantizer (nlist lowest-id
     vectors), max-inner-product list assignment as an inlined scalar
@@ -1318,8 +1344,9 @@ def entry(spark: SparkSession) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # NOTE on ordering: the driver's correctness gate checks the FIRST 50
     # entries in dict order.  Round-8 ROTATION (VERDICT r7 next #6): the
-    # window holds (a) the 4 r8-new entries (knn_near_limit_filtered,
-    # knn_compacted, sim_knn_join_ivf, decontaminate_semantic), (b) ALL
+    # window holds (a) the 5 r8-new entries (knn_near_limit_filtered,
+    # knn_compacted, sim_knn_join_ivf, decontaminate_semantic,
+    # sim_ann_ivfpq_indexed), (b) ALL
     # 38 entries whose last driver row is r6 (the past-the-cap slice of
     # r7), and (c) 8 r7-green keepers chosen for overlap with this
     # round's changes — the routed/filtered kNN family and persisted-
@@ -1338,6 +1365,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_compacted": q_knn_compacted,
         "sim_knn_join_ivf": q_knn_join_ivf,
         "decontaminate_semantic": q_decontaminate_semantic,
+        "sim_ann_ivfpq_indexed": q_ann_ivfpq_indexed,
         # ==== promoted: last driver row r6 (past-the-cap in r7) ====
         "graph_pagerank_personalized": q_pagerank_personalized,
         "sim_ann_lsh_indexed": q_ann_lsh_indexed,
@@ -1385,9 +1413,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "training_shards": q_training_shards,
         "pricing_summary": q_pricing_summary,
         "dedup_exact": q_dedup_exact,
-        "dedup_minhash_lsh": q_dedup_minhash,
         # ==== past the cap: every entry below is r7 driver-green
         # ==== (still oracle-checked locally every round) ====
+        "dedup_minhash_lsh": q_dedup_minhash,
         "text_lm_score": q_text_lm_score,
         "event_funnel": q_event_funnel,
         "window_session": q_window_session,
@@ -1591,6 +1619,72 @@ def _ann_ivf_sql(nlist: int = 16, nprobe: int = 4, k: int = 10,
         " AS cosine FROM cand, qv"
         " ORDER BY list_inner_product(v, qv) /"
         " (sqrt(list_inner_product(v, v)) * sqrt(list_inner_product(qv, qv)))"
+        f" DESC, vec_id ASC LIMIT {k}")
+
+
+def _ann_ivfpq_sql(nlist: int = 16, nprobe: int = 4, m: int = 4,
+                   dsub: int = 16, ksub: int = 16, candidates: int = 100,
+                   k: int = 10, query_id: int = 3) -> str:
+    """IVFPQ oracle: rebuild the ENTIRE index in SQL — sampling coarse
+    centroids (nlist lowest vec_ids) with min-squared-L2 assignment
+    (ties -> smallest cid, the l2 metric form), sampling PQ codebooks
+    (ksub lowest vec_ids' sub-vectors, code = rank) with min-sub-d2
+    codes (ties -> smallest code), probe the query's nprobe nearest
+    lists by the same L2, ADC-sum rank ONLY the probed rows (ordered
+    SUM = the Spark side's left-assoc subspace fold), take the
+    ``candidates`` best by (adc, vec_id), exact-cosine re-rank.  Every
+    distance is an in-order element sum — the same fold as
+    F.aggregate — so all doubles match bit-for-bit."""
+    dim = m * dsub
+    d2 = (f"list_aggregate(list_transform(generate_series(1, {dim}),"
+          " i -> ({A}[i] - {B}[i]) * ({A}[i] - {B}[i])), 'sum')")
+    d2_vc = d2.replace("{A}", "v.v").replace("{B}", "c.cv")
+    d2_qc = d2.replace("{A}", "qv.qv").replace("{B}", "c.cv")
+    sub_d2 = (f"list_aggregate(list_transform(generate_series(1, {dsub}),"
+              " i -> ({V}[{J}*%d + i] - cb.cv[{J}*%d + i])"
+              " * ({V}[{J}*%d + i] - cb.cv[{J}*%d + i])), 'sum')"
+              % (dsub, dsub, dsub, dsub))
+    d2_vec = sub_d2.replace("{V}", "pr.v").replace("{J}", "s.j")
+    d2_q = sub_d2.replace("{V}", "qv.qv").replace("{J}", "s.j")
+    return (
+        "WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),"
+        f" cents AS (SELECT vec_id AS cid, v AS cv FROM v"
+        f" ORDER BY vec_id LIMIT {nlist}),"
+        " cb AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS code,"
+        " v AS cv FROM (SELECT vec_id, v FROM v ORDER BY vec_id"
+        f" LIMIT {ksub})),"
+        f" qv AS (SELECT v AS qv FROM v WHERE vec_id = {query_id}),"
+        f" probe AS (SELECT c.cid FROM cents c, qv"
+        f" ORDER BY {d2_qc} ASC, c.cid ASC LIMIT {nprobe}),"
+        " assign AS (SELECT vec_id, cid FROM"
+        " (SELECT v.vec_id, c.cid, row_number() OVER (PARTITION BY v.vec_id"
+        f" ORDER BY {d2_vc} ASC, c.cid ASC) AS rn"
+        " FROM v CROSS JOIN cents c) WHERE rn = 1),"
+        # probed rows only: codes/ADC are needed just where the engine
+        # READS (the pruned partitions)
+        " pr AS (SELECT v.vec_id, v.v FROM v"
+        " JOIN assign a ON a.vec_id = v.vec_id"
+        " JOIN probe p ON p.cid = a.cid),"
+        f" subs AS (SELECT unnest(generate_series(0, {m - 1})) AS j),"
+        f" d2s AS (SELECT pr.vec_id, s.j, cb.code, {d2_vec} AS d"
+        " FROM pr CROSS JOIN subs s CROSS JOIN cb),"
+        " codes AS (SELECT vec_id, j, code FROM (SELECT *, row_number()"
+        " OVER (PARTITION BY vec_id, j ORDER BY d ASC, code ASC) AS rn"
+        " FROM d2s) WHERE rn = 1),"
+        f" adc AS (SELECT s.j, cb.code, {d2_q} AS d"
+        " FROM subs s CROSS JOIN cb CROSS JOIN qv),"
+        " approx AS (SELECT c.vec_id, SUM(a.d ORDER BY c.j) AS ad"
+        " FROM codes c JOIN adc a ON a.j = c.j AND a.code = c.code"
+        " GROUP BY c.vec_id),"
+        " cand AS (SELECT vec_id FROM approx"
+        f" ORDER BY ad ASC, vec_id ASC LIMIT {candidates})"
+        " SELECT v.vec_id, round(list_inner_product(v.v, qv) /"
+        " (sqrt(list_inner_product(v.v, v.v)) *"
+        " sqrt(list_inner_product(qv, qv))), 4) AS cosine"
+        " FROM v JOIN cand USING (vec_id), qv"
+        " ORDER BY list_inner_product(v.v, qv) /"
+        " (sqrt(list_inner_product(v.v, v.v)) *"
+        " sqrt(list_inner_product(qv, qv)))"
         f" DESC, vec_id ASC LIMIT {k}")
 
 
@@ -2339,6 +2433,8 @@ def oracle_sql() -> dict[str, str]:
         "sim_ann_pq_indexed": _ann_pq_sql(4, 16, 16, 100, 10, query_id=1),
         "sim_ann_lsh_indexed": _ann_lsh_sql(64, 4, 2, 10, query_id=2),
         "sim_ann_ivf_indexed": _ann_ivf_sql(16, 4, 10, query_id=2),
+        "sim_ann_ivfpq_indexed": _ann_ivfpq_sql(16, 4, 4, 16, 16, 100, 10,
+                                                query_id=3),
         "graph_degrees":
             "WITH e AS (SELECT 'o' || o_orderkey AS src,"
             " 'c' || o_custkey AS dst FROM orders),"

@@ -339,11 +339,12 @@ class GQLite:
         spark = grp.spark
         loaders = {"lsh": (S.load_ann_index, S.ann_topk_indexed),
                    "ivf": (S.load_ivf_index, S.ivf_topk_indexed),
-                   "pq": (S.load_pq_index, S.pq_topk_indexed)}
+                   "pq": (S.load_pq_index, S.pq_topk_indexed),
+                   "ivfpq": (S.load_ivfpq_index, S.ivfpq_topk_indexed)}
         if m not in loaders:
             raise GQLiteError(
                 f"similar: method '{m}' has no persisted-index form "
-                "(want lsh|ivf|pq)")
+                "(want lsh|ivf|pq|ivfpq)")
         load, search = loaders[m]
         try:
             index, params = load(spark, path)

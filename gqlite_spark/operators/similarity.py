@@ -1010,3 +1010,102 @@ def pq_topk_indexed(df: DataFrame, query_vec: list[float],
                    id_col)
     return cosine_topk(cand, [float(x) for x in query_vec], k,
                        id_col, vec_col)
+
+
+# --------------------------------------------------------------------------
+# IVF+PQ (IVFADC) — partition-pruned inverted lists holding PQ codes
+# --------------------------------------------------------------------------
+
+def save_ivfpq_index(df: DataFrame, path: str, nlist: int = 16,
+                     m: int = 8, ksub: int = 64, refine_iters: int = 0,
+                     id_col: str = "vec_id", vec_col: str = "embedding",
+                     metric: str = "l2") -> None:
+    """Persist an IVF+PQ (IVFADC) index: inverted lists partitioned by
+    ``list_id`` whose rows are (id, codes) — PQ codes, NOT vectors.
+
+    This composes the repo's two scale levers for ANN over one layout
+    (the FAISS IVFADC shape, Jégou et al. 2011, "Product Quantization
+    for Nearest Neighbor Search"):
+
+    - the IVF partitioning changes what is READ: a probed query scans
+      only nprobe/nlist of the index partitions (plan-level
+      ``PartitionFilters``), exactly like the materialized full-vector
+      index (``save_ivf_index(include_vectors=True)``);
+    - the PQ codes change how much each read row COSTS: m small ints
+      instead of dim floats, so the probed partitions are ~dim·4/m
+      times smaller than materialized vectors, and scoring is m table
+      lookups + adds instead of per-row vector math.
+
+    At 100 TB of raw vectors a full-vector materialized index doubles
+    storage; the IVFPQ index at m=8 over 768-dim float vectors is
+    ~1/384 of the corpus — small enough to replicate hot, cheap enough
+    to rebuild.  Recall is bound by code bits (m·log2 ksub) times the
+    probed fraction; the exact cosine re-rank of the ``candidates``
+    best ADC ids (one id-join, reading only those corpus rows) restores
+    exactness within the candidate set.
+
+    Build is SINGLE-PASS: coarse assignment and PQ encoding are both
+    scalar expressions (or one Arrow matmul above
+    ``IVF_ASSIGN_EXPR_MAX_NLIST``) carried through one select — no
+    corpus self-join, one write exchange only.  ``refine_iters`` Lloyd
+    iterations refine BOTH quantizers metric-matched; leave 0 when an
+    external SQL oracle must rebuild the index bit-for-bit (refined
+    centroids/codebooks are float means).  Same persistence contract
+    (Hadoop-FS sidecars, cluster-portable paths) as save_ivf_index;
+    reference index persistence parity HNSW.cpp:282-328."""
+    from .. import fsio
+    cents = ivf_centroids(df, nlist, id_col, vec_col)
+    books = pq_codebooks(df, m, ksub, id_col, vec_col)
+    if refine_iters:
+        cents = lloyd_refine(df, cents, refine_iters, id_col, vec_col,
+                             metric)
+        books = pq_refine(df, books, refine_iters, id_col, vec_col)
+    dsub = len(books[0][0])
+    vsql = f"cast({vec_col} as array<double>)"
+    codes = F.expr("array(" + ", ".join(
+        _pq_code_sql(vsql, j, dsub, book)
+        for j, book in enumerate(books)) + ")")
+    (df.select(F.col(id_col).alias("id"),
+               _ivf_assign_col(cents, vec_col, metric).alias("list_id"),
+               codes.alias("codes"))
+     .write.mode("overwrite").partitionBy("list_id")
+     .parquet(fsio.join(path, "ivfpq.parquet")))
+    fsio.write_json(df.sparkSession, fsio.join(path, "ivfpq_params.json"),
+                    {"nlist": nlist, "m": m, "ksub": ksub,
+                     "id_col": id_col, "vec_col": vec_col,
+                     "metric": metric,
+                     "centroids": [[cid, cv] for cid, cv in cents],
+                     "books": books})
+
+
+def load_ivfpq_index(spark, path: str) -> "tuple[DataFrame, dict]":
+    from .. import fsio
+    params = fsio.read_json(spark, fsio.join(path, "ivfpq_params.json"))
+    params["centroids"] = [(cid, cv) for cid, cv in params["centroids"]]
+    return spark.read.parquet(fsio.join(path, "ivfpq.parquet")), params
+
+
+def ivfpq_topk_indexed(df: DataFrame, query_vec: list[float],
+                       index: DataFrame, params: dict, nprobe: int = 4,
+                       k: int = 10, candidates: int = 1000) -> DataFrame:
+    """Top-k against a persisted IVFPQ index: partition-pruned read of
+    the query's ``nprobe`` inverted lists (codes only — the smallest
+    possible probe I/O), ADC ranking (driver-side m×ksub distance table
+    inlined; per row m lookups + adds), then exact cosine re-rank of
+    the ``candidates`` best ids against the corpus (broadcast id join —
+    only those corpus rows are fetched).  Ties broken by id at both
+    stages, so results are deterministic and SQL-oracle replayable."""
+    q = [float(x) for x in query_vec]
+    probe_fn = (l2_probe_lists if params.get("metric", "l2") == "l2"
+                else ivf_probe_lists)
+    lists = probe_fn(q, params["centroids"], nprobe)
+    cand_ids = (index.where(F.col("list_id")
+                            .isin([int(x) for x in lists]))
+                .select("id", _adc_expr(q, params["books"]).alias("_adc"))
+                .orderBy(F.col("_adc").asc(), F.col("id").asc())
+                .limit(candidates)
+                .select("id"))
+    id_col, vec_col = params["id_col"], params["vec_col"]
+    cand = df.join(F.broadcast(cand_ids.withColumnRenamed("id", id_col)),
+                   id_col)
+    return cosine_topk(cand, q, k, id_col, vec_col)

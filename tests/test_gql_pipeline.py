@@ -288,13 +288,15 @@ def test_gql_similar_with_persisted_index(pdb, tmp_path, spark):
     grp = pdb.catalog.graphs["pg"].group("vecs")
     corpus = grp.to_df().select("id", "embedding")
     paths = {}
+    from gqlite_spark.operators.similarity import save_ivfpq_index
     for m, saver, kw in (
             ("lsh", save_ann_index, {"dim": 2, "n_planes": 2}),
             ("ivf", save_ivf_index, {"nlist": 2}),
-            ("pq", save_pq_index, {"m": 2, "ksub": 4})):
+            ("pq", save_pq_index, {"m": 2, "ksub": 4}),
+            ("ivfpq", save_ivfpq_index, {"nlist": 2, "m": 2, "ksub": 4})):
         paths[m] = str(tmp_path / f"sidx_{m}")
         saver(corpus, paths[m], id_col="id", vec_col="embedding", **kw)
-    for m in ("lsh", "ivf", "pq"):
+    for m in ("lsh", "ivf", "pq", "ivfpq"):
         res = _one(pdb, "{similar: 'vecs', in: 'pg', to: [1.0, 0.0],"
                         f" top: 1, method: '{m}', index: '{paths[m]}'}};")
         assert res.rows and res.rows[0][0] == 10, (m, res.rows)

@@ -676,6 +676,55 @@ def test_pq_index_save_load_roundtrip(spark, tmp_path):
            [(r["id"], r["cosine"]) for r in inline]
 
 
+def test_ivfpq_index_roundtrip_exact_when_full_probe(spark, tmp_path):
+    """Persisted IVFPQ index: with every list probed and candidates
+    covering the corpus, the exact re-rank makes the result identical
+    to brute-force cosine top-k (the approximation only ever narrows
+    the candidate set)."""
+    import math
+    from gqlite_spark.operators.similarity import (
+        cosine_topk, ivfpq_topk_indexed, load_ivfpq_index,
+        save_ivfpq_index)
+    vecs = [(i, [math.cos(i / 7), math.sin(i / 7), math.cos(i / 3),
+                 math.sin(i / 3)]) for i in range(150)]
+    df = spark.createDataFrame(vecs, "vec_id long, embedding array<double>")
+    path = str(tmp_path / "ivfpqidx")
+    save_ivfpq_index(df, path, nlist=6, m=2, ksub=8)
+    idx, params = load_ivfpq_index(spark, path)
+    q = [math.cos(0.1), math.sin(0.1), math.cos(0.2), math.sin(0.2)]
+    via_index = ivfpq_topk_indexed(df, q, idx, params, nprobe=6, k=5,
+                                   candidates=150).collect()
+    exact = cosine_topk(df, q, 5).collect()
+    assert [(r["id"], r["cosine"]) for r in via_index] == \
+           [(r["id"], r["cosine"]) for r in exact]
+
+
+def test_ivfpq_probe_is_partition_pruned(spark, tmp_path):
+    """The IVFPQ probe reads only the probed list partitions
+    (PartitionFilters in the physical plan) — the scan is pruned at the
+    source, not filtered after a full read — and the index rows carry
+    codes, never vectors."""
+    import math
+    from gqlite_spark.operators.similarity import (l2_probe_lists,
+                                                   load_ivfpq_index,
+                                                   save_ivfpq_index)
+    from pyspark.sql import functions as F
+    vecs = [(i, [math.cos(i / 7), math.sin(i / 7), math.cos(i / 3),
+                 math.sin(i / 3)]) for i in range(150)]
+    df = spark.createDataFrame(vecs, "vec_id long, embedding array<double>")
+    path = str(tmp_path / "ivfpqidx2")
+    save_ivfpq_index(df, path, nlist=6, m=2, ksub=8)
+    idx, params = load_ivfpq_index(spark, path)
+    assert set(idx.columns) == {"id", "codes", "list_id"}
+    q = [1.0, 0.0, 1.0, 0.0]
+    lists = l2_probe_lists(q, params["centroids"], 2)
+    pruned = idx.where(F.col("list_id").isin([int(x) for x in lists]))
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "list_id" in plan
+    # and the pruned read returns a strict subset of the index
+    assert 0 < pruned.count() < idx.count()
+
+
 def test_pq_refine_improves_quantization(spark):
     """Lloyd-refined codebooks reduce (or keep) total ADC quantization
     error vs the raw sampling codebooks."""
