@@ -1267,6 +1267,22 @@ def q_sample_stratified(spark, sf_dir):
     return out.select("doc_id", "lang", "n_chars")
 
 
+def q_sample_cluster(spark, sf_dir):
+    """Embedding-cluster-balanced sampling: partition the vector space
+    with the deterministic sampling-quantizer centroids (nlist lowest
+    vec_ids, min-L2 assignment — the same quantizer the IVF index
+    uses), keep the 5 md5-smallest rows per cluster.  Assignment is a
+    zero-shuffle scalar expression; the cut is one shuffle on
+    cluster_id; output is nlist x 5 rows regardless of corpus size —
+    the anti-skew topic-balancing primitive for corpus curation."""
+    from gqlite_spark.operators.sampling import cluster_sample
+    from gqlite_spark.operators.similarity import ivf_centroids
+    emb = _load(spark, sf_dir, "embeddings")
+    cents = ivf_centroids(emb, nlist=8)
+    out = cluster_sample(emb, cents, per_cluster=5, metric="l2")
+    return out.select("vec_id", "label", "cluster_id")
+
+
 def q_doc_length_percentiles(spark, sf_dir):
     """Exact per-language p50/p90/p99 of document length via the value-
     histogram algorithm (shuffle O(distinct lengths), never a per-stratum
@@ -1344,9 +1360,9 @@ def entry(spark: SparkSession) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # NOTE on ordering: the driver's correctness gate checks the FIRST 50
     # entries in dict order.  Round-8 ROTATION (VERDICT r7 next #6): the
-    # window holds (a) the 5 r8-new entries (knn_near_limit_filtered,
+    # window holds (a) the 6 r8-new entries (knn_near_limit_filtered,
     # knn_compacted, sim_knn_join_ivf, decontaminate_semantic,
-    # sim_ann_ivfpq_indexed), (b) ALL
+    # sim_ann_ivfpq_indexed, sample_cluster), (b) ALL
     # 38 entries whose last driver row is r6 (the past-the-cap slice of
     # r7), and (c) 8 r7-green keepers chosen for overlap with this
     # round's changes — the routed/filtered kNN family and persisted-
@@ -1366,6 +1382,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_knn_join_ivf": q_knn_join_ivf,
         "decontaminate_semantic": q_decontaminate_semantic,
         "sim_ann_ivfpq_indexed": q_ann_ivfpq_indexed,
+        "sample_cluster": q_sample_cluster,
         # ==== promoted: last driver row r6 (past-the-cap in r7) ====
         "graph_pagerank_personalized": q_pagerank_personalized,
         "sim_ann_lsh_indexed": q_ann_lsh_indexed,
@@ -1412,9 +1429,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_ann_pq_indexed": q_ann_pq_indexed,
         "training_shards": q_training_shards,
         "pricing_summary": q_pricing_summary,
-        "dedup_exact": q_dedup_exact,
         # ==== past the cap: every entry below is r7 driver-green
         # ==== (still oracle-checked locally every round) ====
+        "dedup_exact": q_dedup_exact,
         "dedup_minhash_lsh": q_dedup_minhash,
         "text_lm_score": q_text_lm_score,
         "event_funnel": q_event_funnel,
@@ -1877,6 +1894,33 @@ def _shards_sql(n_shards: int = 16, salt: str = "ep1") -> str:
         " SELECT shard, COUNT(*)::BIGINT AS n_rows,"
         " MIN(skey) AS min_key, MAX(skey) AS max_key"
         " FROM k GROUP BY shard")
+
+
+def _sample_cluster_sql(nlist: int = 8, per_cluster: int = 5,
+                        dim: int = 64) -> str:
+    """Cluster-balanced-sampling oracle: rebuild the sampling quantizer
+    (nlist lowest vec_ids), per-row argmin squared-L2 assignment
+    (in-order element sum, ties -> smallest cid — the same replay as
+    _knn_routed_sql), then keep the per_cluster md5-smallest rows per
+    cluster (rank ties -> smallest vec_id)."""
+    d2 = (f"list_aggregate(list_transform(generate_series(1, {dim}),"
+          " i -> (v.v[i] - c.cv[i]) * (v.v[i] - c.cv[i])), 'sum')")
+    return (
+        "WITH v AS (SELECT vec_id, label, embedding::DOUBLE[] AS v"
+        " FROM embeddings),"
+        f" cents AS (SELECT vec_id AS cid, v AS cv FROM v"
+        f" ORDER BY vec_id LIMIT {nlist}),"
+        " assign AS (SELECT vec_id, cid FROM"
+        " (SELECT v.vec_id, c.cid, row_number() OVER (PARTITION BY v.vec_id"
+        f" ORDER BY {d2} ASC, c.cid ASC) AS rn"
+        " FROM v CROSS JOIN cents c) WHERE rn = 1),"
+        " ranked AS (SELECT v.vec_id, v.label, a.cid AS cluster_id,"
+        " row_number() OVER (PARTITION BY a.cid"
+        " ORDER BY substr(md5(CAST(v.vec_id AS VARCHAR)), 1, 8),"
+        " v.vec_id) AS rn"
+        " FROM v JOIN assign a ON a.vec_id = v.vec_id)"
+        " SELECT vec_id, label, cluster_id FROM ranked"
+        f" WHERE rn <= {per_cluster}")
 
 
 def _ann_pq_sql(m: int = 4, dsub: int = 16, ksub: int = 16,
@@ -2435,6 +2479,7 @@ def oracle_sql() -> dict[str, str]:
         "sim_ann_ivf_indexed": _ann_ivf_sql(16, 4, 10, query_id=2),
         "sim_ann_ivfpq_indexed": _ann_ivfpq_sql(16, 4, 4, 16, 16, 100, 10,
                                                 query_id=3),
+        "sample_cluster": _sample_cluster_sql(8, 5),
         "graph_degrees":
             "WITH e AS (SELECT 'o' || o_orderkey AS src,"
             " 'c' || o_custkey AS dst FROM orders),"

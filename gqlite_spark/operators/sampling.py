@@ -98,6 +98,41 @@ def stratified_sample(df: DataFrame, strata_col: str,
     return df.filter(sample_key(id_col, salt) < thr)
 
 
+def cluster_sample(df: DataFrame, centroids: "list[tuple]",
+                   per_cluster: int, id_col: str = "vec_id",
+                   vec_col: str = "embedding",
+                   metric: str = "l2") -> DataFrame:
+    """Embedding-cluster-balanced sampling: keep ``per_cluster`` rows
+    from each k-means cluster of the vector space.
+
+    The curation use this serves: a web-scale corpus is dominated by a
+    few dense embedding regions (boilerplate, templates, one language);
+    uniform sampling reproduces that skew, while per-TOPIC balancing
+    needs a partition of the embedding space.  The same deterministic
+    sampling-quantizer centroids the ANN stack uses (``ivf_centroids``,
+    optionally Lloyd-refined) serve as that partition for free.
+
+    Plan shape at scale: cluster assignment is the zero-shuffle scalar
+    expression / Arrow-matmul Column the IVF index build uses
+    (map-only); the per-cluster cut is ONE hash shuffle on cluster_id +
+    a bounded per-cluster top-``per_cluster`` (window over the md5
+    sample key — deterministic, engine-independent, and re-runs give
+    the same sample).  Output size is nlist × per_cluster regardless of
+    corpus size, so downstream never sees the skew.  Rank ties break by
+    id: bit-exact SQL-oracle replayable."""
+    from pyspark.sql import Window
+
+    from .similarity import _ivf_assign_col
+    assigned = df.withColumn(
+        "cluster_id", _ivf_assign_col(centroids, vec_col, metric))
+    w = (Window.partitionBy("cluster_id")
+         .orderBy(sample_key(id_col), F.col(id_col)))
+    return (assigned
+            .withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") <= per_cluster)
+            .drop("_rn"))
+
+
 def mixture_sample(df: DataFrame, group_col: str,
                    target_props: dict[str, float],
                    id_col: str = "doc_id",

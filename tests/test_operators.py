@@ -812,6 +812,42 @@ def test_stratified_sample_rates(spark):
         assert (i in got) == expect_in
 
 
+def test_cluster_sample_balances_and_is_deterministic(spark):
+    """cluster_sample keeps exactly per_cluster rows from each occupied
+    k-means cell (the md5-smallest, ties by id), collapsing any skew in
+    the input distribution — and re-runs reproduce the same rows."""
+    import hashlib
+    import math
+    from gqlite_spark.operators.sampling import cluster_sample
+    from gqlite_spark.operators.similarity import ivf_centroids
+    # heavy skew: 180 points near (1,0), 20 spread elsewhere
+    rows = [(i, [1.0 + math.sin(i) / 50, math.cos(i) / 50])
+            for i in range(180)]
+    rows += [(200 + i, [math.cos(i), math.sin(i)]) for i in range(20)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    cents = ivf_centroids(df, nlist=4)
+    out = cluster_sample(df, cents, per_cluster=3, metric="l2").collect()
+    by_cluster: dict = {}
+    for r in out:
+        by_cluster.setdefault(r["cluster_id"], []).append(r["vec_id"])
+    assert all(len(v) <= 3 for v in by_cluster.values())
+    # the dense cell contributes 3 rows, not 90% of the sample
+    assert len(out) <= 4 * 3 and len(out) >= 6
+    # determinism: the kept ids are the md5-smallest of each cluster
+    out2 = {(r["cluster_id"], r["vec_id"])
+            for r in cluster_sample(df, cents, per_cluster=3,
+                                    metric="l2").collect()}
+    assert {(r["cluster_id"], r["vec_id"]) for r in out} == out2
+    # and they are exactly the md5-smallest members of each cluster
+    from gqlite_spark.operators.similarity import ivf_assign
+    key = lambda i: (hashlib.md5(str(i).encode()).hexdigest()[:8], i)
+    members: dict = {}
+    for r in ivf_assign(df, cents, metric="l2").collect():
+        members.setdefault(r["list_id"], []).append(r["id"])
+    for cl, ids in by_cluster.items():
+        assert sorted(ids, key=key) == sorted(members[cl], key=key)[:3]
+
+
 def test_length_percentiles_match_sorted_pick(spark):
     import math
     from gqlite_spark.operators.sampling import length_percentiles
