@@ -422,12 +422,43 @@ class GQLite:
         as an engine statement (operators/sampling.py: membership is a
         scan-only predicate on the group's key, zero shuffle, stable
         across engines and re-runs)."""
-        from .operators.sampling import hash_sample, stratified_sample
+        from .operators.sampling import (cluster_sample, hash_sample,
+                                         stratified_sample)
         graph = self._graph(stmt.graph)
         grp = graph.group(stmt.group)
         df = grp.to_df()
         if df is None:
             return StatementResult(status="QUERY SUCCESS", rows=[], df=None)
+        if stmt.clusters is not None:
+            # embedding-cluster-balanced: the quantizer is cached on the
+            # Group (same discipline as {similar}'s IVF centroids —
+            # invalidated by any mutation)
+            from pyspark.sql import types as T
+
+            from .operators.similarity import ivf_centroids
+            if stmt.on not in df.columns:
+                raise GQLiteError(
+                    f"group '{stmt.group}' has no property '{stmt.on}'")
+            dtype = df.schema[stmt.on].dataType
+            if not (isinstance(dtype, T.ArrayType)
+                    and isinstance(dtype.elementType,
+                                   (T.DoubleType, T.FloatType,
+                                    T.IntegerType, T.LongType,
+                                    T.ShortType))):
+                raise GQLiteError(
+                    f"sample: property '{stmt.on}' is "
+                    f"{dtype.simpleString()}, not a numeric vector")
+            cache_key = ("cluster", stmt.on, stmt.clusters)
+            cents = grp._ann_cache.get(cache_key)
+            if cents is None:
+                cents = ivf_centroids(df, nlist=stmt.clusters, id_col="id",
+                                      vec_col=stmt.on)
+                grp._ann_cache[cache_key] = cents
+            out = cluster_sample(df, cents, per_cluster=stmt.per,
+                                 id_col="id", vec_col=stmt.on, metric="l2")
+            return StatementResult(
+                status="QUERY SUCCESS", df=out,
+                rows_fn=lambda out=out: [list(r) for r in out.collect()])
         if stmt.rate is not None:
             out = hash_sample(df, id_col="id", rate=stmt.rate,
                               salt=stmt.salt)

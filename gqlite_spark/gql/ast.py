@@ -254,9 +254,10 @@ class CohortStmt:
 class SampleStmt:
     """``{sample: group, in: g, rate: r}`` (hash sample) or
     ``{sample: group, in: g, by: prop, rates: {v: r, ...}, default: r}``
-    (stratified) — deterministic md5-keyed sampling as an engine
-    statement (operators/sampling.py: scan-only predicate, no
-    shuffle)."""
+    (stratified) or ``{sample: group, in: g, clusters: n, per: k,
+    on: prop}`` (embedding-cluster-balanced) — deterministic md5-keyed
+    sampling as an engine statement (operators/sampling.py: scan-only
+    predicate for rate/rates; one cluster_id shuffle for clusters)."""
     group: str
     graph: Optional[str] = None
     rate: Optional[float] = None
@@ -264,6 +265,9 @@ class SampleStmt:
     rates: Optional[dict] = None
     default: float = 0.0
     salt: str = ""
+    clusters: Optional[int] = None
+    per: int = 1
+    on: str = "embedding"
 
 
 @dataclass

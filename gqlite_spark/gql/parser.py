@@ -402,6 +402,21 @@ class Parser:
                               str(obj.get("ts", "ts")), bucket)
         if "sample" in obj:
             rate, rates = obj.get("rate"), obj.get("rates")
+            clusters = obj.get("clusters")
+            if clusters is not None:
+                if rate is not None or rates is not None:
+                    raise GQLParseError(
+                        "sample: clusters is exclusive with rate / rates")
+                per = obj.get("per", 1)
+                for nm, v in (("clusters", clusters), ("per", per)):
+                    if not isinstance(v, int) or isinstance(v, bool) \
+                            or v < 1:
+                        raise GQLParseError(
+                            f"sample: {nm} must be a positive integer")
+                return SampleStmt(obj["sample"], obj.get("in"),
+                                  salt=str(obj.get("salt", "")),
+                                  clusters=int(clusters), per=int(per),
+                                  on=str(obj.get("on", "embedding")))
             if (rate is None) == (rates is None):
                 raise GQLParseError(
                     "sample: exactly one of rate / rates is required")

@@ -128,6 +128,25 @@ def test_gql_sample(pdb):
     assert ids == [1, 2]                       # en kept, fr dropped
 
 
+def test_gql_sample_clusters(pdb):
+    """{sample clusters:} — embedding-cluster-balanced sampling over a
+    vector property; per: 1 keeps exactly one row per occupied cell."""
+    res = _one(pdb, "{sample: 'vecs', in: 'pg', clusters: 2, per: 1,"
+                    " on: 'embedding'};")
+    ids = {r[0] for r in res.rows}
+    # 2 clusters over the 4-vector fixture -> exactly 2 representatives,
+    # never two from the same cell
+    assert len(res.rows) == 2 and len(ids) == 2
+    clusters = [r[-1] for r in res.rows]
+    assert len(set(clusters)) == 2
+    r = pdb.exec("{sample: 'vecs', in: 'pg', clusters: 2, rate: 0.5};")[0]
+    assert r.error and "exclusive" in r.error
+    r = pdb.exec("{sample: 'vecs', in: 'pg', clusters: 0};")[0]
+    assert r.error and "positive integer" in r.error
+    r = pdb.exec("{sample: 'docs', in: 'pg', clusters: 2, on: 'text'};")[0]
+    assert r.error and "numeric vector" in r.error
+
+
 def test_gql_funnel_sample_parse_errors(pdb):
     r = pdb.exec("{funnel: 'ev', in: 'pg', steps: []};")[0]
     assert r.error and "steps" in r.error
