@@ -45,7 +45,9 @@ DIAGNOSTIC = {"point_lookup_raw": _point_lookup_raw}
 # same way, keeping the cross-round total set frozen)
 DIAGNOSTIC_QUERIES: list[str] = ["knn_near_limit_routed",
                                  "sim_knn_join_ivf",
-                                 "decontaminate_semantic"]
+                                 "decontaminate_semantic",
+                                 "sim_ann_ivfpq_indexed",
+                                 "sample_cluster"]
 
 # the original 19-query headline set (rounds 1-4) — reported separately
 # as value_19q so round-over-round totals stay comparable across the

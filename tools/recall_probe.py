@@ -15,7 +15,10 @@ Reference parity anchor: the HNSW recall test at
 exact neighbours).
 
 Usage: python tools/recall_probe.py [n_vecs] [n_queries] [family ...]
-with families from {lsh, ivf, pq, pqx, near} (default: all but near).
+with families from {lsh, ivf, pq, pqx, ivfpq, near} (default: lsh ivf
+pq pqx).  ``ivfpq`` is the r8 IVFADC persisted index (pruned code
+partitions + exact re-rank; also reports on-disk bytes vs the
+materialized full-vector index).
 ``pqx`` is the persisted-codes PQ path (pq_topk_indexed: ADC over the
 encoded table, refined ksub=64 codebooks) — the shape that actually
 ships at scale.  ``near`` is the routed $near materialized-IVF path.
@@ -179,6 +182,49 @@ def main() -> None:
                 lambda q, c=cand: pq_topk_indexed(corpus, q, codes,
                                                   params, k=K,
                                                   candidates=c))
+
+    # --- IVFPQ: pruned partitions of PQ codes + exact re-rank (r8) -------
+    # the storage-lean scale shape: probed read = nprobe/nlist of the
+    # partitions AND each row is m ints, not DIM floats.  Also reports
+    # on-disk bytes vs the materialized full-vector IVF index.
+    if "ivfpq" in families:
+        import tempfile
+
+        from gqlite_spark.operators.similarity import (
+            auto_nlist, default_nprobe, ivfpq_topk_indexed,
+            load_ivfpq_index, save_ivf_index, save_ivfpq_index)
+
+        def du(p: str) -> int:
+            tot = 0
+            for root, _, files in os.walk(p):
+                tot += sum(os.path.getsize(os.path.join(root, f))
+                           for f in files)
+            return tot
+
+        nlist = auto_nlist(n_vecs)
+        m = 8 if DIM % 8 == 0 else 4
+        path = tempfile.mkdtemp(prefix="ivfpq-probe-")
+        t = time.time()
+        save_ivfpq_index(corpus, path, nlist=nlist, m=m, ksub=64,
+                         refine_iters=2, metric="l2")
+        t_build = time.time() - t
+        index, params = load_ivfpq_index(spark, path)
+        vpath = tempfile.mkdtemp(prefix="ivfv-probe-")
+        t = time.time()
+        save_ivf_index(corpus, vpath, nlist=nlist, refine_iters=2,
+                       metric="l2", include_vectors=True)
+        t_vbuild = time.time() - t
+        print(f"ivfpq build (nlist={nlist} m={m} ksub=64 refined): "
+              f"{t_build:.1f}s, {du(path)/1e6:.1f} MB on disk; "
+              f"materialized full-vector index: {t_vbuild:.1f}s, "
+              f"{du(vpath)/1e6:.1f} MB")
+        scaled = default_nprobe(nlist)
+        for np_ in sorted({4, scaled, 2 * scaled}):
+            for cand in (10 * K, 100 * K):
+                run(f"ivfpq nlist={nlist} m={m} nprobe={np_} cand={cand}",
+                    lambda q, n=np_, c=cand: ivfpq_topk_indexed(
+                        corpus, q, index, params, nprobe=n, k=K,
+                        candidates=c))
 
     # --- routed $near path: materialized l2 IVF index (r7) ---------------
     # the production $near+limit shape: partition-pruned index top-k.
