@@ -999,7 +999,18 @@ def pq_topk_indexed(df: DataFrame, query_vec: list[float],
     ids join back to the corpus (broadcast: candidate set is
     driver-bounded) for exact cosine re-rank.  This is the
     memory-resident billion-vector search shape; :func:`pq_topk` is the
-    index-free variant that recomputes codes in-query."""
+    index-free variant that recomputes codes in-query.
+
+    Re-rank fetch design (measured, r8): a driver-collected
+    ``isin(candidate_ids)`` point-fetch with parquet IN pushdown was
+    tried and LOST to this broadcast join at 1 M × 16d (1.60 vs 1.25
+    s/query on a parquet corpus, 1.4 vs 0.6 in-memory): ANN winners are
+    semantically close but id-UNIFORM, so row-group min/max stats prune
+    nothing, and the extra collect job + 1000-literal plan analysis is
+    pure overhead.  The join streams the corpus without per-row vector
+    math; the scan cost it keeps is exactly the cost the CODES table
+    exists to avoid on the ranking side.  PLANS.md 'IVFPQ re-rank
+    fetch'."""
     id_col, vec_col = params["id_col"], params["vec_col"]
     cand_ids = (codes.select("id", _adc_expr(query_vec, params["books"])
                              .alias("_adc"))
@@ -1093,8 +1104,9 @@ def ivfpq_topk_indexed(df: DataFrame, query_vec: list[float],
     possible probe I/O), ADC ranking (driver-side m×ksub distance table
     inlined; per row m lookups + adds), then exact cosine re-rank of
     the ``candidates`` best ids against the corpus (broadcast id join —
-    only those corpus rows are fetched).  Ties broken by id at both
-    stages, so results are deterministic and SQL-oracle replayable."""
+    the measured fetch winner, see :func:`pq_topk_indexed`).  Ties
+    broken by id at both stages, so results are deterministic and
+    SQL-oracle replayable."""
     q = [float(x) for x in query_vec]
     probe_fn = (l2_probe_lists if params.get("metric", "l2") == "l2"
                 else ivf_probe_lists)

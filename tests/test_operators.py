@@ -725,6 +725,36 @@ def test_ivfpq_probe_is_partition_pruned(spark, tmp_path):
     assert 0 < pruned.count() < idx.count()
 
 
+def test_ivfpq_works_on_parquet_corpus(spark, tmp_path):
+    """IVFPQ end-to-end against a file-backed corpus (the deployment
+    shape): broadcast-join re-rank (the measured fetch winner — see
+    pq_topk_indexed docstring / PLANS.md 'IVFPQ re-rank fetch') matches
+    brute force at full probe, and the candidate side of the join is a
+    broadcast exchange, not a shuffle."""
+    import math
+    from gqlite_spark.operators.similarity import (
+        cosine_topk, ivfpq_topk_indexed, load_ivfpq_index,
+        save_ivfpq_index)
+    vecs = [(i, [math.cos(i / 7), math.sin(i / 7), math.cos(i / 3),
+                 math.sin(i / 3)]) for i in range(150)]
+    mem = spark.createDataFrame(vecs, "vec_id long, embedding array<double>")
+    cpath = str(tmp_path / "corpus.parquet")
+    mem.write.parquet(cpath)
+    df = spark.read.parquet(cpath)
+    path = str(tmp_path / "ivfpqidx3")
+    save_ivfpq_index(df, path, nlist=6, m=2, ksub=8)
+    idx, params = load_ivfpq_index(spark, path)
+    q = [math.cos(0.1), math.sin(0.1), math.cos(0.2), math.sin(0.2)]
+    res = ivfpq_topk_indexed(df, q, idx, params, nprobe=6, k=5,
+                             candidates=40)
+    plan = res._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
+    got = [(r["id"], r["cosine"]) for r in res.collect()]
+    exact = [(r["id"], r["cosine"])
+             for r in cosine_topk(df, q, 5).collect()]
+    assert got == exact
+
+
 def test_pq_refine_improves_quantization(spark):
     """Lloyd-refined codebooks reduce (or keep) total ADC quantization
     error vs the raw sampling codebooks."""
