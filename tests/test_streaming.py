@@ -129,6 +129,35 @@ def test_stateless_pipeline_ops_work_on_streams(spark, event_dir):
     assert "<EMAIL>" in row["text"] and row["n_emails"] == 1
 
 
+def test_cluster_assign_works_on_streams(spark, event_dir):
+    """The k-means cluster assignment (the cluster_sample / IVF-index
+    quantizer Column) is a stateless scalar expression, so the SAME
+    operator code enriches a streaming frame — continuous topic-tagging
+    at ingest.  Stream output must equal the batch assignment on the
+    same files.  (The per-cluster top-N CUT is a window — batch-only;
+    on streams the assignment feeds the watermark-bounded stateful
+    ops.)"""
+    from gqlite_spark.operators.similarity import _ivf_assign_col
+    from gqlite_spark.streaming.events import stream_from_directory
+
+    cents = [(0, [0.0, 0.0]), (1, [5.0, 0.0]), (2, [0.0, 5.0])]
+    vec = F.array((F.col("event_id") % 7).cast("double"),
+                  (F.col("event_id") % 3).cast("double"))
+    stream = (stream_from_directory(spark, event_dir)
+              .select("event_id", vec.alias("v"))
+              .withColumn("cluster_id",
+                          _ivf_assign_col(cents, "v", "l2")))
+    out = _run(spark, stream, "t_cluster_stream", mode="append")
+    batch = (spark.read.parquet(event_dir)
+             .select("event_id", vec.alias("v"))
+             .withColumn("cluster_id",
+                         _ivf_assign_col(cents, "v", "l2")))
+    got = {r["event_id"]: r["cluster_id"] for r in out.collect()}
+    want = {r["event_id"]: r["cluster_id"] for r in batch.collect()}
+    assert got == want
+    assert len(set(got.values())) > 1   # the fixture spans >1 cell
+
+
 def test_stateful_running_stats(spark, event_dir):
     """applyInPandasWithState custom operator: running per-user aggregates
     across micro-batches must converge to the batch groundtruth."""
