@@ -203,21 +203,39 @@ def main() -> None:
 
         nlist = auto_nlist(n_vecs)
         m = 8 if DIM % 8 == 0 else 4
+        refine = int(opts.get("refine", "2").split(",")[0])
         path = tempfile.mkdtemp(prefix="ivfpq-probe-")
         t = time.time()
         save_ivfpq_index(corpus, path, nlist=nlist, m=m, ksub=64,
-                         refine_iters=2, metric="l2")
+                         refine_iters=refine, metric="l2")
         t_build = time.time() - t
         index, params = load_ivfpq_index(spark, path)
         vpath = tempfile.mkdtemp(prefix="ivfv-probe-")
         t = time.time()
-        save_ivf_index(corpus, vpath, nlist=nlist, refine_iters=2,
+        save_ivf_index(corpus, vpath, nlist=nlist, refine_iters=refine,
                        metric="l2", include_vectors=True)
         t_vbuild = time.time() - t
-        print(f"ivfpq build (nlist={nlist} m={m} ksub=64 refined): "
+        print(f"ivfpq build (nlist={nlist} m={m} ksub=64 "
+              f"refine={refine}): "
               f"{t_build:.1f}s, {du(path)/1e6:.1f} MB on disk; "
               f"materialized full-vector index: {t_vbuild:.1f}s, "
               f"{du(vpath)/1e6:.1f} MB")
+        # the materialized full-vector route (the $near router's form)
+        # beside IVFPQ on the same corpus: same pruning, rows are DIM
+        # floats vs m ints
+        from pyspark.sql import functions as F
+
+        from gqlite_spark.operators.similarity import (l2_probe_lists,
+                                                       load_ivf_index)
+        vindex, vparams = load_ivf_index(spark, vpath)
+
+        def routed_cos(q, np_):
+            probe = l2_probe_lists(q, vparams["centroids"], np_)
+            pruned = (vindex.where(F.col("list_id").isin(probe))
+                      .select(F.col("id").alias("vec_id"),
+                              F.col("_vec").alias("embedding")))
+            return cosine_topk(pruned, q, k=K)
+
         scaled = default_nprobe(nlist)
         for np_ in sorted({4, scaled, 2 * scaled}):
             for cand in (10 * K, 100 * K):
@@ -225,6 +243,8 @@ def main() -> None:
                     lambda q, n=np_, c=cand: ivfpq_topk_indexed(
                         corpus, q, index, params, nprobe=n, k=K,
                         candidates=c))
+            run(f"ivf-vec routed dim={DIM} nprobe={np_}",
+                lambda q, n=np_: routed_cos(q, n))
 
     # --- routed $near path: materialized l2 IVF index (r7) ---------------
     # the production $near+limit shape: partition-pruned index top-k.
