@@ -1348,6 +1348,48 @@ def q_multimodal_bytes(spark, sf_dir):
     return payload_stats(to_payload(d))
 
 
+def q_multimodal_resize(spark, sf_dir):
+    """Fit-longest-side image resize over REAL synthesized image blobs
+    (multimodal.resize_images): header decode + integer fit math +
+    format-preserving re-synthesis, Arrow-batched.  The oracle predicts
+    the decode→fit round trip: orig dims from the synth formulas, out
+    dims = fit-into-32 floor math."""
+    from gqlite_spark.operators.multimodal import (resize_images,
+                                                   synth_image_payloads)
+    d = _load(spark, sf_dir, "documents")
+    out = resize_images(synth_image_payloads(d), max_side=32)
+    return out.select("doc_id", "media_type", "orig_width", "orig_height",
+                      "width", "height")
+
+
+def q_multimodal_frames(spark, sf_dir):
+    """Evenly-spaced frame sampling over multi-frame image blobs
+    (multimodal.sample_frames): REAL header frame counts (APNG acTL /
+    GIF descriptor walk), 1→k fan-out, deterministic md5 frame refs.
+    The oracle rebuilds frames-per-format, the j*frames//k spacing and
+    the md5 placeholder."""
+    from gqlite_spark.operators.multimodal import (sample_frames,
+                                                   synth_image_payloads)
+    d = _load(spark, sf_dir, "documents")
+    return sample_frames(synth_image_payloads(d), n=3)
+
+
+def q_multimodal_features(spark, sf_dir):
+    """Byte-histogram feature extraction (multimodal.extract_features —
+    REAL numpy bincount per blob, no image lib): 16 exact integer bin
+    counts per payload, stringified for drift-free compare.  The corpus
+    text is ASCII at every SF (verified), so the oracle reproduces the
+    byte histogram with per-char ord() binning."""
+    from gqlite_spark.operators.multimodal import (extract_features,
+                                                   to_payload)
+    d = _load(spark, sf_dir, "documents")
+    out = extract_features(to_payload(d), n_bins=16)
+    return out.select(
+        "doc_id", "n_bytes",
+        F.concat_ws(",", F.col("features").cast("array<string>"))
+        .alias("features"))
+
+
 # --------------------------------------------------------------------------
 # contract surface
 # --------------------------------------------------------------------------
@@ -1360,15 +1402,15 @@ def entry(spark: SparkSession) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # NOTE on ordering: the driver's correctness gate checks the FIRST 50
     # entries in dict order.  Round-8 ROTATION (VERDICT r7 next #6): the
-    # window holds (a) the 6 r8-new entries (knn_near_limit_filtered,
+    # window holds (a) the 9 r8-new entries (knn_near_limit_filtered,
     # knn_compacted, sim_knn_join_ivf, decontaminate_semantic,
-    # sim_ann_ivfpq_indexed, sample_cluster), (b) ALL
+    # sim_ann_ivfpq_indexed, sample_cluster, multimodal_resize,
+    # multimodal_frames, multimodal_features), (b) ALL
     # 38 entries whose last driver row is r6 (the past-the-cap slice of
-    # r7), and (c) 8 r7-green keepers chosen for overlap with this
-    # round's changes — the routed/filtered kNN family and persisted-
-    # index paths (sidecar I/O moved to the Hadoop FS API; the
-    # materialized build became single-pass), plus the flagship
-    # pricing/dedup entries.  Every entry past the cap is
+    # r7), and (c) 3 r7-green keepers chosen for overlap with this
+    # round's changes — the routed kNN family (sidecar I/O moved to the
+    # Hadoop FS API; the materialized build became single-pass) plus
+    # the flagship pricing entry.  Every entry past the cap is
     # r7 driver-green, so the cross-round union still covers all 92
     # and no entry is more than one round stale.  ALL entries are
     # additionally verified each round by `python tools/oracle_check.py
@@ -1383,6 +1425,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontaminate_semantic": q_decontaminate_semantic,
         "sim_ann_ivfpq_indexed": q_ann_ivfpq_indexed,
         "sample_cluster": q_sample_cluster,
+        "multimodal_resize": q_multimodal_resize,
+        "multimodal_frames": q_multimodal_frames,
+        "multimodal_features": q_multimodal_features,
         # ==== promoted: last driver row r6 (past-the-cap in r7) ====
         "graph_pagerank_personalized": q_pagerank_personalized,
         "sim_ann_lsh_indexed": q_ann_lsh_indexed,
@@ -1425,12 +1470,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # ==== keepers: r7 driver-green, families this round touches ====
         "knn_near_limit_routed": q_knn_routed,
         "knn_near_limit": q_knn,
-        "sim_ann_ivf": q_ann_ivf,
-        "sim_ann_pq_indexed": q_ann_pq_indexed,
-        "training_shards": q_training_shards,
         "pricing_summary": q_pricing_summary,
         # ==== past the cap: every entry below is r7 driver-green
         # ==== (still oracle-checked locally every round) ====
+        "sim_ann_ivf": q_ann_ivf,
+        "sim_ann_pq_indexed": q_ann_pq_indexed,
+        "training_shards": q_training_shards,
         "dedup_exact": q_dedup_exact,
         "dedup_minhash_lsh": q_dedup_minhash,
         "text_lm_score": q_text_lm_score,
@@ -2739,6 +2784,48 @@ def oracle_sql() -> dict[str, str]:
             " CAST(doc_id % 48 + 1 AS INTEGER) AS height,"
             " CAST(CASE WHEN doc_id % 4 IN (0, 1) THEN doc_id % 3 + 1"
             " ELSE 1 END AS INTEGER) AS n_frames FROM documents",
+        "multimodal_resize":
+            # predicts decode_image_headers -> _fit_dims over the synth
+            # corpus: orig dims from the synth_image_payloads formulas,
+            # out dims = fit-longest-side-into-32 floor math
+            "WITH m AS (SELECT doc_id,"
+            " CASE doc_id % 4 WHEN 0 THEN 'image/png'"
+            " WHEN 1 THEN 'image/gif' WHEN 2 THEN 'image/bmp'"
+            " ELSE 'image/jpeg' END AS media_type,"
+            " (n_chars % 64 + 1)::INTEGER AS ow,"
+            " (doc_id % 48 + 1)::INTEGER AS oh FROM documents)"
+            " SELECT doc_id, media_type, ow AS orig_width,"
+            " oh AS orig_height,"
+            " CAST(CASE WHEN greatest(ow, oh) <= 32 THEN ow"
+            " ELSE greatest(1, ow * 32 // greatest(ow, oh)) END"
+            " AS INTEGER) AS width,"
+            " CAST(CASE WHEN greatest(ow, oh) <= 32 THEN oh"
+            " ELSE greatest(1, oh * 32 // greatest(ow, oh)) END"
+            " AS INTEGER) AS height FROM m",
+        "multimodal_frames":
+            # frames-per-format (png/gif multi-frame, bmp/jpeg 1), k =
+            # min(3, frames), frame_idx = frames*j//k, md5 placeholder
+            "WITH m AS (SELECT doc_id,"
+            " CASE doc_id % 4 WHEN 0 THEN 'image/png'"
+            " WHEN 1 THEN 'image/gif' WHEN 2 THEN 'image/bmp'"
+            " ELSE 'image/jpeg' END AS media_type,"
+            " CAST(CASE WHEN doc_id % 4 IN (0, 1) THEN doc_id % 3 + 1"
+            " ELSE 1 END AS INTEGER) AS f FROM documents),"
+            " j AS (SELECT m.*, unnest(generate_series(0,"
+            " least(3, f) - 1)) AS j FROM m)"
+            " SELECT doc_id, media_type, f AS n_frames,"
+            " CAST(f * j // least(3, f) AS INTEGER) AS frame_idx,"
+            " md5(doc_id::VARCHAR || ':' ||"
+            " (f * j // least(3, f))::VARCHAR) AS frame_ref FROM j",
+        "multimodal_features":
+            # byte histogram of the utf-8 payload; the corpus text is
+            # ASCII at every SF (bytes == codepoints), so per-char ord
+            # binning reproduces numpy's byte bincount exactly
+            "SELECT doc_id, octet_length(encode(text))::BIGINT AS n_bytes,"
+            " array_to_string(list_transform(generate_series(0, 15),"
+            " b -> len(list_filter(list_transform("
+            " generate_series(1, length(text)), i -> ord(text[i])),"
+            " o -> o // 16 = b))), ',') AS features FROM documents",
         "pack_sequences":
             "SELECT doc_id, n_chars, (doc_id % 8)::BIGINT AS bucket,"
             " (SUM(n_chars) OVER (PARTITION BY doc_id % 8 ORDER BY doc_id)"

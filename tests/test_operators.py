@@ -330,6 +330,72 @@ def test_multimodal_meta_plumbing(spark):
     assert out == again
 
 
+def test_resize_images_fit_math_and_reparseable_output(spark):
+    """resize_images: output dims follow the integer fit-longest-side
+    formula, the output payload is REAL bytes of the same format that
+    the header decoder re-parses at exactly the target dims, and frames
+    survive the transform."""
+    from gqlite_spark.operators.multimodal import (decode_image_headers,
+                                                   resize_images,
+                                                   synth_image)
+    rows = [(1, synth_image("png", 64, 48, 3)),
+            (2, synth_image("gif", 10, 40, 2)),
+            (3, synth_image("bmp", 8, 8, 1)),
+            (4, synth_image("jpeg", 100, 25, 1))]
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    out = {r["doc_id"]: r for r in resize_images(df, max_side=32).collect()}
+    #                    (ow, oh) -> fit-into-32
+    expect = {1: (64, 48, 32, 24), 2: (10, 40, 8, 32),
+              3: (8, 8, 8, 8), 4: (100, 25, 32, 8)}
+    for i, (ow, oh, w, h) in expect.items():
+        r = out[i]
+        assert (r["orig_width"], r["orig_height"],
+                r["width"], r["height"]) == (ow, oh, w, h), i
+        media, gw, gh, gfr = decode_image_headers(bytes(r["payload"]))
+        assert media == r["media_type"] and (gw, gh) == (w, h)
+    assert decode_image_headers(bytes(out[1]["payload"]))[3] == 3
+
+
+def test_sample_frames_spacing_and_fanout(spark):
+    """sample_frames: min(n, n_frames) rows per blob, indices
+    frames*j//k (always include 0, never repeat), md5 placeholder refs
+    deterministic."""
+    import hashlib
+    from gqlite_spark.operators.multimodal import (sample_frames,
+                                                   synth_image)
+    rows = [(1, synth_image("png", 4, 4, 5)),   # 5 frames, sample 2
+            (2, synth_image("gif", 4, 4, 2)),   # 2 frames, sample 2
+            (3, synth_image("bmp", 4, 4, 1))]   # 1 frame
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    out = sample_frames(df, n=2).collect()
+    got = {}
+    for r in out:
+        got.setdefault(r["doc_id"], []).append(
+            (r["frame_idx"], r["frame_ref"], r["n_frames"]))
+    assert sorted(i for i, _, _ in got[1]) == [0, 2]   # 5*0//2, 5*1//2
+    assert sorted(i for i, _, _ in got[2]) == [0, 1]
+    assert [i for i, _, _ in got[3]] == [0]
+    for doc, frames in got.items():
+        for idx, ref, _ in frames:
+            assert ref == hashlib.md5(f"{doc}:{idx}".encode()).hexdigest()
+
+
+def test_extract_features_is_exact_byte_histogram(spark):
+    """extract_features: bin counts equal a Python-computed byte
+    histogram of the payload, total == n_bytes, works on arbitrary
+    binary (not just text)."""
+    from gqlite_spark.operators.multimodal import extract_features
+    payloads = [(1, bytes(range(256))), (2, b"\x00" * 7 + b"\xff" * 3)]
+    df = spark.createDataFrame(payloads, "doc_id long, payload binary")
+    out = {r["doc_id"]: r for r in extract_features(df, 16).collect()}
+    assert list(out[1]["features"]) == [16] * 16
+    assert out[1]["n_bytes"] == 256
+    assert list(out[2]["features"]) == [7] + [0] * 14 + [3]
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        extract_features(df, 15)
+
+
 def test_multimodal_real_decode_requires_pil():
     """Without PIL, decode_image must refuse loudly (documented stub);
     the real-decode path is covered by test_multimodal_real_decode."""
