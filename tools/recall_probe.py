@@ -202,7 +202,7 @@ def main() -> None:
             return tot
 
         nlist = auto_nlist(n_vecs)
-        m = 8 if DIM % 8 == 0 else 4
+        m = int(opts.get("m", "8" if DIM % 8 == 0 else "4"))
         refine = int(opts.get("refine", "2").split(",")[0])
         path = tempfile.mkdtemp(prefix="ivfpq-probe-")
         t = time.time()
