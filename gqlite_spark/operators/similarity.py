@@ -830,16 +830,19 @@ def pq_refine(df: DataFrame, books: list[list[list[float]]],
     dsub = len(books[0][0])
     for _ in range(iters):
         v = F.col(vec_col).cast("array<double>")
-        vsql = f"cast({vec_col} as array<double>)"
-        cols = []
-        for j, book in enumerate(books):
-            cols.append(F.struct(
-                F.lit(j).alias("j"),
-                _pq_code_expr(vsql, j, dsub, book).alias("code"),
-                F.slice(v, j * dsub + 1, dsub).alias("sub")))
-        exploded = (df.select(F.explode(F.array(*cols)).alias("s"))
-                    .select("s.j", "s.code",
-                            F.posexplode("s.sub").alias("pos", "x")))
+        # encode once per row via the switched codes column (expression
+        # or Arrow einsum — the einsum path is what makes refinement
+        # affordable at large m·ksub), then explode per subspace
+        exploded = (df.select(_pq_codes_col(books, vec_col)
+                              .alias("_codes"), v.alias("_v"))
+                    .select(F.posexplode("_codes").alias("j", "code"),
+                            F.col("_v"))
+                    .select("j", "code",
+                            F.slice(F.col("_v"),
+                                    F.col("j") * dsub + 1,
+                                    F.lit(dsub)).alias("sub"))
+                    .select("j", "code",
+                            F.posexplode("sub").alias("pos", "x")))
         means = (exploded.groupBy("j", "code", "pos")
                  .agg(F.avg("x").alias("m")).collect())
         table: dict = {}
@@ -882,26 +885,76 @@ def _pq_code_sql(vsql: str, j: int, dsub: int,
     return f"cast(array_position({d2s}, array_min({d2s})) - 1 as int)"
 
 
-def _pq_code_expr(vcol_sql: str, j: int, dsub: int,
-                  book: list[list[float]]):
-    """Column wrapper over :func:`_pq_code_sql` (kept for pq_refine)."""
-    return F.expr(_pq_code_sql(vcol_sql, j, dsub, book))
+# m·ksub folds above which the PQ encode switches from the literal
+# expression (SQL-oracle bit-exact) to one Arrow-batched numpy einsum
+# per batch — the same cap discipline as IVF_ASSIGN_EXPR_MAX_NLIST:
+# the expression's analysis + per-row cost grows with m·ksub (a
+# m=32/ksub=64 codebook is 2048 distance folds per row, measured
+# 761.6 s/1 M build at 256d), one einsum stays flat.
+PQ_ENCODE_EXPR_MAX_FOLDS = 512
+
+
+def _pq_codes_expr(books: list[list[list[float]]], vec_col: str):
+    """codes array<int> as the inlined literal expression — the
+    bit-exact SQL-oracle form (in-order element-sum d2, first-min
+    tie-break)."""
+    dsub = len(books[0][0])
+    vsql = f"cast({vec_col} as array<double>)"
+    return F.expr("array(" + ", ".join(
+        _pq_code_sql(vsql, j, dsub, book)
+        for j, book in enumerate(books)) + ")")
+
+
+def _pq_codes_pandas_col(books: list[list[list[float]]], vec_col: str):
+    """Vectorized PQ encode Column: one Arrow-batched pandas UDF doing
+    a (batch × m × dsub)·(m × ksub × dsub) einsum + per-subspace argmin
+    per batch.  Tie-break matches the expression path (np.argmin takes
+    the FIRST minimum = smallest code; codebooks are rank-ordered), but
+    borderline float ties may resolve differently than the in-order SQL
+    fold (einsum sums in a different order) — which is why
+    oracle-replayed paths pin m·ksub ≤ PQ_ENCODE_EXPR_MAX_FOLDS."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    B = np.array(books, dtype=np.float64)          # m × ksub × dsub
+    m, ksub, dsub = B.shape
+    b_norms = (B * B).sum(axis=2)                  # m × ksub
+
+    def _enc(v):
+        M = np.array(v.tolist(), dtype=np.float64)
+        n = M.shape[0]
+        S = M.reshape(n, m, dsub)
+        dots = np.einsum("nmd,mkd->nmk", S, B)
+        idx = np.argmin(-2.0 * dots + b_norms[None, :, :], axis=2)
+        return pd.Series([r.tolist() for r in idx.astype(np.int32)])
+
+    _enc.__annotations__ = {"v": pd.Series, "return": pd.Series}
+    enc = pandas_udf(_enc, "array<int>")
+    return enc(F.col(vec_col).cast("array<double>"))
+
+
+def _pq_codes_col(books: list[list[list[float]]], vec_col: str):
+    """PQ codes Column for any codebook size: literal expression up to
+    ``PQ_ENCODE_EXPR_MAX_FOLDS`` m·ksub folds, Arrow/BLAS einsum
+    beyond."""
+    if len(books) * len(books[0]) > PQ_ENCODE_EXPR_MAX_FOLDS:
+        return _pq_codes_pandas_col(books, vec_col)
+    return _pq_codes_expr(books, vec_col)
 
 
 def pq_encode(df: DataFrame, books: list[list[list[float]]],
               id_col: str = "vec_id", vec_col: str = "embedding"
               ) -> DataFrame:
-    """(id, codes array<int>) PQ compression — a pure scalar expression
-    over the scan (codebook literals inlined), zero shuffle.  m bytes-ish
+    """(id, codes array<int>) PQ compression, zero shuffle: a pure
+    scalar expression over the scan (codebook literals inlined) for
+    small codebooks, one Arrow-batched einsum per batch above
+    ``PQ_ENCODE_EXPR_MAX_FOLDS`` (:func:`_pq_codes_col`).  m bytes-ish
     per vector instead of dim floats: the representation that makes
     billion-vector ANN memory-resident.  Encode once and persist the
     codes table; scans of the code table replace scans of the vectors."""
-    dsub = len(books[0][0])
-    vsql = f"cast({vec_col} as array<double>)"
-    codes = F.expr("array(" + ", ".join(
-        _pq_code_sql(vsql, j, dsub, book)
-        for j, book in enumerate(books)) + ")")
-    return df.select(F.col(id_col).alias("id"), codes.alias("codes"))
+    return df.select(F.col(id_col).alias("id"),
+                     _pq_codes_col(books, vec_col).alias("codes"))
 
 
 def pq_topk(df: DataFrame, query_vec: list[float],
@@ -1071,14 +1124,9 @@ def save_ivfpq_index(df: DataFrame, path: str, nlist: int = 16,
         cents = lloyd_refine(df, cents, refine_iters, id_col, vec_col,
                              metric)
         books = pq_refine(df, books, refine_iters, id_col, vec_col)
-    dsub = len(books[0][0])
-    vsql = f"cast({vec_col} as array<double>)"
-    codes = F.expr("array(" + ", ".join(
-        _pq_code_sql(vsql, j, dsub, book)
-        for j, book in enumerate(books)) + ")")
     (df.select(F.col(id_col).alias("id"),
                _ivf_assign_col(cents, vec_col, metric).alias("list_id"),
-               codes.alias("codes"))
+               _pq_codes_col(books, vec_col).alias("codes"))
      .write.mode("overwrite").partitionBy("list_id")
      .parquet(fsio.join(path, "ivfpq.parquet")))
     fsio.write_json(df.sparkSession, fsio.join(path, "ivfpq_params.json"),

@@ -821,6 +821,32 @@ def test_ivfpq_works_on_parquet_corpus(spark, tmp_path):
     assert got == exact
 
 
+def test_pq_encode_pandas_matches_expression(spark):
+    """The Arrow/BLAS PQ encode agrees with the literal-expression path
+    code-for-code on a non-degenerate fixture (same first-min
+    tie-break), and the auto-switch engages past the fold cap."""
+    import math
+    from gqlite_spark.operators.similarity import (_pq_codes_expr,
+                                                   _pq_codes_pandas_col,
+                                                   pq_codebooks,
+                                                   pq_encode)
+    vecs = [(i, [math.cos(i / 9), math.sin(i / 9), math.cos(i / 4),
+                 math.sin(i / 4), math.cos(i / 7), math.sin(i / 7),
+                 float(i % 5), float(i % 3)]) for i in range(300)]
+    df = spark.createDataFrame(vecs, "vec_id long, embedding array<double>")
+    books = pq_codebooks(df, m=4, ksub=8)
+    expr = {r["vec_id"]: list(r["c"]) for r in df.select(
+        "vec_id", _pq_codes_expr(books, "embedding").alias("c")).collect()}
+    vect = {r["vec_id"]: list(r["c"]) for r in df.select(
+        "vec_id", _pq_codes_pandas_col(books, "embedding").alias("c"))
+        .collect()}
+    assert expr == vect
+    # a ksub=256 codebook (4*256 folds > 512 cap) switches to Arrow
+    big = [[[float(j + c)] * 2 for c in range(256)] for j in range(4)]
+    plan = pq_encode(df, big)._jdf.queryExecution().toString()
+    assert "pythonUDF" in plan or "ArrowEvalPython" in plan
+
+
 def test_pq_refine_improves_quantization(spark):
     """Lloyd-refined codebooks reduce (or keep) total ADC quantization
     error vs the raw sampling codebooks."""
