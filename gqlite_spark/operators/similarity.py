@@ -1103,10 +1103,22 @@ def save_ivfpq_index(df: DataFrame, path: str, nlist: int = 16,
     At 100 TB of raw vectors a full-vector materialized index doubles
     storage; the IVFPQ index at m=8 over 768-dim float vectors is
     ~1/384 of the corpus — small enough to replicate hot, cheap enough
-    to rebuild.  Recall is bound by code bits (m·log2 ksub) times the
-    probed fraction; the exact cosine re-rank of the ``candidates``
-    best ADC ids (one id-join, reading only those corpus rows) restores
-    exactness within the candidate set.
+    to rebuild.  Measured at 1 M × 256d (PLANS.md 'IVFPQ at 256d'):
+    55 MB vs 1,014 MB full-vector (19–24×, linear in dim), query 1.18 s
+    vs 1.84–2.63 s exact at recall@10 1.00.  Design guidance from the
+    same study: the full-vector index is the LATENCY champion when its
+    storage is affordable — IVFPQ is the form you replicate when the
+    corpus is 100 TB and the index must not be.
+
+    **Sizing the search's ``candidates`` (the recall knob that actually
+    matters at saturation)**: within a dense region, vectors differ by
+    less than any affordable code resolution, so ADC finds the right
+    region but cannot rank INSIDE it — recall goes to 1.0 only once
+    ``candidates`` exceeds the count of rows indistinguishable at code
+    resolution (the near-duplicate density; measured: cand=1000 →
+    55 %, cand=5000 > cluster size → 100 %).  More code bits (m) or
+    Lloyd refinement do NOT substitute — both were measured flat on a
+    saturated corpus.
 
     Build is SINGLE-PASS: coarse assignment and PQ encoding are both
     scalar expressions (or one Arrow matmul above
