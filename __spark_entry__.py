@@ -409,6 +409,46 @@ def q_join_2hop_revenue(spark, sf_dir):
                  F.count("*").alias("n_items")))
 
 
+def q_bucketed_join_revenue(spark, sf_dir):
+    """Co-located (bucketed) join: orders and lineitem written hash-
+    bucketed on the order key, then joined AND pre-aggregated per order
+    with ZERO Exchange — the write-once-shuffle-never layout for the
+    repeated fact-fact join at 100 TB (the r8 bucketed-storage module;
+    the sidecar spec makes the layout re-attachable on any cluster
+    session, gqlite_spark/sources/bucketed.py).  Only the final 5-row
+    priority rollup shuffles (per-order integer cent sums → identical
+    totals).  Reference parity: the reference stores edges pre-keyed by
+    source id in mdbx so traversals never re-sort (StorageEngine.cpp:
+    132-181); bucketing is that idea for Spark tables.  Oracle: the
+    layout cannot change the rows — plain join/rollup SQL."""
+    import tempfile
+    from gqlite_spark.sources import bucketed
+    root = tempfile.mkdtemp(prefix="gqlite_bkt_")
+    o = _load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority")
+    l = _load(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_extendedprice", "l_discount")
+    ot = bucketed.save_bucketed(o, root + "/orders", "o_orderkey", 8,
+                                table="bkt_orders_rev")
+    lt = bucketed.save_bucketed(
+        l.withColumnRenamed("l_orderkey", "o_orderkey"),
+        root + "/lineitem", "o_orderkey", 8, table="bkt_lineitem_rev")
+    rev = F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount"))
+    # merge hint: at gate scale orders fits the broadcast threshold and
+    # Catalyst would broadcast (also fine); the hint pins the plan this
+    # entry demonstrates — the co-located SortMergeJoin, which at fact-
+    # fact scale is the only option and here runs with NO Exchange
+    per_order = (bucketed.cobucket_join(spark.table(lt),
+                                        spark.table(ot).hint("merge"),
+                                        "o_orderkey")
+                 .groupBy("o_orderkey", "o_orderpriority")
+                 .agg(_cents(rev).alias("_c"),
+                      F.count("*").alias("_n")))
+    return (per_order.groupBy("o_orderpriority")
+            .agg(F.sum("_c").cast("long").alias("revenue_cents"),
+                 F.sum("_n").cast("long").alias("n_items")))
+
+
 def q_anti_join(spark, sf_dir):
     """Customers with no orders (left-anti; the remove-cascade join kind,
     RemovePlan.cpp:49-75)."""
@@ -1402,10 +1442,10 @@ def entry(spark: SparkSession) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # NOTE on ordering: the driver's correctness gate checks the FIRST 50
     # entries in dict order.  Round-8 ROTATION (VERDICT r7 next #6): the
-    # window holds (a) the 9 r8-new entries (knn_near_limit_filtered,
+    # window holds (a) the 10 r8-new entries (knn_near_limit_filtered,
     # knn_compacted, sim_knn_join_ivf, decontaminate_semantic,
     # sim_ann_ivfpq_indexed, sample_cluster, multimodal_resize,
-    # multimodal_frames, multimodal_features), (b) ALL
+    # multimodal_frames, multimodal_features, bucketed_join_revenue), (b) ALL
     # 38 entries whose last driver row is r6 (the past-the-cap slice of
     # r7), and (c) 3 r7-green keepers chosen for overlap with this
     # round's changes — the routed kNN family (sidecar I/O moved to the
@@ -1428,6 +1468,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_resize": q_multimodal_resize,
         "multimodal_frames": q_multimodal_frames,
         "multimodal_features": q_multimodal_features,
+        "bucketed_join_revenue": q_bucketed_join_revenue,
         # ==== promoted: last driver row r6 (past-the-cap in r7) ====
         "graph_pagerank_personalized": q_pagerank_personalized,
         "sim_ann_lsh_indexed": q_ann_lsh_indexed,
@@ -2434,6 +2475,12 @@ def oracle_sql() -> dict[str, str]:
             " COUNT(*)::BIGINT AS n_items"
             " FROM lineitem JOIN orders ON l_orderkey = o_orderkey"
             " JOIN customer ON o_custkey = c_custkey GROUP BY c_mktsegment",
+        "bucketed_join_revenue":
+            "SELECT o_orderpriority,"
+            " SUM(CAST(ROUND((l_extendedprice * (1 - l_discount)) * 100) AS BIGINT))::BIGINT AS revenue_cents,"
+            " COUNT(*)::BIGINT AS n_items"
+            " FROM lineitem JOIN orders ON l_orderkey = o_orderkey"
+            " GROUP BY o_orderpriority",
         "anti_join_no_orders":
             "SELECT c_custkey, c_nationkey FROM customer"
             " WHERE NOT EXISTS (SELECT 1 FROM orders"

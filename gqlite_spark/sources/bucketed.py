@@ -1,0 +1,120 @@
+"""Bucketed (co-located) table storage — shuffle-free joins at rest.
+
+A join between two 100 TB fact tables shuffles BOTH sides on the join
+key every time it runs.  Bucketing pays that shuffle ONCE at write time:
+each side is hash-partitioned into the same number of buckets on the
+join key and written with the bucket id in the file name, and every
+subsequent join (or aggregation) on that key reads both sides already
+co-partitioned — the physical plan has NO Exchange on either side.
+This is the storage analogue of the reference's persistent key-ordered
+mdbx tables (its point of storing edges keyed by source id,
+StorageEngine.cpp:132-181): the layout itself is the index.
+
+Spark's bucketing metadata normally lives in a Hive metastore; this
+module keeps the spec in a ``_bucket_spec.json`` sidecar written
+through :mod:`gqlite_spark.fsio` (cluster-portable: ``s3a://`` /
+``hdfs://`` paths work), so a fresh session on another machine can
+re-attach the table with :func:`attach_bucketed` and recover the
+shuffle-free plan — the sidecar IS the metastore record.
+
+Scale notes (100 TB):
+- pick ``n_buckets`` so one bucket of the LARGER table fits a task
+  comfortably (e.g. 100 TB / 4096 buckets ≈ 25 GB per bucket — pair
+  with ``repartition=True`` so each bucket is one file and raise
+  buckets until task-sized);
+- both sides of a co-located join MUST use the same n_buckets and key;
+- bucket pruning: an equality predicate on the bucket key prunes the
+  scan to 1/n_buckets of the files (Spark's ``bucket`` filter), giving
+  point lookups the same I/O shape as an index probe.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from .. import fsio
+
+SPEC_FILE = "_bucket_spec.json"
+
+
+def _schema_ddl(df: DataFrame) -> str:
+    return ", ".join(f"`{f.name}` {f.dataType.simpleString()}"
+                     for f in df.schema.fields)
+
+
+def save_bucketed(df: DataFrame, path: str, key: str, n_buckets: int,
+                  table: "str | None" = None,
+                  sort: bool = True,
+                  repartition: bool = True) -> str:
+    """Write ``df`` hash-bucketed on ``key`` into ``n_buckets`` buckets at
+    ``path`` (external table; files carry their bucket id), register it in
+    the session catalog, and record the spec sidecar.
+
+    ``sort`` additionally orders rows by ``key`` inside each bucket
+    (sort-merge joins then skip the per-task sort when each bucket is a
+    single file); ``repartition`` pre-shuffles so each bucket IS one
+    file — at scale this is the difference between n_buckets files and
+    n_buckets x n_tasks files.  Returns the registered table name."""
+    if table is None:
+        table = "bkt_" + path.rstrip("/").rsplit("/", 1)[-1]
+    spark = df.sparkSession
+    out = df.repartition(n_buckets, key) if repartition else df
+    spark.sql(f"DROP TABLE IF EXISTS `{table}`")
+    w = out.write.mode("overwrite").format("parquet").option("path", path)
+    w = w.bucketBy(n_buckets, key)
+    if sort:
+        w = w.sortBy(key)
+    w.saveAsTable(table)
+    fsio.write_json(spark, fsio.join(path, SPEC_FILE), {
+        "table": table, "key": key, "n_buckets": int(n_buckets),
+        "sorted": bool(sort), "schema_ddl": _schema_ddl(df)})
+    return table
+
+
+def attach_bucketed(spark: SparkSession, path: str,
+                    table: "str | None" = None) -> DataFrame:
+    """Re-attach a :func:`save_bucketed` table in a NEW session from its
+    sidecar spec: issues the external-table DDL (``CLUSTERED BY ... INTO
+    n BUCKETS LOCATION path``) against the session catalog and returns
+    the table's DataFrame.  Reads recover the bucketed layout (bucket
+    ids are parsed from the file names Spark wrote), so joins and
+    aggregations on the bucket key stay exchange-free without a Hive
+    metastore."""
+    spec = fsio.read_json(spark, fsio.join(path, SPEC_FILE))
+    name = table or spec["table"]
+    if not spark.catalog.tableExists(name):
+        sort_clause = (f"SORTED BY (`{spec['key']}` ASC) "
+                       if spec.get("sorted") else "")
+        spark.sql(
+            f"CREATE TABLE `{name}` ({spec['schema_ddl']}) USING PARQUET "
+            f"CLUSTERED BY (`{spec['key']}`) {sort_clause}"
+            f"INTO {spec['n_buckets']} BUCKETS "
+            f"LOCATION '{path}'")
+    return spark.table(name)
+
+
+def force_bucketed_scan(spark: SparkSession, enabled: bool = True) -> None:
+    """Pin bucketed scans on (or back to planner choice) for the session.
+
+    Spark's auto-bucketed-scan heuristic DISABLES the bucketed read when
+    no operator above it requires the hash distribution — right when a
+    point lookup could have used BUCKET PRUNING (an equality predicate
+    on the bucket key reads 1/n_buckets of the files:
+    ``SelectedBucketsCount: 1 out of n`` in the scan node).  A workload
+    that point-reads a bucketed table should pin this on; full-scan
+    analytics should leave the heuristic alone (bucketed scans cap scan
+    parallelism at n_buckets)."""
+    spark.conf.set("spark.sql.sources.bucketing.autoBucketedScan.enabled",
+                   "false" if enabled else "true")
+
+
+def cobucket_join(left: DataFrame, right: DataFrame, key: str,
+                  how: str = "inner") -> DataFrame:
+    """Join two co-bucketed tables on their bucket key.  Just a plain
+    ``join`` — the point is what Catalyst does with it: both scans
+    report the same ``HashPartitioning(key, n_buckets)`` so the
+    sort-merge join needs NO Exchange (assert via
+    ``"Exchange" not in df._jdf.queryExecution().executedPlan().toString()``).
+    Kept as a named entry point so pipelines state their intent and
+    tests/plan audits have one place to check."""
+    return left.join(right, key, how)

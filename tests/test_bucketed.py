@@ -1,0 +1,105 @@
+"""Bucketed (co-located) storage: shuffle-free joins/aggs + sidecar
+re-attach.  The claim under test is the PLAN, not just the rows: a join
+of two co-bucketed tables must contain no Exchange on either side."""
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from gqlite_spark.sources import bucketed
+
+
+@pytest.fixture()
+def no_broadcast(spark):
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    yield
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
+def _mk(spark, n, seed):
+    return spark.range(n).select(
+        (F.col("id") % 97).alias("k"),
+        (F.col("id") * seed % 1000).alias("val"))
+
+
+def _plan(df):
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_cobucket_join_no_exchange(spark, tmp_path, no_broadcast):
+    lt = bucketed.save_bucketed(_mk(spark, 5000, 3), str(tmp_path / "l"),
+                                "k", 8, table="bkt_l")
+    rt = bucketed.save_bucketed(_mk(spark, 3000, 7), str(tmp_path / "r"),
+                                "k", 8, table="bkt_r")
+    j = bucketed.cobucket_join(spark.table(lt), spark.table(rt), "k")
+    plan = _plan(j)
+    assert "SortMergeJoin" in plan
+    assert "Exchange" not in plan, plan
+    # row parity with the un-bucketed join
+    expect = _mk(spark, 5000, 3).join(_mk(spark, 3000, 7), "k").count()
+    assert j.count() == expect
+
+
+def test_bucketed_agg_no_exchange(spark, tmp_path):
+    t = bucketed.save_bucketed(_mk(spark, 4000, 5), str(tmp_path / "t"),
+                               "k", 8, table="bkt_agg")
+    agg = spark.table(t).groupBy("k").agg(F.sum("val").alias("s"))
+    assert "Exchange" not in _plan(agg)
+    # parity
+    exp = {r["k"]: r["s"] for r in
+           _mk(spark, 4000, 5).groupBy("k").agg(F.sum("val").alias("s"))
+           .collect()}
+    got = {r["k"]: r["s"] for r in agg.collect()}
+    assert got == exp
+
+
+def test_attach_bucketed_recovers_plan(spark, tmp_path, no_broadcast):
+    """Simulates a fresh session: drop the catalog entries (external
+    tables — files survive), re-attach from the sidecar spec, and the
+    exchange-free join plan must come back."""
+    bucketed.save_bucketed(_mk(spark, 5000, 3), str(tmp_path / "l"),
+                           "k", 8, table="bkt_l2")
+    bucketed.save_bucketed(_mk(spark, 3000, 7), str(tmp_path / "r2"),
+                           "k", 8, table="bkt_r2")
+    spark.sql("DROP TABLE bkt_l2")
+    spark.sql("DROP TABLE bkt_r2")
+    assert os.path.exists(tmp_path / "l" / bucketed.SPEC_FILE)
+    left = bucketed.attach_bucketed(spark, str(tmp_path / "l"))
+    right = bucketed.attach_bucketed(spark, str(tmp_path / "r2"))
+    j = bucketed.cobucket_join(left, right, "k")
+    plan = _plan(j)
+    assert "SortMergeJoin" in plan and "Exchange" not in plan, plan
+    expect = _mk(spark, 5000, 3).join(_mk(spark, 3000, 7), "k").count()
+    assert j.count() == expect
+
+
+def test_driver_entry_single_exchange(spark):
+    """The `bucketed_join_revenue` driver entry: fact-fact join + per-
+    order agg both ride the bucket layout, so exactly ONE Exchange
+    remains — the final 5-row priority rollup."""
+    import __spark_entry__ as entry
+    df = entry.q_bucketed_join_revenue(spark, "/root/testdata/sf0.001")
+    plan = _plan(df)
+    assert "SortMergeJoin" in plan
+    assert plan.count("Exchange") == 1, plan
+    assert df.count() == 5
+
+
+def test_bucket_pruning_point_lookup(spark, tmp_path):
+    """Equality on the bucket key prunes the scan to 1 bucket of files
+    (SelectedBucketsCount in the scan node)."""
+    t = bucketed.save_bucketed(_mk(spark, 5000, 3), str(tmp_path / "p"),
+                               "k", 8, table="bkt_prune")
+    # auto-bucketed-scan turns the bucketed read OFF when no join/agg
+    # needs the distribution — which also forfeits bucket pruning; a
+    # point-lookup-heavy workload pins it on for the session
+    bucketed.force_bucketed_scan(spark, True)
+    try:
+        q = spark.table(t).filter(F.col("k") == 42)
+        plan = _plan(q)
+        assert "SelectedBucketsCount: 1 out of 8" in plan, plan
+        assert q.count() == \
+            _mk(spark, 5000, 3).filter(F.col("k") == 42).count()
+    finally:
+        bucketed.force_bucketed_scan(spark, False)
