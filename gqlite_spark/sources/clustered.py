@@ -1,0 +1,152 @@
+"""Sort-clustered (range / z-order) table layout — data skipping at rest.
+
+The scan-side complement to :mod:`gqlite_spark.sources.bucketed` (which
+co-locates JOIN keys): clustering sorts the data so that each parquet
+file covers a NARROW range of the clustering columns, and every later
+scan with a predicate on those columns skips the files (and row groups)
+whose min/max stats can't match.  At 100 TB this is the first-order I/O
+reducer for selective scans — a predicate touching 1 % of the key space
+reads ~1 % of the files instead of all of them, with zero index
+structures to maintain: the parquet footer stats ARE the index.  The
+reference's analogue is its key-ordered mdbx tables, where a range read
+walks only the matching B-tree slice (StorageEngine.cpp:132-181).
+
+Two layouts, one writer:
+
+- ``save_clustered(df, path, [col])`` — RANGE layout: global sort by
+  one column (``repartitionByRange`` + ``sortWithinPartitions``).
+  Perfect skipping on that column, none on any other.
+- ``save_clustered(df, path, [a, b, ...])`` — Z-ORDER layout: each
+  column is min/max-normalized into ``2**bits`` uniform bins and the
+  bin bits are INTERLEAVED into one z-value; sorting by the z-value
+  gives every clustering column locality, so predicates on ANY of them
+  skip files.  The classic multi-dimensional tradeoff: per-column
+  skipping is weaker than a dedicated single-column sort, but one
+  layout serves all the columns' predicates.
+
+Scale notes (100 TB):
+- ``n_files`` is the skipping granularity: more files = finer skipping
+  but more footer reads / task overhead.  Target file sizes of
+  ~128 MB–1 GB (e.g. 100 TB / 262144 files ≈ 400 MB each).
+- uniform binning (``width_bucket`` on min/max) keeps the z-value a
+  pure scalar expression — zero extra shuffles, no sampling pass.
+  Heavily SKEWED columns degrade bin balance (most rows land in few
+  bins) and with it skip selectivity — rows per file stay balanced
+  regardless (``repartitionByRange`` samples the z-value itself), the
+  layout just skips less.  For skewed keys, pre-transform (e.g.
+  ``log``) or use the range layout on the dominant column.
+- the writer is one extra shuffle at write time, amortized over every
+  later scan — the same pay-once economics as bucketing.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .. import fsio
+
+SPEC_FILE = "_cluster_spec.json"
+
+# bits per column in the z-value.  12 bits = 4096 bins per column is
+# far finer than any realistic file count (skipping granularity is the
+# FILE, so bins only need to outnumber files); 2 cols x 12 bits = a
+# 24-bit z — small expressions, no 64-bit overflow risk up to 5 cols.
+DEFAULT_BITS = 12
+
+
+def zvalue_col(cols: "list[str]", ranges: "list[tuple]",
+               bits: int = DEFAULT_BITS) -> Column:
+    """The interleaved z-value as a pure scalar Column.
+
+    Each column is binned uniformly over its ``(min, max)`` range into
+    ``2**bits`` bins (``width_bucket`` — one built-in call), then bit i
+    of column j lands at z-bit ``i * n_cols + j`` (highest bits first
+    across columns, the standard Morton interleave).  Everything stays
+    inside whole-stage codegen: ~``bits * n_cols`` small bitwise terms,
+    no UDF, no shuffle."""
+    n = len(cols)
+    if n * bits > 62:
+        raise ValueError(f"z-value would need {n * bits} bits; "
+                         f"reduce bits (n_cols={n})")
+    nbins = 2 ** bits
+    bins = []
+    for c, (lo, hi) in zip(cols, ranges):
+        lo_f, hi_f = float(lo), float(hi)
+        if hi_f <= lo_f:
+            hi_f = lo_f + 1.0
+        b = F.width_bucket(F.col(c).cast("double"), F.lit(lo_f),
+                           F.lit(hi_f), F.lit(nbins))
+        # width_bucket: 0 for < min, nbins+1 for > max -> clamp to
+        # [1, nbins] then shift to [0, nbins-1]
+        bins.append(F.greatest(F.least(b, F.lit(nbins)), F.lit(1))
+                    - F.lit(1))
+    z = F.lit(0).cast("long")
+    for i in range(bits):
+        for j, b in enumerate(bins):
+            bit = F.shiftright(b, i).bitwiseAND(F.lit(1)).cast("long")
+            z = z + F.shiftleft(bit, i * n + j)
+    return z
+
+
+def save_clustered(df: DataFrame, path: str, cols: "list[str]",
+                   n_files: int = 16, bits: int = DEFAULT_BITS) -> None:
+    """Write ``df`` to ``path`` clustered on ``cols``: range layout for
+    one column, z-order for several.  One shuffle
+    (``repartitionByRange`` with an EXPLICIT file count — AQE does not
+    coalesce user-numbered repartitions, so n_files is honored), sorted
+    within each file so row-group stats are narrow too.  Records the
+    layout spec in a ``_cluster_spec.json`` fsio sidecar (cluster-
+    portable) so pipelines can discover / re-cluster the table."""
+    spark = df.sparkSession
+    if len(cols) == 1:
+        out = (df.repartitionByRange(n_files, F.col(cols[0]))
+               .sortWithinPartitions(cols[0]))
+        ranges = None
+    else:
+        row = df.agg(*[f(F.col(c).cast("double")).alias(f"{w}_{c}")
+                       for c in cols
+                       for w, f in (("lo", F.min), ("hi", F.max))]
+                     ).collect()[0]
+        ranges = [(row[f"lo_{c}"], row[f"hi_{c}"]) for c in cols]
+        z = zvalue_col(cols, ranges, bits)
+        out = (df.withColumn("_z", z)
+               .repartitionByRange(n_files, F.col("_z"))
+               .sortWithinPartitions("_z")
+               .drop("_z"))
+    out.write.mode("overwrite").parquet(path)
+    fsio.write_json(spark, fsio.join(path, SPEC_FILE), {
+        "cols": list(cols), "n_files": int(n_files), "bits": int(bits),
+        "ranges": [[float(a), float(b)] for a, b in ranges]
+        if ranges else None})
+
+
+def file_stats(path: str, col: str) -> "list[tuple]":
+    """Per-file (min, max) of ``col`` from the parquet footers — the
+    exact metadata a scan's file/row-group skipping reads.  Local-path
+    helper for tests and layout audits (production engines read footers
+    through the FS; here pyarrow over the local files is enough)."""
+    import glob
+    import pyarrow.parquet as pq
+    out = []
+    for f in sorted(glob.glob(path.rstrip("/") + "/part-*.parquet")):
+        md = pq.ParquetFile(f).metadata
+        los, his = [], []
+        for rg in range(md.num_row_groups):
+            for ci in range(md.row_group(rg).num_columns):
+                c = md.row_group(rg).column(ci)
+                if c.path_in_schema == col and c.statistics is not None:
+                    los.append(c.statistics.min)
+                    his.append(c.statistics.max)
+        if los:
+            out.append((f, min(los), max(his)))
+    return out
+
+
+def overlap_fraction(stats: "list[tuple]", lo, hi) -> float:
+    """Fraction of files whose [min, max] intersects [lo, hi] — i.e.
+    the fraction a stats-pruned scan must READ.  1.0 = no skipping."""
+    if not stats:
+        return 1.0
+    touch = sum(1 for _, mn, mx in stats if not (mx < lo or mn > hi))
+    return touch / len(stats)

@@ -1,0 +1,99 @@
+"""Sort-clustered (range / z-order) layout: row parity + the actual
+claim — parquet footer min/max stats narrow enough that selective scans
+skip most files, on EVERY clustering column for z-order."""
+import pytest
+from pyspark.sql import functions as F
+
+from gqlite_spark.sources import clustered
+
+
+def _grid(spark):
+    # uniform 256 x 256 grid: a = id // 256, b = id % 256
+    return spark.range(256 * 256).select(
+        (F.col("id") / 256).cast("long").alias("a"),
+        (F.col("id") % 256).alias("b"),
+        (F.col("id") * 7 % 1000).alias("val"))
+
+
+def test_range_layout_parity_and_skipping(spark, tmp_path):
+    p = str(tmp_path / "rng")
+    clustered.save_clustered(_grid(spark), p, ["a"], n_files=16)
+    back = spark.read.parquet(p)
+    assert back.count() == 256 * 256
+    assert back.agg(F.sum("val")).collect() == \
+        _grid(spark).agg(F.sum("val")).collect()
+    stats = clustered.file_stats(p, "a")
+    assert len(stats) >= 8
+    # a narrow a-range touches ~1-2 of the range-sorted files
+    frac = clustered.overlap_fraction(stats, 10, 20)
+    assert frac <= 0.3, (frac, stats)
+
+
+def test_zorder_skips_on_both_columns(spark, tmp_path):
+    p = str(tmp_path / "zord")
+    clustered.save_clustered(_grid(spark), p, ["a", "b"], n_files=16)
+    back = spark.read.parquet(p)
+    # parity: the layout cannot change rows
+    assert back.count() == 256 * 256
+    assert back.agg(F.sum("val"), F.sum("a"), F.sum("b")).collect() == \
+        _grid(spark).agg(F.sum("val"), F.sum("a"), F.sum("b")).collect()
+    # the z-order property: a selective predicate on EITHER column
+    # skips most files (Morton blocks bound both coordinates)
+    for col in ("a", "b"):
+        stats = clustered.file_stats(p, col)
+        assert len(stats) >= 8
+        frac = clustered.overlap_fraction(stats, 0, 31)   # 1/8 of space
+        assert frac <= 0.6, (col, frac, stats)
+
+
+def test_single_sort_does_not_skip_secondary(spark, tmp_path):
+    """The control: a range layout on `a` gives NO skipping on `b` —
+    the gap z-order exists to close."""
+    p = str(tmp_path / "ctl")
+    clustered.save_clustered(_grid(spark), p, ["a"], n_files=16)
+    stats = clustered.file_stats(p, "b")
+    frac = clustered.overlap_fraction(stats, 0, 31)
+    assert frac >= 0.9, (frac, stats)
+
+
+def test_spec_sidecar(spark, tmp_path):
+    from gqlite_spark import fsio
+    p = str(tmp_path / "spec")
+    clustered.save_clustered(_grid(spark), p, ["a", "b"], n_files=8)
+    spec = fsio.read_json(spark, fsio.join(p, clustered.SPEC_FILE))
+    assert spec["cols"] == ["a", "b"] and spec["n_files"] == 8
+    assert spec["ranges"] == [[0.0, 255.0], [0.0, 255.0]]
+
+
+def test_zvalue_interleave_known_values(spark):
+    """Pin the Morton interleave: with ranges [0, 2^bits - 1] the bin
+    IS the value, and z of (a=1, b=0) = 1, (0,1) = 2, (1,1) = 3,
+    (2,0) = 4 — the textbook 2D Morton codes."""
+    df = spark.createDataFrame(
+        [(0, 0), (1, 0), (0, 1), (1, 1), (2, 0), (3, 3)], "a int, b int")
+    # bins are width_bucket over [0, 3] with 4 bins -> identity
+    z = clustered.zvalue_col(["a", "b"], [(0, 3), (0, 3)], bits=2)
+    got = {(r["a"], r["b"]): r["z"]
+           for r in df.withColumn("z", z).collect()}
+    assert got == {(0, 0): 0, (1, 0): 1, (0, 1): 2, (1, 1): 3,
+                   (2, 0): 4, (3, 3): 15}
+
+
+def test_driver_entry_pushdown(spark):
+    """The `zorder_scan_revenue` entry: both range predicates must reach
+    the parquet scan (PushedFilters) — a cast-wrapped or expression-
+    wrapped key would silently forfeit the stats skipping the layout
+    exists for."""
+    import io
+    import contextlib
+    import __spark_entry__ as entry
+    df = entry.q_zorder_scan_revenue(spark, "/root/testdata/sf0.001")
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    plan = buf.getvalue()
+    assert "LessThanOrEqual(l_orderkey," in plan, plan
+    assert "LessThanOrEqual(l_suppkey," in plan, plan
+    rows = df.collect()
+    assert len(rows) >= 1
+    assert set(df.columns) == {"l_returnflag", "revenue_cents", "n_items"}
