@@ -1382,6 +1382,44 @@ def q_decontaminate(spark, sf_dir):
     return benchmark_contamination(train, bench, n=8)
 
 
+def q_curation_pipeline(spark, sf_dir):
+    """End-to-end curation as ONE declarative plan: exact dedup (keep
+    the min-id representative per content hash) → quality gate (score ≥
+    0.5) → 8-gram benchmark decontamination → per-language corpus
+    report.  The point is COMPOSABILITY without materialization: the
+    per-doc metrics (token count, quality, language) are Column
+    expressions projected in the SAME scan (text.quality_exprs /
+    langid_exprs), so the whole pipeline is three shuffles — the dedup
+    window, the contamination per-doc aggregate, and the final 4-row
+    rollup — no intermediate writes, and Catalyst prunes/pushes across
+    all stages.  This is the operators' intended composition at 100 TB
+    (each stage alone is oracle-proven by its own entry; this entry
+    proves the CHAIN).  Quality sum reported as e4-scaled integers so
+    the cross-engine aggregate is order-independent."""
+    from pyspark.sql import Window
+    from gqlite_spark.operators.sampling import benchmark_contamination
+    from gqlite_spark.operators.text import langid_exprs, quality_exprs
+    d = _load(spark, sf_dir, "documents")
+    bench = d.filter(F.col("doc_id") % 7 == 0)
+    train = d.filter(F.col("doc_id") % 7 != 0)
+    qe = quality_exprs(F.col("text"))
+    lang, _hits = langid_exprs(F.col("text"))
+    enriched = train.select(
+        "doc_id", "text", qe["n_tokens"].alias("n_tokens"),
+        qe["quality"].alias("quality"), lang.alias("predicted_lang"))
+    w = Window.partitionBy(F.md5(F.col("text")))
+    kept = (enriched.withColumn("_rep", F.min("doc_id").over(w))
+            .filter(F.col("doc_id") == F.col("_rep")).drop("_rep")
+            .filter(F.col("quality") >= 0.5))
+    dirty = benchmark_contamination(kept, bench, n=8).select("doc_id")
+    clean = kept.join(dirty, "doc_id", "left_anti")
+    return (clean.groupBy("predicted_lang")
+            .agg(F.count("*").alias("n_docs"),
+                 F.sum("n_tokens").alias("sum_tokens"),
+                 F.sum(F.round(F.col("quality") * 10000).cast("long"))
+                 .alias("sum_quality_e4")))
+
+
 # --------------------------------------------------------------------------
 # Multimodal plumbing (binary columns + Arrow-batched pandas processing)
 # --------------------------------------------------------------------------
@@ -1481,11 +1519,11 @@ def entry(spark: SparkSession) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # NOTE on ordering: the driver's correctness gate checks the FIRST 50
     # entries in dict order.  Round-8 ROTATION (VERDICT r7 next #6): the
-    # window holds (a) the 11 r8-new entries (knn_near_limit_filtered,
+    # window holds (a) the 12 r8-new entries (knn_near_limit_filtered,
     # knn_compacted, sim_knn_join_ivf, decontaminate_semantic,
     # sim_ann_ivfpq_indexed, sample_cluster, multimodal_resize,
     # multimodal_frames, multimodal_features, bucketed_join_revenue,
-    # zorder_scan_revenue), (b) ALL
+    # zorder_scan_revenue, curation_pipeline), (b) ALL
     # 38 entries whose last driver row is r6 (the past-the-cap slice of
     # r7), and (c) the r7-green keepers that fit, chosen for overlap with this
     # round's changes — the routed kNN family (sidecar I/O moved to the
@@ -1510,6 +1548,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_features": q_multimodal_features,
         "bucketed_join_revenue": q_bucketed_join_revenue,
         "zorder_scan_revenue": q_zorder_scan_revenue,
+        "curation_pipeline": q_curation_pipeline,
         # ==== promoted: last driver row r6 (past-the-cap in r7) ====
         "graph_pagerank_personalized": q_pagerank_personalized,
         "sim_ann_lsh_indexed": q_ann_lsh_indexed,
@@ -3055,6 +3094,34 @@ def oracle_sql() -> dict[str, str]:
             " MIN(CASE WHEN cum >= (99*n + 99) // 100 THEN n_chars END)::BIGINT AS p99,"
             " MAX(n)::BIGINT AS n_docs"
             " FROM cum JOIN tot USING (lang) GROUP BY cum.lang",
+        "curation_pipeline":
+            # the chained form of dedup_exact + text_quality + text_langid
+            # + decontaminate, each fragment identical to its own proven
+            # oracle; the chain is what this entry adds
+            f"WITH enriched AS (SELECT doc_id, text,"
+            f" CAST({ntok} AS BIGINT) AS n_tokens,"
+            f" round(LEAST(1.0, 0.5 * LEAST(1.0, {stop_sum} / 5.0)"
+            f" + 0.5 * LEAST(1.0, CAST({ntok} AS BIGINT) / 20.0)), 4) AS quality,"
+            f" {lang_case} AS predicted_lang"
+            " FROM documents WHERE doc_id % 7 <> 0),"
+            " dd AS (SELECT *, MIN(doc_id) OVER (PARTITION BY md5(text)) AS rep"
+            " FROM enriched),"
+            " kept AS (SELECT * FROM dd WHERE doc_id = rep AND quality >= 0.5),"
+            " kw AS (SELECT doc_id, string_split(text, ' ') AS ws FROM kept),"
+            " gk AS (SELECT doc_id, unnest(list_transform("
+            "generate_series(1, greatest(len(ws) - 7, 0)),"
+            " i -> array_to_string(list_slice(ws, i, i + 7), ' '))) AS s FROM kw),"
+            " bw AS (SELECT string_split(text, ' ') AS ws FROM documents"
+            " WHERE doc_id % 7 = 0),"
+            " gb AS (SELECT DISTINCT unnest(list_transform("
+            "generate_series(1, greatest(len(ws) - 7, 0)),"
+            " i -> array_to_string(list_slice(ws, i, i + 7), ' '))) AS s FROM bw),"
+            " dirty AS (SELECT DISTINCT gk.doc_id FROM gk JOIN gb USING (s))"
+            " SELECT predicted_lang, COUNT(*)::BIGINT AS n_docs,"
+            " SUM(n_tokens)::BIGINT AS sum_tokens,"
+            " SUM(CAST(ROUND(quality * 10000) AS BIGINT))::BIGINT AS sum_quality_e4"
+            " FROM kept WHERE doc_id NOT IN (SELECT doc_id FROM dirty)"
+            " GROUP BY predicted_lang",
         "decontaminate":
             "WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws"
             " FROM documents),"

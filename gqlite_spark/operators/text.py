@@ -61,38 +61,47 @@ def token_stats(df: DataFrame, id_col: str = "doc_id",
     )
 
 
-def quality_score(df: DataFrame, id_col: str = "doc_id",
-                  text_col: str = "text") -> DataFrame:
-    """Heuristic quality features + composite score:
-    stopword_ratio (EN stopword tokens / tokens), digit_ratio,
-    mean token length band, and a 0-1 score.  Deterministic arithmetic.
-    """
-    t = F.col(text_col)
+def quality_exprs(t: Column) -> "dict[str, Column]":
+    """The per-doc quality metric Columns, keyed n_tokens /
+    stopword_ratio / digit_ratio / quality — exposed so pipeline
+    compositions can project the metrics ALONGSIDE other columns in one
+    scan (the curation-pipeline entry), with the exact same expression
+    order (and therefore oracle-replayable values) as
+    :func:`quality_score`."""
     n_tokens = token_count(t)
     stop_hits = None
     for w in STOPWORDS_EN:
         occ = _occurrences(t, w)
         stop_hits = occ if stop_hits is None else stop_hits + occ
     digits = F.length(t) - F.length(F.regexp_replace(t, "[0-9]", ""))
-    stop_ratio = F.round(stop_hits / n_tokens, 4)
-    digit_ratio = F.round(digits / F.length(t), 4)
     score = F.round(
         F.least(F.lit(1.0),
                 F.lit(0.5) * F.least(F.lit(1.0), stop_hits / F.lit(5.0))
                 + F.lit(0.5) * F.least(F.lit(1.0), n_tokens / F.lit(20.0))),
         4)
-    return df.select(F.col(id_col), n_tokens.alias("n_tokens"),
-                     stop_ratio.alias("stopword_ratio"),
-                     digit_ratio.alias("digit_ratio"),
-                     score.alias("quality"))
+    return {"n_tokens": n_tokens,
+            "stopword_ratio": F.round(stop_hits / n_tokens, 4),
+            "digit_ratio": F.round(digits / F.length(t), 4),
+            "quality": score}
 
 
-def lang_id(df: DataFrame, id_col: str = "doc_id",
-            text_col: str = "text") -> DataFrame:
-    """Marker-word language ID (n-gram/stopword heuristic): per language,
-    count marker-word occurrences; predict the max (ties: en>es>fr>de).
-    Returns (doc_id, predicted_lang, score)."""
-    t = F.col(text_col)
+def quality_score(df: DataFrame, id_col: str = "doc_id",
+                  text_col: str = "text") -> DataFrame:
+    """Heuristic quality features + composite score:
+    stopword_ratio (EN stopword tokens / tokens), digit_ratio,
+    mean token length band, and a 0-1 score.  Deterministic arithmetic.
+    """
+    e = quality_exprs(F.col(text_col))
+    return df.select(F.col(id_col), e["n_tokens"].alias("n_tokens"),
+                     e["stopword_ratio"].alias("stopword_ratio"),
+                     e["digit_ratio"].alias("digit_ratio"),
+                     e["quality"].alias("quality"))
+
+
+def langid_exprs(t: Column) -> "tuple[Column, Column]":
+    """(predicted_lang, marker_hits) Columns — the :func:`lang_id`
+    expressions exposed for single-scan pipeline composition (same
+    expression order, oracle-replayable)."""
     scores = {}
     for lang, words in LANG_MARKERS.items():
         s = None
@@ -109,8 +118,17 @@ def lang_id(df: DataFrame, id_col: str = "doc_id",
             cond = scores[lang] >= best_score
             best = F.when(cond, F.lit(lang)).otherwise(best)
             best_score = F.when(cond, scores[lang]).otherwise(best_score)
+    return best, best_score.cast("long")
+
+
+def lang_id(df: DataFrame, id_col: str = "doc_id",
+            text_col: str = "text") -> DataFrame:
+    """Marker-word language ID (n-gram/stopword heuristic): per language,
+    count marker-word occurrences; predict the max (ties: en>es>fr>de).
+    Returns (doc_id, predicted_lang, score)."""
+    best, best_score = langid_exprs(F.col(text_col))
     return df.select(F.col(id_col), best.alias("predicted_lang"),
-                     best_score.cast("long").alias("marker_hits"))
+                     best_score.alias("marker_hits"))
 
 
 def fingerprint(df: DataFrame, id_col: str = "doc_id",

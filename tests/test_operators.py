@@ -1857,3 +1857,20 @@ def test_semantic_contamination_flags_paraphrase(spark):
     got = {r["vec_id"]: r["bench_id"] for r in semantic_contamination(
         train, bench, threshold=0.98, nlist=2, nprobe=2).collect()}
     assert got == {10: 1}
+
+
+def test_curation_pipeline_gates_bite(spark):
+    """The chained curation entry must actually FILTER at each gate:
+    output docs < deduped train docs (quality + decontamination bite),
+    output > 0, and the per-language sums stay integer-exact."""
+    import __spark_entry__ as entry
+    sf = "/root/testdata/sf0.001"
+    out = entry.q_curation_pipeline(spark, sf).collect()
+    assert out, "pipeline produced no rows"
+    n_out = sum(r["n_docs"] for r in out)
+    d = spark.read.parquet(sf + "/documents.parquet")
+    n_train = (d.filter(F.col("doc_id") % 7 != 0)
+               .select(F.md5("text")).distinct().count())
+    assert 0 < n_out < n_train, (n_out, n_train)
+    for r in out:
+        assert r["sum_tokens"] > 0 and r["sum_quality_e4"] > 0
