@@ -26,7 +26,8 @@ from .gql import parser as gql_parser
 from .gql.ast import (AstStmt, CallExpr, ChunkStmt, CohortStmt, CreateStmt,
                       DedupStmt,
                       DropStmt, DumpStmt, FunnelStmt,
-                      ImportStmt, InferStmt, MemberRef, Pred, ProfileStmt,
+                      ImportStmt, InferStmt, LayoutStmt, MemberRef, Pred,
+                      ProfileStmt,
                       QueryStmt, SampleStmt, ShardsStmt, SimilarStmt,
                       VIndexStmt,
                       RemoveEdgeStmt, RemoveVertexStmt, ShowGraphStmt,
@@ -168,6 +169,8 @@ class GQLite:
             return self._vindex(stmt)
         if isinstance(stmt, ShardsStmt):
             return self._shards(stmt)
+        if isinstance(stmt, LayoutStmt):
+            return self._layout(stmt)
         raise GQLiteError(f"unsupported statement {type(stmt).__name__}")
 
     def _pipeline_group_df(self, graph_name, group_name: str,
@@ -543,6 +546,40 @@ class GQLite:
         return StatementResult(
             status="QUERY SUCCESS", df=out,
             rows_fn=lambda out=out: [list(r) for r in out.collect()])
+
+    def _layout(self, stmt: LayoutStmt) -> StatementResult:
+        """``{layout: 'docs', in: 'g', path: '/data/docs',
+        by: ['a', 'b'], files: 64};`` — export the group sort-clustered
+        (range layout for one property, z-order for several;
+        sources/clustered.py), or with ``bucket_by:``/``buckets:``
+        hash-bucketed for exchange-free joins (sources/bucketed.py).
+        The GQL surface of the write-once scale layouts — pay one
+        shuffle at export, every later scan/join is pruned/co-located.
+        Result row: (kind, path, n_rows)."""
+        graph = self._graph(stmt.graph)
+        grp = graph.group(stmt.group)
+        df = grp.to_df()
+        if df is None:
+            return StatementResult(status="QUERY SUCCESS", rows=[], df=None)
+        for c in (stmt.by or [stmt.bucket_by]):
+            if c not in df.columns:
+                raise GQLiteError(
+                    f"layout: group '{stmt.group}' has no property '{c}'")
+        n = df.count()
+        if stmt.by is not None:
+            from .sources.clustered import save_clustered
+            try:
+                save_clustered(df, stmt.path, list(stmt.by),
+                               n_files=stmt.files)
+            except ValueError as e:
+                raise GQLiteError(f"layout: {e}") from e
+            kind = "range" if len(stmt.by) == 1 else "zorder"
+        else:
+            from .sources.bucketed import save_bucketed
+            save_bucketed(df, stmt.path, stmt.bucket_by, stmt.buckets)
+            kind = "bucket"
+        return StatementResult(status="QUERY SUCCESS",
+                               rows=[[kind, stmt.path, n]], value=n)
 
     def _infer_hmm(self, stmt: InferStmt) -> StatementResult:
         """``{query: hidden, event: [...], where: [[hidden.v1, {->: w},

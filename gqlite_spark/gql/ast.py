@@ -285,6 +285,25 @@ class ShardsStmt:
 
 
 @dataclass
+class LayoutStmt:
+    """``{layout: group, in: g, path: 'dir', by: [a, b], files: 64}``
+    (sort-clustered export: range layout for one column, z-order for
+    several — sources/clustered.py) or ``{layout: group, in: g,
+    path: 'dir', bucket_by: key, buckets: 64}`` (hash-bucketed
+    co-location — sources/bucketed.py).  The GQL surface of the
+    write-once storage layouts: pay one shuffle at export, every later
+    scan skips files / every later join skips the exchange.  Result
+    row: (kind, path, n_rows)."""
+    group: str
+    path: str
+    graph: Optional[str] = None
+    by: Optional[list] = None
+    files: int = 16
+    bucket_by: Optional[str] = None
+    buckets: int = 16
+
+
+@dataclass
 class VIndexStmt:
     """``{vindex: group, in: g, on: 'embedding', path: 'dir',
     nlist: 64}`` — build + attach a MATERIALIZED l2 IVF vector index

@@ -20,7 +20,7 @@ from .ast import (
     STAR, AstStmt, BinaryLit, CallExpr, ChunkStmt, CreateStmt, DatetimeLit,
     CohortStmt, DedupStmt, DropStmt,
     DumpStmt, EdgeConn, FunnelStmt, GeohashLit, GroupDef, ImportStmt,
-    InferStmt, Lambda,
+    InferStmt, Lambda, LayoutStmt,
     MemberRef, SampleStmt, ShardsStmt, SimilarStmt, VIndexStmt,
     PatternNode, Pred, ProfileStmt, QueryStmt, RemoveEdgeStmt,
     RemoveVertexStmt, ShowGraphStmt, UpsetEdgeStmt, UpsetPropertyStmt,
@@ -473,6 +473,36 @@ class Parser:
             return VIndexStmt(obj["vindex"], path, obj.get("in"),
                               str(obj.get("on", "embedding")), nlist,
                               refine, compact)
+        if "layout" in obj:
+            path = obj.get("path")
+            if not isinstance(path, str) or not path:
+                raise GQLParseError("layout: a path: string is required")
+            by = obj.get("by")
+            bucket_by = obj.get("bucket_by")
+            if (by is None) == (bucket_by is None):
+                raise GQLParseError(
+                    "layout: exactly one of by: (sort/z-order columns) "
+                    "or bucket_by: (hash-bucket key) is required")
+            if by is not None:
+                if isinstance(by, str):
+                    by = [by]
+                if (not isinstance(by, list) or not by
+                        or not all(isinstance(c, str) and c for c in by)):
+                    raise GQLParseError(
+                        "layout: by must be a property name or a "
+                        "non-empty list of property names")
+            if bucket_by is not None and (
+                    not isinstance(bucket_by, str) or not bucket_by):
+                raise GQLParseError(
+                    "layout: bucket_by must be a property name")
+            files = obj.get("files", 16)
+            buckets = obj.get("buckets", 16)
+            for k, v in (("files", files), ("buckets", buckets)):
+                if not isinstance(v, int) or isinstance(v, bool) or v < 1:
+                    raise GQLParseError(
+                        f"layout: {k} must be a positive integer")
+            return LayoutStmt(obj["layout"], path, obj.get("in"),
+                              by, files, bucket_by, buckets)
         if "shards" in obj:
             path = obj.get("path")
             if not isinstance(path, str) or not path:

@@ -104,6 +104,14 @@ def save_clustered(df: DataFrame, path: str, cols: "list[str]",
                .sortWithinPartitions(cols[0]))
         ranges = None
     else:
+        from pyspark.sql import types as T
+        for c in cols:
+            if not isinstance(df.schema[c].dataType, T.NumericType):
+                raise ValueError(
+                    f"z-order clustering needs numeric columns; "
+                    f"'{c}' is {df.schema[c].dataType.simpleString()} "
+                    "(single-column range layout works for any "
+                    "orderable type)")
         row = df.agg(*[f(F.col(c).cast("double")).alias(f"{w}_{c}")
                        for c in cols
                        for w, f in (("lo", F.min), ("hi", F.max))]

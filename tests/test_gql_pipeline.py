@@ -393,3 +393,56 @@ def test_gql_similar_join_parse_errors(pdb):
     r = pdb.exec("{similar: 'vecs', in: 'pg', queries: 'probes',"
                  " method: 'pq'};")[0]
     assert r.error and "brute|ivf" in r.error
+
+
+def test_gql_layout_range(pdb, tmp_path):
+    """{layout by: <one prop>} = range layout: sorted files + sidecar."""
+    import glob
+    p = str(tmp_path / "rng")
+    res = _one(pdb, f"{{layout: 'docs', in: 'pg', path: '{p}',"
+                    " by: 'id', files: 2};")
+    assert res.rows == [["range", p, 4]]
+    assert glob.glob(p + "/part-*.parquet")
+    back = pdb.spark.read.parquet(p)
+    assert back.count() == 4 and "text" in back.columns
+
+
+def test_gql_layout_zorder_and_bucket(db, tmp_path):
+    from gqlite_spark import fsio
+    from gqlite_spark.sources import bucketed, clustered
+    for r in db.exec(
+            "{create: 'lg', group: ['pts']};"
+            "{upset: 'pts', vertex: [[1, {x: 1, y: 8}], [2, {x: 5, y: 2}],"
+            " [3, {x: 9, y: 7}], [4, {x: 3, y: 4}]]};"):
+        assert r.error is None, r.error
+    p = str(tmp_path / "z")
+    res = _one(db, f"{{layout: 'pts', in: 'lg', path: '{p}',"
+                   " by: ['x', 'y'], files: 2};")
+    assert res.rows == [["zorder", p, 4]]
+    spec = fsio.read_json(db.spark, fsio.join(p, clustered.SPEC_FILE))
+    assert spec["cols"] == ["x", "y"]
+    pb = str(tmp_path / "b")
+    res = _one(db, f"{{layout: 'pts', in: 'lg', path: '{pb}',"
+                   " bucket_by: 'x', buckets: 2};")
+    assert res.rows == [["bucket", pb, 4]]
+    assert fsio.exists(db.spark, fsio.join(pb, bucketed.SPEC_FILE))
+    assert db.spark.read.parquet(pb).count() == 4
+
+
+def test_gql_layout_errors(pdb):
+    r = pdb.exec("{layout: 'docs', in: 'pg', path: '/tmp/x'};")[0]
+    assert r.error and "exactly one" in r.error
+    r = pdb.exec("{layout: 'docs', in: 'pg', path: '/tmp/x',"
+                 " by: 'id', bucket_by: 'id'};")[0]
+    assert r.error and "exactly one" in r.error
+    r = pdb.exec("{layout: 'docs', in: 'pg', by: 'id'};")[0]
+    assert r.error and "path" in r.error
+    r = pdb.exec("{layout: 'docs', in: 'pg', path: '/tmp/x',"
+                 " by: ['id', 'text']};")[0]
+    assert r.error and "numeric" in r.error
+    r = pdb.exec("{layout: 'docs', in: 'pg', path: '/tmp/x',"
+                 " by: 'nope'};")[0]
+    assert r.error and "no property" in r.error
+    r = pdb.exec("{layout: 'docs', in: 'pg', path: '/tmp/x',"
+                 " by: 'id', files: 0};")[0]
+    assert r.error and "positive" in r.error
