@@ -1396,28 +1396,11 @@ def q_curation_pipeline(spark, sf_dir):
     (each stage alone is oracle-proven by its own entry; this entry
     proves the CHAIN).  Quality sum reported as e4-scaled integers so
     the cross-engine aggregate is order-independent."""
-    from pyspark.sql import Window
-    from gqlite_spark.operators.sampling import benchmark_contamination
-    from gqlite_spark.operators.text import langid_exprs, quality_exprs
+    from gqlite_spark.operators.sampling import curate_corpus
     d = _load(spark, sf_dir, "documents")
     bench = d.filter(F.col("doc_id") % 7 == 0)
     train = d.filter(F.col("doc_id") % 7 != 0)
-    qe = quality_exprs(F.col("text"))
-    lang, _hits = langid_exprs(F.col("text"))
-    enriched = train.select(
-        "doc_id", "text", qe["n_tokens"].alias("n_tokens"),
-        qe["quality"].alias("quality"), lang.alias("predicted_lang"))
-    w = Window.partitionBy(F.md5(F.col("text")))
-    kept = (enriched.withColumn("_rep", F.min("doc_id").over(w))
-            .filter(F.col("doc_id") == F.col("_rep")).drop("_rep")
-            .filter(F.col("quality") >= 0.5))
-    dirty = benchmark_contamination(kept, bench, n=8).select("doc_id")
-    clean = kept.join(dirty, "doc_id", "left_anti")
-    return (clean.groupBy("predicted_lang")
-            .agg(F.count("*").alias("n_docs"),
-                 F.sum("n_tokens").alias("sum_tokens"),
-                 F.sum(F.round(F.col("quality") * 10000).cast("long"))
-                 .alias("sum_quality_e4")))
+    return curate_corpus(train, bench, quality_min=0.5, ngram=8)
 
 
 # --------------------------------------------------------------------------

@@ -417,3 +417,45 @@ def write_training_shards(df: DataFrame, path: str, n_shards: int = 32,
                  F.min("shuffle_key").alias("min_key"),
                  F.max("shuffle_key").alias("max_key"))
             .orderBy("shard"))
+
+
+def curate_corpus(docs: DataFrame, benchmark: DataFrame,
+                  quality_min: float = 0.5, ngram: int = 8,
+                  id_col: str = "doc_id",
+                  text_col: str = "text") -> DataFrame:
+    """The standard curation chain as ONE declarative plan: exact dedup
+    (keep the min-id representative per content hash) → quality gate
+    (``text.quality_exprs`` score ≥ ``quality_min``) → word-``ngram``
+    benchmark decontamination → per-language corpus report
+    (n_docs, sum_tokens, sum_quality_e4 by predicted_lang).
+
+    Composition is the point: the per-doc metrics are Column
+    expressions projected in the SAME scan, so the whole pipeline costs
+    three shuffles (dedup window, contamination per-doc aggregate,
+    final rollup) with no intermediate materialization — each stage
+    alone is oracle-proven by its own driver entry; the GQL/driver
+    `curation_pipeline` entry proves the chain.  Quality reported as
+    e4-scaled integer sums so cross-engine aggregation is
+    order-independent."""
+    from pyspark.sql import Window
+
+    from .text import langid_exprs, quality_exprs
+    qe = quality_exprs(F.col(text_col))
+    lang, _hits = langid_exprs(F.col(text_col))
+    enriched = docs.select(
+        F.col(id_col), F.col(text_col),
+        qe["n_tokens"].alias("n_tokens"),
+        qe["quality"].alias("quality"), lang.alias("predicted_lang"))
+    w = Window.partitionBy(F.md5(F.col(text_col)))
+    kept = (enriched.withColumn("_rep", F.min(id_col).over(w))
+            .filter(F.col(id_col) == F.col("_rep")).drop("_rep")
+            .filter(F.col("quality") >= quality_min))
+    dirty = (benchmark_contamination(kept, benchmark, n=ngram,
+                                     id_col=id_col, text_col=text_col)
+             .select(id_col))
+    clean = kept.join(dirty, id_col, "left_anti")
+    return (clean.groupBy("predicted_lang")
+            .agg(F.count("*").alias("n_docs"),
+                 F.sum("n_tokens").alias("sum_tokens"),
+                 F.sum(F.round(F.col("quality") * 10000).cast("long"))
+                 .alias("sum_quality_e4")))
