@@ -89,3 +89,25 @@ def read_json(spark, path: str):
 def exists(spark, path: str) -> bool:
     fs, hpath, _ = _fs_path(spark, path)
     return bool(fs.exists(hpath))
+
+
+def delete(spark, path: str, recursive: bool = True) -> bool:
+    """Delete ``path`` (tree) on its scheme's filesystem.  Returns
+    whether anything was removed."""
+    fs, hpath, _ = _fs_path(spark, path)
+    if not fs.exists(hpath):
+        return False
+    return bool(fs.delete(hpath, recursive))
+
+
+def rename(spark, src: str, dst: str) -> None:
+    """Rename/move ``src`` to ``dst`` on the (shared) filesystem — the
+    swap step of rewrite-then-swap table maintenance (``recluster``).
+    Hadoop ``rename`` is atomic per-directory on HDFS and a fast
+    server-side move on object stores' committers; it FAILS (returns
+    false) if ``dst`` exists, which we surface as an error rather than
+    silently merging trees."""
+    fs, hsrc, jvm = _fs_path(spark, src)
+    hdst = jvm.org.apache.hadoop.fs.Path(dst)
+    if not fs.rename(hsrc, hdst):
+        raise IOError(f"rename failed: {src} -> {dst}")

@@ -158,3 +158,58 @@ def overlap_fraction(stats: "list[tuple]", lo, hi) -> float:
         return 1.0
     touch = sum(1 for _, mn, mx in stats if not (mx < lo or mn > hi))
     return touch / len(stats)
+
+
+def append_clustered(df: DataFrame, path: str, n_files: int = 1) -> None:
+    """Append a batch to a clustered table WITHOUT a full rewrite: the
+    batch is sorted by the table's spec (z-values reuse the STORED bin
+    ranges so old and new rows bin identically) and written as its own
+    ``n_files`` file(s) — default 1, since an ingest batch is typically
+    ≪ the table.  A single-file batch spans the whole key range at FILE
+    granularity, but because it is sorted its ROW-GROUP stats stay
+    narrow, so scans still skip within it; file-level skipping degrades
+    gradually as batches accumulate — a predicate touches its slice of
+    every batch — never catastrophically.  Audit the drift with
+    :func:`overlap_fraction`; restore the write-time layout with
+    :func:`recluster`.  This is the daily-ingest lifecycle at 100 TB:
+    appends are cheap and sorted, re-clustering is a scheduled rewrite.
+    """
+    spark = df.sparkSession
+    spec = fsio.read_json(spark, fsio.join(path, SPEC_FILE))
+    cols, bits = spec["cols"], int(spec.get("bits", DEFAULT_BITS))
+    if len(cols) == 1:
+        out = (df.repartitionByRange(n_files, F.col(cols[0]))
+               .sortWithinPartitions(cols[0]))
+    else:
+        ranges = [tuple(r) for r in spec["ranges"]]
+        z = zvalue_col(cols, ranges, bits)
+        out = (df.withColumn("_z", z)
+               .repartitionByRange(n_files, F.col("_z"))
+               .sortWithinPartitions("_z")
+               .drop("_z"))
+    out.write.mode("append").parquet(path)
+    spec["batches"] = int(spec.get("batches", 0)) + 1
+    fsio.write_json(spark, fsio.join(path, SPEC_FILE), spec)
+
+
+def recluster(spark: SparkSession, path: str,
+              n_files: "int | None" = None) -> None:
+    """Rewrite the table freshly clustered per its sidecar spec —
+    rewrite-then-swap: cluster into a ``<path>.recluster_tmp`` sibling,
+    then two FS renames (old table out, new table in), so a failure at
+    any step leaves either the old or the new COMPLETE table at
+    ``path``, never a partial mix.  Ranges are recomputed from current
+    data (appends may have widened them).  Run after append batches
+    drift the layout (:func:`overlap_fraction` on the clustering
+    columns is the trigger metric)."""
+    spec = fsio.read_json(spark, fsio.join(path, SPEC_FILE))
+    tmp = path.rstrip("/") + ".recluster_tmp"
+    old = path.rstrip("/") + ".recluster_old"
+    fsio.delete(spark, tmp)
+    fsio.delete(spark, old)
+    save_clustered(spark.read.parquet(path), tmp, spec["cols"],
+                   n_files=int(n_files or spec["n_files"]),
+                   bits=int(spec.get("bits", DEFAULT_BITS)))
+    fsio.rename(spark, path, old)
+    fsio.rename(spark, tmp, path)
+    fsio.delete(spark, old)

@@ -97,3 +97,59 @@ def test_driver_entry_pushdown(spark):
     rows = df.collect()
     assert len(rows) >= 1
     assert set(df.columns) == {"l_returnflag", "revenue_cents", "n_items"}
+
+
+def test_append_then_recluster_lifecycle(spark, tmp_path):
+    """Appends degrade file-level skipping gradually (sorted batches:
+    row parity always holds); recluster restores the write-time layout
+    via rewrite-then-swap."""
+    from gqlite_spark.sources.clustered import (append_clustered,
+                                                recluster)
+    p = str(tmp_path / "life")
+    base = _grid(spark).filter(F.col("a") < 192)
+    extra = _grid(spark).filter(F.col("a") >= 192)
+    clustered.save_clustered(base, p, ["a"], n_files=16)
+    tight = clustered.overlap_fraction(clustered.file_stats(p, "a"),
+                                       10, 20)
+    append_clustered(extra, p)
+    total = spark.read.parquet(p)
+    assert total.count() == 256 * 256
+    # the batch file spans a in [192, 255]: the [10, 20] slice still
+    # skips it, and overall overlap stays bounded
+    drift = clustered.overlap_fraction(clustered.file_stats(p, "a"),
+                                       10, 20)
+    assert drift <= tight + 0.1, (tight, drift)
+    # a slice inside the appended range now touches base files too? no:
+    # base files stop at 191, so [200, 210] touches ONLY the batch file
+    hi = clustered.overlap_fraction(clustered.file_stats(p, "a"),
+                                    200, 210)
+    assert hi <= 0.3, hi
+    recluster(spark, p)
+    back = spark.read.parquet(p)
+    assert back.count() == 256 * 256
+    assert back.agg(F.sum("val")).collect() == \
+        _grid(spark).agg(F.sum("val")).collect()
+    st = clustered.file_stats(p, "a")
+    assert len(st) == 16
+    assert clustered.overlap_fraction(st, 10, 20) <= 0.3
+    assert not (tmp_path / "life.recluster_tmp").exists()
+    assert not (tmp_path / "life.recluster_old").exists()
+
+
+def test_append_zorder_uses_stored_ranges(spark, tmp_path):
+    """z-append bins with the STORED ranges: rows outside the original
+    min/max clamp into the edge bins (documented), parity holds, and
+    both-column skipping still works on the original region."""
+    from gqlite_spark.sources.clustered import append_clustered
+    p = str(tmp_path / "zlife")
+    clustered.save_clustered(_grid(spark), p, ["a", "b"], n_files=16)
+    extra = spark.range(100).select(
+        (F.col("id") + 300).alias("a"),   # beyond the stored a-range
+        (F.col("id") % 256).alias("b"),
+        F.lit(7).alias("val"))
+    append_clustered(extra, p)
+    assert spark.read.parquet(p).count() == 256 * 256 + 100
+    for col in ("a", "b"):
+        frac = clustered.overlap_fraction(
+            clustered.file_stats(p, col), 0, 31)
+        assert frac <= 0.7, (col, frac)
