@@ -28,7 +28,8 @@ from .gql.ast import (AstStmt, CallExpr, ChunkStmt, CohortStmt, CreateStmt,
                       DropStmt, DumpStmt, FunnelStmt,
                       ImportStmt, InferStmt, LayoutStmt, MemberRef, Pred,
                       ProfileStmt,
-                      QueryStmt, SampleStmt, ShardsStmt, SimilarStmt,
+                      QueryStmt, RollupStmt, SampleStmt, ShardsStmt,
+                      SimilarStmt,
                       VIndexStmt,
                       RemoveEdgeStmt, RemoveVertexStmt, ShowGraphStmt,
                       UpsetEdgeStmt, UpsetPropertyStmt, UpsetVertexStmt,
@@ -171,6 +172,8 @@ class GQLite:
             return self._shards(stmt)
         if isinstance(stmt, LayoutStmt):
             return self._layout(stmt)
+        if isinstance(stmt, RollupStmt):
+            return self._rollup(stmt)
         raise GQLiteError(f"unsupported statement {type(stmt).__name__}")
 
     def _pipeline_group_df(self, graph_name, group_name: str,
@@ -565,7 +568,6 @@ class GQLite:
             if c not in df.columns:
                 raise GQLiteError(
                     f"layout: group '{stmt.group}' has no property '{c}'")
-        n = df.count()
         if stmt.by is not None:
             from .sources.clustered import save_clustered
             try:
@@ -578,6 +580,49 @@ class GQLite:
             from .sources.bucketed import save_bucketed
             save_bucketed(df, stmt.path, stmt.bucket_by, stmt.buckets)
             kind = "bucket"
+        # count the WRITTEN table (footer-stats-cheap), not the source
+        # view — counting `df` first would compute the whole group view
+        # (overlay merges included) twice at scale.
+        n = self.spark.read.parquet(stmt.path).count()
+        return StatementResult(status="QUERY SUCCESS",
+                               rows=[[kind, stmt.path, n]], value=n)
+
+    def _rollup(self, stmt: RollupStmt) -> StatementResult:
+        """``{rollup: 'evts', in: 'g', path: '/data/ru', ts: 'ts',
+        every: 3600, by: ['event_type'], metrics: {value: ['sum']}};``
+        — build the incremental time-bucket rollup of the group
+        (operators/rollup.py), or with ``append: true`` fold the
+        group's rows in as ONE new ingest batch (stage each batch in
+        its own group — the statement reads the group as-is).  The GQL
+        surface of the continuous-aggregate lifecycle: the history is
+        scanned once, every later batch touches only itself plus the
+        bucket table.  Result row: (kind, path, n_buckets)."""
+        from .operators.rollup import append_rollup, save_rollup
+        graph = self._graph(stmt.graph)
+        grp = graph.group(stmt.group)
+        df = grp.to_df()
+        if df is None:
+            return StatementResult(status="QUERY SUCCESS", rows=[], df=None)
+        if stmt.append:
+            try:
+                append_rollup(df, stmt.path)
+            except Exception as e:  # missing sidecar, schema drift
+                raise GQLiteError(f"rollup append: {e}") from e
+            kind = "rollup_append"
+        else:
+            cols = [stmt.ts] + list(stmt.by or []) \
+                + list((stmt.metrics or {}).keys())
+            for c in cols:
+                if c not in df.columns:
+                    raise GQLiteError(f"rollup: group '{stmt.group}' "
+                                      f"has no property '{c}'")
+            try:
+                save_rollup(df, stmt.path, stmt.ts, stmt.every,
+                            dims=stmt.by, metrics=stmt.metrics)
+            except ValueError as e:
+                raise GQLiteError(f"rollup: {e}") from e
+            kind = "rollup"
+        n = self.spark.read.parquet(stmt.path).count()
         return StatementResult(status="QUERY SUCCESS",
                                rows=[[kind, stmt.path, n]], value=n)
 

@@ -304,6 +304,25 @@ class LayoutStmt:
 
 
 @dataclass
+class RollupStmt:
+    """``{rollup: group, in: g, path: 'dir', ts: 'ts', every: 3600,
+    by: ['event_type'], metrics: {value: ['sum', 'min', 'max']}}`` —
+    build the incremental time-bucket rollup (continuous aggregate,
+    operators/rollup.py) of the group's events; ``{rollup: group,
+    path: 'dir', append: true}`` folds the group's rows in as ONE new
+    ingest batch (use a staging group per batch — the statement reads
+    the group as-is).  Result row: (kind, path, n_buckets)."""
+    group: str
+    path: str
+    graph: Optional[str] = None
+    ts: str = "ts"
+    every: int = 3600
+    by: Optional[list] = None
+    metrics: Optional[dict] = None
+    append: bool = False
+
+
+@dataclass
 class VIndexStmt:
     """``{vindex: group, in: g, on: 'embedding', path: 'dir',
     nlist: 64}`` — build + attach a MATERIALIZED l2 IVF vector index

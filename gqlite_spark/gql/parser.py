@@ -21,7 +21,7 @@ from .ast import (
     CohortStmt, DedupStmt, DropStmt,
     DumpStmt, EdgeConn, FunnelStmt, GeohashLit, GroupDef, ImportStmt,
     InferStmt, Lambda, LayoutStmt,
-    MemberRef, SampleStmt, ShardsStmt, SimilarStmt, VIndexStmt,
+    MemberRef, RollupStmt, SampleStmt, ShardsStmt, SimilarStmt, VIndexStmt,
     PatternNode, Pred, ProfileStmt, QueryStmt, RemoveEdgeStmt,
     RemoveVertexStmt, ShowGraphStmt, UpsetEdgeStmt, UpsetPropertyStmt,
     UpsetVertexStmt, UseGraphStmt, WalkPattern, Wildcard,
@@ -503,6 +503,49 @@ class Parser:
                         f"layout: {k} must be a positive integer")
             return LayoutStmt(obj["layout"], path, obj.get("in"),
                               by, files, bucket_by, buckets)
+        if "rollup" in obj:
+            path = obj.get("path")
+            if not isinstance(path, str) or not path:
+                raise GQLParseError("rollup: a path: string is required")
+            append = obj.get("append", False)
+            if not isinstance(append, bool):
+                append = self._flag(str(append))
+            if append:
+                extra = sorted(set(obj) & {"ts", "every", "by", "metrics"})
+                if extra:
+                    raise GQLParseError(
+                        f"rollup append: {', '.join(extra)} come from the "
+                        "rollup's own spec sidecar — drop them")
+                return RollupStmt(obj["rollup"], path, obj.get("in"),
+                                  append=True)
+            every = obj.get("every", 3600)
+            if not isinstance(every, int) or isinstance(every, bool) \
+                    or every < 1:
+                raise GQLParseError(
+                    "rollup: every must be a positive integer (seconds)")
+            by = obj.get("by")
+            if by is not None:
+                if isinstance(by, str):
+                    by = [by]
+                if (not isinstance(by, list) or not by
+                        or not all(isinstance(c, str) and c for c in by)):
+                    raise GQLParseError(
+                        "rollup: by must be a property name or a "
+                        "non-empty list of property names")
+            metrics = obj.get("metrics")
+            if metrics is not None:
+                if (not isinstance(metrics, dict)
+                        or not all(isinstance(k, str) and isinstance(v, list)
+                                   and all(isinstance(f, str) for f in v)
+                                   for k, v in metrics.items())):
+                    raise GQLParseError(
+                        "rollup: metrics must map property names to "
+                        "lists of aggregate names (sum/min/max)")
+            ts = obj.get("ts", "ts")
+            if not isinstance(ts, str) or not ts:
+                raise GQLParseError("rollup: ts must be a property name")
+            return RollupStmt(obj["rollup"], path, obj.get("in"),
+                              ts, every, by, metrics, False)
         if "shards" in obj:
             path = obj.get("path")
             if not isinstance(path, str) or not path:

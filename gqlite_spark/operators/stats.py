@@ -50,3 +50,86 @@ def rank_features_by_gain(df: DataFrame, features: list[str],
     split-selection primitive (GGain ordering parity)."""
     gains = [(f, information_gain(df, f, target)) for f in features]
     return sorted(gains, key=lambda kv: (-kv[1], kv[0]))
+
+
+# ---------------------------------------------------------------------------
+# KMV distinct sketch — deterministic, mergeable cardinality estimation.
+#
+# The k-minimum-values estimator (Bar-Yossef et al. 2002): hash every
+# value uniformly into [0, 2^60), keep the k smallest DISTINCT hashes;
+# if fewer than k exist the count is exact, otherwise
+# est = (k-1) * 2^60 / h_k (relative error ~ 1/sqrt(k-2), ~6% at
+# k=256).  Two properties make THIS sketch the right one here instead
+# of Spark's built-in HLL (approx_count_distinct):
+#
+# - DETERMINISTIC + replayable: the hash is the repo-standard
+#   conv(substr(md5(x),1,15),16,10) 60-bit convention, identical in
+#   Spark and DuckDB, so an oracle can reproduce the estimate
+#   bit-for-bit (HLL's binary sketch cannot cross engines).
+# - MERGEABLE as plain rows: a sketch is just (group..., h) rows; the
+#   sketch of a union is min-k of the unioned sketches.  That is the
+#   100 TB usage: profile each ingest batch ONCE at write time, persist
+#   the k-row sketch beside it, and answer "distinct users this
+#   quarter?" by merging a few thousand k-row tables — never re-reading
+#   the data.  Building a sketch costs about what one exact
+#   count-distinct costs (the dedup shuffle); merging sketches costs
+#   nearly nothing.
+# ---------------------------------------------------------------------------
+
+KMV_HASH_SPACE = float(16 ** 15)  # 2^60 — size of the 60-bit hash space
+
+
+def _kmv_hash(col) -> "F.Column":
+    """60-bit uniform hash: conv(substr(md5(string(x)),1,15),16,10)."""
+    return F.conv(F.substring(F.md5(col.cast("string")), 1, 15),
+                  16, 10).cast("long")
+
+
+def _min_k(hashed: DataFrame, k: int, by: "list[str]") -> DataFrame:
+    """k smallest distinct ``h`` per ``by`` group (global if no group).
+    distinct-first so the shuffle carries per-partition-deduped hashes
+    (map-side partial aggregation); the global path is a single
+    TakeOrderedAndProject — per-partition top-k, driver merges k rows."""
+    dd = hashed.dropDuplicates(by + ["h"])
+    if by:
+        w = Window.partitionBy(*by).orderBy("h")
+        return (dd.withColumn("_rn", F.row_number().over(w))
+                .filter(F.col("_rn") <= k).drop("_rn"))
+    return dd.orderBy("h").limit(k)
+
+
+def kmv_sketch(df: DataFrame, col: str, k: int = 256,
+               by: "list[str] | None" = None) -> DataFrame:
+    """Build the sketch: (by..., h) rows — the k smallest distinct
+    60-bit hashes of ``col`` (per group if ``by``).  Persist it with a
+    plain parquet write; merge batches with :func:`kmv_merge`."""
+    by = list(by or [])
+    hashed = df.select(*by, _kmv_hash(F.col(col)).alias("h"))
+    return _min_k(hashed, k, by)
+
+
+def kmv_merge(sketches: "list[DataFrame]", k: int = 256,
+              by: "list[str] | None" = None) -> DataFrame:
+    """Merge sketches of disjoint-or-not batches: min-k of the union.
+    Exactly equals the sketch of the unioned raw data (same-value rows
+    hash identically), so incremental profiling loses nothing."""
+    by = list(by or [])
+    out = sketches[0]
+    for s in sketches[1:]:
+        out = out.unionByName(s)
+    return _min_k(out, k, by)
+
+
+def kmv_estimate(sketch: DataFrame, k: int = 256,
+                 by: "list[str] | None" = None) -> DataFrame:
+    """(by..., n_distinct_est) from a sketch.  Fewer than k hashes =
+    the exact count; otherwise (k-1) * 2^60 / h_k, floor-half-up to a
+    long (the repo's cross-engine rounding convention)."""
+    by = list(by or [])
+    agg = (sketch.groupBy(*by) if by else sketch.groupBy()).agg(
+        F.count("*").alias("_n"), F.max("h").alias("_hk"))
+    est = F.when(F.col("_n") < k, F.col("_n").cast("double")).otherwise(
+        F.lit(float(k - 1)) * F.lit(KMV_HASH_SPACE) / F.col("_hk"))
+    return agg.select(*by,
+                      F.floor(est + F.lit(0.5)).cast("long")
+                      .alias("n_distinct_est"))

@@ -446,3 +446,50 @@ def test_gql_layout_errors(pdb):
     r = pdb.exec("{layout: 'docs', in: 'pg', path: '/tmp/x',"
                  " by: 'id', files: 0};")[0]
     assert r.error and "positive" in r.error
+
+
+def test_gql_rollup_build_and_append(db, tmp_path):
+    """{rollup} builds the continuous aggregate; {rollup append:} folds
+    a staged batch in, updating old buckets without rescanning them."""
+    for r in db.exec(
+            "{create: 'rg', group: ['evts', 'batch']};"
+            "{upset: 'evts', vertex: ["
+            " [1, {t: 0, v: 5}],"
+            " [2, {t: 100000000000, v: 7}],"       # 100 s -> bucket 0
+            " [3, {t: 3700000000000, v: 11}]]};"   # 3700 s -> bucket 3600
+            "{upset: 'batch', vertex: ["
+            " [9, {t: 200000000000, v: 13}]]};"):  # late: lands in bucket 0
+        assert r.error is None, r.error
+    p = str(tmp_path / "ru")
+    res = _one(db, f"{{rollup: 'evts', in: 'rg', path: '{p}', ts: 't',"
+                   " every: 3600, metrics: {v: ['sum', 'max']}};")
+    assert res.rows == [["rollup", p, 2]]
+    back = {r["bucket_start"]: r
+            for r in db.spark.read.parquet(p).collect()}
+    assert back[0]["n"] == 2 and back[0]["sum_v"] == 12
+    assert back[3600]["max_v"] == 11
+
+    res = _one(db, f"{{rollup: 'batch', in: 'rg', path: '{p}',"
+                   " append: true};")
+    assert res.rows == [["rollup_append", p, 2]]   # no new bucket
+    back = {r["bucket_start"]: r
+            for r in db.spark.read.parquet(p).collect()}
+    assert back[0]["n"] == 3 and back[0]["sum_v"] == 25
+    assert back[0]["max_v"] == 13
+
+
+def test_gql_rollup_errors(db, pdb):
+    r = pdb.exec("{rollup: 'docs', in: 'pg', every: 60};")[0]
+    assert r.error and "path" in r.error
+    r = pdb.exec("{rollup: 'docs', in: 'pg', path: '/tmp/x',"
+                 " every: 0};")[0]
+    assert r.error and "positive" in r.error
+    r = pdb.exec("{rollup: 'docs', in: 'pg', path: '/tmp/x',"
+                 " append: true, metrics: {v: ['sum']}};")[0]
+    assert r.error and "spec sidecar" in r.error
+    r = pdb.exec("{rollup: 'docs', in: 'pg', path: '/tmp/x',"
+                 " ts: 'nope'};")[0]
+    assert r.error and "no property" in r.error
+    r = pdb.exec("{rollup: 'docs', in: 'pg', path: '/tmp/x', ts: 'id',"
+                 " metrics: {text: ['median']}};")[0]
+    assert r.error and "not mergeable" in r.error

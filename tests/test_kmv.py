@@ -1,0 +1,88 @@
+"""KMV distinct sketch: exact-below-k, accuracy, merge = union, and
+duplicate-invariance.  The sketch is deterministic (md5 60-bit hashes),
+so accuracy assertions pin fixed bands, not statistical tolerances."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from gqlite_spark.operators.stats import (
+    KMV_HASH_SPACE, kmv_estimate, kmv_merge, kmv_sketch)
+
+
+def _ints(spark, lo, hi, col="v"):
+    return spark.range(lo, hi).select(F.col("id").alias(col))
+
+
+def test_exact_below_k(spark):
+    df = _ints(spark, 0, 100)
+    sk = kmv_sketch(df, "v", k=256)
+    est = kmv_estimate(sk, k=256).collect()[0]["n_distinct_est"]
+    assert est == 100
+
+
+def test_estimate_accuracy_above_k(spark):
+    n = 20_000
+    df = _ints(spark, 0, n)
+    sk = kmv_sketch(df, "v", k=256)
+    assert sk.count() == 256
+    est = kmv_estimate(sk, k=256).collect()[0]["n_distinct_est"]
+    # deterministic hash -> deterministic estimate; ~6% expected error
+    # at k=256, assert a 15% band
+    assert abs(est - n) / n < 0.15
+
+
+def test_duplicates_do_not_change_sketch(spark):
+    df = _ints(spark, 0, 5_000)
+    doubled = df.unionAll(df).unionAll(df)
+    a = sorted(r["h"] for r in kmv_sketch(df, "v", k=64).collect())
+    b = sorted(r["h"] for r in kmv_sketch(doubled, "v", k=64).collect())
+    assert a == b
+
+
+def test_merge_equals_sketch_of_union(spark):
+    a = _ints(spark, 0, 8_000)
+    b = _ints(spark, 4_000, 12_000)  # overlapping batches
+    merged = kmv_merge(
+        [kmv_sketch(a, "v", k=128), kmv_sketch(b, "v", k=128)], k=128)
+    direct = kmv_sketch(a.unionAll(b), "v", k=128)
+    assert (sorted(r["h"] for r in merged.collect())
+            == sorted(r["h"] for r in direct.collect()))
+    est = kmv_estimate(merged, k=128).collect()[0]["n_distinct_est"]
+    assert abs(est - 12_000) / 12_000 < 0.25  # k=128 -> wider band
+
+
+def test_per_group_matches_global(spark):
+    df = (_ints(spark, 0, 3_000)
+          .withColumn("g", (F.col("v") % 2).cast("int")))
+    per = {r["g"]: r["n_distinct_est"]
+           for r in kmv_estimate(
+               kmv_sketch(df, "v", k=256, by=["g"]), k=256,
+               by=["g"]).collect()}
+    for g in (0, 1):
+        solo = df.filter(F.col("g") == g)
+        want = kmv_estimate(
+            kmv_sketch(solo, "v", k=256), k=256).collect()[0][0]
+        assert per[g] == want  # same estimator path as the solo sketch
+        assert abs(per[g] - 1_500) / 1_500 < 0.15
+
+
+def test_sketch_rows_are_bounded_and_sorted_domain(spark):
+    sk = kmv_sketch(_ints(spark, 0, 50_000), "v", k=32)
+    rows = [r["h"] for r in sk.collect()]
+    assert len(rows) == 32
+    assert all(0 <= h < KMV_HASH_SPACE for h in rows)
+
+
+def test_global_plan_is_take_ordered(spark):
+    """The global min-k must be a TakeOrderedAndProject (per-partition
+    top-k, k-row driver merge), never a full global sort."""
+    sk = kmv_sketch(_ints(spark, 0, 10_000), "v", k=16)
+    plan = sk._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
+
+
+@pytest.mark.parametrize("n,k", [(1, 8), (0, 8)])
+def test_degenerate_inputs(spark, n, k):
+    df = _ints(spark, 0, n)
+    est = kmv_estimate(kmv_sketch(df, "v", k=k), k=k).collect()
+    assert est[0]["n_distinct_est"] == n

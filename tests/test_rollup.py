@@ -1,0 +1,98 @@
+"""Incremental rollup lifecycle: incremental == full recompute
+(arrival order irrelevant), late data lands in old buckets, atomic
+swap leaves a complete table, non-mergeable aggregates rejected."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from gqlite_spark.operators.rollup import (
+    append_rollup, read_rollup, save_rollup)
+from tests.conftest import SF_DIR
+
+METRICS = {"value": ["sum", "min", "max"]}
+EVERY = 3600
+
+
+@pytest.fixture()
+def events(spark):
+    return spark.read.parquet(f"{SF_DIR}/events.parquet")
+
+
+def _rows(df):
+    cols = sorted(df.columns)
+    out = []
+    for r in df.select(*cols).collect():
+        vals = []
+        for c in cols:
+            v = r[c]
+            vals.append(round(v, 6) if isinstance(v, float) else v)
+        out.append(tuple(vals))
+    return sorted(out)
+
+
+def test_incremental_equals_full(spark, events, tmp_path):
+    """Three arbitrary batches folded in one at a time must equal the
+    one-shot rollup of all events — the mergeability contract."""
+    p_inc = f"file:{tmp_path}/inc"
+    p_full = f"file:{tmp_path}/full"
+    b1 = events.filter(F.col("event_id") % 3 == 0)
+    b2 = events.filter(F.col("event_id") % 3 == 1)
+    b3 = events.filter(F.col("event_id") % 3 == 2)
+
+    save_rollup(b1, p_inc, "ts", EVERY, dims=["event_type"],
+                metrics=METRICS)
+    append_rollup(b2, p_inc)
+    append_rollup(b3, p_inc)
+    save_rollup(events, p_full, "ts", EVERY, dims=["event_type"],
+                metrics=METRICS)
+
+    assert _rows(read_rollup(spark, p_inc)) \
+        == _rows(read_rollup(spark, p_full))
+
+
+def test_late_data_lands_in_old_bucket(spark, events, tmp_path):
+    """An out-of-order batch (the EARLIEST events arriving last) merges
+    into already-written buckets, not a new one."""
+    p = f"file:{tmp_path}/late"
+    cut = events.agg(F.min("ts")).collect()[0][0]
+    late = events.filter(F.col("ts") == F.lit(cut))
+    rest = events.filter(F.col("ts") != F.lit(cut))
+    save_rollup(rest, p, "ts", EVERY, metrics=METRICS)
+    n_buckets_before = read_rollup(spark, p).count()
+    append_rollup(late, p)
+    after = read_rollup(spark, p)
+    # the late rows' bucket already existed (same hour as other events)
+    # or adds exactly the buckets a full recompute would have
+    p_full = f"file:{tmp_path}/late_full"
+    save_rollup(events, p_full, "ts", EVERY, metrics=METRICS)
+    assert _rows(after) == _rows(read_rollup(spark, p_full))
+    assert after.count() >= n_buckets_before
+
+
+def test_read_rollup_avg_and_counts(spark, events, tmp_path):
+    p = f"file:{tmp_path}/avg"
+    save_rollup(events, p, "ts", EVERY, metrics=METRICS)
+    got = read_rollup(spark, p, avg_of=["value"])
+    assert "avg_value" in got.columns
+    total = got.agg(F.sum("n")).collect()[0][0]
+    assert total == events.count()
+    one = got.orderBy("bucket_start").first()
+    assert abs(one["avg_value"] - one["sum_value"] / one["n"]) < 1e-12
+
+
+def test_non_mergeable_rejected(events, tmp_path):
+    with pytest.raises(ValueError, match="not mergeable"):
+        save_rollup(events, f"file:{tmp_path}/bad", "ts", EVERY,
+                    metrics={"value": ["avg"]})
+
+
+def test_swap_leaves_spec_and_batches_counter(spark, events, tmp_path):
+    from gqlite_spark import fsio
+    p = f"file:{tmp_path}/spec"
+    save_rollup(events.limit(100), p, "ts", EVERY, metrics=METRICS)
+    append_rollup(events.limit(50), p)
+    spec = fsio.read_json(spark, fsio.join(p, "_rollup_spec.json"))
+    assert spec["batches"] == 1 and spec["every"] == EVERY
+    # no tmp/old residue after the swap
+    assert not fsio.exists(spark, p + ".rollup_tmp")
+    assert not fsio.exists(spark, p + ".rollup_old")
