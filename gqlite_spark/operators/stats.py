@@ -79,10 +79,20 @@ def rank_features_by_gain(df: DataFrame, features: list[str],
 KMV_HASH_SPACE = float(16 ** 15)  # 2^60 — size of the 60-bit hash space
 
 
-def _kmv_hash(col) -> "F.Column":
-    """60-bit uniform hash: conv(substr(md5(string(x)),1,15),16,10)."""
-    return F.conv(F.substring(F.md5(col.cast("string")), 1, 15),
-                  16, 10).cast("long")
+def _kmv_hash(col, hash: str = "md5") -> "F.Column":
+    """60-bit uniform hash.  'md5' = the repo-standard oracle-replayable
+    conv(substr(md5(string(x)),1,15),16,10) — measured ~1.6x the cost
+    of an exact countDistinct at 100 M longs (the string-cast + md5
+    dominate).  'xx' = shiftrightunsigned(xxhash64(x), 4) — JVM codegen,
+    build-speed path when cross-engine replay isn't needed.  Sketches
+    built with different hashes must never be merged (both are valid
+    KMV estimators, but over different hash assignments)."""
+    if hash == "md5":
+        return F.conv(F.substring(F.md5(col.cast("string")), 1, 15),
+                      16, 10).cast("long")
+    if hash == "xx":
+        return F.shiftrightunsigned(F.xxhash64(col), 4)
+    raise ValueError(f"unknown kmv hash '{hash}' (want md5|xx)")
 
 
 def _min_k(hashed: DataFrame, k: int, by: "list[str]") -> DataFrame:
@@ -99,13 +109,39 @@ def _min_k(hashed: DataFrame, k: int, by: "list[str]") -> DataFrame:
 
 
 def kmv_sketch(df: DataFrame, col: str, k: int = 256,
-               by: "list[str] | None" = None) -> DataFrame:
+               by: "list[str] | None" = None,
+               hash: str = "md5", prefilter: bool = True) -> DataFrame:
     """Build the sketch: (by..., h) rows — the k smallest distinct
     60-bit hashes of ``col`` (per group if ``by``).  Persist it with a
-    plain parquet write; merge batches with :func:`kmv_merge`."""
+    plain parquet write; merge batches with :func:`kmv_merge` (same
+    ``hash`` on every batch).
+
+    ``prefilter`` (global path only): the min-k can only contain hashes
+    below ~k/n_distinct of the hash space, so rows are pre-filtered to
+    ``h < 2^60 * 8k / n_rows`` before the dedup — the shuffle then
+    carries ~8k * dup_factor candidate rows instead of EVERY distinct
+    hash (which is what makes a naive sketch build cost as much as the
+    exact count-distinct it's supposed to avoid).  Needs one extra
+    count + scan; if the filtered pass returns fewer than k hashes
+    (true distinct < k, or duplication factor > 8) it falls back to
+    the unfiltered build, so the result is always the exact min-k.
+    Measured at 100 M rows / 25 M distinct: 3.6x faster than the
+    unfiltered build (tools/kmv_probe.py)."""
     by = list(by or [])
-    hashed = df.select(*by, _kmv_hash(F.col(col)).alias("h"))
-    return _min_k(hashed, k, by)
+    hashed = df.select(*by, _kmv_hash(F.col(col), hash).alias("h"))
+    if by or not prefilter:
+        return _min_k(hashed, k, by)
+    n_rows = df.count()
+    frac = (8.0 * k) / n_rows if n_rows else 1.0
+    if frac >= 1.0:
+        return _min_k(hashed, k, by)
+    out = _min_k(hashed.filter(F.col("h")
+                               < int(KMV_HASH_SPACE * frac)), k, [])
+    out = out.persist()
+    if out.count() >= k:
+        return out
+    out.unpersist()
+    return _min_k(hashed, k, [])
 
 
 def kmv_merge(sketches: "list[DataFrame]", k: int = 256,

@@ -86,3 +86,33 @@ def test_degenerate_inputs(spark, n, k):
     df = _ints(spark, 0, n)
     est = kmv_estimate(kmv_sketch(df, "v", k=k), k=k).collect()
     assert est[0]["n_distinct_est"] == n
+
+
+def test_prefilter_fallback_below_k(spark):
+    """30 distinct values with k=64: the prefiltered pass returns short
+    and the fallback must still produce the exact count."""
+    df = _ints(spark, 0, 30)
+    est = kmv_estimate(kmv_sketch(df, "v", k=64), k=64).collect()[0][0]
+    assert est == 30
+
+
+def test_prefilter_matches_unfiltered(spark):
+    """The prefilter is a pure optimization: same min-k rows."""
+    df = _ints(spark, 0, 30_000)
+    a = sorted(r["h"] for r in
+               kmv_sketch(df, "v", k=128, prefilter=True).collect())
+    b = sorted(r["h"] for r in
+               kmv_sketch(df, "v", k=128, prefilter=False).collect())
+    assert a == b and len(a) == 128
+
+
+def test_xx_hash_estimates(spark):
+    """The xxhash64 fast path is a valid estimator too (different hash
+    assignment, same math)."""
+    n = 20_000
+    est = kmv_estimate(kmv_sketch(_ints(spark, 0, n), "v", k=256,
+                                  hash="xx"), k=256).collect()[0][0]
+    assert abs(est - n) / n < 0.15
+    import pytest as _pt
+    with _pt.raises(ValueError, match="md5|xx"):
+        kmv_sketch(_ints(spark, 0, 10), "v", hash="bogus").collect()
