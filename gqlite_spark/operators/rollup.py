@@ -18,7 +18,12 @@ a TimescaleDB continuous aggregate / materialized windowed view:
 
 The write is rewrite-then-swap via two FS renames (same recovery
 contract as :func:`gqlite_spark.sources.clustered.recluster`): a crash
-leaves either the old or the new COMPLETE rollup, never a mix.
+leaves either the old or the new COMPLETE rollup, never a mix — a
+crash BETWEEN the renames parks the old table at ``path.rollup_old``,
+and every entry point heals that back into place on its next touch.
+With ``epoch_id`` (recorded in the sidecar that swaps atomically with
+the data) replayed batches are detected and skipped, so streaming
+ingestion via foreachBatch is exactly-once end-to-end.
 
 Only MERGEABLE aggregates are accepted — count, sum, min, max (avg
 derives from sum/count).  Non-mergeable aggregates (exact distinct,
@@ -88,13 +93,34 @@ def save_rollup(df: DataFrame, path: str, ts_col: str, every: int,
         "metrics": metrics, "batches": 0})
 
 
-def append_rollup(batch: DataFrame, path: str) -> None:
+def _heal(spark, path: str) -> None:
+    """Recover from a crash between the two swap renames: if the table
+    vanished from ``path`` but the complete old table sits at
+    ``path.rollup_old``, rename it back.  Called by every entry point,
+    so a torn swap self-repairs on the next touch."""
+    bak = path.rstrip("/") + ".rollup_old"
+    if not fsio.exists(spark, path) and fsio.exists(spark, bak):
+        fsio.rename(spark, bak, path)
+
+
+def append_rollup(batch: DataFrame, path: str,
+                  epoch_id: "int | None" = None) -> bool:
     """Fold one ingest batch into the rollup: scan ONLY the batch,
-    merge with the existing partial rows, swap atomically.  Idempotence
-    is the caller's contract (replaying a batch double-counts — pair
-    with exactly-once ingest or dedup the batch first)."""
+    merge with the existing partial rows, swap atomically.
+
+    ``epoch_id`` makes replays idempotent: the id is recorded in the
+    spec sidecar that swaps atomically WITH the bucket table, so a
+    batch re-delivered with an id ≤ the recorded one is skipped
+    (returns False) instead of double-counted.  Ids must be monotonic
+    per rollup — Structured Streaming's foreachBatch batch_id under a
+    checkpointLocation is exactly that (see streaming.stream_rollup).
+    Without ``epoch_id``, exactly-once is the caller's contract."""
     spark = batch.sparkSession
+    _heal(spark, path)
     spec = fsio.read_json(spark, fsio.join(path, SPEC_FILE))
+    if epoch_id is not None and spec.get("last_epoch") is not None \
+            and epoch_id <= int(spec["last_epoch"]):
+        return False
     dims, metrics = spec["dims"], spec["metrics"]
     new = _partials(batch, spec["ts_col"], int(spec["every"]),
                     dims, metrics)
@@ -107,16 +133,20 @@ def append_rollup(batch: DataFrame, path: str) -> None:
     fsio.delete(spark, bak)
     merged.write.parquet(tmp)
     spec["batches"] = int(spec.get("batches", 0)) + 1
+    if epoch_id is not None:
+        spec["last_epoch"] = int(epoch_id)
     fsio.write_json(spark, fsio.join(tmp, SPEC_FILE), spec)
     fsio.rename(spark, path, bak)
     fsio.rename(spark, tmp, path)
     fsio.delete(spark, bak)
+    return True
 
 
 def read_rollup(spark: SparkSession, path: str,
                 avg_of: "list[str] | None" = None) -> DataFrame:
     """The finished view.  ``avg_of`` derives ``avg_<c>`` = sum/count
     for metrics whose sum is maintained."""
+    _heal(spark, path)
     spec = fsio.read_json(spark, fsio.join(path, SPEC_FILE))
     df = spark.read.parquet(path)
     for c in avg_of or []:

@@ -175,6 +175,7 @@ def append_clustered(df: DataFrame, path: str, n_files: int = 1) -> None:
     appends are cheap and sorted, re-clustering is a scheduled rewrite.
     """
     spark = df.sparkSession
+    _heal(spark, path)
     spec = fsio.read_json(spark, fsio.join(path, SPEC_FILE))
     cols, bits = spec["cols"], int(spec.get("bits", DEFAULT_BITS))
     if len(cols) == 1:
@@ -192,16 +193,29 @@ def append_clustered(df: DataFrame, path: str, n_files: int = 1) -> None:
     fsio.write_json(spark, fsio.join(path, SPEC_FILE), spec)
 
 
+def _heal(spark, path: str) -> None:
+    """Recover from a crash between the two swap renames: if the table
+    vanished from ``path`` but the complete old table sits at
+    ``path.recluster_old``, rename it back.  Called by every lifecycle
+    entry point, so a torn swap self-repairs on the next touch."""
+    old = path.rstrip("/") + ".recluster_old"
+    if not fsio.exists(spark, path) and fsio.exists(spark, old):
+        fsio.rename(spark, old, path)
+
+
 def recluster(spark: SparkSession, path: str,
               n_files: "int | None" = None) -> None:
     """Rewrite the table freshly clustered per its sidecar spec —
     rewrite-then-swap: cluster into a ``<path>.recluster_tmp`` sibling,
-    then two FS renames (old table out, new table in), so a failure at
-    any step leaves either the old or the new COMPLETE table at
-    ``path``, never a partial mix.  Ranges are recomputed from current
-    data (appends may have widened them).  Run after append batches
-    drift the layout (:func:`overlap_fraction` on the clustering
-    columns is the trigger metric)."""
+    then two FS renames (old table out, new table in).  A crash mid-
+    swap can leave ``path`` momentarily empty with the complete old
+    table at ``path.recluster_old``; every lifecycle entry point heals
+    that (renames it back), so the caller always sees either the old or
+    the new COMPLETE table — never a partial mix.  Ranges are
+    recomputed from current data (appends may have widened them).  Run
+    after append batches drift the layout (:func:`overlap_fraction` on
+    the clustering columns is the trigger metric)."""
+    _heal(spark, path)
     spec = fsio.read_json(spark, fsio.join(path, SPEC_FILE))
     tmp = path.rstrip("/") + ".recluster_tmp"
     old = path.rstrip("/") + ".recluster_old"

@@ -302,6 +302,34 @@ def stream_upsert_edges(stream_df: DataFrame, group,
                           checkpoint, version_col)
 
 
+def stream_rollup(stream_df: DataFrame, path: str,
+                  checkpoint: str | None = None):
+    """Streaming twin of :func:`operators.rollup.append_rollup`: fold
+    every micro-batch into the at-rest rollup (built beforehand with
+    ``save_rollup`` — its spec sidecar drives buckets/dims/metrics).
+
+    Exactly-once: with a ``checkpoint``, foreachBatch batch ids are
+    monotonic across restarts, and ``append_rollup`` records the last
+    folded id in the sidecar that swaps atomically WITH the bucket
+    table — a batch re-delivered after a failure (replay between the
+    fold and the checkpoint commit) is detected and skipped, never
+    double-counted.  Without a checkpoint, batch ids restart at 0 per
+    run, so the id guard is disabled and each run folds everything the
+    source serves it (re-runnable ingestion of fresh directories)."""
+    from ..operators.rollup import append_rollup
+
+    def _fold(batch_df, batch_id):
+        if not batch_df.take(1):
+            return
+        append_rollup(batch_df, path,
+                      epoch_id=batch_id if checkpoint else None)
+
+    w = stream_df.writeStream.foreachBatch(_fold)
+    if checkpoint:
+        w = w.option("checkpointLocation", checkpoint)
+    return w.trigger(availableNow=True).start()
+
+
 def _stream_upsert(stream_df, group, key_cols, checkpoint, version_col):
     def _reduce(df, cols):
         order = ([F.col(version_col)] if version_col and

@@ -96,3 +96,63 @@ def test_swap_leaves_spec_and_batches_counter(spark, events, tmp_path):
     # no tmp/old residue after the swap
     assert not fsio.exists(spark, p + ".rollup_tmp")
     assert not fsio.exists(spark, p + ".rollup_old")
+
+
+def test_heal_restores_torn_swap(spark, events, tmp_path):
+    """A crash between the two swap renames parks the table at
+    .rollup_old; the next touch heals it back."""
+    from gqlite_spark import fsio
+    p = f"file:{tmp_path}/heal"
+    save_rollup(events, p, "ts", EVERY, metrics=METRICS)
+    want = _rows(read_rollup(spark, p))
+    fsio.rename(spark, p, p + ".rollup_old")   # simulate the torn state
+    assert not fsio.exists(spark, p)
+    got = _rows(read_rollup(spark, p))         # heals on entry
+    assert got == want and fsio.exists(spark, p)
+    # append also works right after a heal
+    fsio.rename(spark, p, p + ".rollup_old")
+    assert append_rollup(events.limit(10), p) is True
+
+
+def test_append_epoch_idempotent(spark, events, tmp_path):
+    """A replayed epoch id is skipped, not double-counted — the
+    exactly-once guard under foreachBatch replay."""
+    p = f"file:{tmp_path}/epoch"
+    save_rollup(events.filter(F.col("event_id") % 2 == 0), p, "ts",
+                EVERY, metrics=METRICS)
+    batch = events.filter(F.col("event_id") % 2 == 1)
+    assert append_rollup(batch, p, epoch_id=0) is True
+    once = _rows(read_rollup(spark, p))
+    assert append_rollup(batch, p, epoch_id=0) is False   # replay
+    assert _rows(read_rollup(spark, p)) == once
+    assert append_rollup(batch.limit(5), p, epoch_id=1) is True
+
+
+def test_stream_rollup_matches_batch(spark, events, tmp_path):
+    """stream_rollup folds each micro-batch into the at-rest rollup;
+    after two runs over a growing directory (same checkpoint), the
+    result equals the one-shot batch rollup of everything."""
+    from gqlite_spark.streaming.events import (stream_from_directory,
+                                               stream_rollup)
+    src = str(tmp_path / "src")
+    ckpt = str(tmp_path / "ckpt")
+    p = f"file:{tmp_path}/sru"
+    a = events.filter(F.col("event_id") % 3 == 0)
+    b = events.filter(F.col("event_id") % 3 != 0)
+    a.coalesce(1).write.mode("append").parquet(src)
+
+    save_rollup(events.limit(0), p, "ts", EVERY, metrics=METRICS)
+    q = stream_rollup(stream_from_directory(spark, src), p,
+                      checkpoint=ckpt)
+    q.awaitTermination(120)
+    p_a = f"file:{tmp_path}/full_a"
+    save_rollup(a, p_a, "ts", EVERY, metrics=METRICS)
+    assert _rows(read_rollup(spark, p)) == _rows(read_rollup(spark, p_a))
+
+    b.coalesce(1).write.mode("append").parquet(src)
+    q = stream_rollup(stream_from_directory(spark, src), p,
+                      checkpoint=ckpt)   # same checkpoint: only file b
+    q.awaitTermination(120)
+    p_all = f"file:{tmp_path}/full_all"
+    save_rollup(events, p_all, "ts", EVERY, metrics=METRICS)
+    assert _rows(read_rollup(spark, p)) == _rows(read_rollup(spark, p_all))
