@@ -129,19 +129,44 @@ def kmv_sketch(df: DataFrame, col: str, k: int = 256,
     unfiltered build (tools/kmv_probe.py)."""
     by = list(by or [])
     hashed = df.select(*by, _kmv_hash(F.col(col), hash).alias("h"))
-    if by or not prefilter:
+    if not prefilter:
         return _min_k(hashed, k, by)
     n_rows = df.count()
     frac = (8.0 * k) / n_rows if n_rows else 1.0
     if frac >= 1.0:
         return _min_k(hashed, k, by)
-    out = _min_k(hashed.filter(F.col("h")
-                               < int(KMV_HASH_SPACE * frac)), k, [])
+    thresh = F.col("h") < int(KMV_HASH_SPACE * frac)
+    if by:
+        return _group_min_k_prefiltered(hashed, k, by, thresh)
+    out = _min_k(hashed.filter(thresh), k, [])
     out = out.persist()
     if out.count() >= k:
         return out
     out.unpersist()
     return _min_k(hashed, k, [])
+
+
+def _group_min_k_prefiltered(hashed: DataFrame, k: int, by: "list[str]",
+                             thresh) -> DataFrame:
+    """Per-group min-k with the hash prefilter.  The global 8k/n_rows
+    threshold under-serves groups that are small or heavily duplicated
+    (fewer than k of their distinct hashes fall below it), so those
+    straggler groups — found by comparing candidate counts against the
+    full group-key list, itself a cheap narrow aggregate — are re-run
+    unfiltered, restricted via a broadcast semi-join.  Big groups (the
+    reason to prefilter at all) stay on the narrow shuffle."""
+    cand = _min_k(hashed.filter(thresh), k, by).persist()
+    counts = cand.groupBy(*by).agg(F.count("*").alias("_c"))
+    short = (hashed.select(*by).distinct()
+             .join(counts.filter(F.col("_c") >= k), by, "left_anti")
+             .persist())
+    if short.count() == 0:
+        short.unpersist()
+        return cand
+    redo = _min_k(
+        hashed.join(F.broadcast(short), by, "leftsemi"), k, by)
+    kept = cand.join(F.broadcast(short), by, "left_anti")
+    return kept.unionByName(redo)
 
 
 def kmv_merge(sketches: "list[DataFrame]", k: int = 256,

@@ -116,3 +116,25 @@ def test_xx_hash_estimates(spark):
     import pytest as _pt
     with _pt.raises(ValueError, match="md5|xx"):
         kmv_sketch(_ints(spark, 0, 10), "v", hash="bogus").collect()
+
+
+def test_per_group_prefilter_matches_unfiltered(spark):
+    """Per-group prefilter + straggler fallback == plain per-group
+    min-k, across a big group (prefilter serves it), a small group and
+    a heavily-duplicated group (both fall back)."""
+    big = _ints(spark, 0, 40_000).withColumn("g", F.lit("big"))
+    small = _ints(spark, 0, 50).withColumn("g", F.lit("small"))
+    dup = (_ints(spark, 0, 40_000)
+           .select((F.col("v") % 100).alias("v"))
+           .withColumn("g", F.lit("dup")))
+    df = big.unionByName(small).unionByName(dup)
+    a = {(r["g"], r["h"]) for r in
+         kmv_sketch(df, "v", k=96, by=["g"], prefilter=True).collect()}
+    b = {(r["g"], r["h"]) for r in
+         kmv_sketch(df, "v", k=96, by=["g"], prefilter=False).collect()}
+    assert a == b
+    est = {r["g"]: r["n_distinct_est"] for r in kmv_estimate(
+        kmv_sketch(df, "v", k=96, by=["g"]), k=96, by=["g"]).collect()}
+    assert est["small"] == 50           # 50 < k: exact
+    assert abs(est["dup"] - 100) <= 10  # 100 > k=96: estimated
+    assert abs(est["big"] - 40_000) / 40_000 < 0.25
