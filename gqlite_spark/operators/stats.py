@@ -160,9 +160,17 @@ def _group_min_k_prefiltered(hashed: DataFrame, k: int, by: "list[str]",
     short = (hashed.select(*by).distinct()
              .join(counts.filter(F.col("_c") >= k), by, "left_anti")
              .persist())
-    if short.count() == 0:
+    n_short = short.count()
+    if n_short == 0:
         short.unpersist()
         return cand
+    if n_short > 100_000:
+        # mostly-small-groups shape (e.g. by=user_id): the straggler
+        # list is too big to broadcast and the prefilter served almost
+        # nobody — the plain per-group min-k is the right plan
+        short.unpersist()
+        cand.unpersist()
+        return _min_k(hashed, k, by)
     redo = _min_k(
         hashed.join(F.broadcast(short), by, "leftsemi"), k, by)
     kept = cand.join(F.broadcast(short), by, "left_anti")
