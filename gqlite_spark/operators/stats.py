@@ -78,6 +78,10 @@ def rank_features_by_gain(df: DataFrame, features: list[str],
 
 KMV_HASH_SPACE = float(16 ** 15)  # 2^60 — size of the 60-bit hash space
 
+# per-group prefilter: above this many straggler groups, revert to the
+# plain per-group build instead of broadcasting the straggler key list
+KMV_STRAGGLER_BROADCAST_MAX = 100_000
+
 
 def _kmv_hash(col, hash: str = "md5") -> "F.Column":
     """60-bit uniform hash.  'md5' = the repo-standard oracle-replayable
@@ -164,7 +168,7 @@ def _group_min_k_prefiltered(hashed: DataFrame, k: int, by: "list[str]",
     if n_short == 0:
         short.unpersist()
         return cand
-    if n_short > 100_000:
+    if n_short > KMV_STRAGGLER_BROADCAST_MAX:
         # mostly-small-groups shape (e.g. by=user_id): the straggler
         # list is too big to broadcast and the prefilter served almost
         # nobody — the plain per-group min-k is the right plan

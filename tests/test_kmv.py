@@ -138,3 +138,17 @@ def test_per_group_prefilter_matches_unfiltered(spark):
     assert est["small"] == 50           # 50 < k: exact
     assert abs(est["dup"] - 100) <= 10  # 100 > k=96: estimated
     assert abs(est["big"] - 40_000) / 40_000 < 0.25
+
+
+def test_straggler_guard_reverts_to_plain_build(spark, monkeypatch):
+    """Above the straggler-broadcast bound the per-group build reverts
+    to the plain path — results must be identical either way."""
+    from gqlite_spark.operators import stats
+    df = (_ints(spark, 0, 2_000)
+          .withColumn("g", (F.col("v") % 7).cast("string")))
+    monkeypatch.setattr(stats, "KMV_STRAGGLER_BROADCAST_MAX", 0)
+    a = {(r["g"], r["h"]) for r in
+         kmv_sketch(df, "v", k=64, by=["g"], prefilter=True).collect()}
+    b = {(r["g"], r["h"]) for r in
+         kmv_sketch(df, "v", k=64, by=["g"], prefilter=False).collect()}
+    assert a == b
