@@ -135,13 +135,25 @@ def kmv_sketch(df: DataFrame, col: str, k: int = 256,
     hashed = df.select(*by, _kmv_hash(F.col(col), hash).alias("h"))
     if not prefilter:
         return _min_k(hashed, k, by)
+    if by:
+        # every group needs k survivors, so the threshold scales with
+        # the group count (one combined pass; ±5% HLL error is inside
+        # the 8x safety margin).  A huge group count pushes frac past
+        # 1 — mostly-small-groups shape, plain build is right anyway.
+        row = df.agg(F.count(F.lit(1)).alias("n"),
+                     F.approx_count_distinct(F.struct(*by))
+                     .alias("g")).collect()[0]
+        n_rows, n_groups = row["n"], max(1, row["g"])
+        frac = (8.0 * k * n_groups) / n_rows if n_rows else 1.0
+        if frac >= 1.0:
+            return _min_k(hashed, k, by)
+        thresh = F.col("h") < int(KMV_HASH_SPACE * frac)
+        return _group_min_k_prefiltered(hashed, k, by, thresh)
     n_rows = df.count()
     frac = (8.0 * k) / n_rows if n_rows else 1.0
     if frac >= 1.0:
         return _min_k(hashed, k, by)
     thresh = F.col("h") < int(KMV_HASH_SPACE * frac)
-    if by:
-        return _group_min_k_prefiltered(hashed, k, by, thresh)
     out = _min_k(hashed.filter(thresh), k, [])
     out = out.persist()
     if out.count() >= k:

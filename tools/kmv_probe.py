@@ -58,6 +58,15 @@ def main():
             print(f"kmv k={k:>4} hash={h:>3}: est={est:,}  "
                   f"err={abs(est - exact) / exact:.2%}  {dt:.1f}s")
 
+    # per-group: 16 big groups — prefilter should bound the window sort
+    gdf = df.withColumn("g", F.pmod(F.col("v"), F.lit(16)))
+    for pf in (False, True):
+        t = time.time()
+        n_sk = kmv_sketch(gdf, "v", k=1024, by=["g"], hash="xx",
+                          prefilter=pf).count()
+        print(f"per-group k=1024 xx prefilter={pf}: {time.time()-t:.1f}s "
+              f"({n_sk} sketch rows)")
+
     # the batch story: two halves (id parity) sketched independently
     half1 = spark.range(n).filter("id % 2 = 0").select(
         F.pmod(F.xxhash64("id"), F.lit(true_d)).alias("v"))
