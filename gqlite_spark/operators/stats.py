@@ -205,6 +205,88 @@ def kmv_merge(sketches: "list[DataFrame]", k: int = 256,
     return _min_k(out, k, by)
 
 
+# ---------------------------------------------------------------------------
+# Histogram sketch — deterministic, mergeable distribution profiling.
+#
+# The companion to the KMV sketch: where KMV answers "how many
+# distinct", this answers "how is it distributed" (p50/p99 doc length,
+# quality-score quantiles) from bounded-size mergeable state.  A sketch
+# is just (group..., bin, n) rows over a FIXED uniform binning, so the
+# sketch of a union is the bin-wise sum — profile each ingest batch at
+# write time, merge k-row tables forever, never re-read the data.
+# Quantile error is bounded by the bin width in VALUE space (not rank
+# space): with lo/hi/bins fixed, estimates are deterministic and
+# exactly replayable in DuckDB (width_bucket + window cumsum +
+# interpolation are plain SQL).  The binning params (lo, hi, bins) are
+# the caller's contract — sketches binned differently must not be
+# merged (same rule as KMV's hash choice).
+# ---------------------------------------------------------------------------
+
+
+def hist_sketch(df: DataFrame, col: str, lo: float, hi: float,
+                bins: int = 1024,
+                by: "list[str] | None" = None) -> DataFrame:
+    """(by..., bin, n) rows: uniform-bin counts of ``col`` over
+    [lo, hi) — one map-side-combined shuffle of ≤ bins rows per group.
+    Values outside [lo, hi) clamp into the edge bins (bin 1 / bins), so
+    totals are preserved; pick lo/hi from domain knowledge or a prior
+    min/max pass.  bin ids are 1-based (width_bucket convention)."""
+    if hi <= lo:
+        raise ValueError(f"hist_sketch needs hi > lo (got [{lo}, {hi}))")
+    by = list(by or [])
+    b = F.width_bucket(F.col(col).cast("double"), F.lit(float(lo)),
+                       F.lit(float(hi)), F.lit(bins))
+    b = F.greatest(F.least(b, F.lit(bins)), F.lit(1))
+    return (df.select(*by, b.alias("bin"))
+            .groupBy(*by, "bin").agg(F.count("*").alias("n")))
+
+
+def hist_merge(sketches: "list[DataFrame]",
+               by: "list[str] | None" = None) -> DataFrame:
+    """Bin-wise sum of same-binning sketches — exactly the sketch of
+    the unioned raw data."""
+    by = list(by or [])
+    out = sketches[0]
+    for s in sketches[1:]:
+        out = out.unionByName(s)
+    return out.groupBy(*by, "bin").agg(F.sum("n").alias("n"))
+
+
+def hist_quantiles(sketch: DataFrame, qs: "list[float]", lo: float,
+                   hi: float, bins: int = 1024,
+                   by: "list[str] | None" = None) -> DataFrame:
+    """(by..., q, value) per requested quantile: walk the cumulative
+    bin counts to the first bin covering rank q·total and interpolate
+    linearly inside it.  Error ≤ one bin width of value space.  The
+    whole computation is a window cumsum + a per-q aggregate — no
+    driver-side state, deterministic, plain-SQL replayable."""
+    by = list(by or [])
+    w = Window.partitionBy(*by).orderBy("bin") if by \
+        else Window.orderBy("bin")
+    width = (float(hi) - float(lo)) / bins
+    cum = (sketch
+           .withColumn("_cum", F.sum("n").over(w))
+           .withColumn("_tot", F.sum("n").over(
+               Window.partitionBy(*by) if by
+               else Window.partitionBy(F.lit(1)))))
+    outs = []
+    for q in qs:
+        rank = F.lit(float(q)) * F.col("_tot")
+        # first bin whose cumulative count reaches the rank
+        hit = (cum.filter(F.col("_cum") >= rank)
+               .withColumn("_rn", F.row_number().over(w))
+               .filter(F.col("_rn") == 1))
+        frac = (rank - (F.col("_cum") - F.col("n"))) / F.col("n")
+        val = (F.lit(float(lo))
+               + (F.col("bin") - 1 + frac) * F.lit(width))
+        outs.append(hit.select(
+            *by, F.lit(float(q)).alias("q"), val.alias("value")))
+    res = outs[0]
+    for o in outs[1:]:
+        res = res.unionByName(o)
+    return res
+
+
 def kmv_estimate(sketch: DataFrame, k: int = 256,
                  by: "list[str] | None" = None) -> DataFrame:
     """(by..., n_distinct_est) from a sketch.  Fewer than k hashes =
