@@ -58,6 +58,21 @@ def main():
             print(f"kmv k={k:>4} hash={h:>3}: est={est:,}  "
                   f"err={abs(est - exact) / exact:.2%}  {dt:.1f}s")
 
+    # histogram sketch vs the built-in quantile estimator
+    from gqlite_spark.operators.stats import hist_quantiles, hist_sketch
+    t = time.time()
+    pa = df.select(F.percentile_approx("v", [0.5, 0.99])).collect()[0][0]
+    t_pa = time.time() - t
+    t = time.time()
+    hs = hist_sketch(df, "v", 0.0, float(true_d), 1024)
+    hq = {r["q"]: r["value"] for r in
+          hist_quantiles(hs, [0.5, 0.99], 0.0, float(true_d),
+                         1024).collect()}
+    t_hist = time.time() - t
+    print(f"quantiles p50/p99: percentile_approx {t_pa:.1f}s "
+          f"({pa[0]:,.0f}/{pa[1]:,.0f})  hist_sketch {t_hist:.1f}s "
+          f"({hq[0.5]:,.0f}/{hq[0.99]:,.0f}; mergeable rows)")
+
     # per-group: 16 big groups — prefilter should bound the window sort
     gdf = df.withColumn("g", F.pmod(F.col("v"), F.lit(16)))
     for pf in (False, True):
