@@ -540,7 +540,7 @@ class Parser:
                                    for k, v in metrics.items())):
                     raise GQLParseError(
                         "rollup: metrics must map property names to "
-                        "lists of aggregate names (sum/min/max)")
+                        "lists of aggregate names (sum/min/max/kmv)")
             ts = obj.get("ts", "ts")
             if not isinstance(ts, str) or not ts:
                 raise GQLParseError("rollup: ts must be a property name")

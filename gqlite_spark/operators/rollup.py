@@ -47,33 +47,69 @@ SPEC_FILE = "_rollup_spec.json"
 _MERGEABLE = ("sum", "min", "max")
 
 
+def _bucket(df: DataFrame, ts_col: str, every: int):
+    return ((epoch_seconds(df, ts_col) / every).cast("long")
+            * every).alias("bucket_start")
+
+
 def _partials(df: DataFrame, ts_col: str, every: int,
               dims: "list[str]", metrics: "dict[str, list[str]]",
-              ) -> DataFrame:
+              kmv_k: int = 256) -> DataFrame:
     """Per-(bucket, dims) mergeable partials of one batch of raw events:
-    one shuffle, map-side combined."""
-    bucket = ((epoch_seconds(df, ts_col) / every).cast("long")
-              * every).alias("bucket_start")
+    one map-side-combined shuffle for the scalar aggregates, plus one
+    bounded min-k pass per ``kmv`` metric (the per-bucket KMV distinct
+    sketch, stored as a sorted ≤kmv_k-element array column)."""
+    bucket = _bucket(df, ts_col, every)
+    scalar_cols = []
+    kmv_cols = []
     aggs = [F.count("*").alias("n")]
     for c, fns in metrics.items():
         for fn in fns:
+            if fn == "kmv":
+                kmv_cols.append(c)
+                continue
             if fn not in _MERGEABLE:
                 raise ValueError(
                     f"rollup metric {fn}({c}) is not mergeable; "
-                    f"supported: {', '.join(_MERGEABLE)} (+ count, and "
-                    "avg at read time via sum/count)")
+                    f"supported: {', '.join(_MERGEABLE)}, kmv "
+                    "(distinct sketch; + count always, avg at read "
+                    "time via sum/count)")
+            scalar_cols.append(c)
             aggs.append(getattr(F, fn)(c).alias(f"{fn}_{c}"))
-    return df.select(bucket, *dims, *metrics.keys()).groupBy(
+    out = df.select(bucket, *dims, *set(scalar_cols)).groupBy(
         "bucket_start", *dims).agg(*aggs)
+    for c in kmv_cols:
+        from .stats import _kmv_hash, _min_k
+        hashed = (df.select(bucket, *dims,
+                            _kmv_hash(F.col(c)).alias("h"))
+                  .filter(F.col("h").isNotNull()))
+        topk = _min_k(hashed, kmv_k, ["bucket_start"] + dims)
+        arr = (topk.groupBy("bucket_start", *dims)
+               .agg(F.array_sort(F.collect_list("h"))
+                    .alias(f"kmv_{c}")))
+        out = (out.join(arr, ["bucket_start"] + dims, "left")
+               .withColumn(f"kmv_{c}",
+                           F.coalesce(F.col(f"kmv_{c}"),
+                                      F.array().cast("array<long>"))))
+    return out
 
 
 def _merge(parts: DataFrame, dims: "list[str]",
-           metrics: "dict[str, list[str]]") -> DataFrame:
+           metrics: "dict[str, list[str]]",
+           kmv_k: int = 256) -> DataFrame:
     """Re-aggregate unioned partial rows: sums and counts add, mins and
-    maxes nest — the associativity that makes the lifecycle correct."""
+    maxes nest, KMV arrays union-dedup-retopk — the associativity that
+    makes the lifecycle correct.  Each (bucket, dims) sees a handful of
+    ≤kmv_k arrays, so the sketch merge is bounded per group."""
     aggs = [F.sum("n").alias("n")]
     for c, fns in metrics.items():
         for fn in fns:
+            if fn == "kmv":
+                aggs.append(
+                    F.slice(F.array_sort(F.array_distinct(
+                        F.flatten(F.collect_list(f"kmv_{c}")))),
+                        1, kmv_k).alias(f"kmv_{c}"))
+                continue
             combine = F.sum if fn == "sum" else getattr(F, fn)
             aggs.append(combine(f"{fn}_{c}").alias(f"{fn}_{c}"))
     return parts.groupBy("bucket_start", *dims).agg(*aggs)
@@ -81,16 +117,21 @@ def _merge(parts: DataFrame, dims: "list[str]",
 
 def save_rollup(df: DataFrame, path: str, ts_col: str, every: int,
                 dims: "list[str] | None" = None,
-                metrics: "dict[str, list[str]] | None" = None) -> None:
-    """Aggregate the full history once and write the rollup + spec."""
+                metrics: "dict[str, list[str]] | None" = None,
+                kmv_k: int = 256) -> None:
+    """Aggregate the full history once and write the rollup + spec.
+    Metric functions: sum/min/max (scalar), plus ``kmv`` — a per-bucket
+    KMV distinct sketch maintained incrementally (e.g. metrics=
+    {'user_id': ['kmv']} = distinct users per bucket; estimate served
+    by :func:`read_rollup` as ``distinct_<col>``, exact below kmv_k)."""
     dims = list(dims or [])
     metrics = dict(metrics or {})
     spark = df.sparkSession
-    _partials(df, ts_col, every, dims, metrics).write.mode(
+    _partials(df, ts_col, every, dims, metrics, kmv_k).write.mode(
         "overwrite").parquet(path)
     fsio.write_json(spark, fsio.join(path, SPEC_FILE), {
         "ts_col": ts_col, "every": int(every), "dims": dims,
-        "metrics": metrics, "batches": 0})
+        "metrics": metrics, "kmv_k": int(kmv_k), "batches": 0})
 
 
 def _heal(spark, path: str) -> None:
@@ -122,10 +163,11 @@ def append_rollup(batch: DataFrame, path: str,
             and epoch_id <= int(spec["last_epoch"]):
         return False
     dims, metrics = spec["dims"], spec["metrics"]
+    kmv_k = int(spec.get("kmv_k", 256))
     new = _partials(batch, spec["ts_col"], int(spec["every"]),
-                    dims, metrics)
+                    dims, metrics, kmv_k)
     old = spark.read.parquet(path)
-    merged = _merge(old.unionByName(new), dims, metrics)
+    merged = _merge(old.unionByName(new), dims, metrics, kmv_k)
 
     tmp = path.rstrip("/") + ".rollup_tmp"
     bak = path.rstrip("/") + ".rollup_old"
@@ -145,7 +187,9 @@ def append_rollup(batch: DataFrame, path: str,
 def read_rollup(spark: SparkSession, path: str,
                 avg_of: "list[str] | None" = None) -> DataFrame:
     """The finished view.  ``avg_of`` derives ``avg_<c>`` = sum/count
-    for metrics whose sum is maintained."""
+    for metrics whose sum is maintained; every ``kmv`` metric gets a
+    ``distinct_<c>`` estimate column (exact below kmv_k, else the KMV
+    estimator over the stored sketch array)."""
     _heal(spark, path)
     spec = fsio.read_json(spark, fsio.join(path, SPEC_FILE))
     df = spark.read.parquet(path)
@@ -154,4 +198,16 @@ def read_rollup(spark: SparkSession, path: str,
             raise ValueError(f"avg_of '{c}' needs sum in the rollup "
                              f"metrics (have: {spec['metrics']})")
         df = df.withColumn(f"avg_{c}", F.col(f"sum_{c}") / F.col("n"))
+    kmv_k = int(spec.get("kmv_k", 256))
+    from .stats import KMV_HASH_SPACE
+    for c, fns in (spec.get("metrics") or {}).items():
+        if "kmv" in fns and f"kmv_{c}" in df.columns:
+            arr = F.col(f"kmv_{c}")
+            est = F.when(
+                F.size(arr) < kmv_k, F.size(arr).cast("double")
+            ).otherwise(F.lit(float(kmv_k - 1)) * F.lit(KMV_HASH_SPACE)
+                        / F.element_at(arr, kmv_k))
+            df = df.withColumn(
+                f"distinct_{c}",
+                F.floor(est + F.lit(0.5)).cast("long"))
     return df

@@ -132,7 +132,10 @@ def kmv_sketch(df: DataFrame, col: str, k: int = 256,
     Measured at 100 M rows / 25 M distinct: 3.6x faster than the
     unfiltered build (tools/kmv_probe.py)."""
     by = list(by or [])
-    hashed = df.select(*by, _kmv_hash(F.col(col), hash).alias("h"))
+    # NULL hashes to NULL, which would sort FIRST into the min-k;
+    # drop it — countDistinct semantics: null is not a value
+    hashed = (df.select(*by, _kmv_hash(F.col(col), hash).alias("h"))
+              .filter(F.col("h").isNotNull()))
     if not prefilter:
         return _min_k(hashed, k, by)
     if by:

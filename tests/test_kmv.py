@@ -152,3 +152,14 @@ def test_straggler_guard_reverts_to_plain_build(spark, monkeypatch):
     b = {(r["g"], r["h"]) for r in
          kmv_sketch(df, "v", k=64, by=["g"], prefilter=False).collect()}
     assert a == b
+
+
+def test_nulls_are_not_values(spark):
+    """NULL must not enter the sketch (it hashes to NULL, which would
+    sort first into the min-k) — countDistinct semantics."""
+    df = spark.range(0, 100).select(
+        F.when(F.col("id") < 40, F.col("id")).alias("v"))  # 60 nulls
+    sk = kmv_sketch(df, "v", k=256)
+    assert all(r["h"] is not None for r in sk.collect())
+    est = kmv_estimate(sk, k=256).collect()[0][0]
+    assert est == 40

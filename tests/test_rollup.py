@@ -156,3 +156,42 @@ def test_stream_rollup_matches_batch(spark, events, tmp_path):
     p_all = f"file:{tmp_path}/full_all"
     save_rollup(events, p_all, "ts", EVERY, metrics=METRICS)
     assert _rows(read_rollup(spark, p)) == _rows(read_rollup(spark, p_all))
+
+
+def test_kmv_metric_incremental_equals_full(spark, events, tmp_path):
+    """A per-bucket distinct sketch (metrics kmv) merges through the
+    incremental lifecycle bit-for-bit: three folds == one-shot,
+    including the sketch arrays and derived distinct column."""
+    m = {"value": ["sum"], "user_id": ["kmv"]}
+    p_inc, p_full = f"file:{tmp_path}/kinc", f"file:{tmp_path}/kfull"
+    b1 = events.filter(F.col("event_id") % 3 == 0)
+    b2 = events.filter(F.col("event_id") % 3 == 1)
+    b3 = events.filter(F.col("event_id") % 3 == 2)
+    save_rollup(b1, p_inc, "ts", EVERY, dims=["event_type"], metrics=m,
+                kmv_k=32)
+    append_rollup(b2, p_inc)
+    append_rollup(b3, p_inc)
+    save_rollup(events, p_full, "ts", EVERY, dims=["event_type"],
+                metrics=m, kmv_k=32)
+    inc = read_rollup(spark, p_inc)
+    full = read_rollup(spark, p_full)
+    assert "distinct_user_id" in inc.columns
+    assert _rows(inc) == _rows(full)
+
+
+def test_kmv_metric_distinct_is_exact_below_k(spark, events, tmp_path):
+    """Per-bucket distinct_user_id == exact countDistinct when the
+    bucket has fewer than kmv_k distinct users."""
+    from gqlite_spark.operators.windows import epoch_seconds
+    p = f"file:{tmp_path}/kexact"
+    save_rollup(events, p, "ts", EVERY, metrics={"user_id": ["kmv"]},
+                kmv_k=512)
+    got = {r["bucket_start"]: r["distinct_user_id"]
+           for r in read_rollup(spark, p).collect()}
+    bucket = ((epoch_seconds(events, "ts") / EVERY).cast("long")
+              * EVERY).alias("b")
+    want = {r["b"]: r["d"] for r in
+            events.select(bucket, "user_id").groupBy("b")
+            .agg(F.countDistinct("user_id").alias("d")).collect()}
+    exact = {b: d for b, d in want.items() if d < 512}
+    assert exact and all(got[b] == d for b, d in exact.items())
