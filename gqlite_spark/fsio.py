@@ -111,3 +111,31 @@ def rename(spark, src: str, dst: str) -> None:
     hdst = jvm.org.apache.hadoop.fs.Path(dst)
     if not fs.rename(hsrc, hdst):
         raise IOError(f"rename failed: {src} -> {dst}")
+
+
+def heal_swap(spark, path: str, kind: str) -> None:
+    """Recover from a crash between :func:`swap_in`'s two renames: if
+    the table vanished from ``path`` but the complete old table sits at
+    ``<path>.<kind>_old``, rename it back.  Lifecycle entry points call
+    this first, so a torn swap self-repairs on the next touch."""
+    old = path.rstrip("/") + f".{kind}_old"
+    if not exists(spark, path) and exists(spark, old):
+        rename(spark, old, path)
+
+
+def swap_in(spark, path: str, kind: str, write_fn) -> None:
+    """Rewrite-then-swap table maintenance, shared by every lifecycle
+    that atomically replaces a directory-shaped table (rollup append,
+    recluster): ``write_fn(tmp_path)`` materializes the COMPLETE new
+    table at a ``<path>.<kind>_tmp`` sibling, then two FS renames swap
+    it in and the old table is deleted.  A crash at any step leaves a
+    complete table at ``path`` or parked at ``<path>.<kind>_old``
+    (healed by :func:`heal_swap`) — never a partial mix."""
+    tmp = path.rstrip("/") + f".{kind}_tmp"
+    old = path.rstrip("/") + f".{kind}_old"
+    delete(spark, tmp)
+    delete(spark, old)
+    write_fn(tmp)
+    rename(spark, path, old)
+    rename(spark, tmp, path)
+    delete(spark, old)

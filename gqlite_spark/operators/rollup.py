@@ -48,8 +48,10 @@ _MERGEABLE = ("sum", "min", "max")
 
 
 def _bucket(df: DataFrame, ts_col: str, every: int):
-    return ((epoch_seconds(df, ts_col) / every).cast("long")
-            * every).alias("bucket_start")
+    # F.floor, not cast('long'): the cast truncates toward zero, which
+    # would collapse pre-1970 timestamps into the wrong (later) bucket
+    return (F.floor(epoch_seconds(df, ts_col) / every)
+            * every).cast("long").alias("bucket_start")
 
 
 def _partials(df: DataFrame, ts_col: str, every: int,
@@ -76,10 +78,15 @@ def _partials(df: DataFrame, ts_col: str, every: int,
                     "time via sum/count)")
             scalar_cols.append(c)
             aggs.append(getattr(F, fn)(c).alias(f"{fn}_{c}"))
+        if "sum" in fns:
+            # non-null count rides along so the read-time average has
+            # SQL AVG semantics (sum ignores nulls; count(*) must not
+            # be its denominator)
+            aggs.append(F.count(c).alias(f"cnt_{c}"))
     out = df.select(bucket, *dims, *set(scalar_cols)).groupBy(
         "bucket_start", *dims).agg(*aggs)
     for c in kmv_cols:
-        from .stats import _kmv_hash, _min_k
+        from .stats import _eq_nullsafe, _kmv_hash, _min_k
         hashed = (df.select(bucket, *dims,
                             _kmv_hash(F.col(c)).alias("h"))
                   .filter(F.col("h").isNotNull()))
@@ -87,10 +94,15 @@ def _partials(df: DataFrame, ts_col: str, every: int,
         arr = (topk.groupBy("bucket_start", *dims)
                .agg(F.array_sort(F.collect_list("h"))
                     .alias(f"kmv_{c}")))
-        out = (out.join(arr, ["bucket_start"] + dims, "left")
-               .withColumn(f"kmv_{c}",
-                           F.coalesce(F.col(f"kmv_{c}"),
-                                      F.array().cast("array<long>"))))
+        # null-safe join: a NULL dim value is a real group and must
+        # keep its sketch (a key-list join would drop it to empty)
+        out = (out.join(arr,
+                        _eq_nullsafe(out, arr, ["bucket_start"] + dims),
+                        "left")
+               .select(*[out[x] for x in out.columns],
+                       F.coalesce(arr[f"kmv_{c}"],
+                                  F.array().cast("array<long>"))
+                       .alias(f"kmv_{c}")))
     return out
 
 
@@ -112,6 +124,8 @@ def _merge(parts: DataFrame, dims: "list[str]",
                 continue
             combine = F.sum if fn == "sum" else getattr(F, fn)
             aggs.append(combine(f"{fn}_{c}").alias(f"{fn}_{c}"))
+        if "sum" in fns:
+            aggs.append(F.sum(f"cnt_{c}").alias(f"cnt_{c}"))
     return parts.groupBy("bucket_start", *dims).agg(*aggs)
 
 
@@ -135,13 +149,8 @@ def save_rollup(df: DataFrame, path: str, ts_col: str, every: int,
 
 
 def _heal(spark, path: str) -> None:
-    """Recover from a crash between the two swap renames: if the table
-    vanished from ``path`` but the complete old table sits at
-    ``path.rollup_old``, rename it back.  Called by every entry point,
-    so a torn swap self-repairs on the next touch."""
-    bak = path.rstrip("/") + ".rollup_old"
-    if not fsio.exists(spark, path) and fsio.exists(spark, bak):
-        fsio.rename(spark, bak, path)
+    """Torn-swap recovery (shared contract: fsio.heal_swap)."""
+    fsio.heal_swap(spark, path, "rollup")
 
 
 def append_rollup(batch: DataFrame, path: str,
@@ -169,18 +178,15 @@ def append_rollup(batch: DataFrame, path: str,
     old = spark.read.parquet(path)
     merged = _merge(old.unionByName(new), dims, metrics, kmv_k)
 
-    tmp = path.rstrip("/") + ".rollup_tmp"
-    bak = path.rstrip("/") + ".rollup_old"
-    fsio.delete(spark, tmp)
-    fsio.delete(spark, bak)
-    merged.write.parquet(tmp)
     spec["batches"] = int(spec.get("batches", 0)) + 1
     if epoch_id is not None:
         spec["last_epoch"] = int(epoch_id)
-    fsio.write_json(spark, fsio.join(tmp, SPEC_FILE), spec)
-    fsio.rename(spark, path, bak)
-    fsio.rename(spark, tmp, path)
-    fsio.delete(spark, bak)
+
+    def _write(tmp: str) -> None:
+        merged.write.parquet(tmp)
+        fsio.write_json(spark, fsio.join(tmp, SPEC_FILE), spec)
+
+    fsio.swap_in(spark, path, "rollup", _write)
     return True
 
 
@@ -197,7 +203,11 @@ def read_rollup(spark: SparkSession, path: str,
         if f"sum_{c}" not in df.columns:
             raise ValueError(f"avg_of '{c}' needs sum in the rollup "
                              f"metrics (have: {spec['metrics']})")
-        df = df.withColumn(f"avg_{c}", F.col(f"sum_{c}") / F.col("n"))
+        # sum/cnt (non-null count), not sum/n: SQL AVG semantics when
+        # the metric column has nulls
+        denom = (F.col(f"cnt_{c}") if f"cnt_{c}" in df.columns
+                 else F.col("n"))
+        df = df.withColumn(f"avg_{c}", F.col(f"sum_{c}") / denom)
     kmv_k = int(spec.get("kmv_k", 256))
     from .stats import KMV_HASH_SPACE
     for c, fns in (spec.get("metrics") or {}).items():

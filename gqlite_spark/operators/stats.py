@@ -165,19 +165,33 @@ def kmv_sketch(df: DataFrame, col: str, k: int = 256,
     return _min_k(hashed, k, [])
 
 
+def _eq_nullsafe(left: DataFrame, right: DataFrame, keys: "list[str]"):
+    """Null-safe equi-join condition — plain key-list joins never match
+    NULL keys, which would silently drop NULL-keyed groups."""
+    cond = None
+    for c in keys:
+        e = left[c].eqNullSafe(right[c])
+        cond = e if cond is None else cond & e
+    return cond
+
+
 def _group_min_k_prefiltered(hashed: DataFrame, k: int, by: "list[str]",
                              thresh) -> DataFrame:
-    """Per-group min-k with the hash prefilter.  The global 8k/n_rows
-    threshold under-serves groups that are small or heavily duplicated
-    (fewer than k of their distinct hashes fall below it), so those
-    straggler groups — found by comparing candidate counts against the
-    full group-key list, itself a cheap narrow aggregate — are re-run
+    """Per-group min-k with the hash prefilter.  The global threshold
+    under-serves groups that are small or heavily duplicated (fewer
+    than k of their distinct hashes fall below it), so those straggler
+    groups — found by comparing candidate counts against the full
+    group-key list, itself a cheap narrow aggregate — are re-run
     unfiltered, restricted via a broadcast semi-join.  Big groups (the
-    reason to prefilter at all) stay on the narrow shuffle."""
+    reason to prefilter at all) stay on the narrow shuffle.  All the
+    repair joins are null-safe: a NULL group key is a real group.
+    The ≤k-row candidate caches are GC-cleaned by Spark's
+    ContextCleaner once the returned plan is dropped."""
     cand = _min_k(hashed.filter(thresh), k, by).persist()
     counts = cand.groupBy(*by).agg(F.count("*").alias("_c"))
-    short = (hashed.select(*by).distinct()
-             .join(counts.filter(F.col("_c") >= k), by, "left_anti")
+    full = counts.filter(F.col("_c") >= k)
+    keys = hashed.select(*by).distinct()
+    short = (keys.join(full, _eq_nullsafe(keys, full, by), "left_anti")
              .persist())
     n_short = short.count()
     if n_short == 0:
@@ -191,8 +205,10 @@ def _group_min_k_prefiltered(hashed: DataFrame, k: int, by: "list[str]",
         cand.unpersist()
         return _min_k(hashed, k, by)
     redo = _min_k(
-        hashed.join(F.broadcast(short), by, "leftsemi"), k, by)
-    kept = cand.join(F.broadcast(short), by, "left_anti")
+        hashed.join(F.broadcast(short),
+                    _eq_nullsafe(hashed, short, by), "leftsemi"), k, by)
+    kept = cand.join(F.broadcast(short),
+                     _eq_nullsafe(cand, short, by), "left_anti")
     return kept.unionByName(redo)
 
 
@@ -240,7 +256,12 @@ def hist_sketch(df: DataFrame, col: str, lo: float, hi: float,
     b = F.width_bucket(F.col(col).cast("double"), F.lit(float(lo)),
                        F.lit(float(hi)), F.lit(bins))
     b = F.greatest(F.least(b, F.lit(bins)), F.lit(1))
-    return (df.select(*by, b.alias("bin"))
+    # NULL is not a value — and it must be dropped BEFORE the clamp:
+    # width_bucket(NULL) is NULL, but least/greatest SKIP nulls (they
+    # return the other operand), so a null row would silently clamp
+    # into the top bin, corrupting totals and quantiles
+    return (df.filter(F.col(col).isNotNull())
+            .select(*by, b.alias("bin"))
             .groupBy(*by, "bin").agg(F.count("*").alias("n")))
 
 

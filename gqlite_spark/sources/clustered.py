@@ -194,13 +194,8 @@ def append_clustered(df: DataFrame, path: str, n_files: int = 1) -> None:
 
 
 def _heal(spark, path: str) -> None:
-    """Recover from a crash between the two swap renames: if the table
-    vanished from ``path`` but the complete old table sits at
-    ``path.recluster_old``, rename it back.  Called by every lifecycle
-    entry point, so a torn swap self-repairs on the next touch."""
-    old = path.rstrip("/") + ".recluster_old"
-    if not fsio.exists(spark, path) and fsio.exists(spark, old):
-        fsio.rename(spark, old, path)
+    """Torn-swap recovery (shared contract: fsio.heal_swap)."""
+    fsio.heal_swap(spark, path, "recluster")
 
 
 def recluster(spark: SparkSession, path: str,
@@ -217,13 +212,9 @@ def recluster(spark: SparkSession, path: str,
     the clustering columns is the trigger metric)."""
     _heal(spark, path)
     spec = fsio.read_json(spark, fsio.join(path, SPEC_FILE))
-    tmp = path.rstrip("/") + ".recluster_tmp"
-    old = path.rstrip("/") + ".recluster_old"
-    fsio.delete(spark, tmp)
-    fsio.delete(spark, old)
-    save_clustered(spark.read.parquet(path), tmp, spec["cols"],
-                   n_files=int(n_files or spec["n_files"]),
-                   bits=int(spec.get("bits", DEFAULT_BITS)))
-    fsio.rename(spark, path, old)
-    fsio.rename(spark, tmp, path)
-    fsio.delete(spark, old)
+    fsio.swap_in(
+        spark, path, "recluster",
+        lambda tmp: save_clustered(
+            spark.read.parquet(path), tmp, spec["cols"],
+            n_files=int(n_files or spec["n_files"]),
+            bits=int(spec.get("bits", DEFAULT_BITS))))

@@ -66,3 +66,14 @@ def test_degenerate_inputs(spark):
     empty = _uniform(spark, 1).filter("x > 99999")
     sk = hist_sketch(empty, "x", LO, HI, BINS)
     assert hist_quantiles(sk, [0.5], LO, HI, BINS).count() == 0
+
+
+def test_nulls_are_not_values(spark):
+    """NULL must not clamp into the top bin (least/greatest skip
+    nulls) — it is dropped, and totals count only real values."""
+    df = spark.range(0, 100).select(
+        F.when(F.col("id") < 40, F.col("id").cast("double") * 10)
+        .alias("x"))                                   # 60 nulls
+    sk = hist_sketch(df, "x", LO, HI, BINS)
+    assert sk.agg(F.sum("n")).collect()[0][0] == 40
+    assert max(r["bin"] for r in sk.collect()) < BINS  # nothing at hi

@@ -163,3 +163,17 @@ def test_nulls_are_not_values(spark):
     assert all(r["h"] is not None for r in sk.collect())
     est = kmv_estimate(sk, k=256).collect()[0][0]
     assert est == 40
+
+
+def test_null_group_key_is_a_real_group(spark):
+    """A NULL group key must survive the prefilter straggler repair
+    (null-unsafe joins would silently drop or truncate its sketch)."""
+    df = (_ints(spark, 0, 30_000)
+          .withColumn("g", F.when(F.col("v") % 3 != 0, F.col("v") % 2)))
+    # g in {0, 1, NULL}; the NULL group holds every v % 3 == 0
+    a = {(r["g"], r["h"]) for r in
+         kmv_sketch(df, "v", k=64, by=["g"], prefilter=True).collect()}
+    b = {(r["g"], r["h"]) for r in
+         kmv_sketch(df, "v", k=64, by=["g"], prefilter=False).collect()}
+    assert a == b
+    assert sum(1 for g, _ in a if g is None) == 64

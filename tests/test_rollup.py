@@ -195,3 +195,32 @@ def test_kmv_metric_distinct_is_exact_below_k(spark, events, tmp_path):
             .agg(F.countDistinct("user_id").alias("d")).collect()}
     exact = {b: d for b, d in want.items() if d < 512}
     assert exact and all(got[b] == d for b, d in exact.items())
+
+
+def test_avg_ignores_null_metric_values(spark, tmp_path):
+    """avg_<c> must be sum over NON-NULL count (SQL AVG), not over
+    count(*)."""
+    df = spark.createDataFrame(
+        [(i, None if i % 2 else float(i)) for i in range(10)],
+        "id int, value double").select(
+        F.timestamp_seconds(F.lit(100)).alias("ts"), "value")
+    p = f"file:{tmp_path}/avgnull"
+    save_rollup(df, p, "ts", EVERY, metrics={"value": ["sum"]})
+    row = read_rollup(spark, p, avg_of=["value"]).collect()[0]
+    assert row["n"] == 10 and row["cnt_value"] == 5
+    assert row["avg_value"] == (0 + 2 + 4 + 6 + 8) / 5.0
+
+
+def test_kmv_metric_null_dim_keeps_sketch(spark, tmp_path):
+    """A NULL dim value is a real group: its per-bucket sketch must
+    not be dropped to an empty array by a null-unsafe join."""
+    df = spark.createDataFrame(
+        [(1, "a", 10), (2, None, 11), (3, None, 12), (4, "a", 11)],
+        "id int, et string, uid int").select(
+        F.timestamp_seconds(F.lit(50)).alias("ts"), "et", "uid")
+    p = f"file:{tmp_path}/nulldim"
+    save_rollup(df, p, "ts", EVERY, dims=["et"],
+                metrics={"uid": ["kmv"]}, kmv_k=16)
+    got = {r["et"]: r["distinct_uid"]
+           for r in read_rollup(spark, p).collect()}
+    assert got["a"] == 2 and got[None] == 2
