@@ -26,10 +26,12 @@ the data) replayed batches are detected and skipped, so streaming
 ingestion via foreachBatch is exactly-once end-to-end.
 
 Only MERGEABLE aggregates are accepted — count, sum, min, max (avg
-derives from sum/count).  Non-mergeable aggregates (exact distinct,
-median) are rejected up front: maintaining them incrementally requires
-a sketch (see ``stats.kmv_sketch`` for distinct) or a raw re-read, and
-pretending otherwise silently corrupts the view.
+derives from sum/non-null-count), plus the two bounded sketches that
+merge associatively: ``kmv`` (per-bucket distinct estimate, see
+``stats.kmv_sketch``) and ``hist`` (per-bucket bin counts →
+``rollup_quantiles``).  Truly non-mergeable aggregates (exact
+distinct, exact median) are rejected up front: pretending otherwise
+silently corrupts the view.
 
 Buckets are epoch-second starts (``floor(epoch / every) * every``,
 bigint) — engine-portable, same convention as operators/windows.py.
@@ -56,26 +58,37 @@ def _bucket(df: DataFrame, ts_col: str, every: int):
 
 def _partials(df: DataFrame, ts_col: str, every: int,
               dims: "list[str]", metrics: "dict[str, list[str]]",
-              kmv_k: int = 256) -> DataFrame:
+              kmv_k: int = 256,
+              hist_params: "dict | None" = None) -> DataFrame:
     """Per-(bucket, dims) mergeable partials of one batch of raw events:
     one map-side-combined shuffle for the scalar aggregates, plus one
-    bounded min-k pass per ``kmv`` metric (the per-bucket KMV distinct
-    sketch, stored as a sorted ≤kmv_k-element array column)."""
+    bounded pass per sketch metric — ``kmv`` (per-bucket KMV distinct
+    sketch, sorted ≤kmv_k-element array) and ``hist`` (per-bucket
+    sparse bin-count map over the fixed (lo, hi, bins) binning from
+    ``hist_params[col]``)."""
     bucket = _bucket(df, ts_col, every)
+    hist_params = hist_params or {}
     scalar_cols = []
-    kmv_cols = []
+    sketch = []  # (kind, col)
     aggs = [F.count("*").alias("n")]
     for c, fns in metrics.items():
         for fn in fns:
             if fn == "kmv":
-                kmv_cols.append(c)
+                sketch.append(("kmv", c))
+                continue
+            if fn == "hist":
+                if c not in hist_params:
+                    raise ValueError(
+                        f"rollup metric hist({c}) needs hist_params"
+                        f"[{c!r}] = (lo, hi, bins)")
+                sketch.append(("hist", c))
                 continue
             if fn not in _MERGEABLE:
                 raise ValueError(
                     f"rollup metric {fn}({c}) is not mergeable; "
                     f"supported: {', '.join(_MERGEABLE)}, kmv "
-                    "(distinct sketch; + count always, avg at read "
-                    "time via sum/count)")
+                    "(distinct sketch), hist (bin-count sketch; "
+                    "+ count always, avg at read time via sum/count)")
             scalar_cols.append(c)
             aggs.append(getattr(F, fn)(c).alias(f"{fn}_{c}"))
         if "sum" in fns:
@@ -85,24 +98,35 @@ def _partials(df: DataFrame, ts_col: str, every: int,
             aggs.append(F.count(c).alias(f"cnt_{c}"))
     out = df.select(bucket, *dims, *set(scalar_cols)).groupBy(
         "bucket_start", *dims).agg(*aggs)
-    for c in kmv_cols:
-        from .stats import _eq_nullsafe, _kmv_hash, _min_k
-        hashed = (df.select(bucket, *dims,
-                            _kmv_hash(F.col(c)).alias("h"))
-                  .filter(F.col("h").isNotNull()))
-        topk = _min_k(hashed, kmv_k, ["bucket_start"] + dims)
-        arr = (topk.groupBy("bucket_start", *dims)
-               .agg(F.array_sort(F.collect_list("h"))
-                    .alias(f"kmv_{c}")))
+    from .stats import _eq_nullsafe, _kmv_hash, _min_k, hist_sketch
+    for kind, c in sketch:
+        if kind == "kmv":
+            hashed = (df.select(bucket, *dims,
+                                _kmv_hash(F.col(c)).alias("h"))
+                      .filter(F.col("h").isNotNull()))
+            topk = _min_k(hashed, kmv_k, ["bucket_start"] + dims)
+            arr = (topk.groupBy("bucket_start", *dims)
+                   .agg(F.array_sort(F.collect_list("h"))
+                        .alias(f"kmv_{c}")))
+            name, empty = f"kmv_{c}", F.array().cast("array<long>")
+        else:
+            lo, hi, bins = hist_params[c]
+            binned = hist_sketch(df.select(bucket, *dims, c), c,
+                                 lo, hi, int(bins),
+                                 by=["bucket_start"] + dims)
+            arr = (binned.groupBy("bucket_start", *dims)
+                   .agg(F.map_from_entries(
+                        F.collect_list(F.struct("bin", "n")))
+                        .alias(f"hist_{c}")))
+            name, empty = (f"hist_{c}",
+                           F.create_map().cast("map<bigint,bigint>"))
         # null-safe join: a NULL dim value is a real group and must
         # keep its sketch (a key-list join would drop it to empty)
         out = (out.join(arr,
                         _eq_nullsafe(out, arr, ["bucket_start"] + dims),
                         "left")
                .select(*[out[x] for x in out.columns],
-                       F.coalesce(arr[f"kmv_{c}"],
-                                  F.array().cast("array<long>"))
-                       .alias(f"kmv_{c}")))
+                       F.coalesce(arr[name], empty).alias(name)))
     return out
 
 
@@ -122,6 +146,17 @@ def _merge(parts: DataFrame, dims: "list[str]",
                         F.flatten(F.collect_list(f"kmv_{c}")))),
                         1, kmv_k).alias(f"kmv_{c}"))
                 continue
+            if fn == "hist":
+                # bin-wise sum over the handful of partial maps
+                aggs.append(F.aggregate(
+                    F.collect_list(f"hist_{c}"),
+                    F.create_map().cast("map<bigint,bigint>"),
+                    lambda acc, m: F.map_zip_with(
+                        acc, m,
+                        lambda k, a, b: (F.coalesce(a, F.lit(0))
+                                         + F.coalesce(b, F.lit(0)))),
+                ).alias(f"hist_{c}"))
+                continue
             combine = F.sum if fn == "sum" else getattr(F, fn)
             aggs.append(combine(f"{fn}_{c}").alias(f"{fn}_{c}"))
         if "sum" in fns:
@@ -132,20 +167,26 @@ def _merge(parts: DataFrame, dims: "list[str]",
 def save_rollup(df: DataFrame, path: str, ts_col: str, every: int,
                 dims: "list[str] | None" = None,
                 metrics: "dict[str, list[str]] | None" = None,
-                kmv_k: int = 256) -> None:
+                kmv_k: int = 256,
+                hist_params: "dict | None" = None) -> None:
     """Aggregate the full history once and write the rollup + spec.
-    Metric functions: sum/min/max (scalar), plus ``kmv`` — a per-bucket
-    KMV distinct sketch maintained incrementally (e.g. metrics=
-    {'user_id': ['kmv']} = distinct users per bucket; estimate served
-    by :func:`read_rollup` as ``distinct_<col>``, exact below kmv_k)."""
+    Metric functions: sum/min/max (scalar), plus two sketches that
+    merge through the same lifecycle — ``kmv`` (per-bucket distinct,
+    served by :func:`read_rollup` as ``distinct_<col>``, exact below
+    kmv_k) and ``hist`` (per-bucket bin counts over the fixed
+    ``hist_params[col] = (lo, hi, bins)`` binning; quantiles served by
+    :func:`rollup_quantiles` without rescanning any history)."""
     dims = list(dims or [])
     metrics = dict(metrics or {})
+    hist_params = {c: [float(v[0]), float(v[1]), int(v[2])]
+                   for c, v in (hist_params or {}).items()}
     spark = df.sparkSession
-    _partials(df, ts_col, every, dims, metrics, kmv_k).write.mode(
-        "overwrite").parquet(path)
+    _partials(df, ts_col, every, dims, metrics, kmv_k,
+              hist_params).write.mode("overwrite").parquet(path)
     fsio.write_json(spark, fsio.join(path, SPEC_FILE), {
         "ts_col": ts_col, "every": int(every), "dims": dims,
-        "metrics": metrics, "kmv_k": int(kmv_k), "batches": 0})
+        "metrics": metrics, "kmv_k": int(kmv_k),
+        "hist_params": hist_params, "batches": 0})
 
 
 def _heal(spark, path: str) -> None:
@@ -173,8 +214,10 @@ def append_rollup(batch: DataFrame, path: str,
         return False
     dims, metrics = spec["dims"], spec["metrics"]
     kmv_k = int(spec.get("kmv_k", 256))
+    hist_params = {c: tuple(v) for c, v in
+                   (spec.get("hist_params") or {}).items()}
     new = _partials(batch, spec["ts_col"], int(spec["every"]),
-                    dims, metrics, kmv_k)
+                    dims, metrics, kmv_k, hist_params)
     old = spark.read.parquet(path)
     merged = _merge(old.unionByName(new), dims, metrics, kmv_k)
 
@@ -221,3 +264,25 @@ def read_rollup(spark: SparkSession, path: str,
                 f"distinct_{c}",
                 F.floor(est + F.lit(0.5)).cast("long"))
     return df
+
+
+def rollup_quantiles(spark: SparkSession, path: str, col: str,
+                     qs: "list[float]") -> DataFrame:
+    """Per-(bucket, dims) quantiles of a ``hist`` metric from the
+    stored bin maps — (bucket_start, dims..., q, value) with error ≤
+    one bin width, computed from the rollup alone (no history scan).
+    The per-hour p99 latency report, incrementally maintained."""
+    from .stats import hist_quantiles
+    _heal(spark, path)
+    spec = fsio.read_json(spark, fsio.join(path, SPEC_FILE))
+    hp = (spec.get("hist_params") or {}).get(col)
+    if hp is None:
+        raise ValueError(f"rollup has no hist metric for '{col}' "
+                         f"(hist_params: {spec.get('hist_params')})")
+    lo, hi, bins = float(hp[0]), float(hp[1]), int(hp[2])
+    dims = list(spec["dims"])
+    rows = (spark.read.parquet(path)
+            .select("bucket_start", *dims,
+                    F.explode(F.col(f"hist_{col}")).alias("bin", "n")))
+    return hist_quantiles(rows, qs, lo, hi, bins,
+                          by=["bucket_start"] + dims)

@@ -224,3 +224,45 @@ def test_kmv_metric_null_dim_keeps_sketch(spark, tmp_path):
     got = {r["et"]: r["distinct_uid"]
            for r in read_rollup(spark, p).collect()}
     assert got["a"] == 2 and got[None] == 2
+
+
+def test_hist_metric_incremental_equals_full(spark, events, tmp_path):
+    """Per-bucket histogram maps merge through the lifecycle: three
+    folds == one-shot, and rollup_quantiles serves per-bucket p50/p99
+    from the rollup alone."""
+    from gqlite_spark.operators.rollup import rollup_quantiles
+    m = {"value": ["sum", "hist"]}
+    hp = {"value": (0.0, 1000.0, 100)}
+    p_inc, p_full = f"file:{tmp_path}/hinc", f"file:{tmp_path}/hfull"
+    b1 = events.filter(F.col("event_id") % 3 == 0)
+    b2 = events.filter(F.col("event_id") % 3 == 1)
+    b3 = events.filter(F.col("event_id") % 3 == 2)
+    save_rollup(b1, p_inc, "ts", EVERY, metrics=m, hist_params=hp)
+    append_rollup(b2, p_inc)
+    append_rollup(b3, p_inc)
+    save_rollup(events, p_full, "ts", EVERY, metrics=m, hist_params=hp)
+
+    def maps(path):
+        return {r["bucket_start"]: sorted(r["hist_value"].items())
+                for r in read_rollup(spark, path).collect()}
+    assert maps(p_inc) == maps(p_full)
+
+    qi = {(r["bucket_start"], r["q"]): r["value"] for r in
+          rollup_quantiles(spark, p_inc, "value", [0.5, 0.99]).collect()}
+    qf = {(r["bucket_start"], r["q"]): r["value"] for r in
+          rollup_quantiles(spark, p_full, "value", [0.5, 0.99]).collect()}
+    assert qi == qf and qi
+    # spot-check one bucket's p50 against the exact per-bucket median
+    from gqlite_spark.operators.windows import epoch_seconds
+    bucket = ((epoch_seconds(events, "ts") / EVERY).cast("long")
+              * EVERY).alias("b")
+    some_b = sorted(k[0] for k in qi)[0]
+    exact = (events.select(bucket, "value").filter(F.col("b") == some_b)
+             .agg(F.expr("percentile(value, 0.5)")).collect()[0][0])
+    assert abs(qi[(some_b, 0.5)] - exact) <= 10.0 + 1e-9  # bin width
+
+
+def test_hist_metric_requires_params(events, tmp_path):
+    with pytest.raises(ValueError, match="hist_params"):
+        save_rollup(events, f"file:{tmp_path}/hbad", "ts", EVERY,
+                    metrics={"value": ["hist"]})
