@@ -180,6 +180,13 @@ def save_rollup(df: DataFrame, path: str, ts_col: str, every: int,
     metrics = dict(metrics or {})
     hist_params = {c: [float(v[0]), float(v[1]), int(v[2])]
                    for c, v in (hist_params or {}).items()}
+    orphans = [c for c in hist_params
+               if "hist" not in (metrics.get(c) or [])]
+    if orphans:
+        raise ValueError(
+            f"hist_params given for {orphans} but their metrics lists "
+            "lack 'hist' — add it (or drop the params); an unused "
+            "param would only fail later, inside rollup_quantiles")
     spark = df.sparkSession
     _partials(df, ts_col, every, dims, metrics, kmv_k,
               hist_params).write.mode("overwrite").parquet(path)
@@ -271,8 +278,10 @@ def rollup_quantiles(spark: SparkSession, path: str, col: str,
     """Per-(bucket, dims) quantiles of a ``hist`` metric from the
     stored bin maps — (bucket_start, dims..., q, value) with error ≤
     one bin width, computed from the rollup alone (no history scan).
-    The per-hour p99 latency report, incrementally maintained."""
-    from .stats import hist_quantiles
+    The per-hour p99 latency report, incrementally maintained.  A
+    group whose metric column was all-NULL (empty bin map) appears
+    with value NULL rather than being silently dropped."""
+    from .stats import _eq_nullsafe, hist_quantiles
     _heal(spark, path)
     spec = fsio.read_json(spark, fsio.join(path, SPEC_FILE))
     hp = (spec.get("hist_params") or {}).get(col)
@@ -281,8 +290,21 @@ def rollup_quantiles(spark: SparkSession, path: str, col: str,
                          f"(hist_params: {spec.get('hist_params')})")
     lo, hi, bins = float(hp[0]), float(hp[1]), int(hp[2])
     dims = list(spec["dims"])
-    rows = (spark.read.parquet(path)
-            .select("bucket_start", *dims,
-                    F.explode(F.col(f"hist_{col}")).alias("bin", "n")))
-    return hist_quantiles(rows, qs, lo, hi, bins,
-                          by=["bucket_start"] + dims)
+    stored = spark.read.parquet(path)
+    rows = stored.select(
+        "bucket_start", *dims,
+        F.explode(F.col(f"hist_{col}")).alias("bin", "n"))
+    got = hist_quantiles(rows, qs, lo, hi, bins,
+                         by=["bucket_start"] + dims)
+    # explode over an empty map emits nothing — reinstate those
+    # groups with value NULL so the report covers every bucket
+    want = None
+    for q in qs:
+        part = stored.select("bucket_start", *dims,
+                             F.lit(float(q)).alias("q"))
+        want = part if want is None else want.unionByName(part)
+    missing = (want.join(got, _eq_nullsafe(want, got,
+                                           ["bucket_start"] + dims
+                                           + ["q"]), "left_anti")
+               .withColumn("value", F.lit(None).cast("double")))
+    return got.unionByName(missing)

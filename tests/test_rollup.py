@@ -254,8 +254,8 @@ def test_hist_metric_incremental_equals_full(spark, events, tmp_path):
     assert qi == qf and qi
     # spot-check one bucket's p50 against the exact per-bucket median
     from gqlite_spark.operators.windows import epoch_seconds
-    bucket = ((epoch_seconds(events, "ts") / EVERY).cast("long")
-              * EVERY).alias("b")
+    bucket = (F.floor(epoch_seconds(events, "ts") / EVERY)
+              * EVERY).cast("long").alias("b")
     some_b = sorted(k[0] for k in qi)[0]
     exact = (events.select(bucket, "value").filter(F.col("b") == some_b)
              .agg(F.expr("percentile(value, 0.5)")).collect()[0][0])
@@ -266,3 +266,29 @@ def test_hist_metric_requires_params(events, tmp_path):
     with pytest.raises(ValueError, match="hist_params"):
         save_rollup(events, f"file:{tmp_path}/hbad", "ts", EVERY,
                     metrics={"value": ["hist"]})
+
+
+def test_hist_params_must_match_metrics(events, tmp_path):
+    """hist_params for a column without a 'hist' metric fails at save
+    time, not later inside rollup_quantiles."""
+    with pytest.raises(ValueError, match="lack 'hist'"):
+        save_rollup(events, f"file:{tmp_path}/orph", "ts", EVERY,
+                    metrics={"value": ["sum"]},
+                    hist_params={"value": (0.0, 1000.0, 10)})
+
+
+def test_quantiles_cover_all_null_buckets(spark, tmp_path):
+    """A bucket whose metric was all-NULL shows up in the quantile
+    report with value NULL instead of vanishing."""
+    from gqlite_spark.operators.rollup import rollup_quantiles
+    df = spark.createDataFrame(
+        [(100, 5.0), (200, 7.0), (7300, None)],
+        "t int, v double").select(
+        F.timestamp_seconds("t").alias("ts"), "v")
+    p = f"file:{tmp_path}/nullq"
+    save_rollup(df, p, "ts", EVERY, metrics={"v": ["hist"]},
+                hist_params={"v": (0.0, 10.0, 10)})
+    got = {(r["bucket_start"], r["q"]): r["value"]
+           for r in rollup_quantiles(spark, p, "v", [0.5]).collect()}
+    assert got[(7200, 0.5)] is None
+    assert abs(got[(0, 0.5)] - 6.0) <= 1.0 + 1e-9
