@@ -611,14 +611,16 @@ class GQLite:
             kind = "rollup_append"
         else:
             cols = [stmt.ts] + list(stmt.by or []) \
-                + list((stmt.metrics or {}).keys())
+                + list((stmt.metrics or {}).keys()) \
+                + list((stmt.hist or {}).keys())
             for c in cols:
                 if c not in df.columns:
                     raise GQLiteError(f"rollup: group '{stmt.group}' "
                                       f"has no property '{c}'")
             try:
                 save_rollup(df, stmt.path, stmt.ts, stmt.every,
-                            dims=stmt.by, metrics=stmt.metrics)
+                            dims=stmt.by, metrics=stmt.metrics,
+                            hist_params=stmt.hist)
             except ValueError as e:
                 raise GQLiteError(f"rollup: {e}") from e
             kind = "rollup"

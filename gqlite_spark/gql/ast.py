@@ -320,6 +320,7 @@ class RollupStmt:
     by: Optional[list] = None
     metrics: Optional[dict] = None
     append: bool = False
+    hist: Optional[dict] = None  # {prop: [lo, hi, bins]} for 'hist' fns
 
 
 @dataclass

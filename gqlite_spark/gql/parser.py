@@ -511,7 +511,8 @@ class Parser:
             if not isinstance(append, bool):
                 append = self._flag(str(append))
             if append:
-                extra = sorted(set(obj) & {"ts", "every", "by", "metrics"})
+                extra = sorted(set(obj)
+                               & {"ts", "every", "by", "metrics", "hist"})
                 if extra:
                     raise GQLParseError(
                         f"rollup append: {', '.join(extra)} come from the "
@@ -544,8 +545,21 @@ class Parser:
             ts = obj.get("ts", "ts")
             if not isinstance(ts, str) or not ts:
                 raise GQLParseError("rollup: ts must be a property name")
+            hist = obj.get("hist")
+            if hist is not None:
+                def _num(x):
+                    return (isinstance(x, (int, float))
+                            and not isinstance(x, bool))
+                if (not isinstance(hist, dict)
+                        or not all(isinstance(c, str) and isinstance(v, list)
+                                   and len(v) == 3 and _num(v[0])
+                                   and _num(v[1]) and isinstance(v[2], int)
+                                   for c, v in hist.items())):
+                    raise GQLParseError(
+                        "rollup: hist must map property names to "
+                        "[lo, hi, bins] (numeric, numeric, integer)")
             return RollupStmt(obj["rollup"], path, obj.get("in"),
-                              ts, every, by, metrics, False)
+                              ts, every, by, metrics, False, hist)
         if "shards" in obj:
             path = obj.get("path")
             if not isinstance(path, str) or not path:

@@ -493,3 +493,29 @@ def test_gql_rollup_errors(db, pdb):
     r = pdb.exec("{rollup: 'docs', in: 'pg', path: '/tmp/x', ts: 'id',"
                  " metrics: {text: ['median']}};")[0]
     assert r.error and "not mergeable" in r.error
+
+
+def test_gql_rollup_hist_metric(db, tmp_path):
+    """{rollup ... metrics: {v: ['hist']}, hist: {v: [lo, hi, bins]}}
+    builds per-bucket histogram maps servable as quantiles."""
+    from gqlite_spark.operators.rollup import rollup_quantiles
+    for r in db.exec(
+            "{create: 'hg', group: ['evs']};"
+            "{upset: 'evs', vertex: ["
+            " [1, {t: 0, v: 2}], [2, {t: 100000000000, v: 4}],"
+            " [3, {t: 200000000000, v: 9}]]};"):
+        assert r.error is None, r.error
+    p = str(tmp_path / "hru")
+    res = _one(db, f"{{rollup: 'evs', in: 'hg', path: '{p}', ts: 't',"
+                   " every: 3600, metrics: {v: ['hist']},"
+                   " hist: {v: [0, 10, 10]}};")
+    assert res.rows == [["rollup", p, 1]]
+    q = rollup_quantiles(db.spark, p, "v", [0.5]).collect()
+    assert len(q) == 1 and abs(q[0]["value"] - 4.0) <= 1.0 + 1e-9
+    # errors: hist without the metric / malformed params
+    r = db.exec(f"{{rollup: 'evs', in: 'hg', path: '{p}x', ts: 't',"
+                " metrics: {v: ['sum']}, hist: {v: [0, 10, 10]}};")[0]
+    assert r.error and "lack 'hist'" in r.error
+    r = db.exec(f"{{rollup: 'evs', in: 'hg', path: '{p}y', ts: 't',"
+                " hist: {v: [0, 10]}};")[0]
+    assert r.error and "lo, hi, bins" in r.error
