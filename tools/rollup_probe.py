@@ -91,3 +91,39 @@ def main():
 
 if __name__ == "__main__":
     main()
+
+
+def sketch_overhead(n=50_000_000):
+    """What the sketch metrics add to a rollup build: scalar-only vs
+    +kmv vs +kmv+hist at n events.  Run via:
+    python -c "import sys; sys.path.insert(0,'/root/repo'); \
+from tools.rollup_probe import sketch_overhead; sketch_overhead()"
+    """
+    import shutil
+    import tempfile
+    import time
+
+    from pyspark.sql import SparkSession
+    spark = (SparkSession.builder.master("local[16]")
+             .config("spark.sql.shuffle.partitions", "32")
+             .config("spark.driver.memory", "8g")
+             .appName("rollup_sketch_probe").getOrCreate())
+    spark.sparkContext.setLogLevel("ERROR")
+    from gqlite_spark.operators.rollup import save_rollup
+    root = tempfile.mkdtemp(prefix="rusk_")
+    try:
+        ev = synth(spark, n).withColumn(
+            "user", (F.xxhash64("event_id") % 1_000_000))
+        cases = [
+            ("scalar", {"value": ["sum", "min", "max"]}, None),
+            ("+kmv", {"value": ["sum"], "user": ["kmv"]}, None),
+            ("+kmv+hist", {"value": ["sum", "hist"], "user": ["kmv"]},
+             {"value": (0.0, 1000.0, 256)}),
+        ]
+        for name, m, hp in cases:
+            t = time.time()
+            save_rollup(ev, f"{root}/{name}", "ts", 3600,
+                        dims=["event_type"], metrics=m, hist_params=hp)
+            print(f"{name:10s} build: {time.time()-t:.1f}s")
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
