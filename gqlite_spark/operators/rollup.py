@@ -273,6 +273,35 @@ def read_rollup(spark: SparkSession, path: str,
     return df
 
 
+def coarsen_rollup(spark: SparkSession, path: str, out_path: str,
+                   every: int) -> None:
+    """Derive a coarser rollup (hour → day → month) from a finer one —
+    no history scan: buckets re-label onto the coarser grid and the
+    partials re-merge, which is EXACT for every supported metric
+    (sums/counts add, min/max nest, kmv arrays re-topk, hist maps
+    bin-wise-sum — the binning is bucket-independent).  The classic
+    hierarchical continuous-aggregate cascade: keep hours hot, roll
+    them into days/months whose cost is the bucket table, not the
+    events."""
+    _heal(spark, path)
+    spec = fsio.read_json(spark, fsio.join(path, SPEC_FILE))
+    fine = int(spec["every"])
+    if every % fine != 0 or every <= fine:
+        raise ValueError(
+            f"coarsen_rollup needs a multiple of the source bucket "
+            f"size (source every={fine}, requested {every})")
+    df = spark.read.parquet(path).withColumn(
+        "bucket_start",
+        (F.floor(F.col("bucket_start") / every) * every).cast("long"))
+    merged = _merge(df, list(spec["dims"]), spec["metrics"],
+                    int(spec.get("kmv_k", 256)))
+    merged.write.mode("overwrite").parquet(out_path)
+    out_spec = dict(spec)
+    out_spec["every"] = int(every)
+    out_spec.pop("last_epoch", None)  # epoch ids belong to the source
+    fsio.write_json(spark, fsio.join(out_path, SPEC_FILE), out_spec)
+
+
 def rollup_quantiles(spark: SparkSession, path: str, col: str,
                      qs: "list[float]") -> DataFrame:
     """Per-(bucket, dims) quantiles of a ``hist`` metric from the

@@ -292,3 +292,34 @@ def test_quantiles_cover_all_null_buckets(spark, tmp_path):
            for r in rollup_quantiles(spark, p, "v", [0.5]).collect()}
     assert got[(7200, 0.5)] is None
     assert abs(got[(0, 0.5)] - 6.0) <= 1.0 + 1e-9
+
+
+def test_coarsen_hour_to_day_equals_direct(spark, events, tmp_path):
+    """Coarsening an hourly rollup to daily == building daily from the
+    raw events, exactly, for scalar, kmv AND hist metrics."""
+    from gqlite_spark.operators.rollup import coarsen_rollup
+    m = {"value": ["sum", "min", "hist"], "user_id": ["kmv"]}
+    hp = {"value": (0.0, 1000.0, 50)}
+    ph = f"file:{tmp_path}/hourly"
+    pd_ = f"file:{tmp_path}/daily"
+    pref = f"file:{tmp_path}/daily_direct"
+    save_rollup(events, ph, "ts", 3600, dims=["event_type"],
+                metrics=m, kmv_k=64, hist_params=hp)
+    coarsen_rollup(spark, ph, pd_, 86400)
+    save_rollup(events, pref, "ts", 86400, dims=["event_type"],
+                metrics=m, kmv_k=64, hist_params=hp)
+
+    def canon(path):
+        out = []
+        for r in read_rollup(spark, path).collect():
+            d = r.asDict()
+            d["hist_value"] = sorted(d["hist_value"].items())
+            # double sums drift in the last ulp between the partials
+            # order and the raw order (same convention as _rows)
+            d = {k: round(v, 6) if isinstance(v, float) else v
+                 for k, v in d.items()}
+            out.append(tuple(sorted(d.items())))
+        return sorted(out)
+    assert canon(pd_) == canon(pref)
+    with pytest.raises(ValueError, match="multiple"):
+        coarsen_rollup(spark, ph, pd_, 5400)
