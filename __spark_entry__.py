@@ -1490,6 +1490,48 @@ def q_multimodal_features(spark, sf_dir):
         .alias("features"))
 
 
+def q_rollup_incremental(spark, sf_dir):
+    """Incremental time-bucket rollup lifecycle, end-to-end: build the
+    rollup from 2/3 of events, `append_rollup` the remaining 1/3 (the
+    mergeable-partials fold that rewrites only touched buckets under the
+    crash-safe rewrite-then-swap), then read the stored table.  The
+    DuckDB oracle is the plain one-shot GROUP BY over ALL events —
+    mergeability means incremental == one-shot exactly; integer-cent
+    sums make the equality bit-exact cross-engine.  Reference anchor:
+    the reference re-scans storage per aggregate query
+    (ScanPlan.cpp full-group walk); this is the maintain-don't-rescan
+    form that survives 100 TB of history."""
+    import tempfile
+    from gqlite_spark.operators.rollup import append_rollup, save_rollup
+    ev = (_load(spark, sf_dir, "events")
+          .withColumn("v_cents",
+                      F.floor(F.col("value") * 100 + F.lit(0.5))
+                      .cast("long")))
+    p = "file:" + tempfile.mkdtemp(prefix="gqlite_r9ru_") + "/rollup"
+    save_rollup(ev.filter(F.col("event_id") % 3 != 0), p, "ts", 3600,
+                dims=["event_type"], metrics={"v_cents": ["sum", "max"]})
+    append_rollup(ev.filter(F.col("event_id") % 3 == 0), p)
+    return (spark.read.parquet(p)
+            .select("bucket_start", "event_type", "n",
+                    F.col("sum_v_cents").alias("sum_cents"),
+                    F.col("max_v_cents").alias("max_cents")))
+
+
+def q_distinct_kmv(spark, sf_dir):
+    """Per-event-type KMV distinct-user ESTIMATE (k=64 of the md5-60bit
+    hash family).  The oracle replays the estimator itself — min-k
+    hashes then (k-1)*2^60/h_k floor-half-up — so the estimate VALUES
+    must match, not just the input rows.  The sketch rows are mergeable
+    (same lattice the rollup kmv metric rides), which is what lets a
+    100 TB scan keep per-partition partials instead of a global
+    distinct shuffle."""
+    from gqlite_spark.operators.stats import kmv_estimate, kmv_sketch
+    ev = _load(spark, sf_dir, "events")
+    return kmv_estimate(
+        kmv_sketch(ev, "user_id", k=64, by=["event_type"]),
+        k=64, by=["event_type"])
+
+
 # --------------------------------------------------------------------------
 # contract surface
 # --------------------------------------------------------------------------
@@ -1501,25 +1543,81 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # NOTE on ordering: the driver's correctness gate checks the FIRST 50
-    # entries in dict order.  Round-8 ROTATION (VERDICT r7 next #6): the
-    # window holds (a) the 12 r8-new entries (knn_near_limit_filtered,
-    # knn_compacted, sim_knn_join_ivf, decontaminate_semantic,
-    # sim_ann_ivfpq_indexed, sample_cluster, multimodal_resize,
-    # multimodal_frames, multimodal_features, bucketed_join_revenue,
-    # zorder_scan_revenue, curation_pipeline), (b) ALL
-    # 38 entries whose last driver row is r6 (the past-the-cap slice of
-    # r7), and (c) the r7-green keepers that fit, chosen for overlap with this
-    # round's changes — the routed kNN family (sidecar I/O moved to the
-    # Hadoop FS API; the materialized build became single-pass) plus
-    # the flagship pricing entry.  Every entry past the cap is
-    # r7 driver-green, so the cross-round union still covers all 92
-    # and no entry is more than one round stale.  ALL entries are
-    # additionally verified each round by `python tools/oracle_check.py
-    # --json CORRECTNESS_FULL.json /root/testdata/sf0.01` (and the
-    # sf0.1 float-drift stress run → CORRECTNESS_SF01.json) plus
-    # pytest.
+    # entries in dict order.  Round-9 ROTATION (VERDICT r8 next #1): the
+    # window holds (a) the r9-new entries (rollup_incremental,
+    # distinct_kmv — rehearsed entry-shaped against their full DuckDB
+    # oracles in tests/test_r9_oracle_candidates.py since r8), and
+    # (b) 48 of the 50 entries whose last driver row is r7 (the
+    # past-the-cap slice of r8) — 52 candidates for 50 slots, so two
+    # r7-green entries wait for r10: `filter_or` and `filter_datetime`,
+    # chosen because the planner-predicate family stays redundantly
+    # covered in-window (scan_filter_eq, filter_range_and, point_lookup,
+    # projection share the same planner.compile path) and both are
+    # additionally pinned by parser/golden tests.  They go FIRST in the
+    # r10 window.  Every entry past the cap is r7- or r8-driver-green;
+    # max staleness after r9 = two rounds for exactly those two
+    # documented entries.  ALL entries are additionally verified each
+    # round by `python tools/oracle_check.py --json
+    # CORRECTNESS_FULL.json /root/testdata/sf0.01` (and the sf0.1
+    # float-drift stress run → CORRECTNESS_SF01.json) plus pytest.
     return {
-        # ==== round-8 additions: in-window to earn a driver row now ====
+        # ==== round-9 additions: in-window to earn a driver row now ====
+        "rollup_incremental": q_rollup_incremental,
+        "distinct_kmv": q_distinct_kmv,
+        # ==== r7-stale: 48 of 50 (filter_or / filter_datetime → r10) ====
+        "knn_near_limit_routed": q_knn_routed,
+        "knn_near_limit": q_knn,
+        "pricing_summary": q_pricing_summary,
+        "sim_ann_ivf": q_ann_ivf,
+        "sim_ann_pq_indexed": q_ann_pq_indexed,
+        "training_shards": q_training_shards,
+        "dedup_exact": q_dedup_exact,
+        "dedup_minhash_lsh": q_dedup_minhash,
+        "text_lm_score": q_text_lm_score,
+        "event_funnel": q_event_funnel,
+        "window_session": q_window_session,
+        "window_interval_join": q_interval_join,
+        "multimodal_meta": q_multimodal_meta,
+        "multimodal_av_meta": q_multimodal_av_meta,
+        "sample_stratified": q_sample_stratified,
+        "sample_shuffle": q_sample_shuffle,
+        "decontaminate": q_decontaminate,
+        "pack_sequences": q_pack_sequences,
+        "graph_betweenness": q_betweenness,
+        "multimodal_bytes": q_multimodal_bytes,
+        "scan_filter_eq": q_scan_filter_eq,
+        "filter_range_and": q_filter_range_and,
+        "point_lookup": q_point_lookup,
+        "projection": q_projection,
+        "topk_orders": q_topk_orders,
+        "window_rank_running": q_window_rank,
+        "join_region_revenue": q_join_region_revenue,
+        "join_2hop_revenue": q_join_2hop_revenue,
+        "anti_join_no_orders": q_anti_join,
+        "upsert_lww": q_upsert_lww,
+        "graph_walk_2hop_cond": q_walk_2hop_cond,
+        "graph_motif_fork": q_motif_fork,
+        "graph_khop": q_khop,
+        "graph_shortest_path": q_shortest_path,
+        "graph_connected_components": q_connected_components,
+        "graph_pagerank": q_pagerank,
+        "graph_degrees": q_degrees,
+        "graph_triangles": q_triangles,
+        "graph_scc": q_scc,
+        "graph_closeness": q_closeness,
+        "stats_entropy_gain": q_entropy,
+        "hmm_viterbi": q_hmm_viterbi,
+        "bayes_classify": q_bayes_classify,
+        "dedup_url": q_dedup_url,
+        "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+        "dedup_simhash": q_dedup_simhash,
+        "dedup_embedding_cosine": q_dedup_embedding,
+        "dedup_lines": q_dedup_lines,
+        # ==== past the cap: deferred r7-green pair — FIRST in r10 ====
+        "filter_or": q_filter_or,
+        "filter_datetime": q_filter_datetime,
+        # ==== past the cap: r8 driver-green (still oracle-checked
+        # ==== locally every round at sf0.01 AND sf0.1) ====
         "knn_near_limit_filtered": q_knn_filtered,
         "knn_compacted": q_knn_compacted,
         "sim_knn_join_ivf": q_knn_join_ivf,
@@ -1532,7 +1630,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bucketed_join_revenue": q_bucketed_join_revenue,
         "zorder_scan_revenue": q_zorder_scan_revenue,
         "curation_pipeline": q_curation_pipeline,
-        # ==== promoted: last driver row r6 (past-the-cap in r7) ====
         "graph_pagerank_personalized": q_pagerank_personalized,
         "sim_ann_lsh_indexed": q_ann_lsh_indexed,
         "sim_ann_ivf_indexed": q_ann_ivf_indexed,
@@ -1571,59 +1668,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_cosine_topk": q_cosine_topk,
         "sim_ann_lsh": q_ann_lsh,
         "window_tumbling": q_window_tumbling,
-        # ==== keepers: r7 driver-green, families this round touches ====
-        "knn_near_limit_routed": q_knn_routed,
-        "knn_near_limit": q_knn,
-        "pricing_summary": q_pricing_summary,
-        # ==== past the cap: every entry below is r7 driver-green
-        # ==== (still oracle-checked locally every round) ====
-        "sim_ann_ivf": q_ann_ivf,
-        "sim_ann_pq_indexed": q_ann_pq_indexed,
-        "training_shards": q_training_shards,
-        "dedup_exact": q_dedup_exact,
-        "dedup_minhash_lsh": q_dedup_minhash,
-        "text_lm_score": q_text_lm_score,
-        "event_funnel": q_event_funnel,
-        "window_session": q_window_session,
-        "window_interval_join": q_interval_join,
-        "multimodal_meta": q_multimodal_meta,
-        "multimodal_av_meta": q_multimodal_av_meta,
-        "sample_stratified": q_sample_stratified,
-        "sample_shuffle": q_sample_shuffle,
-        "decontaminate": q_decontaminate,
-        "pack_sequences": q_pack_sequences,
-        "graph_betweenness": q_betweenness,
-        "multimodal_bytes": q_multimodal_bytes,
-        "scan_filter_eq": q_scan_filter_eq,
-        "filter_range_and": q_filter_range_and,
-        "filter_or": q_filter_or,
-        "filter_datetime": q_filter_datetime,
-        "point_lookup": q_point_lookup,
-        "projection": q_projection,
-        "topk_orders": q_topk_orders,
-        "window_rank_running": q_window_rank,
-        "join_region_revenue": q_join_region_revenue,
-        "join_2hop_revenue": q_join_2hop_revenue,
-        "anti_join_no_orders": q_anti_join,
-        "upsert_lww": q_upsert_lww,
-        "graph_walk_2hop_cond": q_walk_2hop_cond,
-        "graph_motif_fork": q_motif_fork,
-        "graph_khop": q_khop,
-        "graph_shortest_path": q_shortest_path,
-        "graph_connected_components": q_connected_components,
-        "graph_pagerank": q_pagerank,
-        "graph_degrees": q_degrees,
-        "graph_triangles": q_triangles,
-        "graph_scc": q_scc,
-        "graph_closeness": q_closeness,
-        "stats_entropy_gain": q_entropy,
-        "hmm_viterbi": q_hmm_viterbi,
-        "bayes_classify": q_bayes_classify,
-        "dedup_url": q_dedup_url,
-        "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
-        "dedup_simhash": q_dedup_simhash,
-        "dedup_embedding_cosine": q_dedup_embedding,
-        "dedup_lines": q_dedup_lines,
     }
 
 
@@ -2467,6 +2511,29 @@ def oracle_sql() -> dict[str, str]:
         " i -> substr(text, i, 3)))) AS s FROM documents WHERE doc_id < 300)")
 
     return {
+        "rollup_incremental":
+            "SELECT CAST(floor(date_part('epoch', ts) / 3600) * 3600"
+            "            AS BIGINT) AS bucket_start,"
+            " event_type, count(*) AS n,"
+            " sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS sum_cents,"
+            " max(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS max_cents"
+            " FROM events GROUP BY 1, 2",
+        "distinct_kmv":
+            "WITH d AS ("
+            "  SELECT DISTINCT event_type,"
+            f"        {_md5_60bit('CAST(user_id AS VARCHAR)')} AS h"
+            "  FROM events WHERE user_id IS NOT NULL"
+            "), r AS ("
+            "  SELECT event_type, h,"
+            "         row_number() OVER (PARTITION BY event_type"
+            "                            ORDER BY h) AS rn FROM d"
+            "), s AS (SELECT * FROM r WHERE rn <= 64)"
+            " SELECT event_type,"
+            " CASE WHEN count(*) < 64 THEN count(*)"
+            "      ELSE CAST(floor(63 * 1152921504606846976.0"
+            "                      / max(h) + 0.5) AS BIGINT)"
+            " END AS n_distinct_est"
+            " FROM s GROUP BY event_type",
         "scan_filter_eq":
             "SELECT c_custkey, c_acctbal, c_mktsegment, c_name, c_nationkey"
             " FROM customer WHERE c_mktsegment = 'BUILDING'",
