@@ -55,23 +55,26 @@ def write_text(spark, path: str, text: str) -> None:
 
 
 def read_text(spark, path: str) -> str:
-    """Read ``path`` fully as UTF-8 text from its scheme's filesystem.
-    Raises Python ``FileNotFoundError`` (not a Py4J-wrapped
+    """Read ``path`` fully as UTF-8 text from its scheme's filesystem,
+    byte-faithful (no newline normalization — the bytes come back
+    exactly as written, CR/LF and trailing newlines included).  Raises
+    Python ``FileNotFoundError`` (not a Py4J-wrapped
     ``java.io.FileNotFoundException``) on a missing file, so callers
     keep the same error-handling contract as plain ``open()``."""
+    return read_bytes(spark, path).decode("utf-8")
+
+
+def read_bytes(spark, path: str) -> bytes:
+    """Read ``path`` fully as raw bytes from its scheme's filesystem."""
     fs, hpath, jvm = _fs_path(spark, path)
     if not fs.exists(hpath):
         raise FileNotFoundError(path)
     stream = fs.open(hpath)
     try:
-        reader = jvm.java.io.BufferedReader(
-            jvm.java.io.InputStreamReader(stream, "UTF-8"))
-        lines = []
-        line = reader.readLine()
-        while line is not None:
-            lines.append(line)
-            line = reader.readLine()
-        return "\n".join(lines)
+        sink = jvm.java.io.ByteArrayOutputStream()
+        jvm.org.apache.hadoop.io.IOUtils.copyBytes(stream, sink, 65536,
+                                                   False)
+        return bytes(sink.toByteArray())
     finally:
         stream.close()
 
@@ -113,6 +116,36 @@ def rename(spark, src: str, dst: str) -> None:
         raise IOError(f"rename failed: {src} -> {dst}")
 
 
+def create_exclusive(spark, path: str, text: str) -> bool:
+    """Atomically create ``path`` with ``text``, failing (returning
+    False) if it already exists — Hadoop ``create(overwrite=False)``
+    is the one atomic claim primitive every FS implements, which makes
+    this the lease/lock building block for single-writer lifecycles."""
+    fs, hpath, _ = _fs_path(spark, path)
+    try:
+        out = fs.create(hpath, False)
+    except Exception as e:  # Py4J-wrapped FileAlreadyExistsException
+        msg = str(e)
+        if "AlreadyExists" in msg or "already exists" in msg:
+            return False
+        raise
+    try:
+        out.write(bytearray(text.encode("utf-8")))
+    finally:
+        out.close()
+    return True
+
+
+def mtime(spark, path: str) -> float:
+    """Modification time of ``path`` in epoch seconds (FS clock)."""
+    fs, hpath, _ = _fs_path(spark, path)
+    return fs.getFileStatus(hpath).getModificationTime() / 1000.0
+
+
+class ConcurrentWriterError(IOError):
+    """Another writer holds the swap lease for this table."""
+
+
 def heal_swap(spark, path: str, kind: str) -> None:
     """Recover from a crash between :func:`swap_in`'s two renames: if
     the table vanished from ``path`` but the complete old table sits at
@@ -123,19 +156,57 @@ def heal_swap(spark, path: str, kind: str) -> None:
         rename(spark, old, path)
 
 
-def swap_in(spark, path: str, kind: str, write_fn) -> None:
+def swap_in(spark, path: str, kind: str, write_fn,
+            lease_timeout: float = 3600.0) -> None:
     """Rewrite-then-swap table maintenance, shared by every lifecycle
     that atomically replaces a directory-shaped table (rollup append,
     recluster): ``write_fn(tmp_path)`` materializes the COMPLETE new
     table at a ``<path>.<kind>_tmp`` sibling, then two FS renames swap
     it in and the old table is deleted.  A crash at any step leaves a
     complete table at ``path`` or parked at ``<path>.<kind>_old``
-    (healed by :func:`heal_swap`) — never a partial mix."""
+    (healed here on entry, so a torn swap self-repairs) — never a
+    partial mix.
+
+    SINGLE WRITER per table path, enforced: the swap is guarded by an
+    atomic ``<path>.<kind>_lock`` lease (:func:`create_exclusive`), so
+    a second concurrent writer raises :class:`ConcurrentWriterError`
+    cleanly instead of clobbering the first writer's tmp mid-write or
+    swapping a torn table in.  A lease older than ``lease_timeout``
+    seconds (FS mtime — a crashed writer never releases) is taken
+    over.  Readers need no lease: they always see a complete table at
+    ``path`` or heal one from ``_old``."""
+    import os
+    import time
+
+    lock = path.rstrip("/") + f".{kind}_lock"
+    claim = f"pid={os.getpid()} t={time.time():.0f}"
+    if not create_exclusive(spark, lock, claim):
+        try:
+            age = time.time() - mtime(spark, lock)
+        except Exception:
+            age = None  # lock vanished between claim and stat: retry
+        if age is not None and age <= lease_timeout:
+            raise ConcurrentWriterError(
+                f"another writer holds {lock} (age {age:.0f}s <= "
+                f"lease_timeout {lease_timeout:.0f}s); rollup/recluster "
+                "lifecycles are single-writer per table path")
+        if age is not None:  # stale: crashed writer — take over
+            delete(spark, lock, recursive=False)
+        if not create_exclusive(spark, lock, claim):
+            raise ConcurrentWriterError(
+                f"lost the takeover race for {lock}")
     tmp = path.rstrip("/") + f".{kind}_tmp"
     old = path.rstrip("/") + f".{kind}_old"
-    delete(spark, tmp)
-    delete(spark, old)
-    write_fn(tmp)
-    rename(spark, path, old)
-    rename(spark, tmp, path)
-    delete(spark, old)
+    try:
+        # heal INSIDE the lease: on a torn state (path missing, old
+        # holding the only complete table) the preamble delete(old)
+        # below would otherwise destroy the sole copy (ADVICE r8 #1)
+        heal_swap(spark, path, kind)
+        delete(spark, tmp)
+        delete(spark, old)
+        write_fn(tmp)
+        rename(spark, path, old)
+        rename(spark, tmp, path)
+        delete(spark, old)
+    finally:
+        delete(spark, lock, recursive=False)

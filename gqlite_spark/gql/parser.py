@@ -550,14 +550,21 @@ class Parser:
                 def _num(x):
                     return (isinstance(x, (int, float))
                             and not isinstance(x, bool))
+                def _bins(x):
+                    # bool is an int subclass: hist: {v: [0, 10, true]}
+                    # must not silently become a 1-bin histogram
+                    return (isinstance(x, int)
+                            and not isinstance(x, bool) and x >= 1)
                 if (not isinstance(hist, dict)
                         or not all(isinstance(c, str) and isinstance(v, list)
                                    and len(v) == 3 and _num(v[0])
-                                   and _num(v[1]) and isinstance(v[2], int)
+                                   and _num(v[1]) and _bins(v[2])
+                                   and v[0] < v[1]
                                    for c, v in hist.items())):
                     raise GQLParseError(
                         "rollup: hist must map property names to "
-                        "[lo, hi, bins] (numeric, numeric, integer)")
+                        "[lo, hi, bins] (numeric lo < hi, bins a "
+                        "positive integer)")
             return RollupStmt(obj["rollup"], path, obj.get("in"),
                               ts, every, by, metrics, False, hist)
         if "shards" in obj:

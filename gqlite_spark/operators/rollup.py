@@ -212,7 +212,13 @@ def append_rollup(batch: DataFrame, path: str,
     (returns False) instead of double-counted.  Ids must be monotonic
     per rollup — Structured Streaming's foreachBatch batch_id under a
     checkpointLocation is exactly that (see streaming.stream_rollup).
-    Without ``epoch_id``, exactly-once is the caller's contract."""
+    Without ``epoch_id``, exactly-once is the caller's contract.
+
+    SINGLE WRITER per rollup path: the swap is guarded by an atomic
+    FS lease (``<path>.rollup_lock``), so a second concurrent appender
+    raises :class:`gqlite_spark.fsio.ConcurrentWriterError` cleanly —
+    point at most one stream/appender at a rollup path.  Readers are
+    unaffected."""
     spark = batch.sparkSession
     _heal(spark, path)
     spec = fsio.read_json(spark, fsio.join(path, SPEC_FILE))
@@ -283,6 +289,14 @@ def coarsen_rollup(spark: SparkSession, path: str, out_path: str,
     hierarchical continuous-aggregate cascade: keep hours hot, roll
     them into days/months whose cost is the bucket table, not the
     events."""
+    if out_path.rstrip("/") == path.rstrip("/"):
+        # the coarse write would truncate the same directory the lazy
+        # source read streams from (data loss or job failure) — and a
+        # rollup can't be coarsened in place anyway (the fine buckets
+        # are its contents)
+        raise ValueError(
+            f"coarsen_rollup out_path must differ from the source path "
+            f"({path!r}); write the coarser grid to its own table")
     _heal(spark, path)
     spec = fsio.read_json(spark, fsio.join(path, SPEC_FILE))
     fine = int(spec["every"])
@@ -295,11 +309,23 @@ def coarsen_rollup(spark: SparkSession, path: str, out_path: str,
         (F.floor(F.col("bucket_start") / every) * every).cast("long"))
     merged = _merge(df, list(spec["dims"]), spec["metrics"],
                     int(spec.get("kmv_k", 256)))
-    merged.write.mode("overwrite").parquet(out_path)
     out_spec = dict(spec)
     out_spec["every"] = int(every)
     out_spec.pop("last_epoch", None)  # epoch ids belong to the source
-    fsio.write_json(spark, fsio.join(out_path, SPEC_FILE), out_spec)
+
+    def _write(tmp: str) -> None:
+        merged.write.parquet(tmp)
+        fsio.write_json(spark, fsio.join(tmp, SPEC_FILE), out_spec)
+
+    if fsio.exists(spark, out_path):
+        # refresh an existing coarse table under the same crash
+        # contract as append_rollup: rewrite-then-swap, never a mix
+        fsio.swap_in(spark, out_path, "rollup", _write)
+    else:
+        tmp = out_path.rstrip("/") + ".rollup_tmp"
+        fsio.delete(spark, tmp)
+        _write(tmp)
+        fsio.rename(spark, tmp, out_path)
 
 
 def rollup_quantiles(spark: SparkSession, path: str, col: str,

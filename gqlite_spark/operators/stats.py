@@ -159,9 +159,15 @@ def kmv_sketch(df: DataFrame, col: str, k: int = 256,
     thresh = F.col("h") < int(KMV_HASH_SPACE * frac)
     out = _min_k(hashed.filter(thresh), k, [])
     out = out.persist()
-    if out.count() >= k:
-        return out
+    ok = out.count() >= k
+    # release the decision cache eagerly either way: a long-lived
+    # session building many sketches must not accumulate blocks until
+    # ContextCleaner notices (ADVICE r8).  The success path repays one
+    # narrow prefiltered TakeOrderedAndProject when the caller
+    # materializes — the cheap pass, by construction.
     out.unpersist()
+    if ok:
+        return out
     return _min_k(hashed, k, [])
 
 
@@ -185,8 +191,8 @@ def _group_min_k_prefiltered(hashed: DataFrame, k: int, by: "list[str]",
     unfiltered, restricted via a broadcast semi-join.  Big groups (the
     reason to prefilter at all) stay on the narrow shuffle.  All the
     repair joins are null-safe: a NULL group key is a real group.
-    The ≤k-row candidate caches are GC-cleaned by Spark's
-    ContextCleaner once the returned plan is dropped."""
+    The decision-time candidate caches are released eagerly before
+    returning (no blocks outlive the call)."""
     cand = _min_k(hashed.filter(thresh), k, by).persist()
     counts = cand.groupBy(*by).agg(F.count("*").alias("_c"))
     full = counts.filter(F.col("_c") >= k)
@@ -209,7 +215,15 @@ def _group_min_k_prefiltered(hashed: DataFrame, k: int, by: "list[str]",
                     _eq_nullsafe(hashed, short, by), "leftsemi"), k, by)
     kept = cand.join(F.broadcast(short),
                      _eq_nullsafe(cand, short, by), "left_anti")
-    return kept.unionByName(redo)
+    out = kept.unionByName(redo)
+    # eager release (ADVICE r8): the counts above already consumed the
+    # caches; holding them until ContextCleaner GC leaks blocks across
+    # repeated sketch builds in a long-lived session.  Downstream
+    # materialization recomputes the narrow prefiltered candidate scan
+    # once — the cheap pass.
+    cand.unpersist()
+    short.unpersist()
+    return out
 
 
 def kmv_merge(sketches: "list[DataFrame]", k: int = 256,

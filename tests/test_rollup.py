@@ -323,3 +323,61 @@ def test_coarsen_hour_to_day_equals_direct(spark, events, tmp_path):
     assert canon(pd_) == canon(pref)
     with pytest.raises(ValueError, match="multiple"):
         coarsen_rollup(spark, ph, pd_, 5400)
+
+
+def test_concurrent_append_rejected_cleanly(spark, events, tmp_path):
+    """Single-writer contract (VERDICT r8 next #4): with another
+    writer's lease held, append_rollup errors cleanly and the table
+    (data + spec) is untouched."""
+    from gqlite_spark import fsio
+    p = f"file:{tmp_path}/cc"
+    save_rollup(events.filter(F.col("event_id") % 2 == 0), p, "ts",
+                EVERY, dims=["event_type"], metrics=METRICS)
+    before = _rows(read_rollup(spark, p))
+    lock = p + ".rollup_lock"
+    assert fsio.create_exclusive(spark, lock, "writer A mid-swap")
+    with pytest.raises(fsio.ConcurrentWriterError):
+        append_rollup(events.filter(F.col("event_id") % 2 == 1), p)
+    fsio.delete(spark, lock, recursive=False)
+    assert _rows(read_rollup(spark, p)) == before
+    # lease released -> the retry folds the batch in normally
+    assert append_rollup(events.filter(F.col("event_id") % 2 == 1), p)
+    p_full = f"file:{tmp_path}/cc_full"
+    save_rollup(events, p_full, "ts", EVERY, dims=["event_type"],
+                metrics=METRICS)
+    assert _rows(read_rollup(spark, p)) == _rows(read_rollup(spark, p_full))
+
+
+def test_coarsen_rejects_in_place(spark, events, tmp_path):
+    """ADVICE r8 #2: out_path == path would truncate the directory the
+    lazy source read streams from."""
+    from gqlite_spark.operators.rollup import coarsen_rollup
+    p = f"file:{tmp_path}/inplace"
+    save_rollup(events, p, "ts", EVERY, metrics=METRICS)
+    with pytest.raises(ValueError, match="differ"):
+        coarsen_rollup(spark, p, p, 86400)
+    with pytest.raises(ValueError, match="differ"):
+        coarsen_rollup(spark, p, p + "/", 86400)
+
+
+def test_coarsen_refresh_swaps_atomically(spark, events, tmp_path):
+    """Re-coarsening onto an existing coarse table goes through the
+    same rewrite-then-swap contract as append (not a bare overwrite):
+    the refreshed table is complete and correct."""
+    from gqlite_spark.operators.rollup import coarsen_rollup
+    ph = f"file:{tmp_path}/hr"
+    pd_ = f"file:{tmp_path}/dy"
+    half = events.filter(F.col("event_id") % 2 == 0)
+    save_rollup(half, ph, "ts", 3600, dims=["event_type"],
+                metrics=METRICS)
+    coarsen_rollup(spark, ph, pd_, 86400)
+    append_rollup(events.filter(F.col("event_id") % 2 == 1), ph)
+    coarsen_rollup(spark, ph, pd_, 86400)  # refresh over existing
+    pref = f"file:{tmp_path}/dy_direct"
+    save_rollup(events, pref, "ts", 86400, dims=["event_type"],
+                metrics=METRICS)
+    assert _rows(read_rollup(spark, pd_)) == _rows(read_rollup(spark, pref))
+    # no lifecycle droppings left beside the refreshed table
+    from gqlite_spark import fsio
+    for suffix in (".rollup_tmp", ".rollup_old", ".rollup_lock"):
+        assert not fsio.exists(spark, pd_ + suffix)
