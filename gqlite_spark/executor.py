@@ -558,9 +558,24 @@ class GQLite:
         hash-bucketed for exchange-free joins (sources/bucketed.py).
         The GQL surface of the write-once scale layouts — pay one
         shuffle at export, every later scan/join is pruned/co-located.
+        ``attach: true`` points the group's own query path at the copy
+        (Group.attach_layout — scans skip files / point lookups prune
+        buckets from then on); alone it attaches an EXISTING layout.
         Result row: (kind, path, n_rows)."""
         graph = self._graph(stmt.graph)
         grp = graph.group(stmt.group)
+        if stmt.attach and stmt.by is None and stmt.bucket_by is None:
+            # attach-only: no export — wire an existing layout copy in
+            try:
+                kind = grp.attach_layout(stmt.path)
+            except GQLiteError:
+                raise
+            except Exception as e:
+                raise GQLiteError(f"layout attach: {e}") from e
+            return StatementResult(
+                status="QUERY SUCCESS",
+                rows=[[f"attach_{kind}", stmt.path, grp.row_count()]],
+                value=grp.row_count())
         df = grp.to_df()
         if df is None:
             return StatementResult(status="QUERY SUCCESS", rows=[], df=None)
@@ -584,6 +599,8 @@ class GQLite:
         # view — counting `df` first would compute the whole group view
         # (overlay merges included) twice at scale.
         n = self.spark.read.parquet(stmt.path).count()
+        if stmt.attach:
+            kind = "attach_" + grp.attach_layout(stmt.path)
         return StatementResult(status="QUERY SUCCESS",
                                rows=[[kind, stmt.path, n]], value=n)
 

@@ -292,8 +292,11 @@ class LayoutStmt:
     path: 'dir', bucket_by: key, buckets: 64}`` (hash-bucketed
     co-location — sources/bucketed.py).  The GQL surface of the
     write-once storage layouts: pay one shuffle at export, every later
-    scan skips files / every later join skips the exchange.  Result
-    row: (kind, path, n_rows)."""
+    scan skips files / every later join skips the exchange.  With
+    ``attach: true`` the group's query path is pointed at the copy
+    (Group.attach_layout) — combined with by:/bucket_by: it exports
+    then attaches; alone it attaches an existing layout at ``path``
+    (e.g. in a fresh session).  Result row: (kind, path, n_rows)."""
     group: str
     path: str
     graph: Optional[str] = None
@@ -301,6 +304,7 @@ class LayoutStmt:
     files: int = 16
     bucket_by: Optional[str] = None
     buckets: int = 16
+    attach: bool = False
 
 
 @dataclass

@@ -479,10 +479,18 @@ class Parser:
                 raise GQLParseError("layout: a path: string is required")
             by = obj.get("by")
             bucket_by = obj.get("bucket_by")
-            if (by is None) == (bucket_by is None):
+            attach = obj.get("attach", False)
+            if not isinstance(attach, bool):
+                attach = self._flag(str(attach))
+            if by is not None and bucket_by is not None:
+                raise GQLParseError(
+                    "layout: give at most one of by: (sort/z-order "
+                    "columns) and bucket_by: (hash-bucket key)")
+            if by is None and bucket_by is None and not attach:
                 raise GQLParseError(
                     "layout: exactly one of by: (sort/z-order columns) "
-                    "or bucket_by: (hash-bucket key) is required")
+                    "or bucket_by: (hash-bucket key) is required "
+                    "(or attach: true to attach an existing layout)")
             if by is not None:
                 if isinstance(by, str):
                     by = [by]
@@ -502,7 +510,7 @@ class Parser:
                     raise GQLParseError(
                         f"layout: {k} must be a positive integer")
             return LayoutStmt(obj["layout"], path, obj.get("in"),
-                              by, files, bucket_by, buckets)
+                              by, files, bucket_by, buckets, attach)
         if "rollup" in obj:
             path = obj.get("path")
             if not isinstance(path, str) or not path:

@@ -434,7 +434,7 @@ def test_gql_layout_errors(pdb):
     assert r.error and "exactly one" in r.error
     r = pdb.exec("{layout: 'docs', in: 'pg', path: '/tmp/x',"
                  " by: 'id', bucket_by: 'id'};")[0]
-    assert r.error and "exactly one" in r.error
+    assert r.error and "at most one" in r.error
     r = pdb.exec("{layout: 'docs', in: 'pg', by: 'id'};")[0]
     assert r.error and "path" in r.error
     r = pdb.exec("{layout: 'docs', in: 'pg', path: '/tmp/x',"

@@ -1,0 +1,151 @@
+"""{layout} tables serve the GQL query path (VERDICT r8 missing #1 /
+next #2).
+
+Before r9, `{layout}` was an export only: the group's `{query}` scans
+kept reading the original parquet, so a user who paid the layout
+shuffle got pruned scans / bucket pruning only by leaving GQL for the
+library API.  `Group.attach_layout` (and `{layout ... attach: true}`)
+closes the gap — the reference anchor is the mdbx key-ordered table
+being the reference's ONLY scan path (StorageEngine.cpp:552-564):
+layout and query path are one thing there.
+"""
+import re
+
+import pytest
+from pyspark.sql import functions as F
+
+from gqlite_spark import GQLite
+from gqlite_spark.errors import GQLiteError
+
+
+@pytest.fixture()
+def db(spark):
+    d = GQLite(spark)
+    d.exec("{create: 'lg', group: ['item', 'ord']};")
+    item = d.catalog.graphs["lg"].group("item")
+    item.register_df(
+        spark.range(0, 4000).selectExpr(
+            "id", "id % 50 as cat", "cast(id * 1.5 as double) as v"),
+        key_col="id")
+    ord_ = d.catalog.graphs["lg"].group("ord")
+    ord_.register_df(
+        spark.range(0, 3000).selectExpr("id", "id % 7 as pr"),
+        key_col="id")
+    return d
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_attach_range_scans_copy_with_pushdown(db, tmp_path):
+    """After attach, a GQL {query} with a predicate on the clustering
+    column (a) reads the LAYOUT COPY, (b) pushes the predicate into
+    that scan, and (c) returns exactly the pre-attach rows."""
+    p = str(tmp_path / "lr")
+    before = sorted(
+        (r["id"], r["cat"]) for r in db.query_df(
+            "{query: 'item', in: 'lg',"
+            " where: {cat: {$gte: 10, $lt: 12}}};").collect())
+    r = db.exec("{layout: 'item', in: 'lg', path: '" + p +
+                "', by: 'cat', files: 8, attach: true};")[0]
+    assert r.error is None and r.rows == [["attach_range", p, 4000]]
+    q = db.query_df("{query: 'item', in: 'lg',"
+                    " where: {cat: {$gte: 10, $lt: 12}}};")
+    plan = _plan(q)
+    assert "lr" in plan, plan  # the copy, not the original source
+    pushed = re.search(r"PushedFilters: \[([^\]]*)\]", plan)
+    assert pushed and "GreaterThanOrEqual(cat,10)" in pushed.group(1), plan
+    assert "LessThan(cat,12)" in pushed.group(1), plan
+    assert sorted((r["id"], r["cat"]) for r in q.collect()) == before
+    # the copy's footer stats actually make the pushed range selective:
+    # a 2-of-50 cat slice overlaps a small fraction of the files
+    from gqlite_spark.sources.clustered import file_stats, overlap_fraction
+    frac = overlap_fraction(file_stats(p, "cat"), 10, 12)
+    assert frac <= 0.25, frac
+
+
+def test_attach_bucket_prunes_point_lookup(db, tmp_path):
+    """After a bucketed attach, a GQL point lookup on the bucket key
+    reads 1/n_buckets of the files: SelectedBucketsCount in the scan."""
+    p = str(tmp_path / "lb")
+    r = db.exec("{layout: 'ord', in: 'lg', path: '" + p +
+                "', bucket_by: 'id', buckets: 8, attach: true};")[0]
+    assert r.error is None and r.rows == [["attach_bucket", p, 3000]]
+    q = db.query_df("{query: 'ord', in: 'lg', where: {id: 123}};")
+    plan = _plan(q)
+    m = re.search(r"SelectedBucketsCount: (\d+) out of (\d+)", plan)
+    assert m, plan
+    assert (int(m.group(1)), int(m.group(2))) == (1, 8)
+    assert [(r["id"], r["pr"]) for r in q.collect()] == [(123, 123 % 7)]
+
+
+def test_attach_keeps_local_overlay_lww(db, tmp_path):
+    """OLTP upserts after the attach stay correct: to_df unions
+    layout ∪ local with last-writer-wins, exactly like bulk."""
+    p = str(tmp_path / "lwl")
+    db.exec("{layout: 'item', in: 'lg', path: '" + p +
+            "', by: 'cat', attach: true};")
+    db.exec("{upset: 'item', vertex: [[777, {cat: 5, v: 1.0}],"
+            " [9999, {cat: 5, v: 2.0}]]};")
+    grp = db.catalog.graphs["lg"].group("item")
+    assert grp._layout_attach is not None  # local writes keep it
+    got = sorted((r["id"], r["v"]) for r in db.query_df(
+        "{query: 'item', in: 'lg', where: {cat: 5}};").collect())
+    # 777 overwritten (LWW), 9999 brand new, the original cat=5 rows
+    # minus the shadowed 777
+    want = sorted([(i, i * 1.5) for i in range(5, 4000, 50) if i != 777]
+                  + [(777, 1.0), (9999, 2.0)])
+    assert got == want
+    assert db.query_df("{query: 'item', in: 'lg',"
+                       " where: {id: 777}};").collect()[0]["cat"] == 5
+
+
+def test_bulk_mutation_detaches(db, tmp_path, spark):
+    p = str(tmp_path / "det")
+    db.exec("{layout: 'item', in: 'lg', path: '" + p +
+            "', by: 'cat', attach: true};")
+    grp = db.catalog.graphs["lg"].group("item")
+    assert grp._layout_attach is not None
+    grp.register_df(
+        spark.range(0, 10).selectExpr("id", "id % 3 as cat",
+                                      "cast(id as double) as v"),
+        key_col="id")
+    assert grp._layout_attach is None
+    assert db.query_df("{query: 'item', in: 'lg'};").count() == 10
+
+
+def test_attach_only_fresh_group(db, tmp_path, spark):
+    """Attach an EXISTING layout to a group with no bulk registered
+    (the fresh-session shape): schema accretes from the copy and the
+    copy serves every query."""
+    p = str(tmp_path / "fre")
+    db.exec("{layout: 'item', in: 'lg', path: '" + p + "', by: 'cat'};")
+    db.exec("{create: 'lg2', group: ['item']};")
+    r = db.exec("{layout: 'item', in: 'lg2', path: '" + p +
+                "', attach: true};")[0]
+    assert r.error is None and r.rows == [["attach_range", p, 4000]]
+    q = db.query_df("{query: 'item', in: 'lg2',"
+                    " where: {cat: 11, id: {$lt: 200}}};")
+    assert sorted(r["id"] for r in q.collect()) == [11, 61, 111, 161]
+    assert "fre" in _plan(q)
+
+
+def test_attach_errors(db, tmp_path):
+    # no sidecar at path
+    r = db.exec("{layout: 'item', in: 'lg', path: '" + str(tmp_path) +
+                "/nope', attach: true};")[0]
+    assert r.error and "no layout sidecar" in r.error
+    # copy missing a group column
+    p = str(tmp_path / "mis")
+    db.exec("{layout: 'ord', in: 'lg', path: '" + p + "', by: 'pr'};")
+    grp = db.catalog.graphs["lg"].group("item")
+    with pytest.raises(GQLiteError, match="lacks group column"):
+        grp.attach_layout(p)
+    # parser: by + bucket_by together still rejected
+    r = db.exec("{layout: 'item', in: 'lg', path: '/tmp/x',"
+                " by: 'cat', bucket_by: 'id'};")[0]
+    assert r.error and "at most one" in r.error
+    # parser: neither, without attach
+    r = db.exec("{layout: 'item', in: 'lg', path: '/tmp/x'};")[0]
+    assert r.error and "attach: true" in r.error
