@@ -163,6 +163,12 @@ class Group:
         # parity with GHNSW::insert); BULK mutations detach (stale
         # assignment / deleted rows).  See _invalidate(local_only=...).
         self._ivf_attach: dict = {}
+        # attr → persisted IVFPQ index path (attach_ivfpq_index): the
+        # routed $near path falls back to ADC-over-codes + exact
+        # re-rank when no full-vector IVF index is attached — the
+        # 100 TB form (codes are ~dim·4/m smaller).  Same detach rules
+        # as _ivf_attach.
+        self._ivfpq_attach: dict = {}
         # attached {layout} export (attach_layout): scans read the
         # clustered/bucketed copy instead of the original bulk source.
         # LOCAL-overlay writes keep it (to_df unions layout ∪ local
@@ -345,13 +351,16 @@ class Group:
         self._count_cache = None
         if not local_only:
             self._ivf_attach = {}
+            self._ivfpq_attach = {}
             self._layout_attach = None
-        elif self.meta.is_edge and self._ivf_attach:
+        elif self.meta.is_edge and (self._ivf_attach
+                                    or self._ivfpq_attach):
             # the routed $near path has no edge-overlay handling
             # (executor._apply_knn_routed sets local_keys=[] for edge
             # groups), so a kept index would serve stale/incomplete
             # results after a local edge upsert — detach instead
             self._ivf_attach = {}
+            self._ivfpq_attach = {}
 
     def attach_layout(self, path: str) -> str:
         """Point this group's SCANS at a ``{layout}`` export (VERDICT r8
@@ -446,6 +455,20 @@ class Group:
         lists' vector data is read at all.  Any mutation of the group
         detaches it (the assignment would be stale)."""
         self._ivf_attach[attr] = path
+
+    def attach_ivfpq_index(self, attr: str, path: str) -> None:
+        """Register a persisted IVFPQ index (written by
+        ``operators.similarity.save_ivfpq_index`` with ``metric='l2'``)
+        for ``attr`` (VERDICT r8 missing #2).  While attached — and no
+        full-vector IVF index is (that one stays the latency champion
+        and wins the route) — ``$near``+limit queries read ONLY the
+        probed lists' (id, codes) rows off the index (~dim·4/m smaller
+        than vectors: the index you can replicate hot when the corpus
+        is 100 TB and the index must not be), rank them by ADC, and
+        exact-re-rank an oversampled candidate set against the corpus
+        with bounded refill / exact fallback (executor._knn_ivfpq).
+        Same overlay/detach rules as :meth:`attach_ivf_index`."""
+        self._ivfpq_attach[attr] = path
 
     def build_ivf_index(self, attr: str, path: str,
                         nlist: "Optional[int]" = None,
@@ -579,6 +602,11 @@ class Group:
         self._ann_cache = {}           # force index reload (partitions changed)
         self._count_cache = None
         self._layout_attach = None     # the copy no longer equals bulk
+        # an attached IVFPQ index does NOT get the overlay folded in
+        # (compaction rewrites the full-vector index only) — after the
+        # merge the overlay rows are bulk, invisible to the overlay
+        # handling the PQ route relies on: detach
+        self._ivfpq_attach = {}
         return {"lists_rewritten": len(affected), "rows_added": rows_added}
 
     def row_count(self) -> int:

@@ -990,6 +990,9 @@ class GQLite:
 
         idx_path = grp._ivf_attach.get(attr)
         if idx_path is None:
+            pq_path = grp._ivfpq_attach.get(attr)
+            if pq_path is not None:
+                return self._knn_ivfpq(grp, df, knn, pq_path, _iconf, log)
             log.info(
                 "$near+limit on %r: %d rows exceed the ann_threshold "
                 "but no l2 IVF index is attached — running the exact "
@@ -1148,6 +1151,115 @@ class GQLite:
             "$near oversample found %d/%d rows within the probed lists "
             "(c=%d) — falling back to the exact scan so the predicate "
             "query stays complete", got, k, c)
+        return apply_knn(df, knn)
+
+    def _knn_ivfpq(self, grp, df: DataFrame, knn: dict, path: str,
+                   _iconf, log) -> DataFrame:
+        """``$near``+limit over a persisted IVFPQ index (VERDICT r8
+        missing #2) — the route when only the codes-sized index is
+        attached (``Group.attach_ivfpq_index``), i.e. the 100 TB shape
+        where a full-vector index would double storage:
+
+        1. partition-pruned read of the query's ``nprobe`` inverted
+           lists — (id, codes) rows only, ~dim·4/m smaller than the
+           materialized-vector read;
+        2. ADC ranking (driver-side m×ksub distance table inlined as a
+           scalar expression) picks the ``candidates`` best ids;
+        3. exact re-rank against the corpus via broadcast id-join —
+           the k winners carry true distances, and any plain
+           predicates (already applied to ``df`` upstream) filter the
+           recovered rows naturally;
+        4. bounded refill: if predicates/radius leave fewer than k
+           survivors, double ``candidates`` and retry (each retry
+           re-reads only the pruned partitions); when the probed pool
+           is exhausted or retries are spent, fall back to the EXACT
+           scan — never a silently short result.
+
+        ``candidates`` default follows the measured candidates law
+        (PLANS.md 'IVFPQ at 256d'): recall saturates only once the
+        candidate set exceeds the count of corpus rows
+        indistinguishable at code resolution, and ≥0.1% of the corpus
+        cleared the 90% bar at every measured config — so the default
+        is max(1000, corpus/1000, oversample·k), overridable via
+        ``spark.gqlite.knn.pq_candidates``.  Local-overlay rows join
+        as always-exact candidates and their shadowed ids leave the
+        ADC pool, same contract as the full-vector route."""
+        from .operators import similarity as S
+        spark = df.sparkSession
+        attr = knn["attr"]
+        k = int(knn["limit"])
+        cached = grp._ann_cache.get(("knn_ivfpq_idx", attr))
+        if cached is None or cached[2] != path:
+            index, params = S.load_ivfpq_index(spark, path)
+            cached = (index, params, path)
+            grp._ann_cache[("knn_ivfpq_idx", attr)] = cached
+        index, params, _ = cached
+        if params.get("metric", "l2") != "l2":
+            log.warning(
+                "attached IVFPQ index for %r has metric=%r (need 'l2' "
+                "for $near routing) — running the exact scan",
+                attr, params.get("metric"))
+            return apply_knn(df, knn)
+        q = [float(x) for x in knn["geometry"]]
+        nprobe = max(1, _iconf(
+            "spark.gqlite.knn.nprobe",
+            S.default_nprobe(int(params.get("nlist") or 0))))
+        probe = S.l2_probe_lists(q, params["centroids"], nprobe)
+        pruned = index.where(F.col("list_id")
+                             .isin([int(x) for x in probe]))
+        local_keys = [] if grp.meta.is_edge else list(grp.rows)
+        overlay_cap = _iconf("spark.gqlite.knn.overlay_isin_max", 1000)
+        if local_keys:
+            if len(local_keys) <= overlay_cap:
+                pruned = pruned.filter(~F.col("id").isin(local_keys))
+            else:
+                log.warning(
+                    "group %r carries %d local-overlay rows over an "
+                    "attached IVFPQ index (cap for inline plans: %d) — "
+                    "excluding shadowed ids via broadcast anti-join; "
+                    "rebuild the index to fold the overlay in",
+                    grp.meta.name, len(local_keys), overlay_cap)
+                pruned = pruned.join(
+                    F.broadcast(grp._local_df().select("id")), "id",
+                    "left_anti")
+        c = max(1, _iconf("spark.gqlite.knn.oversample", 4))
+        retries = max(0, _iconf("spark.gqlite.knn.oversample_retries", 2))
+        candidates = _iconf("spark.gqlite.knn.pq_candidates", 0)
+        if candidates <= 0:
+            candidates = max(1000, grp.row_count() // 1000, c * k)
+        log.warning(
+            "$near+limit on %r routed to IVFPQ ADC (nlist=%s nprobe=%d "
+            "m=%s, codes-only pruned read, candidates=%d%s); add "
+            "'exact: true' to the $near spec to force the exact plan",
+            attr, params.get("nlist"), nprobe, params.get("m"),
+            candidates,
+            f", +{len(local_keys)} local overlay rows" if local_keys
+            else "")
+        adc = pruned.select("id",
+                            S._adc_expr(q, params["books"]).alias("_adc"))
+        got = 0
+        for attempt in range(retries + 1):
+            top = (adc.orderBy(F.col("_adc").asc(), F.col("id").asc())
+                   .limit(candidates))
+            cand_ids = top.select("id")
+            if local_keys:
+                cand_ids = cand_ids.unionByName(
+                    grp._local_df().select("id")).distinct()
+            result = apply_knn(df.join(F.broadcast(cand_ids), "id"), knn)
+            got = result.count()
+            if got >= k:
+                if attempt:
+                    log.info("$near IVFPQ refilled to %d rows at "
+                             "candidates=%d (attempt %d)", got,
+                             candidates, attempt + 1)
+                return result
+            if top.count() < candidates:
+                break  # probed lists exhausted — widening adds nothing
+            candidates *= 2
+        log.warning(
+            "$near IVFPQ found %d/%d rows within the probed lists "
+            "(candidates=%d) — falling back to the exact scan so the "
+            "query stays complete", got, k, candidates)
         return apply_knn(df, knn)
 
     def _target_group(self, target: Any) -> tuple[str, Optional[list[str]]]:

@@ -869,3 +869,100 @@ def test_compact_preserves_float_index_storage(spark, tmp_path):
         assert [r["id"] for r in got.collect()] == [0, 500]
     finally:
         spark.conf.set("spark.gqlite.knn.ann_threshold", "100000")
+
+
+def test_knn_routed_ivfpq_codes_read(spark, tmp_path):
+    """$near+limit over an attached IVFPQ index (VERDICT r8 next #3):
+    when only the codes-sized index is attached, the routed plan reads
+    the PROBED (id, codes) partitions — partition-pruned, no vector
+    column — ranks by ADC, and exact-re-ranks the candidates via a
+    broadcast id join.  On the line fixture the true top-k provably
+    lies in the probed lists, so routed == exact."""
+    from pyspark.sql import functions as SF
+
+    from gqlite_spark.operators.similarity import save_ivfpq_index
+    db, grp = _line_fixture_group(spark, "knnrt_pq")
+    gql = ("{query: 'pts', in: 'knnrt_pq',"
+           " where: {vec: {limit: 3, $near: [0, 0]}}};")
+    exact_ids = [r["id"] for r in db.query_df(gql).collect()]
+    assert exact_ids == [0, 1, 2]
+    idx = str(tmp_path / "pqidx")
+    save_ivfpq_index(grp.to_df(), idx, nlist=8, m=2, ksub=8,
+                     id_col="id", vec_col="vec", metric="l2")
+    grp.attach_ivfpq_index("vec", idx)
+    spark.conf.set("spark.gqlite.knn.ann_threshold", "50")
+    spark.conf.set("spark.gqlite.knn.nprobe", "3")
+    try:
+        routed = db.query_df(gql)
+        phys = routed._jdf.queryExecution().executedPlan().toString()
+        # the probe reaches the CODES scan as partition pruning
+        pf = phys[phys.find("PartitionFilters"):].split("]", 1)[0]
+        assert "list_id" in pf and " IN " in pf, pf
+        # the index scan carries codes, never vectors
+        read = phys[phys.find("ReadSchema", phys.find("FileScan")):]
+        read = read.split("\n")[0]
+        assert "codes" in read and "vec" not in read, read
+        assert [r["id"] for r in routed.collect()] == exact_ids
+        # plain predicate + $near composes (df is pre-filtered; the
+        # candidate join applies it naturally)
+        both = db.query_df(
+            "{query: 'pts', in: 'knnrt_pq', where: {id: {$gte: 1},"
+            " vec: {limit: 3, $near: [0, 0]}}};")
+        assert [r["id"] for r in both.collect()] == [1, 2, 3]
+        # local overlay: new row joins as an exact candidate, shadowed
+        # id's stale codes leave the ADC pool
+        grp.upsert_vertex(999, {"vec": [-0.5, 0.0]})
+        assert grp._ivfpq_attach  # local writes keep the attach
+        assert [r["id"] for r in db.query_df(gql).collect()] == [0, 999, 1]
+        grp.upsert_vertex(0, {"vec": [500.0, 0.0]})
+        assert [r["id"] for r in db.query_df(gql).collect()] == [999, 1, 2]
+        # a full-vector IVF index outranks the PQ route when attached
+        nlist = grp.build_ivf_index("vec", str(tmp_path / "fullvec"))
+        assert nlist == 16
+        plan2 = db.query_df(gql)._jdf.queryExecution().executedPlan() \
+            .toString()
+        # the materialized index's vector column is in the scan; the
+        # ADC code-lookup expression is gone
+        assert "_vec" in plan2 and "element_at(codes" not in plan2, plan2
+        # BULK mutation detaches both; queries fall back to exact
+        grp.delete_where(SF.col("id") == SF.lit(999))
+        assert not grp._ivfpq_attach and not grp._ivf_attach
+        back = db.query_df(gql)
+        assert "list_id" not in back._jdf.queryExecution().toString()
+        assert [r["id"] for r in back.collect()] == [1, 2, 3]
+    finally:
+        spark.conf.set("spark.gqlite.knn.ann_threshold", "100000")
+        spark.conf.unset("spark.gqlite.knn.nprobe")
+
+
+def test_knn_ivfpq_refill_and_exact_fallback(spark, tmp_path):
+    """A selective predicate exhausts the small candidate set → the
+    route doubles `candidates` (bounded) and, when the probed pool is
+    spent, falls back to the complete exact scan — never a silently
+    short result."""
+    from gqlite_spark.operators.similarity import save_ivfpq_index
+    db, grp = _line_fixture_group(spark, "knnrt_pqf")
+    idx = str(tmp_path / "pqf")
+    save_ivfpq_index(grp.to_df(), idx, nlist=8, m=2, ksub=8,
+                     id_col="id", vec_col="vec", metric="l2")
+    grp.attach_ivfpq_index("vec", idx)
+    spark.conf.set("spark.gqlite.knn.ann_threshold", "50")
+    spark.conf.set("spark.gqlite.knn.nprobe", "2")
+    spark.conf.set("spark.gqlite.knn.pq_candidates", "4")
+    try:
+        # ids >= 150 live far from the origin probe: the probed lists
+        # cannot hold 3 of them at any candidates width -> exact
+        # fallback returns the true answer
+        far = db.query_df(
+            "{query: 'pts', in: 'knnrt_pqf', where: {id: {$gte: 150},"
+            " vec: {limit: 3, $near: [0, 0]}}};")
+        assert [r["id"] for r in far.collect()] == [150, 151, 152]
+        # a mildly selective predicate refills within the probed pool
+        mild = db.query_df(
+            "{query: 'pts', in: 'knnrt_pqf', where: {id: {$gte: 3},"
+            " vec: {limit: 3, $near: [0, 0]}}};")
+        assert [r["id"] for r in mild.collect()] == [3, 4, 5]
+    finally:
+        spark.conf.set("spark.gqlite.knn.ann_threshold", "100000")
+        spark.conf.unset("spark.gqlite.knn.nprobe")
+        spark.conf.unset("spark.gqlite.knn.pq_candidates")
