@@ -510,6 +510,37 @@ class Group:
         self.attach_ivf_index(attr, path)
         return n
 
+    def build_ivfpq_index(self, attr: str, path: str,
+                          nlist: "Optional[int]" = None,
+                          m: int = 8, ksub: int = 64,
+                          refine_iters: int = 0,
+                          n_vectors: "Optional[int]" = None) -> int:
+        """Build + attach a persisted IVFPQ (IVFADC) l2 index for
+        ``attr`` in one call — the codes-sized sibling of
+        :meth:`build_ivf_index` for when the corpus is 100 TB and a
+        full-vector index must not be (storage ~dim·4/m smaller; see
+        ``operators.similarity.save_ivfpq_index`` for the measured
+        economics and the candidates law).  √n-auto nlist unless
+        given; ``refine_iters`` Lloyd-refines BOTH quantizers (leave 0
+        for bit-exact external SQL replay).  Returns the nlist used."""
+        from .operators.similarity import auto_nlist, save_ivfpq_index
+        if self.meta.key_type not in (None, "integer"):
+            raise GQLiteError(
+                f"vindex: group '{self.meta.name}' has "
+                f"{self.meta.key_type} keys; IVF indexes require "
+                "integer vertex keys")
+        df = self.to_df()
+        if df is None:
+            raise GQLiteError(f"group '{self.meta.name}' has no data")
+        df = df.filter(F.col(attr).isNotNull())
+        n = nlist or auto_nlist(n_vectors if n_vectors is not None
+                                else df.count())
+        save_ivfpq_index(df, path, nlist=n, m=m, ksub=ksub,
+                         refine_iters=refine_iters,
+                         id_col="id", vec_col=attr, metric="l2")
+        self.attach_ivfpq_index(attr, path)
+        return n
+
     def compact_into_index(self, attr: str) -> dict:
         """Fold the local OLTP overlay into the attached MATERIALIZED
         IVF index by rewriting ONLY the affected list partitions

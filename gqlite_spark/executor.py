@@ -488,7 +488,9 @@ class GQLite:
         ``spark.gqlite.knn.ann_threshold`` read only the probed
         nprobe/nlist slice of the vectors.  GQL surface of the
         reference's persisted HNSW lifecycle (HNSW.cpp:282-328 /
-        358-374).  Result row: (nlist, n_vectors)."""
+        358-374).  ``pq: true`` builds the IVFPQ (codes-only) form
+        instead — Group.build_ivfpq_index, served by the ADC route.
+        Result row: (nlist, n_vectors)."""
         graph = self._graph(stmt.graph)
         grp = graph.group(stmt.group)
         df = grp.to_df()
@@ -522,9 +524,19 @@ class GQLite:
                 rows=[[rep["lists_rewritten"], rep["rows_added"]]],
                 value=rep["rows_added"])
         n_vecs = df.filter(F.col(stmt.on).isNotNull()).count()
-        nlist = grp.build_ivf_index(stmt.on, stmt.path, nlist=stmt.nlist,
-                                    refine_iters=stmt.refine,
-                                    n_vectors=n_vecs)
+        if stmt.pq:
+            # IVFPQ form: codes-only inverted lists (~dim·4/m smaller);
+            # routed $near serves them via ADC + exact re-rank when no
+            # full-vector index is attached (executor._knn_ivfpq)
+            nlist = grp.build_ivfpq_index(
+                stmt.on, stmt.path, nlist=stmt.nlist, m=stmt.m,
+                ksub=stmt.ksub, refine_iters=stmt.refine,
+                n_vectors=n_vecs)
+        else:
+            nlist = grp.build_ivf_index(stmt.on, stmt.path,
+                                        nlist=stmt.nlist,
+                                        refine_iters=stmt.refine,
+                                        n_vectors=n_vecs)
         return StatementResult(
             status="QUERY SUCCESS",
             rows=[[nlist, n_vecs]], value=nlist)

@@ -341,7 +341,13 @@ class VIndexStmt:
     ALREADY-attached index (catalog.Group.compact_into_index):
     rewrites only the affected list partitions — the batched analogue
     of the reference's incremental GHNSW::insert.  Result row:
-    (lists_rewritten, rows_added)."""
+    (lists_rewritten, rows_added).
+
+    ``pq: true`` builds + attaches the IVFPQ (IVFADC) form instead
+    (catalog.Group.build_ivfpq_index; ``m:``/``ksub:`` size the
+    product quantizer): codes-only inverted lists ~dim·4/m smaller
+    than the materialized-vector index — the shape you replicate hot
+    when the corpus is 100 TB and the index must not be."""
     group: str
     path: str
     graph: Optional[str] = None
@@ -349,6 +355,9 @@ class VIndexStmt:
     nlist: Optional[int] = None
     refine: int = 0
     compact: bool = False
+    pq: bool = False
+    m: int = 8
+    ksub: int = 64
 
 
 @dataclass

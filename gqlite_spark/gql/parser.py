@@ -470,9 +470,27 @@ class Parser:
                 raise GQLParseError("vindex: compact folds the overlay "
                                     "into the existing index — nlist/"
                                     "refine do not apply")
+            pq = obj.get("pq", False)
+            if not isinstance(pq, bool):
+                pq = self._flag(str(pq))
+            if pq and compact:
+                raise GQLParseError(
+                    "vindex: compact applies to the full-vector index "
+                    "only (IVFPQ folds nothing incrementally — rebuild "
+                    "it instead)")
+            m = obj.get("m", 8)
+            ksub = obj.get("ksub", 64)
+            for k, v in (("m", m), ("ksub", ksub)):
+                if not isinstance(v, int) or isinstance(v, bool) or v < 1:
+                    raise GQLParseError(
+                        f"vindex: {k} must be a positive integer")
+            if not pq and ("m" in obj or "ksub" in obj):
+                raise GQLParseError(
+                    "vindex: m/ksub size the product quantizer — add "
+                    "pq: true (the full-vector index has no codes)")
             return VIndexStmt(obj["vindex"], path, obj.get("in"),
                               str(obj.get("on", "embedding")), nlist,
-                              refine, compact)
+                              refine, compact, pq, m, ksub)
         if "layout" in obj:
             path = obj.get("path")
             if not isinstance(path, str) or not path:

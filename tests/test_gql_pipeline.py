@@ -534,3 +534,34 @@ def test_gql_rollup_hist_param_validation(db, tmp_path):
     r = db.exec(f"{{rollup: 'evs', in: 'hg', path: '{p}', ts: 't',"
                 " metrics: {v: ['hist']}, hist: {v: [0, 10, 0]}};")[0]
     assert r.error and "positive integer" in r.error
+
+
+def test_gql_vindex_pq_builds_and_routes(pdb, tmp_path, spark):
+    """{vindex pq: true} builds + attaches the IVFPQ (codes-only)
+    index from GQL; a $near+limit above the threshold routes through
+    ADC over the probed codes partitions with exact re-rank, and the
+    pq-specific parse errors are reported."""
+    p = str(tmp_path / "vpq")
+    res = _one(pdb, "{vindex: 'vecs', in: 'pg', on: 'embedding',"
+                    f" path: '{p}', nlist: 2, pq: true, m: 2, ksub: 2}};")
+    assert res.rows[0][0] == 2                  # nlist used
+    assert res.rows[0][1] >= 4                  # vectors indexed
+    grp = pdb.catalog.graphs["pg"].group("vecs")
+    assert grp._ivfpq_attach.get("embedding") == p
+    spark.conf.set("spark.gqlite.knn.ann_threshold", "1")
+    try:
+        out = pdb.query_df("{query: 'vecs', in: 'pg', where:"
+                           " {embedding: {limit: 1, $near: [1.0, 0.0]}}};")
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "element_at(codes" in plan       # the ADC ranking stage
+        assert [r["id"] for r in out.collect()] == [10]
+    finally:
+        spark.conf.set("spark.gqlite.knn.ann_threshold", "100000")
+    r = pdb.exec(f"{{vindex: 'vecs', in: 'pg', path: '{p}', m: 4}};")[0]
+    assert r.error and "pq: true" in r.error
+    r = pdb.exec(f"{{vindex: 'vecs', in: 'pg', path: '{p}',"
+                 " pq: true, compact: true};")[0]
+    assert r.error and "full-vector" in r.error
+    r = pdb.exec(f"{{vindex: 'vecs', in: 'pg', path: '{p}',"
+                 " pq: true, ksub: 0};")[0]
+    assert r.error and "positive" in r.error
