@@ -1384,8 +1384,14 @@ class GQLite:
         """Edge patterns with endpoint property conditions
         (``[{user_id: 2}, {'--': 'tag'}, {movie_id: [...]}]``,
         README.md:155-162): each condition node filters the matching
-        endpoint's vertex group, then a broadcast semi-join restricts the
-        edge set — the Spark form of 'join edges to endpoint tables'."""
+        endpoint's vertex group, then a semi-join restricts the edge
+        set — the Spark form of 'join edges to endpoint tables'.  The
+        join strategy is left to Catalyst/AQE (same contract as
+        match_walk): a selective condition broadcasts at runtime, a
+        non-selective one at 100 TB must NOT be force-broadcast — and
+        when both groups carry co-bucketed ``{layout attach:}`` copies
+        on the join key, the semi-join runs exchange-free off the
+        bucketed scans."""
         a, b = pattern.nodes[0], pattern.nodes[1]
         direction = pattern.conns[0].direction
         if direction == "<-":
@@ -1404,7 +1410,7 @@ class GQLite:
                 gql_parser.Parser("")._build_pred_conj(node.conds))
             keys = vdf.filter(cond).select(
                 F.col("id").alias(edge_col))
-            return out_df.join(F.broadcast(keys), edge_col, "left_semi")
+            return out_df.join(keys, edge_col, "left_semi")
 
         out = semi(out, a, "src", grp.meta.src_group)
         out = semi(out, b, "dst", grp.meta.dst_group)

@@ -149,3 +149,51 @@ def test_attach_errors(db, tmp_path):
     # parser: neither, without attach
     r = db.exec("{layout: 'item', in: 'lg', path: '/tmp/x'};")[0]
     assert r.error and "attach: true" in r.error
+
+
+def test_cobucketed_pattern_join_exchange_free(db, tmp_path, spark):
+    """A GQL 1-hop edge pattern with an endpoint condition over TWO
+    attached co-bucketed layouts (vertices by id, edges by src) runs
+    the semi-join exchange-free off the bucketed scans — and the
+    endpoint key set is no longer force-broadcast (a non-selective
+    condition at 100 TB must not be), the strategy is Catalyst/AQE's.
+    """
+    d = GQLite(spark)
+    d.exec("{create: 'pat', group: ['person',"
+           " ['person', 'knows', 'person']]};")
+    g = d.catalog.graphs["pat"]
+    pers, kn = g.group("person"), g.group("knows")
+    pers.register_df(
+        spark.range(0, 20000).selectExpr("id",
+                                         "cast(id % 70 as long) as age"),
+        key_col="id")
+    kn.register_df(
+        spark.range(0, 60000).selectExpr("id % 20000 as src",
+                                         "(id * 7) % 20000 as dst"),
+        src_col="src", dst_col="dst")
+    pp, pk = str(tmp_path / "pv"), str(tmp_path / "pe")
+    assert d.exec("{layout: 'person', in: 'pat', path: '" + pp +
+                  "', bucket_by: 'id', buckets: 8,"
+                  " attach: true};")[0].error is None
+    assert d.exec("{layout: 'knows', in: 'pat', path: '" + pk +
+                  "', bucket_by: 'src', buckets: 8,"
+                  " attach: true};")[0].error is None
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+    try:
+        q = d.query_df("{query: 'knows', where:"
+                       " [{age: {$gt: 65}}, ->, *]};")
+        plan = _plan(q)
+        # big-big shape: sort-merge semi-join, both scans bucketed,
+        # ZERO shuffle exchange (the final orderBy range exchange is a
+        # golden-format concern, not a join cost)
+        assert "SortMergeJoin" in plan, plan
+        assert plan.count("Bucketed: true") == 2, plan
+        assert "Exchange hashpartitioning" not in plan, plan
+        # correctness: ids with id%70 in {66..69} -> 285 full 70-cycles
+        # x 4 = 1140 vertices (remainder 0..49 adds none), 3 edges each
+        assert q.count() == 3420
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+        spark.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
