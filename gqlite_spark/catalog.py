@@ -634,10 +634,95 @@ class Group:
         self._count_cache = None
         self._layout_attach = None     # the copy no longer equals bulk
         # an attached IVFPQ index does NOT get the overlay folded in
-        # (compaction rewrites the full-vector index only) — after the
-        # merge the overlay rows are bulk, invisible to the overlay
-        # handling the PQ route relies on: detach
+        # (this compaction rewrites the full-vector index only) — after
+        # the merge the overlay rows are bulk, invisible to the overlay
+        # handling the PQ route relies on: detach (fold it separately
+        # with compact_into_pq_index BEFORE this one if both matter)
         self._ivfpq_attach = {}
+        return {"lists_rewritten": len(affected), "rows_added": rows_added}
+
+    def compact_into_pq_index(self, attr: str) -> dict:
+        """Fold the local OLTP overlay into the attached IVFPQ index by
+        rewriting ONLY the affected list partitions — the codes-sized
+        twin of :meth:`compact_into_index`: overlay vectors are
+        assigned with the index's own centroids and ENCODED with its
+        own codebooks (at the corpus element type, so a later rebuild
+        reproduces the same codes), shadowed ids leave the lists that
+        held their pre-upsert codes, and just those partitions are
+        overwritten.  Write cost ∝ touched lists — and each rewritten
+        row is m small ints, not dim floats, so PQ compaction is the
+        cheapest maintenance the ANN layer has.  The overlay then
+        merges into the bulk side and the PQ index stays attached; a
+        co-attached FULL-VECTOR index (if any) does NOT get this fold
+        and detaches (fold it first with ``compact_into_index`` if
+        both matter).  Returns ``{"lists_rewritten": n,
+        "rows_added": m}``."""
+        from . import fsio
+        from .operators.similarity import (_ivf_assign_col,
+                                           _pq_codes_col,
+                                           load_ivfpq_index)
+        path = self._ivfpq_attach.get(attr)
+        if path is None:
+            raise GQLiteError(
+                f"no IVFPQ index attached for '{attr}' on group "
+                f"'{self.meta.name}' — build one with "
+                "{vindex pq: true} first")
+        if self.meta.is_edge:
+            raise GQLiteError("vindex compaction applies to vertex groups")
+        index, params = load_ivfpq_index(self.spark, path)
+        if not self.rows:
+            return {"lists_rewritten": 0, "rows_added": 0}
+        local = self._local_df()
+        merged = self.to_df()          # capture before clearing overlay
+        cents = params["centroids"]
+        # encode at the CORPUS element type: build computed codes on
+        # the corpus column, so compaction must quantize the overlay
+        # identically for a rebuild to be bit-reproducible
+        vec_dt = merged.schema[attr].dataType
+        vecs = (local.filter(F.col(attr).isNotNull())
+                .select(F.col("id"),
+                        F.col(attr).cast(vec_dt).alias("_v")))
+        assigned = vecs.select(
+            F.col("id"),
+            _ivf_assign_col(cents, "_v",
+                            params.get("metric", "l2")).alias("list_id"),
+            _pq_codes_col(params["books"], "_v").alias("codes"))
+        local_ids = local.select("id")
+        shadow = {r["list_id"] for r in
+                  index.join(F.broadcast(local_ids), "id")
+                  .select("list_id").distinct().collect()}
+        fresh = {r["list_id"] for r in
+                 assigned.select("list_id").distinct().collect()}
+        affected = sorted(int(x) for x in shadow | fresh)
+        rows_added = assigned.count()
+        if affected:
+            keep = (index.where(F.col("list_id").isin(affected))
+                    .join(F.broadcast(local_ids), "id", "left_anti")
+                    .select("id", "codes", "list_id"))
+            out = keep.unionByName(
+                assigned.select("id", "codes", "list_id"))
+            out = out.localCheckpoint(eager=True)
+            conf_key = "spark.sql.sources.partitionOverwriteMode"
+            try:
+                old_mode = self.spark.conf.get(conf_key)
+            except Exception:
+                old_mode = None
+            self.spark.conf.set(conf_key, "dynamic")
+            try:
+                (out.write.mode("overwrite").partitionBy("list_id")
+                 .parquet(fsio.join(path, "ivfpq.parquet")))
+            finally:
+                if old_mode is None:
+                    self.spark.conf.unset(conf_key)
+                else:
+                    self.spark.conf.set(conf_key, old_mode)
+        self.bulk_df = merged
+        self.rows = {}
+        self._mat_cache = None
+        self._ann_cache = {}           # force index reload
+        self._count_cache = None
+        self._layout_attach = None     # the copy no longer equals bulk
+        self._ivf_attach = {}          # full-vector index missed the fold
         return {"lists_rewritten": len(affected), "rows_added": rows_added}
 
     def row_count(self) -> int:

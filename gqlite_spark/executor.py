@@ -508,17 +508,58 @@ class GQLite:
             raise GQLiteError(
                 f"vindex: property '{stmt.on}' is {dtype.simpleString()}, "
                 "not a numeric vector")
+        if stmt.attach:
+            # attach-only: re-wire an EXISTING persisted index (fresh
+            # session — no rebuild; kind discovered from the sidecar,
+            # symmetric with {layout attach:})
+            from . import fsio
+            if grp.meta.key_type not in (None, "integer"):
+                raise GQLiteError(
+                    f"vindex: group '{stmt.group}' has "
+                    f"{grp.meta.key_type} keys; IVF indexes require "
+                    "integer vertex keys")
+            if fsio.exists(self.spark,
+                           fsio.join(stmt.path, "ivf_params.json")):
+                params = fsio.read_json(
+                    self.spark, fsio.join(stmt.path, "ivf_params.json"))
+                grp.attach_ivf_index(stmt.on, stmt.path)
+                kind = "attach_ivf"
+            elif fsio.exists(self.spark,
+                             fsio.join(stmt.path, "ivfpq_params.json")):
+                params = fsio.read_json(
+                    self.spark,
+                    fsio.join(stmt.path, "ivfpq_params.json"))
+                grp.attach_ivfpq_index(stmt.on, stmt.path)
+                kind = "attach_ivfpq"
+            else:
+                raise GQLiteError(
+                    f"vindex attach: no index sidecar at '{stmt.path}' "
+                    "— build one first ({vindex} / {vindex pq: true})")
+            if params.get("metric", "l2") != "l2":
+                raise GQLiteError(
+                    f"vindex attach: index at '{stmt.path}' has metric="
+                    f"{params.get('metric')!r}; $near routing needs 'l2'")
+            return StatementResult(
+                status="QUERY SUCCESS",
+                rows=[[kind, int(params.get("nlist") or 0)]],
+                value=int(params.get("nlist") or 0))
         if stmt.compact:
             # fold the OLTP overlay into the existing index in place —
             # rewrites only the affected list partitions.  Re-attaches
-            # first if needed (e.g. after an engine restart).
-            if stmt.on not in grp._ivf_attach:
-                grp.attach_ivf_index(stmt.on, stmt.path)
-            elif grp._ivf_attach[stmt.on] != stmt.path:
+            # first if needed (e.g. after an engine restart).  pq: true
+            # compacts the IVFPQ index (codes rewritten) instead.
+            attach_map = (grp._ivfpq_attach if stmt.pq
+                          else grp._ivf_attach)
+            attach_fn = (grp.attach_ivfpq_index if stmt.pq
+                         else grp.attach_ivf_index)
+            if stmt.on not in attach_map:
+                attach_fn(stmt.on, stmt.path)
+            elif attach_map[stmt.on] != stmt.path:
                 raise GQLiteError(
                     f"vindex: index for '{stmt.on}' is attached at "
-                    f"'{grp._ivf_attach[stmt.on]}', not '{stmt.path}'")
-            rep = grp.compact_into_index(stmt.on)
+                    f"'{attach_map[stmt.on]}', not '{stmt.path}'")
+            rep = (grp.compact_into_pq_index(stmt.on) if stmt.pq
+                   else grp.compact_into_index(stmt.on))
             return StatementResult(
                 status="QUERY SUCCESS",
                 rows=[[rep["lists_rewritten"], rep["rows_added"]]],

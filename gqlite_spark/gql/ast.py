@@ -347,7 +347,13 @@ class VIndexStmt:
     (catalog.Group.build_ivfpq_index; ``m:``/``ksub:`` size the
     product quantizer): codes-only inverted lists ~dim·4/m smaller
     than the materialized-vector index — the shape you replicate hot
-    when the corpus is 100 TB and the index must not be."""
+    when the corpus is 100 TB and the index must not be.
+
+    ``attach: true`` re-wires an EXISTING persisted index at ``path``
+    into the routed ``$near`` path with NO rebuild (fresh-session
+    shape, symmetric with ``{layout attach:}``): the index kind
+    (full-vector IVF vs IVFPQ) is discovered from its params sidecar.
+    Result row: (kind, nlist)."""
     group: str
     path: str
     graph: Optional[str] = None
@@ -358,6 +364,7 @@ class VIndexStmt:
     pq: bool = False
     m: int = 8
     ksub: int = 64
+    attach: bool = False
 
 
 @dataclass

@@ -473,11 +473,10 @@ class Parser:
             pq = obj.get("pq", False)
             if not isinstance(pq, bool):
                 pq = self._flag(str(pq))
-            if pq and compact:
+            if compact and ("m" in obj or "ksub" in obj):
                 raise GQLParseError(
-                    "vindex: compact applies to the full-vector index "
-                    "only (IVFPQ folds nothing incrementally — rebuild "
-                    "it instead)")
+                    "vindex: compact folds the overlay into the "
+                    "existing index — m/ksub come from its sidecar")
             m = obj.get("m", 8)
             ksub = obj.get("ksub", 64)
             for k, v in (("m", m), ("ksub", ksub)):
@@ -488,9 +487,18 @@ class Parser:
                 raise GQLParseError(
                     "vindex: m/ksub size the product quantizer — add "
                     "pq: true (the full-vector index has no codes)")
+            attach = obj.get("attach", False)
+            if not isinstance(attach, bool):
+                attach = self._flag(str(attach))
+            if attach and (compact or nlist is not None or refine
+                           or "m" in obj or "ksub" in obj or "pq" in obj):
+                raise GQLParseError(
+                    "vindex: attach re-wires an EXISTING index at path "
+                    "— the kind and parameters come from its sidecar "
+                    "(drop nlist/refine/pq/m/ksub/compact)")
             return VIndexStmt(obj["vindex"], path, obj.get("in"),
                               str(obj.get("on", "embedding")), nlist,
-                              refine, compact, pq, m, ksub)
+                              refine, compact, pq, m, ksub, attach)
         if "layout" in obj:
             path = obj.get("path")
             if not isinstance(path, str) or not path:

@@ -966,3 +966,49 @@ def test_knn_ivfpq_refill_and_exact_fallback(spark, tmp_path):
         spark.conf.set("spark.gqlite.knn.ann_threshold", "100000")
         spark.conf.unset("spark.gqlite.knn.nprobe")
         spark.conf.unset("spark.gqlite.knn.pq_candidates")
+
+
+def test_vindex_pq_compaction(spark, tmp_path):
+    """{vindex pq: true, compact: true} folds the OLTP overlay into
+    the IVFPQ index by rewriting only affected list partitions: new
+    vectors are encoded with the index's own quantizers, shadowed ids'
+    stale codes leave their lists, untouched partitions stay
+    bit-identical, and the zero-overlay routed query equals exact."""
+    from gqlite_spark import GQLite
+    from gqlite_spark.operators.similarity import load_ivfpq_index
+    db, grp = _line_fixture_group(spark, "knnrt_pqc")
+    idx = str(tmp_path / "pqc")
+    r = db.exec("{vindex: 'pts', in: 'knnrt_pqc', on: 'vec',"
+                f" path: '{idx}', nlist: 8, pq: true, m: 2,"
+                " ksub: 8};")[0]
+    assert r.error is None, r.error
+    before = {(x["id"], tuple(x["codes"]), x["list_id"])
+              for x in load_ivfpq_index(spark, idx)[0].collect()}
+    # overlay: move id 0 far away, add a new near-origin vector
+    grp.upsert_vertex(0, {"vec": [500.0, 0.0]})
+    grp.upsert_vertex(999, {"vec": [-0.5, 0.0]})
+    r = db.exec("{vindex: 'pts', in: 'knnrt_pqc', on: 'vec',"
+                " path: '" + idx + "', pq: true, compact: true};")[0]
+    assert r.error is None, r.error
+    lists_rewritten, rows_added = r.rows[0]
+    assert rows_added == 2 and lists_rewritten >= 1
+    assert not grp.rows                  # overlay merged into bulk
+    assert grp._ivfpq_attach             # index stays attached
+    after = {(x["id"], tuple(x["codes"]), x["list_id"])
+             for x in load_ivfpq_index(spark, idx)[0].collect()}
+    # old id-0 codes gone, id 999 present, id count conserved
+    ids_after = {t[0] for t in after}
+    assert 999 in ids_after and len(ids_after) == 201
+    # untouched rows bit-identical; id 0's stale codes are gone
+    assert {t for t in before if t[0] != 0} <= after
+    assert not ({t for t in before if t[0] == 0} & after)
+    # routed zero-overlay query == exact over the merged corpus
+    spark.conf.set("spark.gqlite.knn.ann_threshold", "50")
+    spark.conf.set("spark.gqlite.knn.nprobe", "8")
+    try:
+        gql = ("{query: 'pts', in: 'knnrt_pqc',"
+               " where: {vec: {limit: 3, $near: [0, 0]}}};")
+        assert [x["id"] for x in db.query_df(gql).collect()] == [999, 1, 2]
+    finally:
+        spark.conf.set("spark.gqlite.knn.ann_threshold", "100000")
+        spark.conf.unset("spark.gqlite.knn.nprobe")

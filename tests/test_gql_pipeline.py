@@ -559,9 +559,58 @@ def test_gql_vindex_pq_builds_and_routes(pdb, tmp_path, spark):
         spark.conf.set("spark.gqlite.knn.ann_threshold", "100000")
     r = pdb.exec(f"{{vindex: 'vecs', in: 'pg', path: '{p}', m: 4}};")[0]
     assert r.error and "pq: true" in r.error
+    # pq + compact is the PQ compaction lifecycle: the fixture's 4
+    # local rows fold into their 2 lists, then a second compact (no
+    # overlay left) is a clean no-op
     r = pdb.exec(f"{{vindex: 'vecs', in: 'pg', path: '{p}',"
                  " pq: true, compact: true};")[0]
-    assert r.error and "full-vector" in r.error
+    assert r.error is None and r.rows == [[2, 4]]
+    r = pdb.exec(f"{{vindex: 'vecs', in: 'pg', path: '{p}',"
+                 " pq: true, compact: true};")[0]
+    assert r.error is None and r.rows == [[0, 0]]
+    r = pdb.exec(f"{{vindex: 'vecs', in: 'pg', path: '{p}',"
+                 " compact: true, m: 2};")[0]
+    assert r.error and "sidecar" in r.error
     r = pdb.exec(f"{{vindex: 'vecs', in: 'pg', path: '{p}',"
                  " pq: true, ksub: 0};")[0]
     assert r.error and "positive" in r.error
+
+
+def test_gql_vindex_attach_existing(pdb, tmp_path, spark):
+    """{vindex attach: true} re-wires an EXISTING persisted index (no
+    rebuild) — kind discovered from the sidecar; both index forms."""
+    p_ivf = str(tmp_path / "a_ivf")
+    p_pq = str(tmp_path / "a_pq")
+    _one(pdb, "{vindex: 'vecs', in: 'pg', on: 'embedding',"
+              f" path: '{p_ivf}', nlist: 2}};")
+    _one(pdb, "{vindex: 'vecs', in: 'pg', on: 'embedding',"
+              f" path: '{p_pq}', nlist: 2, pq: true, m: 2, ksub: 2}};")
+    grp = pdb.catalog.graphs["pg"].group("vecs")
+    # simulate a fresh session: drop the attaches
+    grp._ivf_attach.clear()
+    grp._ivfpq_attach.clear()
+    grp._ann_cache.clear()
+    res = _one(pdb, f"{{vindex: 'vecs', in: 'pg', path: '{p_ivf}',"
+                    " attach: true};")
+    assert res.rows == [["attach_ivf", 2]]
+    assert grp._ivf_attach.get("embedding") == p_ivf
+    grp._ivf_attach.clear()
+    res = _one(pdb, f"{{vindex: 'vecs', in: 'pg', path: '{p_pq}',"
+                    " attach: true};")
+    assert res.rows == [["attach_ivfpq", 2]]
+    assert grp._ivfpq_attach.get("embedding") == p_pq
+    # routed query works off the re-attached PQ index
+    spark.conf.set("spark.gqlite.knn.ann_threshold", "1")
+    try:
+        out = pdb.query_df("{query: 'vecs', in: 'pg', where:"
+                           " {embedding: {limit: 1, $near: [1.0, 0.0]}}};")
+        assert [r["id"] for r in out.collect()] == [10]
+    finally:
+        spark.conf.set("spark.gqlite.knn.ann_threshold", "100000")
+    # errors: no sidecar; params beside attach
+    r = pdb.exec(f"{{vindex: 'vecs', in: 'pg', path: '{p_pq}_nope',"
+                 " attach: true};")[0]
+    assert r.error and "no index sidecar" in r.error
+    r = pdb.exec(f"{{vindex: 'vecs', in: 'pg', path: '{p_pq}',"
+                 " attach: true, nlist: 4};")[0]
+    assert r.error and "EXISTING index" in r.error
