@@ -57,7 +57,13 @@ DIAGNOSTIC_QUERIES: list[str] = ["knn_near_limit_routed",
                                  # set comparable across rounds
                                  "bucketed_join_revenue",
                                  "zorder_scan_revenue",
-                                 "curation_pipeline"]
+                                 "curation_pipeline",
+                                 # r9: the IVFPQ-routed $near — build-
+                                 # dominated per invocation (the entry
+                                 # rebuilds its index so the lifecycle
+                                 # is what's oracled); tracked here so
+                                 # the codes-route cost stays visible
+                                 "knn_near_limit_pq"]
 
 # the original 19-query headline set (rounds 1-4) — reported separately
 # as value_19q so round-over-round totals stay comparable across the

@@ -682,7 +682,8 @@ class GQLite:
         else:
             cols = [stmt.ts] + list(stmt.by or []) \
                 + list((stmt.metrics or {}).keys()) \
-                + list((stmt.hist or {}).keys())
+                + list((stmt.hist or {}).keys()) \
+                + list((stmt.cms or {}).keys())
             for c in cols:
                 if c not in df.columns:
                     raise GQLiteError(f"rollup: group '{stmt.group}' "
@@ -690,7 +691,8 @@ class GQLite:
             try:
                 save_rollup(df, stmt.path, stmt.ts, stmt.every,
                             dims=stmt.by, metrics=stmt.metrics,
-                            hist_params=stmt.hist)
+                            hist_params=stmt.hist,
+                            cms_params=stmt.cms)
             except ValueError as e:
                 raise GQLiteError(f"rollup: {e}") from e
             kind = "rollup"

@@ -325,6 +325,7 @@ class RollupStmt:
     metrics: Optional[dict] = None
     append: bool = False
     hist: Optional[dict] = None  # {prop: [lo, hi, bins]} for 'hist' fns
+    cms: Optional[dict] = None   # {prop: [d, w]} for 'cms' fns
 
 
 @dataclass

@@ -546,7 +546,8 @@ class Parser:
                 append = self._flag(str(append))
             if append:
                 extra = sorted(set(obj)
-                               & {"ts", "every", "by", "metrics", "hist"})
+                               & {"ts", "every", "by", "metrics",
+                                  "hist", "cms"})
                 if extra:
                     raise GQLParseError(
                         f"rollup append: {', '.join(extra)} come from the "
@@ -599,8 +600,22 @@ class Parser:
                         "rollup: hist must map property names to "
                         "[lo, hi, bins] (numeric lo < hi, bins a "
                         "positive integer)")
+            cms = obj.get("cms")
+            if cms is not None:
+                def _posint(x):
+                    return (isinstance(x, int)
+                            and not isinstance(x, bool) and x >= 1)
+                if (not isinstance(cms, dict)
+                        or not all(isinstance(c, str) and isinstance(v, list)
+                                   and len(v) == 2 and _posint(v[0])
+                                   and _posint(v[1])
+                                   for c, v in cms.items())):
+                    raise GQLParseError(
+                        "rollup: cms must map property names to "
+                        "[d, w] (positive integers — count-min rows "
+                        "and width)")
             return RollupStmt(obj["rollup"], path, obj.get("in"),
-                              ts, every, by, metrics, False, hist)
+                              ts, every, by, metrics, False, hist, cms)
         if "shards" in obj:
             path = obj.get("path")
             if not isinstance(path, str) or not path:

@@ -26,10 +26,11 @@ the data) replayed batches are detected and skipped, so streaming
 ingestion via foreachBatch is exactly-once end-to-end.
 
 Only MERGEABLE aggregates are accepted — count, sum, min, max (avg
-derives from sum/non-null-count), plus the two bounded sketches that
+derives from sum/non-null-count), plus the three bounded sketches that
 merge associatively: ``kmv`` (per-bucket distinct estimate, see
-``stats.kmv_sketch``) and ``hist`` (per-bucket bin counts →
-``rollup_quantiles``).  Truly non-mergeable aggregates (exact
+``stats.kmv_sketch``), ``hist`` (per-bucket bin counts →
+``rollup_quantiles``) and ``cms`` (per-bucket count-min counters →
+``rollup_keycounts``).  Truly non-mergeable aggregates (exact
 distinct, exact median) are rejected up front: pretending otherwise
 silently corrupts the view.
 
@@ -59,15 +60,20 @@ def _bucket(df: DataFrame, ts_col: str, every: int):
 def _partials(df: DataFrame, ts_col: str, every: int,
               dims: "list[str]", metrics: "dict[str, list[str]]",
               kmv_k: int = 256,
-              hist_params: "dict | None" = None) -> DataFrame:
+              hist_params: "dict | None" = None,
+              cms_params: "dict | None" = None) -> DataFrame:
     """Per-(bucket, dims) mergeable partials of one batch of raw events:
     one map-side-combined shuffle for the scalar aggregates, plus one
     bounded pass per sketch metric — ``kmv`` (per-bucket KMV distinct
-    sketch, sorted ≤kmv_k-element array) and ``hist`` (per-bucket
-    sparse bin-count map over the fixed (lo, hi, bins) binning from
-    ``hist_params[col]``)."""
+    sketch, sorted ≤kmv_k-element array), ``hist`` (per-bucket sparse
+    bin-count map over the fixed (lo, hi, bins) binning from
+    ``hist_params[col]``) and ``cms`` (per-bucket count-min counter
+    map over the fixed (d, w) from ``cms_params[col]``, keyed
+    row·w+slot — same map lattice as hist, so it merges through the
+    identical bin-wise sum)."""
     bucket = _bucket(df, ts_col, every)
     hist_params = hist_params or {}
+    cms_params = cms_params or {}
     scalar_cols = []
     sketch = []  # (kind, col)
     aggs = [F.count("*").alias("n")]
@@ -83,11 +89,19 @@ def _partials(df: DataFrame, ts_col: str, every: int,
                         f"[{c!r}] = (lo, hi, bins)")
                 sketch.append(("hist", c))
                 continue
+            if fn == "cms":
+                if c not in cms_params:
+                    raise ValueError(
+                        f"rollup metric cms({c}) needs cms_params"
+                        f"[{c!r}] = (d, w)")
+                sketch.append(("cms", c))
+                continue
             if fn not in _MERGEABLE:
                 raise ValueError(
                     f"rollup metric {fn}({c}) is not mergeable; "
                     f"supported: {', '.join(_MERGEABLE)}, kmv "
-                    "(distinct sketch), hist (bin-count sketch; "
+                    "(distinct sketch), hist (bin-count sketch), cms "
+                    "(per-key count sketch; "
                     "+ count always, avg at read time via sum/count)")
             scalar_cols.append(c)
             aggs.append(getattr(F, fn)(c).alias(f"{fn}_{c}"))
@@ -98,7 +112,8 @@ def _partials(df: DataFrame, ts_col: str, every: int,
             aggs.append(F.count(c).alias(f"cnt_{c}"))
     out = df.select(bucket, *dims, *set(scalar_cols)).groupBy(
         "bucket_start", *dims).agg(*aggs)
-    from .stats import _eq_nullsafe, _kmv_hash, _min_k, hist_sketch
+    from .stats import (_eq_nullsafe, _kmv_hash, _min_k, cms_sketch,
+                        hist_sketch)
     for kind, c in sketch:
         if kind == "kmv":
             hashed = (df.select(bucket, *dims,
@@ -109,6 +124,19 @@ def _partials(df: DataFrame, ts_col: str, every: int,
                    .agg(F.array_sort(F.collect_list("h"))
                         .alias(f"kmv_{c}")))
             name, empty = f"kmv_{c}", F.array().cast("array<long>")
+        elif kind == "cms":
+            dd, ww = cms_params[c]
+            counted = cms_sketch(df.select(bucket, *dims, c), c,
+                                 int(dd), int(ww),
+                                 by=["bucket_start"] + dims)
+            key = (F.col("row").cast("bigint") * int(ww)
+                   + F.col("slot")).alias("k")
+            arr = (counted.groupBy("bucket_start", *dims)
+                   .agg(F.map_from_entries(
+                        F.collect_list(F.struct(key, F.col("n"))))
+                        .alias(f"cms_{c}")))
+            name, empty = (f"cms_{c}",
+                           F.create_map().cast("map<bigint,bigint>"))
         else:
             lo, hi, bins = hist_params[c]
             binned = hist_sketch(df.select(bucket, *dims, c), c,
@@ -146,16 +174,17 @@ def _merge(parts: DataFrame, dims: "list[str]",
                         F.flatten(F.collect_list(f"kmv_{c}")))),
                         1, kmv_k).alias(f"kmv_{c}"))
                 continue
-            if fn == "hist":
-                # bin-wise sum over the handful of partial maps
+            if fn in ("hist", "cms"):
+                # bin-wise / counter-wise sum over the handful of
+                # partial maps — the identical merge lattice
                 aggs.append(F.aggregate(
-                    F.collect_list(f"hist_{c}"),
+                    F.collect_list(f"{fn}_{c}"),
                     F.create_map().cast("map<bigint,bigint>"),
                     lambda acc, m: F.map_zip_with(
                         acc, m,
                         lambda k, a, b: (F.coalesce(a, F.lit(0))
                                          + F.coalesce(b, F.lit(0)))),
-                ).alias(f"hist_{c}"))
+                ).alias(f"{fn}_{c}"))
                 continue
             combine = F.sum if fn == "sum" else getattr(F, fn)
             aggs.append(combine(f"{fn}_{c}").alias(f"{fn}_{c}"))
@@ -168,32 +197,41 @@ def save_rollup(df: DataFrame, path: str, ts_col: str, every: int,
                 dims: "list[str] | None" = None,
                 metrics: "dict[str, list[str]] | None" = None,
                 kmv_k: int = 256,
-                hist_params: "dict | None" = None) -> None:
+                hist_params: "dict | None" = None,
+                cms_params: "dict | None" = None) -> None:
     """Aggregate the full history once and write the rollup + spec.
-    Metric functions: sum/min/max (scalar), plus two sketches that
+    Metric functions: sum/min/max (scalar), plus three sketches that
     merge through the same lifecycle — ``kmv`` (per-bucket distinct,
     served by :func:`read_rollup` as ``distinct_<col>``, exact below
-    kmv_k) and ``hist`` (per-bucket bin counts over the fixed
+    kmv_k), ``hist`` (per-bucket bin counts over the fixed
     ``hist_params[col] = (lo, hi, bins)`` binning; quantiles served by
-    :func:`rollup_quantiles` without rescanning any history)."""
+    :func:`rollup_quantiles`) and ``cms`` (per-bucket count-min
+    counters over the fixed ``cms_params[col] = (d, w)``; per-key
+    count estimates served by :func:`rollup_keycounts`) — all without
+    rescanning any history."""
     dims = list(dims or [])
     metrics = dict(metrics or {})
     hist_params = {c: [float(v[0]), float(v[1]), int(v[2])]
                    for c, v in (hist_params or {}).items()}
-    orphans = [c for c in hist_params
-               if "hist" not in (metrics.get(c) or [])]
-    if orphans:
-        raise ValueError(
-            f"hist_params given for {orphans} but their metrics lists "
-            "lack 'hist' — add it (or drop the params); an unused "
-            "param would only fail later, inside rollup_quantiles")
+    cms_params = {c: [int(v[0]), int(v[1])]
+                  for c, v in (cms_params or {}).items()}
+    for fn, params in (("hist", hist_params), ("cms", cms_params)):
+        orphans = [c for c in params
+                   if fn not in (metrics.get(c) or [])]
+        if orphans:
+            raise ValueError(
+                f"{fn}_params given for {orphans} but their metrics "
+                f"lists lack '{fn}' — add it (or drop the params); an "
+                "unused param would only fail later, at read time")
     spark = df.sparkSession
     _partials(df, ts_col, every, dims, metrics, kmv_k,
-              hist_params).write.mode("overwrite").parquet(path)
+              hist_params, cms_params).write.mode("overwrite") \
+        .parquet(path)
     fsio.write_json(spark, fsio.join(path, SPEC_FILE), {
         "ts_col": ts_col, "every": int(every), "dims": dims,
         "metrics": metrics, "kmv_k": int(kmv_k),
-        "hist_params": hist_params, "batches": 0})
+        "hist_params": hist_params, "cms_params": cms_params,
+        "batches": 0})
 
 
 def _heal(spark, path: str) -> None:
@@ -229,8 +267,10 @@ def append_rollup(batch: DataFrame, path: str,
     kmv_k = int(spec.get("kmv_k", 256))
     hist_params = {c: tuple(v) for c, v in
                    (spec.get("hist_params") or {}).items()}
+    cms_params = {c: tuple(v) for c, v in
+                  (spec.get("cms_params") or {}).items()}
     new = _partials(batch, spec["ts_col"], int(spec["every"]),
-                    dims, metrics, kmv_k, hist_params)
+                    dims, metrics, kmv_k, hist_params, cms_params)
     old = spark.read.parquet(path)
     merged = _merge(old.unionByName(new), dims, metrics, kmv_k)
 
@@ -326,6 +366,51 @@ def coarsen_rollup(spark: SparkSession, path: str, out_path: str,
         fsio.delete(spark, tmp)
         _write(tmp)
         fsio.rename(spark, tmp, out_path)
+
+
+def rollup_keycounts(spark: SparkSession, path: str, col: str,
+                     keys: "list") -> DataFrame:
+    """Per-(bucket, dims) count-min ESTIMATES of the given literal
+    ``keys`` of a ``cms`` metric, from the stored counter maps alone —
+    (bucket_start, dims..., key, count_est).  The per-hour "how often
+    did THIS user/domain appear" report, incrementally maintained:
+    estimates never undercount, overcount bounded by eN/w per row
+    (stats.cms_sketch).  A key a bucket never saw estimates 0 unless
+    it collides on all d rows; buckets whose metric column was
+    all-NULL (empty map) report 0 too — the true count.  The probe is
+    (buckets x dims x keys x d) rows — rollup-sized, never
+    event-sized."""
+    from .stats import _cms_slot, _eq_nullsafe
+    _heal(spark, path)
+    spec = fsio.read_json(spark, fsio.join(path, SPEC_FILE))
+    cp = (spec.get("cms_params") or {}).get(col)
+    if cp is None:
+        raise ValueError(f"rollup has no cms metric for '{col}' "
+                         f"(cms_params: {spec.get('cms_params')})")
+    d, w = int(cp[0]), int(cp[1])
+    dims = list(spec["dims"])
+    stored = spark.read.parquet(path)
+    counters = stored.select(
+        "bucket_start", *dims,
+        F.explode(F.col(f"cms_{col}")).alias("k", "n"))
+    kdf = spark.createDataFrame([(k,) for k in keys], ["key"])
+    probe = kdf.select(
+        "key",
+        F.posexplode(F.array(*[
+            (F.lit(i) * w + _cms_slot(F.col("key"), i, w))
+            .cast("bigint") for i in range(d)])).alias("_i", "k"))
+    groups = stored.select("bucket_start", *dims)
+    combos = groups.crossJoin(probe)
+    joined = combos.join(
+        counters,
+        _eq_nullsafe(combos, counters,
+                     ["bucket_start"] + dims) & (combos["k"]
+                                                 == counters["k"]),
+        "left")
+    return (joined.groupBy(*[combos[c] for c in
+                             ["bucket_start"] + dims], combos["key"])
+            .agg(F.min(F.coalesce(counters["n"], F.lit(0)))
+                 .alias("count_est")))
 
 
 def rollup_quantiles(spark: SparkSession, path: str, col: str,

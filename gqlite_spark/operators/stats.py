@@ -338,3 +338,78 @@ def kmv_estimate(sketch: DataFrame, k: int = 256,
     return agg.select(*by,
                       F.floor(est + F.lit(0.5)).cast("long")
                       .alias("n_distinct_est"))
+
+
+# ---------------------------------------------------------------------------
+# Count-min sketch — deterministic, mergeable per-key frequency
+# profiling.  Completes the mergeable trio: KMV answers "how many
+# distinct", hist answers "how is the value distributed", CMS answers
+# "how often does THIS key occur" — from bounded state (d x w counters
+# per group) that merges by plain counter addition, so profile each
+# ingest batch once and answer corpus-lifetime per-key counts without
+# re-reading data.  Estimates never undercount (min over d rows of a
+# counter that saw every occurrence); overcount is bounded by eN/w per
+# row with probability 1 - e^-d (Cormode-Muthukrishnan 2005).  Hashes
+# are the repo-standard md5-60bit of "<value>:<row>", so sketches,
+# merges AND estimates replay exactly in DuckDB.  Sketches built with
+# different (d, w) must never be merged (same contract as the KMV hash
+# and the hist binning).
+# ---------------------------------------------------------------------------
+
+
+def _cms_slot(col, i: int, w: int):
+    """Row-i slot of a value: md5-60bit("<value>:<i>") mod w."""
+    h = F.conv(F.substring(
+        F.md5(F.concat(col.cast("string"), F.lit(f":{i}"))), 1, 15),
+        16, 10).cast("long")
+    return F.pmod(h, F.lit(int(w)))
+
+
+def cms_sketch(df: DataFrame, col: str, d: int = 4, w: int = 1024,
+               by: "list[str] | None" = None) -> DataFrame:
+    """(by..., row, slot, n) rows — the non-zero counters of a d x w
+    count-min sketch of ``col`` (per group if ``by``).  One pass: the
+    d row-slots are computed as an inline array and pos-exploded, then
+    ONE map-side-combined shuffle of <= d*w rows per group.  NULL is
+    not a value (countDistinct semantics, same as kmv/hist)."""
+    by = list(by or [])
+    slots = F.array(*[_cms_slot(F.col(col), i, w) for i in range(int(d))])
+    return (df.filter(F.col(col).isNotNull())
+            .select(*by, F.posexplode(slots).alias("row", "slot"))
+            .groupBy(*by, "row", "slot").agg(F.count("*").alias("n")))
+
+
+def cms_merge(sketches: "list[DataFrame]",
+              by: "list[str] | None" = None) -> DataFrame:
+    """Counter-wise sum of same-(d, w) sketches — exactly the sketch
+    of the unioned raw data (each counter saw each occurrence once)."""
+    by = list(by or [])
+    out = sketches[0]
+    for s in sketches[1:]:
+        out = out.unionByName(s)
+    return out.groupBy(*by, "row", "slot").agg(F.sum("n").alias("n"))
+
+
+def cms_query(sketch: DataFrame, keys: DataFrame, d: int = 4,
+              w: int = 1024,
+              by: "list[str] | None" = None) -> DataFrame:
+    """(by..., key, count_est) for every key in the one-column ``keys``
+    DataFrame (column ``key``), against every group in the sketch:
+    est = min over the d rows of the key's counter (0 where the
+    counter is absent — a key the group never saw estimates 0 unless
+    it collides on ALL d rows).  The probe is (groups x keys x d)
+    rows — sketch-sized, never data-sized."""
+    by = list(by or [])
+    kd = keys.select(
+        "key",
+        F.posexplode(F.array(*[_cms_slot(F.col("key"), i, w)
+                               for i in range(int(d))]))
+        .alias("row", "slot"))
+    if by:
+        combos = sketch.select(*by).distinct().crossJoin(kd)
+    else:
+        combos = kd
+    joined = combos.join(sketch, [*by, "row", "slot"], "left")
+    return (joined.groupBy(*by, "key")
+            .agg(F.min(F.coalesce(F.col("n"), F.lit(0)))
+                 .alias("count_est")))

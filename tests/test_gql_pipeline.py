@@ -614,3 +614,36 @@ def test_gql_vindex_attach_existing(pdb, tmp_path, spark):
     r = pdb.exec(f"{{vindex: 'vecs', in: 'pg', path: '{p_pq}',"
                  " attach: true, nlist: 4};")[0]
     assert r.error and "EXISTING index" in r.error
+
+
+def test_gql_rollup_cms_metric(db, tmp_path):
+    """{rollup ... metrics: {u: ['cms']}, cms: {u: [d, w]}} maintains
+    per-bucket count-min counter maps servable as per-key estimates."""
+    from gqlite_spark.operators.rollup import rollup_keycounts
+    for r in db.exec(
+            "{create: 'cg', group: ['evs']};"
+            "{upset: 'evs', vertex: ["
+            " [1, {t: 0, u: 7}], [2, {t: 1000000000, u: 7}],"
+            " [3, {t: 2000000000, u: 8}],"
+            " [4, {t: 100000000000000, u: 7}]]};"):
+        assert r.error is None, r.error
+    p = str(tmp_path / "cru")
+    res = _one(db, f"{{rollup: 'evs', in: 'cg', path: '{p}', ts: 't',"
+                   " every: 3600, metrics: {u: ['cms']},"
+                   " cms: {u: [4, 256]}};")
+    assert res.rows == [["rollup", p, 2]]
+    got = {(r["bucket_start"], r["key"]): r["count_est"] for r in
+           rollup_keycounts(db.spark, p, "u", [7, 8, 99]).collect()}
+    assert got[(0, 7)] == 2 and got[(0, 8)] == 1 and got[(0, 99)] == 0
+    # 1e14 ns = 100000 s -> hour bucket 97200
+    assert got[(97200, 7)] == 1
+    # errors: malformed params / orphan params
+    r = db.exec(f"{{rollup: 'evs', in: 'cg', path: '{p}x', ts: 't',"
+                " metrics: {u: ['cms']}, cms: {u: [4]}};")[0]
+    assert r.error and "[d, w]" in r.error
+    r = db.exec(f"{{rollup: 'evs', in: 'cg', path: '{p}y', ts: 't',"
+                " metrics: {u: ['sum']}, cms: {u: [4, 256]}};")[0]
+    assert r.error and "lack 'cms'" in r.error
+    r = db.exec(f"{{rollup: 'evs', in: 'cg', path: '{p}z', ts: 't',"
+                " metrics: {u: ['cms']}, cms: {u: [4, true]}};")[0]
+    assert r.error and "positive integers" in r.error

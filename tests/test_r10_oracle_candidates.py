@@ -90,3 +90,52 @@ def test_rollup_coarsen_candidate(spark, tmp_path):
     """).fetchdf()
     verdict = compare(got, oracle)
     assert verdict.startswith("OK"), verdict
+
+
+def _md5_60bit(arg: str) -> str:
+    """DuckDB replay of conv(substr(md5(x),1,15),16,10)."""
+    terms = " + ".join(
+        f"(strpos('0123456789abcdef', substr(md5({arg}), {i}, 1)) - 1)"
+        f" * {16 ** (15 - i)}" for i in range(1, 16))
+    return f"({terms})"
+
+
+def test_topcount_cms_candidate(spark):
+    """Entry shape `topcount_cms`: per-event-type count-min estimates
+    of five fixed user_ids (d=4, w=1024) — the oracle rebuilds the
+    WHOLE sketch in SQL (md5-60bit row hashes mod w, counter sums, min
+    over rows, 0 where absent), so the estimate VALUES must match."""
+    from gqlite_spark.operators.stats import cms_query, cms_sketch
+    D, W = 4, 1024
+    KEYS = [1, 2, 3, 42, 999999]
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    keys = spark.createDataFrame([(k,) for k in KEYS], "key long")
+    got = (cms_query(cms_sketch(ev, "user_id", D, W, by=["event_type"]),
+                     keys, D, W, by=["event_type"])
+           .toPandas())
+    oracle = duck_con(SF_DIR).execute(f"""
+        WITH rws AS (SELECT unnest(generate_series(0, {D - 1})) AS r),
+        ks AS (SELECT unnest({KEYS}) AS key),
+        ev AS (SELECT event_type, user_id FROM events
+               WHERE user_id IS NOT NULL),
+        cnt AS (
+          SELECT event_type, r.r AS rw,
+                 {_md5_60bit("CAST(user_id AS VARCHAR) || ':' || r.r")}
+                   % {W} AS slot,
+                 count(*) AS n
+          FROM ev CROSS JOIN rws r GROUP BY 1, 2, 3),
+        probe AS (
+          SELECT g.event_type, k.key, r.r AS rw,
+                 {_md5_60bit("CAST(k.key AS VARCHAR) || ':' || r.r")}
+                   % {W} AS slot
+          FROM (SELECT DISTINCT event_type FROM ev) g
+          CROSS JOIN ks k CROSS JOIN rws r)
+        SELECT p.event_type, p.key,
+               min(coalesce(c.n, 0)) AS count_est
+        FROM probe p LEFT JOIN cnt c
+          ON c.event_type = p.event_type AND c.rw = p.rw
+         AND c.slot = p.slot
+        GROUP BY 1, 2
+    """).fetchdf()
+    verdict = compare(got, oracle)
+    assert verdict.startswith("OK"), verdict

@@ -446,3 +446,70 @@ def test_stream_rollup_sketch_metrics_match_batch(spark, events, tmp_path):
                   checkpoint=ckpt).awaitTermination(120)
     assert batches() == before
     assert canon(p) == canon(p_ref)
+
+
+def test_cms_metric_incremental_equals_full(spark, events, tmp_path):
+    """The cms metric rides the same lifecycle: three arbitrary
+    batches folded in one at a time == the one-shot rollup, map-exact;
+    coarsening to daily stays exact; and the served per-key estimates
+    equal the EXACT per-bucket counts on this corpus (collision-free
+    at d=4, w=2048 — deterministic, so a fact, not luck)."""
+    from gqlite_spark.operators.rollup import (coarsen_rollup,
+                                               rollup_keycounts)
+    m = {"user_id": ["cms"]}
+    cp = {"user_id": (4, 2048)}
+    p_inc = f"file:{tmp_path}/cinc"
+    p_full = f"file:{tmp_path}/cfull"
+    b1 = events.filter(F.col("event_id") % 3 == 0)
+    b2 = events.filter(F.col("event_id") % 3 == 1)
+    b3 = events.filter(F.col("event_id") % 3 == 2)
+    save_rollup(b1, p_inc, "ts", EVERY, dims=["event_type"],
+                metrics=m, cms_params=cp)
+    append_rollup(b2, p_inc)
+    append_rollup(b3, p_inc)
+    save_rollup(events, p_full, "ts", EVERY, dims=["event_type"],
+                metrics=m, cms_params=cp)
+
+    def canon(path):
+        out = []
+        for r in read_rollup(spark, path).collect():
+            d = r.asDict()
+            d["cms_user_id"] = sorted(d["cms_user_id"].items())
+            out.append(tuple(sorted(d.items())))
+        return sorted(out)
+    assert canon(p_inc) == canon(p_full)
+
+    keys = [r["user_id"] for r in
+            events.select("user_id").distinct().orderBy("user_id")
+            .limit(3).collect()] + [10**15]
+    got = {(r["bucket_start"], r["event_type"], r["key"]): r["count_est"]
+           for r in rollup_keycounts(spark, p_inc, "user_id",
+                                     keys).collect()}
+    from gqlite_spark.operators.windows import epoch_seconds
+    exact = {(r["b"], r["event_type"], r["user_id"]): r["n"]
+             for r in events
+             .withColumn("b", (F.floor(epoch_seconds(events, "ts")
+                                       / EVERY) * EVERY).cast("long"))
+             .filter(F.col("user_id").isin(keys))
+             .groupBy("b", "event_type", "user_id")
+             .agg(F.count("*").alias("n")).collect()}
+    for (b, et, k), est in got.items():
+        assert est == exact.get((b, et, k), 0), (b, et, k, est)
+
+    # daily cascade stays exact (counter maps re-merge bin-wise)
+    pd_ = f"file:{tmp_path}/cday"
+    pref = f"file:{tmp_path}/cday_direct"
+    coarsen_rollup(spark, p_inc, pd_, 86400)
+    save_rollup(events, pref, "ts", 86400, dims=["event_type"],
+                metrics=m, cms_params=cp)
+    assert canon(pd_) == canon(pref)
+
+
+def test_cms_params_must_match_metrics(events, tmp_path):
+    with pytest.raises(ValueError, match="lack 'cms'"):
+        save_rollup(events, f"file:{tmp_path}/cx", "ts", EVERY,
+                    metrics={"value": ["sum"]},
+                    cms_params={"value": (4, 64)})
+    with pytest.raises(ValueError, match="needs cms_params"):
+        save_rollup(events, f"file:{tmp_path}/cy", "ts", EVERY,
+                    metrics={"user_id": ["cms"]})
