@@ -610,20 +610,8 @@ class Group:
             # are about to overwrite (Spark refuses to overwrite a path
             # its own plan reads); materialized size ∝ affected lists
             out = out.localCheckpoint(eager=True)
-            conf_key = "spark.sql.sources.partitionOverwriteMode"
-            try:
-                old_mode = self.spark.conf.get(conf_key)
-            except Exception:
-                old_mode = None
-            self.spark.conf.set(conf_key, "dynamic")
-            try:
-                (out.write.mode("overwrite").partitionBy("list_id")
-                 .parquet(fsio.join(path, "ivf.parquet")))
-            finally:
-                if old_mode is None:
-                    self.spark.conf.unset(conf_key)
-                else:
-                    self.spark.conf.set(conf_key, old_mode)
+            self._overwrite_index_lists(
+                fsio.join(path, "ivf.parquet"), out, affected)
         # merge the overlay into the bulk side; the index now covers the
         # whole group again, so it stays attached (bespoke cache reset —
         # _invalidate() would detach)
@@ -640,6 +628,38 @@ class Group:
         # with compact_into_pq_index BEFORE this one if both matter)
         self._ivfpq_attach = {}
         return {"lists_rewritten": len(affected), "rows_added": rows_added}
+
+    def _overwrite_index_lists(self, data_path: str, out: DataFrame,
+                               affected: "list[int]") -> None:
+        """Rewrite exactly the ``affected`` list partitions of an index
+        parquet with ``out``'s rows.  Dynamic partition overwrite only
+        replaces partitions PRESENT in the written data — a list whose
+        only resident was shadowed and that received no new row would
+        keep its stale file (the shadowed id's pre-upsert entry would
+        come back after compaction clears the overlay).  Those
+        now-empty lists are deleted explicitly (self-review r9)."""
+        from . import fsio
+        written = {int(r["list_id"]) for r in
+                   out.select("list_id").distinct().collect()}
+        if written:
+            conf_key = "spark.sql.sources.partitionOverwriteMode"
+            try:
+                old_mode = self.spark.conf.get(conf_key)
+            except Exception:
+                old_mode = None
+            self.spark.conf.set(conf_key, "dynamic")
+            try:
+                (out.write.mode("overwrite").partitionBy("list_id")
+                 .parquet(data_path))
+            finally:
+                if old_mode is None:
+                    self.spark.conf.unset(conf_key)
+                else:
+                    self.spark.conf.set(conf_key, old_mode)
+        for lid in affected:
+            if int(lid) not in written:
+                fsio.delete(self.spark,
+                            fsio.join(data_path, f"list_id={int(lid)}"))
 
     def compact_into_pq_index(self, attr: str) -> dict:
         """Fold the local OLTP overlay into the attached IVFPQ index by
@@ -702,20 +722,8 @@ class Group:
             out = keep.unionByName(
                 assigned.select("id", "codes", "list_id"))
             out = out.localCheckpoint(eager=True)
-            conf_key = "spark.sql.sources.partitionOverwriteMode"
-            try:
-                old_mode = self.spark.conf.get(conf_key)
-            except Exception:
-                old_mode = None
-            self.spark.conf.set(conf_key, "dynamic")
-            try:
-                (out.write.mode("overwrite").partitionBy("list_id")
-                 .parquet(fsio.join(path, "ivfpq.parquet")))
-            finally:
-                if old_mode is None:
-                    self.spark.conf.unset(conf_key)
-                else:
-                    self.spark.conf.set(conf_key, old_mode)
+            self._overwrite_index_lists(
+                fsio.join(path, "ivfpq.parquet"), out, affected)
         self.bulk_df = merged
         self.rows = {}
         self._mat_cache = None

@@ -1012,3 +1012,57 @@ def test_vindex_pq_compaction(spark, tmp_path):
     finally:
         spark.conf.set("spark.gqlite.knn.ann_threshold", "100000")
         spark.conf.unset("spark.gqlite.knn.nprobe")
+
+
+def test_compaction_deletes_emptied_lists(spark, tmp_path):
+    """Self-review r9: dynamic partition overwrite only replaces
+    partitions PRESENT in the written data — when a list's ONLY
+    resident is shadowed (moved away) and nothing new lands there, its
+    stale file must be deleted explicitly or the pre-upsert entry
+    comes back after compaction clears the overlay.  Singleton-list
+    fixture (8 vectors, nlist=8): id 3 moves far away; both index
+    kinds must drop it from its old list."""
+    from gqlite_spark import GQLite
+    from gqlite_spark.operators.similarity import (load_ivf_index,
+                                                   load_ivfpq_index)
+    db = GQLite(spark)
+    db.catalog.create_graph("cempty")
+    grp = db.catalog.graphs["cempty"].create_group("pts")
+    rows = [(i, [float(i) * 10, 0.0]) for i in range(8)]
+    grp.register_df(
+        spark.createDataFrame(rows, "id long, vec array<double>"))
+
+    # full-vector index: every list holds exactly one vector
+    ivf = str(tmp_path / "ivf")
+    grp.build_ivf_index("vec", ivf, nlist=8)
+    grp.upsert_vertex(3, {"vec": [30000.0, 0.0]})
+    rep = grp.compact_into_index("vec")
+    assert rep["rows_added"] == 1
+    index, _ = load_ivf_index(spark, ivf)
+    got = {(r["id"], tuple(r["_vec"])) for r in index.collect()}
+    assert (3, (30.0, 0.0)) not in got          # stale entry GONE
+    assert (3, (30000.0, 0.0)) in got           # new entry present
+    assert index.count() == 8
+    # routed query over the compacted index never resurrects id 3
+    spark.conf.set("spark.gqlite.knn.ann_threshold", "1")
+    spark.conf.set("spark.gqlite.knn.nprobe", "8")
+    try:
+        q = db.query_df("{query: 'pts', in: 'cempty',"
+                        " where: {vec: {limit: 3, $near: [30, 0]}}};")
+        assert [r["id"] for r in q.collect()] == [2, 4, 1]
+    finally:
+        spark.conf.set("spark.gqlite.knn.ann_threshold", "100000")
+        spark.conf.unset("spark.gqlite.knn.nprobe")
+
+    # same edge through the PQ compaction
+    grp2 = db.catalog.graphs["cempty"].create_group("pts2")
+    grp2.register_df(
+        spark.createDataFrame(rows, "id long, vec array<double>"))
+    pq = str(tmp_path / "pq")
+    grp2.build_ivfpq_index("vec", pq, nlist=8, m=2, ksub=8)
+    grp2.upsert_vertex(3, {"vec": [30000.0, 0.0]})
+    rep = grp2.compact_into_pq_index("vec")
+    assert rep["rows_added"] == 1
+    pidx, _ = load_ivfpq_index(spark, pq)
+    assert pidx.count() == 8
+    assert pidx.filter("id = 3").count() == 1   # exactly the new entry
