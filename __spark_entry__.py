@@ -2182,7 +2182,10 @@ def _knn_compacted_sql(nlist: int = 64, nprobe: int = 8, k: int = 10,
         " (SELECT v.vec_id, c.cid, row_number() OVER (PARTITION BY v.vec_id"
         f" ORDER BY {d2_vc} ASC, c.cid ASC) AS rn"
         " FROM v CROSS JOIN cents c) WHERE rn = 1)"
-        " SELECT v.vec_id, v.label FROM v"
+        # CAST label: the engine stores overlay labels as long
+        # (Spark returns int64) while the parquet column is int32 —
+        # without the cast the oracle drifts and the driver hash fails
+        " SELECT v.vec_id, CAST(v.label AS BIGINT) AS label FROM v"
         " JOIN assign a ON a.vec_id = v.vec_id"
         " JOIN probe p ON p.cid = a.cid, qv"
         f" ORDER BY {d2_vq} ASC, v.vec_id ASC LIMIT {k}")
@@ -2631,7 +2634,11 @@ def oracle_sql() -> dict[str, str]:
             "SELECT CAST(floor(date_part('epoch', ts) / 3600) * 3600"
             "            AS BIGINT) AS bucket_start,"
             " event_type, count(*) AS n,"
-            " sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS sum_cents,"
+            # CAST the outer sum: DuckDB's sum(BIGINT) returns HUGEINT,
+            # which fetchdf() lands as float64 and fails the driver's
+            # dtype-strict hash against Spark's int64 (the r9 red row).
+            " CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT))"
+            "      AS BIGINT) AS sum_cents,"
             " max(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS max_cents"
             " FROM events GROUP BY 1, 2",
         "distinct_kmv":

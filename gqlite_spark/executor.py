@@ -522,15 +522,13 @@ class GQLite:
                            fsio.join(stmt.path, "ivf_params.json")):
                 params = fsio.read_json(
                     self.spark, fsio.join(stmt.path, "ivf_params.json"))
-                grp.attach_ivf_index(stmt.on, stmt.path)
-                kind = "attach_ivf"
+                attach_fn, kind = grp.attach_ivf_index, "attach_ivf"
             elif fsio.exists(self.spark,
                              fsio.join(stmt.path, "ivfpq_params.json")):
                 params = fsio.read_json(
                     self.spark,
                     fsio.join(stmt.path, "ivfpq_params.json"))
-                grp.attach_ivfpq_index(stmt.on, stmt.path)
-                kind = "attach_ivfpq"
+                attach_fn, kind = grp.attach_ivfpq_index, "attach_ivfpq"
             else:
                 raise GQLiteError(
                     f"vindex attach: no index sidecar at '{stmt.path}' "
@@ -539,6 +537,26 @@ class GQLite:
                 raise GQLiteError(
                     f"vindex attach: index at '{stmt.path}' has metric="
                     f"{params.get('metric')!r}; $near routing needs 'l2'")
+            # the sidecar must describe THIS column: an index built for
+            # a different column (or a different-dim corpus) would
+            # silently serve wrong $near neighbors
+            side_col = params.get("vec_col")
+            if side_col is not None and side_col != stmt.on:
+                raise GQLiteError(
+                    f"vindex attach: index at '{stmt.path}' was built "
+                    f"for column '{side_col}', not '{stmt.on}'")
+            cents = params.get("centroids") or []
+            if cents:
+                idx_dim = len(cents[0][1])
+                row = (df.filter(F.col(stmt.on).isNotNull())
+                       .select(F.size(stmt.on).alias("_d")).head(1))
+                if row and row[0]["_d"] != idx_dim:
+                    raise GQLiteError(
+                        f"vindex attach: index at '{stmt.path}' is "
+                        f"{idx_dim}-dimensional but group "
+                        f"'{stmt.group}'.{stmt.on} vectors have "
+                        f"{row[0]['_d']} dims")
+            attach_fn(stmt.on, stmt.path)
             return StatementResult(
                 status="QUERY SUCCESS",
                 rows=[[kind, int(params.get("nlist") or 0)]],

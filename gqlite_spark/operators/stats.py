@@ -405,11 +405,24 @@ def cms_query(sketch: DataFrame, keys: DataFrame, d: int = 4,
         F.posexplode(F.array(*[_cms_slot(F.col("key"), i, w)
                                for i in range(int(d))]))
         .alias("row", "slot"))
-    if by:
-        combos = sketch.select(*by).distinct().crossJoin(kd)
-    else:
-        combos = kd
-    joined = combos.join(sketch, [*by, "row", "slot"], "left")
+    if not by:
+        joined = kd.join(sketch, ["row", "slot"], "left")
+        return (joined.groupBy("key")
+                .agg(F.min(F.coalesce(F.col("n"), F.lit(0)))
+                     .alias("count_est")))
+    # Null-safe on the group keys: a NULL-keyed group is a real group
+    # (same invariant as rollup_keycounts / _group_min_k_prefiltered);
+    # a plain name-list equijoin would estimate 0 for every key of a
+    # NULL-keyed group — an undercount, violating the CMS guarantee.
+    combos = sketch.select(*by).distinct().crossJoin(kd)
+    # rename the sketch side: combos derives from sketch, so qualified
+    # refs would be an ambiguous self-join
+    sk = sketch.select(*[F.col(c).alias(f"_sk_{c}") for c in sketch.columns])
+    cond = ((F.col("row") == F.col("_sk_row"))
+            & (F.col("slot") == F.col("_sk_slot")))
+    for c in by:
+        cond = cond & F.col(c).eqNullSafe(F.col(f"_sk_{c}"))
+    joined = combos.join(sk, cond, "left")
     return (joined.groupBy(*by, "key")
-            .agg(F.min(F.coalesce(F.col("n"), F.lit(0)))
+            .agg(F.min(F.coalesce(F.col("_sk_n"), F.lit(0)))
                  .alias("count_est")))

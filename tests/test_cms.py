@@ -54,6 +54,20 @@ def test_per_group_matches_solo(spark):
     assert got[(1, 7)] == 8 and got[(0, 7)] == 0
 
 
+def test_null_group_key_is_a_real_group(spark):
+    """A NULL group key is a real group (same invariant as
+    rollup_keycounts): its keys must estimate their true counts, not 0
+    — a plain name-list equijoin in cms_query would never match the
+    NULL-keyed sketch rows and silently undercount."""
+    rows = [(6, "a")] * 3 + [(6, None)] * 5 + [(7, None)] * 2
+    df = spark.createDataFrame(rows, "user_id long, g string")
+    sk = cms_sketch(df, "user_id", D, W, by=["g"])
+    got = {(r["g"], r["key"]): r["count_est"] for r in
+           cms_query(sk, _keys(spark, [6, 7]), D, W, by=["g"]).collect()}
+    assert got[(None, 6)] == 5 and got[(None, 7)] == 2
+    assert got[("a", 6)] == 3 and got[("a", 7)] == 0
+
+
 def test_null_is_not_a_value(spark):
     df = spark.createDataFrame([(1,), (1,), (None,)], "k int")
     sk = cms_sketch(df, "k", D, W)

@@ -616,6 +616,38 @@ def test_gql_vindex_attach_existing(pdb, tmp_path, spark):
     assert r.error and "EXISTING index" in r.error
 
 
+def test_gql_vindex_attach_rejects_wrong_index(pdb, tmp_path):
+    """Attach validates the sidecar DESCRIBES this column: an index
+    built for a different column, or for a different-dimensional
+    corpus, is refused instead of silently serving wrong neighbors —
+    and a refused attach leaves nothing attached."""
+    for r in pdb.exec(
+            "{create: 'pg', group: ['w1', 'w2']};"
+            "{upset: 'w1', in: 'pg', vertex: [[20, {emb2: [1.0, 2.0]}],"
+            " [21, {emb2: [2.0, 1.0]}], [22, {emb2: [0.0, 3.0]}]]};"
+            "{upset: 'w2', in: 'pg', vertex:"
+            " [[30, {embedding: [1.0, 0.0, 0.0]}],"
+            "  [31, {embedding: [0.0, 1.0, 0.0]}],"
+            "  [32, {embedding: [0.0, 0.0, 1.0]}]]};"):
+        assert r.error is None, r.error
+    p_col = str(tmp_path / "w_col")
+    p_dim = str(tmp_path / "w_dim")
+    _one(pdb, "{vindex: 'w1', in: 'pg', on: 'emb2',"
+              f" path: '{p_col}', nlist: 2}};")
+    _one(pdb, "{vindex: 'vecs', in: 'pg', on: 'embedding',"
+              f" path: '{p_dim}', nlist: 2}};")
+    # built for 'emb2', attached as 'embedding' (the default on:)
+    r = pdb.exec(f"{{vindex: 'vecs', in: 'pg', path: '{p_col}',"
+                 " attach: true};")[0]
+    assert r.error and "built for column 'emb2'" in r.error
+    # built on 2-d vectors, attached to a 3-d column
+    r = pdb.exec(f"{{vindex: 'w2', in: 'pg', path: '{p_dim}',"
+                 " attach: true};")[0]
+    assert r.error and "2-dimensional" in r.error and "3 dims" in r.error
+    grp = pdb.catalog.graphs["pg"].group("w2")
+    assert not grp._ivf_attach and not grp._ivfpq_attach
+
+
 def test_gql_rollup_cms_metric(db, tmp_path):
     """{rollup ... metrics: {u: ['cms']}, cms: {u: [d, w]}} maintains
     per-bucket count-min counter maps servable as per-key estimates."""

@@ -50,8 +50,8 @@ def test_layout_attach_scan_candidate(spark, tmp_path):
            .toPandas())
     oracle = duck_con(SF_DIR).execute("""
         SELECT l_quantity, count(*) AS n,
-               sum(CAST(round(l_extendedprice * 100) AS BIGINT))
-                 AS price_cents
+               CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT))
+                    AS BIGINT) AS price_cents
         FROM lineitem WHERE l_quantity > 45 GROUP BY l_quantity
     """).fetchdf()
     verdict = compare(got, oracle)
@@ -83,7 +83,8 @@ def test_rollup_coarsen_candidate(spark, tmp_path):
         SELECT CAST(floor(date_part('epoch', ts) / 86400) * 86400
                     AS BIGINT) AS bucket_start,
                event_type, count(*) AS n,
-               sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS sum_cents,
+               CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT))
+                    AS BIGINT) AS sum_cents,
                min(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS min_cents,
                max(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS max_cents
         FROM events GROUP BY 1, 2
@@ -115,7 +116,7 @@ def test_topcount_cms_candidate(spark):
            .toPandas())
     oracle = duck_con(SF_DIR).execute(f"""
         WITH rws AS (SELECT unnest(generate_series(0, {D - 1})) AS r),
-        ks AS (SELECT unnest({KEYS}) AS key),
+        ks AS (SELECT CAST(unnest({KEYS}) AS BIGINT) AS key),
         ev AS (SELECT event_type, user_id FROM events
                WHERE user_id IS NOT NULL),
         cnt AS (

@@ -53,7 +53,7 @@ def test_rollup_incremental_candidate(spark, tmp_path):
                     AS BIGINT) AS bucket_start,
                event_type,
                count(*) AS n,
-               sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS sum_cents,
+               CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_cents,
                max(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS max_cents
         FROM events GROUP BY 1, 2
     """).fetchdf()

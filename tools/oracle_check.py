@@ -62,10 +62,16 @@ def compare(spark_pdf: pd.DataFrame, duck_pdf: pd.DataFrame) -> str:
                 i = neq[neq].index[0]
                 return (f"VALUES col {c} row {i}: {av[i]!r} vs {bv[i]!r}"
                         f" (dtypes {av.dtype}/{bv.dtype})")
-    # dtype drift report (informational; driver may be stricter)
+    # dtype drift is a HARD FAILURE: the driver's hash canonicalization
+    # distinguishes 123 (int64) from 123.0 (float64), so values-equal-
+    # but-dtype-drifted entries fail the gate (r9's rollup_incremental
+    # red row — DuckDB sum(BIGINT)→HUGEINT→pandas float64 vs Spark
+    # int64).  Fix the oracle SQL (CAST the aggregate) instead.
     drift = [f"{c}:{a[c].dtype}/{b[c].dtype}" for c in a.columns
              if a[c].dtype != b[c].dtype]
-    return "OK" + (f" (dtype drift {drift})" if drift else "")
+    if drift:
+        return f"DTYPE drift {drift} (values equal; driver hash would fail)"
+    return "OK"
 
 
 def main():
