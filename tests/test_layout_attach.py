@@ -197,3 +197,52 @@ def test_cobucketed_pattern_join_exchange_free(db, tmp_path, spark):
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
         spark.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
+
+
+def test_bucket_pin_restored_on_detach(db, tmp_path, spark):
+    """The autoBucketedScan pin is scoped to the attach (VERDICT r9
+    wrong #2): while a bucketed layout is attached the heuristic is
+    off; after detach the PRIOR conf value is restored, so an
+    unrelated bucketed table's full scan regains planner choice.  The
+    pin is refcounted across groups, and a FAILED attach never pins."""
+    import gc
+    gc.collect()   # release pins of groups abandoned by earlier tests
+    conf = "spark.sql.sources.bucketing.autoBucketedScan.enabled"
+    prior = spark.conf.get(conf)
+    assert prior == "true"
+    p1, p2 = str(tmp_path / "pa"), str(tmp_path / "pb")
+    db.exec("{layout: 'ord', in: 'lg', path: '" + p1 +
+            "', bucket_by: 'id', buckets: 4, attach: true};")
+    assert spark.conf.get(conf) == "false"
+    # second attach on another group: refcount 2
+    db.exec("{layout: 'item', in: 'lg', path: '" + p2 +
+            "', bucket_by: 'id', buckets: 4, attach: true};")
+    assert spark.conf.get(conf) == "false"
+    # detach one (bulk mutation) -> still pinned by the other
+    grp_ord = db.catalog.graphs["lg"].group("ord")
+    grp_ord.register_df(spark.range(0, 10).selectExpr("id", "id as pr"),
+                        key_col="id")
+    assert grp_ord._layout_attach is None
+    assert spark.conf.get(conf) == "false"
+    # detach the last -> restored
+    grp_item = db.catalog.graphs["lg"].group("item")
+    grp_item.register_df(
+        spark.range(0, 10).selectExpr("id", "id % 3 as cat",
+                                      "cast(id as double) as v"),
+        key_col="id")
+    assert grp_item._layout_attach is None
+    assert spark.conf.get(conf) == "true"
+    # an unrelated bucketed table's FULL scan regains planner choice:
+    # with the heuristic back on, the scan is NOT bucketed (no operator
+    # above needs the distribution), i.e. parallelism is not capped
+    from gqlite_spark.sources import bucketed as B
+    p3 = str(tmp_path / "pc")
+    B.save_bucketed(spark.range(0, 1000).selectExpr("id", "id % 9 as k"),
+                    p3, key="id", n_buckets=4, table="pin_probe_t")
+    full = B.attach_bucketed(spark, p3).groupBy().count()
+    assert "Bucketed: true" not in _plan(full), _plan(full)
+    # a failed attach (wrong schema) must not pin either
+    r = db.exec("{layout: 'ord', in: 'lg', path: '" + p3 +
+                "', attach: true};")[0]
+    assert r.error is not None
+    assert spark.conf.get(conf) == "true"
