@@ -635,6 +635,28 @@ class GQLite:
         Result row: (kind, path, n_rows)."""
         graph = self._graph(stmt.graph)
         grp = graph.group(stmt.group)
+        if stmt.compact:
+            # fold the local overlay into the attached layout copy —
+            # new ids route into their hash bucket / sorted batch,
+            # updates stay in the overlay (Group.compact_into_layout)
+            if (grp._layout_attach is not None
+                    and grp._layout_attach["path"] != stmt.path):
+                raise GQLiteError(
+                    f"layout compact: group '{stmt.group}' layout is "
+                    f"attached at '{grp._layout_attach['path']}', not "
+                    f"'{stmt.path}'")
+            if grp._layout_attach is None:
+                try:
+                    grp.attach_layout(stmt.path)
+                except GQLiteError:
+                    raise
+                except Exception as e:
+                    raise GQLiteError(f"layout compact: {e}") from e
+            rep = grp.compact_into_layout()
+            return StatementResult(
+                status="QUERY SUCCESS",
+                rows=[[rep["rows_folded"], rep["rows_kept"]]],
+                value=rep["rows_folded"])
         if stmt.attach and stmt.by is None and stmt.bucket_by is None:
             # attach-only: no export — wire an existing layout copy in
             try:

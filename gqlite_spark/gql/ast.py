@@ -296,7 +296,12 @@ class LayoutStmt:
     ``attach: true`` the group's query path is pointed at the copy
     (Group.attach_layout) — combined with by:/bucket_by: it exports
     then attaches; alone it attaches an existing layout at ``path``
-    (e.g. in a fresh session).  Result row: (kind, path, n_rows)."""
+    (e.g. in a fresh session).  ``compact: true`` (alone) folds the
+    local OLTP overlay into the ALREADY-attached layout
+    (Group.compact_into_layout — new ids are hash-/sort-routed into
+    the copy incrementally, updates stay in the overlay), so ingest
+    never forces a full re-export.  Result rows: (kind, path, n_rows);
+    compact returns (rows_folded, rows_kept)."""
     group: str
     path: str
     graph: Optional[str] = None
@@ -305,6 +310,7 @@ class LayoutStmt:
     bucket_by: Optional[str] = None
     buckets: int = 16
     attach: bool = False
+    compact: bool = False
 
 
 @dataclass

@@ -508,15 +508,27 @@ class Parser:
             attach = obj.get("attach", False)
             if not isinstance(attach, bool):
                 attach = self._flag(str(attach))
+            compact = obj.get("compact", False)
+            if not isinstance(compact, bool):
+                compact = self._flag(str(compact))
+            if compact and (by is not None or bucket_by is not None
+                            or attach or "files" in obj
+                            or "buckets" in obj):
+                raise GQLParseError(
+                    "layout: compact folds the overlay into the "
+                    "ALREADY-attached layout — drop "
+                    "by/bucket_by/files/buckets/attach")
             if by is not None and bucket_by is not None:
                 raise GQLParseError(
                     "layout: give at most one of by: (sort/z-order "
                     "columns) and bucket_by: (hash-bucket key)")
-            if by is None and bucket_by is None and not attach:
+            if by is None and bucket_by is None and not attach \
+                    and not compact:
                 raise GQLParseError(
                     "layout: exactly one of by: (sort/z-order columns) "
                     "or bucket_by: (hash-bucket key) is required "
-                    "(or attach: true to attach an existing layout)")
+                    "(or attach: true / compact: true for an existing "
+                    "layout)")
             if by is not None:
                 if isinstance(by, str):
                     by = [by]
@@ -536,7 +548,8 @@ class Parser:
                     raise GQLParseError(
                         f"layout: {k} must be a positive integer")
             return LayoutStmt(obj["layout"], path, obj.get("in"),
-                              by, files, bucket_by, buckets, attach)
+                              by, files, bucket_by, buckets, attach,
+                              compact)
         if "rollup" in obj:
             path = obj.get("path")
             if not isinstance(path, str) or not path:

@@ -103,3 +103,43 @@ def test_bucket_pruning_point_lookup(spark, tmp_path):
             _mk(spark, 5000, 3).filter(F.col("k") == 42).count()
     finally:
         bucketed.force_bucketed_scan(spark, False)
+
+
+def test_append_bucketed_keeps_pruning_and_rows(spark, tmp_path,
+                                                no_broadcast):
+    """append_bucketed routes a batch into its hash buckets via
+    insertInto: bucket files keep their ids (one new file per bucket
+    per batch), point lookups still prune (SelectedBucketsCount), a
+    co-bucketed join stays exchange-free over old AND new rows, and
+    the sidecar's batch counter records the drift."""
+    import re
+    from gqlite_spark import fsio
+    p = str(tmp_path / "ab")
+    base = spark.range(0, 2000).selectExpr("id", "id % 9 as k")
+    bucketed.save_bucketed(base, p, key="id", n_buckets=4,
+                           table="t_append_b")
+    bucketed.append_bucketed(
+        spark.range(2000, 2100).selectExpr("id % 9 as k", "id"), p)
+    t = spark.table("t_append_b")
+    assert t.count() == 2100
+    bucketed.force_bucketed_scan(spark, True)
+    try:
+        q = t.where("id = 2050")
+        m = re.search(r"SelectedBucketsCount: (\d+) out of (\d+)",
+                      _plan(q))
+        assert m and (m.group(1), m.group(2)) == ("1", "4"), _plan(q)
+        assert [(r["id"], r["k"]) for r in q.collect()] == [(2050, 7)]
+    finally:
+        bucketed.force_bucketed_scan(spark, False)
+    # exchange-free join over the appended table
+    p2 = str(tmp_path / "ab2")
+    bucketed.save_bucketed(spark.range(0, 2100).selectExpr(
+        "id", "id * 3 as w"), p2, key="id", n_buckets=4, table="t_ab2")
+    j = bucketed.cobucket_join(t, spark.table("t_ab2"), "id")
+    assert "Exchange" not in _plan(j), _plan(j)
+    assert j.count() == 2100
+    spec = fsio.read_json(spark, fsio.join(p, bucketed.SPEC_FILE))
+    assert spec["batches"] == 1
+    # batch lacking a table column is refused
+    with pytest.raises(ValueError, match="lacks column"):
+        bucketed.append_bucketed(spark.range(5).selectExpr("id"), p)
