@@ -146,14 +146,42 @@ class ConcurrentWriterError(IOError):
     """Another writer holds the swap lease for this table."""
 
 
-def heal_swap(spark, path: str, kind: str) -> None:
+def heal_swap(spark, path: str, kind: str, have_lease: bool = False,
+              lease_timeout: float = 3600.0) -> None:
     """Recover from a crash between :func:`swap_in`'s two renames: if
     the table vanished from ``path`` but the complete old table sits at
     ``<path>.<kind>_old``, rename it back.  Lifecycle entry points call
-    this first, so a torn swap self-repairs on the next touch."""
+    this first, so a torn swap self-repairs on the next touch.
+
+    Lease awareness (ADVICE r9 #4): the path-missing + ``_old``-present
+    shape is ALSO what a LIVE writer's window between its two renames
+    looks like — a reader healing right then would rename ``_old`` back
+    over ``path`` and break the writer's in-flight ``rename(tmp,
+    path)``.  So without ``have_lease`` this waits briefly while a
+    fresh ``<path>.<kind>_lock`` exists (the writer's own rename is
+    about to restore the table) and heals only when no live lease is
+    held.  ``have_lease=True`` (the writer, inside :func:`swap_in`)
+    heals immediately — it owns the table."""
+    import time
+
     old = path.rstrip("/") + f".{kind}_old"
-    if not exists(spark, path) and exists(spark, old):
-        rename(spark, old, path)
+    if exists(spark, path) or not exists(spark, old):
+        return
+    if not have_lease:
+        lock = path.rstrip("/") + f".{kind}_lock"
+        for _ in range(40):          # ~10 s: a rename-window, not a write
+            try:
+                age = time.time() - mtime(spark, lock)
+            except Exception:
+                break                # no lock — torn state is real
+            if age > lease_timeout:
+                break                # crashed writer — safe to heal
+            time.sleep(0.25)
+            if exists(spark, path):
+                return               # the writer's rename landed
+        if exists(spark, path) or not exists(spark, old):
+            return
+    rename(spark, old, path)
 
 
 def swap_in(spark, path: str, kind: str, write_fn,
@@ -173,13 +201,24 @@ def swap_in(spark, path: str, kind: str, write_fn,
     cleanly instead of clobbering the first writer's tmp mid-write or
     swapping a torn table in.  A lease older than ``lease_timeout``
     seconds (FS mtime — a crashed writer never releases) is taken
-    over.  Readers need no lease: they always see a complete table at
-    ``path`` or heal one from ``_old``."""
+    over; ``lease_timeout`` must therefore exceed the longest possible
+    ``write_fn`` wall time, or a slow-but-alive writer can be fenced
+    out mid-write.  Readers need no lease: they always see a complete
+    table at ``path``, or wait out a live writer's rename window /
+    heal a crashed one's ``_old`` (see :func:`heal_swap`).
+
+    The release is FENCED (ADVICE r9 #3): each claim carries a unique
+    nonce, and the ``finally`` re-reads the lock and deletes it only
+    if the claim is still OURS — after a stale-lease takeover, the
+    paused-but-alive original writer's cleanup must not delete the new
+    writer's lease (which would let a third writer enter)."""
     import os
     import time
+    import uuid
 
     lock = path.rstrip("/") + f".{kind}_lock"
-    claim = f"pid={os.getpid()} t={time.time():.0f}"
+    nonce = uuid.uuid4().hex
+    claim = f"pid={os.getpid()} t={time.time():.0f} nonce={nonce}"
     if not create_exclusive(spark, lock, claim):
         try:
             age = time.time() - mtime(spark, lock)
@@ -201,7 +240,7 @@ def swap_in(spark, path: str, kind: str, write_fn,
         # heal INSIDE the lease: on a torn state (path missing, old
         # holding the only complete table) the preamble delete(old)
         # below would otherwise destroy the sole copy (ADVICE r8 #1)
-        heal_swap(spark, path, kind)
+        heal_swap(spark, path, kind, have_lease=True)
         delete(spark, tmp)
         delete(spark, old)
         write_fn(tmp)
@@ -209,4 +248,11 @@ def swap_in(spark, path: str, kind: str, write_fn,
         rename(spark, tmp, path)
         delete(spark, old)
     finally:
-        delete(spark, lock, recursive=False)
+        # fenced release: skip if the lock is no longer ours (a
+        # stale-lease takeover replaced it while we were paused)
+        try:
+            cur = read_text(spark, lock)
+        except Exception:
+            cur = None
+        if cur is not None and f"nonce={nonce}" in cur:
+            delete(spark, lock, recursive=False)

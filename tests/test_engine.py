@@ -1066,3 +1066,43 @@ def test_compaction_deletes_emptied_lists(spark, tmp_path):
     pidx, _ = load_ivfpq_index(spark, pq)
     assert pidx.count() == 8
     assert pidx.filter("id = 3").count() == 1   # exactly the new entry
+
+
+def test_torn_compaction_marker_refuses_attach(spark, tmp_path,
+                                               monkeypatch):
+    """A crash mid-compaction (between the per-partition overwrite and
+    the emptied-list delete) leaves the in-progress marker behind; a
+    later attach REFUSES the half-compacted index instead of silently
+    serving it, and a rebuild clears the marker (VERDICT r9 wrong #3)."""
+    import os
+    from gqlite_spark import fsio
+    from gqlite_spark.catalog import COMPACT_MARKER
+    from gqlite_spark.errors import GQLiteError
+    db, grp = _line_fixture_group(spark, "knntorn")
+    idx = str(tmp_path / "ivf_torn")
+    grp.build_ivf_index("vec", idx)
+    grp.upsert_vertex(0, {"vec": [500.0, 0.0]})
+    grp.upsert_vertex(999, {"vec": [-0.5, 0.0]})
+    # kill the compaction right after the partition rewrite, before
+    # the emptied-list delete removes the marker
+    real_delete = fsio.delete
+    def dying_delete(spark_, path, recursive=True):
+        raise RuntimeError("simulated crash mid-compaction")
+    monkeypatch.setattr(fsio, "delete", dying_delete)
+    with pytest.raises(RuntimeError, match="simulated crash"):
+        grp.compact_into_index("vec")
+    monkeypatch.setattr(fsio, "delete", real_delete)
+    marker = os.path.join(idx, "ivf.parquet", COMPACT_MARKER)
+    assert os.path.exists(marker)
+    # a fresh attach (new session / re-wire) refuses the torn index
+    grp2 = db.catalog.graphs["knntorn"].group("pts")
+    grp2._ivf_attach.clear()
+    with pytest.raises(GQLiteError, match="torn compaction"):
+        grp2.attach_ivf_index("vec", idx)
+    r = db.exec("{vindex: 'pts', in: 'knntorn', on: 'vec', path: '" +
+                idx + "', attach: true};")[0]
+    assert r.error and "torn compaction" in r.error
+    # rebuild overwrites the whole index and clears the marker
+    grp2.build_ivf_index("vec", idx)
+    assert not os.path.exists(marker)
+    assert grp2._ivf_attach.get("vec") == idx

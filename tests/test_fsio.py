@@ -180,3 +180,62 @@ def test_swap_in_releases_lease_on_write_failure(spark, tmp_path):
         fsio.swap_in(spark, p, "kind", _boom)
     assert not fsio.exists(spark, p + ".kind_lock")
     assert spark.read.parquet(p).count() == 2  # table untouched
+
+
+def test_swap_in_release_is_fenced_after_takeover(spark, tmp_path):
+    """ADVICE r9 #3: after a stale-lease takeover, the ORIGINAL
+    (paused-but-alive) writer's cleanup must not delete the NEW
+    writer's lease.  The release re-reads the lock and skips when the
+    claim's nonce isn't ours — simulated here by replacing the lock
+    mid-write, exactly what a takeover does."""
+    p = f"file://{tmp_path}/tbl5"
+    spark.range(2).write.parquet(p)
+    lock = p + ".kind_lock"
+
+    def _write_and_get_fenced(tmp):
+        # a second writer takes over our (supposedly stale) lease
+        fsio.delete(spark, lock, recursive=False)
+        assert fsio.create_exclusive(spark, lock, "nonce=THEIRS")
+        spark.range(6).write.parquet(tmp)
+
+    fsio.swap_in(spark, p, "kind", _write_and_get_fenced)
+    # our finally must NOT have deleted the new writer's lease
+    assert fsio.exists(spark, lock)
+    assert fsio.read_text(spark, lock) == "nonce=THEIRS"
+    fsio.delete(spark, lock, recursive=False)
+
+
+def test_heal_swap_defers_to_live_lease(spark, tmp_path):
+    """ADVICE r9 #4: a READER's heal in a live writer's rename window
+    (path missing, _old present, fresh lock held) must not rename _old
+    back over path — it waits for the writer's rename to land instead.
+    With a STALE lock (crashed writer) it heals."""
+    import threading
+    import time
+
+    p = f"file://{tmp_path}/tbl6"
+    spark.range(4).write.parquet(p)
+    lock = p + ".kind_lock"
+    # live writer: lease held, mid-window between its two renames
+    assert fsio.create_exclusive(spark, lock, "nonce=writer")
+    fsio.rename(spark, p, p + ".kind_old")
+
+    def writer_finishes():
+        time.sleep(1.0)
+        spark.range(8).write.parquet(p + ".kind_tmp")
+        fsio.rename(spark, p + ".kind_tmp", p)
+        fsio.delete(spark, p + ".kind_old")
+        fsio.delete(spark, lock, recursive=False)
+
+    t = threading.Thread(target=writer_finishes)
+    t.start()
+    fsio.heal_swap(spark, p, "kind")      # reader: waits, never heals
+    t.join()
+    assert spark.read.parquet(p).count() == 8   # the WRITER's table
+    assert not fsio.exists(spark, p + ".kind_old")
+    # crashed writer: stale lock -> the reader heals
+    fsio.rename(spark, p, p + ".kind_old")
+    assert fsio.create_exclusive(spark, lock, "nonce=crashed")
+    fsio.heal_swap(spark, p, "kind", lease_timeout=0.0)
+    assert spark.read.parquet(p).count() == 8
+    fsio.delete(spark, lock, recursive=False)
