@@ -30,7 +30,7 @@ from .gql.ast import (AstStmt, CallExpr, ChunkStmt, CohortStmt, CreateStmt,
                       ProfileStmt,
                       QueryStmt, RollupStmt, SampleStmt, ShardsStmt,
                       SimilarStmt,
-                      VIndexStmt,
+                      TopcountStmt, VIndexStmt,
                       RemoveEdgeStmt, RemoveVertexStmt, ShowGraphStmt,
                       UpsetEdgeStmt, UpsetPropertyStmt, UpsetVertexStmt,
                       UseGraphStmt, WalkPattern)
@@ -174,7 +174,33 @@ class GQLite:
             return self._layout(stmt)
         if isinstance(stmt, RollupStmt):
             return self._rollup(stmt)
+        if isinstance(stmt, TopcountStmt):
+            return self._topcount(stmt)
         raise GQLiteError(f"unsupported statement {type(stmt).__name__}")
+
+    def _topcount(self, stmt: TopcountStmt) -> StatementResult:
+        """``{topcount: '/data/ru', on: 'user', keys: [7, 8]};`` — read
+        per-(bucket, dims) count-min estimates of the literal keys from
+        the stored rollup's ``cms`` counter maps
+        (operators/rollup.py::rollup_keycounts).  Served from the
+        bucket table alone — the probe is (buckets × dims × keys × d)
+        rows, never event-sized; estimates never undercount.  The GQL
+        read surface of the third sketch, symmetric with the kmv/hist
+        metrics riding the same rollup lifecycle.  Result rows:
+        (bucket_start, dims..., key, count_est)."""
+        from .operators.rollup import rollup_keycounts
+        try:
+            out = rollup_keycounts(self.spark, stmt.path, stmt.on,
+                                   stmt.keys)
+        except ValueError as e:       # no cms metric for the column
+            raise GQLiteError(f"topcount: {e}") from e
+        except Exception as e:        # missing rollup / sidecar
+            raise GQLiteError(f"topcount: {e}") from e
+        cols = out.columns
+        return StatementResult(
+            status="QUERY SUCCESS", df=out,
+            rows_fn=lambda out=out, cols=cols: [
+                list(r) for r in out.orderBy(*cols).collect()])
 
     def _pipeline_group_df(self, graph_name, group_name: str,
                            on: "str | None", default_prop: str):

@@ -335,6 +335,22 @@ class RollupStmt:
 
 
 @dataclass
+class TopcountStmt:
+    """``{topcount: '<rollup path>', on: 'user', keys: [7, 8]}`` —
+    read per-(bucket, dims) count-min ESTIMATES of the literal keys
+    from a stored rollup's ``cms`` metric counter maps
+    (operators/rollup.py::rollup_keycounts): the incrementally
+    maintained "how often did THIS key appear per hour" report, served
+    from the bucket table alone — never a rescan of the events.  The
+    GQL read surface that makes the CMS sketch first-class like
+    kmv/hist (VERDICT r9 next #6).  Result rows: (bucket_start,
+    dims..., key, count_est)."""
+    path: str
+    on: str
+    keys: list
+
+
+@dataclass
 class VIndexStmt:
     """``{vindex: group, in: g, on: 'embedding', path: 'dir',
     nlist: 64}`` — build + attach a MATERIALIZED l2 IVF vector index

@@ -21,7 +21,8 @@ from .ast import (
     CohortStmt, DedupStmt, DropStmt,
     DumpStmt, EdgeConn, FunnelStmt, GeohashLit, GroupDef, ImportStmt,
     InferStmt, Lambda, LayoutStmt,
-    MemberRef, RollupStmt, SampleStmt, ShardsStmt, SimilarStmt, VIndexStmt,
+    MemberRef, RollupStmt, SampleStmt, ShardsStmt, SimilarStmt,
+    TopcountStmt, VIndexStmt,
     PatternNode, Pred, ProfileStmt, QueryStmt, RemoveEdgeStmt,
     RemoveVertexStmt, ShowGraphStmt, UpsetEdgeStmt, UpsetPropertyStmt,
     UpsetVertexStmt, UseGraphStmt, WalkPattern, Wildcard,
@@ -550,6 +551,30 @@ class Parser:
             return LayoutStmt(obj["layout"], path, obj.get("in"),
                               by, files, bucket_by, buckets, attach,
                               compact)
+        if "topcount" in obj:
+            path = obj["topcount"]
+            if not isinstance(path, str) or not path:
+                raise GQLParseError(
+                    "topcount: the value must be the rollup path "
+                    "({topcount: '<path>', on: 'col', keys: [...]})")
+            on = obj.get("on")
+            if not isinstance(on, str) or not on:
+                raise GQLParseError(
+                    "topcount: on: (the cms metric's property name) "
+                    "is required")
+            keys = obj.get("keys")
+            if (not isinstance(keys, list) or not keys
+                    or not all(isinstance(k, (str, int, float))
+                               and not isinstance(k, bool)
+                               for k in keys)):
+                raise GQLParseError(
+                    "topcount: keys must be a non-empty list of "
+                    "literal keys to estimate")
+            extra = sorted(set(obj) - {"topcount", "on", "keys"})
+            if extra:
+                raise GQLParseError(
+                    f"topcount: unknown key(s) {', '.join(extra)}")
+            return TopcountStmt(path, on, list(keys))
         if "rollup" in obj:
             path = obj.get("path")
             if not isinstance(path, str) or not path:

@@ -669,6 +669,21 @@ def test_gql_rollup_cms_metric(db, tmp_path):
     assert got[(0, 7)] == 2 and got[(0, 8)] == 1 and got[(0, 99)] == 0
     # 1e14 ns = 100000 s -> hour bucket 97200
     assert got[(97200, 7)] == 1
+    # {topcount:} — the GQL read surface of the same estimates
+    res = _one(db, f"{{topcount: '{p}', on: 'u', keys: [7, 8, 99]}};")
+    tc = {(r[0], r[1]): r[2] for r in res.rows}
+    assert tc == got
+    assert res.df is not None and res.df.columns == [
+        "bucket_start", "key", "count_est"]
+    # errors: no cms metric for the column; missing rollup; bad args
+    r = db.exec(f"{{topcount: '{p}', on: 'nope', keys: [1]}};")[0]
+    assert r.error and "no cms metric" in r.error
+    r = db.exec("{topcount: '/tmp/nope_tc', on: 'u', keys: [1]};")[0]
+    assert r.error
+    r = db.exec(f"{{topcount: '{p}', on: 'u', keys: []}};")[0]
+    assert r.error and "non-empty" in r.error
+    r = db.exec(f"{{topcount: '{p}', on: 'u', keys: [1], in: 'cg'}};")[0]
+    assert r.error and "unknown key" in r.error
     # errors: malformed params / orphan params
     r = db.exec(f"{{rollup: 'evs', in: 'cg', path: '{p}x', ts: 't',"
                 " metrics: {u: ['cms']}, cms: {u: [4]}};")[0]
