@@ -63,7 +63,17 @@ DIAGNOSTIC_QUERIES: list[str] = ["knn_near_limit_routed",
                                  # rebuilds its index so the lifecycle
                                  # is what's oracled); tracked here so
                                  # the codes-route cost stays visible
-                                 "knn_near_limit_pq"]
+                                 "knn_near_limit_pq",
+                                 # r10 promotions: layout attach and
+                                 # the coarsen cascade rebuild their
+                                 # artifacts per invocation (write-
+                                 # dominated by construction); the CMS
+                                 # entry sketches the full events table
+                                 # per call.  Diagnostics keep the
+                                 # frozen totals comparable.
+                                 "layout_attach_scan",
+                                 "rollup_coarsen",
+                                 "topcount_cms"]
 
 # the original 19-query headline set (rounds 1-4) — reported separately
 # as value_19q so round-over-round totals stay comparable across the

@@ -237,9 +237,15 @@ def main() -> None:
             return cosine_topk(pruned, q, k=K)
 
         scaled = default_nprobe(nlist)
+        # the routed $near default (executor._knn_ivfpq's candidates
+        # law) is part of the sweep so the default itself is what gets
+        # validated, not just hand-picked points
+        law = max(1000, n_vecs // 1000, 4 * K)
         for np_ in sorted({4, scaled, 2 * scaled}):
-            for cand in (10 * K, 100 * K):
-                run(f"ivfpq nlist={nlist} m={m} nprobe={np_} cand={cand}",
+            for cand in sorted({10 * K, 100 * K, law}):
+                tag = " (law)" if cand == law else ""
+                run(f"ivfpq nlist={nlist} m={m} nprobe={np_} "
+                    f"cand={cand}{tag}",
                     lambda q, n=np_, c=cand: ivfpq_topk_indexed(
                         corpus, q, index, params, nprobe=n, k=K,
                         candidates=c))
