@@ -525,6 +525,17 @@ class Group:
             else:
                 from .sources.clustered import append_clustered
                 append_clustered(batch, la["path"])
+            # the bulk side must absorb the folded rows too: a later
+            # BULK mutation detaches the layout and falls back to
+            # bulk_df — without this union the folded rows (now in
+            # neither the overlay nor bulk) would vanish from view.
+            # Collision-free: a folded id was absent from the copy,
+            # and the copy is a faithful superset of bulk.  (An
+            # attach-only group has no bulk side; the copy stays its
+            # only store, as before.)
+            if self.bulk_df is not None:
+                self.bulk_df = self.bulk_df.unionByName(
+                    batch, allowMissingColumns=True)
             self.rows = {k: v for k, v in self.rows.items()
                          if k not in set(new_ids)}
             self._mat_cache = None

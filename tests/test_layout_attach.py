@@ -312,3 +312,26 @@ def test_layout_compact_range_and_errors(db, tmp_path, spark):
     r = db.exec("{layout: 'x', in: 'lg3', path: '/tmp/nope_cf2',"
                 " compact: true};")[0]
     assert r.error and "sidecar" in r.error
+
+
+def test_folded_rows_survive_detach(db, tmp_path, spark):
+    """Self-review r10: folded rows move from the overlay into the
+    COPY — but a later BULK mutation detaches the copy and falls back
+    to bulk_df, so the fold must absorb them into the bulk side too,
+    or they'd vanish from view exactly when the layout goes away."""
+    p = str(tmp_path / "fsd")
+    db.exec("{layout: 'ord', in: 'lg', path: '" + p +
+            "', bucket_by: 'id', buckets: 4, attach: true};")
+    db.exec("{upset: 'ord', vertex: [[7001, {pr: 42}]]};")
+    r = db.exec("{layout: 'ord', in: 'lg', path: '" + p +
+                "', compact: true};")[0]
+    assert r.error is None and r.rows == [[1, 0]]
+    # a bulk mutation (remove) detaches the layout...
+    r = db.exec("{remove: 'ord', in: 'lg', vertex: {id: 5}};")[0]
+    assert r.error is None, r.error
+    grp = db.catalog.graphs["lg"].group("ord")
+    assert grp._layout_attach is None
+    # ...and the folded row is still visible from the bulk side
+    got = db.query_df("{query: 'ord', in: 'lg', where: {id: 7001}};")
+    assert [(x["id"], x["pr"]) for x in got.collect()] == [(7001, 42)]
+    assert db.query_df("{query: 'ord', in: 'lg'};").count() == 3000
