@@ -108,6 +108,44 @@ def force_bucketed_scan(spark: SparkSession, enabled: bool = True) -> None:
                    "false" if enabled else "true")
 
 
+def rebucket(spark: SparkSession, path: str) -> None:
+    """Rewrite the bucketed table back to one file per bucket —
+    rewrite-then-swap via :func:`fsio.swap_in`, the scheduled
+    counterpart of :func:`append_bucketed` (each append adds up to
+    n_buckets files; this restores the write-time layout, exactly like
+    ``clustered.recluster`` after ``append_clustered`` drift).  The new
+    copy is built as a staging table at ``<path>.rebucket_tmp`` and
+    swapped in by directory rename — readers of the registered table
+    see the old complete file set or the new one, never a mix (bucket
+    ids live in the FILE NAMES, so a rename preserves the layout).
+    Single-writer via the swap lease; a torn swap heals on the next
+    lifecycle call."""
+    spec = fsio.read_json(spark, fsio.join(path, SPEC_FILE))
+    name, key, n = spec["table"], spec["key"], int(spec["n_buckets"])
+
+    def _write(tmp: str) -> None:
+        stage = f"{name}__rebucket_tmp"
+        # read the files directly (bucket info is irrelevant — the
+        # stage re-shuffles by key anyway); the write lands in tmp, a
+        # DIFFERENT dir, so the plan never overwrites what it reads
+        # and nothing corpus-sized is checkpointed
+        save_bucketed(spark.read.parquet(path), tmp, key=key,
+                      n_buckets=n, table=stage,
+                      sort=bool(spec.get("sorted", True)))
+        spark.sql(f"DROP TABLE IF EXISTS `{stage}`")
+        # the staged sidecar must describe the FINAL table identity
+        fsio.write_json(spark, fsio.join(tmp, SPEC_FILE), {
+            "table": name, "key": key, "n_buckets": n,
+            "sorted": bool(spec.get("sorted", True)),
+            "schema_ddl": spec["schema_ddl"]})
+
+    fsio.swap_in(spark, path, "rebucket", _write)
+    if spark.catalog.tableExists(name):
+        spark.catalog.refreshTable(name)
+    else:                      # fresh session: register from the sidecar
+        attach_bucketed(spark, path, name)
+
+
 def append_bucketed(df: DataFrame, path: str,
                     table: "str | None" = None) -> None:
     """Append a batch to a bucketed table WITHOUT a full rewrite

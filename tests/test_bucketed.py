@@ -143,3 +143,42 @@ def test_append_bucketed_keeps_pruning_and_rows(spark, tmp_path,
     # batch lacking a table column is refused
     with pytest.raises(ValueError, match="lacks column"):
         bucketed.append_bucketed(spark.range(5).selectExpr("id"), p)
+
+
+def test_rebucket_restores_one_file_per_bucket(spark, tmp_path,
+                                               no_broadcast):
+    """rebucket: the scheduled counterpart of append_bucketed — a
+    swap-atomic re-export back to one file per bucket; rows, pruning
+    and the exchange-free join survive, the staging table is cleaned
+    up, and the batch counter resets."""
+    import glob
+    import re
+    from gqlite_spark import fsio
+    p = str(tmp_path / "rb")
+    bucketed.save_bucketed(
+        spark.range(0, 1200).selectExpr("id", "id % 5 as k"),
+        p, key="id", n_buckets=4, table="t_rebkt")
+    for lo in (1200, 1300):
+        bucketed.append_bucketed(
+            spark.range(lo, lo + 100).selectExpr("id", "id % 5 as k"), p)
+    n_files = lambda: len(glob.glob(p + "/part-*.parquet"))
+    assert n_files() == 12                  # 4 + 2 appends x 4
+    bucketed.rebucket(spark, p)
+    assert n_files() == 4                   # one file per bucket again
+    t = spark.table("t_rebkt")
+    assert t.count() == 1400
+    assert not spark.catalog.tableExists("t_rebkt__rebucket_tmp")
+    spec = fsio.read_json(spark, fsio.join(p, bucketed.SPEC_FILE))
+    assert spec["table"] == "t_rebkt" and "batches" not in spec
+    bucketed.force_bucketed_scan(spark, True)
+    try:
+        q = t.where("id = 1350")
+        m = re.search(r"SelectedBucketsCount: (\d+) out of (\d+)",
+                      _plan(q))
+        assert m and (m.group(1), m.group(2)) == ("1", "4"), _plan(q)
+        assert [(r["id"], r["k"]) for r in q.collect()] == [(1350, 0)]
+    finally:
+        bucketed.force_bucketed_scan(spark, False)
+    # no leftover swap dirs or lease
+    for suffix in (".rebucket_tmp", ".rebucket_old", ".rebucket_lock"):
+        assert not fsio.exists(spark, p + suffix), suffix
