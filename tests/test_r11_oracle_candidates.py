@@ -79,3 +79,35 @@ def test_layout_fold_scan_candidate(spark, tmp_path):
     """).fetchdf()
     verdict = compare(got, oracle)
     assert verdict.startswith("OK"), verdict
+
+
+def test_bucketed_append_rebucket_scan_candidate(spark, tmp_path):
+    """Entry shape `bucketed_ingest_scan`: save 2/3 of lineitem
+    bucketed on l_orderkey, `append_bucketed` the remaining 1/3 (the
+    bucket-routed ingest batch), `rebucket` back to one file per
+    bucket, then aggregate — the oracle is the plain GROUP BY over ALL
+    of lineitem, so parity proves the whole ingest lifecycle is
+    value-faithful (nothing lost, doubled, or misrouted across the
+    append and the swap-atomic rewrite)."""
+    from gqlite_spark.sources import bucketed as B
+    li = (spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+          .select("l_orderkey", "l_quantity", "l_extendedprice"))
+    p = str(tmp_path / "ing")
+    B.save_bucketed(li.filter(F.col("l_orderkey") % 3 != 0), p,
+                    key="l_orderkey", n_buckets=8, table="t_r11ing")
+    B.append_bucketed(li.filter(F.col("l_orderkey") % 3 == 0), p)
+    B.rebucket(spark, p)
+    got = (spark.table("t_r11ing")
+           .groupBy("l_quantity")
+           .agg(F.count("*").alias("n"),
+                F.sum(F.round(F.col("l_extendedprice") * 100)
+                      .cast("long")).alias("price_cents"))
+           .toPandas())
+    oracle = duck_con(SF_DIR).execute("""
+        SELECT l_quantity, count(*) AS n,
+               CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT))
+                    AS BIGINT) AS price_cents
+        FROM lineitem GROUP BY l_quantity
+    """).fetchdf()
+    verdict = compare(got, oracle)
+    assert verdict.startswith("OK"), verdict
