@@ -483,9 +483,12 @@ class Group:
         overlay stays bounded by the UPDATE working set, not by ingest
         volume.  Same guard for rows carrying values in props the copy
         predates: they stay local instead of losing columns.  The
-        existence probe reads only the copy's id column — bucket-pruned
-        to the overlay ids' buckets on bucket layouts.  Returns
-        ``{"rows_folded": n, "rows_kept": m}``.  Reference anchor: the
+        existence probe reads only the copy's key column(s) —
+        bucket-pruned to the overlay ids' buckets on bucket layouts.
+        Edge groups fold by composite (src, dst, direction) key — the
+        co-bucketed pattern-join layout grows by edge upserts too.
+        Returns ``{"rows_folded": n, "rows_kept": m}``.  Reference
+        anchor: the
         reference's one mdbx table IS its layout, maintained per-write
         (StorageEngine.cpp:729-841); this fold is the batched engine
         analogue, symmetric with ``compact_into_index``."""
@@ -494,17 +497,26 @@ class Group:
             raise GQLiteError(
                 f"layout compact: group '{self.meta.name}' has no "
                 "attached layout ({layout ... attach: true} first)")
-        if self.meta.is_edge:
-            raise GQLiteError(
-                "layout compact: edge groups are not supported yet "
-                "(the overlay fold is keyed by vertex id)")
         if not self.rows:
             return {"rows_folded": 0, "rows_kept": 0}
         base = self._layout_base()
-        ids = list(self.rows)
-        existing = {
-            r["id"] for r in
-            base.where(F.col("id").isin(ids)).select("id").collect()}
+        local = self._local_df()
+        if self.meta.is_edge:
+            # overlay dict keys are (src, direction, dst); copy columns
+            # are src/dst/direction — probe existence by composite key
+            # (a broadcast semi-join: the overlay is driver-sized)
+            keycols = ["src", "dst", "direction"]
+            keyset = local.select(*keycols).distinct()
+            existing = {
+                (r["src"], r["direction"], r["dst"]) for r in
+                base.join(F.broadcast(keyset), keycols, "leftsemi")
+                .select(*keycols).collect()}
+        else:
+            keycols = ["id"]
+            ids = list(self.rows)
+            existing = {
+                r["id"] for r in
+                base.where(F.col("id").isin(ids)).select("id").collect()}
         copy_cols = set(base.columns)
         extra = [c for c in sorted(self.meta.props) if c not in copy_cols]
         new_ids = []
@@ -516,9 +528,16 @@ class Group:
             else:
                 new_ids.append(k)
         if new_ids:
-            batch = (self._local_df()
-                     .where(F.col("id").isin(new_ids))
-                     .select(*base.columns))
+            if self.meta.is_edge:
+                new_df = self.spark.createDataFrame(
+                    [(k[0], k[2], k[1]) for k in new_ids],
+                    local.select(*keycols).schema)
+                batch = (local.join(F.broadcast(new_df), keycols,
+                                    "leftsemi")
+                         .select(*base.columns))
+            else:
+                batch = (local.where(F.col("id").isin(new_ids))
+                         .select(*base.columns))
             if la["kind"] == "bucket":
                 from .sources.bucketed import append_bucketed
                 append_bucketed(batch, la["path"])

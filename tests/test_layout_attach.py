@@ -335,3 +335,42 @@ def test_folded_rows_survive_detach(db, tmp_path, spark):
     got = db.query_df("{query: 'ord', in: 'lg', where: {id: 7001}};")
     assert [(x["id"], x["pr"]) for x in got.collect()] == [(7001, 42)]
     assert db.query_df("{query: 'ord', in: 'lg'};").count() == 3000
+
+
+def test_layout_compact_edge_group(db, tmp_path, spark):
+    """Edge-group fold (r10): a co-bucketed EDGE layout grows by edge
+    upserts too — {layout compact:} folds new (src, dst, direction)
+    keys into the copy, keeps duplicates of existing keys local, and
+    the pattern join over the co-bucketed pair still sees the folded
+    edges."""
+    d = GQLite(spark)
+    d.exec("{create: 'eg', group: ['p', ['p', 'knows', 'p']]};")
+    g = d.catalog.graphs["eg"]
+    g.group("p").register_df(
+        spark.range(0, 2000).selectExpr("id", "id % 9 as age"),
+        key_col="id")
+    g.group("knows").register_df(
+        spark.range(0, 4000).selectExpr("id % 2000 as src",
+                                        "(id * 3) % 2000 as dst"),
+        src_col="src", dst_col="dst")
+    pe = str(tmp_path / "efold")
+    r = d.exec("{layout: 'knows', in: 'eg', path: '" + pe +
+               "', bucket_by: 'src', buckets: 4, attach: true};")[0]
+    assert r.error is None, r.error
+    # two NEW edges + one duplicate of an existing (0 -> 0 exists:
+    # id=0 gives src 0, dst 0)
+    for q in d.exec("{upset: 'knows', in: 'eg', edge: [1999, ->, 7]};"
+                    "{upset: 'knows', in: 'eg', edge: [1999, ->, 8]};"
+                    "{upset: 'knows', in: 'eg', edge: [0, ->, 0]};"):
+        assert q.error is None, q.error
+    r = d.exec("{layout: 'knows', in: 'eg', path: '" + pe +
+               "', compact: true};")[0]
+    assert r.error is None and r.rows == [[2, 1]], r.error or r.rows
+    grp = g.group("knows")
+    assert grp._layout_attach is not None
+    assert len(grp.rows) == 1              # the duplicate stays local
+    got = d.query_df("{query: 'knows', in: 'eg', where:"
+                     " [{id: 1999}, ->, *]};")
+    assert sorted((x["src"], x["dst"]) for x in got.collect()) == sorted(
+        [(1999, 7), (1999, 8)] +
+        [(1999, (i * 3) % 2000) for i in range(4000) if i % 2000 == 1999])
