@@ -1667,6 +1667,80 @@ def q_topcount_cms(spark, sf_dir):
         keys, _CMS_D, _CMS_W, by=["event_type"])
 
 
+def q_layout_fold_scan(spark, sf_dir):
+    """Bucketed-layout FOLD lifecycle oracled end-to-end (promoted from
+    the r10 rehearsal, tests/test_r11_oracle_candidates.py): export
+    orders hash-bucketed on id, ATTACH it, upsert 3 NEW rows + 1 UPDATE
+    of an existing row, fold the overlay into the layout with
+    {layout ... compact: true} (new ids route into their buckets and
+    APPEND incrementally; the update stays an overlay-local LWW win),
+    then run a selective GQL id query spanning base + folded + updated
+    rows — served from the attached copy with bucket pruning live
+    (plan-asserted in the rehearsal test).  The oracle is the same
+    relation in pure SQL (base minus the updated id, UNION ALL the
+    literal upserts), so parity proves the maintain-don't-re-export
+    fold is value-faithful — what keeps pruning alive across ingest at
+    100 TB.  Reference anchor: the reference maintains its key-ordered
+    mdbx layout per-write (StorageEngine.cpp:729-841); this is that
+    lifecycle on an attached bucketed parquet layout."""
+    import tempfile
+    from gqlite_spark import GQLite
+    db = GQLite(spark)
+    g = db.catalog.create_graph("r11fold")
+    grp = g.create_group("orders")
+    grp.register_df(
+        _load(spark, sf_dir, "orders")
+        .select(F.col("o_orderkey").alias("id"), "o_custkey",
+                "o_totalprice"),
+        key_col="id")
+    p = tempfile.mkdtemp(prefix="gqlite_r11fo_") + "/fold"
+    r = db.exec("{layout: 'orders', in: 'r11fold', path: '" + p +
+                "', bucket_by: 'id', buckets: 8, attach: true};")[0]
+    assert r.error is None, r.error
+    for q in db.exec(
+            "{upset: 'orders', in: 'r11fold', vertex: ["
+            " [90000001, {o_custkey: 7, o_totalprice: 111.25}],"
+            " [90000002, {o_custkey: 8, o_totalprice: 222.5}],"
+            " [90000003, {o_custkey: 7, o_totalprice: 333.75}],"
+            " [1, {o_custkey: 9999, o_totalprice: 1.5}]]};"):
+        assert q.error is None, q.error
+    r = db.exec("{layout: 'orders', in: 'r11fold', path: '" + p +
+                "', compact: true};")[0]
+    assert r.error is None, r.error
+    return db.query_df(
+        "{query: 'orders', in: 'r11fold', where:"
+        " {id: [1, 3, 90000001, 90000002, 90000003]}};")
+
+
+def q_bucketed_ingest_scan(spark, sf_dir):
+    """Bucketed INGEST lifecycle oracled end-to-end (promoted from the
+    r10 rehearsal): save 2/3 of lineitem hash-bucketed on l_orderkey,
+    `append_bucketed` the remaining 1/3 (hash-routed insertInto — one
+    narrow shuffle of the BATCH only; pruning and exchange-free joins
+    survive the append), `rebucket` back to one file per bucket (the
+    swap-atomic re-export), then aggregate.  The oracle is the plain
+    GROUP BY over ALL of lineitem, so parity proves nothing is lost,
+    doubled, or misrouted across the append and the swap — the 100 TB
+    ingest shape where a firehose lands in the layout without ever
+    re-exporting the table."""
+    import tempfile
+    from gqlite_spark.sources import bucketed as B
+    li = (_load(spark, sf_dir, "lineitem")
+          .select("l_orderkey", "l_quantity", "l_extendedprice"))
+    root = tempfile.mkdtemp(prefix="gqlite_r11in_")
+    p = root + "/ing"
+    tbl = "t_ing_" + root.rsplit("_", 1)[-1]
+    B.save_bucketed(li.filter(F.col("l_orderkey") % 3 != 0), p,
+                    key="l_orderkey", n_buckets=8, table=tbl)
+    B.append_bucketed(li.filter(F.col("l_orderkey") % 3 == 0), p)
+    B.rebucket(spark, p)
+    return (spark.table(tbl)
+            .groupBy("l_quantity")
+            .agg(F.count("*").alias("n"),
+                 F.sum(F.round(F.col("l_extendedprice") * 100)
+                       .cast("long")).alias("price_cents")))
+
+
 # --------------------------------------------------------------------------
 # contract surface
 # --------------------------------------------------------------------------
@@ -1701,32 +1775,95 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # comparator treats any pandas dtype drift as FAILURE, matching
     # the driver's hash.
     #
-    # ROUND-10 WINDOW (per the policy): (1) the r9 deferred trio
-    # filter_or / filter_datetime / projection (2 rounds stale — the
-    # oldest tier) plus rollup_incremental (the r9 red row: values were
-    # right, the oracle's sum(BIGINT)→HUGEINT dtype drifted; oracle
-    # fixed, re-entering) plus the three promotions layout_attach_scan
-    # / rollup_coarsen / topcount_cms (rehearsed entry-shaped in
-    # tests/test_r10_oracle_candidates.py since r9); (2) 43 of the 50
-    # r8-stale entries; (3) deferred to r11 and FIRST there:
-    # text_fingerprint, text_repetition, text_langid (text family
-    # stays covered by text_quality/token_stats/redact_pii/chunking/
-    # tfidf/winnow/budget in-window), sim_ann_lsh, sim_ann_pq (their
-    # _indexed variants are in-window), window_tumbling
-    # (window_sliding in-window), graph_clustering_coef (graph family
-    # amply covered) — all seven also pinned by unit tests.
+    # ROUND-11 WINDOW (per the policy): (1) FIRST the 7 entries
+    # deferred in r10 (two rounds driver-stale — the oldest tier):
+    # text_fingerprint / text_repetition / text_langid / sim_ann_lsh /
+    # sim_ann_pq / window_tumbling / graph_clustering_coef; (2) the two
+    # NEW promotions layout_fold_scan + bucketed_ingest_scan (the r10
+    # bucketed-lifecycle machinery, rehearsed entry-shaped in
+    # tests/test_r11_oracle_candidates.py since r10 — contract -> 108);
+    # (3) 41 of the 49 r9-stale entries; (4) deferred to r12 and FIRST
+    # there: knn_near_limit (knn_near_limit_pq + _routed in-window),
+    # sim_ann_pq_indexed (sim_ann_pq + sim_ann_ivf + sim_ann_lsh
+    # in-window), window_session (window_tumbling + event_funnel +
+    # window_interval_join in-window), multimodal_bytes
+    # (multimodal_meta + _av_meta in-window), graph_degrees +
+    # graph_connected_components (11 graph entries in-window),
+    # dedup_url + dedup_lines (dedup exact/minhash/ngram/simhash/
+    # embedding in-window) — all eight also pinned by unit tests
+    # (test_operators.py, test_graph_algos.py, test_streaming.py).
     return {
-        # ==== (1) oldest tier: the r9 deferred trio ====
+        # ==== (1) oldest tier: the 7 r10-deferred (r8-green) ====
+        "text_fingerprint": q_text_fingerprint,
+        "text_repetition": q_text_repetition,
+        "text_langid": q_text_langid,
+        "sim_ann_lsh": q_ann_lsh,
+        "sim_ann_pq": q_ann_pq,
+        "window_tumbling": q_window_tumbling,
+        "graph_clustering_coef": q_clustering_coef,
+        # ==== (2) r11 promotions (rehearsed since r10) ====
+        "layout_fold_scan": q_layout_fold_scan,
+        "bucketed_ingest_scan": q_bucketed_ingest_scan,
+        # ==== (3) r9-stale: 41 of 49 (8 named above -> r12) ====
+        "distinct_kmv": q_distinct_kmv,
+        "knn_near_limit_pq": q_knn_pq,
+        "knn_near_limit_routed": q_knn_routed,
+        "pricing_summary": q_pricing_summary,
+        "sim_ann_ivf": q_ann_ivf,
+        "training_shards": q_training_shards,
+        "dedup_exact": q_dedup_exact,
+        "dedup_minhash_lsh": q_dedup_minhash,
+        "text_lm_score": q_text_lm_score,
+        "event_funnel": q_event_funnel,
+        "window_interval_join": q_interval_join,
+        "multimodal_meta": q_multimodal_meta,
+        "multimodal_av_meta": q_multimodal_av_meta,
+        "sample_stratified": q_sample_stratified,
+        "sample_shuffle": q_sample_shuffle,
+        "decontaminate": q_decontaminate,
+        "pack_sequences": q_pack_sequences,
+        "graph_betweenness": q_betweenness,
+        "scan_filter_eq": q_scan_filter_eq,
+        "filter_range_and": q_filter_range_and,
+        "point_lookup": q_point_lookup,
+        "topk_orders": q_topk_orders,
+        "window_rank_running": q_window_rank,
+        "join_region_revenue": q_join_region_revenue,
+        "join_2hop_revenue": q_join_2hop_revenue,
+        "anti_join_no_orders": q_anti_join,
+        "upsert_lww": q_upsert_lww,
+        "graph_walk_2hop_cond": q_walk_2hop_cond,
+        "graph_motif_fork": q_motif_fork,
+        "graph_khop": q_khop,
+        "graph_shortest_path": q_shortest_path,
+        "graph_pagerank": q_pagerank,
+        "graph_triangles": q_triangles,
+        "graph_scc": q_scc,
+        "graph_closeness": q_closeness,
+        "stats_entropy_gain": q_entropy,
+        "hmm_viterbi": q_hmm_viterbi,
+        "bayes_classify": q_bayes_classify,
+        "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+        "dedup_simhash": q_dedup_simhash,
+        "dedup_embedding_cosine": q_dedup_embedding,
+        # ==== past the cap: the 8 deferred r9-green — FIRST in r12 ====
+        "knn_near_limit": q_knn,
+        "sim_ann_pq_indexed": q_ann_pq_indexed,
+        "window_session": q_window_session,
+        "multimodal_bytes": q_multimodal_bytes,
+        "graph_degrees": q_degrees,
+        "graph_connected_components": q_connected_components,
+        "dedup_url": q_dedup_url,
+        "dedup_lines": q_dedup_lines,
+        # ==== past the cap: r10 driver-green (still oracle-checked
+        # ==== locally every round at sf0.01 AND sf0.1) ====
         "filter_or": q_filter_or,
         "filter_datetime": q_filter_datetime,
         "projection": q_projection,
-        # ==== (1) the r9 red row, oracle fixed ====
         "rollup_incremental": q_rollup_incremental,
-        # ==== (1) r10 promotions (rehearsed since r9) ====
         "layout_attach_scan": q_layout_attach_scan,
         "rollup_coarsen": q_rollup_coarsen,
         "topcount_cms": q_topcount_cms,
-        # ==== (2) r8-stale: 43 of 50 (7 named above → r11) ====
         "knn_near_limit_filtered": q_knn_filtered,
         "knn_compacted": q_knn_compacted,
         "sim_knn_join_ivf": q_knn_join_ivf,
@@ -1770,65 +1907,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_token_stats": q_text_stats,
         "text_quality": q_text_quality,
         "sim_cosine_topk": q_cosine_topk,
-        # ==== past the cap: the 7 deferred r8-green — FIRST in r11 ====
-        "text_fingerprint": q_text_fingerprint,
-        "text_repetition": q_text_repetition,
-        "text_langid": q_text_langid,
-        "sim_ann_lsh": q_ann_lsh,
-        "sim_ann_pq": q_ann_pq,
-        "window_tumbling": q_window_tumbling,
-        "graph_clustering_coef": q_clustering_coef,
-        # ==== past the cap: r9 driver-green (still oracle-checked
-        # ==== locally every round at sf0.01 AND sf0.1) ====
-        "distinct_kmv": q_distinct_kmv,
-        "knn_near_limit_pq": q_knn_pq,
-        "knn_near_limit_routed": q_knn_routed,
-        "knn_near_limit": q_knn,
-        "pricing_summary": q_pricing_summary,
-        "sim_ann_ivf": q_ann_ivf,
-        "sim_ann_pq_indexed": q_ann_pq_indexed,
-        "training_shards": q_training_shards,
-        "dedup_exact": q_dedup_exact,
-        "dedup_minhash_lsh": q_dedup_minhash,
-        "text_lm_score": q_text_lm_score,
-        "event_funnel": q_event_funnel,
-        "window_session": q_window_session,
-        "window_interval_join": q_interval_join,
-        "multimodal_meta": q_multimodal_meta,
-        "multimodal_av_meta": q_multimodal_av_meta,
-        "sample_stratified": q_sample_stratified,
-        "sample_shuffle": q_sample_shuffle,
-        "decontaminate": q_decontaminate,
-        "pack_sequences": q_pack_sequences,
-        "graph_betweenness": q_betweenness,
-        "multimodal_bytes": q_multimodal_bytes,
-        "scan_filter_eq": q_scan_filter_eq,
-        "filter_range_and": q_filter_range_and,
-        "point_lookup": q_point_lookup,
-        "topk_orders": q_topk_orders,
-        "window_rank_running": q_window_rank,
-        "join_region_revenue": q_join_region_revenue,
-        "join_2hop_revenue": q_join_2hop_revenue,
-        "anti_join_no_orders": q_anti_join,
-        "upsert_lww": q_upsert_lww,
-        "graph_walk_2hop_cond": q_walk_2hop_cond,
-        "graph_motif_fork": q_motif_fork,
-        "graph_khop": q_khop,
-        "graph_shortest_path": q_shortest_path,
-        "graph_connected_components": q_connected_components,
-        "graph_pagerank": q_pagerank,
-        "graph_degrees": q_degrees,
-        "graph_triangles": q_triangles,
-        "graph_scc": q_scc,
-        "graph_closeness": q_closeness,
-        "stats_entropy_gain": q_entropy,
-        "hmm_viterbi": q_hmm_viterbi,
-        "bayes_classify": q_bayes_classify,
-        "dedup_url": q_dedup_url,
-        "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
-        "dedup_simhash": q_dedup_simhash,
-        "dedup_embedding_cosine": q_dedup_embedding,
-        "dedup_lines": q_dedup_lines,
     }
 
 
@@ -2778,6 +2856,27 @@ def oracle_sql() -> dict[str, str]:
             " CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT))"
             "      AS BIGINT) AS price_cents"
             " FROM lineitem WHERE l_quantity > 45 GROUP BY l_quantity",
+        "layout_fold_scan":
+            # base minus the LWW-updated id, UNION ALL the literal
+            # upserts — incremental fold == this relation exactly
+            "WITH t AS ("
+            " SELECT o_orderkey AS id, o_custkey, o_totalprice"
+            " FROM orders WHERE o_orderkey <> 1"
+            " UNION ALL SELECT * FROM (VALUES"
+            "  (CAST(90000001 AS BIGINT), CAST(7 AS BIGINT), 111.25),"
+            "  (CAST(90000002 AS BIGINT), CAST(8 AS BIGINT), 222.5),"
+            "  (CAST(90000003 AS BIGINT), CAST(7 AS BIGINT), 333.75),"
+            "  (CAST(1 AS BIGINT), CAST(9999 AS BIGINT), 1.5))"
+            "  v(id, o_custkey, o_totalprice))"
+            " SELECT id, o_custkey, o_totalprice FROM t"
+            " WHERE id IN (1, 3, 90000001, 90000002, 90000003)",
+        "bucketed_ingest_scan":
+            # save 2/3 + append 1/3 + rebucket == one-shot GROUP BY
+            # over ALL of lineitem (nothing lost / doubled / misrouted)
+            "SELECT l_quantity, count(*) AS n,"
+            " CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT))"
+            "      AS BIGINT) AS price_cents"
+            " FROM lineitem GROUP BY l_quantity",
         "rollup_coarsen":
             "SELECT CAST(floor(date_part('epoch', ts) / 86400) * 86400"
             "            AS BIGINT) AS bucket_start,"
