@@ -43,6 +43,13 @@ from .gql.ast import BinaryLit, DatetimeLit, GeohashLit
 # attaches refuse while it exists — see Group._overwrite_index_lists
 COMPACT_MARKER = "_compact_inprogress.json"
 
+# compact_into_layout probe strategy switch: at or below this many
+# overlay keys an IN-list predicate wins (pushed filter + bucket
+# pruning); above it the inlined literals would blow up the Catalyst
+# expression tree, so the probe becomes a broadcast semi-join on a
+# keyset DataFrame (the edge path's shape).
+_FOLD_ISIN_CAP = 1000
+
 # property kinds (AttributeKind parity, include/base/type.h:46-53)
 K_STRING, K_INTEGER, K_NUMBER, K_DATETIME, K_BINARY, K_VECTOR, K_OBJECT = (
     "string", "integer", "number", "datetime", "binary", "vector", "object")
@@ -483,8 +490,11 @@ class Group:
         overlay stays bounded by the UPDATE working set, not by ingest
         volume.  Same guard for rows carrying values in props the copy
         predates: they stay local instead of losing columns.  The
-        existence probe reads only the copy's key column(s) —
-        bucket-pruned to the overlay ids' buckets on bucket layouts.
+        existence probe reads only the copy's key column(s) — an
+        IN-list (pushed + bucket-pruned) up to ``_FOLD_ISIN_CAP`` keys,
+        a broadcast semi-join on a keyset DataFrame above it (a 100 k
+        working set must not become 100 k inlined literals in the
+        plan).
         Edge groups fold by composite (src, dst, direction) key — the
         co-bucketed pattern-join layout grows by edge upserts too.
         Returns ``{"rows_folded": n, "rows_kept": m}``.  Reference
@@ -514,9 +524,21 @@ class Group:
         else:
             keycols = ["id"]
             ids = list(self.rows)
-            existing = {
-                r["id"] for r in
-                base.where(F.col("id").isin(ids)).select("id").collect()}
+            if len(ids) <= _FOLD_ISIN_CAP:
+                # small working set: an IN-list predicate reaches the
+                # scan as a pushed filter AND bucket-prunes on bucket
+                # layouts — strictly better than a join here
+                probe = base.where(F.col("id").isin(ids))
+            else:
+                # large working set: inlining 100k literals blows up
+                # the Catalyst expression tree (same class as the
+                # unroll-limit note in PLANS.md) — probe with a
+                # broadcast semi-join on a keyset DataFrame instead,
+                # symmetric with the edge path above
+                keyset = self.spark.createDataFrame(
+                    [(k,) for k in ids], base.select("id").schema)
+                probe = base.join(F.broadcast(keyset), "id", "leftsemi")
+            existing = {r["id"] for r in probe.select("id").collect()}
         copy_cols = set(base.columns)
         extra = [c for c in sorted(self.meta.props) if c not in copy_cols]
         new_ids = []
@@ -535,8 +557,13 @@ class Group:
                 batch = (local.join(F.broadcast(new_df), keycols,
                                     "leftsemi")
                          .select(*base.columns))
-            else:
+            elif len(new_ids) <= _FOLD_ISIN_CAP:
                 batch = (local.where(F.col("id").isin(new_ids))
+                         .select(*base.columns))
+            else:
+                keyset = self.spark.createDataFrame(
+                    [(k,) for k in new_ids], local.select("id").schema)
+                batch = (local.join(F.broadcast(keyset), "id", "leftsemi")
                          .select(*base.columns))
             if la["kind"] == "bucket":
                 from .sources.bucketed import append_bucketed
