@@ -1057,6 +1057,13 @@ class Graph:
                          declared_props=declared_props or [],
                          indexes=indexes or [],
                          src_group=src_group, dst_group=dst_group)
+        # replacing an existing group must release its layout pin NOW —
+        # leaving it to the old object's GC would flip the session's
+        # autoBucketedScan conf at a nondeterministic time (ADVICE
+        # r10 #4)
+        old = self.groups.get(name)
+        if old is not None:
+            old._detach_layout()
         g = Group(self.spark, meta)
         self.groups[name] = g
         return g

@@ -666,7 +666,8 @@ class GQLite:
             # new ids route into their hash bucket / sorted batch,
             # updates stay in the overlay (Group.compact_into_layout)
             if (grp._layout_attach is not None
-                    and grp._layout_attach["path"] != stmt.path):
+                    and _norm_fs_path(grp._layout_attach["path"])
+                    != _norm_fs_path(stmt.path)):
                 raise GQLiteError(
                     f"layout compact: group '{stmt.group}' layout is "
                     f"attached at '{grp._layout_attach['path']}', not "
@@ -1668,6 +1669,19 @@ class GQLite:
                 else:
                     lines.append(f"{{upset: '{name}', edge: [{sk}, {arrow}, {dk}]}};")
         return "\n".join(lines)
+
+
+def _norm_fs_path(p: str) -> str:
+    """Normalize a filesystem path for identity comparison (ADVICE r10
+    #3): trailing slashes and the ``file:`` scheme's 1-vs-3-slash
+    variants all name the same local directory — `{layout ... compact}`
+    must not reject a genuinely attached path over spelling."""
+    p = p.rstrip("/")
+    if p.startswith("file:"):
+        p = p[len("file:"):]
+        while p.startswith("//"):
+            p = p[1:]
+    return p
 
 
 def _dump_props(props: dict, meta) -> str:

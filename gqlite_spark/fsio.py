@@ -146,6 +146,12 @@ class ConcurrentWriterError(IOError):
     """Another writer holds the swap lease for this table."""
 
 
+# reader-side heal wait: iterations x 0.25 s covers a writer's rename
+# window (~10 s), not a whole write.  Module-level so tests can shrink
+# it without shrinking real deployments' patience.
+_HEAL_WAIT_ITERS = 40
+
+
 def heal_swap(spark, path: str, kind: str, have_lease: bool = False,
               lease_timeout: float = 3600.0) -> None:
     """Recover from a crash between :func:`swap_in`'s two renames: if
@@ -160,8 +166,13 @@ def heal_swap(spark, path: str, kind: str, have_lease: bool = False,
     path)``.  So without ``have_lease`` this waits briefly while a
     fresh ``<path>.<kind>_lock`` exists (the writer's own rename is
     about to restore the table) and heals only when no live lease is
-    held.  ``have_lease=True`` (the writer, inside :func:`swap_in`)
-    heals immediately — it owns the table."""
+    held.  If the wait expires and the lease is STILL live (a writer
+    paused >10 s between its two renames — slow FS, GC pause), this
+    raises :class:`ConcurrentWriterError` instead of healing: renaming
+    ``_old`` back right then would break the live writer's in-flight
+    ``rename(tmp, path)`` and lose its new table (ADVICE r10 #1).
+    ``have_lease=True`` (the writer, inside :func:`swap_in`) heals
+    immediately — it owns the table."""
     import time
 
     old = path.rstrip("/") + f".{kind}_old"
@@ -169,7 +180,7 @@ def heal_swap(spark, path: str, kind: str, have_lease: bool = False,
         return
     if not have_lease:
         lock = path.rstrip("/") + f".{kind}_lock"
-        for _ in range(40):          # ~10 s: a rename-window, not a write
+        for _ in range(_HEAL_WAIT_ITERS):  # a rename-window, not a write
             try:
                 age = time.time() - mtime(spark, lock)
             except Exception:
@@ -181,6 +192,16 @@ def heal_swap(spark, path: str, kind: str, have_lease: bool = False,
                 return               # the writer's rename landed
         if exists(spark, path) or not exists(spark, old):
             return
+        try:
+            age = time.time() - mtime(spark, lock)
+        except Exception:
+            age = None               # lock gone — torn state is real
+        if age is not None and age <= lease_timeout:
+            raise ConcurrentWriterError(
+                f"table at {path} is mid-swap by a live writer "
+                f"(lease {lock} age {age:.0f}s <= lease_timeout "
+                f"{lease_timeout:.0f}s); refusing to heal over it — "
+                "retry after the writer's rename lands")
     rename(spark, old, path)
 
 

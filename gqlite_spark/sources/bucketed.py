@@ -80,6 +80,7 @@ def attach_bucketed(spark: SparkSession, path: str,
     ids are parsed from the file names Spark wrote), so joins and
     aggregations on the bucket key stay exchange-free without a Hive
     metastore."""
+    _heal(spark, path)
     spec = fsio.read_json(spark, fsio.join(path, SPEC_FILE))
     name = table or spec["table"]
     if not spark.catalog.tableExists(name):
@@ -91,6 +92,15 @@ def attach_bucketed(spark: SparkSession, path: str,
             f"INTO {spec['n_buckets']} BUCKETS "
             f"LOCATION '{path}'")
     return spark.table(name)
+
+
+def _heal(spark: SparkSession, path: str) -> None:
+    """Torn-rebucket recovery at every lifecycle entry point (ADVICE
+    r10 #2, mirroring ``clustered._heal``): a rebucket crash between
+    ``swap_in``'s two renames parks the only complete table at
+    ``<path>.rebucket_old`` — without this, attaches/appends fail on a
+    raw missing-spec error until another rebucket happens to run."""
+    fsio.heal_swap(spark, path, "rebucket")
 
 
 def force_bucketed_scan(spark: SparkSession, enabled: bool = True) -> None:
@@ -120,6 +130,7 @@ def rebucket(spark: SparkSession, path: str) -> None:
     ids live in the FILE NAMES, so a rename preserves the layout).
     Single-writer via the swap lease; a torn swap heals on the next
     lifecycle call."""
+    _heal(spark, path)
     spec = fsio.read_json(spark, fsio.join(path, SPEC_FILE))
     name, key, n = spec["table"], spec["key"], int(spec["n_buckets"])
 
@@ -163,8 +174,11 @@ def append_bucketed(df: DataFrame, path: str,
     buckets after an append are planned with an explicit sort — plans
     stay correct, never wrong-sorted.  The batch must carry the table's
     exact columns (any order); the sidecar's batch counter is bumped
-    for layout-drift audits."""
+    for layout-drift audits.  The counter bump is a separate sidecar
+    write AFTER ``insertInto`` — a crash between the two leaves the
+    counter one low; audit-only metadata, data unaffected."""
     spark = df.sparkSession
+    _heal(spark, path)
     spec = fsio.read_json(spark, fsio.join(path, SPEC_FILE))
     name = table or spec["table"]
     attach_bucketed(spark, path, name)
@@ -243,10 +257,20 @@ class BucketScanPin:
             unpin_bucketed_scan(self._spark)
 
     def __del__(self):  # pragma: no cover - GC-timing dependent
-        try:
-            self.release()
-        except Exception:
-            pass
+        # last-resort backstop only — every deterministic teardown path
+        # (detach, re-attach, group replacement, drop) releases
+        # explicitly.  Log when this actually fires so a GC-timed conf
+        # flip is diagnosable instead of silent (ADVICE r10 #4).
+        if not self._released:
+            try:
+                import logging
+                logging.getLogger(__name__).warning(
+                    "BucketScanPin released by GC, not by an explicit "
+                    "detach — autoBucketedScan conf restored at "
+                    "GC time")
+                self.release()
+            except Exception:
+                pass
 
 
 def cobucket_join(left: DataFrame, right: DataFrame, key: str,

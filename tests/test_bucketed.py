@@ -182,3 +182,26 @@ def test_rebucket_restores_one_file_per_bucket(spark, tmp_path,
     # no leftover swap dirs or lease
     for suffix in (".rebucket_tmp", ".rebucket_old", ".rebucket_lock"):
         assert not fsio.exists(spark, p + suffix), suffix
+
+
+def test_attach_and_append_heal_torn_rebucket(spark, tmp_path):
+    """ADVICE r10 #2: a rebucket crash between swap_in's two renames
+    leaves path missing and the only complete table at
+    <path>.rebucket_old — attach_bucketed and append_bucketed must heal
+    it at entry (mirroring clustered._heal) instead of failing on a raw
+    missing-spec error until another rebucket runs."""
+    from gqlite_spark import fsio
+    p = f"file://{tmp_path}/thl"
+    df = spark.range(0, 100).selectExpr("id as k", "id * 2 as v")
+    bucketed.save_bucketed(df, p, key="k", n_buckets=4, table="t_heal1")
+    spark.sql("DROP TABLE IF EXISTS t_heal1")
+    fsio.rename(spark, p, p + ".rebucket_old")       # torn mid-swap
+    got = bucketed.attach_bucketed(spark, p)         # heals + attaches
+    assert got.count() == 100
+    assert fsio.exists(spark, p)
+    # torn again: append must heal too (it reads the spec first)
+    spark.sql("DROP TABLE IF EXISTS t_heal1")
+    fsio.rename(spark, p, p + ".rebucket_old")
+    bucketed.append_bucketed(
+        spark.range(100, 120).selectExpr("id as k", "id * 2 as v"), p)
+    assert spark.table("t_heal1").count() == 120

@@ -239,3 +239,28 @@ def test_heal_swap_defers_to_live_lease(spark, tmp_path):
     fsio.heal_swap(spark, p, "kind", lease_timeout=0.0)
     assert spark.read.parquet(p).count() == 8
     fsio.delete(spark, lock, recursive=False)
+
+
+def test_heal_swap_refuses_to_heal_over_live_lease(spark, tmp_path,
+                                                   monkeypatch):
+    """ADVICE r10 #1: if the reader's wait expires and the lease is
+    STILL live (a writer paused >window between its two renames), the
+    reader must RAISE, not heal — renaming _old back right then would
+    break the live writer's in-flight rename(tmp, path) and lose its
+    new table.  The _old copy must stay parked."""
+    import pytest
+
+    monkeypatch.setattr(fsio, "_HEAL_WAIT_ITERS", 2)  # fast test window
+    p = f"file://{tmp_path}/tbl7"
+    spark.range(4).write.parquet(p)
+    lock = p + ".kind_lock"
+    assert fsio.create_exclusive(spark, lock, "nonce=paused-writer")
+    fsio.rename(spark, p, p + ".kind_old")
+    with pytest.raises(fsio.ConcurrentWriterError):
+        fsio.heal_swap(spark, p, "kind")
+    assert not fsio.exists(spark, p)                 # never healed
+    assert fsio.exists(spark, p + ".kind_old")       # copy stays parked
+    # writer crashed after all: stale lease -> the reader heals now
+    fsio.heal_swap(spark, p, "kind", lease_timeout=0.0)
+    assert spark.read.parquet(p).count() == 4
+    fsio.delete(spark, lock, recursive=False)

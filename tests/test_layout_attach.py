@@ -431,3 +431,38 @@ def test_layout_compact_100k_overlay_no_plan_blowup(db, tmp_path):
     q = db.query_df("{query: 'ord', in: 'lg', where: {id: 109999}};")
     assert [(x["id"], x["pr"]) for x in q.collect()] == [(109999,
                                                           109999 % 7)]
+
+
+def test_layout_compact_accepts_path_spelling_variants(db, tmp_path):
+    """ADVICE r10 #3: {layout ... compact:} used a raw string compare
+    against the attached path, so a trailing-slash or file:-scheme
+    spelling of the SAME directory was spuriously rejected as
+    'attached elsewhere'.  All spellings of the attached dir must
+    compact; a genuinely different path must still be rejected."""
+    p = str(tmp_path / "pv")
+    db.exec("{layout: 'ord', in: 'lg', path: '" + p +
+            "', bucket_by: 'id', buckets: 4, attach: true};")
+    db.exec("{upset: 'ord', vertex: [[7001, {pr: 1}]]};")
+    for variant in (p + "/", "file:" + p, "file://" + p + "/"):
+        r = db.exec("{layout: 'ord', in: 'lg', path: '" + variant +
+                    "', compact: true};")[0]
+        assert r.error is None, (variant, r.error)
+    r = db.exec("{layout: 'ord', in: 'lg', path: '/tmp/not_pv',"
+                " compact: true};")[0]
+    assert r.error and "attached at" in r.error
+
+
+def test_group_replacement_releases_pin(db, tmp_path, spark):
+    """ADVICE r10 #4: re-creating a group (create_group on an existing
+    name) must release the OLD group's bucketed-scan pin immediately —
+    not at GC time — so the session's autoBucketedScan conf never flips
+    nondeterministically mid-query for unrelated work."""
+    conf = "spark.sql.sources.bucketing.autoBucketedScan.enabled"
+    prior = spark.conf.get(conf)
+    p = str(tmp_path / "pin")
+    db.exec("{layout: 'ord', in: 'lg', path: '" + p +
+            "', bucket_by: 'id', buckets: 4, attach: true};")
+    assert spark.conf.get(conf) == "false"        # pinned while attached
+    g = db.catalog.graphs["lg"]
+    g.create_group("ord")                         # replace, no GC needed
+    assert spark.conf.get(conf) == prior          # pin released NOW
