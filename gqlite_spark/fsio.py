@@ -94,6 +94,17 @@ def exists(spark, path: str) -> bool:
     return bool(fs.exists(hpath))
 
 
+def list_names(spark, path: str) -> "list[str]":
+    """Immediate child names of directory ``path`` (files and dirs) on
+    its scheme's filesystem — the building block for torn-append
+    repair, where an interrupted write's extra files are identified by
+    diffing the listing against a pre-write manifest."""
+    fs, hpath, _ = _fs_path(spark, path)
+    if not fs.exists(hpath):
+        return []
+    return sorted(st.getPath().getName() for st in fs.listStatus(hpath))
+
+
 def delete(spark, path: str, recursive: bool = True) -> bool:
     """Delete ``path`` (tree) on its scheme's filesystem.  Returns
     whether anything was removed."""
@@ -205,6 +216,52 @@ def heal_swap(spark, path: str, kind: str, have_lease: bool = False,
     rename(spark, old, path)
 
 
+def acquire_lease(spark, path: str, kind: str,
+                  lease_timeout: float = 3600.0) -> "tuple[str, str]":
+    """Claim the single-writer lease ``<path>.<kind>_lock`` (the
+    :func:`swap_in` claim protocol, reusable by lifecycles that append
+    in place instead of swapping): atomic create, stale-lease takeover
+    after ``lease_timeout`` seconds, :class:`ConcurrentWriterError` on
+    a live competitor.  Returns ``(lock_path, nonce)`` — pass both to
+    :func:`release_lease`, whose delete is FENCED by the nonce (a
+    paused writer's cleanup must not delete a successor's lease)."""
+    import os
+    import time
+    import uuid
+
+    lock = path.rstrip("/") + f".{kind}_lock"
+    nonce = uuid.uuid4().hex
+    claim = f"pid={os.getpid()} t={time.time():.0f} nonce={nonce}"
+    if not create_exclusive(spark, lock, claim):
+        try:
+            age = time.time() - mtime(spark, lock)
+        except Exception:
+            age = None  # lock vanished between claim and stat: retry
+        if age is not None and age <= lease_timeout:
+            raise ConcurrentWriterError(
+                f"another writer holds {lock} (age {age:.0f}s <= "
+                f"lease_timeout {lease_timeout:.0f}s); this lifecycle "
+                "is single-writer per table path")
+        if age is not None:  # stale: crashed writer — take over
+            delete(spark, lock, recursive=False)
+        if not create_exclusive(spark, lock, claim):
+            raise ConcurrentWriterError(
+                f"lost the takeover race for {lock}")
+    return lock, nonce
+
+
+def release_lease(spark, lock: str, nonce: str) -> None:
+    """Fenced release of an :func:`acquire_lease` claim: deletes the
+    lock only if it still carries OUR nonce (after a stale-lease
+    takeover, the original writer's cleanup is a no-op)."""
+    try:
+        cur = read_text(spark, lock)
+    except Exception:
+        cur = None
+    if cur is not None and f"nonce={nonce}" in cur:
+        delete(spark, lock, recursive=False)
+
+
 def swap_in(spark, path: str, kind: str, write_fn,
             lease_timeout: float = 3600.0) -> None:
     """Rewrite-then-swap table maintenance, shared by every lifecycle
@@ -233,28 +290,7 @@ def swap_in(spark, path: str, kind: str, write_fn,
     if the claim is still OURS — after a stale-lease takeover, the
     paused-but-alive original writer's cleanup must not delete the new
     writer's lease (which would let a third writer enter)."""
-    import os
-    import time
-    import uuid
-
-    lock = path.rstrip("/") + f".{kind}_lock"
-    nonce = uuid.uuid4().hex
-    claim = f"pid={os.getpid()} t={time.time():.0f} nonce={nonce}"
-    if not create_exclusive(spark, lock, claim):
-        try:
-            age = time.time() - mtime(spark, lock)
-        except Exception:
-            age = None  # lock vanished between claim and stat: retry
-        if age is not None and age <= lease_timeout:
-            raise ConcurrentWriterError(
-                f"another writer holds {lock} (age {age:.0f}s <= "
-                f"lease_timeout {lease_timeout:.0f}s); rollup/recluster "
-                "lifecycles are single-writer per table path")
-        if age is not None:  # stale: crashed writer — take over
-            delete(spark, lock, recursive=False)
-        if not create_exclusive(spark, lock, claim):
-            raise ConcurrentWriterError(
-                f"lost the takeover race for {lock}")
+    lock, nonce = acquire_lease(spark, path, kind, lease_timeout)
     tmp = path.rstrip("/") + f".{kind}_tmp"
     old = path.rstrip("/") + f".{kind}_old"
     try:
@@ -271,9 +307,4 @@ def swap_in(spark, path: str, kind: str, write_fn,
     finally:
         # fenced release: skip if the lock is no longer ours (a
         # stale-lease takeover replaced it while we were paused)
-        try:
-            cur = read_text(spark, lock)
-        except Exception:
-            cur = None
-        if cur is not None and f"nonce={nonce}" in cur:
-            delete(spark, lock, recursive=False)
+        release_lease(spark, lock, nonce)

@@ -131,6 +131,10 @@ def rebucket(spark: SparkSession, path: str) -> None:
     Single-writer via the swap lease; a torn swap heals on the next
     lifecycle call."""
     _heal(spark, path)
+    # a torn APPEND must be repaired before the rewrite reads the
+    # files, or its uncommitted orphan files get absorbed into the new
+    # table and the replayed batch then double-appends them
+    _repair_torn_append(spark, path)
     spec = fsio.read_json(spark, fsio.join(path, SPEC_FILE))
     name, key, n = spec["table"], spec["key"], int(spec["n_buckets"])
 
@@ -144,11 +148,17 @@ def rebucket(spark: SparkSession, path: str) -> None:
                       n_buckets=n, table=stage,
                       sort=bool(spec.get("sorted", True)))
         spark.sql(f"DROP TABLE IF EXISTS `{stage}`")
-        # the staged sidecar must describe the FINAL table identity
-        fsio.write_json(spark, fsio.join(tmp, SPEC_FILE), {
-            "table": name, "key": key, "n_buckets": n,
-            "sorted": bool(spec.get("sorted", True)),
-            "schema_ddl": spec["schema_ddl"]})
+        # the staged sidecar must describe the FINAL table identity;
+        # the batch counter resets (files are fresh) but last_epoch is
+        # CARRIED FORWARD — a rebucket between streaming batches must
+        # not reopen the exactly-once window (a replayed old epoch
+        # would re-append rows the rewrite already contains)
+        fresh = {"table": name, "key": key, "n_buckets": n,
+                 "sorted": bool(spec.get("sorted", True)),
+                 "schema_ddl": spec["schema_ddl"]}
+        if spec.get("last_epoch") is not None:
+            fresh["last_epoch"] = int(spec["last_epoch"])
+        fsio.write_json(spark, fsio.join(tmp, SPEC_FILE), fresh)
 
     fsio.swap_in(spark, path, "rebucket", _write)
     if spark.catalog.tableExists(name):
@@ -157,8 +167,40 @@ def rebucket(spark: SparkSession, path: str) -> None:
         attach_bucketed(spark, path, name)
 
 
+APPEND_MARKER = "_append_inprogress.json"
+
+
+def _repair_torn_append(spark: SparkSession, path: str) -> None:
+    """Recover from a crash inside :func:`append_bucketed`'s
+    insertInto→sidecar window.  The marker (written before the insert,
+    deleted after the sidecar commit) records the table's file listing
+    and batch counter BEFORE the write: marker present + counter
+    unchanged = the insert may have landed partially or fully but was
+    never committed — delete every file NOT in the pre-write listing
+    and let the caller re-append; marker present + counter advanced =
+    the append committed and only the marker delete was lost — keep
+    the files.  Either way exactly-once holds: a replayed batch is
+    never half-present and never double-counted."""
+    marker_path = fsio.join(path, APPEND_MARKER)
+    if not fsio.exists(spark, marker_path):
+        return
+    marker = fsio.read_json(spark, marker_path)
+    spec = fsio.read_json(spark, fsio.join(path, SPEC_FILE))
+    committed = (int(spec.get("batches", 0))
+                 > int(marker["batches_before"]))
+    if not committed:
+        before = set(marker["files_before"])
+        for name in fsio.list_names(spark, path):
+            if name not in before and name != APPEND_MARKER:
+                fsio.delete(spark, fsio.join(path, name))
+        if spark.catalog.tableExists(spec["table"]):
+            spark.catalog.refreshTable(spec["table"])
+    fsio.delete(spark, marker_path, recursive=False)
+
+
 def append_bucketed(df: DataFrame, path: str,
-                    table: "str | None" = None) -> None:
+                    table: "str | None" = None,
+                    epoch_id: "int | None" = None) -> bool:
     """Append a batch to a bucketed table WITHOUT a full rewrite
     (VERDICT r9 missing #1): rows are hash-routed into their bucket
     (``repartition(n_buckets, key)`` + ``insertInto`` — Spark writes
@@ -167,33 +209,62 @@ def append_bucketed(df: DataFrame, path: str,
     alike.  Mirrors :func:`clustered.append_clustered`'s lifecycle:
     appends are cheap (one narrow shuffle of the BATCH only), file
     count grows by ≤ n_buckets per batch, and a scheduled
-    ``save_bucketed`` re-export restores one-file-per-bucket when
-    batches accumulate.  Rows are sorted within their bucket file
+    :func:`rebucket` restores one-file-per-bucket when batches
+    accumulate.  Rows are sorted within their bucket file
     (narrow row-group stats); Spark only exploits the table-level
     sorted flag when each bucket is a single file, so multi-file
     buckets after an append are planned with an explicit sort — plans
     stay correct, never wrong-sorted.  The batch must carry the table's
-    exact columns (any order); the sidecar's batch counter is bumped
-    for layout-drift audits.  The counter bump is a separate sidecar
-    write AFTER ``insertInto`` — a crash between the two leaves the
-    counter one low; audit-only metadata, data unaffected."""
+    exact columns (any order).
+
+    ``epoch_id`` makes replays idempotent (the streaming twin's
+    exactly-once contract, same lattice as ``append_rollup``): ids must
+    be monotonic per table — Structured Streaming's foreachBatch
+    batch_id under a checkpointLocation is exactly that (see
+    ``streaming.stream_append_bucketed``).  A batch re-delivered with
+    an id ≤ the sidecar's recorded one is skipped (returns False).
+    ``insertInto`` is a file append, not an atomic swap, so the
+    commit is fenced by a torn-append marker: the pre-write file
+    listing + batch counter go to ``_append_inprogress.json`` first,
+    the sidecar commit (counter + last_epoch) lands after the insert,
+    and the marker is deleted last — a crash anywhere is repaired at
+    the next entry by :func:`_repair_torn_append`.  SINGLE WRITER per
+    table path, enforced by the fenced ``<path>.append_lock`` lease."""
     spark = df.sparkSession
     _heal(spark, path)
-    spec = fsio.read_json(spark, fsio.join(path, SPEC_FILE))
-    name = table or spec["table"]
-    attach_bucketed(spark, path, name)
-    cols = spark.table(name).columns
-    missing = [c for c in cols if c not in df.columns]
-    if missing:
-        raise ValueError(f"append_bucketed: batch lacks column(s) "
-                         f"{missing} of table '{name}'")
-    key, n = spec["key"], int(spec["n_buckets"])
-    (df.select(*cols)
-     .repartition(n, key)
-     .sortWithinPartitions(key)
-     .write.insertInto(name))
-    spec["batches"] = int(spec.get("batches", 0)) + 1
-    fsio.write_json(spark, fsio.join(path, SPEC_FILE), spec)
+    lock, nonce = fsio.acquire_lease(spark, path, "append")
+    try:
+        _repair_torn_append(spark, path)
+        spec = fsio.read_json(spark, fsio.join(path, SPEC_FILE))
+        if (epoch_id is not None
+                and spec.get("last_epoch") is not None
+                and epoch_id <= int(spec["last_epoch"])):
+            return False
+        name = table or spec["table"]
+        attach_bucketed(spark, path, name)
+        cols = spark.table(name).columns
+        missing = [c for c in cols if c not in df.columns]
+        if missing:
+            raise ValueError(f"append_bucketed: batch lacks column(s) "
+                             f"{missing} of table '{name}'")
+        key, n = spec["key"], int(spec["n_buckets"])
+        fsio.write_json(spark, fsio.join(path, APPEND_MARKER), {
+            "epoch": None if epoch_id is None else int(epoch_id),
+            "batches_before": int(spec.get("batches", 0)),
+            "files_before": fsio.list_names(spark, path)})
+        (df.select(*cols)
+         .repartition(n, key)
+         .sortWithinPartitions(key)
+         .write.insertInto(name))
+        spec["batches"] = int(spec.get("batches", 0)) + 1
+        if epoch_id is not None:
+            spec["last_epoch"] = int(epoch_id)
+        fsio.write_json(spark, fsio.join(path, SPEC_FILE), spec)
+        fsio.delete(spark, fsio.join(path, APPEND_MARKER),
+                    recursive=False)
+        return True
+    finally:
+        fsio.release_lease(spark, lock, nonce)
 
 
 # per-session refcount for the layout-attach pin: (n_attached, prior

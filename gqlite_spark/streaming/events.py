@@ -330,6 +330,39 @@ def stream_rollup(stream_df: DataFrame, path: str,
     return w.trigger(availableNow=True).start()
 
 
+def stream_append_bucketed(stream_df: DataFrame, path: str,
+                           checkpoint: str | None = None):
+    """Streaming twin of :func:`sources.bucketed.append_bucketed`
+    (VERDICT r10 next #4): a firehose writes straight into the
+    bucketed layout — every micro-batch is hash-routed into its bucket
+    files, so bucket pruning and exchange-free joins stay live over
+    rows that arrived seconds ago, without ever re-exporting the table
+    (a scheduled ``rebucket`` restores one-file-per-bucket as batches
+    accumulate).  Reference anchor: the reference's storage maintains
+    its key-ordered layout per-write (StorageEngine.cpp:729-841); this
+    is that contract for a continuous source.
+
+    Exactly-once: with a ``checkpoint``, foreachBatch batch ids are
+    monotonic across restarts and ``append_bucketed`` fences its
+    non-atomic insert with the torn-append marker + sidecar epoch — a
+    batch re-delivered after a failure is repaired (partial files
+    removed) or skipped (already committed), never double-appended.
+    Without a checkpoint, batch ids restart at 0 per run, so the guard
+    is disabled and each run appends everything the source serves."""
+    from ..sources.bucketed import append_bucketed
+
+    def _fold(batch_df, batch_id):
+        if not batch_df.take(1):
+            return
+        append_bucketed(batch_df, path,
+                        epoch_id=batch_id if checkpoint else None)
+
+    w = stream_df.writeStream.foreachBatch(_fold)
+    if checkpoint:
+        w = w.option("checkpointLocation", checkpoint)
+    return w.trigger(availableNow=True).start()
+
+
 def _stream_upsert(stream_df, group, key_cols, checkpoint, version_col):
     def _reduce(df, cols):
         order = ([F.col(version_col)] if version_col and

@@ -205,3 +205,142 @@ def test_attach_and_append_heal_torn_rebucket(spark, tmp_path):
     bucketed.append_bucketed(
         spark.range(100, 120).selectExpr("id as k", "id * 2 as v"), p)
     assert spark.table("t_heal1").count() == 120
+
+
+def test_append_bucketed_epoch_replay_skipped(spark, tmp_path):
+    """append_bucketed's epoch guard (the streaming twin's exactly-once
+    contract, same lattice as append_rollup): a batch re-delivered with
+    an id <= the sidecar's recorded one is skipped, a fresh id appends,
+    and rebucket CARRIES last_epoch forward so the rewrite doesn't
+    reopen the replay window."""
+    from gqlite_spark import fsio
+    p = str(tmp_path / "ep")
+    bucketed.save_bucketed(
+        spark.range(0, 300).selectExpr("id", "id % 5 as k"),
+        p, key="id", n_buckets=4, table="t_epoch1")
+    b = spark.range(300, 400).selectExpr("id", "id % 5 as k")
+    assert bucketed.append_bucketed(b, p, epoch_id=5) is True
+    assert spark.table("t_epoch1").count() == 400
+    assert bucketed.append_bucketed(b, p, epoch_id=5) is False   # replay
+    assert bucketed.append_bucketed(b, p, epoch_id=4) is False   # older
+    assert spark.table("t_epoch1").count() == 400
+    assert bucketed.append_bucketed(
+        spark.range(400, 450).selectExpr("id", "id % 5 as k"),
+        p, epoch_id=6) is True
+    assert spark.table("t_epoch1").count() == 450
+    bucketed.rebucket(spark, p)
+    spec = fsio.read_json(spark, fsio.join(p, bucketed.SPEC_FILE))
+    assert spec["last_epoch"] == 6            # carried across rebucket
+    assert bucketed.append_bucketed(b, p, epoch_id=6) is False
+    assert spark.table("t_epoch1").count() == 450
+
+
+def test_append_bucketed_repairs_torn_append(spark, tmp_path):
+    """A crash inside the insertInto->sidecar window leaves the marker
+    behind: uncommitted orphan files are removed at the next entry and
+    the replayed batch lands exactly once; if the crash was AFTER the
+    sidecar commit (marker delete lost), the files are kept and the
+    replay is skipped."""
+    from gqlite_spark import fsio
+    p = str(tmp_path / "torn")
+    bucketed.save_bucketed(
+        spark.range(0, 200).selectExpr("id", "id % 3 as k"),
+        p, key="id", n_buckets=4, table="t_torn1")
+    b = spark.range(200, 260).selectExpr("id", "id % 3 as k")
+    # simulate a crash MID-append: marker written, files landed, no
+    # sidecar commit
+    spec = fsio.read_json(spark, fsio.join(p, bucketed.SPEC_FILE))
+    fsio.write_json(spark, fsio.join(p, bucketed.APPEND_MARKER), {
+        "epoch": 1, "batches_before": int(spec.get("batches", 0)),
+        "files_before": fsio.list_names(spark, p)})
+    (b.repartition(4, "id").sortWithinPartitions("id")
+     .write.insertInto("t_torn1"))
+    spark.catalog.refreshTable("t_torn1")
+    assert spark.table("t_torn1").count() == 260   # orphans visible
+    # the replayed batch repairs then re-appends exactly once
+    assert bucketed.append_bucketed(b, p, epoch_id=1) is True
+    spark.catalog.refreshTable("t_torn1")
+    assert spark.table("t_torn1").count() == 260
+    assert not fsio.exists(spark, fsio.join(p, bucketed.APPEND_MARKER))
+    # simulate a crash AFTER the sidecar commit: marker left behind but
+    # batches advanced -> repair keeps the files, replay is skipped
+    fsio.write_json(spark, fsio.join(p, bucketed.APPEND_MARKER), {
+        "epoch": 1, "batches_before": 0,
+        "files_before": ["bogus-nothing"]})
+    assert bucketed.append_bucketed(b, p, epoch_id=1) is False
+    spark.catalog.refreshTable("t_torn1")
+    assert spark.table("t_torn1").count() == 260
+    assert not fsio.exists(spark, fsio.join(p, bucketed.APPEND_MARKER))
+    # rebucket with a torn (uncommitted) marker: repair BEFORE the
+    # rewrite, so orphans are not absorbed
+    spec = fsio.read_json(spark, fsio.join(p, bucketed.SPEC_FILE))
+    fsio.write_json(spark, fsio.join(p, bucketed.APPEND_MARKER), {
+        "epoch": 9, "batches_before": int(spec.get("batches", 0)),
+        "files_before": fsio.list_names(spark, p)})
+    (spark.range(900, 950).selectExpr("id", "id % 3 as k")
+     .repartition(4, "id").sortWithinPartitions("id")
+     .write.insertInto("t_torn1"))
+    bucketed.rebucket(spark, p)
+    assert spark.table("t_torn1").count() == 260   # orphans gone
+
+
+def test_stream_append_bucketed_matches_batch_with_restart(
+        spark, tmp_path, no_broadcast):
+    """The streaming ingest twin (VERDICT r10 next #4): micro-batches
+    stream straight into the bucketed layout; across a restart on the
+    same checkpoint the table equals the one-shot batch save (nothing
+    lost or doubled), a third run with no new files is a no-op, and
+    bucket pruning + the exchange-free co-bucketed join are live over
+    streamed rows."""
+    import re
+    from gqlite_spark.streaming.events import (stream_append_bucketed,
+                                               stream_from_directory)
+    full = spark.range(0, 3000).selectExpr("id", "id % 11 as k")
+    src = str(tmp_path / "src")
+    ckpt = str(tmp_path / "ckpt")
+    p = str(tmp_path / "sab")
+    bucketed.save_bucketed(full.filter("id < 1000"), p, key="id",
+                           n_buckets=4, table="t_stream_b")
+    full.filter("id >= 1000 and id < 2000").coalesce(1) \
+        .write.mode("append").parquet(src)
+    q = stream_append_bucketed(
+        stream_from_directory(spark, src, schema="id long, k bigint"),
+        p, checkpoint=ckpt)
+    q.awaitTermination(120)
+    assert spark.table("t_stream_b").count() == 2000
+    # restart on the same checkpoint: only the NEW file is appended
+    full.filter("id >= 2000").coalesce(1) \
+        .write.mode("append").parquet(src)
+    q = stream_append_bucketed(
+        stream_from_directory(spark, src, schema="id long, k bigint"),
+        p, checkpoint=ckpt)
+    q.awaitTermination(120)
+    spark.catalog.refreshTable("t_stream_b")
+    t = spark.table("t_stream_b")
+    assert t.count() == 3000
+    assert t.groupBy().agg(F.sum("id").alias("s")).collect()[0]["s"] \
+        == sum(range(3000))
+    # third run, nothing new: no-op
+    q = stream_append_bucketed(
+        stream_from_directory(spark, src, schema="id long, k bigint"),
+        p, checkpoint=ckpt)
+    q.awaitTermination(120)
+    spark.catalog.refreshTable("t_stream_b")
+    assert spark.table("t_stream_b").count() == 3000
+    # pruning + exchange-free join live over streamed rows
+    bucketed.force_bucketed_scan(spark, True)
+    try:
+        q2 = spark.table("t_stream_b").where("id = 2500")
+        m = re.search(r"SelectedBucketsCount: (\d+) out of (\d+)",
+                      _plan(q2))
+        assert m and (m.group(1), m.group(2)) == ("1", "4"), _plan(q2)
+        assert [(r["id"], r["k"]) for r in q2.collect()] == [(2500, 3)]
+    finally:
+        bucketed.force_bucketed_scan(spark, False)
+    p2 = str(tmp_path / "sab2")
+    bucketed.save_bucketed(full.selectExpr("id", "id * 2 as w"), p2,
+                           key="id", n_buckets=4, table="t_stream_b2")
+    j = bucketed.cobucket_join(spark.table("t_stream_b"),
+                               spark.table("t_stream_b2"), "id")
+    assert "Exchange" not in _plan(j), _plan(j)
+    assert j.count() == 3000

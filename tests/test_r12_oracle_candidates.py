@@ -1,0 +1,62 @@
+"""Driver-gate dress rehearsal for the r12 contract candidates.
+
+The r11 window is frozen (the 7 deferred entries + the 2 bucketed-
+lifecycle promotions + 41 r9-stale entries), so the r11-new machinery
+(streaming bucketed ingest, GQL sketch-read statements) ships without
+its own contract rows this round.  These tests run EXACT entry-shaped
+queries against full DuckDB oracles with the gate's own comparator
+(tools.oracle_check.compare — dtype drift is a hard FAIL), so promoting
+them into __spark_entry__.queries()/oracle_sql() in r12 is a copy-paste
+with proven parity.
+"""
+
+import sys
+
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_DIR
+from tools.oracle_check import compare, duck_con
+
+sys.path.insert(0, "/root/repo")
+
+
+def test_stream_ingest_scan_candidate(spark, tmp_path):
+    """Entry shape `stream_ingest_scan`: save 2/3 of lineitem bucketed
+    on l_orderkey, STREAM the remaining 1/3 in as micro-batches
+    (stream_append_bucketed, checkpointed foreachBatch -> epoch-guarded
+    append_bucketed), then aggregate — the oracle is the plain GROUP BY
+    over ALL of lineitem, so parity proves the continuous-ingest path
+    is exactly-once end-to-end (nothing lost, doubled, or misrouted
+    across micro-batches)."""
+    from gqlite_spark.sources import bucketed as B
+    from gqlite_spark.streaming.events import (stream_append_bucketed,
+                                               stream_from_directory)
+    li = (spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+          .select("l_orderkey", "l_quantity", "l_extendedprice"))
+    p = str(tmp_path / "sing")
+    B.save_bucketed(li.filter(F.col("l_orderkey") % 3 != 0), p,
+                    key="l_orderkey", n_buckets=8, table="t_r12sing")
+    src = str(tmp_path / "src")
+    (li.filter(F.col("l_orderkey") % 3 == 0)
+     .repartition(4)                      # several source files ->
+     .write.parquet(src))                 # several micro-batches
+    schema = ("l_orderkey bigint, l_quantity double,"
+              " l_extendedprice double")
+    q = stream_append_bucketed(
+        stream_from_directory(spark, src, schema=schema, fmt="parquet"),
+        p, checkpoint=str(tmp_path / "ckpt"))
+    q.awaitTermination(180)
+    got = (spark.table("t_r12sing")
+           .groupBy("l_quantity")
+           .agg(F.count("*").alias("n"),
+                F.sum(F.round(F.col("l_extendedprice") * 100)
+                      .cast("long")).alias("price_cents"))
+           .toPandas())
+    oracle = duck_con(SF_DIR).execute("""
+        SELECT l_quantity, count(*) AS n,
+               CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT))
+                    AS BIGINT) AS price_cents
+        FROM lineitem GROUP BY l_quantity
+    """).fetchdf()
+    verdict = compare(got, oracle)
+    assert verdict.startswith("OK"), verdict
