@@ -351,6 +351,35 @@ class TopcountStmt:
 
 
 @dataclass
+class QuantilesStmt:
+    """``{quantiles: '<rollup path>', on: 'latency', qs: [0.5, 0.99]}``
+    — read per-(bucket, dims) quantile ESTIMATES of a stored rollup's
+    ``hist`` metric bin maps (operators/rollup.py::rollup_quantiles,
+    error ≤ one bin width): the incrementally maintained per-hour p99
+    report, served from the bucket table alone — never a rescan of the
+    events.  Makes the histogram sketch first-class from GQL like the
+    CMS' ``{topcount:}`` (VERDICT r10 next #5).  Result rows:
+    (bucket_start, dims..., q, value)."""
+    path: str
+    on: str
+    qs: list
+
+
+@dataclass
+class ReadRollupStmt:
+    """``{rollup: '<rollup path>', read: true, avg: ['value']}`` — read
+    a stored rollup's finished view (operators/rollup.py::read_rollup):
+    buckets + maintained metrics, each ``kmv`` metric served as a
+    ``distinct_<col>`` estimate column and ``avg:`` deriving
+    ``avg_<col>`` = sum/count.  The read half of the rollup lifecycle
+    from GQL — together with ``{topcount:}``/``{quantiles:}`` all three
+    sketches are first-class without the library API (VERDICT r10
+    next #5)."""
+    path: str
+    avg: Optional[list] = None
+
+
+@dataclass
 class VIndexStmt:
     """``{vindex: group, in: g, on: 'embedding', path: 'dir',
     nlist: 64}`` — build + attach a MATERIALIZED l2 IVF vector index

@@ -21,7 +21,8 @@ from .ast import (
     CohortStmt, DedupStmt, DropStmt,
     DumpStmt, EdgeConn, FunnelStmt, GeohashLit, GroupDef, ImportStmt,
     InferStmt, Lambda, LayoutStmt,
-    MemberRef, RollupStmt, SampleStmt, ShardsStmt, SimilarStmt,
+    MemberRef, QuantilesStmt, ReadRollupStmt, RollupStmt, SampleStmt,
+    ShardsStmt, SimilarStmt,
     TopcountStmt, VIndexStmt,
     PatternNode, Pred, ProfileStmt, QueryStmt, RemoveEdgeStmt,
     RemoveVertexStmt, ShowGraphStmt, UpsetEdgeStmt, UpsetPropertyStmt,
@@ -575,7 +576,59 @@ class Parser:
                 raise GQLParseError(
                     f"topcount: unknown key(s) {', '.join(extra)}")
             return TopcountStmt(path, on, list(keys))
+        if "quantiles" in obj:
+            path = obj["quantiles"]
+            if not isinstance(path, str) or not path:
+                raise GQLParseError(
+                    "quantiles: the value must be the rollup path "
+                    "({quantiles: '<path>', on: 'col', qs: [...]})")
+            on = obj.get("on")
+            if not isinstance(on, str) or not on:
+                raise GQLParseError(
+                    "quantiles: on: (the hist metric's property name) "
+                    "is required")
+            qs = obj.get("qs")
+
+            def _frac(x):
+                return (isinstance(x, (int, float))
+                        and not isinstance(x, bool) and 0 <= x <= 1)
+            if (not isinstance(qs, list) or not qs
+                    or not all(_frac(x) for x in qs)):
+                raise GQLParseError(
+                    "quantiles: qs must be a non-empty list of "
+                    "numbers in [0, 1]")
+            extra = sorted(set(obj) - {"quantiles", "on", "qs"})
+            if extra:
+                raise GQLParseError(
+                    f"quantiles: unknown key(s) {', '.join(extra)}")
+            return QuantilesStmt(path, on, [float(x) for x in qs])
         if "rollup" in obj:
+            read = obj.get("read", False)
+            if not isinstance(read, bool):
+                read = self._flag(str(read))
+            if read:
+                path = obj["rollup"]
+                if not isinstance(path, str) or not path:
+                    raise GQLParseError(
+                        "rollup read: the statement value must be the "
+                        "rollup path ({rollup: '<path>', read: true})")
+                avg = obj.get("avg")
+                if avg is not None:
+                    if isinstance(avg, str):
+                        avg = [avg]
+                    if (not isinstance(avg, list) or not avg
+                            or not all(isinstance(c, str) and c
+                                       for c in avg)):
+                        raise GQLParseError(
+                            "rollup read: avg must be a property name "
+                            "or a non-empty list of property names")
+                extra = sorted(set(obj) - {"rollup", "read", "avg"})
+                if extra:
+                    raise GQLParseError(
+                        f"rollup read: unknown key(s) "
+                        f"{', '.join(extra)} (buckets and metrics come "
+                        "from the rollup's own spec sidecar)")
+                return ReadRollupStmt(path, avg)
             path = obj.get("path")
             if not isinstance(path, str) or not path:
                 raise GQLParseError("rollup: a path: string is required")

@@ -694,3 +694,62 @@ def test_gql_rollup_cms_metric(db, tmp_path):
     r = db.exec(f"{{rollup: 'evs', in: 'cg', path: '{p}z', ts: 't',"
                 " metrics: {u: ['cms']}, cms: {u: [4, true]}};")[0]
     assert r.error and "positive integers" in r.error
+
+
+def test_gql_rollup_read_and_quantiles(db, tmp_path):
+    """{rollup: '<path>', read: true} and {quantiles: '<path>', on:,
+    qs:} — the GQL read surfaces of the kmv and hist sketches
+    (VERDICT r10 next #5), symmetric with {topcount:}: served from the
+    stored bucket table alone, sketch state projected away, estimates
+    matching the library calls value-for-value."""
+    from gqlite_spark.operators.rollup import read_rollup, rollup_quantiles
+    for r in db.exec(
+            "{create: 'rq', group: ['evs']};"
+            "{upset: 'evs', vertex: ["
+            " [1, {t: 0, u: 1, v: 2}], [2, {t: 0, u: 2, v: 4}],"
+            " [3, {t: 100000000000000, u: 1, v: 9}]]};"):
+        assert r.error is None, r.error
+    p = str(tmp_path / "rqu")
+    res = _one(db, f"{{rollup: 'evs', in: 'rq', path: '{p}', ts: 't',"
+                   " every: 3600, metrics:"
+                   " {v: ['sum', 'hist'], u: ['kmv']},"
+                   " hist: {v: [0, 10, 10]}};")
+    assert res.rows == [["rollup", p, 2]]
+    # {rollup read:} == read_rollup minus the sketch-state columns
+    res = _one(db, f"{{rollup: '{p}', read: true, avg: ['v']}};")
+    lib = read_rollup(db.spark, p, avg_of=["v"])
+    want = sorted([list(r) for r in
+                   lib.select([c for c in lib.columns
+                               if not c.startswith(("kmv_", "hist_"))])
+                   .collect()])
+    assert sorted(res.rows) == want
+    assert any("distinct_u" not in str(c) or True for c in res.rows)
+    # column check through the df surface
+    dfq = db.query_df(f"{{rollup: '{p}', read: true}};")
+    assert "distinct_u" in dfq.columns
+    assert not [c for c in dfq.columns
+                if c.startswith(("kmv_", "hist_", "cms_"))]
+    # {quantiles:} == rollup_quantiles value-for-value
+    res = _one(db, f"{{quantiles: '{p}', on: 'v', qs: [0.5, 0.9]}};")
+    lib_q = sorted([list(r) for r in
+                    rollup_quantiles(db.spark, p, "v",
+                                     [0.5, 0.9]).collect()])
+    assert sorted(res.rows) == lib_q
+    # error shapes (runtime)
+    r = db.exec(f"{{quantiles: '{p}', on: 'u', qs: [0.5]}};")[0]
+    assert r.error and "no hist metric" in r.error
+    r = db.exec(f"{{rollup: '{p}', read: true, avg: ['u']}};")[0]
+    assert r.error and "needs sum" in r.error
+    r = db.exec("{rollup: '/tmp/nope_rru', read: true};")[0]
+    assert r.error and r.error.startswith("rollup read:")
+    # error shapes (parse)
+    r = db.exec(f"{{quantiles: '{p}', on: 'v', qs: [2]}};")[0]
+    assert r.error and "in [0, 1]" in r.error
+    r = db.exec(f"{{quantiles: '{p}', qs: [0.5]}};")[0]
+    assert r.error and "on:" in r.error
+    r = db.exec(f"{{quantiles: '{p}', on: 'v', qs: [0.5], keys: [1]}};")[0]
+    assert r.error and "unknown key" in r.error
+    r = db.exec(f"{{rollup: '{p}', read: true, every: 60}};")[0]
+    assert r.error and "unknown key" in r.error
+    r = db.exec("{rollup: '', read: true};")[0]
+    assert r.error and "rollup path" in r.error

@@ -60,3 +60,55 @@ def test_stream_ingest_scan_candidate(spark, tmp_path):
     """).fetchdf()
     verdict = compare(got, oracle)
     assert verdict.startswith("OK"), verdict
+
+
+def test_rollup_quantiles_read_candidate(spark, tmp_path):
+    """Entry shape `rollup_quantiles_read`: build an hourly rollup of
+    events with a hist metric on value ((0, 512, 64) binning), then
+    serve per-(bucket, event_type) p50/p99 through the GQL
+    {quantiles:} statement — the DuckDB oracle replays the ESTIMATOR
+    itself (width_bucket binning, cumulative walk to the first bin
+    covering rank q*total, linear interpolation inside it), so the
+    estimate VALUES must match bit-for-bit, not just the inputs."""
+    from gqlite_spark import GQLite
+    from gqlite_spark.operators.rollup import save_rollup
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    p = str(tmp_path / "qru")
+    save_rollup(ev, p, "ts", 3600, dims=["event_type"],
+                metrics={"value": ["hist"]},
+                hist_params={"value": (0.0, 512.0, 64)})
+    db = GQLite(spark)
+    got = db.query_df("{quantiles: '" + p +
+                      "', on: 'value', qs: [0.5, 0.99]};").toPandas()
+    oracle = duck_con(SF_DIR).execute("""
+        WITH binned AS (
+          SELECT CAST(floor(date_part('epoch', ts) / 3600) * 3600
+                      AS BIGINT) AS bucket_start,
+                 event_type,
+                 LEAST(GREATEST(CAST(floor(value / 8.0) AS BIGINT) + 1,
+                                1), 64) AS bin,
+                 CAST(count(*) AS BIGINT) AS n
+          FROM events WHERE value IS NOT NULL
+          GROUP BY 1, 2, 3
+        ), cum AS (
+          SELECT *,
+                 CAST(sum(n) OVER (PARTITION BY bucket_start, event_type
+                                   ORDER BY bin) AS BIGINT) AS c,
+                 CAST(sum(n) OVER (PARTITION BY bucket_start, event_type)
+                      AS BIGINT) AS tot
+          FROM binned
+        ), hit AS (
+          SELECT bucket_start, event_type, q, bin, n, c, tot,
+                 row_number() OVER (PARTITION BY bucket_start,
+                                    event_type, q
+                                    ORDER BY bin) AS rn
+          FROM cum, (VALUES (CAST(0.5 AS DOUBLE)),
+                        (CAST(0.99 AS DOUBLE))) qs(q)
+          WHERE c >= q * tot
+        )
+        SELECT bucket_start, event_type, q,
+               0.0 + (bin - 1 + (q * tot - (c - n)) / n) * 8.0 AS value
+        FROM hit WHERE rn = 1
+    """).fetchdf()
+    verdict = compare(got, oracle)
+    assert verdict.startswith("OK"), verdict
