@@ -582,8 +582,11 @@ class Group:
             if self.bulk_df is not None:
                 self.bulk_df = self.bulk_df.unionByName(
                     batch, allowMissingColumns=True)
+            folded = set(new_ids)   # hoisted: building it inside the
+            # comprehension condition re-ran the O(n) set build per
+            # row — quadratic at a 100 k overlay (measured 224 s)
             self.rows = {k: v for k, v in self.rows.items()
-                         if k not in set(new_ids)}
+                         if k not in folded}
             self._mat_cache = None
             self._count_cache = None
             # a co-attached vector index served the folded rows FROM the
