@@ -73,7 +73,14 @@ DIAGNOSTIC_QUERIES: list[str] = ["knn_near_limit_routed",
                                  # frozen totals comparable.
                                  "layout_attach_scan",
                                  "rollup_coarsen",
-                                 "topcount_cms"]
+                                 "topcount_cms",
+                                 # r11 promotions: both REBUILD their
+                                 # layout + run the full ingest/fold
+                                 # lifecycle per invocation (write-
+                                 # dominated by construction) — tracked
+                                 # here, excluded from frozen totals
+                                 "layout_fold_scan",
+                                 "bucketed_ingest_scan"]
 
 # the original 19-query headline set (rounds 1-4) — reported separately
 # as value_19q so round-over-round totals stay comparable across the
