@@ -262,6 +262,83 @@ def release_lease(spark, lock: str, nonce: str) -> None:
         delete(spark, lock, recursive=False)
 
 
+def repair_torn_append(spark, path: str, spec_file: str,
+                       marker_file: str = "_append_inprogress.json",
+                       on_repair=None) -> None:
+    """Recover from a crash inside :func:`guarded_append`'s
+    write→spec-commit window.  The marker (written before the data
+    write, deleted after the spec commit) records the table's file
+    listing and batch counter BEFORE the write: marker present +
+    counter unchanged = the write may have landed partially or fully
+    but was never committed — delete every file NOT in the pre-write
+    listing and let the caller re-append; marker present + counter
+    advanced = the append committed and only the marker delete was
+    lost — keep the files.  Either way exactly-once holds: a replayed
+    batch is never half-present and never double-counted.
+    ``on_repair(spec)`` runs after orphan files were removed (e.g. to
+    refresh a catalog table's file index)."""
+    marker_path = join(path, marker_file)
+    if not exists(spark, marker_path):
+        return
+    marker = read_json(spark, marker_path)
+    spec = read_json(spark, join(path, spec_file))
+    committed = (int(spec.get("batches", 0))
+                 > int(marker["batches_before"]))
+    if not committed:
+        before = set(marker["files_before"])
+        for name in list_names(spark, path):
+            if name not in before and name != marker_file:
+                delete(spark, join(path, name))
+        if on_repair is not None:
+            on_repair(spec)
+    delete(spark, marker_path, recursive=False)
+
+
+def guarded_append(spark, path: str, kind: str, spec_file: str,
+                   epoch_id: "int | None", write_fn,
+                   marker_file: str = "_append_inprogress.json",
+                   on_repair=None) -> bool:
+    """The exactly-once in-place-append protocol shared by the bucketed
+    and clustered ingest lifecycles (their data write is a FILE APPEND,
+    not an atomic swap, so the commit point must be supplied):
+
+    1. claim the single-writer ``<path>.<kind>_lock`` lease (fenced);
+    2. repair any torn prior append (:func:`repair_torn_append`);
+    3. skip the batch if ``epoch_id`` ≤ the spec's recorded
+       ``last_epoch`` (returns False — the replay-after-commit case);
+    4. write the torn-append marker (pre-write file manifest + batch
+       counter), then run ``write_fn(spec)`` — the caller's data write;
+    5. commit: bump ``batches`` (+ record ``last_epoch``) in the spec
+       sidecar, then delete the marker.
+
+    A crash anywhere leaves a state the next entry repairs or skips —
+    never a half-present or double-counted batch.  ``epoch_id`` must be
+    monotonic per table (Structured Streaming's foreachBatch batch_id
+    under a checkpointLocation)."""
+    lock, nonce = acquire_lease(spark, path, kind)
+    try:
+        repair_torn_append(spark, path, spec_file, marker_file,
+                           on_repair)
+        spec = read_json(spark, join(path, spec_file))
+        if (epoch_id is not None
+                and spec.get("last_epoch") is not None
+                and epoch_id <= int(spec["last_epoch"])):
+            return False
+        write_json(spark, join(path, marker_file), {
+            "epoch": None if epoch_id is None else int(epoch_id),
+            "batches_before": int(spec.get("batches", 0)),
+            "files_before": list_names(spark, path)})
+        write_fn(spec)
+        spec["batches"] = int(spec.get("batches", 0)) + 1
+        if epoch_id is not None:
+            spec["last_epoch"] = int(epoch_id)
+        write_json(spark, join(path, spec_file), spec)
+        delete(spark, join(path, marker_file), recursive=False)
+        return True
+    finally:
+        release_lease(spark, lock, nonce)
+
+
 def swap_in(spark, path: str, kind: str, write_fn,
             lease_timeout: float = 3600.0) -> None:
     """Rewrite-then-swap table maintenance, shared by every lifecycle

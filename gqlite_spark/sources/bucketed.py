@@ -171,31 +171,16 @@ APPEND_MARKER = "_append_inprogress.json"
 
 
 def _repair_torn_append(spark: SparkSession, path: str) -> None:
-    """Recover from a crash inside :func:`append_bucketed`'s
-    insertInto→sidecar window.  The marker (written before the insert,
-    deleted after the sidecar commit) records the table's file listing
-    and batch counter BEFORE the write: marker present + counter
-    unchanged = the insert may have landed partially or fully but was
-    never committed — delete every file NOT in the pre-write listing
-    and let the caller re-append; marker present + counter advanced =
-    the append committed and only the marker delete was lost — keep
-    the files.  Either way exactly-once holds: a replayed batch is
-    never half-present and never double-counted."""
-    marker_path = fsio.join(path, APPEND_MARKER)
-    if not fsio.exists(spark, marker_path):
-        return
-    marker = fsio.read_json(spark, marker_path)
-    spec = fsio.read_json(spark, fsio.join(path, SPEC_FILE))
-    committed = (int(spec.get("batches", 0))
-                 > int(marker["batches_before"]))
-    if not committed:
-        before = set(marker["files_before"])
-        for name in fsio.list_names(spark, path):
-            if name not in before and name != APPEND_MARKER:
-                fsio.delete(spark, fsio.join(path, name))
+    """Torn-append recovery (shared protocol:
+    :func:`fsio.repair_torn_append`); refreshes the catalog table's
+    file index when orphan files were removed."""
+
+    def _refresh(spec):
         if spark.catalog.tableExists(spec["table"]):
             spark.catalog.refreshTable(spec["table"])
-    fsio.delete(spark, marker_path, recursive=False)
+
+    fsio.repair_torn_append(spark, path, SPEC_FILE, APPEND_MARKER,
+                            on_repair=_refresh)
 
 
 def append_bucketed(df: DataFrame, path: str,
@@ -232,14 +217,12 @@ def append_bucketed(df: DataFrame, path: str,
     table path, enforced by the fenced ``<path>.append_lock`` lease."""
     spark = df.sparkSession
     _heal(spark, path)
-    lock, nonce = fsio.acquire_lease(spark, path, "append")
-    try:
-        _repair_torn_append(spark, path)
-        spec = fsio.read_json(spark, fsio.join(path, SPEC_FILE))
-        if (epoch_id is not None
-                and spec.get("last_epoch") is not None
-                and epoch_id <= int(spec["last_epoch"])):
-            return False
+
+    def _refresh(spec):
+        if spark.catalog.tableExists(spec["table"]):
+            spark.catalog.refreshTable(spec["table"])
+
+    def _insert(spec):
         name = table or spec["table"]
         attach_bucketed(spark, path, name)
         cols = spark.table(name).columns
@@ -248,23 +231,15 @@ def append_bucketed(df: DataFrame, path: str,
             raise ValueError(f"append_bucketed: batch lacks column(s) "
                              f"{missing} of table '{name}'")
         key, n = spec["key"], int(spec["n_buckets"])
-        fsio.write_json(spark, fsio.join(path, APPEND_MARKER), {
-            "epoch": None if epoch_id is None else int(epoch_id),
-            "batches_before": int(spec.get("batches", 0)),
-            "files_before": fsio.list_names(spark, path)})
         (df.select(*cols)
          .repartition(n, key)
          .sortWithinPartitions(key)
          .write.insertInto(name))
-        spec["batches"] = int(spec.get("batches", 0)) + 1
-        if epoch_id is not None:
-            spec["last_epoch"] = int(epoch_id)
-        fsio.write_json(spark, fsio.join(path, SPEC_FILE), spec)
-        fsio.delete(spark, fsio.join(path, APPEND_MARKER),
-                    recursive=False)
-        return True
-    finally:
-        fsio.release_lease(spark, lock, nonce)
+
+    return fsio.guarded_append(spark, path, "append", SPEC_FILE,
+                               epoch_id, _insert,
+                               marker_file=APPEND_MARKER,
+                               on_repair=_refresh)
 
 
 # per-session refcount for the layout-attach pin: (n_attached, prior

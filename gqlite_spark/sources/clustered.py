@@ -160,7 +160,8 @@ def overlap_fraction(stats: "list[tuple]", lo, hi) -> float:
     return touch / len(stats)
 
 
-def append_clustered(df: DataFrame, path: str, n_files: int = 1) -> None:
+def append_clustered(df: DataFrame, path: str, n_files: int = 1,
+                     epoch_id: "int | None" = None) -> bool:
     """Append a batch to a clustered table WITHOUT a full rewrite: the
     batch is sorted by the table's spec (z-values reuse the STORED bin
     ranges so old and new rows bin identically) and written as its own
@@ -173,24 +174,31 @@ def append_clustered(df: DataFrame, path: str, n_files: int = 1) -> None:
     :func:`overlap_fraction`; restore the write-time layout with
     :func:`recluster`.  This is the daily-ingest lifecycle at 100 TB:
     appends are cheap and sorted, re-clustering is a scheduled rewrite.
-    """
+
+    ``epoch_id`` makes replays idempotent — the same
+    :func:`fsio.guarded_append` protocol as ``append_bucketed``
+    (single-writer fenced lease, torn-append marker repair, sidecar
+    epoch commit); see ``streaming.stream_append_clustered`` for the
+    exactly-once streaming twin.  Returns False on a skipped replay."""
     spark = df.sparkSession
     _heal(spark, path)
-    spec = fsio.read_json(spark, fsio.join(path, SPEC_FILE))
-    cols, bits = spec["cols"], int(spec.get("bits", DEFAULT_BITS))
-    if len(cols) == 1:
-        out = (df.repartitionByRange(n_files, F.col(cols[0]))
-               .sortWithinPartitions(cols[0]))
-    else:
-        ranges = [tuple(r) for r in spec["ranges"]]
-        z = zvalue_col(cols, ranges, bits)
-        out = (df.withColumn("_z", z)
-               .repartitionByRange(n_files, F.col("_z"))
-               .sortWithinPartitions("_z")
-               .drop("_z"))
-    out.write.mode("append").parquet(path)
-    spec["batches"] = int(spec.get("batches", 0)) + 1
-    fsio.write_json(spark, fsio.join(path, SPEC_FILE), spec)
+
+    def _write(spec):
+        cols, bits = spec["cols"], int(spec.get("bits", DEFAULT_BITS))
+        if len(cols) == 1:
+            out = (df.repartitionByRange(n_files, F.col(cols[0]))
+                   .sortWithinPartitions(cols[0]))
+        else:
+            ranges = [tuple(r) for r in spec["ranges"]]
+            z = zvalue_col(cols, ranges, bits)
+            out = (df.withColumn("_z", z)
+                   .repartitionByRange(n_files, F.col("_z"))
+                   .sortWithinPartitions("_z")
+                   .drop("_z"))
+        out.write.mode("append").parquet(path)
+
+    return fsio.guarded_append(spark, path, "append", SPEC_FILE,
+                               epoch_id, _write)
 
 
 def _heal(spark, path: str) -> None:
@@ -211,10 +219,22 @@ def recluster(spark: SparkSession, path: str,
     after append batches drift the layout (:func:`overlap_fraction` on
     the clustering columns is the trigger metric)."""
     _heal(spark, path)
+    # a torn APPEND must be repaired before the rewrite reads the
+    # files, or its uncommitted orphan files get absorbed into the new
+    # table and the replayed batch then double-appends them
+    fsio.repair_torn_append(spark, path, SPEC_FILE)
     spec = fsio.read_json(spark, fsio.join(path, SPEC_FILE))
-    fsio.swap_in(
-        spark, path, "recluster",
-        lambda tmp: save_clustered(
-            spark.read.parquet(path), tmp, spec["cols"],
-            n_files=int(n_files or spec["n_files"]),
-            bits=int(spec.get("bits", DEFAULT_BITS))))
+
+    def _write(tmp: str) -> None:
+        save_clustered(spark.read.parquet(path), tmp, spec["cols"],
+                       n_files=int(n_files or spec["n_files"]),
+                       bits=int(spec.get("bits", DEFAULT_BITS)))
+        # the batch counter resets (files are fresh) but last_epoch is
+        # CARRIED FORWARD — a recluster between streaming batches must
+        # not reopen the exactly-once window
+        if spec.get("last_epoch") is not None:
+            fresh = fsio.read_json(spark, fsio.join(tmp, SPEC_FILE))
+            fresh["last_epoch"] = int(spec["last_epoch"])
+            fsio.write_json(spark, fsio.join(tmp, SPEC_FILE), fresh)
+
+    fsio.swap_in(spark, path, "recluster", _write)

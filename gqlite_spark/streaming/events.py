@@ -363,6 +363,32 @@ def stream_append_bucketed(stream_df: DataFrame, path: str,
     return w.trigger(availableNow=True).start()
 
 
+def stream_append_clustered(stream_df: DataFrame, path: str,
+                            checkpoint: str | None = None,
+                            n_files: int = 1):
+    """Clustered twin of :func:`stream_append_bucketed`: micro-batches
+    stream straight into the range/z-order layout — each batch is
+    sorted by the table's STORED spec (z-values reuse the stored bin
+    ranges, so old and new rows bin identically) and appended as its
+    own sorted file(s); footer-stats skipping stays live over rows
+    that arrived seconds ago, and a scheduled ``recluster`` restores
+    the write-time layout as batches drift.  Same exactly-once
+    contract (checkpointed batch ids → ``append_clustered``'s
+    guarded-append epoch fence)."""
+    from ..sources.clustered import append_clustered
+
+    def _fold(batch_df, batch_id):
+        if not batch_df.take(1):
+            return
+        append_clustered(batch_df, path, n_files=n_files,
+                         epoch_id=batch_id if checkpoint else None)
+
+    w = stream_df.writeStream.foreachBatch(_fold)
+    if checkpoint:
+        w = w.option("checkpointLocation", checkpoint)
+    return w.trigger(availableNow=True).start()
+
+
 def _stream_upsert(stream_df, group, key_cols, checkpoint, version_col):
     def _reduce(df, cols):
         order = ([F.col(version_col)] if version_col and

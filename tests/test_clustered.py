@@ -153,3 +153,88 @@ def test_append_zorder_uses_stored_ranges(spark, tmp_path):
         frac = clustered.overlap_fraction(
             clustered.file_stats(p, col), 0, 31)
         assert frac <= 0.7, (col, frac)
+
+
+def test_append_clustered_epoch_replay_and_torn_repair(spark, tmp_path):
+    """append_clustered now rides the shared guarded-append protocol
+    (fsio.guarded_append, same as append_bucketed): epoch replays are
+    skipped, a torn append (marker present, spec not committed) is
+    repaired at the next entry with the batch landing exactly once,
+    and recluster both repairs torn appends BEFORE rewriting and
+    carries last_epoch forward so the rewrite can't reopen the replay
+    window."""
+    from gqlite_spark import fsio
+    from gqlite_spark.sources.clustered import (append_clustered,
+                                                recluster)
+    p = str(tmp_path / "ep")
+    clustered.save_clustered(_grid(spark), p, ["a"], n_files=8)
+    extra = spark.range(100).select(
+        (F.col("id") + 300).alias("a"), (F.col("id") % 7).alias("b"),
+        F.lit(1).cast("long").alias("val"))
+    assert append_clustered(extra, p, epoch_id=3) is True
+    assert spark.read.parquet(p).count() == 256 * 256 + 100
+    assert append_clustered(extra, p, epoch_id=3) is False   # replay
+    assert append_clustered(extra, p, epoch_id=2) is False   # older
+    assert spark.read.parquet(p).count() == 256 * 256 + 100
+    # torn append: marker written, files landed, spec never committed
+    spec = fsio.read_json(spark, fsio.join(p, clustered.SPEC_FILE))
+    fsio.write_json(spark, fsio.join(p, "_append_inprogress.json"), {
+        "epoch": 4, "batches_before": int(spec.get("batches", 0)),
+        "files_before": fsio.list_names(spark, p)})
+    extra.coalesce(1).write.mode("append").parquet(p)
+    assert spark.read.parquet(p).count() == 256 * 256 + 200  # orphans
+    assert append_clustered(extra, p, epoch_id=4) is True    # repairs
+    assert spark.read.parquet(p).count() == 256 * 256 + 200  # once
+    # recluster repairs a torn append before rewriting + keeps epoch
+    fsio.write_json(spark, fsio.join(p, "_append_inprogress.json"), {
+        "epoch": 9, "batches_before": 999,   # uncommitted
+        "files_before": fsio.list_names(spark, p)})
+    extra.coalesce(1).write.mode("append").parquet(p)
+    recluster(spark, p)
+    assert spark.read.parquet(p).count() == 256 * 256 + 200
+    spec = fsio.read_json(spark, fsio.join(p, clustered.SPEC_FILE))
+    assert spec["last_epoch"] == 4            # carried across rewrite
+    assert append_clustered(extra, p, epoch_id=4) is False
+
+
+def test_stream_append_clustered_matches_batch_with_restart(spark,
+                                                            tmp_path):
+    """The clustered streaming ingest twin: sorted micro-batches land
+    in the layout across a restart on the same checkpoint; the result
+    equals the one-shot batch content (nothing lost or doubled) and
+    file-level skipping still prunes outside the appended range."""
+    from gqlite_spark.streaming.events import (stream_append_clustered,
+                                               stream_from_directory)
+    p = str(tmp_path / "scl")
+    src = str(tmp_path / "src")
+    ckpt = str(tmp_path / "ckpt")
+    full = _grid(spark)
+    clustered.save_clustered(full.filter("a < 128"), p, ["a"],
+                             n_files=8)
+    full.filter("a >= 128 and a < 192").coalesce(1) \
+        .write.mode("append").parquet(src)
+    schema = "a bigint, b bigint, val bigint"
+    q = stream_append_clustered(
+        stream_from_directory(spark, src, schema=schema), p,
+        checkpoint=ckpt)
+    q.awaitTermination(120)
+    assert spark.read.parquet(p).count() == 192 * 256
+    full.filter("a >= 192").coalesce(1).write.mode("append").parquet(src)
+    q = stream_append_clustered(
+        stream_from_directory(spark, src, schema=schema), p,
+        checkpoint=ckpt)
+    q.awaitTermination(120)
+    got = spark.read.parquet(p)
+    assert got.count() == 256 * 256
+    assert got.agg(F.sum("val")).collect() == \
+        full.agg(F.sum("val")).collect()
+    # third run, nothing new: no-op
+    q = stream_append_clustered(
+        stream_from_directory(spark, src, schema=schema), p,
+        checkpoint=ckpt)
+    q.awaitTermination(120)
+    assert spark.read.parquet(p).count() == 256 * 256
+    # a low-range slice still skips the streamed batch files
+    frac = clustered.overlap_fraction(clustered.file_stats(p, "a"),
+                                      10, 20)
+    assert frac <= 0.4, frac
