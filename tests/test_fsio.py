@@ -264,3 +264,74 @@ def test_heal_swap_refuses_to_heal_over_live_lease(spark, tmp_path,
     fsio.heal_swap(spark, p, "kind", lease_timeout=0.0)
     assert spark.read.parquet(p).count() == 4
     fsio.delete(spark, lock, recursive=False)
+
+
+def test_guarded_append_crash_point_matrix(spark, tmp_path):
+    """The shared append protocol, exercised at every crash point with
+    a toy table (one data file per append, a minimal spec sidecar):
+
+    - crash AFTER the marker, before any file: repair is a no-op
+      delete, the replay appends once;
+    - crash mid-write (marker + orphan file, no commit): orphans
+      removed, replay appends once;
+    - crash after the spec commit (marker left behind): files kept,
+      replay skipped;
+    - a live competing lease raises ConcurrentWriterError."""
+    import pytest
+
+    p = f"file://{tmp_path}/ga"
+    spark.range(1).write.parquet(p)          # seed the directory
+    fsio.write_json(spark, fsio.join(p, "_spec.json"), {"batches": 0})
+
+    def writer(name):
+        def _w(spec):
+            fsio.write_text(spark, fsio.join(p, name), "data")
+        return _w
+
+    def names():
+        return [n for n in fsio.list_names(spark, p)
+                if n.startswith("batch")]
+
+    # normal append
+    assert fsio.guarded_append(spark, p, "toy", "_spec.json", 1,
+                               writer("batch1")) is True
+    assert names() == ["batch1"]
+    # crash after marker, before any write: marker present, listing
+    # unchanged, counter unchanged
+    fsio.write_json(spark, fsio.join(p, "_append_inprogress.json"), {
+        "epoch": 2, "batches_before": 1,
+        "files_before": fsio.list_names(spark, p)})
+    assert fsio.guarded_append(spark, p, "toy", "_spec.json", 2,
+                               writer("batch2")) is True
+    assert names() == ["batch1", "batch2"]
+    # crash mid-write: marker + orphan landed, spec not committed
+    fsio.write_json(spark, fsio.join(p, "_append_inprogress.json"), {
+        "epoch": 3, "batches_before": 2,
+        "files_before": fsio.list_names(spark, p)})
+    fsio.write_text(spark, fsio.join(p, "batch3"), "orphan")
+    assert fsio.guarded_append(spark, p, "toy", "_spec.json", 3,
+                               writer("batch3")) is True
+    assert names() == ["batch1", "batch2", "batch3"]
+    assert fsio.read_text(spark, fsio.join(p, "batch3")) == "data"
+    # crash after commit: marker left, counter advanced -> keep + skip
+    fsio.write_json(spark, fsio.join(p, "_append_inprogress.json"), {
+        "epoch": 3, "batches_before": 0,
+        "files_before": ["bogus"]})
+    assert fsio.guarded_append(spark, p, "toy", "_spec.json", 3,
+                               writer("batch3x")) is False
+    assert names() == ["batch1", "batch2", "batch3"]
+    assert not fsio.exists(spark,
+                           fsio.join(p, "_append_inprogress.json"))
+    spec = fsio.read_json(spark, fsio.join(p, "_spec.json"))
+    assert spec["batches"] == 3 and spec["last_epoch"] == 3
+    # live competing lease
+    assert fsio.create_exclusive(spark, p + ".toy_lock", "nonce=other")
+    with pytest.raises(fsio.ConcurrentWriterError):
+        fsio.guarded_append(spark, p, "toy", "_spec.json", 4,
+                            writer("batch4"))
+    assert names() == ["batch1", "batch2", "batch3"]
+    fsio.delete(spark, p + ".toy_lock", recursive=False)
+    # the competitor's failure must not have consumed our lease slot
+    assert fsio.guarded_append(spark, p, "toy", "_spec.json", 4,
+                               writer("batch4")) is True
+    assert names() == ["batch1", "batch2", "batch3", "batch4"]
