@@ -112,3 +112,47 @@ def test_rollup_quantiles_read_candidate(spark, tmp_path):
     """).fetchdf()
     verdict = compare(got, oracle)
     assert verdict.startswith("OK"), verdict
+
+
+def test_stream_clustered_scan_candidate(spark, tmp_path):
+    """Entry shape `stream_clustered_scan`: save 2/3 of lineitem
+    range-clustered on l_quantity, STREAM the remaining 1/3 in as
+    sorted micro-batches (stream_append_clustered, checkpointed ->
+    epoch-guarded append_clustered), `recluster` back to the
+    write-time layout, then run a selective range aggregate — the
+    oracle is the predicate GROUP BY over ALL of lineitem, so parity
+    proves the clustered continuous-ingest path is exactly-once and
+    the rewrite loses nothing."""
+    from gqlite_spark.sources import clustered as C
+    from gqlite_spark.streaming.events import (stream_append_clustered,
+                                               stream_from_directory)
+    li = (spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+          .select("l_orderkey", "l_quantity", "l_extendedprice"))
+    p = str(tmp_path / "scl")
+    C.save_clustered(li.filter(F.col("l_orderkey") % 3 != 0), p,
+                     ["l_quantity"], n_files=8)
+    src = str(tmp_path / "src")
+    (li.filter(F.col("l_orderkey") % 3 == 0)
+     .repartition(4).write.parquet(src))
+    schema = ("l_orderkey bigint, l_quantity double,"
+              " l_extendedprice double")
+    q = stream_append_clustered(
+        stream_from_directory(spark, src, schema=schema), p,
+        checkpoint=str(tmp_path / "ckpt"))
+    q.awaitTermination(180)
+    C.recluster(spark, p)
+    got = (spark.read.parquet(p)
+           .where(F.col("l_quantity") > 45)
+           .groupBy("l_quantity")
+           .agg(F.count("*").alias("n"),
+                F.sum(F.round(F.col("l_extendedprice") * 100)
+                      .cast("long")).alias("price_cents"))
+           .toPandas())
+    oracle = duck_con(SF_DIR).execute("""
+        SELECT l_quantity, count(*) AS n,
+               CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT))
+                    AS BIGINT) AS price_cents
+        FROM lineitem WHERE l_quantity > 45 GROUP BY l_quantity
+    """).fetchdf()
+    verdict = compare(got, oracle)
+    assert verdict.startswith("OK"), verdict
