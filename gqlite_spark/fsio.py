@@ -164,7 +164,8 @@ _HEAL_WAIT_ITERS = 40
 
 
 def heal_swap(spark, path: str, kind: str, have_lease: bool = False,
-              lease_timeout: float = 3600.0) -> None:
+              lease_timeout: float = 3600.0,
+              lock_kind: "str | None" = None) -> None:
     """Recover from a crash between :func:`swap_in`'s two renames: if
     the table vanished from ``path`` but the complete old table sits at
     ``<path>.<kind>_old``, rename it back.  Lifecycle entry points call
@@ -190,7 +191,11 @@ def heal_swap(spark, path: str, kind: str, have_lease: bool = False,
     if exists(spark, path) or not exists(spark, old):
         return
     if not have_lease:
-        lock = path.rstrip("/") + f".{kind}_lock"
+        # lock_kind: lifecycles that share ONE writer lease across
+        # several maintenance kinds (bucketed/clustered: appends and
+        # the swap rewrite both hold "<path>.maintain_lock") pass it so
+        # the reader watches the lease the live writer actually holds
+        lock = path.rstrip("/") + f".{lock_kind or kind}_lock"
         for _ in range(_HEAL_WAIT_ITERS):  # a rename-window, not a write
             try:
                 age = time.time() - mtime(spark, lock)
@@ -340,7 +345,8 @@ def guarded_append(spark, path: str, kind: str, spec_file: str,
 
 
 def swap_in(spark, path: str, kind: str, write_fn,
-            lease_timeout: float = 3600.0) -> None:
+            lease_timeout: float = 3600.0,
+            lock_kind: "str | None" = None) -> None:
     """Rewrite-then-swap table maintenance, shared by every lifecycle
     that atomically replaces a directory-shaped table (rollup append,
     recluster): ``write_fn(tmp_path)`` materializes the COMPLETE new
@@ -366,8 +372,15 @@ def swap_in(spark, path: str, kind: str, write_fn,
     nonce, and the ``finally`` re-reads the lock and deletes it only
     if the claim is still OURS — after a stale-lease takeover, the
     paused-but-alive original writer's cleanup must not delete the new
-    writer's lease (which would let a third writer enter)."""
-    lock, nonce = acquire_lease(spark, path, kind, lease_timeout)
+    writer's lease (which would let a third writer enter).
+
+    ``lock_kind`` (default ``kind``) names the lease independently of
+    the tmp/old suffixes — lifecycles where a swap rewrite and an
+    in-place append must mutually exclude (bucketed rebucket vs
+    append, clustered recluster vs append) hold ONE shared lease kind
+    while keeping their own torn-swap directory names."""
+    lock, nonce = acquire_lease(spark, path, lock_kind or kind,
+                                lease_timeout)
     tmp = path.rstrip("/") + f".{kind}_tmp"
     old = path.rstrip("/") + f".{kind}_old"
     try:

@@ -100,7 +100,7 @@ def _heal(spark: SparkSession, path: str) -> None:
     ``swap_in``'s two renames parks the only complete table at
     ``<path>.rebucket_old`` — without this, attaches/appends fail on a
     raw missing-spec error until another rebucket happens to run."""
-    fsio.heal_swap(spark, path, "rebucket")
+    fsio.heal_swap(spark, path, "rebucket", lock_kind="maintain")
 
 
 def force_bucketed_scan(spark: SparkSession, enabled: bool = True) -> None:
@@ -131,14 +131,18 @@ def rebucket(spark: SparkSession, path: str) -> None:
     Single-writer via the swap lease; a torn swap heals on the next
     lifecycle call."""
     _heal(spark, path)
-    # a torn APPEND must be repaired before the rewrite reads the
-    # files, or its uncommitted orphan files get absorbed into the new
-    # table and the replayed batch then double-appends them
-    _repair_torn_append(spark, path)
-    spec = fsio.read_json(spark, fsio.join(path, SPEC_FILE))
-    name, key, n = spec["table"], spec["key"], int(spec["n_buckets"])
+    name = fsio.read_json(spark, fsio.join(path, SPEC_FILE))["table"]
 
     def _write(tmp: str) -> None:
+        # under the shared maintain lease: a torn APPEND must be
+        # repaired before the rewrite reads the files (or its
+        # uncommitted orphan files get absorbed into the new table and
+        # the replayed batch then double-appends them), and the spec
+        # must be (re)read HERE — reading it before the lease could
+        # carry a last_epoch that a just-committed append superseded
+        _repair_torn_append(spark, path)
+        spec = fsio.read_json(spark, fsio.join(path, SPEC_FILE))
+        key, n = spec["key"], int(spec["n_buckets"])
         stage = f"{name}__rebucket_tmp"
         # read the files directly (bucket info is irrelevant — the
         # stage re-shuffles by key anyway); the write lands in tmp, a
@@ -160,7 +164,7 @@ def rebucket(spark: SparkSession, path: str) -> None:
             fresh["last_epoch"] = int(spec["last_epoch"])
         fsio.write_json(spark, fsio.join(tmp, SPEC_FILE), fresh)
 
-    fsio.swap_in(spark, path, "rebucket", _write)
+    fsio.swap_in(spark, path, "rebucket", _write, lock_kind="maintain")
     if spark.catalog.tableExists(name):
         spark.catalog.refreshTable(name)
     else:                      # fresh session: register from the sidecar
@@ -214,7 +218,9 @@ def append_bucketed(df: DataFrame, path: str,
     the sidecar commit (counter + last_epoch) lands after the insert,
     and the marker is deleted last — a crash anywhere is repaired at
     the next entry by :func:`_repair_torn_append`.  SINGLE WRITER per
-    table path, enforced by the fenced ``<path>.append_lock`` lease."""
+    table path, enforced by the fenced ``<path>.maintain_lock`` lease
+    SHARED with :func:`rebucket` — an append and the swap rewrite can
+    never interleave."""
     spark = df.sparkSession
     _heal(spark, path)
 
@@ -236,7 +242,7 @@ def append_bucketed(df: DataFrame, path: str,
          .sortWithinPartitions(key)
          .write.insertInto(name))
 
-    return fsio.guarded_append(spark, path, "append", SPEC_FILE,
+    return fsio.guarded_append(spark, path, "maintain", SPEC_FILE,
                                epoch_id, _insert,
                                marker_file=APPEND_MARKER,
                                on_repair=_refresh)

@@ -197,13 +197,13 @@ def append_clustered(df: DataFrame, path: str, n_files: int = 1,
                    .drop("_z"))
         out.write.mode("append").parquet(path)
 
-    return fsio.guarded_append(spark, path, "append", SPEC_FILE,
+    return fsio.guarded_append(spark, path, "maintain", SPEC_FILE,
                                epoch_id, _write)
 
 
 def _heal(spark, path: str) -> None:
     """Torn-swap recovery (shared contract: fsio.heal_swap)."""
-    fsio.heal_swap(spark, path, "recluster")
+    fsio.heal_swap(spark, path, "recluster", lock_kind="maintain")
 
 
 def recluster(spark: SparkSession, path: str,
@@ -219,13 +219,16 @@ def recluster(spark: SparkSession, path: str,
     after append batches drift the layout (:func:`overlap_fraction` on
     the clustering columns is the trigger metric)."""
     _heal(spark, path)
-    # a torn APPEND must be repaired before the rewrite reads the
-    # files, or its uncommitted orphan files get absorbed into the new
-    # table and the replayed batch then double-appends them
-    fsio.repair_torn_append(spark, path, SPEC_FILE)
-    spec = fsio.read_json(spark, fsio.join(path, SPEC_FILE))
 
     def _write(tmp: str) -> None:
+        # under the shared maintain lease: a torn APPEND must be
+        # repaired before the rewrite reads the files (or its
+        # uncommitted orphan files get absorbed into the new table and
+        # the replayed batch then double-appends them), and the spec
+        # must be read HERE — reading it before the lease could carry
+        # a last_epoch that a just-committed append superseded
+        fsio.repair_torn_append(spark, path, SPEC_FILE)
+        spec = fsio.read_json(spark, fsio.join(path, SPEC_FILE))
         save_clustered(spark.read.parquet(path), tmp, spec["cols"],
                        n_files=int(n_files or spec["n_files"]),
                        bits=int(spec.get("bits", DEFAULT_BITS)))
@@ -237,4 +240,4 @@ def recluster(spark: SparkSession, path: str,
             fresh["last_epoch"] = int(spec["last_epoch"])
             fsio.write_json(spark, fsio.join(tmp, SPEC_FILE), fresh)
 
-    fsio.swap_in(spark, path, "recluster", _write)
+    fsio.swap_in(spark, path, "recluster", _write, lock_kind="maintain")

@@ -344,3 +344,27 @@ def test_stream_append_bucketed_matches_batch_with_restart(
                                spark.table("t_stream_b2"), "id")
     assert "Exchange" not in _plan(j), _plan(j)
     assert j.count() == 3000
+
+
+def test_append_and_rebucket_share_one_writer_lease(spark, tmp_path):
+    """The swap rewrite and the in-place append hold the SAME
+    <path>.maintain_lock lease, so they can never interleave: an
+    append during a live rebucket (or vice versa) raises
+    ConcurrentWriterError instead of writing into a directory that is
+    about to be swapped out from under it."""
+    import pytest
+    from gqlite_spark import fsio
+    p = str(tmp_path / "mx")
+    bucketed.save_bucketed(
+        spark.range(0, 100).selectExpr("id", "id % 3 as k"),
+        p, key="id", n_buckets=4, table="t_mx1")
+    assert fsio.create_exclusive(spark, p + ".maintain_lock",
+                                 "nonce=other-writer")
+    b = spark.range(100, 110).selectExpr("id", "id % 3 as k")
+    with pytest.raises(fsio.ConcurrentWriterError):
+        bucketed.append_bucketed(b, p)
+    with pytest.raises(fsio.ConcurrentWriterError):
+        bucketed.rebucket(spark, p)
+    fsio.delete(spark, p + ".maintain_lock", recursive=False)
+    assert bucketed.append_bucketed(b, p) is True
+    assert spark.table("t_mx1").count() == 110
