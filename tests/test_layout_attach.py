@@ -466,3 +466,33 @@ def test_group_replacement_releases_pin(db, tmp_path, spark):
     g = db.catalog.graphs["lg"]
     g.create_group("ord")                         # replace, no GC needed
     assert spark.conf.get(conf) == prior          # pin released NOW
+
+
+def test_layout_attach_survives_graph_save_load(db, tmp_path, spark):
+    """Graph.save records attached layout paths in the schema sidecar
+    and Graph.load re-attaches them — a saved graph keeps its pruned
+    scan path across sessions instead of silently falling back to the
+    snapshot parquet.  A vanished copy degrades LOUDLY to the snapshot
+    (warning, not a failed load)."""
+    from gqlite_spark.catalog import Graph
+    p = str(tmp_path / "persist")
+    db.exec("{layout: 'ord', in: 'lg', path: '" + p +
+            "', bucket_by: 'id', buckets: 8, attach: true};")
+    root = str(tmp_path / "groot")
+    db.catalog.graphs["lg"].save(root)
+    g2 = Graph.load(spark, root, "lg")
+    grp = g2.group("ord")
+    assert grp._layout_attach is not None
+    assert grp._layout_attach["kind"] == "bucket"
+    q = grp.to_df().where(F.col("id") == 77)
+    m = re.search(r"SelectedBucketsCount: (\d+) out of (\d+)", _plan(q))
+    assert m and (m.group(1), m.group(2)) == ("1", "8"), _plan(q)
+    assert [r["id"] for r in q.collect()] == [77]
+    grp._detach_layout()          # release the pin for other tests
+    # vanished copy: load falls back to the snapshot, data intact
+    import shutil
+    shutil.rmtree(p)
+    g3 = Graph.load(spark, root, "lg")
+    grp3 = g3.group("ord")
+    assert grp3._layout_attach is None
+    assert grp3.to_df().count() == 3000
