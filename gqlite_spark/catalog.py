@@ -1116,6 +1116,20 @@ class Graph:
                    if g._layout_attach is not None}
         if layouts:
             doc["layouts"] = layouts
+        # attached vector indexes persist the same way: without this a
+        # reloaded graph silently loses the routed $near path (falls
+        # back to exact scans) until a manual re-attach
+        vindexes = {}
+        for n, g in self.groups.items():
+            per = {}
+            for attr, p in g._ivf_attach.items():
+                per[attr] = {"kind": "ivf", "path": p}
+            for attr, p in g._ivfpq_attach.items():
+                per[attr] = {"kind": "ivfpq", "path": p}
+            if per:
+                vindexes[n] = per
+        if vindexes:
+            doc["vindexes"] = vindexes
         # schema sidecar through the Hadoop FS API: `root` may be shared
         # storage (s3a://, hdfs://) — the save/load contract must accept
         # every scheme the parquet writer accepts (VERDICT r7 missing #1)
@@ -1165,6 +1179,32 @@ class Graph:
                     "graph '%s': saved layout attach for group '%s' at"
                     " %s could not be re-attached; scans fall back to"
                     " the saved parquet snapshot", name, gname, lpath)
+        for gname, per in (doc.get("vindexes") or {}).items():
+            g = gr.groups.get(gname)
+            if g is None:
+                continue
+            for attr, rec in per.items():
+                try:
+                    # attach_* refuses torn compactions but tolerates a
+                    # missing path (queries would fail later) — at load
+                    # time a vanished index must mean NO attach
+                    params = ("ivfpq_params.json"
+                              if rec["kind"] == "ivfpq"
+                              else "ivf_params.json")
+                    if not fsio.exists(spark,
+                                       fsio.join(rec["path"], params)):
+                        raise FileNotFoundError(rec["path"])
+                    if rec["kind"] == "ivfpq":
+                        g.attach_ivfpq_index(attr, rec["path"])
+                    else:
+                        g.attach_ivf_index(attr, rec["path"])
+                except Exception:
+                    import logging
+                    logging.getLogger(__name__).warning(
+                        "graph '%s': saved %s index attach for group"
+                        " '%s'.%s at %s could not be re-attached;"
+                        " $near falls back to exact scans", name,
+                        rec.get("kind"), gname, attr, rec.get("path"))
         return gr
 
 

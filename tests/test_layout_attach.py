@@ -496,3 +496,33 @@ def test_layout_attach_survives_graph_save_load(db, tmp_path, spark):
     grp3 = g3.group("ord")
     assert grp3._layout_attach is None
     assert grp3.to_df().count() == 3000
+
+
+def test_vindex_attach_survives_graph_save_load(spark, tmp_path):
+    """Attached vector indexes persist across Graph.save/load too —
+    otherwise a reloaded graph silently loses the routed $near path
+    (exact-scan fallback) until a manual re-attach.  A vanished index
+    degrades loudly to exact, not a failed load."""
+    import shutil
+
+    from gqlite_spark import GQLite
+    from gqlite_spark.catalog import Graph
+    db = GQLite(spark)
+    db.exec("{create: 'vp', group: ['pts']};")
+    grp = db.catalog.graphs["vp"].group("pts")
+    grp.register_df(
+        spark.range(200).selectExpr(
+            "id", "array(cast(id % 20 as double),"
+            " cast(id % 7 as double)) as vec"),
+        key_col="id")
+    ip = str(tmp_path / "ivf_sl")
+    grp.build_ivf_index("vec", ip)
+    root = str(tmp_path / "vroot")
+    db.catalog.graphs["vp"].save(root)
+    g2 = Graph.load(spark, root, "vp")
+    grp2 = g2.group("pts")
+    assert grp2._ivf_attach == {"vec": ip}
+    # vanished index: load succeeds, $near attach state falls back
+    shutil.rmtree(ip)
+    g3 = Graph.load(spark, root, "vp")
+    assert g3.group("pts")._ivf_attach == {}
