@@ -1019,9 +1019,14 @@ class Group:
                     bulk = bulk.withColumn(p, F.lit(None).cast(_KIND_SPARK[self.meta.props[p]]))
             bulk = bulk.select([f.name for f in schema.fields])
             if local is not None and data:
-                # local rows win over bulk on key collision (LWW)
+                # local rows win over bulk on key collision (LWW).  The
+                # overlay keyset is driver-sized by construction —
+                # broadcast it so the anti-join never sorts/shuffles the
+                # bulk side (on an attached bucketed layout the scan
+                # side is exchange-free; this keeps it codegen-straight)
                 keycols = ["src", "dst", "direction"] if self.meta.is_edge else ["id"]
-                bulk = bulk.join(local.select(keycols), keycols, "left_anti")
+                bulk = bulk.join(F.broadcast(local.select(keycols)),
+                                 keycols, "left_anti")
                 df = bulk.unionByName(local)
             else:
                 df = bulk

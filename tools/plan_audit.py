@@ -11,7 +11,8 @@ import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-KEYS = ("Scan parquet", "PushedFilters", "ReadSchema", "BroadcastHashJoin",
+KEYS = ("Scan parquet", "PushedFilters", "ReadSchema", "SelectedBucketsCount",
+        "BroadcastHashJoin",
         "SortMergeJoin", "Exchange", "HashAggregate",
         "TakeOrderedAndProject", "WholeStageCodegen", "Filter", "Window",
         "BroadcastNestedLoop", "Project")
@@ -36,7 +37,11 @@ def main() -> None:
                "knn_near_limit", "upsert_lww", "window_tumbling",
                "dedup_exact", "sim_knn_join", "dedup_url",
                "sample_shuffle", "event_funnel", "asof_attribution",
-               "multimodal_av_meta"]
+               "multimodal_av_meta",
+               # r11 lifecycle entries: the fold-scan plan should show
+               # SelectedBucketsCount pruning; the ingest scan a plain
+               # bucketed aggregate with no Exchange below it
+               "layout_fold_scan", "bucketed_ingest_scan"]
     qs = entry.queries()
     for name in audited:
         df = qs[name](spark, sf_dir)
