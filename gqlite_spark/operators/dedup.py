@@ -538,3 +538,26 @@ def near_dup_clusters(df: DataFrame, id_col: str = "doc_id",
     return comp.select(F.col("id").alias(id_col),
                        F.col("component").alias("cluster_rep"),
                        (F.col("id") == F.col("component")).alias("keep"))
+
+
+def keep_best_per_cluster(clusters: DataFrame, scores: DataFrame,
+                          id_col: str = "doc_id",
+                          score_col: str = "score") -> DataFrame:
+    """Survivor selection for near-dup clusters by QUALITY, not by id:
+    a training-data pipeline purges duplicates but should keep each
+    cluster's highest-quality copy (longest / best-scored / least
+    boilerplate), while :func:`near_dup_clusters`'s min-id canonical is
+    arbitrary.  ``clusters`` is that function's output (id, cluster_rep)
+    — or any (member, cluster) mapping — and ``scores`` maps ids to a
+    quality score (e.g. ``text.quality_score`` output, or a plain
+    ``length(text)``).  keep = the cluster's max-score member, ties
+    broken by min id (deterministic).  Scale shape: the window runs on
+    the CLUSTERED docs only (the sparse pair-graph membership, not the
+    corpus), partitioned by cluster — one narrow shuffle of that small
+    set.  Output: (id, cluster_rep, score, keep)."""
+    from pyspark.sql import Window
+    w = Window.partitionBy("cluster_rep").orderBy(
+        F.col(score_col).desc(), F.col(id_col).asc())
+    joined = (clusters.select(id_col, "cluster_rep")
+              .join(scores.select(id_col, score_col), id_col))
+    return joined.withColumn("keep", F.row_number().over(w) == 1)

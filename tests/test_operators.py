@@ -1874,3 +1874,21 @@ def test_curation_pipeline_gates_bite(spark):
     assert 0 < n_out < n_train, (n_out, n_train)
     for r in out:
         assert r["sum_tokens"] > 0 and r["sum_quality_e4"] > 0
+
+
+def test_keep_best_per_cluster(spark):
+    """Survivor selection: each cluster keeps its max-score member
+    (ties -> min id); singletons keep themselves; docs absent from
+    scores drop out of the join (caller contract: score every member)."""
+    from gqlite_spark.operators.dedup import keep_best_per_cluster
+    clusters = spark.createDataFrame(
+        [(1, 1), (2, 1), (3, 1), (7, 7), (8, 7), (9, 9)],
+        "doc_id long, cluster_rep long")
+    scores = spark.createDataFrame(
+        [(1, 10.0), (2, 30.0), (3, 30.0), (7, 5.0), (8, 4.0), (9, 1.0)],
+        "doc_id long, score double")
+    got = {r["doc_id"]: r["keep"]
+           for r in keep_best_per_cluster(clusters, scores).collect()}
+    # cluster 1: 2 and 3 tie at 30 -> min id 2 wins; cluster 7: 7 wins
+    assert got == {1: False, 2: True, 3: False,
+                   7: True, 8: False, 9: True}

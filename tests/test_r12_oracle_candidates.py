@@ -156,3 +156,38 @@ def test_stream_clustered_scan_candidate(spark, tmp_path):
     """).fetchdf()
     verdict = compare(got, oracle)
     assert verdict.startswith("OK"), verdict
+
+
+def test_dedup_keep_best_candidate(spark):
+    """Entry shape `dedup_keep_best`: near-dup clusters (LSH pairs ->
+    connected components) with QUALITY survivor selection — each
+    cluster keeps its longest member (tie -> min doc_id) instead of the
+    arbitrary min-id canonical.  The oracle replays the whole chain:
+    exact-Jaccard pair closure via recursive CTE, then argmax-by-length
+    via row_number — so cluster membership AND the survivor choice are
+    value-checked."""
+    import __spark_entry__ as entry
+    from gqlite_spark.operators.dedup import (keep_best_per_cluster,
+                                              near_dup_clusters)
+    d = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    clusters = near_dup_clusters(d)
+    scores = d.select("doc_id",
+                      F.length("text").cast("long").alias("score"))
+    got = keep_best_per_cluster(clusters, scores).toPandas()
+    closure = entry.oracle_sql()["dedup_clusters"]
+    # reuse the contract's pair-closure CTE, swap survivor selection
+    prefix = closure[:closure.rindex("SELECT a AS doc_id")]
+    oracle = duck_con(SF_DIR).execute(prefix.rstrip() + """,
+        clus AS (SELECT a AS doc_id, LEAST(a, MIN(b)) AS cluster_rep
+                 FROM reach GROUP BY a),
+        scored AS (SELECT c.doc_id, c.cluster_rep,
+                          CAST(length(d.text) AS BIGINT) AS score
+                   FROM clus c JOIN documents d ON d.doc_id = c.doc_id)
+        SELECT doc_id, cluster_rep, score,
+               row_number() OVER (PARTITION BY cluster_rep
+                                  ORDER BY score DESC, doc_id ASC) = 1
+               AS keep
+        FROM scored
+    """).fetchdf()
+    verdict = compare(got, oracle)
+    assert verdict.startswith("OK"), verdict
