@@ -307,6 +307,16 @@ class GQLite:
         elif m == "clusters":
             out = D.near_dup_clusters(df, id_col="id", text_col=prop,
                                       threshold=stmt.threshold)
+            if stmt.best_by is not None:
+                # quality survivor selection: keep each cluster's MAX
+                # best_by member (tie -> min id) instead of min-id
+                if stmt.best_by not in df.columns:
+                    raise GQLiteError(
+                        f"dedup: group '{stmt.group}' has no property "
+                        f"'{stmt.best_by}'")
+                out = D.keep_best_per_cluster(
+                    out, df.select("id", F.col(stmt.best_by)
+                                   .alias("score")), id_col="id")
         elif m == "embedding":
             out = D.embedding_near_dups(df, id_col="id", vec_col=prop,
                                         threshold=stmt.threshold)

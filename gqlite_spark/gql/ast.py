@@ -182,6 +182,10 @@ class DedupStmt:
     method: str = "exact"   # exact|minhash|jaccard|simhash|lines|clusters|embedding
     on: Optional[str] = None
     threshold: float = 0.8
+    # method 'clusters' only: pick each cluster's survivor by the MAX
+    # of this numeric property (tie -> min id) instead of the min-id
+    # canonical — operators/dedup.py::keep_best_per_cluster
+    best_by: Optional[str] = None
 
 
 @dataclass

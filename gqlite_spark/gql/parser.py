@@ -319,9 +319,18 @@ class Parser:
             thr = obj.get("threshold", 0.8)
             if not isinstance(thr, (int, float)) or isinstance(thr, bool):
                 raise GQLParseError("dedup: threshold must be a number")
+            best_by = obj.get("best_by")
+            if best_by is not None:
+                if not isinstance(best_by, str) or not best_by:
+                    raise GQLParseError(
+                        "dedup: best_by must be a property name")
+                if str(obj.get("method", "exact")) != "clusters":
+                    raise GQLParseError(
+                        "dedup: best_by requires method: 'clusters' "
+                        "(survivor selection happens per cluster)")
             return DedupStmt(obj["dedup"], obj.get("in"),
                              str(obj.get("method", "exact")),
-                             obj.get("on"), float(thr))
+                             obj.get("on"), float(thr), best_by)
         if "similar" in obj:
             vec = obj.get("to")
             qgrp = obj.get("queries")

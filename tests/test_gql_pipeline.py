@@ -753,3 +753,27 @@ def test_gql_rollup_read_and_quantiles(db, tmp_path):
     assert r.error and "unknown key" in r.error
     r = db.exec("{rollup: '', read: true};")[0]
     assert r.error and "rollup path" in r.error
+
+
+def test_gql_dedup_clusters_best_by(db):
+    """{dedup ... method: 'clusters', best_by: prop} keeps each
+    cluster's MAX-best_by member (tie -> min id) instead of the min-id
+    canonical; best_by outside 'clusters' and unknown props error."""
+    for r in db.exec(
+            "{create: 'kb', group: ['docs']};"
+            "{upset: 'docs', vertex: ["
+            " [1, {text: 'aaa bbb ccc ddd eee fff ggg', q: 1.0}],"
+            " [2, {text: 'aaa bbb ccc ddd eee fff ggg', q: 9.0}],"
+            " [3, {text: 'zzz yyy xxx www vvv uuu ttt', q: 5.0}]]};"):
+        assert r.error is None, r.error
+    got = {r["id"]: (r["cluster_rep"], r["keep"]) for r in db.query_df(
+        "{dedup: 'docs', in: 'kb', method: 'clusters',"
+        " best_by: 'q'};").collect()}
+    # docs 1 and 2 are exact near-dups -> one cluster; 2 wins on q
+    assert got == {1: (1, False), 2: (1, True)}
+    r = db.exec("{dedup: 'docs', in: 'kb', method: 'exact',"
+                " best_by: 'q'};")[0]
+    assert r.error and "requires method: 'clusters'" in r.error
+    r = db.exec("{dedup: 'docs', in: 'kb', method: 'clusters',"
+                " best_by: 'nope'};")[0]
+    assert r.error and "no property 'nope'" in r.error
