@@ -1741,6 +1741,130 @@ def q_bucketed_ingest_scan(spark, sf_dir):
                        .cast("long")).alias("price_cents")))
 
 
+def q_stream_ingest_scan(spark, sf_dir):
+    """STREAMING bucketed-ingest lifecycle oracled end-to-end (promoted
+    from the r11 rehearsal, tests/test_r12_oracle_candidates.py): save
+    2/3 of lineitem hash-bucketed on l_orderkey, STREAM the remaining
+    1/3 in as micro-batches (`stream_append_bucketed`: checkpointed
+    foreachBatch -> epoch-guarded `append_bucketed`, each batch one
+    narrow hash-routed shuffle of the batch only), then aggregate.  The
+    oracle is the plain GROUP BY over ALL of lineitem, so parity proves
+    the continuous-ingest path is exactly-once end-to-end — nothing
+    lost, doubled, or misrouted across micro-batches.  The 100 TB shape:
+    a firehose lands in the pruned layout without re-exporting the
+    table, and a replayed batch is repaired or skipped, never
+    double-appended."""
+    import tempfile
+    from gqlite_spark.sources import bucketed as B
+    from gqlite_spark.streaming.events import (stream_append_bucketed,
+                                               stream_from_directory)
+    li = (_load(spark, sf_dir, "lineitem")
+          .select("l_orderkey", "l_quantity", "l_extendedprice"))
+    root = tempfile.mkdtemp(prefix="gqlite_r12si_")
+    p = root + "/sing"
+    tbl = "t_sing_" + root.rsplit("_", 1)[-1]
+    B.save_bucketed(li.filter(F.col("l_orderkey") % 3 != 0), p,
+                    key="l_orderkey", n_buckets=8, table=tbl)
+    src = root + "/src"
+    (li.filter(F.col("l_orderkey") % 3 == 0)
+     .repartition(4)                      # several source files ->
+     .write.parquet(src))                 # several micro-batches
+    schema = ("l_orderkey bigint, l_quantity double,"
+              " l_extendedprice double")
+    q = stream_append_bucketed(
+        stream_from_directory(spark, src, schema=schema, fmt="parquet"),
+        p, checkpoint=root + "/ckpt")
+    q.awaitTermination(300)
+    return (spark.table(tbl)
+            .groupBy("l_quantity")
+            .agg(F.count("*").alias("n"),
+                 F.sum(F.round(F.col("l_extendedprice") * 100)
+                       .cast("long")).alias("price_cents")))
+
+
+def q_stream_clustered_scan(spark, sf_dir):
+    """STREAMING clustered-ingest lifecycle oracled end-to-end (promoted
+    from the r11 rehearsal): save 2/3 of lineitem range-clustered on
+    l_quantity, STREAM the remaining 1/3 in as sorted micro-batches
+    (`stream_append_clustered`: checkpointed -> epoch-guarded
+    `append_clustered`, each batch sorted by the STORED spec so old and
+    new rows bin identically), `recluster` back to the write-time
+    layout (the swap-atomic rewrite), then run a selective range
+    aggregate.  The oracle is the predicate GROUP BY over ALL of
+    lineitem, so parity proves the clustered continuous-ingest path is
+    exactly-once and the rewrite loses nothing — footer-stats skipping
+    stays live over rows that arrived seconds ago."""
+    import tempfile
+    from gqlite_spark.sources import clustered as C
+    from gqlite_spark.streaming.events import (stream_append_clustered,
+                                               stream_from_directory)
+    li = (_load(spark, sf_dir, "lineitem")
+          .select("l_orderkey", "l_quantity", "l_extendedprice"))
+    root = tempfile.mkdtemp(prefix="gqlite_r12sc_")
+    p = root + "/scl"
+    C.save_clustered(li.filter(F.col("l_orderkey") % 3 != 0), p,
+                     ["l_quantity"], n_files=8)
+    src = root + "/src"
+    (li.filter(F.col("l_orderkey") % 3 == 0)
+     .repartition(4).write.parquet(src))
+    schema = ("l_orderkey bigint, l_quantity double,"
+              " l_extendedprice double")
+    q = stream_append_clustered(
+        stream_from_directory(spark, src, schema=schema), p,
+        checkpoint=root + "/ckpt")
+    q.awaitTermination(300)
+    C.recluster(spark, p)
+    return (spark.read.parquet(p)
+            .where(F.col("l_quantity") > 45)
+            .groupBy("l_quantity")
+            .agg(F.count("*").alias("n"),
+                 F.sum(F.round(F.col("l_extendedprice") * 100)
+                       .cast("long")).alias("price_cents")))
+
+
+def q_rollup_quantiles_read(spark, sf_dir):
+    """The `{quantiles:}` GQL read surface oracled value-for-value
+    (promoted from the r11 rehearsal): build an hourly rollup of events
+    with a hist metric on value ((0, 512, 64) binning), then serve
+    per-(bucket, event_type) p50/p99 through `{quantiles: path, on:
+    'value', qs: [...]}` — the DuckDB oracle replays the ESTIMATOR
+    itself (width_bucket binning, cumulative walk to the first bin
+    covering rank q*total, linear interpolation inside it), so the
+    estimate VALUES must match bit-for-bit, not just the sketch inputs.
+    Probe cost is buckets x dims rows, never event-sized — the
+    histogram sketch's 100 TB read path."""
+    import tempfile
+    from gqlite_spark import GQLite
+    from gqlite_spark.operators.rollup import save_rollup
+    ev = _load(spark, sf_dir, "events")
+    p = tempfile.mkdtemp(prefix="gqlite_r12qr_") + "/qru"
+    save_rollup(ev, p, "ts", 3600, dims=["event_type"],
+                metrics={"value": ["hist"]},
+                hist_params={"value": (0.0, 512.0, 64)})
+    db = GQLite(spark)
+    return db.query_df("{quantiles: '" + p +
+                       "', on: 'value', qs: [0.5, 0.99]};")
+
+
+def q_dedup_keep_best(spark, sf_dir):
+    """Quality survivor selection per near-dup cluster (promoted from
+    the r11 rehearsal): LSH pairs -> connected components, then each
+    cluster keeps its LONGEST member (tie -> min doc_id) instead of the
+    arbitrary min-id canonical — what a training-data purge actually
+    wants.  The oracle replays the whole chain (exact-Jaccard pair
+    closure via recursive CTE, then argmax-by-length via row_number),
+    so cluster membership AND the survivor choice are value-checked.
+    The argmax window runs over the pair-graph-sized cluster
+    membership only, never the corpus."""
+    from gqlite_spark.operators.dedup import (keep_best_per_cluster,
+                                              near_dup_clusters)
+    d = _load(spark, sf_dir, "documents")
+    clusters = near_dup_clusters(d)
+    scores = d.select("doc_id",
+                      F.length("text").cast("long").alias("score"))
+    return keep_best_per_cluster(clusters, scores)
+
+
 # --------------------------------------------------------------------------
 # contract surface
 # --------------------------------------------------------------------------
@@ -1754,7 +1878,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ROTATION POLICY (the standing invariant, VERDICT r9 next #2 —
     # future rounds follow this, not a per-round ad-hoc pick): the
     # driver's correctness gate checks the FIRST 50 entries in dict
-    # order, and the contract now has 106 entries, so ≤1-round
+    # order, and the contract now has 112 entries, so ≤1-round
     # staleness is arithmetically impossible.  The rule, in priority
     # order, is:
     #   (1) RED rows and entries NEW this round always jump the queue
@@ -1762,7 +1886,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     #       first driver row immediately);
     #   (2) remaining slots go to entries by STALENESS, oldest driver
     #       row first — so every entry cycles through the window at
-    #       least every ceil(106/50) ≈ 3 rounds, and in practice every
+    #       least every ceil(112/50) = 3 rounds, and in practice every
     #       2 (the deferred remainder is small);
     #   (3) when a staleness tier must be split, defer entries whose
     #       FAMILY stays redundantly covered in-window and that are
@@ -1775,25 +1899,100 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # comparator treats any pandas dtype drift as FAILURE, matching
     # the driver's hash.
     #
-    # ROUND-11 WINDOW (per the policy): (1) FIRST the 7 entries
-    # deferred in r10 (two rounds driver-stale — the oldest tier):
-    # text_fingerprint / text_repetition / text_langid / sim_ann_lsh /
-    # sim_ann_pq / window_tumbling / graph_clustering_coef; (2) the two
-    # NEW promotions layout_fold_scan + bucketed_ingest_scan (the r10
-    # bucketed-lifecycle machinery, rehearsed entry-shaped in
-    # tests/test_r11_oracle_candidates.py since r10 — contract -> 108);
-    # (3) 41 of the 49 r9-stale entries; (4) deferred to r12 and FIRST
-    # there: knn_near_limit (knn_near_limit_pq + _routed in-window),
-    # sim_ann_pq_indexed (sim_ann_pq + sim_ann_ivf + sim_ann_lsh
-    # in-window), window_session (window_tumbling + event_funnel +
-    # window_interval_join in-window), multimodal_bytes
-    # (multimodal_meta + _av_meta in-window), graph_degrees +
-    # graph_connected_components (11 graph entries in-window),
-    # dedup_url + dedup_lines (dedup exact/minhash/ngram/simhash/
-    # embedding in-window) — all eight also pinned by unit tests
-    # (test_operators.py, test_graph_algos.py, test_streaming.py).
+    # ROUND-12 WINDOW (per the policy): (1) FIRST the 8 entries
+    # deferred in r10 AND r11 (two rounds driver-stale — the oldest
+    # tier): knn_near_limit / sim_ann_pq_indexed / window_session /
+    # multimodal_bytes / graph_degrees / graph_connected_components /
+    # dedup_url / dedup_lines; (2) the four NEW promotions
+    # stream_ingest_scan + stream_clustered_scan +
+    # rollup_quantiles_read + dedup_keep_best (the r11 streaming-
+    # ingest / sketch-read / survivor-selection machinery, rehearsed
+    # entry-shaped in tests/test_r12_oracle_candidates.py since r11 —
+    # contract -> 112); (3) 38 of the 50 r10-stale entries;
+    # (4) deferred to r13 and FIRST there: filter_or (filter_in +
+    # filter_datetime in-window), window_sliding (window_session
+    # in-window), sim_knn_join (sim_knn_join_ivf + sim_cosine_topk
+    # in-window), text_winnow_fp (text_tfidf + text_chunking +
+    # text_token_budget in-window), multimodal_resize +
+    # multimodal_frames (multimodal_bytes + multimodal_features
+    # in-window), sim_ann_lsh_indexed + sim_ann_ivfpq_indexed
+    # (sim_ann_pq_indexed + sim_ann_ivf_indexed in-window),
+    # graph_cc_twophase (graph_connected_components in-window),
+    # graph_kcore + graph_node_jaccard + graph_random_walk
+    # (graph_degrees + graph_connected_components + graph_label_prop +
+    # graph_pagerank_personalized in-window) — all twelve also pinned
+    # by unit tests (test_engine.py, test_operators.py,
+    # test_graph_algos.py, test_streaming.py, test_gql_pipeline.py).
     return {
-        # ==== (1) oldest tier: the 7 r10-deferred (r8-green) ====
+        # ==== (1) oldest tier: the 8 r10/r11-deferred (r9-green) ====
+        "knn_near_limit": q_knn,
+        "sim_ann_pq_indexed": q_ann_pq_indexed,
+        "window_session": q_window_session,
+        "multimodal_bytes": q_multimodal_bytes,
+        "graph_degrees": q_degrees,
+        "graph_connected_components": q_connected_components,
+        "dedup_url": q_dedup_url,
+        "dedup_lines": q_dedup_lines,
+        # ==== (2) r12 promotions (rehearsed since r11) ====
+        "stream_ingest_scan": q_stream_ingest_scan,
+        "stream_clustered_scan": q_stream_clustered_scan,
+        "rollup_quantiles_read": q_rollup_quantiles_read,
+        "dedup_keep_best": q_dedup_keep_best,
+        # ==== (3) r10-stale: 38 of 50 (12 named above -> r13) ====
+        "filter_datetime": q_filter_datetime,
+        "projection": q_projection,
+        "rollup_incremental": q_rollup_incremental,
+        "layout_attach_scan": q_layout_attach_scan,
+        "rollup_coarsen": q_rollup_coarsen,
+        "topcount_cms": q_topcount_cms,
+        "knn_near_limit_filtered": q_knn_filtered,
+        "knn_compacted": q_knn_compacted,
+        "sim_knn_join_ivf": q_knn_join_ivf,
+        "decontaminate_semantic": q_decontaminate_semantic,
+        "sample_cluster": q_sample_cluster,
+        "multimodal_features": q_multimodal_features,
+        "bucketed_join_revenue": q_bucketed_join_revenue,
+        "zorder_scan_revenue": q_zorder_scan_revenue,
+        "curation_pipeline": q_curation_pipeline,
+        "graph_pagerank_personalized": q_pagerank_personalized,
+        "sim_ann_ivf_indexed": q_ann_ivf_indexed,
+        "graphml_roundtrip": q_graphml_roundtrip,
+        "filter_in": q_filter_in,
+        "count_group": q_count,
+        "distinct_segments": q_distinct,
+        "rollup_revenue": q_rollup_revenue,
+        "correlated_subquery": q_correlated_subquery,
+        "semi_join_urgent": q_semi_join,
+        "graph_label_prop": q_label_prop,
+        "hmm_forward": q_hmm_forward,
+        "doc_length_percentiles": q_doc_length_percentiles,
+        "text_token_budget": q_text_token_budget,
+        "text_tfidf": q_text_tfidf,
+        "text_chunking": q_text_chunking,
+        "sample_mixture": q_sample_mixture,
+        "event_cohort_retention": q_event_cohort_retention,
+        "dedup_clusters": q_dedup_clusters,
+        "asof_attribution": q_asof_attribution,
+        "text_redact_pii": q_text_redact_pii,
+        "text_token_stats": q_text_stats,
+        "text_quality": q_text_quality,
+        "sim_cosine_topk": q_cosine_topk,
+        # ==== past the cap: the 12 deferred r10-green — FIRST in r13
+        # ==== (still oracle-checked locally every round at sf0.01 AND
+        # ==== sf0.1; families covered in-window per the policy) ====
+        "filter_or": q_filter_or,
+        "window_sliding": q_window_sliding,
+        "sim_knn_join": q_knn_join,
+        "text_winnow_fp": q_text_winnow_fp,
+        "multimodal_resize": q_multimodal_resize,
+        "multimodal_frames": q_multimodal_frames,
+        "sim_ann_lsh_indexed": q_ann_lsh_indexed,
+        "sim_ann_ivfpq_indexed": q_ann_ivfpq_indexed,
+        "graph_cc_twophase": q_cc_twophase,
+        "graph_kcore": q_kcore,
+        "graph_node_jaccard": q_node_jaccard,
+        "graph_random_walk": q_random_walk,
+        # ==== past the cap: r11 driver-green (one round stale) ====
         "text_fingerprint": q_text_fingerprint,
         "text_repetition": q_text_repetition,
         "text_langid": q_text_langid,
@@ -1801,10 +2000,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_ann_pq": q_ann_pq,
         "window_tumbling": q_window_tumbling,
         "graph_clustering_coef": q_clustering_coef,
-        # ==== (2) r11 promotions (rehearsed since r10) ====
         "layout_fold_scan": q_layout_fold_scan,
         "bucketed_ingest_scan": q_bucketed_ingest_scan,
-        # ==== (3) r9-stale: 41 of 49 (8 named above -> r12) ====
         "distinct_kmv": q_distinct_kmv,
         "knn_near_limit_pq": q_knn_pq,
         "knn_near_limit_routed": q_knn_routed,
@@ -1846,67 +2043,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "dedup_simhash": q_dedup_simhash,
         "dedup_embedding_cosine": q_dedup_embedding,
-        # ==== past the cap: the 8 deferred r9-green — FIRST in r12 ====
-        "knn_near_limit": q_knn,
-        "sim_ann_pq_indexed": q_ann_pq_indexed,
-        "window_session": q_window_session,
-        "multimodal_bytes": q_multimodal_bytes,
-        "graph_degrees": q_degrees,
-        "graph_connected_components": q_connected_components,
-        "dedup_url": q_dedup_url,
-        "dedup_lines": q_dedup_lines,
-        # ==== past the cap: r10 driver-green (still oracle-checked
-        # ==== locally every round at sf0.01 AND sf0.1) ====
-        "filter_or": q_filter_or,
-        "filter_datetime": q_filter_datetime,
-        "projection": q_projection,
-        "rollup_incremental": q_rollup_incremental,
-        "layout_attach_scan": q_layout_attach_scan,
-        "rollup_coarsen": q_rollup_coarsen,
-        "topcount_cms": q_topcount_cms,
-        "knn_near_limit_filtered": q_knn_filtered,
-        "knn_compacted": q_knn_compacted,
-        "sim_knn_join_ivf": q_knn_join_ivf,
-        "decontaminate_semantic": q_decontaminate_semantic,
-        "sim_ann_ivfpq_indexed": q_ann_ivfpq_indexed,
-        "sample_cluster": q_sample_cluster,
-        "multimodal_resize": q_multimodal_resize,
-        "multimodal_frames": q_multimodal_frames,
-        "multimodal_features": q_multimodal_features,
-        "bucketed_join_revenue": q_bucketed_join_revenue,
-        "zorder_scan_revenue": q_zorder_scan_revenue,
-        "curation_pipeline": q_curation_pipeline,
-        "graph_pagerank_personalized": q_pagerank_personalized,
-        "sim_ann_lsh_indexed": q_ann_lsh_indexed,
-        "sim_ann_ivf_indexed": q_ann_ivf_indexed,
-        "graphml_roundtrip": q_graphml_roundtrip,
-        "graph_cc_twophase": q_cc_twophase,
-        "filter_in": q_filter_in,
-        "count_group": q_count,
-        "distinct_segments": q_distinct,
-        "rollup_revenue": q_rollup_revenue,
-        "correlated_subquery": q_correlated_subquery,
-        "semi_join_urgent": q_semi_join,
-        "graph_random_walk": q_random_walk,
-        "graph_kcore": q_kcore,
-        "graph_label_prop": q_label_prop,
-        "graph_node_jaccard": q_node_jaccard,
-        "hmm_forward": q_hmm_forward,
-        "sim_knn_join": q_knn_join,
-        "window_sliding": q_window_sliding,
-        "doc_length_percentiles": q_doc_length_percentiles,
-        "text_token_budget": q_text_token_budget,
-        "text_winnow_fp": q_text_winnow_fp,
-        "text_tfidf": q_text_tfidf,
-        "text_chunking": q_text_chunking,
-        "sample_mixture": q_sample_mixture,
-        "event_cohort_retention": q_event_cohort_retention,
-        "dedup_clusters": q_dedup_clusters,
-        "asof_attribution": q_asof_attribution,
-        "text_redact_pii": q_text_redact_pii,
-        "text_token_stats": q_text_stats,
-        "text_quality": q_text_quality,
-        "sim_cosine_topk": q_cosine_topk,
     }
 
 
@@ -2877,6 +3013,78 @@ def oracle_sql() -> dict[str, str]:
             " CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT))"
             "      AS BIGINT) AS price_cents"
             " FROM lineitem GROUP BY l_quantity",
+        "stream_ingest_scan":
+            # save 2/3 + STREAM 1/3 in as checkpointed micro-batches ==
+            # one-shot GROUP BY over ALL of lineitem: the continuous
+            # ingest path is exactly-once end-to-end
+            "SELECT l_quantity, count(*) AS n,"
+            " CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT))"
+            "      AS BIGINT) AS price_cents"
+            " FROM lineitem GROUP BY l_quantity",
+        "stream_clustered_scan":
+            # save 2/3 clustered + STREAM 1/3 in + recluster == the
+            # predicate GROUP BY over ALL of lineitem: the clustered
+            # continuous-ingest path is exactly-once and the swap-
+            # atomic rewrite loses nothing
+            "SELECT l_quantity, count(*) AS n,"
+            " CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT))"
+            "      AS BIGINT) AS price_cents"
+            " FROM lineitem WHERE l_quantity > 45 GROUP BY l_quantity",
+        "rollup_quantiles_read":
+            # full estimator replay (operators/rollup.py::
+            # rollup_quantiles): (0,512,64) width_bucket binning, then
+            # per-(bucket, dims, q) the cumulative walk to the first
+            # bin covering rank q*total with linear interpolation
+            # inside it — the estimate VALUES must match bit-for-bit.
+            # Bare decimal literals are DECIMAL in DuckDB (NOTES.md
+            # pitfall) — every q is CAST to DOUBLE explicitly.
+            "WITH binned AS ("
+            " SELECT CAST(floor(date_part('epoch', ts) / 3600) * 3600"
+            "             AS BIGINT) AS bucket_start,"
+            " event_type,"
+            " LEAST(GREATEST(CAST(floor(value / 8.0) AS BIGINT) + 1,"
+            "                1), 64) AS bin,"
+            " CAST(count(*) AS BIGINT) AS n"
+            " FROM events WHERE value IS NOT NULL"
+            " GROUP BY 1, 2, 3"
+            "), cum AS ("
+            " SELECT *,"
+            " CAST(sum(n) OVER (PARTITION BY bucket_start, event_type"
+            "                   ORDER BY bin) AS BIGINT) AS c,"
+            " CAST(sum(n) OVER (PARTITION BY bucket_start, event_type)"
+            "      AS BIGINT) AS tot"
+            " FROM binned"
+            "), hit AS ("
+            " SELECT bucket_start, event_type, q, bin, n, c, tot,"
+            " row_number() OVER (PARTITION BY bucket_start,"
+            "                    event_type, q"
+            "                    ORDER BY bin) AS rn"
+            " FROM cum, (VALUES (CAST(0.5 AS DOUBLE)),"
+            "               (CAST(0.99 AS DOUBLE))) qs(q)"
+            " WHERE c >= q * tot"
+            ")"
+            " SELECT bucket_start, event_type, q,"
+            " 0.0 + (bin - 1 + (q * tot - (c - n)) / n) * 8.0 AS value"
+            " FROM hit WHERE rn = 1",
+        "dedup_keep_best": (
+            # the dedup_clusters closure verbatim, then argmax-by-
+            # length (tie -> min id) via row_number — membership AND
+            # the survivor choice are value-checked
+            "WITH RECURSIVE pairs AS (" + _MINHASH_ORACLE_SQL + "),"
+            " und AS (SELECT doc_a AS a, doc_b AS b FROM pairs"
+            " UNION SELECT doc_b, doc_a FROM pairs),"
+            " reach(a, b) AS (SELECT a, b FROM und"
+            " UNION SELECT r.a, u.b FROM reach r JOIN und u ON r.b = u.a"
+            " WHERE r.a <> u.b),"
+            " clus AS (SELECT a AS doc_id, LEAST(a, MIN(b)) AS"
+            " cluster_rep FROM reach GROUP BY a),"
+            " scored AS (SELECT c.doc_id, c.cluster_rep,"
+            " CAST(length(d.text) AS BIGINT) AS score"
+            " FROM clus c JOIN documents d ON d.doc_id = c.doc_id)"
+            " SELECT doc_id, cluster_rep, score,"
+            " row_number() OVER (PARTITION BY cluster_rep"
+            " ORDER BY score DESC, doc_id ASC) = 1 AS keep"
+            " FROM scored"),
         "rollup_coarsen":
             "SELECT CAST(floor(date_part('epoch', ts) / 86400) * 86400"
             "            AS BIGINT) AS bucket_start,"

@@ -80,7 +80,21 @@ DIAGNOSTIC_QUERIES: list[str] = ["knn_near_limit_routed",
                                  # dominated by construction) — tracked
                                  # here, excluded from frozen totals
                                  "layout_fold_scan",
-                                 "bucketed_ingest_scan"]
+                                 "bucketed_ingest_scan",
+                                 # r12 promotions: the two streaming
+                                 # entries rebuild their layout AND run
+                                 # a checkpointed streaming query per
+                                 # invocation; the quantiles entry
+                                 # rebuilds its rollup per call; the
+                                 # keep-best entry re-runs the full
+                                 # LSH+closure build (same shape as the
+                                 # non-benched dedup_clusters).  All
+                                 # build-dominated -> diagnostics, so
+                                 # the frozen totals stay comparable.
+                                 "stream_ingest_scan",
+                                 "stream_clustered_scan",
+                                 "rollup_quantiles_read",
+                                 "dedup_keep_best"]
 
 # the original 19-query headline set (rounds 1-4) — reported separately
 # as value_19q so round-over-round totals stay comparable across the
