@@ -335,3 +335,150 @@ def test_guarded_append_crash_point_matrix(spark, tmp_path):
     assert fsio.guarded_append(spark, p, "toy", "_spec.json", 4,
                                writer("batch4")) is True
     assert names() == ["batch1", "batch2", "batch3", "batch4"]
+
+
+def test_takeover_race_exactly_one_winner(spark, tmp_path):
+    """VERDICT r11 wrong #1: the stale-lease takeover delete is FENCED.
+    Claimant A stats a >timeout-stale lock; before A's delete, a
+    competitor C completes its OWN takeover (delete stale + create a
+    FRESH lock).  The old unconditional delete removed C's live lease
+    and let two writers run; the fenced delete re-reads the claim and,
+    seeing it changed, loops the full claim — where C's fresh lock is
+    young and raises ConcurrentWriterError.  Exactly one live holder."""
+    import os
+    import time
+
+    p = f"file://{tmp_path}/race"
+    lock = p + ".kind_lock"
+    assert fsio.create_exclusive(spark, lock, "nonce=CRASHED")
+    # age the crashed lease well past the timeout (local path: the
+    # file:// URI maps straight onto tmp_path)
+    local_lock = str(tmp_path / "race.kind_lock")
+    os.utime(local_lock, (time.time() - 60, time.time() - 60))
+
+    def competitor_takeover():
+        fsio._TAKEOVER_RACE_HOOK = None   # fire once
+        fsio.delete(spark, lock, recursive=False)
+        assert fsio.create_exclusive(spark, lock, "nonce=COMPETITOR")
+
+    fsio._TAKEOVER_RACE_HOOK = competitor_takeover
+    try:
+        with pytest.raises(fsio.ConcurrentWriterError):
+            fsio.acquire_lease(spark, p, "kind", lease_timeout=5.0)
+    finally:
+        fsio._TAKEOVER_RACE_HOOK = None
+    # C's fresh lease survived A's fenced takeover untouched
+    assert fsio.read_text(spark, lock) == "nonce=COMPETITOR"
+    fsio.delete(spark, lock, recursive=False)
+
+
+def test_takeover_race_vanished_lock_still_single_winner(spark,
+                                                         tmp_path):
+    """The other interleaving: C deleted the stale lock but has not yet
+    created its fresh one when A re-reads.  A's re-read fails, A skips
+    the delete and retries the atomic create — create_exclusive
+    guarantees exactly one winner regardless of who gets there first
+    (here A, since C never comes back)."""
+    p = f"file://{tmp_path}/race2"
+    lock = p + ".kind_lock"
+    assert fsio.create_exclusive(spark, lock, "nonce=CRASHED")
+
+    def competitor_deleted_only():
+        fsio._TAKEOVER_RACE_HOOK = None
+        fsio.delete(spark, lock, recursive=False)
+
+    fsio._TAKEOVER_RACE_HOOK = competitor_deleted_only
+    try:
+        got_lock, nonce = fsio.acquire_lease(spark, p, "kind",
+                                             lease_timeout=0.0)
+    finally:
+        fsio._TAKEOVER_RACE_HOOK = None
+    assert f"nonce={nonce}" in fsio.read_text(spark, got_lock)
+    fsio.release_lease(spark, got_lock, nonce)
+    assert not fsio.exists(spark, lock)
+
+
+def test_lease_heartbeat_keeps_slow_writer_alive(spark, tmp_path):
+    """VERDICT r11 wrong #2: a slow-but-alive writer must NOT be fenced
+    out when its write outlives lease_timeout — the lease heartbeats
+    (mtime touch, content untouched) while write_fn runs, so the
+    timeout bounds liveness, not wall time.  A claimant arriving after
+    more than a full timeout of write wall-clock still sees a FRESH
+    lease and backs off; the swap then completes normally."""
+    import threading
+    import time
+
+    p = f"file://{tmp_path}/slow"
+    spark.range(2).write.parquet(p)
+    lock = p + ".kind_lock"
+    entered = threading.Event()
+    errs = []
+
+    def _slow_write(tmp):
+        entered.set()
+        time.sleep(3.0)                 # > lease_timeout of 2 s
+        spark.range(8).write.parquet(tmp)
+
+    def _run():
+        try:
+            fsio.swap_in(spark, p, "kind", _slow_write,
+                         lease_timeout=2.0)
+        except Exception as e:          # pragma: no cover
+            errs.append(e)
+
+    t = threading.Thread(target=_run)
+    t.start()
+    assert entered.wait(30.0)
+    time.sleep(2.5)                     # writer now past lease_timeout
+    # the heartbeat kept the lock fresh: the claimant must back off,
+    # and the claim text must still be parseable (touch, not rewrite)
+    assert "nonce=" in fsio.read_text(spark, lock)
+    with pytest.raises(fsio.ConcurrentWriterError):
+        fsio.acquire_lease(spark, p, "kind", lease_timeout=2.0)
+    t.join(60.0)
+    assert not errs
+    assert spark.read.parquet(p).count() == 8
+    assert not fsio.exists(spark, lock)  # released after the swap
+
+
+def test_write_json_atomic_replaces_and_sweeps_orphans(spark,
+                                                      tmp_path):
+    """ADVICE r11 #2 mechanism: the atomic replace goes through a temp
+    sibling + rename-overwrite (never truncate-then-write), and a
+    crashed prior replace's orphan temp is swept by the next write."""
+    d = f"file://{tmp_path}/at"
+    p = fsio.join(d, "_spec.json")
+    fsio.write_json_atomic(spark, p, {"v": 1})
+    assert fsio.read_json(spark, p) == {"v": 1}
+    fsio.write_json_atomic(spark, p, {"v": 2})
+    assert fsio.read_json(spark, p) == {"v": 2}
+    # plant a crashed replace's orphan; the next write sweeps it
+    orphan = fsio.join(d, "_spec.json.tmp-deadbeef")
+    fsio.write_text(spark, orphan, "{torn")
+    fsio.write_json_atomic(spark, p, {"v": 3})
+    assert fsio.read_json(spark, p) == {"v": 3}
+    assert not fsio.exists(spark, orphan)
+    assert [n for n in fsio.list_names(spark, d)
+            if ".tmp-" in n] == []
+
+
+def test_repair_torn_append_deletes_unparsable_marker(spark, tmp_path):
+    """ADVICE r11 #2: an unparsable marker means the crash happened
+    BEFORE the data write (the marker is written first), so repair
+    deletes it and the replay appends exactly once."""
+    p = f"file://{tmp_path}/tornm"
+    spark.range(1).write.parquet(p)
+    fsio.write_json(spark, fsio.join(p, "_spec.json"), {"batches": 0})
+    fsio.write_text(spark, fsio.join(p, "_append_inprogress.json"),
+                    '{"epoch": 1, "batches_befo')   # torn mid-write
+
+    def _w(spec):
+        fsio.write_text(spark, fsio.join(p, "batchA"), "data")
+
+    assert fsio.guarded_append(spark, p, "toy", "_spec.json", 1,
+                               _w) is True
+    assert fsio.read_text(spark, fsio.join(p, "batchA")) == "data"
+    spec = fsio.read_json(spark, fsio.join(p, "_spec.json"))
+    assert spec["batches"] == 1 and spec["last_epoch"] == 1
+    assert not fsio.exists(spark,
+                           fsio.join(p, "_append_inprogress.json"))
