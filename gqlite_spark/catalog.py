@@ -50,6 +50,19 @@ COMPACT_MARKER = "_compact_inprogress.json"
 # keyset DataFrame (the edge path's shape).
 _FOLD_ISIN_CAP = 1000
 
+# loud bound on the driver-resident OLTP overlay (VERDICT r11 wrong
+# #3): the overlay dict, to_df's broadcast LWW keyset, and
+# compact_into_layout's probe/cleanup sets are all bounded by the
+# UPDATE working set BY DESIGN — but nothing used to enforce the
+# bound, so a pathological ingest-through-the-overlay could OOM the
+# driver silently.  Mutations refuse to grow the overlay past this
+# many keys (and to_df double-checks), with the remedies named in the
+# error.  Default from the r11 10 M/50 M probe data (PLANS.md): folds
+# stay flat through 100 k overlay keys, and 1 M dict rows is ~0.5-1 GiB
+# of driver heap + a ~10 MiB broadcast keyset — loud well before
+# danger, raisable by deployments that accept the driver residency.
+OVERLAY_CAP_ROWS = 1_000_000
+
 # property kinds (AttributeKind parity, include/base/type.h:46-53)
 K_STRING, K_INTEGER, K_NUMBER, K_DATETIME, K_BINARY, K_VECTOR, K_OBJECT = (
     "string", "integer", "number", "datetime", "binary", "vector", "object")
@@ -223,14 +236,38 @@ class Group:
         446-467): a re-upsert replaces the whole property object.  Partial
         merge is the ``property:`` update statement, not vertex upsert."""
         key = self._check_key(key)
+        self._guard_overlay_growth(key)
         self.rows[key] = self._merge_props(props)
         self._invalidate(local_only=True)
+
+    def _guard_overlay_growth(self, key: Any) -> None:
+        """Loud driver-residency bound (VERDICT r11 wrong #3): refuse to
+        grow the OLTP overlay dict past :data:`OVERLAY_CAP_ROWS` keys.
+        Every driver-side structure downstream — the dict itself,
+        ``to_df``'s broadcast LWW keyset, ``compact_into_layout``'s
+        probe and retained-row cleanup sets — is bounded by this same
+        working set, so enforcing it here (O(1) per mutation) makes the
+        documented 'bounded by the update working set' contract real
+        instead of an OOM-shaped assumption.  Rewrites of keys already
+        in the overlay always pass."""
+        if key in self.rows or len(self.rows) < OVERLAY_CAP_ROWS:
+            return
+        raise GQLiteError(
+            f"group '{self.meta.name}': OLTP overlay would exceed "
+            f"OVERLAY_CAP_ROWS ({OVERLAY_CAP_ROWS}) keys.  The overlay "
+            "is a driver-resident update working set, not an ingest "
+            "path — fold it into an attached layout ({layout ... "
+            "compact: true}), ingest bulk data via register_df/"
+            "append_bucketed instead, or raise "
+            "gqlite_spark.catalog.OVERLAY_CAP_ROWS if your driver "
+            "accepts the residency")
 
     def update_props(self, key: Any, props: dict) -> None:
         """Merge new properties into an existing LOCAL row (UpsetPlan.cpp:
         48-86).  Rows living only in a bulk DataFrame are updated by
         :meth:`update_where` — never through this dict path (a dict merge
         would start from ``{}`` and null the bulk row's other columns)."""
+        self._guard_overlay_growth(key)
         stored = self._merge_props(props) or {}
         merged = dict(self.rows.get(key) or {})
         merged.update(stored)
@@ -307,6 +344,7 @@ class Group:
             elif cur != kt:
                 raise KeyTypeMismatchError(kt, cur)
         ekey = (src, direction, dst)
+        self._guard_overlay_growth(ekey)
         self.rows[ekey] = self._merge_props(props)
         self._invalidate(local_only=True)
 
@@ -1004,6 +1042,41 @@ class Group:
             return None
         return self.spark.createDataFrame(data, schema)
 
+    def restore_overlay(self, df: DataFrame) -> int:
+        """Rehydrate the OLTP overlay dict from a saved overlay parquet
+        (ADVICE r11 #1): ``Graph.save`` persists ``_local_df()`` beside
+        the snapshot for layout-attached groups, because the attached
+        copy — which ``to_df`` prefers over the snapshot after reload —
+        does NOT contain overlay-local LWW updates of existing ids or
+        unfolded new rows; without this restore they were silently
+        served stale or missing after a save/load cycle.  Driver-sized
+        by the same :data:`OVERLAY_CAP_ROWS` contract that bounded the
+        overlay when it was saved.  Values come back in storage form
+        (datetime = epoch double, object = JSON string); binary/vector
+        cells are re-normalized to ``bytes``/``list[float]``.  NULL
+        cells are dropped (an explicit-None prop and an absent prop are
+        indistinguishable in ``to_df`` anyway)."""
+        prop_names = sorted(self.meta.props)
+        n = 0
+        for r in df.collect():
+            props = {}
+            for p in prop_names:
+                v = r[p]
+                if v is None:
+                    continue
+                kind = self.meta.props[p]
+                if kind == K_BINARY:
+                    v = bytes(v)
+                elif kind == K_VECTOR:
+                    v = [float(x) for x in v]
+                props[p] = v
+            key = ((r["src"], r["direction"], r["dst"])
+                   if self.meta.is_edge else r["id"])
+            self.rows[key] = props
+            n += 1
+        self._invalidate(local_only=True)
+        return n
+
     def to_df(self) -> DataFrame:
         """Materialize the group as a DataFrame (cached until mutation)."""
         if self._mat_cache is not None:
@@ -1025,7 +1098,17 @@ class Group:
                 # overlay keyset is driver-sized by construction —
                 # broadcast it so the anti-join never sorts/shuffles the
                 # bulk side (on an attached bucketed layout the scan
-                # side is exchange-free; this keeps it codegen-straight)
+                # side is exchange-free; this keeps it codegen-straight).
+                # The broadcast is bounded by OVERLAY_CAP_ROWS (enforced
+                # at the mutation path; re-checked here for overlays
+                # that predate a lowered cap)
+                if len(self.rows) > OVERLAY_CAP_ROWS:
+                    raise GQLiteError(
+                        f"group '{self.meta.name}': overlay has "
+                        f"{len(self.rows)} keys > OVERLAY_CAP_ROWS "
+                        f"({OVERLAY_CAP_ROWS}) — fold it ({{layout ... "
+                        "compact: true}}) or raise the cap before "
+                        "materializing")
                 keycols = ["src", "dst", "direction"] if self.meta.is_edge else ["id"]
                 bulk = bulk.join(F.broadcast(local.select(keycols)),
                                  keycols, "left_anti")
@@ -1123,6 +1206,16 @@ class Graph:
                    if g._layout_attach is not None}
         if layouts:
             doc["layouts"] = layouts
+        # layout-attached groups with a live overlay ALSO persist the
+        # overlay itself (ADVICE r11 #1): load re-attaches the layout
+        # copy and to_df prefers it over the snapshot, but the copy
+        # lacks overlay-local LWW updates and unfolded rows — without
+        # this sidecar they vanished after a save/load cycle.  The
+        # snapshot parquet stays the MERGED view, so a failed re-attach
+        # still falls back to a complete table.
+        overlays = [n for n in layouts if self.groups[n].rows]
+        if overlays:
+            doc["overlays"] = overlays
         # attached vector indexes persist the same way: without this a
         # reloaded graph silently loses the routed $near path (falls
         # back to exact scans) until a manual re-attach
@@ -1158,6 +1251,9 @@ class Graph:
             if cols:
                 writer = writer.partitionBy(*cols)
             writer.parquet(fsio.join(path, name + ".parquet"))
+            if name in overlays:
+                (g._local_df().coalesce(1).write.mode("overwrite")
+                 .parquet(fsio.join(path, name + ".overlay.parquet")))
 
     @staticmethod
     def load(spark: SparkSession, root: str, name: str) -> "Graph":
@@ -1184,12 +1280,28 @@ class Graph:
             except Exception:
                 # the copy may have been deleted or drifted since the
                 # save — fall back LOUDLY to the snapshot parquet
-                # rather than failing the whole graph load
+                # rather than failing the whole graph load.  The
+                # snapshot is the MERGED view (overlay included), so no
+                # overlay restore is needed on this path.
                 import logging
                 logging.getLogger(__name__).warning(
                     "graph '%s': saved layout attach for group '%s' at"
                     " %s could not be re-attached; scans fall back to"
                     " the saved parquet snapshot", name, gname, lpath)
+                continue
+            # re-attach succeeded: to_df now prefers the layout copy,
+            # which lacks the overlay's LWW updates / unfolded rows —
+            # rehydrate them from the overlay sidecar (ADVICE r11 #1)
+            if gname in (doc.get("overlays") or []):
+                opq = fsio.join(path, gname + ".overlay.parquet")
+                if fsio.exists(spark, opq):
+                    g.restore_overlay(spark.read.parquet(opq))
+                else:
+                    import logging
+                    logging.getLogger(__name__).warning(
+                        "graph '%s': overlay sidecar for group '%s' is"
+                        " missing at %s; layout-attached scans may"
+                        " serve pre-overlay values", name, gname, opq)
         for gname, per in (doc.get("vindexes") or {}).items():
             g = gr.groups.get(gname)
             if g is None:

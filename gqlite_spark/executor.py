@@ -240,17 +240,26 @@ class GQLite:
         — the served report is plain columns.  Together with
         ``{topcount:}`` and ``{quantiles:}``, all three sketches are
         first-class from GQL (VERDICT r10 next #5)."""
-        from .operators.rollup import read_rollup
+        from . import fsio
+        from .operators.rollup import SPEC_FILE, read_rollup
         try:
             out = read_rollup(self.spark, stmt.path,
                               avg_of=list(stmt.avg or []))
+            spec = fsio.read_json(self.spark,
+                                  fsio.join(stmt.path, SPEC_FILE))
         except ValueError as e:       # avg_of without a sum metric
             raise GQLiteError(f"rollup read: {e}") from e
         except Exception as e:        # missing rollup / sidecar
             raise GQLiteError(f"rollup read: {e}") from e
-        served = [c for c in out.columns
-                  if not c.startswith(("kmv_", "hist_", "cms_"))]
-        out = out.select(*served)
+        # drop EXACTLY the internal sketch-state columns the spec's
+        # metrics declare (ADVICE r11 #3) — a name-prefix filter would
+        # silently project out a legitimate dim/metric column that
+        # happens to be called e.g. 'hist_total'
+        internal = {f"{fn}_{c}"
+                    for c, fns in (spec.get("metrics") or {}).items()
+                    for fn in fns if fn in ("kmv", "hist", "cms")}
+        out = out.select(*[c for c in out.columns
+                           if c not in internal])
         cols = out.columns
         return StatementResult(
             status="QUERY SUCCESS", df=out,

@@ -777,3 +777,30 @@ def test_gql_dedup_clusters_best_by(db):
     r = db.exec("{dedup: 'docs', in: 'kb', method: 'clusters',"
                 " best_by: 'nope'};")[0]
     assert r.error and "no property 'nope'" in r.error
+
+
+def test_gql_rollup_read_keeps_sketch_prefixed_user_columns(db,
+                                                            tmp_path):
+    """ADVICE r11 #3: {rollup read:} must hide EXACTLY the internal
+    sketch-state columns derived from the spec's metrics — not every
+    column whose NAME starts with kmv_/hist_/cms_.  A legitimate dim
+    called 'hist_total' survives the projection; the real sketch state
+    'hist_v' does not."""
+    for r in db.exec(
+            "{create: 'rpf', group: ['evs']};"
+            "{upset: 'evs', in: 'rpf', vertex: ["
+            " [1, {t: 0, hist_total: 7, v: 2}],"
+            " [2, {t: 0, hist_total: 7, v: 4}],"
+            " [3, {t: 0, hist_total: 8, v: 9}]]};"):
+        assert r.error is None, r.error
+    p = str(tmp_path / "rpfu")
+    res = _one(db, f"{{rollup: 'evs', in: 'rpf', path: '{p}',"
+                   " ts: 't', every: 3600, by: ['hist_total'],"
+                   " metrics: {v: ['sum', 'hist']},"
+                   " hist: {v: [0, 10, 10]}};")
+    assert res.error is None, res.error
+    dfq = db.query_df(f"{{rollup: '{p}', read: true}};")
+    assert "hist_total" in dfq.columns      # user dim: served
+    assert "hist_v" not in dfq.columns      # sketch state: projected
+    got = sorted([r["hist_total"], r["sum_v"]] for r in dfq.collect())
+    assert got == [[7, 6.0], [8, 9.0]]
