@@ -422,34 +422,78 @@ def write_training_shards(df: DataFrame, path: str, n_shards: int = 32,
 def curate_corpus(docs: DataFrame, benchmark: DataFrame,
                   quality_min: float = 0.5, ngram: int = 8,
                   id_col: str = "doc_id",
-                  text_col: str = "text") -> DataFrame:
-    """The standard curation chain as ONE declarative plan: exact dedup
-    (keep the min-id representative per content hash) → quality gate
-    (``text.quality_exprs`` score ≥ ``quality_min``) → word-``ngram``
-    benchmark decontamination → per-language corpus report
-    (n_docs, sum_tokens, sum_quality_e4 by predicted_lang).
+                  text_col: str = "text",
+                  best_by: "str | None" = None,
+                  survivors: "DataFrame | None" = None) -> DataFrame:
+    """The standard curation chain as ONE declarative plan: dedup purge
+    → quality gate (``text.quality_exprs`` score ≥ ``quality_min``) →
+    word-``ngram`` benchmark decontamination → per-language corpus
+    report (n_docs, sum_tokens, sum_quality_e4 by predicted_lang).
+
+    The purge step has three forms (VERDICT r11 next #6 — survivor
+    selection is first-class in the one-plan pipeline, not just the
+    standalone ``{dedup best_by:}`` statement):
+
+    * default: exact dedup keeping the MIN-ID representative per
+      content hash (the arbitrary-but-deterministic canonical);
+    * ``best_by``: exact dedup keeping the BEST member per content
+      hash — the row maximizing that metric column (``'quality'`` /
+      ``'n_tokens'`` from the enriched projection, or any ``docs``
+      column; ties → min id).  Same single window, different ordering;
+    * ``survivors``: a precomputed keep/purge verdict per doc — e.g.
+      :func:`operators.dedup.keep_best_per_cluster` over NEAR-dup
+      clusters — as a ``(id_col, keep)`` DataFrame.  Docs marked
+      ``keep = false`` are purged; docs absent from the frame (not in
+      any cluster) are kept.  The join is a broadcast-friendly
+      anti-join on the purge set, which is pair-graph-sized, never
+      corpus-sized.
 
     Composition is the point: the per-doc metrics are Column
     expressions projected in the SAME scan, so the whole pipeline costs
-    three shuffles (dedup window, contamination per-doc aggregate,
-    final rollup) with no intermediate materialization — each stage
-    alone is oracle-proven by its own driver entry; the GQL/driver
-    `curation_pipeline` entry proves the chain.  Quality reported as
-    e4-scaled integer sums so cross-engine aggregation is
-    order-independent."""
+    three shuffles (dedup window or purge anti-join, contamination
+    per-doc aggregate, final rollup) with no intermediate
+    materialization — each stage alone is oracle-proven by its own
+    driver entry; the GQL/driver `curation_pipeline` entry proves the
+    chain.  Quality reported as e4-scaled integer sums so cross-engine
+    aggregation is order-independent."""
     from pyspark.sql import Window
 
     from .text import langid_exprs, quality_exprs
+    if best_by is not None and survivors is not None:
+        raise ValueError("curate_corpus: pass best_by OR survivors, "
+                         "not both — best_by picks per exact-hash "
+                         "group; survivors is a precomputed verdict")
     qe = quality_exprs(F.col(text_col))
     lang, _hits = langid_exprs(F.col(text_col))
-    enriched = docs.select(
-        F.col(id_col), F.col(text_col),
-        qe["n_tokens"].alias("n_tokens"),
-        qe["quality"].alias("quality"), lang.alias("predicted_lang"))
-    w = Window.partitionBy(F.md5(F.col(text_col)))
-    kept = (enriched.withColumn("_rep", F.min(id_col).over(w))
-            .filter(F.col(id_col) == F.col("_rep")).drop("_rep")
-            .filter(F.col("quality") >= quality_min))
+    cols = [F.col(id_col), F.col(text_col),
+            qe["n_tokens"].alias("n_tokens"),
+            qe["quality"].alias("quality"),
+            lang.alias("predicted_lang")]
+    derived = {id_col, text_col, "n_tokens", "quality",
+               "predicted_lang"}
+    if best_by is not None and best_by not in derived:
+        cols.append(F.col(best_by))      # a docs column as the metric
+    enriched = docs.select(*cols)
+    if survivors is not None:
+        purge = (survivors.filter(~F.coalesce(F.col("keep"),
+                                              F.lit(False)))
+                 .select(id_col))
+        kept = (enriched.join(purge, id_col, "left_anti")
+                .filter(F.col("quality") >= quality_min))
+    else:
+        w = Window.partitionBy(F.md5(F.col(text_col)))
+        if best_by is not None:
+            rn = F.row_number().over(
+                w.orderBy(F.col(best_by).desc(), F.col(id_col).asc()))
+            kept = (enriched.withColumn("_rn", rn)
+                    .filter(F.col("_rn") == 1).drop("_rn"))
+            if best_by not in derived:
+                kept = kept.drop(best_by)
+        else:
+            kept = (enriched.withColumn("_rep", F.min(id_col).over(w))
+                    .filter(F.col(id_col) == F.col("_rep"))
+                    .drop("_rep"))
+        kept = kept.filter(F.col("quality") >= quality_min)
     dirty = (benchmark_contamination(kept, benchmark, n=ngram,
                                      id_col=id_col, text_col=text_col)
              .select(id_col))

@@ -1892,3 +1892,45 @@ def test_keep_best_per_cluster(spark):
     # cluster 1: 2 and 3 tie at 30 -> min id 2 wins; cluster 7: 7 wins
     assert got == {1: False, 2: True, 3: False,
                    7: True, 8: False, 9: True}
+
+
+def test_curate_corpus_best_by_and_survivors(spark):
+    """VERDICT r11 next #6: the one-plan curation purge accepts
+    quality-driven survivor selection.  best_by picks the max-metric
+    member per exact-hash group (tie -> min id); survivors purges
+    exactly the keep=false ids of a precomputed verdict and keeps docs
+    absent from it; both are mutually exclusive."""
+    import pytest
+
+    from gqlite_spark.operators.sampling import curate_corpus
+    long_en = ("the quick brown fox jumps over the lazy dog and the "
+               "dog sleeps in the sun for a while longer today") * 3
+    docs = spark.createDataFrame(
+        [(1, long_en), (2, long_en), (3, long_en),
+         (4, long_en + " extra unique tail of the day")],
+        "doc_id long, text string")
+    bench = spark.createDataFrame([(99, "zzz qqq")],
+                                  "doc_id long, text string")
+    # default: min-id canonical -> ids {1, 4} survive the dedup
+    base = curate_corpus(docs, bench, quality_min=0.0).collect()
+    assert sum(r["n_docs"] for r in base) == 2
+    # best_by on a metric: same count, different survivor (id 1 still
+    # wins its group — equal texts tie on every metric -> min id)
+    bb = curate_corpus(docs, bench, quality_min=0.0,
+                       best_by="n_tokens").collect()
+    assert sum(r["n_docs"] for r in bb) == 2
+    # best_by on a raw docs column
+    docs2 = docs.withColumn("prio", F.col("doc_id").cast("double"))
+    bb2 = curate_corpus(docs2, bench, quality_min=0.0,
+                        best_by="prio").collect()
+    assert sum(r["n_docs"] for r in bb2) == 2
+    # survivors: purge ids 1 and 2 (keep=false); 3 kept by verdict,
+    # 4 absent from the frame -> kept
+    surv = spark.createDataFrame(
+        [(1, False), (2, False), (3, True)],
+        "doc_id long, keep boolean")
+    sv = curate_corpus(docs, bench, quality_min=0.0,
+                       survivors=surv).collect()
+    assert sum(r["n_docs"] for r in sv) == 2
+    with pytest.raises(ValueError, match="not both"):
+        curate_corpus(docs, bench, best_by="n_tokens", survivors=surv)
