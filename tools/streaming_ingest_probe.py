@@ -1,0 +1,219 @@
+"""Measure the STREAMING ingest lifecycle at probe scale (VERDICT r11
+next #7): the sf-scale parity/restart tests prove correctness; this
+measures the scaling shape the 100 TB continuous-ingest story depends
+on, for both layout kinds:
+
+1. per-batch protocol overhead — the marker/lease machinery around
+   each micro-batch (lease claim + repair check + pre-write listing +
+   marker write + spec commit + marker delete) costs a fixed number of
+   driver-side FS metadata ops, independent of table size.  Measured
+   directly: a guarded_append with a NO-OP write_fn on the 10 M-row
+   table, and indirectly as (streamed wall − one-shot append wall) /
+   n_batches;
+2. micro-batch walls track the BATCH — streaming 2 M rows into a
+   10 M-row bucketed table as 20 × 100 k batches should cost per-batch
+   what a 100 k append costs, flat across the run (file-count growth
+   per bucket is linear in batches and the append itself never reads
+   the table);
+3. file-count growth vs rebucket cadence — after N batches the table
+   holds ~N × n_buckets extra files; a rebucket/recluster restores one
+   file per bucket and its wall tracks the TABLE (it is the scheduled
+   amortized rewrite).  Bucket pruning (SelectedBucketsCount) must
+   survive the whole run;
+4. recovery after a mid-stream kill — crash the query at batch K (an
+   injected foreachBatch failure), restart from the same checkpoint,
+   and verify the final count is EXACT (no loss, no double-append)
+   while measuring the recovery run's wall.
+
+Run:  python tools/streaming_ingest_probe.py [n_base] [n_stream]
+Defaults 10 M / 2 M.  Results recorded in PLANS.md.
+"""
+import re
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, "/root/repo")
+
+from pyspark.sql import SparkSession, functions as F
+
+
+def synth(spark, n, offset=0):
+    return spark.range(n).select(
+        (F.col("id") + offset).alias("k"),
+        F.pmod(F.xxhash64(F.col("id") + offset), F.lit(1000)).alias("d"),
+        (F.pmod(F.xxhash64(F.col("id") + offset + 7), F.lit(100_000))
+         / 100.0).alias("v"))
+
+
+def _plan(df):
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def _stream(spark, src):
+    return (spark.readStream.format("parquet")
+            .schema("k bigint, d bigint, v double")
+            .option("maxFilesPerTrigger", 1)   # one file per batch
+            .load(src))
+
+
+def main():
+    n_base = int(sys.argv[1]) if len(sys.argv) > 1 else 10_000_000
+    n_stream = int(sys.argv[2]) if len(sys.argv) > 2 else 2_000_000
+    n_batches = 20
+    spark = (SparkSession.builder.master("local[16]")
+             .config("spark.sql.shuffle.partitions", "32")
+             .config("spark.driver.memory", "8g")
+             .appName("streaming_ingest_probe").getOrCreate())
+    spark.sparkContext.setLogLevel("ERROR")
+    from gqlite_spark import fsio
+    from gqlite_spark.sources import bucketed as B
+    from gqlite_spark.sources import clustered as C
+
+    root = tempfile.mkdtemp(prefix="sing_probe_")
+    nb = 64
+    try:
+        # -------- source files: n_batches parquet files
+        src = f"{root}/src"
+        (synth(spark, n_stream, offset=n_base)
+         .repartition(n_batches).write.parquet(src))
+
+        # ==================== bucketed twin ====================
+        p = f"{root}/bkt"
+        t = time.time()
+        B.save_bucketed(synth(spark, n_base), p, key="k",
+                        n_buckets=nb, table="t_probe")
+        print(f"save_bucketed base n={n_base:,}  {time.time()-t:6.1f}s")
+
+        # 1. pure protocol overhead: no-op guarded_append on the table
+        for _ in range(2):
+            t = time.time()
+            fsio.guarded_append(spark, p, "maintain", B.SPEC_FILE,
+                                None, lambda spec: None)
+            print(f"protocol-only guarded_append (no-op write)   "
+                  f"{time.time()-t:6.2f}s")
+
+        # one-shot reference: the same 2 M rows as ONE append
+        t = time.time()
+        B.append_bucketed(spark.read.parquet(src), p)
+        one_shot = time.time() - t
+        print(f"one-shot append {n_stream:,} rows   {one_shot:6.1f}s")
+        # roll it back for the streaming run (swap-rewrite to base)
+        t = time.time()
+        B.rebucket(spark, p)
+        print(f"rebucket (n={n_base + n_stream:,})   "
+              f"{time.time()-t:6.1f}s")
+        shutil.rmtree(p)
+        spark.sql("DROP TABLE IF EXISTS t_probe")
+        B.save_bucketed(synth(spark, n_base), p, key="k",
+                        n_buckets=nb, table="t_probe")
+
+        # 2. streamed: per-batch walls via an instrumented foreachBatch
+        walls = []
+
+        def _fold(batch_df, batch_id):
+            t0 = time.time()
+            B.append_bucketed(batch_df, p, epoch_id=batch_id)
+            walls.append(time.time() - t0)
+
+        t = time.time()
+        q = (_stream(spark, src).writeStream.foreachBatch(_fold)
+             .option("checkpointLocation", f"{root}/ckpt_b")
+             .trigger(availableNow=True).start())
+        q.awaitTermination(1800)
+        total = time.time() - t
+        walls_s = " ".join(f"{w:.1f}" for w in walls)
+        print(f"streamed {n_batches} batches x "
+              f"{n_stream // n_batches:,} rows   {total:6.1f}s total")
+        print(f"  per-batch walls: [{walls_s}]")
+        print(f"  protocol+scheduling overhead vs one-shot: "
+              f"{(total - one_shot) / max(len(walls), 1):6.2f}s/batch")
+
+        # 3. file growth + pruning survival + rebucket cadence
+        n_files = len([n for n in fsio.list_names(spark, p)
+                       if not n.startswith("_")])
+        lookup = spark.table("t_probe").where(F.col("k") == 12345)
+        m = re.search(r"SelectedBucketsCount: (\d+) out of (\d+)",
+                      _plan(lookup))
+        print(f"after stream: {n_files} data files "
+              f"(~{n_files / nb:.1f}/bucket); pruning "
+              f"{m.group(0) if m else 'MISSING'}")
+        assert lookup.count() == 1
+        t = time.time()
+        B.rebucket(spark, p)
+        print(f"rebucket (n={n_base + n_stream:,})   "
+              f"{time.time()-t:6.1f}s")
+        n_files = len([n for n in fsio.list_names(spark, p)
+                       if not n.startswith("_")])
+        print(f"after rebucket: {n_files} data files")
+        got = spark.table("t_probe").count()
+        assert got == n_base + n_stream, (got, n_base + n_stream)
+        print(f"count exact: {got:,}")
+
+        # 4. mid-stream kill + recovery (fresh table, same source)
+        shutil.rmtree(p)
+        spark.sql("DROP TABLE IF EXISTS t_probe")
+        B.save_bucketed(synth(spark, n_base), p, key="k",
+                        n_buckets=nb, table="t_probe")
+        boom_at = n_batches // 4
+
+        def _fold_crash(batch_df, batch_id):
+            if batch_id == boom_at:
+                raise RuntimeError("injected mid-stream crash")
+            B.append_bucketed(batch_df, p, epoch_id=batch_id)
+
+        q = (_stream(spark, src).writeStream.foreachBatch(_fold_crash)
+             .option("checkpointLocation", f"{root}/ckpt_k")
+             .trigger(availableNow=True).start())
+        try:
+            q.awaitTermination(1800)
+        except Exception:
+            pass
+        print(f"killed at batch {boom_at}; restarting from checkpoint")
+        t = time.time()
+        q = (_stream(spark, src).writeStream.foreachBatch(_fold)
+             .option("checkpointLocation", f"{root}/ckpt_k")
+             .trigger(availableNow=True).start())
+        q.awaitTermination(1800)
+        rec = time.time() - t
+        got = spark.table("t_probe").count()
+        assert got == n_base + n_stream, (got, n_base + n_stream)
+        print(f"recovery run {rec:6.1f}s; count exact: {got:,}")
+
+        # ==================== clustered twin ====================
+        pc = f"{root}/clu"
+        t = time.time()
+        C.save_clustered(synth(spark, n_base), pc, ["v"], n_files=64)
+        print(f"save_clustered base n={n_base:,}  "
+              f"{time.time()-t:6.1f}s")
+        cwalls = []
+
+        def _foldc(batch_df, batch_id):
+            t0 = time.time()
+            C.append_clustered(batch_df, pc, epoch_id=batch_id)
+            cwalls.append(time.time() - t0)
+
+        t = time.time()
+        q = (_stream(spark, src).writeStream.foreachBatch(_foldc)
+             .option("checkpointLocation", f"{root}/ckpt_c")
+             .trigger(availableNow=True).start())
+        q.awaitTermination(1800)
+        total = time.time() - t
+        cw = " ".join(f"{w:.1f}" for w in cwalls)
+        print(f"clustered streamed {n_batches} batches   "
+              f"{total:6.1f}s total\n  per-batch walls: [{cw}]")
+        t = time.time()
+        C.recluster(spark, pc)
+        print(f"recluster (n={n_base + n_stream:,})   "
+              f"{time.time()-t:6.1f}s")
+        got = spark.read.parquet(pc).count()
+        assert got == n_base + n_stream, (got, n_base + n_stream)
+        print(f"count exact: {got:,}")
+    finally:
+        spark.sql("DROP TABLE IF EXISTS t_probe")
+        shutil.rmtree(root, ignore_errors=True)
+
+
+if __name__ == "__main__":
+    main()
