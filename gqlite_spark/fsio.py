@@ -156,10 +156,33 @@ def list_names(spark, path: str) -> "list[str]":
     """Immediate child names of directory ``path`` (files and dirs) on
     its scheme's filesystem — the building block for torn-append
     repair, where an interrupted write's extra files are identified by
-    diffing the listing against a pre-write manifest."""
+    diffing the listing against a pre-write manifest.
+
+    Local fast path: the Py4J loop over ``listStatus`` costs ~2 JVM
+    round trips PER FILE (~0.3 ms each), which made every
+    ``guarded_append`` grow linearly with accumulated file count
+    (measured +0.9 s/batch at ~1.3 k files in the r12 streaming-ingest
+    probe).  When the path's FileSystem is local the listing goes
+    through one ``os.listdir`` instead, minus the ``.<name>.crc``
+    checksum sidecars ``ChecksumFileSystem.listStatus`` hides — same
+    result, flat cost.  Remote schemes keep the JVM loop (there the
+    per-entry cost is network-dominated anyway)."""
     fs, hpath, _ = _fs_path(spark, path)
     if not fs.exists(hpath):
         return []
+    try:
+        local = (fs.getScheme() == "file")
+    except Exception:
+        local = False
+    if local:
+        import os
+        d = fs.makeQualified(hpath).toUri().getPath()
+        try:
+            return sorted(
+                n for n in os.listdir(d)
+                if not (n.startswith(".") and n.endswith(".crc")))
+        except OSError:
+            pass                     # raced delete etc. — JVM fallback
     return sorted(st.getPath().getName() for st in fs.listStatus(hpath))
 
 

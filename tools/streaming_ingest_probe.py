@@ -133,13 +133,20 @@ def main():
         # 3. file growth + pruning survival + rebucket cadence
         n_files = len([n for n in fsio.list_names(spark, p)
                        if not n.startswith("_")])
-        lookup = spark.table("t_probe").where(F.col("k") == 12345)
-        m = re.search(r"SelectedBucketsCount: (\d+) out of (\d+)",
-                      _plan(lookup))
-        print(f"after stream: {n_files} data files "
-              f"(~{n_files / nb:.1f}/bucket); pruning "
-              f"{m.group(0) if m else 'MISSING'}")
-        assert lookup.count() == 1
+        # pruning check under the attach pin (auto heuristic drops the
+        # bucketed read at high file counts; attached layouts pin it —
+        # same contract as the r11 lifecycle probe)
+        B.force_bucketed_scan(spark, True)
+        try:
+            lookup = spark.table("t_probe").where(F.col("k") == 12345)
+            m = re.search(r"SelectedBucketsCount: (\d+) out of (\d+)",
+                          _plan(lookup))
+            print(f"after stream: {n_files} data files "
+                  f"(~{n_files / nb:.1f}/bucket); pruning "
+                  f"{m.group(0) if m else 'MISSING'}")
+            assert lookup.count() == 1
+        finally:
+            B.force_bucketed_scan(spark, False)
         t = time.time()
         B.rebucket(spark, p)
         print(f"rebucket (n={n_base + n_stream:,})   "
