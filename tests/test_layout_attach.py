@@ -606,3 +606,78 @@ def test_overlay_cap_guard_is_loud(spark):
         g.update_props(2, {"w": 5})        # merge into existing: ok
     finally:
         C.OVERLAY_CAP_ROWS = old
+
+
+def test_overlay_save_load_round_trips_every_prop_kind(spark,
+                                                       tmp_path):
+    """restore_overlay re-normalizes storage values: vector cells come
+    back list[float], binary comes back bytes, datetime stays the
+    epoch double, object stays its JSON string — the same storage
+    forms upsert_vertex would have produced, so post-load mutations
+    and LWW merges behave identically to the pre-save session."""
+    from gqlite_spark import GQLite
+    from gqlite_spark.catalog import Graph
+    db = GQLite(spark)
+    db.exec("{create: 'kv', group: ['rows']};")
+    g = db.catalog.graphs["kv"].group("rows")
+    g.register_df(
+        spark.range(0, 100).selectExpr(
+            "id", "cast(id as double) as score",
+            "array(cast(id as double)) as vec",
+            "cast(cast(id as string) as binary) as blob",
+            "cast(id as string) as note"),
+        key_col="id")
+    p = str(tmp_path / "kvl")
+    r = db.exec("{layout: 'rows', in: 'kv', path: '" + p +
+                "', bucket_by: 'id', buckets: 4, attach: true};")[0]
+    assert r.error is None, r.error
+    g.upsert_vertex(7, {"score": 1.5, "vec": [1.0, 2.5],
+                        "blob": b"\x00\xffbin", "note": "txt"})
+    root = str(tmp_path / "kvroot")
+    db.catalog.graphs["kv"].save(root)
+    g2 = Graph.load(spark, root, "kv")
+    grp = g2.group("rows")
+    got = grp.rows[7]
+    assert got["score"] == 1.5
+    assert got["vec"] == [1.0, 2.5] and isinstance(got["vec"], list)
+    assert got["blob"] == b"\x00\xffbin" and isinstance(got["blob"],
+                                                       bytes)
+    assert got["note"] == "txt"
+    # the restored overlay keeps winning LWW through to_df
+    row = grp.to_df().where(F.col("id") == 7).collect()[0]
+    assert row["score"] == 1.5 and list(row["vec"]) == [1.0, 2.5]
+    # and a post-load re-upsert merges over it exactly like pre-save
+    grp.upsert_vertex(7, {"score": 2.0})
+    assert grp.rows[7] == {"score": 2.0}
+    grp._detach_layout()
+    g._detach_layout()
+
+
+def test_overlay_with_accreted_props_falls_back_to_snapshot(spark,
+                                                            tmp_path):
+    """An overlay upsert can ACCRETE props the layout copy predates;
+    after save/load the re-attach then refuses (copy lacks the new
+    column) and the load falls back to the MERGED snapshot — the data
+    is complete and correct, the attach is dropped loudly.  Pins the
+    fallback semantics the overlay-persistence fix preserves."""
+    from gqlite_spark import GQLite
+    from gqlite_spark.catalog import Graph
+    db = GQLite(spark)
+    db.exec("{create: 'acc', group: ['rows']};")
+    g = db.catalog.graphs["acc"].group("rows")
+    g.register_df(spark.range(0, 50).selectExpr(
+        "id", "cast(id as double) as score"), key_col="id")
+    p = str(tmp_path / "accl")
+    r = db.exec("{layout: 'rows', in: 'acc', path: '" + p +
+                "', bucket_by: 'id', buckets: 4, attach: true};")[0]
+    assert r.error is None, r.error
+    g.upsert_vertex(7, {"score": 1.5, "brand_new": "prop"})
+    root = str(tmp_path / "accroot")
+    db.catalog.graphs["acc"].save(root)
+    g2 = Graph.load(spark, root, "acc")
+    grp = g2.group("rows")
+    assert grp._layout_attach is None          # attach refused (loud)
+    row = grp.to_df().where(F.col("id") == 7).collect()[0]
+    assert row["score"] == 1.5 and row["brand_new"] == "prop"
+    assert grp.to_df().count() == 50
+    g._detach_layout()
