@@ -95,3 +95,36 @@ def test_curation_keep_best_candidate(spark):
         " GROUP BY predicted_lang").fetchdf()
     verdict = compare(got, oracle)
     assert verdict.startswith("OK"), verdict
+
+
+def test_curation_best_by_candidate(spark):
+    """Entry shape `curation_best_by`: the one-plan pipeline with the
+    exact-hash purge keeping the BEST member per duplicate group
+    (max n_tokens, tie -> min id) instead of the min-id canonical —
+    the same window, a different ordering, so the cost profile is
+    identical to `curation_pipeline`.  The oracle is that entry's
+    proven SQL with the dedup CTE's ordering swapped to the argmax
+    form."""
+    import __spark_entry__ as entry
+    from gqlite_spark.operators.sampling import curate_corpus
+    d = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    bench = d.filter(F.col("doc_id") % 7 == 0)
+    train = d.filter(F.col("doc_id") % 7 != 0)
+    got = curate_corpus(train, bench, quality_min=0.5, ngram=8,
+                        best_by="n_tokens").toPandas()
+    cur = entry.oracle_sql()["curation_pipeline"]
+    old_dd = (" dd AS (SELECT *, MIN(doc_id) OVER (PARTITION BY"
+              " md5(text)) AS rep"
+              " FROM enriched),"
+              " kept AS (SELECT * FROM dd WHERE doc_id = rep AND"
+              " quality >= 0.5),")
+    assert old_dd in cur, "curation_pipeline oracle drifted"
+    new_dd = (" dd AS (SELECT *, row_number() OVER (PARTITION BY"
+              " md5(text) ORDER BY n_tokens DESC, doc_id ASC) AS rn"
+              " FROM enriched),"
+              " kept AS (SELECT * EXCLUDE (rn) FROM dd WHERE rn = 1"
+              " AND quality >= 0.5),")
+    oracle = duck_con(SF_DIR).execute(
+        cur.replace(old_dd, new_dd)).fetchdf()
+    verdict = compare(got, oracle)
+    assert verdict.startswith("OK"), verdict
