@@ -482,3 +482,97 @@ def test_repair_torn_append_deletes_unparsable_marker(spark, tmp_path):
     assert spec["batches"] == 1 and spec["last_epoch"] == 1
     assert not fsio.exists(spark,
                            fsio.join(p, "_append_inprogress.json"))
+
+
+class _InjectedCrash(Exception):
+    pass
+
+
+def test_guarded_append_crash_before_every_fs_op(spark, tmp_path):
+    """Exhaustive generalization of the hand-picked crash matrix: every
+    FS primitive in fsio funnels through _fs_path, so injecting a crash
+    BEFORE the k-th FS op — for EVERY k an append performs — simulates
+    process death between any two metadata/data operations (lease
+    claim, repair reads, manifest listing, marker temp write + rename,
+    the data write, spec temp write + rename, marker delete, release
+    reads/delete).  After each injected crash the replay (same epoch)
+    must land the batch EXACTLY once: the file present with committed
+    content, the spec counter advanced by one, no orphans.  A crash
+    that left a live-looking lease is waited out and retried — which
+    also exercises the fenced stale-takeover path at every k."""
+    import time
+
+    p = f"file://{tmp_path}/xop"
+    spark.range(1).write.parquet(p)
+    fsio.write_json(spark, fsio.join(p, "_spec.json"), {"batches": 0})
+
+    def writer(name):
+        def _w(spec):
+            fsio.write_text(spark, fsio.join(p, name), "payload")
+        return _w
+
+    def data_files():
+        return [n for n in fsio.list_names(spark, p)
+                if n.startswith("batch")]
+
+    def run(epoch, name, timeout=0.4):
+        """One append attempt with retry across a crashed lease."""
+        for _ in range(4):
+            try:
+                return fsio.guarded_append(spark, p, "toy",
+                                           "_spec.json", epoch,
+                                           writer(name),
+                                           lease_timeout=timeout)
+            except fsio.ConcurrentWriterError:
+                time.sleep(timeout + 0.1)   # crashed lease: let it age
+        raise AssertionError("lease never became claimable")
+
+    # clean run to count the FS ops one append performs
+    orig = fsio._fs_path
+    counter = {"n": 0, "crash_at": None}
+
+    def counting(spark_, path_):
+        if counter["crash_at"] is not None \
+                and counter["n"] >= counter["crash_at"]:
+            raise _InjectedCrash(f"crash before FS op {counter['n']}")
+        counter["n"] += 1
+        return orig(spark_, path_)
+
+    fsio._fs_path = counting
+    try:
+        assert run(1, "batch_clean") is True
+        n_ops = counter["n"]
+        assert n_ops > 10, n_ops       # the protocol is many ops wide
+        for k in range(n_ops):
+            counter["n"] = 0
+            counter["crash_at"] = k
+            name = f"batch_k{k:03d}"
+            epoch = 2 + k
+            try:
+                run(epoch, name)
+                crashed = False
+            except _InjectedCrash:
+                crashed = True
+            counter["crash_at"] = None
+            counter["n"] = 0
+            if crashed:
+                # process "restarts": replay the same epoch
+                got = run(epoch, name)
+                # replay either re-appends (crash pre-commit) or skips
+                # (crash post-commit) — both leave exactly one copy
+                assert got in (True, False)
+            assert name in data_files(), (k, data_files())
+            assert fsio.read_text(spark, fsio.join(p, name)) \
+                == "payload", k
+            spec = fsio.read_json(spark, fsio.join(p, "_spec.json"))
+            assert spec["batches"] == 2 + k, (k, spec)
+            assert spec["last_epoch"] == epoch, (k, spec)
+            assert not fsio.exists(
+                spark, fsio.join(p, "_append_inprogress.json")), k
+        # no stray temps or orphans anywhere in the table dir
+        assert [n for n in fsio.list_names(spark, p)
+                if ".tmp-" in n] == []
+        assert len(data_files()) == 1 + n_ops
+    finally:
+        fsio._fs_path = orig
+        fsio.delete(spark, p + ".toy_lock", recursive=False)
