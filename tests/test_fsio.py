@@ -576,3 +576,66 @@ def test_guarded_append_crash_before_every_fs_op(spark, tmp_path):
     finally:
         fsio._fs_path = orig
         fsio.delete(spark, p + ".toy_lock", recursive=False)
+
+
+def test_swap_in_crash_before_every_fs_op(spark, tmp_path):
+    """The swap twin of the append sweep: inject a crash before the
+    k-th FS op for EVERY k a swap_in performs (lease claim, heal
+    checks, tmp/old preamble deletes, the rewrite, the two renames,
+    the old-table delete, the release).  After each crash the retry
+    must converge to a COMPLETE table with the retried content — the
+    reader-visible invariant 'a complete table at path, or parked at
+    _old and healed on entry', never an empty or mixed directory."""
+    import time
+
+    p = f"file://{tmp_path}/swp"
+    fsio.write_text(spark, fsio.join(p, "data"), "v0")
+
+    def writer(content):
+        def _w(tmp):
+            fsio.write_text(spark, fsio.join(tmp, "data"), content)
+        return _w
+
+    def run(content, timeout=0.4):
+        for _ in range(4):
+            try:
+                return fsio.swap_in(spark, p, "toy", writer(content),
+                                    lease_timeout=timeout)
+            except fsio.ConcurrentWriterError:
+                time.sleep(timeout + 0.1)
+        raise AssertionError("lease never became claimable")
+
+    orig = fsio._fs_path
+    counter = {"n": 0, "crash_at": None}
+
+    def counting(spark_, path_):
+        if counter["crash_at"] is not None \
+                and counter["n"] >= counter["crash_at"]:
+            raise _InjectedCrash(f"crash before FS op {counter['n']}")
+        counter["n"] += 1
+        return orig(spark_, path_)
+
+    fsio._fs_path = counting
+    try:
+        run("v1")
+        n_ops = counter["n"]
+        assert n_ops > 8, n_ops
+        for k in range(n_ops):
+            counter["n"] = 0
+            counter["crash_at"] = k
+            content = f"v{k + 2}"
+            try:
+                run(content)
+            except _InjectedCrash:
+                counter["crash_at"] = None
+                counter["n"] = 0
+                run(content)         # "restart": heal-on-entry + redo
+            counter["crash_at"] = None
+            counter["n"] = 0
+            assert fsio.read_text(spark, fsio.join(p, "data")) \
+                == content, k
+            assert not fsio.exists(spark, p + ".toy_old"), k
+            assert not fsio.exists(spark, p + ".toy_tmp"), k
+    finally:
+        fsio._fs_path = orig
+        fsio.delete(spark, p + ".toy_lock", recursive=False)
