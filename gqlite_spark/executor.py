@@ -24,7 +24,7 @@ from .errors import (GQLiteError, GQLParseError, GraphNotExistError,
                      GroupNotExistError)
 from .gql import parser as gql_parser
 from .gql.ast import (AstStmt, CallExpr, ChunkStmt, CohortStmt, CreateStmt,
-                      DedupStmt,
+                      CurateStmt, DedupStmt,
                       DropStmt, DumpStmt, FunnelStmt,
                       ImportStmt, InferStmt, LayoutStmt, MemberRef, Pred,
                       ProfileStmt,
@@ -167,6 +167,8 @@ class GQLite:
             return self._cohort(stmt)
         if isinstance(stmt, SampleStmt):
             return self._sample(stmt)
+        if isinstance(stmt, CurateStmt):
+            return self._curate(stmt)
         if isinstance(stmt, VIndexStmt):
             return self._vindex(stmt)
         if isinstance(stmt, ShardsStmt):
@@ -282,6 +284,71 @@ class GQLite:
             raise GQLiteError(
                 f"group '{group_name}' has no property '{prop}'")
         return df, prop
+
+    def _curate(self, stmt: CurateStmt) -> StatementResult:
+        """``{curate: 'docs', in: 'g', benchmark: 'bench',
+        quality_min: 0.5, ngram: 8};`` — the one-plan curation
+        pipeline from GQL (operators/sampling.py::curate_corpus):
+        dedup purge → quality gate → ``ngram``-gram benchmark
+        decontamination → per-language report, three shuffles total.
+        ``method: 'exact'`` purges exact duplicates (min-id canonical,
+        or argmax ``best_by:``); ``method: 'clusters'`` purges NEAR-dup
+        clusters to their keep-best survivor (``best_by:`` metric,
+        default text length) — the full quality-survivor chain the
+        library API grew in r11/r12, now first-class from the engine.
+        Result rows: (predicted_lang, n_docs, sum_tokens,
+        sum_quality_e4).  Beyond-reference surface."""
+        from .operators.sampling import curate_corpus
+        df, prop = self._pipeline_group_df(stmt.graph, stmt.group,
+                                           stmt.on, "text")
+        if df is None:
+            return StatementResult(status="QUERY SUCCESS", rows=[],
+                                   df=None)
+        bench, _ = self._pipeline_group_df(stmt.graph, stmt.benchmark,
+                                           stmt.on, "text")
+        if bench is None:
+            raise GQLiteError(
+                f"curate: benchmark group '{stmt.benchmark}' is empty "
+                "— decontamination needs the benchmark corpus")
+        best_by = stmt.best_by
+        if (best_by is not None and stmt.method == "exact"
+                and best_by not in df.columns
+                and best_by not in ("n_tokens", "quality")):
+            # the derived per-doc metrics are legal argmax targets for
+            # the exact-hash purge (they exist in the enriched scan)
+            raise GQLiteError(
+                f"curate: group '{stmt.group}' has no property "
+                f"'{best_by}' (and it is not a derived metric "
+                "n_tokens/quality)")
+        kwargs = {}
+        if stmt.method == "clusters":
+            from .operators.dedup import (keep_best_per_cluster,
+                                          near_dup_clusters)
+            clusters = near_dup_clusters(df, id_col="id",
+                                         text_col=prop,
+                                         threshold=stmt.threshold)
+            if best_by is not None:
+                if best_by not in df.columns:
+                    raise GQLiteError(
+                        f"curate: group '{stmt.group}' has no "
+                        f"property '{best_by}'")
+                scores = df.select("id",
+                                   F.col(best_by).alias("score"))
+            else:                      # default: keep the longest copy
+                scores = df.select("id", F.length(F.col(prop))
+                                   .cast("long").alias("score"))
+            kwargs["survivors"] = keep_best_per_cluster(
+                clusters, scores, id_col="id")
+        elif best_by is not None:
+            kwargs["best_by"] = best_by
+        out = curate_corpus(df, bench, quality_min=stmt.quality_min,
+                            ngram=stmt.ngram, id_col="id",
+                            text_col=prop, **kwargs)
+        cols = out.columns
+        return StatementResult(
+            status="QUERY SUCCESS", df=out,
+            rows_fn=lambda out=out, cols=cols: [
+                list(r) for r in out.orderBy(*cols).collect()])
 
     def _dedup(self, stmt: DedupStmt) -> StatementResult:
         """``{dedup: 'docs', in: 'g', method: 'minhash', on: 'text',

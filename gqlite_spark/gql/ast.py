@@ -275,6 +275,31 @@ class SampleStmt:
 
 
 @dataclass
+class CurateStmt:
+    """``{curate: group, in: g, benchmark: bench_group, on: prop,
+    quality_min: q, ngram: n, method: m, best_by: prop}`` — the
+    one-plan curation pipeline as an engine statement
+    (operators/sampling.py::curate_corpus): dedup purge → quality gate
+    → word-``ngram`` benchmark decontamination → per-language corpus
+    report, three shuffles total.  ``method: 'exact'`` (default)
+    purges exact duplicates — min-id canonical, or the max-``best_by``
+    member when given; ``method: 'clusters'`` purges NEAR-dup clusters
+    to their keep-best survivor (LSH pairs → connected components →
+    ``keep_best_per_cluster`` on ``best_by``, default text length).
+    Beyond-reference surface: the LLM-pipeline north star, end-to-end
+    from GQL."""
+    group: str
+    benchmark: str
+    graph: Optional[str] = None
+    on: str = "text"
+    quality_min: float = 0.5
+    ngram: int = 8
+    method: str = "exact"   # exact | clusters
+    best_by: Optional[str] = None
+    threshold: float = 0.7  # near-dup Jaccard (method 'clusters' only)
+
+
+@dataclass
 class ShardsStmt:
     """``{shards: group, in: g, path: 'dir', n: 8, salt: 'ep1'}`` —
     deterministic epoch-shard export: md5 shard assignment + within-

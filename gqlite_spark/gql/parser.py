@@ -18,7 +18,7 @@ from ..errors import GQLParseError
 from . import lexer as L
 from .ast import (
     STAR, AstStmt, BinaryLit, CallExpr, ChunkStmt, CreateStmt, DatetimeLit,
-    CohortStmt, DedupStmt, DropStmt,
+    CohortStmt, CurateStmt, DedupStmt, DropStmt,
     DumpStmt, EdgeConn, FunnelStmt, GeohashLit, GroupDef, ImportStmt,
     InferStmt, Lambda, LayoutStmt,
     MemberRef, QuantilesStmt, ReadRollupStmt, RollupStmt, SampleStmt,
@@ -331,6 +331,48 @@ class Parser:
             return DedupStmt(obj["dedup"], obj.get("in"),
                              str(obj.get("method", "exact")),
                              obj.get("on"), float(thr), best_by)
+        if "curate" in obj:
+            bench = obj.get("benchmark")
+            if not isinstance(bench, str) or not bench:
+                raise GQLParseError(
+                    "curate: benchmark must be a group name")
+            qmin = obj.get("quality_min", 0.5)
+            if (not isinstance(qmin, (int, float))
+                    or isinstance(qmin, bool)
+                    or not 0.0 <= float(qmin) <= 1.0):
+                raise GQLParseError(
+                    "curate: quality_min must be a number in [0, 1]")
+            ngram = obj.get("ngram", 8)
+            if (not isinstance(ngram, int) or isinstance(ngram, bool)
+                    or ngram < 1):
+                raise GQLParseError(
+                    "curate: ngram must be a positive integer")
+            method = str(obj.get("method", "exact"))
+            if method not in ("exact", "clusters"):
+                raise GQLParseError(
+                    "curate: method must be 'exact' or 'clusters'")
+            best_by = obj.get("best_by")
+            if best_by is not None and (not isinstance(best_by, str)
+                                        or not best_by):
+                raise GQLParseError(
+                    "curate: best_by must be a property name")
+            thr = obj.get("threshold", 0.7)
+            if not isinstance(thr, (int, float)) or isinstance(thr, bool):
+                raise GQLParseError("curate: threshold must be a number")
+            if "threshold" in obj and method != "clusters":
+                raise GQLParseError(
+                    "curate: threshold applies to method: 'clusters' "
+                    "(the near-dup Jaccard cut) only")
+            extra = sorted(set(obj) - {"curate", "benchmark", "in",
+                                       "on", "quality_min", "ngram",
+                                       "method", "best_by",
+                                       "threshold"})
+            if extra:
+                raise GQLParseError(
+                    f"curate: unknown key(s) {', '.join(extra)}")
+            return CurateStmt(obj["curate"], bench, obj.get("in"),
+                              str(obj.get("on", "text")), float(qmin),
+                              ngram, method, best_by, float(thr))
         if "similar" in obj:
             vec = obj.get("to")
             qgrp = obj.get("queries")

@@ -804,3 +804,110 @@ def test_gql_rollup_read_keeps_sketch_prefixed_user_columns(db,
     assert "hist_v" not in dfq.columns      # sketch state: projected
     got = sorted([r["hist_total"], r["sum_v"]] for r in dfq.collect())
     assert got == [[7, 6.0], [8, 9.0]]
+
+
+def test_gql_curate_exact_and_best_by(db, spark):
+    """{curate:} — the one-plan curation pipeline from GQL, matching
+    the library call value-for-value in the default (min-id) and
+    best_by (argmax) exact-purge forms."""
+    from gqlite_spark.operators.sampling import curate_corpus
+    long_en = ("the quick brown fox jumps over the lazy dog and the "
+               "dog sleeps in the sun for a while longer today ") * 3
+    docs = [(i, long_en) for i in (1, 2, 3)] + \
+        [(4, long_en + "extra unique tail of the day")]
+    for r in db.exec("{create: 'cur', group: ['docs', 'bench']};"):
+        assert r.error is None, r.error
+    g = db.catalog.graphs["cur"]
+    g.group("docs").register_df(
+        spark.createDataFrame(docs, "id long, text string"))
+    g.group("bench").register_df(
+        spark.createDataFrame([(99, "zzz qqq www")],
+                              "id long, text string"))
+    res = db.exec("{curate: 'docs', in: 'cur', benchmark: 'bench',"
+                  " quality_min: 0.0};")[0]
+    assert res.error is None, res.error
+    lib = curate_corpus(g.group("docs").to_df(),
+                        g.group("bench").to_df(),
+                        quality_min=0.0, id_col="id")
+    want = sorted([list(r) for r in lib.collect()])
+    assert sorted(res.rows) == want
+    assert sum(r[1] for r in res.rows) == 2    # {1, 4} survive dedup
+    # best_by on the derived token count: same counts on this corpus
+    res = db.exec("{curate: 'docs', in: 'cur', benchmark: 'bench',"
+                  " quality_min: 0.0, best_by: 'n_tokens'};")[0]
+    assert res.error is None, res.error
+    assert sum(r[1] for r in res.rows) == 2
+
+
+def test_gql_curate_clusters_keep_best(db, spark):
+    """{curate: method: 'clusters'} — near-dup survivor purge from
+    GQL: LSH pairs -> connected components -> keep-best (here the
+    longest copy by default), then quality gate + decontamination;
+    matches the library chain value-for-value."""
+    from pyspark.sql import functions as F
+
+    from gqlite_spark.operators.dedup import (keep_best_per_cluster,
+                                              near_dup_clusters)
+    from gqlite_spark.operators.sampling import curate_corpus
+    base = ("the quick brown fox jumps over the lazy dog and then "
+            "the dog naps under the old oak tree all afternoon "
+            "while birds sing their songs in the warm breeze ")
+    docs = [(1, base), (2, base + "minor tail change here today"),
+            (3, "completely different text about graphs and engines "
+                "running queries over distributed parquet tables "
+                "with pruned scans and broadcast joins everywhere")]
+    for r in db.exec("{create: 'cnd', group: ['docs', 'bench']};"):
+        assert r.error is None, r.error
+    g = db.catalog.graphs["cnd"]
+    g.group("docs").register_df(
+        spark.createDataFrame(docs, "id long, text string"))
+    g.group("bench").register_df(
+        spark.createDataFrame([(99, "qqq zzz")],
+                              "id long, text string"))
+    res = db.exec("{curate: 'docs', in: 'cnd', benchmark: 'bench',"
+                  " quality_min: 0.0, method: 'clusters',"
+                  " threshold: 0.5};")[0]
+    assert res.error is None, res.error
+    df = g.group("docs").to_df()
+    clusters = near_dup_clusters(df, id_col="id", threshold=0.5)
+    scores = df.select("id", F.length("text").cast("long")
+                       .alias("score"))
+    surv = keep_best_per_cluster(clusters, scores, id_col="id")
+    lib = curate_corpus(df, g.group("bench").to_df(),
+                        quality_min=0.0, id_col="id", survivors=surv)
+    assert sorted(res.rows) == sorted([list(r) for r in lib.collect()])
+    # docs 1~2 cluster; 2 is longer -> survives with 3: two docs total
+    assert sum(r[1] for r in res.rows) == 2
+
+
+def test_gql_curate_errors(db, spark):
+    for r in db.exec("{create: 'cerr', group: ['docs', 'empty']};"):
+        assert r.error is None, r.error
+    db.catalog.graphs["cerr"].group("docs").register_df(
+        spark.createDataFrame([(1, "hello world")],
+                              "id long, text string"))
+    # parse errors
+    r = db.exec("{curate: 'docs', in: 'cerr'};")[0]
+    assert r.error and "benchmark" in r.error
+    r = db.exec("{curate: 'docs', in: 'cerr', benchmark: 'docs',"
+                " quality_min: 2.0};")[0]
+    assert r.error and "[0, 1]" in r.error
+    r = db.exec("{curate: 'docs', in: 'cerr', benchmark: 'docs',"
+                " ngram: 0};")[0]
+    assert r.error and "positive integer" in r.error
+    r = db.exec("{curate: 'docs', in: 'cerr', benchmark: 'docs',"
+                " method: 'fuzzy'};")[0]
+    assert r.error and "'exact' or 'clusters'" in r.error
+    r = db.exec("{curate: 'docs', in: 'cerr', benchmark: 'docs',"
+                " threshold: 0.5};")[0]
+    assert r.error and "clusters" in r.error
+    r = db.exec("{curate: 'docs', in: 'cerr', benchmark: 'docs',"
+                " bogus: 1};")[0]
+    assert r.error and "unknown key" in r.error
+    # runtime errors (an unregistered benchmark group has no text
+    # property — the resolver refuses before the pipeline builds)
+    r = db.exec("{curate: 'docs', in: 'cerr', benchmark: 'empty'};")[0]
+    assert r.error and "no property 'text'" in r.error
+    r = db.exec("{curate: 'docs', in: 'cerr', benchmark: 'docs',"
+                " best_by: 'nope'};")[0]
+    assert r.error and "no property 'nope'" in r.error
