@@ -102,16 +102,24 @@ def test_curation_best_by_candidate(spark):
     exact-hash purge keeping the BEST member per duplicate group
     (max n_tokens, tie -> min id) instead of the min-id canonical —
     the same window, a different ordering, so the cost profile is
-    identical to `curation_pipeline`.  The oracle is that entry's
-    proven SQL with the dedup CTE's ordering swapped to the argmax
-    form."""
+    identical to `curation_pipeline`.  Runs END-TO-END through the
+    GQL `{curate:}` statement (r12), so the parse/validate/lower
+    chain is what the gate value-checks, not just the library call.
+    The oracle is `curation_pipeline`'s proven SQL with the dedup
+    CTE's ordering swapped to the argmax form."""
     import __spark_entry__ as entry
-    from gqlite_spark.operators.sampling import curate_corpus
+    from gqlite_spark import GQLite
     d = spark.read.parquet(f"{SF_DIR}/documents.parquet")
-    bench = d.filter(F.col("doc_id") % 7 == 0)
-    train = d.filter(F.col("doc_id") % 7 != 0)
-    got = curate_corpus(train, bench, quality_min=0.5, ngram=8,
-                        best_by="n_tokens").toPandas()
+    db = GQLite(spark)
+    g = db.catalog.create_graph("r13cur")
+    g.create_group("docs").register_df(
+        d.filter(F.col("doc_id") % 7 != 0), key_col="doc_id")
+    g.create_group("bench").register_df(
+        d.filter(F.col("doc_id") % 7 == 0), key_col="doc_id")
+    got = db.query_df(
+        "{curate: 'docs', in: 'r13cur', benchmark: 'bench',"
+        " quality_min: 0.5, ngram: 8, best_by: 'n_tokens'};"
+    ).toPandas()
     cur = entry.oracle_sql()["curation_pipeline"]
     old_dd = (" dd AS (SELECT *, MIN(doc_id) OVER (PARTITION BY"
               " md5(text)) AS rep"
