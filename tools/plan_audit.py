@@ -41,7 +41,12 @@ def main() -> None:
                # r11 lifecycle entries: the fold-scan plan should show
                # SelectedBucketsCount pruning; the ingest scan a plain
                # bucketed aggregate with no Exchange below it
-               "layout_fold_scan", "bucketed_ingest_scan"]
+               "layout_fold_scan", "bucketed_ingest_scan",
+               # r12 promotions: keep-best is the LSH pair join +
+               # closure + an argmax window over the pair-graph-sized
+               # membership (no cartesian anywhere); quantiles reads
+               # the bucket table only (probe-sized scan, one window)
+               "dedup_keep_best", "rollup_quantiles_read"]
     qs = entry.queries()
     for name in audited:
         df = qs[name](spark, sf_dir)
