@@ -176,13 +176,13 @@ def list_names(spark, path: str) -> "list[str]":
         local = False
     if local:
         import os
-        d = fs.makeQualified(hpath).toUri().getPath()
         try:
+            d = fs.makeQualified(hpath).toUri().getPath()
             return sorted(
                 n for n in os.listdir(d)
                 if not (n.startswith(".") and n.endswith(".crc")))
-        except OSError:
-            pass                     # raced delete etc. — JVM fallback
+        except Exception:
+            pass   # raced delete / odd fs wrapper — JVM fallback
     return sorted(st.getPath().getName() for st in fs.listStatus(hpath))
 
 

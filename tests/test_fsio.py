@@ -639,3 +639,40 @@ def test_swap_in_crash_before_every_fs_op(spark, tmp_path):
     finally:
         fsio._fs_path = orig
         fsio.delete(spark, p + ".toy_lock", recursive=False)
+
+
+def test_rename_overwrite_fallback_without_filecontext(spark,
+                                                       tmp_path,
+                                                       monkeypatch):
+    """Filesystems without an AbstractFileSystem binding can't serve
+    FileContext — rename_overwrite must fall back to delete+rename and
+    still replace the destination.  Simulated by a wrapper fs whose
+    makeQualified (the FileContext URI step) raises."""
+    import gqlite_spark.fsio as fsio_mod
+
+    a = f"file://{tmp_path}/a.json"
+    b = f"file://{tmp_path}/b.json"
+    fsio.write_text(spark, a, "NEW")
+    fsio.write_text(spark, b, "OLD")
+
+    orig = fsio_mod._fs_path
+
+    class _NoQualify:
+        def __init__(self, fs):
+            self._fs = fs
+
+        def __getattr__(self, name):
+            return getattr(self._fs, name)
+
+        def makeQualified(self, p):
+            raise RuntimeError("no AbstractFileSystem binding")
+
+    def crippled(spark_, path_):
+        fs, hp, jvm = orig(spark_, path_)
+        return _NoQualify(fs), hp, jvm
+
+    monkeypatch.setattr(fsio_mod, "_fs_path", crippled)
+    fsio.rename_overwrite(spark, a, b)
+    monkeypatch.setattr(fsio_mod, "_fs_path", orig)
+    assert fsio.read_text(spark, b) == "NEW"
+    assert not fsio.exists(spark, a)
