@@ -56,12 +56,25 @@ def main():
              .select("doc_id", "text"))
     train = (docs.filter(F.col("_seed") % 97 != 0)
              .select("doc_id", "text"))
+    mode = sys.argv[2] if len(sys.argv) > 2 else "exact"
     for trial in range(3):
         t0 = time.time()
-        out = curate_corpus(train, bench).collect()
+        if mode == "keep_best":
+            # the r12 survivor chain: LSH pairs -> connected
+            # components -> keep each cluster's longest member, then
+            # the same one-plan pipeline purging to that verdict
+            from gqlite_spark.operators.dedup import (
+                keep_best_per_cluster, near_dup_clusters)
+            clusters = near_dup_clusters(train)
+            scores = train.select(
+                "doc_id", F.length("text").cast("long").alias("score"))
+            surv = keep_best_per_cluster(clusters, scores)
+            out = curate_corpus(train, bench, survivors=surv).collect()
+        else:
+            out = curate_corpus(train, bench).collect()
         dt = time.time() - t0
         kept = sum(r["n_docs"] for r in out)
-        print(f"trial{trial}: {dt:6.1f}s  {n/dt:,.0f} docs/s  "
+        print(f"trial{trial} [{mode}]: {dt:6.1f}s  {n/dt:,.0f} docs/s  "
               f"langs={len(out)} kept={kept:,}", flush=True)
     spark.stop()
 
