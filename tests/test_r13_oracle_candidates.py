@@ -27,23 +27,26 @@ def test_curation_keep_best_candidate(spark):
     (VERDICT r11 next #6) — LSH pairs over the train split -> connected
     components -> keep each cluster's longest member (tie -> min id) ->
     quality gate -> 8-gram benchmark decontamination -> per-language
-    report.  The oracle replays the whole chain: the recursive-CTE pair
+    report.  Runs END-TO-END through the GQL `{curate: method:
+    'clusters'}` statement (r12) — the default survivor metric is text
+    length and the default Jaccard cut 0.7, exactly the library chain.
+    The oracle replays the whole chain: the recursive-CTE pair
     closure + argmax survivor pick, then the exact curation fragments
     of the proven `curation_pipeline` oracle with the min-id dedup CTE
     swapped for the survivor purge."""
     import __spark_entry__ as entry
-    from gqlite_spark.operators.dedup import (keep_best_per_cluster,
-                                              near_dup_clusters)
-    from gqlite_spark.operators.sampling import curate_corpus
+    from gqlite_spark import GQLite
     d = spark.read.parquet(f"{SF_DIR}/documents.parquet")
-    bench = d.filter(F.col("doc_id") % 7 == 0)
-    train = d.filter(F.col("doc_id") % 7 != 0)
-    clusters = near_dup_clusters(train)
-    scores = train.select(
-        "doc_id", F.length("text").cast("long").alias("score"))
-    surv = keep_best_per_cluster(clusters, scores)
-    got = curate_corpus(train, bench, quality_min=0.5, ngram=8,
-                        survivors=surv).toPandas()
+    db = GQLite(spark)
+    g = db.catalog.create_graph("r13kb")
+    g.create_group("docs").register_df(
+        d.filter(F.col("doc_id") % 7 != 0), key_col="doc_id")
+    g.create_group("bench").register_df(
+        d.filter(F.col("doc_id") % 7 == 0), key_col="doc_id")
+    got = db.query_df(
+        "{curate: 'docs', in: 'r13kb', benchmark: 'bench',"
+        " quality_min: 0.5, ngram: 8, method: 'clusters'};"
+    ).toPandas()
 
     # oracle: survivor purge (closure + argmax over the TRAIN split)
     # spliced into the proven curation_pipeline oracle's fragments
