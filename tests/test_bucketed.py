@@ -346,6 +346,33 @@ def test_stream_append_bucketed_matches_batch_with_restart(
     assert j.count() == 3000
 
 
+def test_stream_append_refreshes_parent_session_reads(spark, tmp_path):
+    """r13 soak finding: foreachBatch hands each batch a CLONED
+    SparkSession, so the insert's refresh lands on the clone's catalog
+    — a parent session that read the table BEFORE the stream kept
+    serving its stale cached file listing (counted 520k where 600k
+    were committed).  stream_append_bucketed now refreshes the OUTER
+    session's catalog entry after each committed batch, so a reader
+    needs NO manual refreshTable to see streamed rows."""
+    from gqlite_spark.streaming.events import (stream_append_bucketed,
+                                               stream_from_directory)
+    full = spark.range(0, 600).selectExpr("id", "id % 5 as k")
+    src = str(tmp_path / "src")
+    p = str(tmp_path / "frsh")
+    bucketed.save_bucketed(full.filter("id < 200"), p, key="id",
+                           n_buckets=4, table="t_fresh_b")
+    # poison the parent session's file-index cache with a pre-read
+    assert spark.table("t_fresh_b").count() == 200
+    full.filter("id >= 200").coalesce(2) \
+        .write.mode("append").parquet(src)
+    q = stream_append_bucketed(
+        stream_from_directory(spark, src, schema="id long, k bigint"),
+        p, checkpoint=str(tmp_path / "ckpt"))
+    assert q.awaitTermination(120)
+    # NO manual refreshTable: the twin refreshed the outer session
+    assert spark.table("t_fresh_b").count() == 600
+
+
 def test_append_and_rebucket_share_one_writer_lease(spark, tmp_path):
     """The swap rewrite and the in-place append hold the SAME
     <path>.maintain_lock lease, so they can never interleave: an

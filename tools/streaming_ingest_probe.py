@@ -23,10 +23,27 @@ on, for both layout kinds:
 4. recovery after a mid-stream kill — crash the query at batch K (an
    injected foreachBatch failure), restart from the same checkpoint,
    and verify the final count is EXACT (no loss, no double-append)
-   while measuring the recovery run's wall.
+   while measuring the recovery run's wall;
+5. LIST economics (VERDICT r12 wrong #1 'done' criterion) — a
+   steady-state committed batch must perform exactly ONE directory
+   listing (the pre-write manifest, which doubles as the orphan-temp
+   sweep); counted by instrumenting fsio.list_names around a
+   steady-state append.  Three LISTs per batch (manifest + a sweep
+   inside each atomic sidecar write) was the protocol's dominant
+   object-store cost at 10k+ files/table.
 
 Run:  python tools/streaming_ingest_probe.py [n_base] [n_stream]
 Defaults 10 M / 2 M.  Results recorded in PLANS.md.
+
+Soak mode (VERDICT r12 next #7):
+      python tools/streaming_ingest_probe.py soak [n_base] [n_stream]
+Long-running multi-restart soak over BOTH layout kinds: a
+deterministic kill schedule (several injected crashes at scattered
+batches), a mid-stream rebucket/recluster between restart legs (the
+rewrite shares the maintain lease with the appends and must carry
+last_epoch forward), and an exact-count assertion after EVERY
+recovery leg — the exactly-once contract under repeated failure, not
+a single kill.
 """
 import re
 import shutil
@@ -58,9 +75,30 @@ def _stream(spark, src):
             .load(src))
 
 
+def _count_listings(fsio, fn):
+    """Run fn() with fsio.list_names instrumented; return the count."""
+    calls = {"n": 0}
+    orig = fsio.list_names
+
+    def counting(spark_, path_, *a, **k):
+        calls["n"] += 1
+        return orig(spark_, path_, *a, **k)
+
+    fsio.list_names = counting
+    try:
+        fn()
+    finally:
+        fsio.list_names = orig
+    return calls["n"]
+
+
 def main():
-    n_base = int(sys.argv[1]) if len(sys.argv) > 1 else 10_000_000
-    n_stream = int(sys.argv[2]) if len(sys.argv) > 2 else 2_000_000
+    args = [a for a in sys.argv[1:]]
+    soak = bool(args) and args[0] == "soak"
+    if soak:
+        args = args[1:]
+    n_base = int(args[0]) if len(args) > 0 else 10_000_000
+    n_stream = int(args[1]) if len(args) > 1 else 2_000_000
     n_batches = 20
     spark = (SparkSession.builder.master("local[16]")
              .config("spark.sql.shuffle.partitions", "32")
@@ -70,6 +108,8 @@ def main():
     from gqlite_spark import fsio
     from gqlite_spark.sources import bucketed as B
     from gqlite_spark.sources import clustered as C
+    if soak:
+        return run_soak(spark, fsio, B, C, n_base, n_stream, n_batches)
 
     root = tempfile.mkdtemp(prefix="sing_probe_")
     nb = 64
@@ -93,6 +133,24 @@ def main():
                                 None, lambda spec: None)
             print(f"protocol-only guarded_append (no-op write)   "
                   f"{time.time()-t:6.2f}s")
+
+        # 5. LIST economics: steady-state batch == exactly ONE listing
+        n_lists = _count_listings(
+            fsio, lambda: fsio.guarded_append(
+                spark, p, "maintain", B.SPEC_FILE, None,
+                lambda spec: None))
+        assert n_lists == 1, f"steady-state listings = {n_lists}, want 1"
+        print(f"steady-state listings per batch: {n_lists} (protocol)")
+        n_lists = _count_listings(
+            fsio, lambda: B.append_bucketed(
+                spark.read.parquet(src).limit(1000), p))
+        assert n_lists == 1, f"real-append listings = {n_lists}, want 1"
+        print(f"steady-state listings per batch: {n_lists} (real append)")
+        # roll the probe rows back out before the measured sections
+        shutil.rmtree(p)
+        spark.sql("DROP TABLE IF EXISTS t_probe")
+        B.save_bucketed(synth(spark, n_base), p, key="k",
+                        n_buckets=nb, table="t_probe")
 
         # one-shot reference: the same 2 M rows as ONE append
         t = time.time()
@@ -220,6 +278,135 @@ def main():
     finally:
         spark.sql("DROP TABLE IF EXISTS t_probe")
         shutil.rmtree(root, ignore_errors=True)
+
+
+def run_soak(spark, fsio, B, C, n_base, n_stream, n_batches):
+    """Multi-restart soak (VERDICT r12 next #7): for EACH layout kind,
+    drive the checkpointed stream through a deterministic schedule of
+    injected crashes at scattered batches, restart after each, verify
+    an EXACT count after every recovery leg, and — between two legs —
+    run the swap rewrite (rebucket / recluster) under the shared
+    maintain lease while the checkpoint is mid-source, proving the
+    rewrite carries last_epoch forward and never reopens the
+    exactly-once window."""
+    import shutil as _sh
+
+    root = tempfile.mkdtemp(prefix="sing_soak_")
+    nb = 64
+    # deterministic scatter: kills early, mid, late in the drain
+    kills_b = sorted({max(1, n_batches // 7), n_batches // 2,
+                      n_batches - 3})
+    kills_c = sorted({2, n_batches // 3, n_batches - 5})
+    try:
+        src = f"{root}/src"
+        (synth(spark, n_stream, offset=n_base)
+         .repartition(n_batches).write.parquet(src))
+        n_batch_rows = n_stream // n_batches
+        # the per-leg row-modulo check below assumes exactly
+        # equal-sized source files (round-robin repartition of an
+        # evenly divisible count delivers that; verify, don't assume)
+        per_file = (spark.read.parquet(src)
+                    .groupBy(F.input_file_name()).count()
+                    .select("count").distinct().collect())
+        uniform = [r["count"] for r in per_file] == [n_batch_rows]
+
+        def soak_kind(kind, path, ckpt, kills, append, rewrite, count):
+            pending = list(kills)
+            legs = 0
+            t_all = time.time()
+            while True:
+                boom = pending[0] if pending else None
+
+                def _fold(batch_df, batch_id, _boom=boom):
+                    if _boom is not None and batch_id == _boom:
+                        raise RuntimeError(
+                            f"injected soak crash at batch {_boom}")
+                    append(batch_df, batch_id)
+
+                q = (_stream(spark, src).writeStream.foreachBatch(_fold)
+                     .option("checkpointLocation", ckpt)
+                     .trigger(availableNow=True).start())
+                crashed = False
+                try:
+                    if not q.awaitTermination(1800):
+                        q.stop()
+                        raise AssertionError(f"{kind}: leg stalled")
+                except AssertionError:
+                    raise
+                except Exception:
+                    crashed = True
+                legs += 1
+                got = count()
+                if crashed:
+                    pending.pop(0)
+                    # every recovery leg must leave a consistent table:
+                    # whole committed batches only (nothing partial,
+                    # nothing doubled)
+                    extra = got - n_base
+                    if uniform:
+                        assert extra % n_batch_rows == 0, (kind, got)
+                    assert 0 <= extra <= n_stream, (kind, got)
+                    print(f"{kind}: leg {legs} crashed as scheduled "
+                          f"(batch {boom}); committed so far exact: "
+                          f"{got:,}")
+                    if len(pending) == 1:
+                        # mid-stream rewrite under the shared lease,
+                        # checkpoint mid-source: last_epoch must carry
+                        t = time.time()
+                        rewrite()
+                        print(f"{kind}: mid-stream rewrite "
+                              f"{time.time()-t:6.1f}s (checkpoint "
+                              "mid-source)")
+                        after = count()
+                        assert after == got, \
+                            f"{kind}: rewrite changed rows {got}->{after}"
+                else:
+                    assert got == n_base + n_stream, (kind, got)
+                    print(f"{kind}: drained after {legs} legs "
+                          f"({len(kills)} kills) {time.time()-t_all:6.1f}s"
+                          f"; final count exact: {got:,}")
+                    return
+
+        # -------- bucketed --------
+        p = f"{root}/bkt"
+        B.save_bucketed(synth(spark, n_base), p, key="k",
+                        n_buckets=nb, table="t_soak")
+        def count_bucketed():
+            # the soak folds via append_bucketed directly (the kill
+            # injection needs its own foreachBatch), so refresh the
+            # driver session's cached file index the way the real twin
+            # (stream_append_bucketed) does after each commit
+            spark.catalog.refreshTable("t_soak")
+            return spark.table("t_soak").count()
+
+        soak_kind(
+            "bucketed", p, f"{root}/ckpt_b", kills_b,
+            lambda df, bid: B.append_bucketed(df, p, epoch_id=bid),
+            lambda: B.rebucket(spark, p),
+            count_bucketed)
+        # post-soak: pruning must have survived the whole run
+        B.force_bucketed_scan(spark, True)
+        try:
+            lookup = spark.table("t_soak").where(F.col("k") == 12345)
+            m = re.search(r"SelectedBucketsCount: (\d+) out of (\d+)",
+                          _plan(lookup))
+            assert m and int(m.group(1)) == 1, "pruning lost post-soak"
+            print(f"bucketed: post-soak pruning {m.group(0)}")
+        finally:
+            B.force_bucketed_scan(spark, False)
+
+        # -------- clustered --------
+        pc = f"{root}/clu"
+        C.save_clustered(synth(spark, n_base), pc, ["v"], n_files=64)
+        soak_kind(
+            "clustered", pc, f"{root}/ckpt_c", kills_c,
+            lambda df, bid: C.append_clustered(df, pc, epoch_id=bid),
+            lambda: C.recluster(spark, pc),
+            lambda: spark.read.parquet(pc).count())
+        print("SOAK OK")
+    finally:
+        spark.sql("DROP TABLE IF EXISTS t_soak")
+        _sh.rmtree(root, ignore_errors=True)
 
 
 if __name__ == "__main__":
