@@ -1774,7 +1774,13 @@ def q_stream_ingest_scan(spark, sf_dir):
     q = stream_append_bucketed(
         stream_from_directory(spark, src, schema=schema, fmt="parquet"),
         p, checkpoint=root + "/ckpt")
-    q.awaitTermination(300)
+    # fail loudly on a stalled stream (ADVICE r12 #2): silently
+    # aggregating a partially-ingested table would surface as a
+    # confusing value mismatch, with the query still appending behind
+    if not q.awaitTermination(300):
+        q.stop()
+        raise RuntimeError(
+            "stream_ingest_scan: stream did not drain within 300s")
     return (spark.table(tbl)
             .groupBy("l_quantity")
             .agg(F.count("*").alias("n"),
@@ -1812,7 +1818,11 @@ def q_stream_clustered_scan(spark, sf_dir):
     q = stream_append_clustered(
         stream_from_directory(spark, src, schema=schema), p,
         checkpoint=root + "/ckpt")
-    q.awaitTermination(300)
+    # fail loudly on a stalled stream (ADVICE r12 #2)
+    if not q.awaitTermination(300):
+        q.stop()
+        raise RuntimeError(
+            "stream_clustered_scan: stream did not drain within 300s")
     C.recluster(spark, p)
     return (spark.read.parquet(p)
             .where(F.col("l_quantity") > 45)
@@ -1865,6 +1875,57 @@ def q_dedup_keep_best(spark, sf_dir):
     return keep_best_per_cluster(clusters, scores)
 
 
+def q_curation_keep_best(spark, sf_dir):
+    """The one-plan curation pipeline with the purge step driven by
+    NEAR-dup quality survivor selection, END-TO-END through the GQL
+    `{curate: method: 'clusters'}` statement (promoted from the r12
+    rehearsal, tests/test_r13_oracle_candidates.py): LSH pairs over
+    the train split -> connected components -> keep each cluster's
+    longest member (tie -> min id) -> quality gate -> 8-gram benchmark
+    decontamination -> per-language report.  The oracle replays the
+    WHOLE chain (recursive-CTE pair closure + argmax survivor pick
+    spliced into the proven curation_pipeline fragments), so the
+    parse -> validate -> lower -> survivor-purge -> report path is
+    value-checked end to end.  The survivor argmax windows over the
+    pair-graph-sized cluster membership only, never the corpus —
+    the keep-best purge at 100 TB costs what the near-dup join costs,
+    nothing more (probed at 1M docs, PLANS.md)."""
+    from gqlite_spark import GQLite
+    d = _load(spark, sf_dir, "documents")
+    db = GQLite(spark)
+    g = db.catalog.create_graph("r13kbe")
+    g.create_group("docs").register_df(
+        d.filter(F.col("doc_id") % 7 != 0), key_col="doc_id")
+    g.create_group("bench").register_df(
+        d.filter(F.col("doc_id") % 7 == 0), key_col="doc_id")
+    return db.query_df(
+        "{curate: 'docs', in: 'r13kbe', benchmark: 'bench',"
+        " quality_min: 0.5, ngram: 8, method: 'clusters'};")
+
+
+def q_curation_best_by(spark, sf_dir):
+    """The one-plan curation pipeline with the EXACT-hash purge keeping
+    the best member per duplicate group (max n_tokens, tie -> min id)
+    instead of the min-id canonical, END-TO-END through the GQL
+    `{curate: best_by:}` statement (promoted from the r12 rehearsal).
+    Same window as `curation_pipeline`, different ordering — identical
+    cost profile; the oracle is curation_pipeline's proven SQL with
+    the dedup CTE's ordering swapped to the argmax form, so the
+    best_by parse/lower path and the argmax semantics are what the
+    gate value-checks."""
+    from gqlite_spark import GQLite
+    d = _load(spark, sf_dir, "documents")
+    db = GQLite(spark)
+    g = db.catalog.create_graph("r13bbe")
+    g.create_group("docs").register_df(
+        d.filter(F.col("doc_id") % 7 != 0), key_col="doc_id")
+    g.create_group("bench").register_df(
+        d.filter(F.col("doc_id") % 7 == 0), key_col="doc_id")
+    return db.query_df(
+        "{curate: 'docs', in: 'r13bbe', benchmark: 'bench',"
+        " quality_min: 0.5, ngram: 8, best_by: 'n_tokens'};")
+
+
 # --------------------------------------------------------------------------
 # contract surface
 # --------------------------------------------------------------------------
@@ -1878,7 +1939,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ROTATION POLICY (the standing invariant, VERDICT r9 next #2 —
     # future rounds follow this, not a per-round ad-hoc pick): the
     # driver's correctness gate checks the FIRST 50 entries in dict
-    # order, and the contract now has 112 entries, so ≤1-round
+    # order, and the contract now has 114 entries, so ≤1-round
     # staleness is arithmetically impossible.  The rule, in priority
     # order, is:
     #   (1) RED rows and entries NEW this round always jump the queue
@@ -1886,7 +1947,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     #       first driver row immediately);
     #   (2) remaining slots go to entries by STALENESS, oldest driver
     #       row first — so every entry cycles through the window at
-    #       least every ceil(112/50) = 3 rounds, and in practice every
+    #       least every ceil(114/50) = 3 rounds, and in practice every
     #       2 (the deferred remainder is small);
     #   (3) when a staleness tier must be split, defer entries whose
     #       FAMILY stays redundantly covered in-window and that are
@@ -1899,32 +1960,109 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # comparator treats any pandas dtype drift as FAILURE, matching
     # the driver's hash.
     #
-    # ROUND-12 WINDOW (per the policy): (1) FIRST the 8 entries
-    # deferred in r10 AND r11 (two rounds driver-stale — the oldest
-    # tier): knn_near_limit / sim_ann_pq_indexed / window_session /
-    # multimodal_bytes / graph_degrees / graph_connected_components /
-    # dedup_url / dedup_lines; (2) the four NEW promotions
-    # stream_ingest_scan + stream_clustered_scan +
-    # rollup_quantiles_read + dedup_keep_best (the r11 streaming-
-    # ingest / sketch-read / survivor-selection machinery, rehearsed
-    # entry-shaped in tests/test_r12_oracle_candidates.py since r11 —
-    # contract -> 112); (3) 38 of the 50 r10-stale entries;
-    # (4) deferred to r13 and FIRST there: filter_or (filter_in +
-    # filter_datetime in-window), window_sliding (window_session
-    # in-window), sim_knn_join (sim_knn_join_ivf + sim_cosine_topk
-    # in-window), text_winnow_fp (text_tfidf + text_chunking +
-    # text_token_budget in-window), multimodal_resize +
-    # multimodal_frames (multimodal_bytes + multimodal_features
-    # in-window), sim_ann_lsh_indexed + sim_ann_ivfpq_indexed
-    # (sim_ann_pq_indexed + sim_ann_ivf_indexed in-window),
-    # graph_cc_twophase (graph_connected_components in-window),
-    # graph_kcore + graph_node_jaccard + graph_random_walk
-    # (graph_degrees + graph_connected_components + graph_label_prop +
-    # graph_pagerank_personalized in-window) — all twelve also pinned
-    # by unit tests (test_engine.py, test_operators.py,
+    # ROUND-13 WINDOW (per the policy): (1) FIRST the 12 entries
+    # deferred in r11 AND r12 (two rounds driver-stale — the oldest
+    # tier): filter_or / window_sliding / sim_knn_join /
+    # text_winnow_fp / multimodal_resize / multimodal_frames /
+    # sim_ann_lsh_indexed / sim_ann_ivfpq_indexed / graph_cc_twophase /
+    # graph_kcore / graph_node_jaccard / graph_random_walk;
+    # (2) the two NEW promotions curation_keep_best + curation_best_by
+    # (the r12 `{curate:}` survivor-selection machinery, rehearsed
+    # entry-shaped in tests/test_r13_oracle_candidates.py since r12 —
+    # contract -> 114); (3) 36 of the 50 r11-stale entries;
+    # (4) deferred to r14 and FIRST there (one round stale now, two by
+    # then; families covered in-window): sim_ann_lsh
+    # (sim_ann_lsh_indexed in-window), sim_ann_pq + sim_ann_ivf
+    # (sim_ann_ivfpq_indexed in-window), knn_near_limit_pq
+    # (knn_near_limit_routed in-window — the cost-routed entry
+    # exercises the same PQ codes path), window_tumbling
+    # (window_sliding in-window), text_fingerprint (text_winnow_fp
+    # in-window — same winnowing/fingerprint module), multimodal_meta
+    # + multimodal_av_meta (multimodal_resize + multimodal_frames
+    # in-window — same header-decode core), graph_closeness
+    # (graph_betweenness in-window — same centrality module),
+    # graph_scc (graph_cc_twophase in-window), graph_khop
+    # (graph_walk_2hop_cond + graph_random_walk in-window),
+    # graph_triangles (graph_clustering_coef in-window — the coef
+    # counts triangles), dedup_simhash (dedup_minhash_lsh +
+    # dedup_ngram_jaccard in-window), dedup_embedding_cosine
+    # (sim_knn_join in-window — same cosine kernel) — all fourteen
+    # also pinned by unit tests (test_engine.py, test_operators.py,
     # test_graph_algos.py, test_streaming.py, test_gql_pipeline.py).
+    # The 50 r12-green entries are fresh and sit past the cap; r14
+    # takes the 14 named above FIRST, then 36 of those 50.
     return {
-        # ==== (1) oldest tier: the 8 r10/r11-deferred (r9-green) ====
+        # ==== (1) oldest tier: the 12 r11/r12-deferred (r10-green) ====
+        "filter_or": q_filter_or,
+        "window_sliding": q_window_sliding,
+        "sim_knn_join": q_knn_join,
+        "text_winnow_fp": q_text_winnow_fp,
+        "multimodal_resize": q_multimodal_resize,
+        "multimodal_frames": q_multimodal_frames,
+        "sim_ann_lsh_indexed": q_ann_lsh_indexed,
+        "sim_ann_ivfpq_indexed": q_ann_ivfpq_indexed,
+        "graph_cc_twophase": q_cc_twophase,
+        "graph_kcore": q_kcore,
+        "graph_node_jaccard": q_node_jaccard,
+        "graph_random_walk": q_random_walk,
+        # ==== (2) r13 promotions (rehearsed since r12) ====
+        "curation_keep_best": q_curation_keep_best,
+        "curation_best_by": q_curation_best_by,
+        # ==== (3) r11-stale: 36 of 50 (14 named above -> r14) ====
+        "text_repetition": q_text_repetition,
+        "text_langid": q_text_langid,
+        "graph_clustering_coef": q_clustering_coef,
+        "layout_fold_scan": q_layout_fold_scan,
+        "bucketed_ingest_scan": q_bucketed_ingest_scan,
+        "distinct_kmv": q_distinct_kmv,
+        "knn_near_limit_routed": q_knn_routed,
+        "pricing_summary": q_pricing_summary,
+        "training_shards": q_training_shards,
+        "dedup_exact": q_dedup_exact,
+        "dedup_minhash_lsh": q_dedup_minhash,
+        "text_lm_score": q_text_lm_score,
+        "event_funnel": q_event_funnel,
+        "window_interval_join": q_interval_join,
+        "sample_stratified": q_sample_stratified,
+        "sample_shuffle": q_sample_shuffle,
+        "decontaminate": q_decontaminate,
+        "pack_sequences": q_pack_sequences,
+        "graph_betweenness": q_betweenness,
+        "scan_filter_eq": q_scan_filter_eq,
+        "filter_range_and": q_filter_range_and,
+        "point_lookup": q_point_lookup,
+        "topk_orders": q_topk_orders,
+        "window_rank_running": q_window_rank,
+        "join_region_revenue": q_join_region_revenue,
+        "join_2hop_revenue": q_join_2hop_revenue,
+        "anti_join_no_orders": q_anti_join,
+        "upsert_lww": q_upsert_lww,
+        "graph_walk_2hop_cond": q_walk_2hop_cond,
+        "graph_motif_fork": q_motif_fork,
+        "graph_shortest_path": q_shortest_path,
+        "graph_pagerank": q_pagerank,
+        "stats_entropy_gain": q_entropy,
+        "hmm_viterbi": q_hmm_viterbi,
+        "bayes_classify": q_bayes_classify,
+        "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+        # ==== past the cap: the 14 deferred r11-green — FIRST in r14
+        # ==== (still oracle-checked locally every round at sf0.01 AND
+        # ==== sf0.1; families covered in-window per the policy) ====
+        "sim_ann_lsh": q_ann_lsh,
+        "sim_ann_pq": q_ann_pq,
+        "sim_ann_ivf": q_ann_ivf,
+        "knn_near_limit_pq": q_knn_pq,
+        "window_tumbling": q_window_tumbling,
+        "text_fingerprint": q_text_fingerprint,
+        "multimodal_meta": q_multimodal_meta,
+        "multimodal_av_meta": q_multimodal_av_meta,
+        "graph_closeness": q_closeness,
+        "graph_scc": q_scc,
+        "graph_khop": q_khop,
+        "graph_triangles": q_triangles,
+        "dedup_simhash": q_dedup_simhash,
+        "dedup_embedding_cosine": q_dedup_embedding,
+        # ==== past the cap: r12 driver-green (fresh) ====
         "knn_near_limit": q_knn,
         "sim_ann_pq_indexed": q_ann_pq_indexed,
         "window_session": q_window_session,
@@ -1933,12 +2071,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_connected_components": q_connected_components,
         "dedup_url": q_dedup_url,
         "dedup_lines": q_dedup_lines,
-        # ==== (2) r12 promotions (rehearsed since r11) ====
         "stream_ingest_scan": q_stream_ingest_scan,
         "stream_clustered_scan": q_stream_clustered_scan,
         "rollup_quantiles_read": q_rollup_quantiles_read,
         "dedup_keep_best": q_dedup_keep_best,
-        # ==== (3) r10-stale: 38 of 50 (12 named above -> r13) ====
         "filter_datetime": q_filter_datetime,
         "projection": q_projection,
         "rollup_incremental": q_rollup_incremental,
@@ -1977,72 +2113,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_token_stats": q_text_stats,
         "text_quality": q_text_quality,
         "sim_cosine_topk": q_cosine_topk,
-        # ==== past the cap: the 12 deferred r10-green — FIRST in r13
-        # ==== (still oracle-checked locally every round at sf0.01 AND
-        # ==== sf0.1; families covered in-window per the policy) ====
-        "filter_or": q_filter_or,
-        "window_sliding": q_window_sliding,
-        "sim_knn_join": q_knn_join,
-        "text_winnow_fp": q_text_winnow_fp,
-        "multimodal_resize": q_multimodal_resize,
-        "multimodal_frames": q_multimodal_frames,
-        "sim_ann_lsh_indexed": q_ann_lsh_indexed,
-        "sim_ann_ivfpq_indexed": q_ann_ivfpq_indexed,
-        "graph_cc_twophase": q_cc_twophase,
-        "graph_kcore": q_kcore,
-        "graph_node_jaccard": q_node_jaccard,
-        "graph_random_walk": q_random_walk,
-        # ==== past the cap: r11 driver-green (one round stale) ====
-        "text_fingerprint": q_text_fingerprint,
-        "text_repetition": q_text_repetition,
-        "text_langid": q_text_langid,
-        "sim_ann_lsh": q_ann_lsh,
-        "sim_ann_pq": q_ann_pq,
-        "window_tumbling": q_window_tumbling,
-        "graph_clustering_coef": q_clustering_coef,
-        "layout_fold_scan": q_layout_fold_scan,
-        "bucketed_ingest_scan": q_bucketed_ingest_scan,
-        "distinct_kmv": q_distinct_kmv,
-        "knn_near_limit_pq": q_knn_pq,
-        "knn_near_limit_routed": q_knn_routed,
-        "pricing_summary": q_pricing_summary,
-        "sim_ann_ivf": q_ann_ivf,
-        "training_shards": q_training_shards,
-        "dedup_exact": q_dedup_exact,
-        "dedup_minhash_lsh": q_dedup_minhash,
-        "text_lm_score": q_text_lm_score,
-        "event_funnel": q_event_funnel,
-        "window_interval_join": q_interval_join,
-        "multimodal_meta": q_multimodal_meta,
-        "multimodal_av_meta": q_multimodal_av_meta,
-        "sample_stratified": q_sample_stratified,
-        "sample_shuffle": q_sample_shuffle,
-        "decontaminate": q_decontaminate,
-        "pack_sequences": q_pack_sequences,
-        "graph_betweenness": q_betweenness,
-        "scan_filter_eq": q_scan_filter_eq,
-        "filter_range_and": q_filter_range_and,
-        "point_lookup": q_point_lookup,
-        "topk_orders": q_topk_orders,
-        "window_rank_running": q_window_rank,
-        "join_region_revenue": q_join_region_revenue,
-        "join_2hop_revenue": q_join_2hop_revenue,
-        "anti_join_no_orders": q_anti_join,
-        "upsert_lww": q_upsert_lww,
-        "graph_walk_2hop_cond": q_walk_2hop_cond,
-        "graph_motif_fork": q_motif_fork,
-        "graph_khop": q_khop,
-        "graph_shortest_path": q_shortest_path,
-        "graph_pagerank": q_pagerank,
-        "graph_triangles": q_triangles,
-        "graph_scc": q_scc,
-        "graph_closeness": q_closeness,
-        "stats_entropy_gain": q_entropy,
-        "hmm_viterbi": q_hmm_viterbi,
-        "bayes_classify": q_bayes_classify,
-        "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
-        "dedup_simhash": q_dedup_simhash,
-        "dedup_embedding_cosine": q_dedup_embedding,
     }
 
 
@@ -2975,7 +3045,100 @@ def oracle_sql() -> dict[str, str]:
         "generate_series(1, greatest(length(text) - 2, 0)),"
         " i -> substr(text, i, 3)))) AS s FROM documents WHERE doc_id < 300)")
 
+    # curation_pipeline: the chained form of dedup_exact + text_quality
+    # + text_langid + decontaminate, each fragment identical to its own
+    # proven oracle; the chain is what the entry adds.  Hoisted so the
+    # two purge variants below derive from the SAME proven fragments.
+    curation_sql = (
+        f"WITH enriched AS (SELECT doc_id, text,"
+        f" CAST({ntok} AS BIGINT) AS n_tokens,"
+        f" round(LEAST(1.0, 0.5 * LEAST(1.0, {stop_sum} / 5.0)"
+        f" + 0.5 * LEAST(1.0, CAST({ntok} AS BIGINT) / 20.0)), 4) AS quality,"
+        f" {lang_case} AS predicted_lang"
+        " FROM documents WHERE doc_id % 7 <> 0),"
+        " dd AS (SELECT *, MIN(doc_id) OVER (PARTITION BY md5(text)) AS rep"
+        " FROM enriched),"
+        " kept AS (SELECT * FROM dd WHERE doc_id = rep AND quality >= 0.5),"
+        " kw AS (SELECT doc_id, string_split(text, ' ') AS ws FROM kept),"
+        " gk AS (SELECT doc_id, unnest(list_transform("
+        "generate_series(1, greatest(len(ws) - 7, 0)),"
+        " i -> array_to_string(list_slice(ws, i, i + 7), ' '))) AS s FROM kw),"
+        " bw AS (SELECT string_split(text, ' ') AS ws FROM documents"
+        " WHERE doc_id % 7 = 0),"
+        " gb AS (SELECT DISTINCT unnest(list_transform("
+        "generate_series(1, greatest(len(ws) - 7, 0)),"
+        " i -> array_to_string(list_slice(ws, i, i + 7), ' '))) AS s FROM bw),"
+        " dirty AS (SELECT DISTINCT gk.doc_id FROM gk JOIN gb USING (s))"
+        " SELECT predicted_lang, COUNT(*)::BIGINT AS n_docs,"
+        " SUM(n_tokens)::BIGINT AS sum_tokens,"
+        " SUM(CAST(ROUND(quality * 10000) AS BIGINT))::BIGINT AS sum_quality_e4"
+        " FROM kept WHERE doc_id NOT IN (SELECT doc_id FROM dirty)"
+        " GROUP BY predicted_lang")
+
+    # curation_best_by: the same pipeline with the exact-hash purge's
+    # ordering swapped to argmax (max n_tokens, tie -> min id)
+    curation_best_by_sql = curation_sql.replace(
+        " dd AS (SELECT *, MIN(doc_id) OVER (PARTITION BY md5(text)) AS rep"
+        " FROM enriched),"
+        " kept AS (SELECT * FROM dd WHERE doc_id = rep AND quality >= 0.5),",
+        " dd AS (SELECT *, row_number() OVER (PARTITION BY md5(text)"
+        " ORDER BY n_tokens DESC, doc_id ASC) AS rn FROM enriched),"
+        " kept AS (SELECT * EXCLUDE (rn) FROM dd WHERE rn = 1"
+        " AND quality >= 0.5),")
+    assert curation_best_by_sql != curation_sql   # splice must land
+
+    # curation_keep_best: the near-dup survivor purge (recursive-CTE
+    # pair closure over the TRAIN split + argmax-by-length survivor
+    # pick, the dedup_keep_best oracle's machinery) spliced in front of
+    # the proven curation fragments — enriched CTE reused verbatim
+    kb_enriched = curation_sql[curation_sql.index("enriched AS"):
+                               curation_sql.index("), dd AS")] + ")"
+    kb_pairs = _MINHASH_ORACLE_SQL.replace(
+        "FROM documents", "FROM documents WHERE doc_id % 7 <> 0", 1)
+    curation_keep_best_sql = (
+        "WITH RECURSIVE pairs AS (" + kb_pairs + "),"
+        " und AS (SELECT doc_a AS a, doc_b AS b FROM pairs"
+        " UNION SELECT doc_b, doc_a FROM pairs),"
+        " reach(a, b) AS (SELECT a, b FROM und"
+        " UNION SELECT r.a, u.b FROM reach r JOIN und u ON r.b = u.a"
+        " WHERE r.a <> u.b),"
+        " clus AS (SELECT a AS m, LEAST(a, MIN(b)) AS rep"
+        " FROM reach GROUP BY a),"
+        " sc AS (SELECT c.m, c.rep, CAST(length(d.text) AS BIGINT)"
+        "        AS score FROM clus c"
+        "        JOIN documents d ON d.doc_id = c.m),"
+        " purge AS (SELECT m AS doc_id FROM ("
+        "   SELECT m, row_number() OVER (PARTITION BY rep"
+        "          ORDER BY score DESC, m ASC) AS rn FROM sc)"
+        "   WHERE rn > 1),"
+        " " + kb_enriched + ","
+        " kept AS (SELECT * FROM enriched"
+        "   WHERE doc_id NOT IN (SELECT doc_id FROM purge)"
+        "   AND quality >= 0.5),"
+        " kw AS (SELECT doc_id, string_split(text, ' ') AS ws"
+        "        FROM kept),"
+        " gk AS (SELECT doc_id, unnest(list_transform("
+        "generate_series(1, greatest(len(ws) - 7, 0)),"
+        " i -> array_to_string(list_slice(ws, i, i + 7), ' '))) AS s"
+        " FROM kw),"
+        " bw AS (SELECT string_split(text, ' ') AS ws FROM documents"
+        " WHERE doc_id % 7 = 0),"
+        " gb AS (SELECT DISTINCT unnest(list_transform("
+        "generate_series(1, greatest(len(ws) - 7, 0)),"
+        " i -> array_to_string(list_slice(ws, i, i + 7), ' '))) AS s"
+        " FROM bw),"
+        " dirty AS (SELECT DISTINCT gk.doc_id FROM gk JOIN gb"
+        " USING (s))"
+        " SELECT predicted_lang, COUNT(*)::BIGINT AS n_docs,"
+        " SUM(n_tokens)::BIGINT AS sum_tokens,"
+        " SUM(CAST(ROUND(quality * 10000) AS BIGINT))::BIGINT"
+        " AS sum_quality_e4"
+        " FROM kept WHERE doc_id NOT IN (SELECT doc_id FROM dirty)"
+        " GROUP BY predicted_lang")
+
     return {
+        "curation_keep_best": curation_keep_best_sql,
+        "curation_best_by": curation_best_by_sql,
         "rollup_incremental":
             "SELECT CAST(floor(date_part('epoch', ts) / 3600) * 3600"
             "            AS BIGINT) AS bucket_start,"
@@ -3722,34 +3885,7 @@ def oracle_sql() -> dict[str, str]:
             " MIN(CASE WHEN cum >= (99*n + 99) // 100 THEN n_chars END)::BIGINT AS p99,"
             " MAX(n)::BIGINT AS n_docs"
             " FROM cum JOIN tot USING (lang) GROUP BY cum.lang",
-        "curation_pipeline":
-            # the chained form of dedup_exact + text_quality + text_langid
-            # + decontaminate, each fragment identical to its own proven
-            # oracle; the chain is what this entry adds
-            f"WITH enriched AS (SELECT doc_id, text,"
-            f" CAST({ntok} AS BIGINT) AS n_tokens,"
-            f" round(LEAST(1.0, 0.5 * LEAST(1.0, {stop_sum} / 5.0)"
-            f" + 0.5 * LEAST(1.0, CAST({ntok} AS BIGINT) / 20.0)), 4) AS quality,"
-            f" {lang_case} AS predicted_lang"
-            " FROM documents WHERE doc_id % 7 <> 0),"
-            " dd AS (SELECT *, MIN(doc_id) OVER (PARTITION BY md5(text)) AS rep"
-            " FROM enriched),"
-            " kept AS (SELECT * FROM dd WHERE doc_id = rep AND quality >= 0.5),"
-            " kw AS (SELECT doc_id, string_split(text, ' ') AS ws FROM kept),"
-            " gk AS (SELECT doc_id, unnest(list_transform("
-            "generate_series(1, greatest(len(ws) - 7, 0)),"
-            " i -> array_to_string(list_slice(ws, i, i + 7), ' '))) AS s FROM kw),"
-            " bw AS (SELECT string_split(text, ' ') AS ws FROM documents"
-            " WHERE doc_id % 7 = 0),"
-            " gb AS (SELECT DISTINCT unnest(list_transform("
-            "generate_series(1, greatest(len(ws) - 7, 0)),"
-            " i -> array_to_string(list_slice(ws, i, i + 7), ' '))) AS s FROM bw),"
-            " dirty AS (SELECT DISTINCT gk.doc_id FROM gk JOIN gb USING (s))"
-            " SELECT predicted_lang, COUNT(*)::BIGINT AS n_docs,"
-            " SUM(n_tokens)::BIGINT AS sum_tokens,"
-            " SUM(CAST(ROUND(quality * 10000) AS BIGINT))::BIGINT AS sum_quality_e4"
-            " FROM kept WHERE doc_id NOT IN (SELECT doc_id FROM dirty)"
-            " GROUP BY predicted_lang",
+        "curation_pipeline": curation_sql,
         "decontaminate":
             "WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws"
             " FROM documents),"
