@@ -1,0 +1,67 @@
+"""Driver-gate dress rehearsal for the r14 contract candidates.
+
+The r13 window is frozen (the 12 two-round-stale entries + the 2
+curation promotions + 36 r11-stale entries), so machinery that earns a
+new oracle this round ships without its own contract row.  These tests
+run EXACT entry-shaped queries against full DuckDB oracles with the
+gate's own comparator (tools.oracle_check.compare — dtype drift is a
+hard FAIL), so promoting them into __spark_entry__.queries() /
+oracle_sql() in r14 is a copy-paste with proven parity.
+"""
+
+import sys
+
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_DIR
+from tools.oracle_check import compare, duck_con
+
+sys.path.insert(0, "/root/repo")
+
+
+def test_stream_upsert_scan_candidate(spark, tmp_path):
+    """Entry shape `stream_upsert_scan`: the streaming -> graph LWW
+    ingestion lifecycle (stream_upsert_vertices) driver-oracled end to
+    end — the last uncontracted exactly-once streaming twin.  Events
+    stream into a vertex group as checkpointed micro-batches with
+    version_col='event_id' (a unique monotonic sequence), so the
+    version-aware merge must leave exactly the GLOBAL max-version row
+    per user regardless of how rows fall into micro-batches; the
+    oracle is the plain argmax window over the raw table.  Parity
+    proves the cross-batch re-reduce (old state UNION new batch ->
+    max-version per key) is value-faithful — the continuous `upset`
+    contract (reference intent: UpsetPlan.cpp:88-127) under streaming
+    delivery."""
+    from gqlite_spark.catalog import Graph
+    from gqlite_spark.streaming.events import stream_upsert_vertices
+
+    ev = (spark.read.parquet(f"{SF_DIR}/events.parquet")
+          .filter(F.col("user_id").isNotNull())
+          .select("user_id", "event_id", "event_type",
+                  F.round(F.col("value") * 100).cast("long")
+                  .alias("value_cents")))
+    src = str(tmp_path / "src")
+    ev.repartition(4).write.parquet(src)      # several micro-batches
+    g = Graph(spark, "r14su").create_group("user")
+    stream = (spark.readStream.format("parquet")
+              .schema("user_id bigint, event_id bigint,"
+                      " event_type string, value_cents bigint")
+              .option("maxFilesPerTrigger", 1).load(src))
+    q = stream_upsert_vertices(stream, g,
+                               checkpoint=str(tmp_path / "ckpt"),
+                               key_col="user_id",
+                               version_col="event_id")
+    assert q.awaitTermination(300)
+    got = (g.to_df()
+           .select(F.col("id").alias("user_id"), "event_id",
+                   "event_type", "value_cents")).toPandas()
+
+    oracle = duck_con(SF_DIR).execute(
+        "SELECT user_id, event_id, event_type,"
+        " CAST(ROUND(value * 100) AS BIGINT) AS value_cents"
+        " FROM (SELECT *, row_number() OVER (PARTITION BY user_id"
+        "       ORDER BY event_id DESC) AS rn"
+        "       FROM events WHERE user_id IS NOT NULL) WHERE rn = 1"
+    ).fetchdf()
+    verdict = compare(got, oracle)
+    assert verdict.startswith("OK"), verdict
