@@ -65,3 +65,46 @@ def test_stream_upsert_scan_candidate(spark, tmp_path):
     ).fetchdf()
     verdict = compare(got, oracle)
     assert verdict.startswith("OK"), verdict
+
+
+def test_stream_rollup_scan_candidate(spark, tmp_path):
+    """Entry shape `stream_rollup_scan`: the exactly-once ROLLUP
+    streaming twin driver-oracled end to end — build the hourly rollup
+    from 2/3 of events, STREAM the remaining 1/3 in as checkpointed
+    micro-batches (stream_rollup: foreachBatch -> epoch-guarded
+    append_rollup, only touched buckets rewritten under the crash-safe
+    swap), read the stored table.  The oracle is rollup_incremental's
+    proven SQL (the one-shot hourly GROUP BY over ALL events) —
+    mergeability means streamed == one-shot exactly, and the epoch
+    fence means replayed batches never double-count."""
+    import __spark_entry__ as entry
+    from gqlite_spark.operators.rollup import read_rollup, save_rollup
+    from gqlite_spark.streaming.events import (stream_from_directory,
+                                               stream_rollup)
+
+    ev = (spark.read.parquet(f"{SF_DIR}/events.parquet")
+          .withColumn("v_cents",
+                      F.floor(F.col("value") * 100 + F.lit(0.5))
+                      .cast("long")))
+    p = f"file:{tmp_path}/sroll"
+    save_rollup(ev.filter(F.col("event_id") % 3 != 0), p, "ts", 3600,
+                dims=["event_type"], metrics={"v_cents": ["sum", "max"]})
+    src = str(tmp_path / "src")
+    (ev.filter(F.col("event_id") % 3 == 0)
+     .select("ts", "event_type", "v_cents")
+     .repartition(4).write.parquet(src))       # several micro-batches
+    q = stream_rollup(
+        stream_from_directory(
+            spark, src,
+            schema="ts timestamp, event_type string, v_cents bigint"),
+        p, checkpoint=str(tmp_path / "ckpt"))
+    assert q.awaitTermination(300)
+    got = (read_rollup(spark, p)
+           .select("bucket_start", "event_type", "n",
+                   F.col("sum_v_cents").alias("sum_cents"),
+                   F.col("max_v_cents").alias("max_cents"))).toPandas()
+
+    oracle = duck_con(SF_DIR).execute(
+        entry.oracle_sql()["rollup_incremental"]).fetchdf()
+    verdict = compare(got, oracle)
+    assert verdict.startswith("OK"), verdict
