@@ -1197,6 +1197,16 @@ class Graph:
         sidecar, and :func:`load` re-attaches it — a saved graph keeps
         its pruned/exchange-free scan path across sessions instead of
         silently falling back to the snapshot parquet.
+
+        Concurrency contract (ADVICE r12 #3): concurrent saves of one
+        graph to the SAME root are unsupported — the per-group parquet
+        overwrites race regardless of the sidecar protocol (last
+        writer's files win per group, possibly mixed across groups).
+        The schema sidecar itself is rename-atomic and, since r13,
+        listing-free (no orphan-temp sweep that could delete a
+        concurrent saver's in-flight temp), so the failure mode is
+        torn DATA, never a torn sidecar; serialize saves per root at
+        the orchestration layer.
         """
         from . import fsio
         path = fsio.join(root, self.name)
