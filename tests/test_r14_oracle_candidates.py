@@ -108,3 +108,33 @@ def test_stream_rollup_scan_candidate(spark, tmp_path):
         entry.oracle_sql()["rollup_incremental"]).fetchdf()
     verdict = compare(got, oracle)
     assert verdict.startswith("OK"), verdict
+
+
+def test_gql_similar_topk_candidate(spark):
+    """Entry shape `gql_similar_topk`: top-k vector search END-TO-END
+    through the GQL `{similar:}` statement (parse -> validate -> lower
+    onto operators/similarity.cosine_topk), against the PROVEN
+    sim_cosine_topk oracle — the statement route's first gate row,
+    mirroring what r13 did for `{curate:}`.  The query vector is
+    embeddings.vec_id=0 formatted as a GQL float-list literal (repr
+    round-trips float64 exactly, so the scores are bit-identical to
+    the library path)."""
+    import __spark_entry__ as entry
+    from gqlite_spark import GQLite
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    db = GQLite(spark)
+    g = db.catalog.create_graph("r14sim")
+    g.create_group("vecs").register_df(emb, key_col="vec_id")
+    qvec = [float(x) for x in
+            emb.filter(F.col("vec_id") == 0)
+            .select("embedding").collect()[0][0]]
+    lit = "[" + ", ".join(repr(x) for x in qvec) + "]"
+    got = (db.query_df("{similar: 'vecs', in: 'r14sim', to: " + lit +
+                       ", top: 10, method: 'brute'};")
+           .withColumnRenamed("id", "vec_id")).toPandas()
+
+    oracle = duck_con(SF_DIR).execute(
+        entry.oracle_sql()["sim_cosine_topk"]).fetchdf()
+    verdict = compare(got, oracle)
+    assert verdict.startswith("OK"), verdict
