@@ -373,6 +373,29 @@ def test_stream_append_refreshes_parent_session_reads(spark, tmp_path):
     assert spark.table("t_fresh_b").count() == 600
 
 
+def test_empty_batch_append_is_harmless(spark, tmp_path):
+    """The streaming twins dropped their take(1) empty-batch guard
+    (VERDICT r12 wrong #3) on the claim that an empty append under the
+    epoch guard is harmless — pin it: the commit succeeds, the table
+    is unchanged, and a replay of the empty epoch still skips.  Covers
+    both layout kinds (the clustered twin relies on the same claim)."""
+    from gqlite_spark.sources import clustered
+    df = spark.range(100).selectExpr("id as k", "id % 5 as d")
+    empty = df.limit(0)
+    pb = str(tmp_path / "eb")
+    bucketed.save_bucketed(df, pb, key="k", n_buckets=4,
+                           table="t_empty_b")
+    assert bucketed.append_bucketed(empty, pb, epoch_id=1) is True
+    spark.catalog.refreshTable("t_empty_b")
+    assert spark.table("t_empty_b").count() == 100
+    assert bucketed.append_bucketed(empty, pb, epoch_id=1) is False
+    pc = str(tmp_path / "ec")
+    clustered.save_clustered(df, pc, ["k"], n_files=4)
+    assert clustered.append_clustered(empty, pc, epoch_id=1) is True
+    assert spark.read.parquet(pc).count() == 100
+    assert clustered.append_clustered(empty, pc, epoch_id=1) is False
+
+
 def test_append_and_rebucket_share_one_writer_lease(spark, tmp_path):
     """The swap rewrite and the in-place append hold the SAME
     <path>.maintain_lock lease, so they can never interleave: an
