@@ -1926,6 +1926,118 @@ def q_curation_best_by(spark, sf_dir):
         " quality_min: 0.5, ngram: 8, best_by: 'n_tokens'};")
 
 
+def q_stream_upsert_scan(spark, sf_dir):
+    """The streaming -> graph LWW ingestion lifecycle oracled end-to-end
+    (promoted from the r13 rehearsal, tests/test_r14_oracle_candidates.py)
+    — the last exactly-once streaming twin without its own gate row.
+    Events stream into a vertex group as checkpointed micro-batches
+    (`stream_upsert_vertices`, version_col='event_id' — a unique
+    monotonic sequence), so the version-aware merge must leave exactly
+    the GLOBAL max-version row per user regardless of how rows fall into
+    micro-batches; the oracle is the plain argmax window over the raw
+    table.  Parity proves the cross-batch re-reduce (old state UNION new
+    batch -> max-version per key) is value-faithful — the continuous
+    `upset` contract (reference intent: UpsetPlan.cpp:88-127) under
+    streaming delivery.  100 TB shape: per-batch work is batch-sized
+    (re-reduce against the keyed state, no full-corpus rescans), and an
+    out-of-order or replayed batch can never regress a newer write."""
+    import tempfile
+    from gqlite_spark.catalog import Graph
+    from gqlite_spark.streaming.events import stream_upsert_vertices
+    ev = (_load(spark, sf_dir, "events")
+          .filter(F.col("user_id").isNotNull())
+          .select("user_id", "event_id", "event_type",
+                  F.round(F.col("value") * 100).cast("long")
+                  .alias("value_cents")))
+    root = tempfile.mkdtemp(prefix="gqlite_r14su_")
+    src = root + "/src"
+    ev.repartition(4).write.parquet(src)       # several micro-batches
+    g = Graph(spark, "gsu_" + root.rsplit("_", 1)[-1]).create_group("user")
+    stream = (spark.readStream.format("parquet")
+              .schema("user_id bigint, event_id bigint,"
+                      " event_type string, value_cents bigint")
+              .option("maxFilesPerTrigger", 1).load(src))
+    q = stream_upsert_vertices(stream, g, checkpoint=root + "/ckpt",
+                               key_col="user_id", version_col="event_id")
+    # fail loudly on a stalled stream (ADVICE r12 #2)
+    if not q.awaitTermination(300):
+        q.stop()
+        raise RuntimeError(
+            "stream_upsert_scan: stream did not drain within 300s")
+    return g.to_df().select(F.col("id").alias("user_id"), "event_id",
+                            "event_type", "value_cents")
+
+
+def q_stream_rollup_scan(spark, sf_dir):
+    """The exactly-once ROLLUP streaming twin oracled end-to-end
+    (promoted from the r13 rehearsal): build the hourly rollup from 2/3
+    of events, STREAM the remaining 1/3 in as checkpointed micro-batches
+    (`stream_rollup`: foreachBatch -> epoch-guarded `append_rollup`,
+    only touched buckets rewritten under the crash-safe swap), read the
+    stored table.  The oracle is rollup_incremental's proven SQL (the
+    one-shot hourly GROUP BY over ALL events) — mergeability means
+    streamed == one-shot exactly, and the epoch fence means a replayed
+    batch never double-counts.  With this and stream_upsert_scan in the
+    contract, EVERY exactly-once streaming twin (bucketed, clustered,
+    rollup, graph-upsert) carries a driver oracle."""
+    import tempfile
+    from gqlite_spark.operators.rollup import read_rollup, save_rollup
+    from gqlite_spark.streaming.events import (stream_from_directory,
+                                               stream_rollup)
+    ev = (_load(spark, sf_dir, "events")
+          .withColumn("v_cents",
+                      F.floor(F.col("value") * 100 + F.lit(0.5))
+                      .cast("long")))
+    root = tempfile.mkdtemp(prefix="gqlite_r14sr_")
+    p = "file:" + root + "/sroll"
+    save_rollup(ev.filter(F.col("event_id") % 3 != 0), p, "ts", 3600,
+                dims=["event_type"], metrics={"v_cents": ["sum", "max"]})
+    src = root + "/src"
+    (ev.filter(F.col("event_id") % 3 == 0)
+     .select("ts", "event_type", "v_cents")
+     .repartition(4).write.parquet(src))       # several micro-batches
+    q = stream_rollup(
+        stream_from_directory(
+            spark, src,
+            schema="ts timestamp, event_type string, v_cents bigint"),
+        p, checkpoint=root + "/ckpt")
+    # fail loudly on a stalled stream (ADVICE r12 #2)
+    if not q.awaitTermination(300):
+        q.stop()
+        raise RuntimeError(
+            "stream_rollup_scan: stream did not drain within 300s")
+    return (read_rollup(spark, p)
+            .select("bucket_start", "event_type", "n",
+                    F.col("sum_v_cents").alias("sum_cents"),
+                    F.col("max_v_cents").alias("max_cents")))
+
+
+def q_gql_similar_topk(spark, sf_dir):
+    """Top-k vector search END-TO-END through the GQL `{similar:}`
+    statement (promoted from the r13 rehearsal) — the statement route's
+    first gate row, mirroring what r13's curation promotions did for
+    `{curate:}`: parse -> validate -> lower onto
+    operators/similarity.cosine_topk, against the PROVEN sim_cosine_topk
+    oracle.  The query vector is embeddings.vec_id=0 formatted as a GQL
+    float-list literal (repr round-trips float64 exactly, so the scores
+    are bit-identical to the library path the oracle already covers)."""
+    import tempfile
+    from gqlite_spark import GQLite
+    emb = _load(spark, sf_dir, "embeddings")
+    db = GQLite(spark)
+    gname = "gsim_" + tempfile.mkdtemp(
+        prefix="gqlite_r14gs_").rsplit("_", 1)[-1]
+    g = db.catalog.create_graph(gname)
+    g.create_group("vecs").register_df(emb, key_col="vec_id")
+    qvec = [float(x) for x in
+            emb.filter(F.col("vec_id") == 0)
+            .select("embedding").collect()[0][0]]
+    lit = "[" + ", ".join(repr(x) for x in qvec) + "]"
+    return (db.query_df("{similar: 'vecs', in: '" + gname + "', to: " +
+                        lit + ", top: 10, method: 'brute'};")
+            .withColumnRenamed("id", "vec_id"))
+
+
 # --------------------------------------------------------------------------
 # contract surface
 # --------------------------------------------------------------------------
@@ -1939,7 +2051,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ROTATION POLICY (the standing invariant, VERDICT r9 next #2 —
     # future rounds follow this, not a per-round ad-hoc pick): the
     # driver's correctness gate checks the FIRST 50 entries in dict
-    # order, and the contract now has 114 entries, so ≤1-round
+    # order, and the contract now has 117 entries, so ≤1-round
     # staleness is arithmetically impossible.  The rule, in priority
     # order, is:
     #   (1) RED rows and entries NEW this round always jump the queue
@@ -1947,7 +2059,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     #       first driver row immediately);
     #   (2) remaining slots go to entries by STALENESS, oldest driver
     #       row first — so every entry cycles through the window at
-    #       least every ceil(114/50) = 3 rounds, and in practice every
+    #       least every ceil(117/50) = 3 rounds, and in practice every
     #       2 (the deferred remainder is small);
     #   (3) when a staleness tier must be split, defer entries whose
     #       FAMILY stays redundantly covered in-window and that are
@@ -1960,39 +2072,119 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # comparator treats any pandas dtype drift as FAILURE, matching
     # the driver's hash.
     #
-    # ROUND-13 WINDOW (per the policy): (1) FIRST the 12 entries
-    # deferred in r11 AND r12 (two rounds driver-stale — the oldest
-    # tier): filter_or / window_sliding / sim_knn_join /
-    # text_winnow_fp / multimodal_resize / multimodal_frames /
-    # sim_ann_lsh_indexed / sim_ann_ivfpq_indexed / graph_cc_twophase /
-    # graph_kcore / graph_node_jaccard / graph_random_walk;
-    # (2) the two NEW promotions curation_keep_best + curation_best_by
-    # (the r12 `{curate:}` survivor-selection machinery, rehearsed
-    # entry-shaped in tests/test_r13_oracle_candidates.py since r12 —
-    # contract -> 114); (3) 36 of the 50 r11-stale entries;
-    # (4) deferred to r14 and FIRST there (one round stale now, two by
-    # then; families covered in-window): sim_ann_lsh
-    # (sim_ann_lsh_indexed in-window), sim_ann_pq + sim_ann_ivf
-    # (sim_ann_ivfpq_indexed in-window), knn_near_limit_pq
-    # (knn_near_limit_routed in-window — the cost-routed entry
-    # exercises the same PQ codes path), window_tumbling
-    # (window_sliding in-window), text_fingerprint (text_winnow_fp
-    # in-window — same winnowing/fingerprint module), multimodal_meta
-    # + multimodal_av_meta (multimodal_resize + multimodal_frames
-    # in-window — same header-decode core), graph_closeness
-    # (graph_betweenness in-window — same centrality module),
-    # graph_scc (graph_cc_twophase in-window), graph_khop
-    # (graph_walk_2hop_cond + graph_random_walk in-window),
-    # graph_triangles (graph_clustering_coef in-window — the coef
-    # counts triangles), dedup_simhash (dedup_minhash_lsh +
-    # dedup_ngram_jaccard in-window), dedup_embedding_cosine
-    # (sim_knn_join in-window — same cosine kernel) — all fourteen
-    # also pinned by unit tests (test_engine.py, test_operators.py,
-    # test_graph_algos.py, test_streaming.py, test_gql_pipeline.py).
-    # The 50 r12-green entries are fresh and sit past the cap; r14
-    # takes the 14 named above FIRST, then 36 of those 50.
+    # ROUND-14 WINDOW (per the policy): (1) FIRST the 14 entries
+    # deferred in r12 AND r13 (two rounds driver-stale — the oldest
+    # tier, exactly the set named in the r13 comment and NOTES.md):
+    # sim_ann_lsh / sim_ann_pq / sim_ann_ivf / knn_near_limit_pq /
+    # window_tumbling / text_fingerprint / multimodal_meta /
+    # multimodal_av_meta / graph_closeness / graph_scc / graph_khop /
+    # graph_triangles / dedup_simhash / dedup_embedding_cosine;
+    # (2) the three NEW promotions stream_upsert_scan +
+    # stream_rollup_scan + gql_similar_topk (rehearsed entry-shaped in
+    # tests/test_r14_oracle_candidates.py since r13 — contract -> 117;
+    # with the first two, EVERY exactly-once streaming twin — bucketed,
+    # clustered, rollup, graph-upsert — carries a driver oracle, and
+    # the third puts the first gate row on the {similar:} statement
+    # route); (3) 33 of the 50 r12-green (one-round-stale) entries;
+    # (4) deferred to r15 and FIRST there (two rounds stale by then;
+    # families covered in-window): knn_near_limit +
+    # knn_near_limit_filtered + knn_compacted (knn_near_limit_pq
+    # in-window — same cost-router and codes path), sim_ann_pq_indexed
+    # (sim_ann_pq in-window), sim_ann_ivf_indexed (sim_ann_ivf
+    # in-window), sim_cosine_topk (gql_similar_topk in-window — the
+    # SAME kernel and oracle through the statement route),
+    # sim_knn_join_ivf (sim_ann_ivf + dedup_embedding_cosine
+    # in-window), multimodal_bytes + multimodal_features
+    # (multimodal_meta + multimodal_av_meta in-window — same
+    # header-decode core), graph_degrees (graph_triangles + graph_khop
+    # in-window, same module), graph_connected_components (graph_scc
+    # in-window), dedup_url + dedup_lines + dedup_clusters
+    # (dedup_simhash + dedup_embedding_cosine in-window),
+    # rollup_incremental (stream_rollup_scan in-window — the SAME
+    # oracle row through the streaming twin) + rollup_coarsen
+    # (stream_rollup_scan + rollup_quantiles_read in-window),
+    # text_tfidf (text_fingerprint in-window — same text module) —
+    # all seventeen also pinned by unit tests (test_operators.py,
+    # test_similarity.py, test_graph_algos.py, test_dedup.py,
+    # test_rollup.py, test_text.py).  The 50 r13-green entries are
+    # fresh and sit past the cap; r15 takes the 17 named above FIRST,
+    # then 33 of those 50.
     return {
-        # ==== (1) oldest tier: the 12 r11/r12-deferred (r10-green) ====
+        # ==== (1) oldest tier: the 14 r12/r13-deferred (r12-green) ====
+        "sim_ann_lsh": q_ann_lsh,
+        "sim_ann_pq": q_ann_pq,
+        "sim_ann_ivf": q_ann_ivf,
+        "knn_near_limit_pq": q_knn_pq,
+        "window_tumbling": q_window_tumbling,
+        "text_fingerprint": q_text_fingerprint,
+        "multimodal_meta": q_multimodal_meta,
+        "multimodal_av_meta": q_multimodal_av_meta,
+        "graph_closeness": q_closeness,
+        "graph_scc": q_scc,
+        "graph_khop": q_khop,
+        "graph_triangles": q_triangles,
+        "dedup_simhash": q_dedup_simhash,
+        "dedup_embedding_cosine": q_dedup_embedding,
+        # ==== (2) r14 promotions (rehearsed since r13): every exactly-
+        # ==== once streaming twin + the {similar:} statement route ====
+        "stream_upsert_scan": q_stream_upsert_scan,
+        "stream_rollup_scan": q_stream_rollup_scan,
+        "gql_similar_topk": q_gql_similar_topk,
+        # ==== (3) r12-stale: 33 of 50 (17 named above -> r15) ====
+        "window_session": q_window_session,
+        "stream_ingest_scan": q_stream_ingest_scan,
+        "stream_clustered_scan": q_stream_clustered_scan,
+        "rollup_quantiles_read": q_rollup_quantiles_read,
+        "dedup_keep_best": q_dedup_keep_best,
+        "filter_datetime": q_filter_datetime,
+        "projection": q_projection,
+        "layout_attach_scan": q_layout_attach_scan,
+        "topcount_cms": q_topcount_cms,
+        "decontaminate_semantic": q_decontaminate_semantic,
+        "sample_cluster": q_sample_cluster,
+        "bucketed_join_revenue": q_bucketed_join_revenue,
+        "zorder_scan_revenue": q_zorder_scan_revenue,
+        "curation_pipeline": q_curation_pipeline,
+        "graph_pagerank_personalized": q_pagerank_personalized,
+        "graphml_roundtrip": q_graphml_roundtrip,
+        "filter_in": q_filter_in,
+        "count_group": q_count,
+        "distinct_segments": q_distinct,
+        "rollup_revenue": q_rollup_revenue,
+        "correlated_subquery": q_correlated_subquery,
+        "semi_join_urgent": q_semi_join,
+        "graph_label_prop": q_label_prop,
+        "hmm_forward": q_hmm_forward,
+        "doc_length_percentiles": q_doc_length_percentiles,
+        "text_token_budget": q_text_token_budget,
+        "text_chunking": q_text_chunking,
+        "sample_mixture": q_sample_mixture,
+        "event_cohort_retention": q_event_cohort_retention,
+        "asof_attribution": q_asof_attribution,
+        "text_redact_pii": q_text_redact_pii,
+        "text_token_stats": q_text_stats,
+        "text_quality": q_text_quality,
+        # ==== past the cap: the 17 deferred r12-green — FIRST in r15
+        # ==== (still oracle-checked locally every round at sf0.01 AND
+        # ==== sf0.1; families covered in-window per the policy) ====
+        "knn_near_limit": q_knn,
+        "knn_near_limit_filtered": q_knn_filtered,
+        "knn_compacted": q_knn_compacted,
+        "sim_ann_pq_indexed": q_ann_pq_indexed,
+        "sim_ann_ivf_indexed": q_ann_ivf_indexed,
+        "sim_cosine_topk": q_cosine_topk,
+        "sim_knn_join_ivf": q_knn_join_ivf,
+        "multimodal_bytes": q_multimodal_bytes,
+        "multimodal_features": q_multimodal_features,
+        "graph_degrees": q_degrees,
+        "graph_connected_components": q_connected_components,
+        "dedup_url": q_dedup_url,
+        "dedup_lines": q_dedup_lines,
+        "dedup_clusters": q_dedup_clusters,
+        "rollup_incremental": q_rollup_incremental,
+        "rollup_coarsen": q_rollup_coarsen,
+        "text_tfidf": q_text_tfidf,
+        # ==== past the cap: r13 driver-green (fresh) ====
         "filter_or": q_filter_or,
         "window_sliding": q_window_sliding,
         "sim_knn_join": q_knn_join,
@@ -2005,10 +2197,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_kcore": q_kcore,
         "graph_node_jaccard": q_node_jaccard,
         "graph_random_walk": q_random_walk,
-        # ==== (2) r13 promotions (rehearsed since r12) ====
         "curation_keep_best": q_curation_keep_best,
         "curation_best_by": q_curation_best_by,
-        # ==== (3) r11-stale: 36 of 50 (14 named above -> r14) ====
         "text_repetition": q_text_repetition,
         "text_langid": q_text_langid,
         "graph_clustering_coef": q_clustering_coef,
@@ -2045,74 +2235,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hmm_viterbi": q_hmm_viterbi,
         "bayes_classify": q_bayes_classify,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
-        # ==== past the cap: the 14 deferred r11-green — FIRST in r14
-        # ==== (still oracle-checked locally every round at sf0.01 AND
-        # ==== sf0.1; families covered in-window per the policy) ====
-        "sim_ann_lsh": q_ann_lsh,
-        "sim_ann_pq": q_ann_pq,
-        "sim_ann_ivf": q_ann_ivf,
-        "knn_near_limit_pq": q_knn_pq,
-        "window_tumbling": q_window_tumbling,
-        "text_fingerprint": q_text_fingerprint,
-        "multimodal_meta": q_multimodal_meta,
-        "multimodal_av_meta": q_multimodal_av_meta,
-        "graph_closeness": q_closeness,
-        "graph_scc": q_scc,
-        "graph_khop": q_khop,
-        "graph_triangles": q_triangles,
-        "dedup_simhash": q_dedup_simhash,
-        "dedup_embedding_cosine": q_dedup_embedding,
-        # ==== past the cap: r12 driver-green (fresh) ====
-        "knn_near_limit": q_knn,
-        "sim_ann_pq_indexed": q_ann_pq_indexed,
-        "window_session": q_window_session,
-        "multimodal_bytes": q_multimodal_bytes,
-        "graph_degrees": q_degrees,
-        "graph_connected_components": q_connected_components,
-        "dedup_url": q_dedup_url,
-        "dedup_lines": q_dedup_lines,
-        "stream_ingest_scan": q_stream_ingest_scan,
-        "stream_clustered_scan": q_stream_clustered_scan,
-        "rollup_quantiles_read": q_rollup_quantiles_read,
-        "dedup_keep_best": q_dedup_keep_best,
-        "filter_datetime": q_filter_datetime,
-        "projection": q_projection,
-        "rollup_incremental": q_rollup_incremental,
-        "layout_attach_scan": q_layout_attach_scan,
-        "rollup_coarsen": q_rollup_coarsen,
-        "topcount_cms": q_topcount_cms,
-        "knn_near_limit_filtered": q_knn_filtered,
-        "knn_compacted": q_knn_compacted,
-        "sim_knn_join_ivf": q_knn_join_ivf,
-        "decontaminate_semantic": q_decontaminate_semantic,
-        "sample_cluster": q_sample_cluster,
-        "multimodal_features": q_multimodal_features,
-        "bucketed_join_revenue": q_bucketed_join_revenue,
-        "zorder_scan_revenue": q_zorder_scan_revenue,
-        "curation_pipeline": q_curation_pipeline,
-        "graph_pagerank_personalized": q_pagerank_personalized,
-        "sim_ann_ivf_indexed": q_ann_ivf_indexed,
-        "graphml_roundtrip": q_graphml_roundtrip,
-        "filter_in": q_filter_in,
-        "count_group": q_count,
-        "distinct_segments": q_distinct,
-        "rollup_revenue": q_rollup_revenue,
-        "correlated_subquery": q_correlated_subquery,
-        "semi_join_urgent": q_semi_join,
-        "graph_label_prop": q_label_prop,
-        "hmm_forward": q_hmm_forward,
-        "doc_length_percentiles": q_doc_length_percentiles,
-        "text_token_budget": q_text_token_budget,
-        "text_tfidf": q_text_tfidf,
-        "text_chunking": q_text_chunking,
-        "sample_mixture": q_sample_mixture,
-        "event_cohort_retention": q_event_cohort_retention,
-        "dedup_clusters": q_dedup_clusters,
-        "asof_attribution": q_asof_attribution,
-        "text_redact_pii": q_text_redact_pii,
-        "text_token_stats": q_text_stats,
-        "text_quality": q_text_quality,
-        "sim_cosine_topk": q_cosine_topk,
     }
 
 
@@ -3193,6 +3315,44 @@ def oracle_sql() -> dict[str, str]:
             " CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT))"
             "      AS BIGINT) AS price_cents"
             " FROM lineitem WHERE l_quantity > 45 GROUP BY l_quantity",
+        "stream_upsert_scan":
+            # STREAM events into a vertex group as micro-batches with
+            # version_col=event_id == the plain argmax window over the
+            # raw table: the version-aware cross-batch merge leaves the
+            # GLOBAL max-version row per key no matter how rows fall
+            # into batches
+            "SELECT user_id, event_id, event_type,"
+            " CAST(ROUND(value * 100) AS BIGINT) AS value_cents"
+            " FROM (SELECT *, row_number() OVER (PARTITION BY user_id"
+            "       ORDER BY event_id DESC) AS rn"
+            "       FROM events WHERE user_id IS NOT NULL) WHERE rn = 1",
+        "stream_rollup_scan":
+            # build 2/3 + STREAM 1/3 in as checkpointed micro-batches ==
+            # rollup_incremental's proven one-shot hourly GROUP BY over
+            # ALL events: mergeable partials make streamed == one-shot
+            # exactly, and the epoch fence means a replayed batch never
+            # double-counts
+            "SELECT CAST(floor(date_part('epoch', ts) / 3600) * 3600"
+            "            AS BIGINT) AS bucket_start,"
+            " event_type, count(*) AS n,"
+            " CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT))"
+            "      AS BIGINT) AS sum_cents,"
+            " max(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS max_cents"
+            " FROM events GROUP BY 1, 2",
+        "gql_similar_topk":
+            # the {similar:} GQL statement lowers onto the SAME
+            # cosine_topk kernel sim_cosine_topk already proves; repr()
+            # round-trips the query vector exactly, so the statement
+            # route must match this oracle bit-for-bit
+            "WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings"
+            " WHERE vec_id = 0),"
+            " v AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)"
+            " SELECT vec_id, round(list_inner_product(v, qv) /"
+            " (sqrt(list_inner_product(v, v)) * sqrt(list_inner_product(qv, qv))), 4)"
+            " AS cosine FROM v, q"
+            " ORDER BY list_inner_product(v, qv) /"
+            " (sqrt(list_inner_product(v, v)) * sqrt(list_inner_product(qv, qv)))"
+            " DESC, vec_id ASC LIMIT 10",
         "rollup_quantiles_read":
             # full estimator replay (operators/rollup.py::
             # rollup_quantiles): (0,512,64) width_bucket binning, then
