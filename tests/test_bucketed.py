@@ -418,3 +418,44 @@ def test_append_and_rebucket_share_one_writer_lease(spark, tmp_path):
     fsio.delete(spark, p + ".maintain_lock", recursive=False)
     assert bucketed.append_bucketed(b, p) is True
     assert spark.table("t_mx1").count() == 110
+
+
+def test_stream_refresh_failure_warns_once_appends_continue(
+        spark, tmp_path, monkeypatch):
+    """VERDICT r13 wrong #3: the parent-session catalog refresh in
+    stream_append_bucketed is a courtesy, but a PERMANENTLY failing
+    refresh silently reintroduces the staleness bug the r13 soak
+    caught.  It must warn ONCE per stream (not per batch, not never)
+    and the appends themselves must keep committing."""
+    import warnings
+
+    from gqlite_spark.sources import bucketed as B
+    from gqlite_spark.streaming.events import (stream_append_bucketed,
+                                               stream_from_directory)
+    full = spark.range(0, 400).selectExpr("id", "id % 5 as k")
+    src = str(tmp_path / "src")
+    p = str(tmp_path / "wrn")
+    bucketed.save_bucketed(full.filter("id < 100"), p, key="id",
+                           n_buckets=4, table="t_warn_b")
+
+    def broken_table_name(sp, path):
+        raise RuntimeError("catalog entry renamed away")
+
+    monkeypatch.setattr(B, "table_name", broken_table_name)
+    # several source files -> several micro-batches, ONE warning
+    full.filter("id >= 100").repartition(3) \
+        .write.mode("append").parquet(src)
+    with warnings.catch_warnings(record=True) as rec:
+        warnings.simplefilter("always")
+        q = stream_append_bucketed(
+            stream_from_directory(spark, src,
+                                  schema="id long, k bigint"),
+            p, checkpoint=str(tmp_path / "ckpt"))
+        assert q.awaitTermination(120)
+    ours = [w for w in rec
+            if "parent-session catalog refresh failed" in str(w.message)]
+    assert len(ours) == 1, [str(w.message) for w in rec]
+    assert "catalog entry renamed away" in str(ours[0].message)
+    # the appends still committed every batch
+    spark.catalog.refreshTable("t_warn_b")
+    assert spark.table("t_warn_b").count() == 400

@@ -917,3 +917,171 @@ def test_rename_overwrite_fallback_without_filecontext(spark,
     monkeypatch.setattr(fsio_mod, "_fs_path", orig)
     assert fsio.read_text(spark, b) == "NEW"
     assert not fsio.exists(spark, a)
+
+
+def test_guarded_append_post_commit_fence_warning(spark, tmp_path):
+    """VERDICT r13 wrong #1 / next #3: the commit-time fence cannot
+    close the window BETWEEN assert_lease and the spec write — a writer
+    paused exactly there still commits over its successor.  The
+    post-commit re-read must detect the crossing and raise a loud
+    FencedCommitWarning naming the table and epoch, so reconciliation
+    is triggered at the moment of overlap.  The takeover is injected
+    deterministically via _POST_ASSERT_RACE_HOOK."""
+    p = f"file://{tmp_path}/pcf"
+    spark.range(1).write.parquet(p)
+    fsio.write_json(spark, fsio.join(p, "_spec.json"), {"batches": 0})
+    lock = p + ".toy_lock"
+
+    def takeover_inside_window():
+        fsio._POST_ASSERT_RACE_HOOK = None    # fire once
+        fsio.delete(spark, lock, recursive=False)
+        assert fsio.create_exclusive(spark, lock, "nonce=SUCCESSOR")
+
+    fsio._POST_ASSERT_RACE_HOOK = takeover_inside_window
+    try:
+        with pytest.warns(fsio.FencedCommitWarning) as rec:
+            assert fsio.guarded_append(
+                spark, p, "toy", "_spec.json", 1,
+                lambda spec: fsio.write_text(
+                    spark, fsio.join(p, "batch_A"), "A")) is True
+    finally:
+        fsio._POST_ASSERT_RACE_HOOK = None
+    msg = str(rec[0].message)
+    assert p in msg and "epoch=1" in msg and "SUCCESSOR" in msg, msg
+    # detection, not prevention: the loser's commit DID land
+    spec = fsio.read_json(spark, fsio.join(p, "_spec.json"))
+    assert spec["batches"] == 1 and spec["last_epoch"] == 1
+    # the loser's fenced release left the successor's lease intact
+    assert fsio.read_text(spark, lock) == "nonce=SUCCESSOR"
+    # the successor's (here: any later writer's) lifecycle still
+    # converges once its lease ages out or is released: replay of the
+    # committed epoch skips, the next epoch appends
+    fsio.delete(spark, lock, recursive=False)
+    assert fsio.guarded_append(spark, p, "toy", "_spec.json", 1,
+                               lambda spec: None) is False
+    assert fsio.guarded_append(
+        spark, p, "toy", "_spec.json", 2,
+        lambda spec: fsio.write_text(
+            spark, fsio.join(p, "batch_B"), "B")) is True
+    spec = fsio.read_json(spark, fsio.join(p, "_spec.json"))
+    assert spec["batches"] == 2 and spec["last_epoch"] == 2
+    fsio.delete(spark, lock, recursive=False)
+
+
+def test_swap_in_post_commit_fence_warning(spark, tmp_path):
+    """The swap twin: a takeover landing between assert_lease and the
+    first rename still swaps (irreducible without CAS) — the
+    post-commit re-read warns loudly instead of staying silent."""
+    p = f"file://{tmp_path}/pcs"
+    fsio.write_text(spark, fsio.join(p, "data"), "v0")
+    lock = p + ".toy_lock"
+
+    def takeover_inside_window():
+        fsio._POST_ASSERT_RACE_HOOK = None
+        fsio.delete(spark, lock, recursive=False)
+        assert fsio.create_exclusive(spark, lock, "nonce=SUCCESSOR")
+
+    fsio._POST_ASSERT_RACE_HOOK = takeover_inside_window
+    try:
+        with pytest.warns(fsio.FencedCommitWarning) as rec:
+            fsio.swap_in(spark, p, "toy",
+                         lambda tmp: fsio.write_text(
+                             spark, fsio.join(tmp, "data"), "LOSER"))
+    finally:
+        fsio._POST_ASSERT_RACE_HOOK = None
+    assert "swap_in(toy)" in str(rec[0].message)
+    assert fsio.read_text(spark, fsio.join(p, "data")) == "LOSER"
+    assert fsio.read_text(spark, lock) == "nonce=SUCCESSOR"
+    # later lifecycle entries converge after the successor's lease goes
+    fsio.delete(spark, lock, recursive=False)
+    fsio.swap_in(spark, p, "toy",
+                 lambda tmp: fsio.write_text(
+                     spark, fsio.join(tmp, "data"), "NEXT"))
+    assert fsio.read_text(spark, fsio.join(p, "data")) == "NEXT"
+
+
+def test_clean_commit_emits_no_fence_warning(spark, tmp_path):
+    """The steady-state path must stay silent: no FencedCommitWarning
+    on an uncontended append or swap."""
+    import warnings
+
+    p = f"file://{tmp_path}/quiet"
+    spark.range(1).write.parquet(p)
+    fsio.write_json(spark, fsio.join(p, "_spec.json"), {"batches": 0})
+    fsio.write_text(spark, fsio.join(p + "2", "data"), "v0")
+    with warnings.catch_warnings():
+        warnings.simplefilter("error", fsio.FencedCommitWarning)
+        assert fsio.guarded_append(spark, p, "toy", "_spec.json", 1,
+                                   lambda spec: None) is True
+        fsio.swap_in(spark, p + "2", "toy",
+                     lambda tmp: fsio.write_text(
+                         spark, fsio.join(tmp, "data"), "x"))
+    assert fsio.read_text(spark, fsio.join(p + "2", "data")) == "x"
+
+
+def test_assert_lease_retries_transient_read_error(spark, tmp_path,
+                                                   monkeypatch):
+    """ADVICE r13 #2: a transient (non-FileNotFound) lock-read error at
+    commit time must not abort a healthy writer — the read retries once
+    and sees the lease is still ours.  A genuinely MISSING lock is a
+    lost lease: no retry, immediate ConcurrentWriterError."""
+    lock = f"file://{tmp_path}/t.kind_lock"
+    fsio.write_text(spark, lock, "nonce=MINE")
+    real = fsio.read_text
+    calls = {"n": 0}
+
+    def flaky(sp, path):
+        calls["n"] += 1
+        if calls["n"] == 1:
+            raise IOError("transient object-store blip")
+        return real(sp, path)
+
+    monkeypatch.setattr(fsio, "read_text", flaky)
+    fsio.assert_lease(spark, lock, "MINE")          # no raise
+    assert calls["n"] == 2
+    monkeypatch.setattr(fsio, "read_text", real)
+    # missing lock: FileNotFound concludes immediately (single read)
+    fsio.delete(spark, lock, recursive=False)
+    calls["n"] = 0
+
+    def counting(sp, path):
+        calls["n"] += 1
+        return real(sp, path)
+
+    monkeypatch.setattr(fsio, "read_text", counting)
+    with pytest.raises(fsio.ConcurrentWriterError):
+        fsio.assert_lease(spark, lock, "MINE")
+    assert calls["n"] == 1
+
+
+def test_guarded_append_sweep_spares_foreign_tmps(spark, tmp_path):
+    """ADVICE r13 #3: the one-listing orphan sweep deletes only the
+    PROTOCOL'S OWN sidecar temps (spec/marker prefixes).  A foreign
+    component's in-flight ``*.tmp-*`` under the table path must survive
+    the sweep (deleting it on sight would re-open the mid-rename race
+    removed from write_text_atomic) and be recorded in the manifest so
+    a torn-append repair does not sweep it either."""
+    p = f"file://{tmp_path}/sweep"
+    spark.range(1).write.parquet(p)
+    fsio.write_json(spark, fsio.join(p, "_spec.json"), {"batches": 0})
+    own_spec_tmp = fsio.join(p, "_spec.json.tmp-deadbeef")
+    own_marker_tmp = fsio.join(p, "_append_inprogress.json.tmp-cafe")
+    foreign_tmp = fsio.join(p, "_other_sidecar.json.tmp-beef")
+    for f in (own_spec_tmp, own_marker_tmp, foreign_tmp):
+        fsio.write_text(spark, f, "leftover")
+    seen_manifest = {}
+
+    def writer(spec):
+        m = fsio.read_json(spark, fsio.join(p, "_append_inprogress.json"))
+        seen_manifest.update(m)
+
+    assert fsio.guarded_append(spark, p, "toy", "_spec.json", 1,
+                               writer) is True
+    # own crashed temps swept, foreign temp intact
+    assert not fsio.exists(spark, own_spec_tmp)
+    assert not fsio.exists(spark, own_marker_tmp)
+    assert fsio.exists(spark, foreign_tmp)
+    names = set(seen_manifest["files_before"])
+    assert "_other_sidecar.json.tmp-beef" in names
+    assert "_spec.json.tmp-deadbeef" not in names
+    fsio.delete(spark, p + ".toy_lock", recursive=False)

@@ -44,6 +44,19 @@ rewrite shares the maintain lease with the appends and must carry
 last_epoch forward), and an exact-count assertion after EVERY
 recovery leg — the exactly-once contract under repeated failure, not
 a single kill.
+
+Dual-writer mode (VERDICT r13 next #4):
+      python tools/streaming_ingest_probe.py soak dual [n_base] [n_stream]
+The multi-restart soak proves recovery of ONE writer; this leg races
+TWO live availableNow streams (same source, separate checkpoints —
+the duplicate-run shape: a zombie driver plus its replacement, or an
+operator double-starting a drain) at one bucketed table.  The maintain
+lease serializes their commits (the loser backs off on
+ConcurrentWriterError and retries) and the epoch fence makes the
+retried batch a skip once its twin committed it — asserted: exactly
+ONE committed batch per epoch across both writers, both streams drain,
+the final count is exact (zero lost, zero duplicated), and a third
+fresh-checkpoint replay commits nothing.
 """
 import re
 import shutil
@@ -97,6 +110,9 @@ def main():
     soak = bool(args) and args[0] == "soak"
     if soak:
         args = args[1:]
+    dual = bool(args) and args[0] == "dual"
+    if dual:
+        args = args[1:]
     n_base = int(args[0]) if len(args) > 0 else 10_000_000
     n_stream = int(args[1]) if len(args) > 1 else 2_000_000
     n_batches = 20
@@ -108,6 +124,8 @@ def main():
     from gqlite_spark import fsio
     from gqlite_spark.sources import bucketed as B
     from gqlite_spark.sources import clustered as C
+    if dual:
+        return run_dual(spark, fsio, B, n_base, n_stream, n_batches)
     if soak:
         return run_soak(spark, fsio, B, C, n_base, n_stream, n_batches)
 
@@ -406,6 +424,124 @@ def run_soak(spark, fsio, B, C, n_base, n_stream, n_batches):
         print("SOAK OK")
     finally:
         spark.sql("DROP TABLE IF EXISTS t_soak")
+        _sh.rmtree(root, ignore_errors=True)
+
+
+def run_dual(spark, fsio, B, n_base, n_stream, n_batches):
+    """Dual-writer contention soak (VERDICT r13 next #4): TWO live
+    availableNow streams over the SAME source with SEPARATE checkpoints
+    race one bucketed table — the duplicate-run shape the lease contract
+    had not been tested against.  Both streams see the identical file
+    listing, so batch i carries the same rows for both; the table's
+    maintain lease serializes the two folds (the loser's
+    ConcurrentWriterError is retried with backoff — the retry either
+    wins the lease or, once its twin committed the epoch, skips at the
+    fence).  Asserted: exactly ONE committed batch per epoch across
+    both writers, both streams drain without failing, the final count
+    is exact, and a third fresh-checkpoint replay commits ZERO
+    batches."""
+    import shutil as _sh
+    import threading
+
+    root = tempfile.mkdtemp(prefix="sing_dual_")
+    nb = 64
+    try:
+        p = f"{root}/bkt"
+        B.save_bucketed(synth(spark, n_base), p, key="k",
+                        n_buckets=nb, table="t_dual")
+        src = f"{root}/src"
+        (synth(spark, n_stream, offset=n_base)
+         .repartition(n_batches).write.parquet(src))
+
+        commits = {}           # epoch -> [writer names that committed]
+        retries = {"n": 0}     # lease-contention losses observed
+        mu = threading.Lock()
+
+        def fold_for(writer):
+            def _fold(batch_df, batch_id):
+                from gqlite_spark.fsio import ConcurrentWriterError
+                # deterministic per-(writer, epoch) pacing jitter so
+                # LEADERSHIP ALTERNATES between the writers across the
+                # drain — without it one stream stays uniformly ahead
+                # and the other only ever exercises the skip path,
+                # never the lease race (plain arithmetic, not hash():
+                # string hashing is salted per process)
+                phase = 0 if writer == "A" else 2
+                time.sleep(((batch_id + phase) % 4) * 0.15)
+                for attempt in range(600):
+                    try:
+                        done = B.append_bucketed(batch_df, p,
+                                                 epoch_id=batch_id)
+                        break
+                    except ConcurrentWriterError:
+                        with mu:
+                            retries["n"] += 1
+                        time.sleep(0.05 * min(attempt + 1, 10))
+                else:
+                    raise AssertionError(
+                        f"{writer}: starved of the lease at epoch "
+                        f"{batch_id}")
+                if done:
+                    with mu:
+                        commits.setdefault(batch_id, []).append(writer)
+            return _fold
+
+        def run_stream(writer, ckpt, errs):
+            try:
+                q = (_stream(spark, src).writeStream
+                     .foreachBatch(fold_for(writer))
+                     .option("checkpointLocation", ckpt)
+                     .trigger(availableNow=True).start())
+                if not q.awaitTermination(1800):
+                    q.stop()
+                    raise AssertionError(f"{writer}: stalled")
+            except Exception as e:
+                errs.append((writer, e))
+
+        t0 = time.time()
+        errs = []
+        ta = threading.Thread(target=run_stream,
+                              args=("A", f"{root}/ckpt_a", errs))
+        tb = threading.Thread(target=run_stream,
+                              args=("B", f"{root}/ckpt_b", errs))
+        ta.start(); tb.start()
+        ta.join(1800); tb.join(1800)
+        assert not errs, errs
+        wall = time.time() - t0
+
+        # exactly ONE commit per epoch across both writers
+        assert sorted(commits) == list(range(n_batches)), sorted(commits)
+        doubled = {e: ws for e, ws in commits.items() if len(ws) != 1}
+        assert not doubled, f"double-committed epochs: {doubled}"
+        by_writer = {"A": 0, "B": 0}
+        for ws in commits.values():
+            by_writer[ws[0]] += 1
+        # zero lost / duplicated rows
+        spark.catalog.refreshTable("t_dual")
+        got = spark.table("t_dual").count()
+        assert got == n_base + n_stream, (got, n_base + n_stream)
+        print(f"dual: both drained in {wall:6.1f}s; "
+              f"{n_batches} epochs committed once each "
+              f"(A={by_writer['A']}, B={by_writer['B']}, "
+              f"lease contentions retried={retries['n']}); "
+              f"count exact: {got:,}")
+        # the race must actually have been exercised: both writers won
+        # some epochs (jitter alternates leadership)
+        assert by_writer["A"] > 0 and by_writer["B"] > 0, by_writer
+
+        # a third fresh-checkpoint replay re-delivers every batch and
+        # must commit NONE of them
+        commits.clear()
+        errs = []
+        run_stream("C", f"{root}/ckpt_c", errs)
+        assert not errs, errs
+        assert commits == {}, f"replay committed: {commits}"
+        spark.catalog.refreshTable("t_dual")
+        assert spark.table("t_dual").count() == n_base + n_stream
+        print("dual: fresh-checkpoint replay committed 0 batches; "
+              "count unchanged.  DUAL OK")
+    finally:
+        spark.sql("DROP TABLE IF EXISTS t_dual")
         _sh.rmtree(root, ignore_errors=True)
 
 
