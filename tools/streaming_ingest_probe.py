@@ -50,13 +50,14 @@ Dual-writer mode (VERDICT r13 next #4):
 The multi-restart soak proves recovery of ONE writer; this leg races
 TWO live availableNow streams (same source, separate checkpoints —
 the duplicate-run shape: a zombie driver plus its replacement, or an
-operator double-starting a drain) at one bucketed table.  The maintain
-lease serializes their commits (the loser backs off on
-ConcurrentWriterError and retries) and the epoch fence makes the
-retried batch a skip once its twin committed it — asserted: exactly
-ONE committed batch per epoch across both writers, both streams drain,
-the final count is exact (zero lost, zero duplicated), and a third
-fresh-checkpoint replay commits nothing.
+operator double-starting a drain) at one table, for BOTH layout kinds
+(bucketed and clustered — the same guarded_append protocol under each
+kind's own lease).  The maintain lease serializes their commits (the
+loser backs off on ConcurrentWriterError and retries) and the epoch
+fence makes the retried batch a skip once its twin committed it —
+asserted per kind: exactly ONE committed batch per epoch across both
+writers, both streams drain, the final count is exact (zero lost, zero
+duplicated), and a third fresh-checkpoint replay commits nothing.
 """
 import re
 import shutil
@@ -125,7 +126,8 @@ def main():
     from gqlite_spark.sources import bucketed as B
     from gqlite_spark.sources import clustered as C
     if dual:
-        return run_dual(spark, fsio, B, n_base, n_stream, n_batches)
+        return run_dual(spark, fsio, B, C, n_base, n_stream,
+                        n_batches)
     if soak:
         return run_soak(spark, fsio, B, C, n_base, n_stream, n_batches)
 
@@ -427,7 +429,7 @@ def run_soak(spark, fsio, B, C, n_base, n_stream, n_batches):
         _sh.rmtree(root, ignore_errors=True)
 
 
-def run_dual(spark, fsio, B, n_base, n_stream, n_batches):
+def run_dual(spark, fsio, B, C, n_base, n_stream, n_batches):
     """Dual-writer contention soak (VERDICT r13 next #4): TWO live
     availableNow streams over the SAME source with SEPARATE checkpoints
     race one bucketed table — the duplicate-run shape the lease contract
@@ -446,100 +448,121 @@ def run_dual(spark, fsio, B, n_base, n_stream, n_batches):
     root = tempfile.mkdtemp(prefix="sing_dual_")
     nb = 64
     try:
-        p = f"{root}/bkt"
-        B.save_bucketed(synth(spark, n_base), p, key="k",
-                        n_buckets=nb, table="t_dual")
         src = f"{root}/src"
         (synth(spark, n_stream, offset=n_base)
          .repartition(n_batches).write.parquet(src))
 
-        commits = {}           # epoch -> [writer names that committed]
-        retries = {"n": 0}     # lease-contention losses observed
-        mu = threading.Lock()
+        def race(kind, append, count, ckpt_prefix):
+            commits = {}       # epoch -> [writer names that committed]
+            retries = {"n": 0}   # lease-contention losses observed
+            mu = threading.Lock()
 
-        def fold_for(writer):
-            def _fold(batch_df, batch_id):
-                from gqlite_spark.fsio import ConcurrentWriterError
-                # deterministic per-(writer, epoch) pacing jitter so
-                # LEADERSHIP ALTERNATES between the writers across the
-                # drain — without it one stream stays uniformly ahead
-                # and the other only ever exercises the skip path,
-                # never the lease race (plain arithmetic, not hash():
-                # string hashing is salted per process)
-                phase = 0 if writer == "A" else 2
-                time.sleep(((batch_id + phase) % 4) * 0.15)
-                for attempt in range(600):
-                    try:
-                        done = B.append_bucketed(batch_df, p,
-                                                 epoch_id=batch_id)
-                        break
-                    except ConcurrentWriterError:
+            def fold_for(writer):
+                def _fold(batch_df, batch_id):
+                    from gqlite_spark.fsio import ConcurrentWriterError
+                    # deterministic per-(writer, epoch) pacing jitter
+                    # so LEADERSHIP ALTERNATES between the writers
+                    # across the drain — without it one stream stays
+                    # uniformly ahead and the other only ever exercises
+                    # the skip path, never the lease race (plain
+                    # arithmetic, not hash(): string hashing is salted
+                    # per process)
+                    phase = 0 if writer == "A" else 2
+                    time.sleep(((batch_id + phase) % 4) * 0.15)
+                    for attempt in range(600):
+                        try:
+                            done = append(batch_df, batch_id)
+                            break
+                        except ConcurrentWriterError:
+                            with mu:
+                                retries["n"] += 1
+                            time.sleep(0.05 * min(attempt + 1, 10))
+                    else:
+                        raise AssertionError(
+                            f"{kind}/{writer}: starved of the lease at "
+                            f"epoch {batch_id}")
+                    if done:
                         with mu:
-                            retries["n"] += 1
-                        time.sleep(0.05 * min(attempt + 1, 10))
-                else:
-                    raise AssertionError(
-                        f"{writer}: starved of the lease at epoch "
-                        f"{batch_id}")
-                if done:
-                    with mu:
-                        commits.setdefault(batch_id, []).append(writer)
-            return _fold
+                            commits.setdefault(batch_id, []).append(
+                                writer)
+                return _fold
 
-        def run_stream(writer, ckpt, errs):
-            try:
-                q = (_stream(spark, src).writeStream
-                     .foreachBatch(fold_for(writer))
-                     .option("checkpointLocation", ckpt)
-                     .trigger(availableNow=True).start())
-                if not q.awaitTermination(1800):
-                    q.stop()
-                    raise AssertionError(f"{writer}: stalled")
-            except Exception as e:
-                errs.append((writer, e))
+            def run_stream(writer, ckpt, errs):
+                try:
+                    q = (_stream(spark, src).writeStream
+                         .foreachBatch(fold_for(writer))
+                         .option("checkpointLocation", ckpt)
+                         .trigger(availableNow=True).start())
+                    if not q.awaitTermination(1800):
+                        q.stop()
+                        raise AssertionError(f"{kind}/{writer}: stalled")
+                except Exception as e:
+                    errs.append((writer, e))
 
-        t0 = time.time()
-        errs = []
-        ta = threading.Thread(target=run_stream,
-                              args=("A", f"{root}/ckpt_a", errs))
-        tb = threading.Thread(target=run_stream,
-                              args=("B", f"{root}/ckpt_b", errs))
-        ta.start(); tb.start()
-        ta.join(1800); tb.join(1800)
-        assert not errs, errs
-        wall = time.time() - t0
+            t0 = time.time()
+            errs = []
+            ta = threading.Thread(target=run_stream,
+                                  args=("A", f"{ckpt_prefix}_a", errs))
+            tb = threading.Thread(target=run_stream,
+                                  args=("B", f"{ckpt_prefix}_b", errs))
+            ta.start(); tb.start()
+            ta.join(1800); tb.join(1800)
+            assert not errs, errs
+            wall = time.time() - t0
 
-        # exactly ONE commit per epoch across both writers
-        assert sorted(commits) == list(range(n_batches)), sorted(commits)
-        doubled = {e: ws for e, ws in commits.items() if len(ws) != 1}
-        assert not doubled, f"double-committed epochs: {doubled}"
-        by_writer = {"A": 0, "B": 0}
-        for ws in commits.values():
-            by_writer[ws[0]] += 1
-        # zero lost / duplicated rows
-        spark.catalog.refreshTable("t_dual")
-        got = spark.table("t_dual").count()
-        assert got == n_base + n_stream, (got, n_base + n_stream)
-        print(f"dual: both drained in {wall:6.1f}s; "
-              f"{n_batches} epochs committed once each "
-              f"(A={by_writer['A']}, B={by_writer['B']}, "
-              f"lease contentions retried={retries['n']}); "
-              f"count exact: {got:,}")
-        # the race must actually have been exercised: both writers won
-        # some epochs (jitter alternates leadership)
-        assert by_writer["A"] > 0 and by_writer["B"] > 0, by_writer
+            # exactly ONE commit per epoch across both writers
+            assert sorted(commits) == list(range(n_batches)), \
+                sorted(commits)
+            doubled = {e: ws for e, ws in commits.items()
+                       if len(ws) != 1}
+            assert not doubled, f"double-committed epochs: {doubled}"
+            by_writer = {"A": 0, "B": 0}
+            for ws in commits.values():
+                by_writer[ws[0]] += 1
+            # zero lost / duplicated rows
+            got = count()
+            assert got == n_base + n_stream, (got, n_base + n_stream)
+            print(f"dual/{kind}: both drained in {wall:6.1f}s; "
+                  f"{n_batches} epochs committed once each "
+                  f"(A={by_writer['A']}, B={by_writer['B']}, "
+                  f"lease contentions retried={retries['n']}); "
+                  f"count exact: {got:,}")
+            # the race must actually have been exercised: both writers
+            # won some epochs (jitter alternates leadership)
+            assert by_writer["A"] > 0 and by_writer["B"] > 0, by_writer
 
-        # a third fresh-checkpoint replay re-delivers every batch and
-        # must commit NONE of them
-        commits.clear()
-        errs = []
-        run_stream("C", f"{root}/ckpt_c", errs)
-        assert not errs, errs
-        assert commits == {}, f"replay committed: {commits}"
-        spark.catalog.refreshTable("t_dual")
-        assert spark.table("t_dual").count() == n_base + n_stream
-        print("dual: fresh-checkpoint replay committed 0 batches; "
-              "count unchanged.  DUAL OK")
+            # a third fresh-checkpoint replay re-delivers every batch
+            # and must commit NONE of them
+            commits.clear()
+            errs = []
+            run_stream("C", f"{ckpt_prefix}_c", errs)
+            assert not errs, errs
+            assert commits == {}, f"replay committed: {commits}"
+            assert count() == n_base + n_stream
+            print(f"dual/{kind}: fresh-checkpoint replay committed 0 "
+                  "batches; count unchanged")
+
+        # -------- bucketed --------
+        p = f"{root}/bkt"
+        B.save_bucketed(synth(spark, n_base), p, key="k",
+                        n_buckets=nb, table="t_dual")
+
+        def count_bucketed():
+            spark.catalog.refreshTable("t_dual")
+            return spark.table("t_dual").count()
+
+        race("bucketed",
+             lambda df, bid: B.append_bucketed(df, p, epoch_id=bid),
+             count_bucketed, f"{root}/ckb")
+
+        # -------- clustered (same guarded_append protocol, its own
+        # -------- lease kind; symmetric coverage of the shared path)
+        pc = f"{root}/clu"
+        C.save_clustered(synth(spark, n_base), pc, ["v"], n_files=64)
+        race("clustered",
+             lambda df, bid: C.append_clustered(df, pc, epoch_id=bid),
+             lambda: spark.read.parquet(pc).count(), f"{root}/ckc")
+        print("DUAL OK")
     finally:
         spark.sql("DROP TABLE IF EXISTS t_dual")
         _sh.rmtree(root, ignore_errors=True)
