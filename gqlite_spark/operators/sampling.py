@@ -98,6 +98,49 @@ def stratified_sample(df: DataFrame, strata_col: str,
     return df.filter(sample_key(id_col, salt) < thr)
 
 
+def split_assign(df: DataFrame,
+                 splits: "tuple[tuple[str, float], ...]" = (
+                     ("train", 0.8), ("val", 0.1), ("test", 0.1)),
+                 key_col: str = "doc_id", salt: str = "") -> DataFrame:
+    """Deterministic train/val/test split assignment — the dataset-carve
+    step of a training pipeline, engine-reproducible and leakage-safe.
+
+    Adds a ``split`` column via cumulative md5-prefix thresholds on
+    ``md5(salt || key)`` (the same :func:`sample_key` machinery the
+    sampling entries' DuckDB oracles already prove cross-engine): row
+    order, partitioning, engine, and re-runs never move a row between
+    splits, and different ``salt`` values give independent carve-ups.
+
+    **Leakage safety is the point of** ``key_col``: hash the column whose
+    equivalence classes must co-travel — ``source``/url-domain so
+    same-site boilerplate never straddles train and test, or a near-dup
+    ``cluster_rep`` (join :func:`gqlite_spark.operators.dedup.
+    near_dup_clusters` first) so no near-duplicate pair is split across
+    the carve.  Hashing the raw doc id is the textbook contamination
+    bug this operator exists to avoid.
+
+    Pure map (one CASE over threshold literals), zero shuffle: realized
+    fractions converge to the weights in the number of *key groups*, not
+    rows — coarse keys give lumpy splits by design, that is the
+    co-travel guarantee."""
+    if not splits or any(w < 0 for _, w in splits):
+        raise ValueError(f"split weights must be >= 0, got {splits!r}")
+    total = sum(w for _, w in splits)
+    if abs(total - 1.0) > 1e-9:
+        raise ValueError(f"split weights must sum to 1, got {total}")
+    key = sample_key(key_col, salt)
+    expr = None
+    cum = 0.0
+    for name, weight in splits[:-1]:
+        cum += weight
+        thr = F.lit(_hex_threshold(cum))
+        expr = (F.when(key < thr, name) if expr is None
+                else expr.when(key < thr, name))
+    last = splits[-1][0]
+    expr = expr.otherwise(last) if expr is not None else F.lit(last)
+    return df.withColumn("split", expr)
+
+
 def cluster_sample(df: DataFrame, centroids: "list[tuple]",
                    per_cluster: int, id_col: str = "vec_id",
                    vec_col: str = "embedding",

@@ -411,6 +411,90 @@ def lm_score(df: DataFrame, id_col: str = "doc_id",
                     .alias("avg_logp")))
 
 
+def bm25_contrib_sql(idf_e6: str, tf: str, dl: str, sum_dl: str,
+                     n_docs: str, k1: float = 1.2, b: float = 0.75) -> str:
+    """SQL text for ONE query term's integer micro-unit BM25 contribution:
+    ``floor(idf_e6 · tf·(k1+1)/(tf + k1·(1−b + b·dl/avgdl)) + 0.5)`` as
+    BIGINT, with ``avgdl = sum_dl / n_docs``.
+
+    ``idf_e6``/``tf``/``dl``/``sum_dl``/``n_docs`` must be SQL expressions
+    yielding BIGINTs.  Every operation is +, −, ×, ÷ on doubles (IEEE-754
+    correctly rounded, hence engine-deterministic) over integer inputs;
+    the constants are emitted as ``%.17e`` scientific literals, which both
+    Spark and DuckDB parse as the identical DOUBLE (a plain ``1.2`` would
+    be DECIMAL in both dialects — different arithmetic).  Quantizing each
+    term's contribution to an integer makes the per-document SUM
+    order-independent, so cross-engine hash equality survives any
+    aggregation order."""
+    k1s = "%.17e" % k1
+    k1p1 = "%.17e" % (k1 + 1.0)
+    bs = "%.17e" % b
+    omb = "%.17e" % (1.0 - b)
+    avgdl = f"(cast({sum_dl} as double) / cast({n_docs} as double))"
+    sat = (f"(({tf} * {k1p1}) / ({tf} + {k1s} * ({omb} + {bs}"
+           f" * (cast({dl} as double) / {avgdl}))))")
+    return f"cast(floor({idf_e6} * {sat} + 0.5) as bigint)"
+
+
+def bm25_topk(df: DataFrame, query_terms: "list[str]", k: int = 20,
+              k1: float = 1.2, b: float = 0.75, id_col: str = "doc_id",
+              text_col: str = "text") -> DataFrame:
+    """BM25-scored top-k document retrieval for a bag of query terms —
+    the sparse-retrieval stage of a training-data curation pipeline
+    (quality-targeted subcorpus selection, benchmark-adjacent document
+    mining) and the classic lexical complement to the dense ANN path in
+    :mod:`gqlite_spark.operators.similarity`.
+
+    Scoring: Lucene-style always-positive idf ``ln(1 + (N − df + ½)/(df
+    + ½)) = ln((2N + 2)/(2df + 1))`` — an integer ratio, so the ln is
+    :func:`det_ln_e6_sql`'s libm-free polynomial in integer micro-nats —
+    times the standard (k1, b) term-frequency saturation.  Per-term
+    contributions are quantized to integers (:func:`bm25_contrib_sql`)
+    and integer-summed per document, making the score a deterministic,
+    order-independent function of (tf, dl, df, N) that hash-matches any
+    engine.  Ties break on ascending id.
+
+    Returns ``(rank, id, n_terms, score_e6)`` for the top ``k`` docs
+    (docs matching no query term score nothing and are absent).
+
+    Scale shape: the query-term filter lands INSIDE the explode stage
+    (only matching (doc, term) rows ever shuffle — the fact table is
+    query-sized, not corpus-sized); document frequencies aggregate that
+    small table; N/avgdl ride a 1-row broadcast; the final top-k is a
+    rank-filtered window that Catalyst rewrites to TakeOrderedAndProject
+    (limit-through-rank-window pushdown — per-partition top-k, one
+    k-row merge, rank computed on k rows only; verified in the
+    formatted plan).  The corpus is exploded twice (tf and df legs),
+    the same deliberate tradeoff :func:`lm_score` documents — both legs
+    filter to query terms before any shuffle.  No UDFs; the only
+    crossJoin is the 1-row stats broadcast."""
+    t = F.coalesce(F.col(text_col), F.lit(""))
+    dl = F.size(F.split(t, " ")).cast("long")
+    toks = df.select(F.col(id_col), dl.alias("dl"),
+                     F.explode(F.split(t, " ")).alias("term"))
+    tf = (toks.filter(F.col("term").isin(list(query_terms)))
+          .groupBy(id_col, "dl", "term")
+          .agg(F.count("*").cast("long").alias("tf")))
+    stats = df.agg(F.count("*").cast("long").alias("_n"),
+                   F.sum(dl).alias("_sumdl"))
+    dfreq = tf.groupBy("term").agg(F.count("*").cast("long").alias("df"))
+    idf = (dfreq.crossJoin(F.broadcast(stats))
+           .select("term", "_n", "_sumdl",
+                   F.expr(det_ln_e6_sql("(2 * _n + 2)", "(2 * df + 1)",
+                                        "spark")).alias("idf_e6")))
+    contrib = bm25_contrib_sql("idf_e6", "tf", "dl", "_sumdl", "_n", k1, b)
+    scored = (tf.join(F.broadcast(idf), "term")
+              .select(F.col(id_col), F.expr(contrib).alias("_c"))
+              .groupBy(id_col)
+              .agg(F.count("*").cast("long").alias("n_terms"),
+                   F.sum("_c").alias("score_e6")))
+    from pyspark.sql import Window
+    w = Window.orderBy(F.col("score_e6").desc(), F.col(id_col).asc())
+    return (scored.withColumn("rank", F.row_number().over(w).cast("long"))
+            .filter(F.col("rank") <= k)
+            .select("rank", id_col, "n_terms", "score_e6"))
+
+
 # PII patterns: intersection of Java-regex (Spark) and RE2 (DuckDB)
 # syntax — no backreferences, no lookarounds, explicit character classes.
 # (\b IS in the common subset: RE2 and java.util.regex agree on ASCII

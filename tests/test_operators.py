@@ -1934,3 +1934,63 @@ def test_curate_corpus_best_by_and_survivors(spark):
     assert sum(r["n_docs"] for r in sv) == 2
     with pytest.raises(ValueError, match="not both"):
         curate_corpus(docs, bench, best_by="n_tokens", survivors=surv)
+
+
+def test_split_assign_co_travel_and_determinism(spark):
+    """Leakage safety: every row of one key group gets the SAME split;
+    re-running (and reordering) never moves a row; salts move groups
+    independently; weights must sum to 1."""
+    import pytest
+
+    from gqlite_spark.operators.sampling import split_assign
+    df = spark.createDataFrame(
+        [(i, f"site{i % 7}") for i in range(200)],
+        "doc_id long, source string")
+    out = split_assign(df, key_col="source", salt="v1")
+    per_group = (out.groupBy("source")
+                 .agg(F.countDistinct("split").alias("k")).collect())
+    assert all(r["k"] == 1 for r in per_group)       # co-travel
+    a = {r["doc_id"]: r["split"] for r in out.collect()}
+    b = {r["doc_id"]: r["split"]
+         for r in split_assign(df.orderBy(F.desc("doc_id")),
+                               key_col="source", salt="v1").collect()}
+    assert a == b                                    # order-independent
+    c = {r["doc_id"]: r["split"]
+         for r in split_assign(df, key_col="source", salt="v2").collect()}
+    assert a != c                                    # salt independence
+    with pytest.raises(ValueError, match="sum to 1"):
+        split_assign(df, splits=(("train", 0.8), ("test", 0.1)))
+    with pytest.raises(ValueError, match=">= 0"):
+        split_assign(df, splits=(("train", 1.2), ("test", -0.2)))
+    # fine-grained key -> realized fractions near the weights
+    fine = split_assign(df, key_col="doc_id", salt="v1")
+    n_train = fine.filter(F.col("split") == "train").count()
+    assert 130 <= n_train <= 190                     # ~160 expected
+
+
+def test_bm25_ranking_properties(spark):
+    """BM25 semantics on a hand-built corpus: more query-term mass
+    ranks higher at equal length; rare terms outweigh common ones;
+    docs with no query term are absent; dtypes are gate-shaped."""
+    from gqlite_spark.operators.text import bm25_topk
+    docs = spark.createDataFrame(
+        [(1, "apple apple apple banana x y z"),
+         (2, "apple banana c d e f g"),
+         (3, "zebra c d e f g h"),          # rare term, same length
+         (4, "c d e f g h i"),              # no query terms
+         (5, "apple " + "pad " * 40)],      # long doc: tf normalized down
+        "doc_id long, text string")
+    out = bm25_topk(docs, ["apple", "banana", "zebra"], k=10).toPandas()
+    assert set(out["doc_id"]) == {1, 2, 3, 5}        # doc 4 absent
+    rank = {r.doc_id: r.rank for r in out.itertuples()}
+    assert rank[1] < rank[2]      # 3x apple + banana beats 1x + banana
+    # zebra appears in 1/5 docs, apple in 3/5: rare-term doc outranks
+    # the single-common-term docs
+    assert rank[3] < rank[5]
+    score = {r.doc_id: r.score_e6 for r in out.itertuples()}
+    assert all(s > 0 for s in score.values())
+    # length normalization: doc 5's lone 'apple' in a 41-token doc
+    # scores below doc 2's 'apple' (+ banana) in a 7-token doc
+    assert score[2] > score[5]
+    assert str(out["score_e6"].dtype) == "int64"
+    assert str(out["rank"].dtype) == "int64"

@@ -10,9 +10,19 @@ against the SAME proven oracles their library-path twins already pass,
 with the gate's own comparator (tools.oracle_check.compare — dtype
 drift is a hard FAIL).  Promoting any of them into
 __spark_entry__.queries() / oracle_sql() is a copy-paste with proven
-parity; the r15 plan promotes the first three (contract -> 120) and
-defers the rest to r16 — after which EVERY pipeline statement route
-carries a driver gate row.
+parity; the r15 plan promotes the first three statement routes plus
+the two NEW library operators below (contract -> 122) and defers the
+remaining statement routes to r16 — after which EVERY pipeline
+statement route carries a driver gate row.
+
+Also rehearsed here (new library surface, late-r14): `text_bm25_topk`
+(BM25 sparse retrieval — integer micro-nat idf via the det-ln
+polynomial, integer-quantized per-term contributions so the
+per-document sum is order-independent) and `split_leakage_safe`
+(deterministic md5-keyed train/val/test carve on the SOURCE key so
+correlated documents co-travel — the contamination-safe split).  Their
+oracles are inline below and move into oracle_sql() verbatim at
+promotion.
 """
 
 import sys
@@ -23,6 +33,88 @@ from tests.conftest import SF_DIR
 from tools.oracle_check import compare, duck_con
 
 sys.path.insert(0, "/root/repo")
+
+
+BM25_TERMS = ["spark", "window", "merge", "dup", "key"]
+
+
+def bm25_oracle_sql() -> str:
+    """DuckDB oracle for the `text_bm25_topk` entry shape — built from
+    the SAME dialect-parameterized expression builders the Spark path
+    uses (det_ln_e6_sql for the idf micro-nats, bm25_contrib_sql for the
+    quantized per-term contribution), so both engines evaluate the
+    identical expression tree.  Moves into oracle_sql() at promotion."""
+    from gqlite_spark.operators.text import bm25_contrib_sql, det_ln_e6_sql
+    terms = ", ".join(f"'{t}'" for t in BM25_TERMS)
+    idf = det_ln_e6_sql("(2 * n + 2)", "(2 * df + 1)", "duck")
+    contrib = bm25_contrib_sql("idf_e6", "tf", "dl", "sumdl", "n")
+    return (
+        "WITH d AS (SELECT doc_id, coalesce(text, '') AS text"
+        " FROM documents),"
+        " dls AS (SELECT doc_id, len(string_split(text, ' '))::BIGINT"
+        " AS dl FROM d),"
+        " stats AS (SELECT COUNT(*)::BIGINT AS n, SUM(dl)::BIGINT"
+        " AS sumdl FROM dls),"
+        " tf AS (SELECT tk.doc_id, dls.dl, tk.term, COUNT(*)::BIGINT"
+        " AS tf FROM (SELECT doc_id, unnest(string_split(text, ' '))"
+        " AS term FROM d) tk JOIN dls USING (doc_id)"
+        f" WHERE tk.term IN ({terms})"
+        " GROUP BY tk.doc_id, dls.dl, tk.term),"
+        " idf AS (SELECT term, n, sumdl, " + idf + " AS idf_e6"
+        " FROM (SELECT term, COUNT(*)::BIGINT AS df FROM tf"
+        " GROUP BY term) dfq, stats),"
+        " sc AS (SELECT tf.doc_id, COUNT(*)::BIGINT AS n_terms,"
+        f" SUM({contrib})::BIGINT AS score_e6"
+        " FROM tf JOIN idf USING (term) GROUP BY tf.doc_id)"
+        " SELECT (row_number() OVER (ORDER BY score_e6 DESC, doc_id"
+        " ASC))::BIGINT AS rank, doc_id, n_terms, score_e6 FROM sc"
+        " ORDER BY score_e6 DESC, doc_id ASC LIMIT 20")
+
+
+SPLIT_ORACLE_SQL = (
+    "SELECT doc_id, source,"
+    " CASE WHEN substr(md5('v1' || CAST(source AS VARCHAR)), 1, 8)"
+    " < 'cccccccc' THEN 'train'"
+    " WHEN substr(md5('v1' || CAST(source AS VARCHAR)), 1, 8)"
+    " < 'e6666666' THEN 'val'"
+    " ELSE 'test' END AS split FROM documents")
+
+
+def test_text_bm25_topk_candidate(spark):
+    """Entry shape `text_bm25_topk`: BM25-scored top-20 retrieval for a
+    5-term query (4 common terms + the rare 'dup', df=25/500 at sf0.01,
+    so the idf spread is real) over the documents corpus.  Lucene-style
+    always-positive idf ln((2N+2)/(2df+1)) in integer micro-nats via the
+    libm-free det-ln polynomial; per-term contributions quantized to
+    integers so the per-document sum is order-independent — cross-engine
+    hash equality by construction, verified here with the gate
+    comparator.  Plan: query-term filter inside the explode stage,
+    1-row stats broadcast, rank filter lowered to
+    TakeOrderedAndProject."""
+    from gqlite_spark.operators.text import bm25_topk
+
+    d = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    got = bm25_topk(d, BM25_TERMS, k=20).toPandas()
+    oracle = duck_con(SF_DIR).execute(bm25_oracle_sql()).fetchdf()
+    verdict = compare(got, oracle)
+    assert verdict.startswith("OK"), verdict
+
+
+def test_split_leakage_safe_candidate(spark):
+    """Entry shape `split_leakage_safe`: deterministic 80/10/10
+    train/val/test assignment keyed on md5('v1' || source) — every
+    document of one source lands in the same split (the leakage-safe
+    co-travel guarantee), row order and engine never move a row, and
+    the md5-prefix thresholds are the SAME machinery the sampling
+    oracles already prove cross-engine."""
+    from gqlite_spark.operators.sampling import split_assign
+
+    d = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    got = (split_assign(d, key_col="source", salt="v1")
+           .select("doc_id", "source", "split")).toPandas()
+    oracle = duck_con(SF_DIR).execute(SPLIT_ORACLE_SQL).fetchdf()
+    verdict = compare(got, oracle)
+    assert verdict.startswith("OK"), verdict
 
 
 def test_gql_dedup_clusters_candidate(spark):
