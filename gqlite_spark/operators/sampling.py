@@ -141,6 +141,70 @@ def split_assign(df: DataFrame,
     return df.withColumn("split", expr)
 
 
+def select_token_budget(df: DataFrame, budget: int,
+                        order_col: str = "quality",
+                        token_col: str = "n_tokens",
+                        id_col: str = "doc_id",
+                        max_distinct_order_values: int = 100_000
+                        ) -> DataFrame:
+    """Quality-first corpus selection under a token budget: take rows in
+    (``order_col`` DESC, ``id_col`` ASC) order while the running sum of
+    ``token_col`` stays ≤ ``budget`` — "give me the best N-token
+    subcorpus" step of a data-curation pipeline.  Exactly the ordered
+    prefix ``SUM(tokens) OVER (ORDER BY q DESC, id) <= budget`` — but
+    NOT computed that way: a global ordered window funnels the whole
+    corpus through ONE partition, the classic cumsum scale-killer.
+
+    Two-pass histogram-threshold plan instead:
+
+    1. aggregate (count, token-sum) per DISTINCT ``order_col`` value — a
+       bounded result (quality scores are quantized to 4 decimals →
+       ≤ ~10⁴ groups), collected and scanned on the driver to find the
+       threshold value v*: every value ABOVE v* fits entirely, and
+       ``rem`` tokens of budget remain inside the v* tie group;
+    2. rows above v* pass a plain map-side filter (no shuffle, no
+       window); ONLY the v* tie group runs the per-value ordered cumsum
+       (a window partitioned by the value — cost bounded by the tie
+       group, not the corpus).
+
+    ``order_col`` must be non-null and exactly comparable (integers or
+    round()-quantized doubles — binary-exact equality is what makes the
+    tie group well-defined on any engine).  Raises if the distinct-value
+    bound is exceeded rather than silently collecting an unbounded
+    histogram."""
+    if budget < 0:
+        raise ValueError(f"budget must be >= 0, got {budget}")
+    hist = (df.groupBy(order_col)
+            .agg(F.sum(F.col(token_col).cast("long")).alias("_tok"))
+            .collect())
+    if len(hist) > max_distinct_order_values:
+        raise ValueError(
+            f"select_token_budget: {len(hist)} distinct {order_col!r} "
+            f"values exceeds the {max_distinct_order_values} histogram "
+            "bound — quantize the order column (e.g. round(q, 4))")
+    hist.sort(key=lambda r: r[order_col], reverse=True)
+    cum_before = 0
+    vstar = None
+    for row in hist:
+        if cum_before + row["_tok"] > budget:
+            vstar = row[order_col]
+            break
+        cum_before += row["_tok"]
+    if vstar is None:           # everything fits
+        return df
+    rem = budget - cum_before
+    above = df.filter(F.col(order_col) > F.lit(vstar))
+    from pyspark.sql import Window
+    w = (Window.partitionBy(order_col).orderBy(F.col(id_col).asc())
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    boundary = (df.filter(F.col(order_col) == F.lit(vstar))
+                .withColumn("_cum",
+                            F.sum(F.col(token_col).cast("long")).over(w))
+                .filter(F.col("_cum") <= F.lit(rem))
+                .drop("_cum"))
+    return above.unionByName(boundary)
+
+
 def cluster_sample(df: DataFrame, centroids: "list[tuple]",
                    per_cluster: int, id_col: str = "vec_id",
                    vec_col: str = "embedding",

@@ -1994,3 +1994,37 @@ def test_bm25_ranking_properties(spark):
     assert score[2] > score[5]
     assert str(out["score_e6"].dtype) == "int64"
     assert str(out["rank"].dtype) == "int64"
+
+
+def test_select_token_budget_boundary_semantics(spark):
+    """The histogram-threshold decomposition must match ordered-prefix
+    cumsum semantics exactly: full tiers above the threshold, an
+    id-ordered partial prefix INSIDE the threshold tie group, nothing
+    below; everything-fits and nothing-fits edges; bound + validation
+    errors."""
+    import pytest
+
+    from gqlite_spark.operators.sampling import select_token_budget
+    rows = [  # (doc_id, quality, n_tokens)
+        (1, 3.0, 10), (2, 3.0, 10),            # tier 3.0: 20 tokens
+        (3, 2.0, 10), (4, 2.0, 10), (5, 2.0, 10),  # tier 2.0: 30
+        (6, 1.0, 5),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, quality double,"
+                                     " n_tokens long")
+    # budget 45: all of tier 3.0 (20) + prefix of tier 2.0 by id
+    # (10+10=40 <= 45-20=25? no: rem=25 -> ids 3,4 (20<=25), id 5
+    # would make 30>25) -> {1,2,3,4}
+    got = {r["doc_id"] for r in select_token_budget(df, 45).collect()}
+    assert got == {1, 2, 3, 4}
+    # budget 5: first doc (10 tokens) already overflows -> empty
+    assert select_token_budget(df, 5).count() == 0
+    # budget >= total (55): identity
+    assert select_token_budget(df, 55).count() == 6
+    # exact tier boundary: budget 20 takes exactly tier 3.0
+    assert ({r["doc_id"] for r in select_token_budget(df, 20).collect()}
+            == {1, 2})
+    with pytest.raises(ValueError, match="budget"):
+        select_token_budget(df, -1)
+    with pytest.raises(ValueError, match="histogram"):
+        select_token_budget(df, 45, max_distinct_order_values=2)

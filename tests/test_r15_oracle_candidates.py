@@ -117,6 +117,44 @@ def test_split_leakage_safe_candidate(spark):
     assert verdict.startswith("OK"), verdict
 
 
+def token_budget_oracle_sql() -> str:
+    """DuckDB oracle for the `curation_token_budget` entry shape: the
+    straightforward global-cumsum formulation (SUM OVER ORDER BY quality
+    DESC, doc_id <= budget) over the PROVEN text_quality expressions —
+    the Spark side must reproduce it exactly from the histogram-threshold
+    two-pass plan.  Moves into oracle_sql() at promotion."""
+    import __spark_entry__ as entry
+    tq = entry.oracle_sql()["text_quality"]
+    return ("WITH tq AS (" + tq + "),"
+            " q AS (SELECT doc_id, n_tokens, quality FROM tq),"
+            " b AS (SELECT SUM(n_tokens) // 5 AS budget FROM q),"
+            " c AS (SELECT *, SUM(n_tokens) OVER (ORDER BY quality DESC,"
+            " doc_id ASC) AS cum FROM q)"
+            " SELECT doc_id, n_tokens, quality FROM c, b"
+            " WHERE cum <= budget")
+
+
+def test_curation_token_budget_candidate(spark):
+    """Entry shape `curation_token_budget`: the best-quality subcorpus
+    whose token count fits 20% of the corpus budget — selection order
+    (quality DESC, doc_id ASC), running token sum ≤ budget.  The oracle
+    is the textbook single-window cumsum; the Spark plan is the
+    scale-safe histogram-threshold decomposition (bounded per-value
+    aggregate + driver threshold scan + map-only filter above the
+    threshold + tie-group-sized window AT the threshold) — parity here
+    proves the decomposition is value-identical to the global cumsum."""
+    from gqlite_spark.operators.sampling import select_token_budget
+    from gqlite_spark.operators.text import quality_score
+
+    d = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    scored = quality_score(d).select("doc_id", "n_tokens", "quality")
+    total = scored.agg(F.sum("n_tokens")).collect()[0][0]
+    got = select_token_budget(scored, total // 5).toPandas()
+    oracle = duck_con(SF_DIR).execute(token_budget_oracle_sql()).fetchdf()
+    verdict = compare(got, oracle)
+    assert verdict.startswith("OK"), verdict
+
+
 def test_gql_dedup_clusters_candidate(spark):
     """Entry shape `gql_dedup_clusters`: transitive near-dup clusters
     END-TO-END through the GQL `{dedup: method: 'clusters'}` statement
