@@ -29,8 +29,8 @@ from .gql.ast import (AstStmt, CallExpr, ChunkStmt, CohortStmt, CreateStmt,
                       ImportStmt, InferStmt, LayoutStmt, MemberRef, Pred,
                       ProfileStmt,
                       QuantilesStmt, QueryStmt, ReadRollupStmt,
-                      RollupStmt, SampleStmt, ShardsStmt,
-                      SimilarStmt,
+                      RetrieveStmt, RollupStmt, SampleStmt, ShardsStmt,
+                      SimilarStmt, SplitStmt,
                       TopcountStmt, VIndexStmt,
                       RemoveEdgeStmt, RemoveVertexStmt, ShowGraphStmt,
                       UpsetEdgeStmt, UpsetPropertyStmt, UpsetVertexStmt,
@@ -167,6 +167,10 @@ class GQLite:
             return self._cohort(stmt)
         if isinstance(stmt, SampleStmt):
             return self._sample(stmt)
+        if isinstance(stmt, SplitStmt):
+            return self._split(stmt)
+        if isinstance(stmt, RetrieveStmt):
+            return self._retrieve(stmt)
         if isinstance(stmt, CurateStmt):
             return self._curate(stmt)
         if isinstance(stmt, VIndexStmt):
@@ -642,6 +646,65 @@ class GQLite:
             out = stratified_sample(df, stmt.by, stmt.rates, id_col="id",
                                     default_rate=stmt.default,
                                     salt=stmt.salt)
+        return StatementResult(
+            status="QUERY SUCCESS", df=out,
+            rows_fn=lambda out=out: [list(r) for r in out.collect()])
+
+    def _split(self, stmt: SplitStmt) -> StatementResult:
+        """``{split: 'docs', in: 'g', by: 'source', weights:
+        {train: 0.8, val: 0.1, test: 0.1}, salt: 'v1'};`` —
+        deterministic leakage-safe split assignment as an engine
+        statement (operators/sampling.split_assign).  ``by:`` is the
+        co-travel key: every row sharing its value lands in the same
+        split (default: the group key — fine-grained, NOT
+        leakage-safe against correlated rows; the statement exists so
+        the safe form is one property name away).  Pure map, zero
+        shuffle, engine/re-run stable."""
+        from .operators.sampling import split_assign
+        graph = self._graph(stmt.graph)
+        grp = graph.group(stmt.group)
+        df = grp.to_df()
+        if df is None:
+            return StatementResult(status="QUERY SUCCESS", rows=[],
+                                   df=None)
+        key = stmt.by if stmt.by is not None else "id"
+        if key not in df.columns:
+            raise GQLiteError(
+                f"group '{stmt.group}' has no property '{key}'")
+        splits = (tuple(stmt.weights.items()) if stmt.weights
+                  else (("train", 0.8), ("val", 0.1), ("test", 0.1)))
+        out = split_assign(df, splits=splits, key_col=key,
+                           salt=stmt.salt)
+        return StatementResult(
+            status="QUERY SUCCESS", df=out,
+            rows_fn=lambda out=out: [list(r) for r in out.collect()])
+
+    def _retrieve(self, stmt: RetrieveStmt) -> StatementResult:
+        """``{retrieve: 'docs', in: 'g', terms: ['spark', 'dup'],
+        top: 20};`` — BM25 top-k lexical retrieval as an engine
+        statement (operators/text.bm25_topk): the sparse complement of
+        ``{similar:}``'s dense vector search, same statement shape
+        (group + ranking params in, ranked rows out).  Result rows:
+        (rank, id, n_terms, score_e6)."""
+        from pyspark.sql import types as T
+
+        from .operators.text import bm25_topk
+        graph = self._graph(stmt.graph)
+        grp = graph.group(stmt.group)
+        df = grp.to_df()
+        if df is None:
+            return StatementResult(status="QUERY SUCCESS", rows=[],
+                                   df=None)
+        if stmt.on not in df.columns:
+            raise GQLiteError(
+                f"group '{stmt.group}' has no property '{stmt.on}'")
+        if not isinstance(df.schema[stmt.on].dataType, T.StringType):
+            raise GQLiteError(
+                f"retrieve: property '{stmt.on}' is "
+                f"{df.schema[stmt.on].dataType.simpleString()}, "
+                "not a string")
+        out = bm25_topk(df, stmt.terms, k=stmt.top, k1=stmt.k1,
+                        b=stmt.b, id_col="id", text_col=stmt.on)
         return StatementResult(
             status="QUERY SUCCESS", df=out,
             rows_fn=lambda out=out: [list(r) for r in out.collect()])

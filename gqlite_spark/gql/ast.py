@@ -275,6 +275,38 @@ class SampleStmt:
 
 
 @dataclass
+class SplitStmt:
+    """``{split: group, in: g, weights: {train: 0.8, val: 0.1,
+    test: 0.1}, by: prop, salt: s}`` — deterministic leakage-safe
+    train/val/test assignment as an engine statement
+    (operators/sampling.split_assign): cumulative md5(salt||key)
+    thresholds; ``by:`` names the co-travel key (source/domain/
+    cluster-rep) so correlated rows land in the same split — default
+    is the group key.  Weights default to 80/10/10."""
+    group: str
+    graph: Optional[str] = None
+    weights: Optional[dict] = None
+    by: Optional[str] = None
+    salt: str = ""
+
+
+@dataclass
+class RetrieveStmt:
+    """``{retrieve: group, in: g, terms: [...], top: k, on: prop,
+    k1: x, b: y}`` — BM25 top-k lexical retrieval as an engine
+    statement (operators/text.bm25_topk): integer micro-nat idf,
+    quantized order-independent per-document scores, rank filter
+    lowered to a distributed top-k."""
+    group: str
+    terms: "list[str]"
+    graph: Optional[str] = None
+    top: int = 20
+    on: str = "text"
+    k1: float = 1.2
+    b: float = 0.75
+
+
+@dataclass
 class CurateStmt:
     """``{curate: group, in: g, benchmark: bench_group, on: prop,
     quality_min: q, ngram: n, method: m, best_by: prop}`` — the

@@ -21,8 +21,8 @@ from .ast import (
     CohortStmt, CurateStmt, DedupStmt, DropStmt,
     DumpStmt, EdgeConn, FunnelStmt, GeohashLit, GroupDef, ImportStmt,
     InferStmt, Lambda, LayoutStmt,
-    MemberRef, QuantilesStmt, ReadRollupStmt, RollupStmt, SampleStmt,
-    ShardsStmt, SimilarStmt,
+    MemberRef, QuantilesStmt, ReadRollupStmt, RetrieveStmt, RollupStmt,
+    SampleStmt, ShardsStmt, SimilarStmt, SplitStmt,
     TopcountStmt, VIndexStmt,
     PatternNode, Pred, ProfileStmt, QueryStmt, RemoveEdgeStmt,
     RemoveVertexStmt, ShowGraphStmt, UpsetEdgeStmt, UpsetPropertyStmt,
@@ -767,6 +767,61 @@ class Parser:
                 raise GQLParseError("shards: n must be a positive integer")
             return ShardsStmt(obj["shards"], path, obj.get("in"),
                               nsh, str(obj.get("salt", "")))
+        if "split" in obj:
+            weights = obj.get("weights")
+            if weights is not None:
+                if (not isinstance(weights, dict) or not weights
+                        or not all(isinstance(v, (int, float))
+                                   and not isinstance(v, bool)
+                                   and 0 <= v <= 1
+                                   for v in weights.values())):
+                    raise GQLParseError(
+                        "split: weights must be a dict of fractions "
+                        "in [0, 1]")
+                if abs(sum(weights.values()) - 1.0) > 1e-9:
+                    raise GQLParseError("split: weights must sum to 1")
+            by = obj.get("by")
+            if by is not None and (not isinstance(by, str) or not by):
+                raise GQLParseError("split: by must be a property name")
+            extra = sorted(set(obj) - {"split", "in", "weights", "by",
+                                       "salt"})
+            if extra:
+                raise GQLParseError(
+                    f"split: unknown key(s) {', '.join(extra)}")
+            return SplitStmt(obj["split"], obj.get("in"),
+                             None if weights is None else
+                             {str(k): float(v)
+                              for k, v in weights.items()},
+                             by, str(obj.get("salt", "")))
+        if "retrieve" in obj:
+            terms = obj.get("terms")
+            if (not isinstance(terms, list) or not terms
+                    or not all(isinstance(t, str) and t for t in terms)):
+                raise GQLParseError(
+                    "retrieve: terms must be a non-empty string list")
+            top = obj.get("top", 20)
+            if not isinstance(top, int) or isinstance(top, bool) \
+                    or top < 1:
+                raise GQLParseError(
+                    "retrieve: top must be a positive integer")
+            k1 = obj.get("k1", 1.2)
+            if (not isinstance(k1, (int, float)) or isinstance(k1, bool)
+                    or k1 <= 0):
+                raise GQLParseError(
+                    "retrieve: k1 must be a positive number")
+            bb = obj.get("b", 0.75)
+            if (not isinstance(bb, (int, float)) or isinstance(bb, bool)
+                    or not 0 <= bb <= 1):
+                raise GQLParseError("retrieve: b must be in [0, 1]")
+            extra = sorted(set(obj) - {"retrieve", "in", "terms", "top",
+                                       "on", "k1", "b"})
+            if extra:
+                raise GQLParseError(
+                    f"retrieve: unknown key(s) {', '.join(extra)}")
+            return RetrieveStmt(obj["retrieve"], [str(t) for t in terms],
+                                obj.get("in"), int(top),
+                                str(obj.get("on", "text")), float(k1),
+                                float(bb))
         raise GQLParseError(f"unrecognized statement keys: {sorted(obj)}")
 
     def _build_groups(self, raw: list) -> list[GroupDef]:

@@ -911,3 +911,78 @@ def test_gql_curate_errors(db, spark):
     r = db.exec("{curate: 'docs', in: 'cerr', benchmark: 'docs',"
                 " best_by: 'nope'};")[0]
     assert r.error and "no property 'nope'" in r.error
+
+
+def test_gql_split(pdb):
+    """{split:} — leakage-safe deterministic split assignment through
+    the engine: statement rows == library split_assign on the same
+    frame; by: names the co-travel key; weights validated."""
+    # give docs a shared 'site' so co-travel is observable
+    assert pdb.exec("{upset: 'docs', property: {site: 'a.com'},"
+                    " where: {id: {$lt: 3}}};")[0].error is None
+    assert pdb.exec("{upset: 'docs', property: {site: 'b.com'},"
+                    " where: {id: {$gte: 3}}};")[0].error is None
+    res = _one(pdb, "{split: 'docs', in: 'pg', by: 'site',"
+                    " weights: {train: 0.5, test: 0.5}, salt: 's'};")
+    assert len(res.rows) == 4
+    # co-travel: same site -> same split
+    by_id = {r[0]: r[-1] for r in res.rows}
+    assert by_id[1] == by_id[2] and by_id[3] == by_id[4]
+    assert set(by_id.values()) <= {"train", "test"}
+    # library parity on the same frame
+    from gqlite_spark.operators.sampling import split_assign
+    lib = {r["id"]: r["split"] for r in split_assign(
+        res.df.drop("split"), splits=(("train", 0.5), ("test", 0.5)),
+        key_col="site", salt="s").collect()}
+    assert lib == by_id
+    # default key is the group key; default weights 80/10/10
+    res = _one(pdb, "{split: 'docs', in: 'pg'};")
+    assert {r[-1] for r in res.rows} <= {"train", "val", "test"}
+
+
+def test_gql_retrieve(pdb):
+    """{retrieve:} — BM25 top-k through the engine: ranked rows,
+    rank 1 is the doc with the most query-term mass; statement ==
+    library bm25_topk on the same frame."""
+    res = _one(pdb, "{retrieve: 'docs', in: 'pg',"
+                    " terms: ['spark', 'fox'], top: 3};")
+    assert 1 <= len(res.rows) <= 3
+    # doc 4 is the only one containing 'spark' (rare term) -> its idf
+    # dominates; ranked first
+    assert res.rows[0][1] == 4 and res.rows[0][0] == 1
+    from gqlite_spark.operators.text import bm25_topk
+    got = {tuple(r) for r in res.rows}
+    lib = {tuple(r) for r in bm25_topk(
+        pdb.catalog.graph("pg").group("docs").to_df(),
+        ["spark", "fox"], k=3, id_col="id").collect()}
+    assert got == lib
+
+
+def test_gql_split_retrieve_parse_errors(pdb):
+    r = pdb.exec("{split: 'docs', in: 'pg',"
+                 " weights: {train: 0.5}};")[0]
+    assert r.error and "sum to 1" in r.error
+    r = pdb.exec("{split: 'docs', in: 'pg', weights: {a: 2.0,"
+                 " b: -1.0}};")[0]
+    assert r.error and "fractions" in r.error
+    r = pdb.exec("{split: 'docs', in: 'pg', by: 'nope'};")[0]
+    assert r.error and "no property" in r.error
+    r = pdb.exec("{split: 'docs', in: 'pg', rate: 0.5};")[0]
+    assert r.error and "unknown key" in r.error
+    r = pdb.exec("{retrieve: 'docs', in: 'pg', terms: []};")[0]
+    assert r.error and "terms" in r.error
+    r = pdb.exec("{retrieve: 'docs', in: 'pg', terms: ['a'],"
+                 " top: 0};")[0]
+    assert r.error and "top" in r.error
+    r = pdb.exec("{retrieve: 'docs', in: 'pg', terms: ['a'],"
+                 " b: 1.5};")[0]
+    assert r.error and "b must" in r.error
+    r = pdb.exec("{retrieve: 'docs', in: 'pg', terms: ['a'],"
+                 " k1: 0};")[0]
+    assert r.error and "k1" in r.error
+    r = pdb.exec("{retrieve: 'vecs', in: 'pg', terms: ['a'],"
+                 " on: 'embedding'};")[0]
+    assert r.error and "not a string" in r.error
+    r = pdb.exec("{retrieve: 'docs', in: 'pg', terms: ['a'],"
+                 " foo: 1};")[0]
+    assert r.error and "unknown key" in r.error

@@ -117,6 +117,49 @@ def test_split_leakage_safe_candidate(spark):
     assert verdict.startswith("OK"), verdict
 
 
+def test_gql_retrieve_topk_candidate(spark):
+    """Entry shape `gql_retrieve_topk`: BM25 top-20 END-TO-END through
+    the GQL `{retrieve:}` statement (parse -> validate -> lower onto
+    operators/text.bm25_topk with the group's key as doc id), against
+    the same inline oracle the library-path candidate proves — the
+    sparse-retrieval statement route's gate row."""
+    from gqlite_spark import GQLite
+
+    d = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    db = GQLite(spark)
+    g = db.catalog.create_graph("r15rt")
+    g.create_group("docs").register_df(d, key_col="doc_id")
+    terms = ", ".join(f"'{t}'" for t in BM25_TERMS)
+    got = (db.query_df("{retrieve: 'docs', in: 'r15rt',"
+                       f" terms: [{terms}], top: 20}};")
+           .withColumnRenamed("id", "doc_id")).toPandas()
+    oracle = duck_con(SF_DIR).execute(bm25_oracle_sql()).fetchdf()
+    verdict = compare(got, oracle)
+    assert verdict.startswith("OK"), verdict
+
+
+def test_gql_split_leakage_candidate(spark):
+    """Entry shape `gql_split_leakage`: the 80/10/10 source-keyed carve
+    END-TO-END through the GQL `{split:}` statement, against the same
+    inline oracle as the library-path candidate.  The md5 threshold
+    hashes the by: property VALUE, so the group's id rename does not
+    move any row."""
+    from gqlite_spark import GQLite
+
+    d = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    db = GQLite(spark)
+    g = db.catalog.create_graph("r15sl")
+    g.create_group("docs").register_df(d, key_col="doc_id")
+    got = (db.query_df("{split: 'docs', in: 'r15sl', by: 'source',"
+                       " weights: {train: 0.8, val: 0.1, test: 0.1},"
+                       " salt: 'v1'};")
+           .withColumnRenamed("id", "doc_id")
+           .select("doc_id", "source", "split")).toPandas()
+    oracle = duck_con(SF_DIR).execute(SPLIT_ORACLE_SQL).fetchdf()
+    verdict = compare(got, oracle)
+    assert verdict.startswith("OK"), verdict
+
+
 def token_budget_oracle_sql() -> str:
     """DuckDB oracle for the `curation_token_budget` entry shape: the
     straightforward global-cumsum formulation (SUM OVER ORDER BY quality
