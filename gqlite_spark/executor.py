@@ -23,7 +23,8 @@ from .catalog import (K_BINARY, K_DATETIME, K_VECTOR, Catalog, Graph, Group)
 from .errors import (GQLiteError, GQLParseError, GraphNotExistError,
                      GroupNotExistError)
 from .gql import parser as gql_parser
-from .gql.ast import (AstStmt, CallExpr, ChunkStmt, CohortStmt, CreateStmt,
+from .gql.ast import (AstStmt, BudgetStmt, CallExpr, ChunkStmt, CohortStmt,
+                      CreateStmt,
                       CurateStmt, DedupStmt,
                       DropStmt, DumpStmt, FunnelStmt,
                       ImportStmt, InferStmt, LayoutStmt, MemberRef, Pred,
@@ -169,6 +170,8 @@ class GQLite:
             return self._sample(stmt)
         if isinstance(stmt, SplitStmt):
             return self._split(stmt)
+        if isinstance(stmt, BudgetStmt):
+            return self._budget(stmt)
         if isinstance(stmt, RetrieveStmt):
             return self._retrieve(stmt)
         if isinstance(stmt, CurateStmt):
@@ -675,6 +678,42 @@ class GQLite:
                   else (("train", 0.8), ("val", 0.1), ("test", 0.1)))
         out = split_assign(df, splits=splits, key_col=key,
                            salt=stmt.salt)
+        return StatementResult(
+            status="QUERY SUCCESS", df=out,
+            rows_fn=lambda out=out: [list(r) for r in out.collect()])
+
+    def _budget(self, stmt: BudgetStmt) -> StatementResult:
+        """``{budget: 'docs', in: 'g', tokens: 100000};`` — the best
+        rows (by ``by:``, default quality) whose ``on:`` (default
+        n_tokens) sum fits the token budget
+        (operators/sampling.select_token_budget — the bounded
+        histogram-threshold plan, never a corpus-wide ordered window).
+        When ``by:``/``on:`` name the derived ``quality``/``n_tokens``
+        metrics and the group lacks those properties but has ``text``,
+        they are computed in-scan (text.quality_exprs — the same
+        Columns the {curate:} statement uses), so the statement works
+        directly on a raw document group."""
+        from .operators.sampling import select_token_budget
+        from .operators.text import quality_exprs
+        graph = self._graph(stmt.graph)
+        grp = graph.group(stmt.group)
+        df = grp.to_df()
+        if df is None:
+            return StatementResult(status="QUERY SUCCESS", rows=[],
+                                   df=None)
+        derivable = ("quality", "n_tokens")
+        missing = [c for c in (stmt.by, stmt.on) if c not in df.columns]
+        if missing:
+            underivable = [c for c in missing if c not in derivable]
+            if underivable or "text" not in df.columns:
+                raise GQLiteError(
+                    f"group '{stmt.group}' has no property "
+                    f"'{missing[0]}'")
+            e = quality_exprs(F.coalesce(F.col("text"), F.lit("")))
+            for c in missing:
+                df = df.withColumn(c, e[c])
+        out = select_token_budget(df, stmt.tokens, order_col=stmt.by,
+                                  token_col=stmt.on, id_col="id")
         return StatementResult(
             status="QUERY SUCCESS", df=out,
             rows_fn=lambda out=out: [list(r) for r in out.collect()])

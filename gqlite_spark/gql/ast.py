@@ -291,6 +291,21 @@ class SplitStmt:
 
 
 @dataclass
+class BudgetStmt:
+    """``{budget: group, in: g, tokens: n, by: prop, on: prop}`` —
+    quality-first selection under a token budget as an engine statement
+    (operators/sampling.select_token_budget): rows in (``by`` DESC, key
+    ASC) order while the running sum of ``on`` stays ≤ ``tokens``;
+    computed via the bounded histogram-threshold decomposition, never a
+    corpus-wide single-partition cumsum."""
+    group: str
+    tokens: int
+    graph: Optional[str] = None
+    by: str = "quality"
+    on: str = "n_tokens"
+
+
+@dataclass
 class RetrieveStmt:
     """``{retrieve: group, in: g, terms: [...], top: k, on: prop,
     k1: x, b: y}`` — BM25 top-k lexical retrieval as an engine

@@ -17,7 +17,8 @@ from typing import Any
 from ..errors import GQLParseError
 from . import lexer as L
 from .ast import (
-    STAR, AstStmt, BinaryLit, CallExpr, ChunkStmt, CreateStmt, DatetimeLit,
+    STAR, AstStmt, BinaryLit, BudgetStmt, CallExpr, ChunkStmt, CreateStmt,
+    DatetimeLit,
     CohortStmt, CurateStmt, DedupStmt, DropStmt,
     DumpStmt, EdgeConn, FunnelStmt, GeohashLit, GroupDef, ImportStmt,
     InferStmt, Lambda, LayoutStmt,
@@ -793,6 +794,25 @@ class Parser:
                              {str(k): float(v)
                               for k, v in weights.items()},
                              by, str(obj.get("salt", "")))
+        if "budget" in obj:
+            tokens = obj.get("tokens")
+            if not isinstance(tokens, int) or isinstance(tokens, bool) \
+                    or tokens < 0:
+                raise GQLParseError(
+                    "budget: tokens must be a non-negative integer")
+            for nm in ("by", "on"):
+                v = obj.get(nm)
+                if v is not None and (not isinstance(v, str) or not v):
+                    raise GQLParseError(
+                        f"budget: {nm} must be a property name")
+            extra = sorted(set(obj) - {"budget", "in", "tokens", "by",
+                                       "on"})
+            if extra:
+                raise GQLParseError(
+                    f"budget: unknown key(s) {', '.join(extra)}")
+            return BudgetStmt(obj["budget"], int(tokens), obj.get("in"),
+                              str(obj.get("by", "quality")),
+                              str(obj.get("on", "n_tokens")))
         if "retrieve" in obj:
             terms = obj.get("terms")
             if (not isinstance(terms, list) or not terms

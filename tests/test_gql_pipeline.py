@@ -986,3 +986,41 @@ def test_gql_split_retrieve_parse_errors(pdb):
     r = pdb.exec("{retrieve: 'docs', in: 'pg', terms: ['a'],"
                  " foo: 1};")[0]
     assert r.error and "unknown key" in r.error
+
+
+def test_gql_budget(pdb):
+    """{budget:} — token-budget selection through the engine: derived
+    quality/n_tokens metrics computed in-scan when the group lacks
+    them; statement == library select_token_budget over the same
+    derived frame; validation surface."""
+    from pyspark.sql import functions as F
+
+    from gqlite_spark.operators.sampling import select_token_budget
+    from gqlite_spark.operators.text import quality_exprs
+
+    res = _one(pdb, "{budget: 'docs', in: 'pg', tokens: 20};")
+    got = {r[0] for r in res.rows}
+    # library parity: same derived metrics, same budget
+    df = pdb.catalog.graph("pg").group("docs").to_df()
+    e = quality_exprs(F.coalesce(F.col("text"), F.lit("")))
+    derived = (df.withColumn("quality", e["quality"])
+               .withColumn("n_tokens", e["n_tokens"]))
+    lib = {r["id"] for r in
+           select_token_budget(derived, 20, id_col="id").collect()}
+    assert got == lib and 0 < len(got) < 4
+    # budget 0 -> nothing; huge budget -> everything
+    assert _one(pdb, "{budget: 'docs', in: 'pg', tokens: 0};").rows == []
+    assert len(_one(pdb,
+                    "{budget: 'docs', in: 'pg', tokens: 10000};").rows) == 4
+    # explicit by:/on: over a real property
+    res = _one(pdb, "{budget: 'docs', in: 'pg', tokens: 10000,"
+                    " by: 'id', on: 'id'};")
+    assert len(res.rows) == 4
+    r = pdb.exec("{budget: 'docs', in: 'pg', tokens: -1};")[0]
+    assert r.error and "non-negative" in r.error
+    r = pdb.exec("{budget: 'docs', in: 'pg'};")[0]
+    assert r.error and "tokens" in r.error
+    r = pdb.exec("{budget: 'docs', in: 'pg', tokens: 5, by: 'nope'};")[0]
+    assert r.error and "no property" in r.error
+    r = pdb.exec("{budget: 'docs', in: 'pg', tokens: 5, foo: 1};")[0]
+    assert r.error and "unknown key" in r.error
