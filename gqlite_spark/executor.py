@@ -742,8 +742,37 @@ class GQLite:
                 f"retrieve: property '{stmt.on}' is "
                 f"{df.schema[stmt.on].dataType.simpleString()}, "
                 "not a string")
-        out = bm25_topk(df, stmt.terms, k=stmt.top, k1=stmt.k1,
-                        b=stmt.b, id_col="id", text_col=stmt.on)
+        if stmt.near is not None:
+            # hybrid: dense cosine leg over the vectors group, fused
+            # with the BM25 leg by reciprocal rank (similarity.
+            # hybrid_topk); the two groups align on their keys
+            from .operators.similarity import hybrid_topk
+            vgrp = graph.group(stmt.vectors)
+            vdf = vgrp.to_df()
+            if vdf is None:
+                return StatementResult(status="QUERY SUCCESS", rows=[],
+                                       df=None)
+            if stmt.von not in vdf.columns:
+                raise GQLiteError(
+                    f"group '{stmt.vectors}' has no property "
+                    f"'{stmt.von}'")
+            dtype = vdf.schema[stmt.von].dataType
+            if not (isinstance(dtype, T.ArrayType)
+                    and isinstance(dtype.elementType,
+                                   (T.DoubleType, T.FloatType,
+                                    T.IntegerType, T.LongType,
+                                    T.ShortType))):
+                raise GQLiteError(
+                    f"retrieve: property '{stmt.von}' is "
+                    f"{dtype.simpleString()}, not a numeric vector")
+            out = hybrid_topk(df, vdf, stmt.near, stmt.terms,
+                              k=stmt.top, k_each=max(stmt.top, 20),
+                              c=stmt.fuse, doc_id_col="id",
+                              text_col=stmt.on, vec_id_col="id",
+                              vec_col=stmt.von, k1=stmt.k1, b=stmt.b)
+        else:
+            out = bm25_topk(df, stmt.terms, k=stmt.top, k1=stmt.k1,
+                            b=stmt.b, id_col="id", text_col=stmt.on)
         return StatementResult(
             status="QUERY SUCCESS", df=out,
             rows_fn=lambda out=out: [list(r) for r in out.collect()])

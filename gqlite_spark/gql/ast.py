@@ -311,7 +311,12 @@ class RetrieveStmt:
     k1: x, b: y}`` — BM25 top-k lexical retrieval as an engine
     statement (operators/text.bm25_topk): integer micro-nat idf,
     quantized order-independent per-document scores, rank filter
-    lowered to a distributed top-k."""
+    lowered to a distributed top-k.  With ``near:`` (a query vector)
+    and ``vectors:`` (the embedding group whose key aligns with the
+    document group's), the statement runs HYBRID retrieval instead
+    (operators/similarity.hybrid_topk): dense cosine top-k_each fused
+    with BM25 top-k_each by reciprocal rank (``fuse:`` = the RRF c
+    constant, default 60; ``von:`` = the vector property)."""
     group: str
     terms: "list[str]"
     graph: Optional[str] = None
@@ -319,6 +324,10 @@ class RetrieveStmt:
     on: str = "text"
     k1: float = 1.2
     b: float = 0.75
+    near: Optional[list] = None
+    vectors: Optional[str] = None
+    von: str = "embedding"
+    fuse: int = 60
 
 
 @dataclass

@@ -833,15 +833,45 @@ class Parser:
             if (not isinstance(bb, (int, float)) or isinstance(bb, bool)
                     or not 0 <= bb <= 1):
                 raise GQLParseError("retrieve: b must be in [0, 1]")
+            near, vectors = obj.get("near"), obj.get("vectors")
+            if (near is None) != (vectors is None):
+                raise GQLParseError(
+                    "retrieve: near and vectors come together "
+                    "(hybrid needs both the query vector and the "
+                    "embedding group)")
+            if near is not None:
+                if (not isinstance(near, list) or not near
+                        or not all(isinstance(x, (int, float))
+                                   and not isinstance(x, bool)
+                                   for x in near)):
+                    raise GQLParseError(
+                        "retrieve: near must be a numeric vector")
+                if not isinstance(vectors, str) or not vectors:
+                    raise GQLParseError(
+                        "retrieve: vectors must be a group name")
+            fuse = obj.get("fuse", 60)
+            if not isinstance(fuse, int) or isinstance(fuse, bool) \
+                    or fuse < 1:
+                raise GQLParseError(
+                    "retrieve: fuse must be a positive integer")
+            if "fuse" in obj and near is None:
+                raise GQLParseError(
+                    "retrieve: fuse applies to the hybrid form "
+                    "(near/vectors) only")
             extra = sorted(set(obj) - {"retrieve", "in", "terms", "top",
-                                       "on", "k1", "b"})
+                                       "on", "k1", "b", "near",
+                                       "vectors", "von", "fuse"})
             if extra:
                 raise GQLParseError(
                     f"retrieve: unknown key(s) {', '.join(extra)}")
             return RetrieveStmt(obj["retrieve"], [str(t) for t in terms],
                                 obj.get("in"), int(top),
                                 str(obj.get("on", "text")), float(k1),
-                                float(bb))
+                                float(bb),
+                                None if near is None else
+                                [float(x) for x in near],
+                                vectors, str(obj.get("von", "embedding")),
+                                int(fuse))
         raise GQLParseError(f"unrecognized statement keys: {sorted(obj)}")
 
     def _build_groups(self, raw: list) -> list[GroupDef]:

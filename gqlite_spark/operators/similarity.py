@@ -49,6 +49,68 @@ def cosine_topk(df: DataFrame, query_vec: list[float], k: int = 10,
             .select("id", F.round("cosine", 4).alias("cosine")))
 
 
+def rrf_contrib_sql(rank: str, c: int = 60) -> str:
+    """SQL text for one ranking's reciprocal-rank-fusion contribution in
+    integer micro-units: ``floor(1e6/(c + rank) + 0.5)`` as BIGINT, 0
+    when ``rank`` is NULL (the id is absent from that ranking).  One
+    exact integer division of exact integers per row — deterministic on
+    any IEEE engine — and integer summation across rankings keeps the
+    fused score order-independent, the same discipline as the BM25 and
+    LM scores."""
+    return (f"cast(coalesce(floor(1000000.0 / ({c} + {rank}) + 0.5), 0)"
+            " as bigint)")
+
+
+def hybrid_topk(docs: DataFrame, emb: DataFrame, query_vec: list[float],
+                query_terms: "list[str]", k: int = 10, k_each: int = 20,
+                c: int = 60, doc_id_col: str = "doc_id",
+                text_col: str = "text", vec_id_col: str = "vec_id",
+                vec_col: str = "embedding", k1: float = 1.2,
+                b: float = 0.75) -> DataFrame:
+    """Hybrid dense + sparse retrieval with reciprocal-rank fusion —
+    the standard RAG retrieval pattern: take the exact cosine top-k
+    (dense leg, :func:`cosine_topk`) and the BM25 top-k (sparse leg,
+    :func:`gqlite_spark.operators.text.bm25_topk`), fuse by
+    ``Σ 1/(c + rank)`` (RRF, c=60 conventional) and return the top
+    ``k`` fused rows as ``(rank, id, rank_dense, rank_sparse,
+    rrf_e6)`` — absent-from-a-leg ranks reported as 0.
+
+    Rank fusion deliberately ignores the legs' incomparable score
+    scales, so the fused result is a deterministic function of the two
+    RANKINGS alone — both already proven engine-exact by their own
+    oracles — with contributions quantized to integers
+    (:func:`rrf_contrib_sql`) so the sum is order-independent.
+
+    Scale shape: each leg is its own proven top-k plan (distributed
+    top-k, no new corpus-sized work); the fusion joins two ≤ k_each-row
+    frames and the final top-k runs on ≤ 2·k_each rows.  Ties break on
+    ascending id at every step."""
+    from .text import bm25_topk
+    dw = Window.orderBy(F.col("cosine").desc(), F.col("id").asc())
+    dense = (cosine_topk(emb, query_vec, k=k_each, id_col=vec_id_col,
+                         vec_col=vec_col)
+             .select("id", F.row_number().over(dw).cast("long")
+                     .alias("rank_dense")))
+    sparse = (bm25_topk(docs, query_terms, k=k_each, k1=k1, b=b,
+                        id_col=doc_id_col, text_col=text_col)
+              .select(F.col(doc_id_col).alias("id"),
+                      F.col("rank").alias("rank_sparse")))
+    fused = (dense.join(sparse, "id", "full_outer")
+             .select("id", "rank_dense", "rank_sparse",
+                     (F.expr(rrf_contrib_sql("rank_dense", c))
+                      + F.expr(rrf_contrib_sql("rank_sparse", c)))
+                     .alias("rrf_e6")))
+    w = Window.orderBy(F.col("rrf_e6").desc(), F.col("id").asc())
+    return (fused.withColumn("rank", F.row_number().over(w).cast("long"))
+            .filter(F.col("rank") <= k)
+            .select("rank", "id",
+                    F.coalesce("rank_dense", F.lit(0)).cast("long")
+                    .alias("rank_dense"),
+                    F.coalesce("rank_sparse", F.lit(0)).cast("long")
+                    .alias("rank_sparse"),
+                    "rrf_e6"))
+
+
 def l2_topk(df: DataFrame, query_vec: list[float], k: int = 10,
             id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
     """Exact top-k by squared L2 distance (distance2 parity with the

@@ -1024,3 +1024,38 @@ def test_gql_budget(pdb):
     assert r.error and "no property" in r.error
     r = pdb.exec("{budget: 'docs', in: 'pg', tokens: 5, foo: 1};")[0]
     assert r.error and "unknown key" in r.error
+
+
+def test_gql_retrieve_hybrid(pdb):
+    """{retrieve: near:/vectors:} — hybrid dense+sparse RRF through the
+    engine: statement == library hybrid_topk over the same frames;
+    hybrid-form validation."""
+    res = _one(pdb, "{retrieve: 'docs', in: 'pg',"
+                    " terms: ['spark', 'fox'], top: 4,"
+                    " near: [1.0, 0.0], vectors: 'vecs'};")
+    assert 1 <= len(res.rows) <= 4
+    from gqlite_spark.operators.similarity import hybrid_topk
+    docs = pdb.catalog.graph("pg").group("docs").to_df()
+    vecs = pdb.catalog.graph("pg").group("vecs").to_df()
+    lib = {tuple(r) for r in hybrid_topk(
+        docs, vecs, [1.0, 0.0], ["spark", "fox"], k=4, k_each=20,
+        doc_id_col="id", vec_id_col="id").collect()}
+    assert {tuple(r) for r in res.rows} == lib
+    # vec ids (10-13) never match doc ids (1-4) in this fixture, so
+    # every fused row is single-leg — ranks coalesce to 0, not null
+    assert all(r[2] == 0 or r[3] == 0 for r in res.rows)
+    r = pdb.exec("{retrieve: 'docs', in: 'pg', terms: ['a'],"
+                 " near: [1.0]};")[0]
+    assert r.error and "come together" in r.error
+    r = pdb.exec("{retrieve: 'docs', in: 'pg', terms: ['a'],"
+                 " vectors: 'vecs'};")[0]
+    assert r.error and "come together" in r.error
+    r = pdb.exec("{retrieve: 'docs', in: 'pg', terms: ['a'],"
+                 " fuse: 30};")[0]
+    assert r.error and "hybrid form" in r.error
+    r = pdb.exec("{retrieve: 'docs', in: 'pg', terms: ['a'],"
+                 " near: ['x'], vectors: 'vecs'};")[0]
+    assert r.error and "numeric vector" in r.error
+    r = pdb.exec("{retrieve: 'docs', in: 'pg', terms: ['a'],"
+                 " near: [1.0, 0.0], vectors: 'vecs', von: 'id'};")[0]
+    assert r.error and "numeric vector" in r.error

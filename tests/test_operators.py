@@ -2028,3 +2028,37 @@ def test_select_token_budget_boundary_semantics(spark):
         select_token_budget(df, -1)
     with pytest.raises(ValueError, match="histogram"):
         select_token_budget(df, 45, max_distinct_order_values=2)
+
+
+def test_hybrid_topk_rrf_semantics(spark):
+    """RRF fusion: ids in BOTH legs outrank single-leg ids of similar
+    rank; absent-leg ranks report 0; ties break on id; output dtypes
+    gate-shaped."""
+    from gqlite_spark.operators.similarity import hybrid_topk
+    docs = spark.createDataFrame(
+        [(1, "apple apple apple"),       # sparse #1
+         (2, "apple banana pad pad"),    # sparse #1 (banana is rare)
+         (3, "nothing relevant here"),   # sparse absent
+         (4, "apple pad pad pad pad")],  # sparse #3
+        "doc_id long, text string")
+    emb = spark.createDataFrame(
+        [(1, [0.0, 1.0]), (2, [1.0, 0.0]),
+         (3, [0.9, 0.1]), (4, [-1.0, 0.0])],
+        "vec_id long, embedding array<double>")
+    out = (hybrid_topk(docs, emb, [1.0, 0.0], ["apple", "banana"],
+                       k=4, k_each=3)
+           .withColumnRenamed("id", "doc_id")).toPandas()
+    r = {row.doc_id: row for row in out.itertuples()}
+    # doc 2: dense #1 AND sparse #1 (rare 'banana' dominates BM25)
+    # -> fused first
+    assert out.iloc[0]["doc_id"] == 2
+    assert r[2].rank_dense == 1 and r[2].rank_sparse == 1
+    # doc 4: dense absent (rank 0), sparse #3
+    assert r[4].rank_dense == 0 and r[4].rank_sparse == 3
+    # doc 3: dense #2, sparse absent
+    assert r[3].rank_dense == 2 and r[3].rank_sparse == 0
+    # fused score is the integer sum of the two quantized contributions
+    assert r[2].rrf_e6 == 2 * round(1e6 / 61)
+    assert r[3].rrf_e6 == round(1e6 / 62)
+    assert all(str(out[c].dtype) == "int64"
+               for c in ("rank", "rank_dense", "rank_sparse", "rrf_e6"))

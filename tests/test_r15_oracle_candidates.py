@@ -117,6 +117,83 @@ def test_split_leakage_safe_candidate(spark):
     assert verdict.startswith("OK"), verdict
 
 
+def hybrid_oracle_sql() -> str:
+    """DuckDB oracle for the `sim_hybrid_topk` entry shape: dense
+    cosine top-20 (the proven sim_cosine_topk ordering), sparse BM25
+    top-20 (the proven bm25 CTEs), reciprocal-rank fusion with
+    integer-quantized contributions (rrf_contrib_sql on both sides),
+    fused top-10.  Moves into oracle_sql() at promotion."""
+    from gqlite_spark.operators.similarity import rrf_contrib_sql
+    from gqlite_spark.operators.text import bm25_contrib_sql, det_ln_e6_sql
+    terms = ", ".join(f"'{t}'" for t in BM25_TERMS)
+    idf = det_ln_e6_sql("(2 * n + 2)", "(2 * df + 1)", "duck")
+    contrib = bm25_contrib_sql("idf_e6", "tf", "dl", "sumdl", "n")
+    cos = ("list_inner_product(v, qv) / (sqrt(list_inner_product(v, v))"
+           " * sqrt(list_inner_product(qv, qv)))")
+    return (
+        "WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings"
+        " WHERE vec_id = 0),"
+        " vv AS (SELECT vec_id, embedding::DOUBLE[] AS v"
+        " FROM embeddings),"
+        " dense AS (SELECT id, rank_dense FROM (SELECT vec_id AS id,"
+        f" (row_number() OVER (ORDER BY {cos} DESC, vec_id ASC))::BIGINT"
+        " AS rank_dense FROM vv, q) WHERE rank_dense <= 20),"
+        " d AS (SELECT doc_id, coalesce(text, '') AS text"
+        " FROM documents),"
+        " dls AS (SELECT doc_id, len(string_split(text, ' '))::BIGINT"
+        " AS dl FROM d),"
+        " stats AS (SELECT COUNT(*)::BIGINT AS n, SUM(dl)::BIGINT"
+        " AS sumdl FROM dls),"
+        " tf AS (SELECT tk.doc_id, dls.dl, tk.term, COUNT(*)::BIGINT"
+        " AS tf FROM (SELECT doc_id, unnest(string_split(text, ' '))"
+        " AS term FROM d) tk JOIN dls USING (doc_id)"
+        f" WHERE tk.term IN ({terms})"
+        " GROUP BY tk.doc_id, dls.dl, tk.term),"
+        " idf AS (SELECT term, n, sumdl, " + idf + " AS idf_e6"
+        " FROM (SELECT term, COUNT(*)::BIGINT AS df FROM tf"
+        " GROUP BY term) dfq, stats),"
+        " sc AS (SELECT tf.doc_id, COUNT(*)::BIGINT AS n_terms,"
+        f" SUM({contrib})::BIGINT AS score_e6"
+        " FROM tf JOIN idf USING (term) GROUP BY tf.doc_id),"
+        " sparse AS (SELECT doc_id, rank_sparse FROM (SELECT doc_id,"
+        " (row_number() OVER (ORDER BY score_e6 DESC, doc_id"
+        " ASC))::BIGINT AS rank_sparse FROM sc)"
+        " WHERE rank_sparse <= 20),"
+        " fused AS (SELECT coalesce(dense.id, sparse.doc_id) AS doc_id,"
+        " dense.rank_dense, sparse.rank_sparse,"
+        f" ({rrf_contrib_sql('dense.rank_dense')}"
+        f" + {rrf_contrib_sql('sparse.rank_sparse')})::BIGINT AS rrf_e6"
+        " FROM dense FULL OUTER JOIN sparse"
+        " ON dense.id = sparse.doc_id)"
+        " SELECT rank, doc_id, coalesce(rank_dense, 0)::BIGINT"
+        " AS rank_dense, coalesce(rank_sparse, 0)::BIGINT"
+        " AS rank_sparse, rrf_e6 FROM (SELECT *,"
+        " (row_number() OVER (ORDER BY rrf_e6 DESC, doc_id"
+        " ASC))::BIGINT AS rank FROM fused) WHERE rank <= 10")
+
+
+def test_sim_hybrid_topk_candidate(spark):
+    """Entry shape `sim_hybrid_topk`: hybrid dense+sparse retrieval —
+    exact cosine top-20 for the vec_id=0 query vector fused with BM25
+    top-20 for the 5-term query by reciprocal rank (c=60,
+    integer-quantized contributions), fused top-10.  Both legs'
+    rankings are already gate-proven (sim_cosine_topk, the bm25
+    candidate above); fusion is a deterministic function of the ranks
+    alone, verified end-to-end with the gate comparator."""
+    from gqlite_spark.operators.similarity import hybrid_topk
+
+    d = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    e = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    qvec = [float(x) for x in
+            e.filter(F.col("vec_id") == 0)
+            .select("embedding").collect()[0][0]]
+    got = (hybrid_topk(d, e, qvec, BM25_TERMS, k=10, k_each=20)
+           .withColumnRenamed("id", "doc_id")).toPandas()
+    oracle = duck_con(SF_DIR).execute(hybrid_oracle_sql()).fetchdf()
+    verdict = compare(got, oracle)
+    assert verdict.startswith("OK"), verdict
+
+
 def test_gql_retrieve_topk_candidate(spark):
     """Entry shape `gql_retrieve_topk`: BM25 top-20 END-TO-END through
     the GQL `{retrieve:}` statement (parse -> validate -> lower onto
