@@ -275,6 +275,41 @@ def test_curation_token_budget_candidate(spark):
     assert verdict.startswith("OK"), verdict
 
 
+def test_gql_token_budget_candidate(spark):
+    """Entry shape `gql_token_budget`: the 20%-of-corpus token carve
+    END-TO-END through the GQL `{budget:}` statement — the statement
+    derives quality/n_tokens in-scan from the raw text (the {curate:}
+    Columns), so the oracle is token_budget_oracle_sql with the budget
+    pinned to the literal the entry computes; parity proves the
+    derived-metric path and the histogram-threshold decomposition
+    agree with the textbook cumsum through the statement route."""
+    import __spark_entry__ as entry
+    from gqlite_spark import GQLite
+
+    d = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    con = duck_con(SF_DIR)
+    total = con.execute(
+        "WITH tq AS (" + entry.oracle_sql()["text_quality"] + ")"
+        " SELECT SUM(n_tokens) FROM tq").fetchone()[0]
+    budget = int(total) // 5
+    db = GQLite(spark)
+    g = db.catalog.create_graph("r15tb")
+    g.create_group("docs").register_df(d, key_col="doc_id")
+    got = (db.query_df("{budget: 'docs', in: 'r15tb',"
+                       f" tokens: {budget}}};")
+           .withColumnRenamed("id", "doc_id")
+           .select("doc_id", "n_tokens", "quality")).toPandas()
+    oracle = con.execute(
+        "WITH tq AS (" + entry.oracle_sql()["text_quality"] + "),"
+        " q AS (SELECT doc_id, n_tokens, quality FROM tq),"
+        " c AS (SELECT *, SUM(n_tokens) OVER (ORDER BY quality DESC,"
+        " doc_id ASC) AS cum FROM q)"
+        " SELECT doc_id, n_tokens, quality FROM c"
+        f" WHERE cum <= {budget}").fetchdf()
+    verdict = compare(got, oracle)
+    assert verdict.startswith("OK"), verdict
+
+
 def test_gql_dedup_clusters_candidate(spark):
     """Entry shape `gql_dedup_clusters`: transitive near-dup clusters
     END-TO-END through the GQL `{dedup: method: 'clusters'}` statement
