@@ -233,3 +233,66 @@ def test_shards_vindex_parse(group, n, nlist, refine, salt):
             raise AssertionError(f"parse accepted {bad!r}")
         except GQLParseError:
             pass
+
+
+@given(group=_prop_key,
+       w1=st.floats(min_value=0.01, max_value=0.99, allow_nan=False),
+       terms=st.lists(st.text(alphabet=string.ascii_lowercase,
+                              min_size=1, max_size=8),
+                      min_size=1, max_size=5),
+       top=st.integers(min_value=1, max_value=100),
+       fuse=st.integers(min_value=1, max_value=1000),
+       tokens=st.integers(min_value=0, max_value=10**12))
+@settings(max_examples=100, deadline=None)
+def test_split_retrieve_budget_parse(group, w1, terms, top, fuse, tokens):
+    """The late-r14 statements ({split}/{retrieve}/{budget}) parse to
+    their AST nodes; malformed weights/terms/top/fuse/tokens and
+    half-specified hybrid forms raise GQLParseError."""
+    from gqlite_spark.gql.ast import BudgetStmt, RetrieveStmt, SplitStmt
+
+    w2 = 1.0 - w1
+    s = parse_one("{split: '" + group + "', weights: {a: " + repr(w1)
+                  + ", b: " + repr(w2) + "}};")
+    assert isinstance(s, SplitStmt)
+    assert abs(sum(s.weights.values()) - 1.0) < 1e-9
+
+    tlist = "[" + ", ".join("'" + t + "'" for t in terms) + "]"
+    s = parse_one("{retrieve: '" + group + "', terms: " + tlist
+                  + ", top: " + str(top) + "};")
+    assert isinstance(s, RetrieveStmt)
+    assert s.terms == terms and s.top == top and s.near is None
+
+    s = parse_one("{retrieve: '" + group + "', terms: " + tlist
+                  + ", near: [1.0, 0.5], vectors: 'v', fuse: "
+                  + str(fuse) + "};")
+    assert isinstance(s, RetrieveStmt)
+    assert s.near == [1.0, 0.5] and s.vectors == "v" and s.fuse == fuse
+
+    s = parse_one("{budget: '" + group + "', tokens: " + str(tokens)
+                  + "};")
+    assert isinstance(s, BudgetStmt)
+    assert s.tokens == tokens
+
+    for bad in ("{split: 'g', weights: {a: " + repr(w1) + "}};",
+                "{split: 'g', weights: {}};",
+                "{split: 'g', weights: {a: 2.0, b: -1.0}};",
+                "{split: 'g', by: 1};",
+                "{retrieve: 'g', terms: []};",
+                "{retrieve: 'g', terms: [1]};",
+                "{retrieve: 'g', terms: ['a'], top: 0};",
+                "{retrieve: 'g', terms: ['a'], k1: 0};",
+                "{retrieve: 'g', terms: ['a'], b: 1.5};",
+                "{retrieve: 'g', terms: ['a'], near: [1.0]};",
+                "{retrieve: 'g', terms: ['a'], vectors: 'v'};",
+                "{retrieve: 'g', terms: ['a'], near: ['x'],"
+                " vectors: 'v'};",
+                "{retrieve: 'g', terms: ['a'], fuse: 30};",
+                "{budget: 'g'};",
+                "{budget: 'g', tokens: -1};",
+                "{budget: 'g', tokens: 5, by: 2};",
+                "{budget: 'g', tokens: 5, extra: 1};"):
+        try:
+            parse_one(bad)
+            assert False, f"{bad} must be rejected"
+        except GQLParseError:
+            pass
