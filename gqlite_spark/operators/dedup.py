@@ -254,6 +254,53 @@ def minhash_lsh_pairs(df: DataFrame, id_col: str = "doc_id",
             .select("doc_a", "doc_b", F.round(jac, 4).alias("jaccard")))
 
 
+def cross_jaccard_pairs(train: DataFrame, bench: DataFrame,
+                        threshold: float = 0.5, n: int = 3,
+                        unit: str = "word", id_col: str = "doc_id",
+                        text_col: str = "text",
+                        bench_id_col: str = "bench_id") -> DataFrame:
+    """Cross-corpus near-duplicate decontamination pairs: every
+    (train doc, benchmark doc) pair whose exact n-gram Jaccard meets
+    ``threshold`` — the lexical near-dup leg of the decontamination
+    family, between the exact-containment check
+    (:func:`gqlite_spark.operators.sampling.benchmark_contamination`:
+    one shared 8-gram flags the doc) and the embedding-space check
+    (:func:`gqlite_spark.operators.sampling.semantic_contamination`:
+    paraphrases with no lexical overlap).  A rephrased benchmark
+    question that dodges exact 8-gram matching but keeps most of its
+    wording lands exactly here.
+
+    Same exactness contract as :func:`ngram_jaccard_pairs`: candidates
+    come from a shingle-block equi-join (pairs sharing ≥ 1 shingle
+    only — never train×bench all-pairs), the emitted Jaccard is
+    computed from the FULL shingle sets.  Scale shape: the benchmark
+    side is eval-set-sized, so its shingle table and per-doc sets ride
+    broadcast joins — the train corpus streams map-side, is never
+    self-joined, and only candidate train docs' shingle sets are
+    collected (semi-join).  Word-unit shingles by default: on real
+    corpora (and the synthetic one) char 3-grams of a shared
+    vocabulary collide across most documents; word n-grams are the
+    discriminative choice.
+
+    Output: (``id_col``, ``bench_id_col``, jaccard round 4)."""
+    sht = shingles(train, id_col, text_col, n, unit).select(
+        "id", F.xxhash64("s").alias("hs"))
+    shb = shingles(bench, id_col, text_col, n, unit).select(
+        F.col("id").alias("bid"), F.xxhash64("s").alias("hs"))
+    cand = (sht.join(F.broadcast(shb.select("hs", "bid")), "hs")
+            .select("id", "bid").distinct())
+    tsets = (sht.join(cand.select("id").distinct(), "id", "left_semi")
+             .groupBy("id").agg(F.collect_list("hs").alias("Sa")))
+    bsets = shb.groupBy("bid").agg(F.collect_list("hs").alias("Sb"))
+    c = F.size(F.array_intersect("Sa", "Sb"))
+    jac = c / (F.size("Sa") + F.size("Sb") - c)
+    return (cand.join(tsets, "id").join(F.broadcast(bsets), "bid")
+            .filter(jac >= threshold)
+            .select(F.col("id").alias(id_col),
+                    F.col("bid").alias(bench_id_col),
+                    F.round(jac, 4).alias("jaccard")))
+
+
 def line_dedup(df: DataFrame, id_col: str = "doc_id",
                text_col: str = "text", delim: str = "\n",
                min_doc_frequency: int = 2,

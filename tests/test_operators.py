@@ -2062,3 +2062,32 @@ def test_hybrid_topk_rrf_semantics(spark):
     assert r[3].rrf_e6 == round(1e6 / 62)
     assert all(str(out[c].dtype) == "int64"
                for c in ("rank", "rank_dense", "rank_sparse", "rrf_e6"))
+
+
+def test_cross_jaccard_pairs_decontamination(spark):
+    """Cross-corpus near-dup: a lightly rephrased benchmark doc is
+    caught (word-trigram Jaccard), disjoint docs produce NO pairs,
+    and the emitted Jaccard is the exact set value."""
+    from gqlite_spark.operators.dedup import cross_jaccard_pairs
+    train = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog"),
+         (2, "completely unrelated content about spark shuffles"),
+         (3, "a b c d e f g")],
+        "doc_id long, text string")
+    bench = spark.createDataFrame(
+        [(100, "the quick brown fox jumps over the sleepy dog"),
+         (101, "x y z w v u t")],
+        "doc_id long, text string")
+    out = cross_jaccard_pairs(train, bench, threshold=0.3).collect()
+    assert [(r["doc_id"], r["bench_id"]) for r in out] == [(1, 100)]
+    # exact value: train 7 distinct trigrams, bench 7, shared 5
+    # ('the quick brown','quick brown fox','brown fox jumps',
+    #  'fox jumps over','jumps over the') -> round(5/9, 4)
+    assert abs(out[0]["jaccard"] - 0.5556) < 1e-9
+    # identical doc across corpora -> jaccard 1.0
+    out2 = cross_jaccard_pairs(
+        train, train.withColumnRenamed("doc_id", "doc_id"),
+        threshold=0.99).collect()
+    assert {(r["doc_id"], r["bench_id"]) for r in out2} == {
+        (1, 1), (2, 2), (3, 3)}
+    assert all(r["jaccard"] == 1.0 for r in out2)

@@ -237,6 +237,52 @@ def test_gql_split_leakage_candidate(spark):
     assert verdict.startswith("OK"), verdict
 
 
+CROSS_JACCARD_ORACLE_SQL = (
+    # word-trigram shingle sets per side (distinct, like the Spark
+    # array_distinct), exact Jaccard over the shingle-block join
+    "WITH sht AS (SELECT doc_id AS id, unnest(list_distinct("
+    "list_transform(generate_series(1,"
+    " greatest(len(string_split(text, ' ')) - 2, 0)),"
+    " i -> array_to_string(list_slice(string_split(text, ' '),"
+    " i, i + 2), ' ')))) AS s"
+    " FROM documents WHERE doc_id % 7 <> 0),"
+    " shb AS (SELECT doc_id AS id, unnest(list_distinct("
+    "list_transform(generate_series(1,"
+    " greatest(len(string_split(text, ' ')) - 2, 0)),"
+    " i -> array_to_string(list_slice(string_split(text, ' '),"
+    " i, i + 2), ' ')))) AS s"
+    " FROM documents WHERE doc_id % 7 = 0),"
+    " ts AS (SELECT id, COUNT(*) AS n FROM sht GROUP BY id),"
+    " bs AS (SELECT id, COUNT(*) AS n FROM shb GROUP BY id),"
+    " inter AS (SELECT a.id AS doc_id, b.id AS bench_id,"
+    " COUNT(*) AS c FROM sht a JOIN shb b ON a.s = b.s GROUP BY 1, 2)"
+    " SELECT doc_id, bench_id,"
+    " round(c / (ta.n + tb.n - c), 4) AS jaccard FROM inter"
+    " JOIN ts ta ON ta.id = doc_id JOIN bs tb ON tb.id = bench_id"
+    " WHERE c / (ta.n + tb.n - c) >= 0.5")
+
+
+def test_decontaminate_neardup_candidate(spark):
+    """Entry shape `decontaminate_neardup`: cross-corpus near-dup
+    decontamination — every (train, benchmark) pair at word-trigram
+    Jaccard ≥ 0.5, benchmark = the doc_id % 7 == 0 subset (the same
+    carve the exact-containment `decontaminate` entry uses).  The
+    engine blocks on shared shingles and broadcasts the eval-set-sized
+    benchmark side; the oracle is the textbook shingle-join Jaccard.
+    Completes the decontamination family's driver story: exact 8-gram
+    containment, embedding-space, and now lexical near-dup."""
+    from gqlite_spark.operators.dedup import cross_jaccard_pairs
+
+    d = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    got = cross_jaccard_pairs(
+        d.filter(F.col("doc_id") % 7 != 0),
+        d.filter(F.col("doc_id") % 7 == 0),
+        threshold=0.5, n=3, unit="word").toPandas()
+    oracle = duck_con(SF_DIR).execute(CROSS_JACCARD_ORACLE_SQL).fetchdf()
+    verdict = compare(got, oracle)
+    assert verdict.startswith("OK"), verdict
+
+
 def token_budget_oracle_sql() -> str:
     """DuckDB oracle for the `curation_token_budget` entry shape: the
     straightforward global-cumsum formulation (SUM OVER ORDER BY quality
