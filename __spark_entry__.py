@@ -2109,11 +2109,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # test_rollup.py, test_text.py).  The 50 r13-green entries are
     # fresh and sit past the cap; r15 takes the 17 named above FIRST,
     # then the rehearsed promotions (late-r14 grew the certified
-    # candidate pool to THIRTEEN — tests/test_r15_oracle_candidates.py,
+    # candidate pool to FOURTEEN — tests/test_r15_oracle_candidates.py,
     # green at sf0.001/0.01/0.1; the revised split in NOTES.md: 3
     # statement routes + text_bm25_topk + split_leakage_safe +
-    # curation_token_budget + sim_hybrid_topk in r15, contract -> 124;
-    # the 6 gql_* routes of the new statements in r16 -> 130), then
+    # curation_token_budget + sim_hybrid_topk + decontaminate_neardup
+    # in r15, contract -> 125; the 6 gql_* routes of the new
+    # statements in r16 -> 131), then
     # the remaining slots to the 50 r13-green entries by staleness.
     return {
         # ==== (1) oldest tier: the 14 r12/r13-deferred (r12-green) ====
