@@ -136,12 +136,20 @@ def knn_join(df: DataFrame, queries: DataFrame, k: int = 5,
     corpus scan, then per-query window top-k — ONE shuffle keyed by query
     id.  Returns (q_id, id, rank, cosine).
     """
+    # norms are per-ROW quantities: compute them once per corpus/query row
+    # BEFORE the pair stage, not once per (corpus, query) pair — the same
+    # precompute embedding_near_dups uses.  Each pair then pays ONE
+    # interpreted fold (the dot) instead of three.  cosine is the identical
+    # expression tree (dot / (nv · nq)) over identical doubles, so values
+    # are bit-exact either way.
     v = df.select(F.col(id_col).alias("id"),
                   F.col(vec_col).cast("array<double>").alias("v"))
+    v = v.withColumn("_nv", _norm(F.col("v")))
     qd = queries.select(F.col(q_id_col).alias("q_id"),
                         F.col(q_vec_col).cast("array<double>").alias("qv"))
+    qd = qd.withColumn("_nq", _norm(F.col("qv")))
     joined = v.crossJoin(F.broadcast(qd))
-    cos = _dot(F.col("v"), F.col("qv")) / (_norm(F.col("v")) * _norm(F.col("qv")))
+    cos = _dot(F.col("v"), F.col("qv")) / (F.col("_nv") * F.col("_nq"))
     w = Window.partitionBy("q_id").orderBy(F.col("cosine").desc(),
                                            F.col("id").asc())
     return (joined.withColumn("cosine", cos)
@@ -249,11 +257,18 @@ def ivf_knn_join(corpus: DataFrame, queries: DataFrame, k: int = 5,
                       F.col(vec_col).cast("array<double>").alias("v"),
                       _ivf_assign_col(centroids, vec_col, metric)
                       .alias("list_id"))
-    q = queries.select(
+    qbase = queries.select(
         F.col(q_id_col).alias("q_id"),
-        F.col(q_vec_col).cast("array<double>").alias("qv"),
-        F.explode(_ivf_probe_col(centroids, q_vec_col, nprobe, metric))
-        .alias("list_id"))
+        F.col(q_vec_col).cast("array<double>").alias("qv"))
+    if metric == "ip":
+        # per-row norms computed BEFORE the list_id join (and, on the query
+        # side, BELOW the probe Generate — once per query row, not once per
+        # probed list) — the pair stage then folds only the dot; values are
+        # bit-exact (see knn_join)
+        c = c.withColumn("_nv", _norm(F.col("v")))
+        qbase = qbase.withColumn("_nq", _norm(F.col("qv")))
+    q = qbase.withColumn(
+        "list_id", F.explode(_ivf_probe_col(centroids, "qv", nprobe, metric)))
     # each corpus row lives in exactly ONE list, so a (q, c) pair joins
     # at most once — no post-join dedup needed
     return _rank_join_pairs(q.join(c, "list_id"), k, metric)
@@ -277,23 +292,34 @@ def ivf_knn_join_indexed(spark, path: str, queries: DataFrame, k: int = 5,
     metric = params.get("metric", "ip")
     cents = params["centroids"]
     nprobe = nprobe or default_nprobe(len(cents))
-    q = queries.select(
+    qbase = queries.select(
         F.col(q_id_col).alias("q_id"),
-        F.col(q_vec_col).cast("array<double>").alias("qv"),
-        F.explode(_ivf_probe_col(cents, q_vec_col, nprobe, metric))
-        .alias("list_id"))
+        F.col(q_vec_col).cast("array<double>").alias("qv"))
     c = index.select("id", F.col("_vec").cast("array<double>").alias("v"),
                      "list_id")
+    if metric == "ip":
+        # per-row norms before the pair stage (see ivf_knn_join)
+        qbase = qbase.withColumn("_nq", _norm(F.col("qv")))
+        c = c.withColumn("_nv", _norm(F.col("v")))
+    q = qbase.withColumn(
+        "list_id", F.explode(_ivf_probe_col(cents, "qv", nprobe, metric)))
     return _rank_join_pairs(q.join(c, "list_id"), k, metric)
 
 
 def _rank_join_pairs(joined: DataFrame, k: int, metric: str) -> DataFrame:
     """Exact re-rank + per-query top-k over (q_id, qv, id, v) candidate
     pairs: cosine desc for 'ip' (column ``cosine``), squared L2 asc for
-    'l2' (column ``dist2``); ties → smallest id."""
+    'l2' (column ``dist2``); ties → smallest id.  When the caller attached
+    per-row norm columns ``_nv``/``_nq`` before the join (the cheap place
+    to compute them — once per row, not per pair), they are used; the
+    cosine expression tree is otherwise identical, so values match
+    bit-for-bit."""
     if metric == "ip":
-        score = (_dot(F.col("v"), F.col("qv"))
-                 / (_norm(F.col("v")) * _norm(F.col("qv"))))
+        nv = (F.col("_nv") if "_nv" in joined.columns
+              else _norm(F.col("v")))
+        nq = (F.col("_nq") if "_nq" in joined.columns
+              else _norm(F.col("qv")))
+        score = _dot(F.col("v"), F.col("qv")) / (nv * nq)
         order, out_col = F.col("_s").desc(), "cosine"
     else:
         score = F.aggregate(

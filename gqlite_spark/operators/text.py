@@ -375,17 +375,24 @@ def lm_score(df: DataFrame, id_col: str = "doc_id",
     shuffles total, one of them vocabulary-sized.  No UDFs."""
     t = F.coalesce(F.col(text_col), F.lit(""))
     docs = df.filter(F.length(t) >= n)
-    # explode integer POSITIONS and slice with a plain substr expression:
-    # a transform(...) lambda building the grams would be interpreted per
-    # element (repo lesson: HOF lambdas are not codegen) — this keeps the
-    # hot path in WholeStageCodegen; the carried text column is a pointer
-    # within the fused Generate→Project stage, not a per-row copy
+    # gram generation is O(len) per document: split once into a char array,
+    # zip n shifted slices into an array of n-char structs, explode the
+    # structs, and join the chars back into the gram string AFTER the
+    # Generate (one O(1) concat per gram).  The previous explode-positions
+    # + substr(_t, _i, n) form was O(len²) per document twice over — the
+    # Generate copied the carried text column into every exploded row, and
+    # each substr re-scanned the string to find the char boundary — and
+    # measured 2.8× slower per leg at sf0.1 (plans/r14/, OPTIMIZATION_r14).
+    # Gram values are bit-identical: split('') yields exactly the
+    # characters substr indexed (verified corpus-wide incl. multi-byte).
+    chars = F.split(t, "")
+    grams = F.arrays_zip(*[F.slice(chars, 1 + j, F.size(chars) - (n - 1))
+                           for j in range(n)])
     base = (docs
-            .select(F.col(id_col), t.alias("_t"),
-                    F.explode(F.sequence(F.lit(1),
-                                         F.length(t) - (n - 1))).alias("_i"))
+            .select(F.col(id_col), F.explode(grams).alias("_g"))
             .select(F.col(id_col),
-                    F.substr(F.col("_t"), F.col("_i"), F.lit(n)).alias("g")))
+                    F.concat(*[F.col("_g").getField(str(j))
+                               for j in range(n)]).alias("g")))
     counts = base.groupBy("g").agg(F.count("*").alias("c"))
     # total n-grams = Σ(length - (n-1)) over the kept docs — identical to
     # SUM(counts.c) but computed from a light column scan, so the plan
