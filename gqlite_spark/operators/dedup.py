@@ -576,12 +576,21 @@ def near_dup_clusters(df: DataFrame, id_col: str = "doc_id",
     purge).  Scale shape: the pair graph is sparse (near-dup pairs, not
     the corpus), so the CC iterations run on a graph orders of magnitude
     smaller than the input — the LSH stage stays the cost driver."""
+    from .ckpt import materialize
     from .graph_algos import connected_components
     pairs = minhash_lsh_pairs(df, id_col=id_col, text_col=text_col,
                               threshold=threshold, **lsh_kwargs)
-    comp = connected_components(
-        pairs.select(F.col("doc_a").alias("src"),
-                     F.col("doc_b").alias("dst")))
+    # materialize the pair list BEFORE the CC loop: connected_components
+    # derives the undirected edge set as (e UNION flip(e)), which would
+    # otherwise evaluate the whole LSH pipeline TWICE (once per union
+    # branch) when it populates its edge cache — measured 2× the LSH wall
+    # per invocation at sf0.1.  The pair graph is sparse by construction
+    # (near-dup pairs, not the corpus), so the checkpoint is tiny at any
+    # corpus scale.
+    edges = materialize(pairs.select(F.col("doc_a").alias("src"),
+                                     F.col("doc_b").alias("dst")),
+                        eager=True, coalesce=True)
+    comp = connected_components(edges)
     return comp.select(F.col("id").alias(id_col),
                        F.col("component").alias("cluster_rep"),
                        (F.col("id") == F.col("component")).alias("keep"))

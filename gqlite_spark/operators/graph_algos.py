@@ -27,34 +27,51 @@ _CHECKPOINT_EVERY = 5
 
 
 class _iterative_shuffle_scope:
-    """Scoped spark.sql.shuffle.partitions override for iterative loops.
+    """Scoped shuffle-conf override for iterative loops.
 
     Superstep state is vertex-count-sized, not scan-sized; on a stock
     session (200 shuffle partitions) every superstep pays 200-task
     exchanges that AQE only partially rescues.  Inside the scope, shuffles
-    default to the core parallelism; the previous value is restored on
-    exit (runtime conf only affects queries compiled inside the scope)."""
+    default to the core parallelism, and AQE coalescing respects the
+    advisory partition size instead of keeping one partition per core
+    (``coalescePartitions.parallelismFirst=false``) — superstep exchanges
+    over small frontier/label state collapse to a handful of tasks instead
+    of full-width near-empty ones (r14 A/B: keep_best −11% warm; applied
+    scoped because the same setting serializes the one big exchange of
+    window-aggregation queries when set session-wide).  Previous values
+    are restored on exit (runtime conf only affects queries compiled
+    inside the scope)."""
+
+    _CONFS = {
+        "spark.sql.shuffle.partitions": None,  # filled per-session below
+        "spark.sql.adaptive.coalescePartitions.parallelismFirst": "false",
+    }
 
     def __init__(self, df: DataFrame):
         self.spark = df.sparkSession
-        self.target = str(self.spark.sparkContext.defaultParallelism)
+        self.targets = dict(self._CONFS)
+        self.targets["spark.sql.shuffle.partitions"] = str(
+            self.spark.sparkContext.defaultParallelism)
 
     def __enter__(self):
-        try:
-            # effective value (falls back to the conf default when unset) —
-            # a None sentinel would silently skip restoration
-            self.prev = self.spark.conf.get("spark.sql.shuffle.partitions")
-            self.spark.conf.set("spark.sql.shuffle.partitions", self.target)
-        except Exception:
-            self.prev = None
+        self.prev = {}
+        for key, val in self.targets.items():
+            try:
+                # effective value (falls back to the conf default when
+                # unset) — a None sentinel would silently skip restoration
+                self.prev[key] = self.spark.conf.get(key)
+                self.spark.conf.set(key, val)
+            except Exception:
+                self.prev[key] = None
         return self
 
     def __exit__(self, *exc):
-        if self.prev is not None:
-            try:
-                self.spark.conf.set("spark.sql.shuffle.partitions", self.prev)
-            except Exception:
-                pass
+        for key, val in self.prev.items():
+            if val is not None:
+                try:
+                    self.spark.conf.set(key, val)
+                except Exception:
+                    pass
         return False
 
 

@@ -349,6 +349,24 @@ def word_ngrams(text_col, n: int) -> F.Column:
                   ).otherwise(F.array().cast("array<string>"))
 
 
+def _exploded_word_ngrams(df: DataFrame, id_col: str, text_col: str,
+                          n: int) -> DataFrame:
+    """(id_col, s) exploded word n-gram rows — same strings as
+    ``explode(word_ngrams(...))`` but ~2.5× cheaper: the per-position
+    transform lambda (interpreted: one slice + concat_ws per element) is
+    replaced by arrays_zip of ``n`` shifted slices, struct explode, and
+    ONE codegen concat_ws per gram after the Generate (the lm_score
+    lesson applied to word grams; verified string-identical corpus-wide)."""
+    words = F.split(F.col(text_col), " ")
+    cnt = F.size(words) - F.lit(n - 1)
+    grams = F.arrays_zip(*[F.slice(words, 1 + j, cnt) for j in range(n)])
+    ex = (df.filter(cnt >= 1)
+          .select(F.col(id_col), F.explode(grams).alias("_g")))
+    return ex.select(F.col(id_col),
+                     F.concat_ws(" ", *[F.col("_g").getField(str(j))
+                                        for j in range(n)]).alias("s"))
+
+
 def benchmark_contamination(docs: DataFrame, benchmark: DataFrame,
                             n: int = 8,
                             id_col: str = "doc_id",
@@ -360,12 +378,10 @@ def benchmark_contamination(docs: DataFrame, benchmark: DataFrame,
     a map-side join over the scan + ONE shuffle for the per-doc aggregate.
     Output: (doc_id, n_benchmark_matches) for contaminated docs only.
     """
-    bench_sh = (benchmark
-                .select(F.col(id_col).alias("bench_id"),
-                        F.explode(word_ngrams(F.col(text_col), n)).alias("s"))
+    bench_sh = (_exploded_word_ngrams(benchmark, id_col, text_col, n)
+                .withColumnRenamed(id_col, "bench_id")
                 .dropDuplicates(["bench_id", "s"]))
-    doc_sh = docs.select(F.col(id_col),
-                         F.explode(word_ngrams(F.col(text_col), n)).alias("s"))
+    doc_sh = _exploded_word_ngrams(docs, id_col, text_col, n)
     return (doc_sh.join(F.broadcast(bench_sh), "s")
             .groupBy(id_col)
             .agg(F.size(F.collect_set("bench_id")).cast("long")
@@ -585,7 +601,9 @@ def curate_corpus(docs: DataFrame, benchmark: DataFrame,
         purge = (survivors.filter(~F.coalesce(F.col("keep"),
                                               F.lit(False)))
                  .select(id_col))
-        kept = (enriched.join(purge, id_col, "left_anti")
+        # pair-graph-sized by construction — broadcast it so the corpus
+        # side is never shuffled/sorted for the anti-join
+        kept = (enriched.join(F.broadcast(purge), id_col, "left_anti")
                 .filter(F.col("quality") >= quality_min))
     else:
         w = Window.partitionBy(F.md5(F.col(text_col)))
@@ -601,10 +619,25 @@ def curate_corpus(docs: DataFrame, benchmark: DataFrame,
                     .filter(F.col(id_col) == F.col("_rep"))
                     .drop("_rep"))
         kept = kept.filter(F.col("quality") >= quality_min)
-    dirty = (benchmark_contamination(kept, benchmark, n=ngram,
+    # contamination is computed over the RAW corpus, not over ``kept``:
+    # the result is identical (dirty ids that the purge/quality gate
+    # already removed are not in ``kept``, so a superset dirty-set
+    # anti-joins to the same ``clean``), and the dirty subtree then skips
+    # re-running the dedup window shuffle + the quality expressions a
+    # second time — Catalyst does not share the ``kept`` subtree between
+    # the two branches (plan audit r14: two Window + quality passes).
+    dirty = (benchmark_contamination(docs.select(F.col(id_col),
+                                                 F.col(text_col)),
+                                     benchmark, n=ngram,
                                      id_col=id_col, text_col=text_col)
              .select(id_col))
-    clean = kept.join(dirty, id_col, "left_anti")
+    # dirty is the contaminated-id set — bounded by eval-set reach, like
+    # the benchmark shingle table already broadcast inside the
+    # contamination join.  Without the hint Catalyst's post-aggregate size
+    # estimate picks a SortMergeJoin and re-shuffles the whole kept corpus
+    # by id (plan audit r14: Exchange + Sort on the corpus side); the
+    # broadcast anti-join drops that exchange outright.
+    clean = kept.join(F.broadcast(dirty), id_col, "left_anti")
     return (clean.groupBy("predicted_lang")
             .agg(F.count("*").alias("n_docs"),
                  F.sum("n_tokens").alias("sum_tokens"),

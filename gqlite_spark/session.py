@@ -29,6 +29,13 @@ def get_spark(app_name: str = "gqlite-spark",
         # coalescing — the default posture for unknown data distributions.
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        # NOTE (r14 A/B): coalescePartitions.parallelismFirst=false was
+        # measured session-wide and REVERTED — it wins on iterative
+        # micro-state loops (CC/pagerank supersteps: tiny exchanges stop
+        # paying full-width task overhead) but serializes the single big
+        # exchange of window/groupBy queries at bench scale (window_session
+        # +0.4 s, window_tumbling +0.3 s warm).  The win is applied SCOPED
+        # inside operators.graph_algos._iterative_shuffle_scope instead.
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         # Arrow: vectorized transfer for pandas UDFs / toPandas.
