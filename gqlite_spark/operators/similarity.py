@@ -41,7 +41,8 @@ def cosine_topk(df: DataFrame, query_vec: list[float], k: int = 10,
     qn = math.sqrt(sum(x * x for x in q)) or 1.0
     v = df.select(F.col(id_col).alias("id"),
                   F.col(vec_col).cast("array<double>").alias("v"))
-    qcol = F.array(*[F.lit(x) for x in q])
+    # one F.expr parse for the literal array, not dim py4j F.lit calls
+    qcol = F.expr("array(" + ", ".join(_f17(x) for x in q) + ")")
     cos = _dot(F.col("v"), qcol) / (_norm(F.col("v")) * F.lit(qn))
     return (v.withColumn("cosine", cos)
             .orderBy(F.col("cosine").desc(), F.col("id").asc())
@@ -118,7 +119,7 @@ def l2_topk(df: DataFrame, query_vec: list[float], k: int = 10,
     q = [float(x) for x in query_vec]
     v = df.select(F.col(id_col).alias("id"),
                   F.col(vec_col).cast("array<double>").alias("v"))
-    qcol = F.array(*[F.lit(x) for x in q])
+    qcol = F.expr("array(" + ", ".join(_f17(x) for x in q) + ")")
     d2 = F.aggregate(F.zip_with(F.col("v"), qcol, lambda a, b: (a - b) * (a - b)),
                      F.lit(0.0), lambda acc, x: acc + x)
     return (v.withColumn("dist2", d2)
@@ -170,21 +171,35 @@ def _ivf_probe_col(centroids: list[tuple], vec_col: str, nprobe: int,
     if metric not in ("ip", "l2"):
         raise ValueError(f"ivf metric must be 'ip' or 'l2', got {metric!r}")
     nprobe = min(int(nprobe), len(centroids))
+    if nprobe == len(centroids):
+        # probe-everything (the exact-oracle configuration, e.g.
+        # decontaminate_semantic's nprobe=nlist): the probe SET is all
+        # lists regardless of per-row scores, so skip the nlist distance
+        # folds per query row outright — the downstream explode+join sees
+        # the identical (q, list_id) set.
+        return F.array(*[F.lit(int(cid)).cast("long")
+                         for cid, _ in centroids])
     if len(centroids) > IVF_ASSIGN_EXPR_MAX_NLIST:
         return _ivf_probe_pandas_col(centroids, vec_col, nprobe, metric)
-    v = F.col(vec_col).cast("array<double>")
+    # SQL text, not Column ops: one F.expr parse instead of nlist × dim
+    # py4j F.lit round trips (the _pq_sub_d2_sql lesson) — identical
+    # (score, cid) structs, array_sort, slice, and cast as before
+    vsql = f"cast({vec_col} as array<double>)"
     structs = []
     for cid, cv in centroids:
-        c = F.array(*[F.lit(float(x)) for x in cv])
+        arr = "array(" + ", ".join(_f17(x) for x in cv) + ")"
         if metric == "ip":
-            score = -_dot(v, c)
+            score = (f"-aggregate(zip_with({vsql}, {arr}, "
+                     "(x, y) -> x * y), "
+                     "cast(0.0 as double), (acc, x) -> acc + x)")
         else:
-            score = F.aggregate(F.zip_with(v, c, lambda a, b: (a - b) * (a - b)),
-                                F.lit(0.0), lambda acc, x: acc + x)
-        structs.append(F.struct(score.alias("d"),
-                                F.lit(int(cid)).alias("c")))
-    ranked = F.slice(F.array_sort(F.array(*structs)), 1, nprobe)
-    return F.transform(ranked, lambda s: s["c"].cast("long"))
+            score = (f"aggregate(zip_with({vsql}, {arr}, "
+                     "(a, b) -> (a - b) * (a - b)), "
+                     "cast(0.0 as double), (acc, x) -> acc + x)")
+        structs.append(f"named_struct('d', {score}, 'c', {int(cid)})")
+    return F.expr(
+        f"transform(slice(array_sort(array({', '.join(structs)})), "
+        f"1, {int(nprobe)}), s -> cast(s.c as bigint))")
 
 
 def _ivf_probe_pandas_col(centroids: list[tuple], vec_col: str,
@@ -574,12 +589,32 @@ def lloyd_refine(df: DataFrame, centroids: list[tuple], iters: int = 2,
 def _ivf_list_expr(centroids: list[tuple], vec_col: str):
     """list id = cid of the max-inner-product centroid (ties -> smallest
     cid; centroids are cid-sorted so first array position wins)."""
-    v = F.col(vec_col).cast("array<double>")
-    dots = F.array(*[_dot(v, F.array(*[F.lit(float(x)) for x in cv]))
-                     for _, cv in centroids])
-    pos = F.array_position(dots, F.array_max(dots))  # 1-based, first match
-    cids = F.array(*[F.lit(int(cid)) for cid, _ in centroids])
-    return F.element_at(cids, pos.cast("int")).cast("long")
+    return F.expr(_ivf_list_ip_sql(centroids, vec_col))
+
+
+def _ivf_list_ip_sql(centroids: list[tuple], vec_col: str) -> str:
+    """SQL text: list id = cid of the MAX inner-product centroid (ties →
+    smallest cid).  Same shape notes as :func:`_ivf_list_l2_sql`:
+    ``array_min`` over per-centroid (−dot, cid) structs, so each
+    centroid's fold appears ONCE in the tree (the previous
+    ``array_position(dots, array_max(dots))`` Column form referenced the
+    dots array twice — HOFs get no codegen subexpression elimination, so
+    every fold evaluated twice) and the whole expression is ONE
+    ``F.expr`` parse instead of thousands of py4j ``F.lit`` round trips
+    (measured: ~2 s of driver-side plan construction per query at
+    nlist=16×64d).  Tie-break and values are unchanged: the dot folds
+    are the identical left-assoc aggregate/zip_with trees, negation is
+    IEEE-exact, and min-struct on equal scores picks the smallest cid —
+    exactly what first-position-of-max over cid-sorted centroids did."""
+    structs = ", ".join(
+        "named_struct('d', -aggregate(zip_with("
+        f"cast({vec_col} as array<double>), "
+        "array(" + ", ".join(_f17(x) for x in cv) + "), "
+        "(x, y) -> x * y), "
+        "cast(0.0 as double), (acc, x) -> acc + x), "
+        f"'c', {int(cid)}L)"
+        for cid, cv in centroids)
+    return f"array_min(array({structs})).c"
 
 
 def _ivf_list_l2_sql(centroids: list[tuple], vec_col: str) -> str:
