@@ -412,18 +412,28 @@ def random_projection_buckets(df: DataFrame, dim: int, n_planes: int = 8,
     v = df.select(F.col(id_col).alias("id"),
                   F.col(vec_col).cast("array<double>").alias("v"))
     if normalize:
+        # materialize the norm in its own projection FIRST: referencing
+        # the norm fold inside the transform lambda would re-evaluate it
+        # per element (O(dim²) per row — the winnow_fingerprints lesson)
         nrm = F.sqrt(F.aggregate("v", F.lit(0.0), lambda a, x: a + x * x))
-        v = v.select("id", F.transform("v", lambda x: x / nrm).alias("v"))
+        v = (v.select("id", "v", nrm.alias("_nrm"))
+             .select("id", F.transform(
+                 "v", lambda x: x / F.col("_nrm")).alias("v")))
+    # bucket expression as ONE SQL string per table (not n_planes × dim
+    # py4j F.lit round trips — the _pq_sub_d2_sql lesson); identical
+    # folds, offsets, comparisons, and bit weights as the Column form
     out = None
     for t in range(n_tables):
         planes = _projection_vectors(dim, n_planes, f"{seed}:{t}")
-        bucket = F.lit(0).cast("long")
+        bits = []
         for pi, plane in enumerate(planes):
-            pcol = F.array(*[F.lit(x) for x in plane])
-            off = F.lit(offsets[t][pi] if offsets is not None else 0.0)
-            bit = F.when(_dot(F.col("v"), pcol) - off >= 0,
-                         F.lit(1)).otherwise(F.lit(0))
-            bucket = bucket + bit.cast("long") * F.lit(2 ** pi)
+            arr = "array(" + ", ".join(_f17(x) for x in plane) + ")"
+            off = _f17(offsets[t][pi] if offsets is not None else 0.0)
+            dot = (f"aggregate(zip_with(v, {arr}, (x, y) -> x * y), "
+                   "cast(0.0 as double), (acc, x) -> acc + x)")
+            bits.append(f"(case when {dot} - {off} >= 0 then 1L else 0L "
+                        f"end) * {2 ** pi}L")
+        bucket = F.expr("cast(0 as bigint) + " + " + ".join(bits))
         part = v.select("id", F.lit(t).alias("table"), bucket.alias("bucket"))
         out = part if out is None else out.unionByName(part)
     return out
