@@ -1662,9 +1662,13 @@ def q_topcount_cms(spark, sf_dir):
     from gqlite_spark.operators.stats import cms_query, cms_sketch
     ev = _load(spark, sf_dir, "events")
     keys = spark.createDataFrame([(k,) for k in _CMS_KEYS], "key long")
+    # groups from the pre-sketch scan: enumerating them via the sketch
+    # re-runs the 4-hash explode subtree a second time (plan-verified)
     return cms_query(
         cms_sketch(ev, "user_id", _CMS_D, _CMS_W, by=["event_type"]),
-        keys, _CMS_D, _CMS_W, by=["event_type"])
+        keys, _CMS_D, _CMS_W, by=["event_type"],
+        groups=ev.filter(F.col("user_id").isNotNull())
+                 .select("event_type"))
 
 
 def q_layout_fold_scan(spark, sf_dir):

@@ -392,13 +392,22 @@ def cms_merge(sketches: "list[DataFrame]",
 
 def cms_query(sketch: DataFrame, keys: DataFrame, d: int = 4,
               w: int = 1024,
-              by: "list[str] | None" = None) -> DataFrame:
+              by: "list[str] | None" = None,
+              groups: "DataFrame | None" = None) -> DataFrame:
     """(by..., key, count_est) for every key in the one-column ``keys``
     DataFrame (column ``key``), against every group in the sketch:
     est = min over the d rows of the key's counter (0 where the
     counter is absent — a key the group never saw estimates 0 unless
     it collides on ALL d rows).  The probe is (groups x keys x d)
-    rows — sketch-sized, never data-sized."""
+    rows — sketch-sized, never data-sized.
+
+    ``groups`` (optional): a DataFrame holding the ``by`` columns of
+    every group the sketch saw (rows with a NULL sketch value already
+    excluded) — e.g. the pre-sketch input projected to the group
+    columns.  Without it the group list is derived from the sketch
+    itself, which re-runs the whole hash/explode subtree just to
+    enumerate groups (Catalyst cannot prune a Generate below a
+    distinct); the result is identical either way."""
     by = list(by or [])
     kd = keys.select(
         "key",
@@ -414,7 +423,8 @@ def cms_query(sketch: DataFrame, keys: DataFrame, d: int = 4,
     # (same invariant as rollup_keycounts / _group_min_k_prefiltered);
     # a plain name-list equijoin would estimate 0 for every key of a
     # NULL-keyed group — an undercount, violating the CMS guarantee.
-    combos = sketch.select(*by).distinct().crossJoin(kd)
+    grp = groups.select(*by) if groups is not None else sketch.select(*by)
+    combos = grp.distinct().crossJoin(kd)
     # rename the sketch side: combos derives from sketch, so qualified
     # refs would be an ambiguous self-join
     sk = sketch.select(*[F.col(c).alias(f"_sk_{c}") for c in sketch.columns])
