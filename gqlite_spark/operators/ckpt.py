@@ -54,3 +54,28 @@ def materialize(df: DataFrame, eager: bool = True,
                 "spark.sparkContext.setCheckpointDir(...) first")
         return df.checkpoint(eager=eager)
     return df.localCheckpoint(eager=eager)
+
+
+def materialize_probed(df: DataFrame, *aggs, coalesce: bool = True):
+    """Materialize ``df`` AND compute aggregate probes in ONE job where
+    the strategy allows it — the iterative loops' convergence check
+    (``sum(xxhash64(...))``) otherwise pays a second data-sized pass per
+    batch on top of the eager checkpoint job.
+
+    With local checkpoints (the default) the checkpoint is taken LAZILY
+    and the aggregate action materializes it: an aggregate computes
+    every partition, so the whole state is persisted and the lineage
+    truncated by that same job.  (A ``take(1)``-style probe must NOT be
+    fused this way — it computes only some partitions, and a partially
+    materialized local checkpoint loses the rest when the lineage is
+    truncated.)  Reliable checkpoints stay eager: a lazy reliable
+    checkpoint re-runs the whole lineage a second time when the
+    checkpoint files are written — strictly worse than the extra probe.
+
+    Returns ``(materialized_df, probe_row)``."""
+    spark = df.sparkSession
+    if reliable_enabled(spark):
+        out = materialize(df, eager=True, coalesce=coalesce)
+    else:
+        out = materialize(df, eager=False, coalesce=coalesce)
+    return out, out.agg(*aggs).collect()[0]

@@ -86,6 +86,15 @@ def _ckpt(df: DataFrame) -> DataFrame:
     return materialize(df, eager=True, coalesce=True)
 
 
+def _ckpt_probe(df: DataFrame, *aggs):
+    """Checkpoint + convergence probe fused into ONE job (see
+    operators/ckpt.py::materialize_probed) — the loops' per-batch
+    ``agg(sum(xxhash64)).collect()`` otherwise re-reads the state in a
+    second job right after the eager checkpoint wrote it."""
+    from .ckpt import materialize_probed
+    return materialize_probed(df, *aggs, coalesce=True)
+
+
 def normalize_edges(edges: DataFrame, weight_col: Optional[str] = None,
                     undirected: bool = False) -> DataFrame:
     """Project to (src, dst, w); undirected graphs get both orientations."""
@@ -310,8 +319,8 @@ def _cc_impl(edges: DataFrame, max_iter: int) -> DataFrame:
                             .alias("component")))
             labels = (labels.unionByName(msgs)
                       .groupBy("id").agg(F.min("component").alias("component")))
-        labels = _ckpt(labels)
-        new_sum = labels.agg(chg).collect()[0][0]
+        labels, probe = _ckpt_probe(labels, chg)
+        new_sum = probe[0]
         if new_sum == prev_sum:
             break
         prev_sum = new_sum
@@ -349,11 +358,15 @@ def connected_components_twophase(edges: DataFrame,
         verts = (und.select(F.col("src").alias("id")).distinct().cache())
         # work on directed (u → current-parent) pairs, self-loops included
         # so isolated vertices survive the contraction
-        e = _ckpt(und.filter(F.col("src") != F.col("dst"))
-                  .unionByName(verts.select(F.col("id").alias("src"),
-                                            F.col("id").alias("dst"))))
         chg = F.sum(F.xxhash64("src", "dst").cast("decimal(38,0)"))
-        prev = None if fixed_rounds else e.agg(chg).collect()[0][0]
+        e0 = (und.filter(F.col("src") != F.col("dst"))
+              .unionByName(verts.select(F.col("id").alias("src"),
+                                        F.col("id").alias("dst"))))
+        if fixed_rounds:
+            e, prev = _ckpt(e0), None
+        else:
+            e, probe = _ckpt_probe(e0, chg)
+            prev = probe[0]
 
         def star(edges_uv: DataFrame, large: bool) -> DataFrame:
             # neighborhoods in BOTH orientations; m = min(N(u) ∪ {u})
@@ -384,9 +397,11 @@ def connected_components_twophase(edges: DataFrame,
 
         for _ in range(max_rounds):
             e = _ckpt(star(e, large=True))
-            e = _ckpt(star(e, large=False))
-            if not fixed_rounds:
-                cur = e.agg(chg).collect()[0][0]
+            if fixed_rounds:
+                e = _ckpt(star(e, large=False))
+            else:
+                e, probe = _ckpt_probe(star(e, large=False), chg)
+                cur = probe[0]
                 if cur == prev:
                     break
                 prev = cur
@@ -475,8 +490,8 @@ def _scc_impl(spark, edges: DataFrame, max_rounds: int = 16) -> DataFrame:
         for it in range(0, max_iter, batch):
             for _ in range(batch):
                 labels = _one_step(labels, ed)
-            labels = _ckpt(labels)
-            new_sum = labels.agg(chg).collect()[0][0]
+            labels, probe = _ckpt_probe(labels, chg)
+            new_sum = probe[0]
             if new_sum == prev_sum:
                 break
             prev_sum = new_sum
@@ -983,11 +998,11 @@ def betweenness_centrality(edges: DataFrame,
                 .agg(F.round(F.sum("delta") / 2.0, 4).alias("betweenness")))
 
 
-def _hash_fixpoint(df: DataFrame, cols: list[str]):
-    """Order-independent state digest (the _cc_impl convergence trick):
-    decimal sum of per-row xxhash64 — one cheap action per superstep."""
-    return df.agg(F.sum(F.xxhash64(*cols).cast("decimal(38,0)"))
-                  ).collect()[0][0]
+def _hash_fixpoint_agg(cols: list[str]):
+    """Order-independent state digest aggregate (the _cc_impl
+    convergence trick): decimal sum of per-row xxhash64 — fused into the
+    checkpoint job via _ckpt_probe."""
+    return F.sum(F.xxhash64(*cols).cast("decimal(38,0)"))
 
 
 def _weighted_betweenness(edges: DataFrame, sources, max_iter: int,
@@ -1069,8 +1084,9 @@ def _weighted_betweenness(edges: DataFrame, sources, max_iter: int,
                            F.col("sigma").alias("sig_u"))
         prop = (dag.join(sig_u, ["s", "u"])
                 .groupBy("s", "v").agg(F.sum("sig_u").alias("sigma")))
-        sig = _ckpt(seeds.unionByName(prop))
-        h = _hash_fixpoint(sig, ["s", "v", "sigma"])
+        sig, probe = _ckpt_probe(seeds.unionByName(prop),
+                                 _hash_fixpoint_agg(["s", "v", "sigma"]))
+        h = probe[0]
         if h == prev:
             break
         prev = h
@@ -1095,11 +1111,12 @@ def _weighted_betweenness(edges: DataFrame, sources, max_iter: int,
                            (F.col("sig_u") / F.col("sig_v")
                             * (F.lit(1.0) + F.col("delta_v"))).alias("c"))
                    .groupBy("s", "u").agg(F.sum("c").alias("delta")))
-        delta = _ckpt(
+        delta, probe = _ckpt_probe(
             pairs.join(contrib.withColumnRenamed("u", "v"), ["s", "v"],
                        "left")
-            .fillna(0.0, subset=["delta"]))
-        h = _hash_fixpoint(delta, ["s", "v", "delta"])
+            .fillna(0.0, subset=["delta"]),
+            _hash_fixpoint_agg(["s", "v", "delta"]))
+        h = probe[0]
         if h == prev:
             break
         prev = h

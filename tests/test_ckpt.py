@@ -74,3 +74,35 @@ def test_funnel_under_reliable_mode(spark, reliable):
            for r in funnel(df, ["view", "click"],
                            type_col="t", ts_col="e").collect()}
     assert out == {"view": 2, "click": 1}
+
+
+def test_materialize_probed_truncates_and_probes(spark):
+    """The fused checkpoint+probe (one job: the aggregate action
+    materializes the lazy local checkpoint) must still truncate lineage
+    AND return the same probe value as a separate aggregate."""
+    from gqlite_spark.operators.ckpt import materialize_probed
+    base = spark.range(100).withColumn("component", F.col("id") % 7)
+    agg = F.sum(F.xxhash64("id", "component").cast("decimal(38,0)"))
+    out, probe = materialize_probed(base, agg)
+    expected = base.agg(agg).collect()[0][0]
+    assert probe[0] == expected
+    plan = out._jdf.queryExecution().optimizedPlan().toString()
+    assert "Range" not in plan          # lineage truncated
+    assert out.count() == 100           # fully materialized, all rows
+
+
+def test_materialize_probed_reliable_stays_eager(spark, reliable):
+    """Reliable mode must checkpoint eagerly (a lazy reliable checkpoint
+    recomputes the lineage when the files are written) and still return
+    the correct probe."""
+    import glob
+    import os
+    from gqlite_spark.operators.ckpt import materialize_probed
+    base = spark.range(50).withColumn("x", F.col("id") * 3)
+    agg = F.sum(F.xxhash64("id", "x").cast("decimal(38,0)"))
+    out, probe = materialize_probed(base, agg)
+    assert probe[0] == base.agg(agg).collect()[0][0]
+    files = glob.glob(os.path.join(reliable, "**", "rdd-*", "part-*"),
+                      recursive=True)
+    assert files, f"no checkpoint partitions under {reliable}"
+    assert out.count() == 50
