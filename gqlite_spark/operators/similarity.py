@@ -381,9 +381,16 @@ def projection_offsets(df: DataFrame, dim: int, n_planes: int = 8,
     """
     v = F.col(vec_col).cast("array<double>")
     if normalize:
-        nrm = F.sqrt(F.aggregate(v, F.lit(0.0), lambda a, x: a + x * x))
-        v = F.transform(v, lambda x: x / nrm)
-    comp = (df.select(F.posexplode(v).alias("pos", "x"))
+        # norm in its own projection first — embedding the fold in the
+        # transform lambda re-evaluates it per element (O(dim²) per row,
+        # the winnow_fingerprints lesson); values are bit-identical
+        src = (df.select(v.alias("_v"))
+               .select("_v", F.sqrt(F.aggregate(
+                   "_v", F.lit(0.0), lambda a, x: a + x * x)).alias("_nrm")))
+        v = F.transform("_v", lambda x: x / F.col("_nrm"))
+    else:
+        src = df
+    comp = (src.select(F.posexplode(v).alias("pos", "x"))
             .groupBy("pos").agg(F.avg("x").alias("m")))
     mean = [0.0] * dim
     for r in comp.collect():
