@@ -309,7 +309,11 @@ def _cc_impl(edges: DataFrame, max_iter: int) -> DataFrame:
     # action per 3-step batch, no diff join.  Collision odds ~2^-64.
     # (decimal sum: a long sum of 64-bit hashes overflows under ANSI)
     chg = F.sum(F.xxhash64("id", "component").cast("decimal(38,0)"))
-    prev_sum = labels.agg(chg).collect()[0][0]
+    # no pre-loop digest of the identity labels: a non-empty edge set
+    # always changes SOME label in batch 0, so the init probe could only
+    # short-circuit the empty graph — not worth a data-sized job; the
+    # first comparison simply waits for batch 1
+    prev_sum = None
     batch = 3
     for it in range(0, max_iter, batch):
         for _ in range(batch):
@@ -321,7 +325,7 @@ def _cc_impl(edges: DataFrame, max_iter: int) -> DataFrame:
                       .groupBy("id").agg(F.min("component").alias("component")))
         labels, probe = _ckpt_probe(labels, chg)
         new_sum = probe[0]
-        if new_sum == prev_sum:
+        if prev_sum is not None and new_sum == prev_sum:
             break
         prev_sum = new_sum
     e.unpersist()
@@ -486,13 +490,16 @@ def _scc_impl(spark, edges: DataFrame, max_rounds: int = 16) -> DataFrame:
         per step.  Collision odds ~2^-64.  (Decimal sum: a long sum of
         64-bit hashes overflows under ANSI.)"""
         chg = F.sum(F.xxhash64("id", "color", "lab").cast("decimal(38,0)"))
-        prev_sum = labels.agg(chg).collect()[0][0]
+        # no pre-loop digest (see _cc_impl): identity labels are only at
+        # the fixpoint when no edge connects same-color vertices — the
+        # probe job costs more than the rare spare batch it would save
+        prev_sum = None
         for it in range(0, max_iter, batch):
             for _ in range(batch):
                 labels = _one_step(labels, ed)
             labels, probe = _ckpt_probe(labels, chg)
             new_sum = probe[0]
-            if new_sum == prev_sum:
+            if prev_sum is not None and new_sum == prev_sum:
                 break
             prev_sum = new_sum
         return labels
