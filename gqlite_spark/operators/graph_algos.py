@@ -196,12 +196,21 @@ def k_hop(edges: DataFrame, start, hops: int,
 
 def degrees(edges: DataFrame, undirected: bool = False) -> DataFrame:
     """(id, in_degree, out_degree, degree) — reference intent at
-    src/operand/analysis/DegreeCentrality.cpp (analysis body empty)."""
-    out_d = edges.groupBy(F.col("src").alias("id")) \
-                 .agg(F.count("*").alias("out_degree"))
-    in_d = edges.groupBy(F.col("dst").alias("id")) \
-                .agg(F.count("*").alias("in_degree"))
-    d = out_d.join(in_d, "id", "full_outer").fillna(0)
+    src/operand/analysis/DegreeCentrality.cpp (analysis body empty).
+
+    One union + ONE map-side-combined shuffle instead of two keyed
+    groupBys joined full-outer (2 data-sized exchanges + a join): each
+    endpoint contributes a (1, 0) / (0, 1) pair and both counts sum in
+    the same aggregate; absent roles sum to 0, exactly the old
+    fillna(0)."""
+    both = (edges.select(F.col("src").alias("id"),
+                         F.lit(1).cast("long").alias("_o"),
+                         F.lit(0).cast("long").alias("_i"))
+            .unionByName(edges.select(F.col("dst").alias("id"),
+                                      F.lit(0).cast("long").alias("_o"),
+                                      F.lit(1).cast("long").alias("_i"))))
+    d = both.groupBy("id").agg(F.sum("_o").alias("out_degree"),
+                               F.sum("_i").alias("in_degree"))
     if undirected:
         return d.select("id", (F.col("in_degree") + F.col("out_degree"))
                         .alias("degree"))
