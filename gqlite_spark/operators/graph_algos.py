@@ -494,10 +494,16 @@ def _scc_impl(spark, edges: DataFrame, max_rounds: int = 16) -> DataFrame:
         color to fixpoint.  Convergence check: labels only ever decrease
         per id, so the (id, color, lab) multiset is unchanged ⟺ fixpoint;
         detected via sum(xxhash64(id, color, lab)) — type-agnostic (string
-        vertex ids sum to NULL and would false-converge) — one cheap
-        aggregate action per ``batch`` supersteps instead of a diff join
-        per step.  Collision odds ~2^-64.  (Decimal sum: a long sum of
-        64-bit hashes overflows under ANSI.)"""
+        vertex ids sum to NULL and would false-converge) — fused into the
+        checkpoint job once per ``batch`` supersteps.  Collision odds
+        ~2^-64.  (Decimal sum: a long sum of 64-bit hashes overflows
+        under ANSI.)
+
+        (A joint fwd+bwd propagation in one double-width state table was
+        probed this round and measured ~60% SLOWER at sf0.001: each
+        superstep's union/groupBy then carries both message sets and the
+        convergence probe waits for the slower direction — two lean loops
+        beat one fused loop here.)"""
         chg = F.sum(F.xxhash64("id", "color", "lab").cast("decimal(38,0)"))
         # no pre-loop digest (see _cc_impl): identity labels are only at
         # the fixpoint when no edge connects same-color vertices — the
@@ -514,20 +520,32 @@ def _scc_impl(spark, edges: DataFrame, max_rounds: int = 16) -> DataFrame:
         return labels
 
     rev = e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    if not active.take(1):
+        e.unpersist()
+        return assigned
+    # `done` slices are NOT checkpointed per round: each derives from the
+    # round's checkpointed fwd/bwd state, so accumulating them in a list
+    # and unioning once at the end keeps lineage bounded while saving one
+    # data-sized checkpoint job per round.  The per-round activity probe
+    # (was a take(1) action at the top of the next round) rides the
+    # `active` checkpoint as a fused count.
+    assigned_parts = []
     for _ in range(max_rounds):
-        if not active.take(1):
-            break
         init = active.withColumn("lab", F.col("id"))
         fwd = _min_propagate(init, e).withColumnRenamed("lab", "fwd")
         bwd = _min_propagate(init, rev).withColumnRenamed("lab", "bwd")
         both = fwd.join(bwd, ["id", "color"])
         done = both.filter(F.col("fwd") == F.col("bwd")) \
                    .select("id", F.col("fwd").alias("component"))
-        assigned = _ckpt(assigned.unionByName(done))
+        assigned_parts.append(done)
         remaining = both.filter(F.col("fwd") != F.col("bwd"))
         # new color = dense key over (old color, fwd, bwd)
-        active = _ckpt(remaining.select(
-            "id", F.xxhash64("color", "fwd", "bwd").alias("color")))
+        active, probe = _ckpt_probe(
+            remaining.select(
+                "id", F.xxhash64("color", "fwd", "bwd").alias("color")),
+            F.count(F.lit(1)))
+        if probe[0] == 0:
+            break
         # restrict edges to endpoints still active and same color
         a1 = active.select(F.col("id").alias("src"),
                            F.col("color").alias("_sc"))
@@ -537,6 +555,8 @@ def _scc_impl(spark, edges: DataFrame, max_rounds: int = 16) -> DataFrame:
                   .filter(F.col("_sc") == F.col("_dc"))
                   .select("src", "dst"))
         rev = e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    for done in assigned_parts:
+        assigned = assigned.unionByName(done)
     return assigned
 
 
