@@ -188,6 +188,27 @@ def main() -> None:
     norm_warm = {n: round(warm[n] / floor_warm, 2)
                  for n in HEADLINE + DIAGNOSTIC_QUERIES}
 
+    # The per-query warm/norm dicts live in a SIDECAR file, not the
+    # printed line (VERDICT r14 next #2): the one-line JSON had grown to
+    # ~8 KB and r13's line was clipped by the driver's tail capture
+    # (`BENCH_r13.parsed: null`), silencing the whole round-over-round
+    # comparison.  The printed contract line keeps metric/value/unit/
+    # queries/sf plus the scalar summaries (< 2 KB); the timed region
+    # above is byte-identical to r12-r14.
+    details = {
+        "queries_warm": warm,
+        "queries_norm": norm,
+        "queries_norm_warm": norm_warm,
+    }
+    try:
+        here = os.path.dirname(os.path.abspath(__file__))
+        side = os.path.join(here, "plans", "bench_last_details.json")
+        os.makedirs(os.path.dirname(side), exist_ok=True)
+        with open(side, "w") as f:
+            json.dump(details, f, indent=1, sort_keys=True)
+    except OSError:
+        pass  # the sidecar is diagnostics; never fail the contract line
+
     print(json.dumps({
         "metric": "headline_query_wall_seconds",
         "value": total,
@@ -195,16 +216,14 @@ def main() -> None:
         "queries": timings,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         "value_warm": round(sum(warm[n] for n in HEADLINE), 3),
-        "queries_warm": warm,
         # round-over-round comparability across the r5 headline expansion
         "value_19q": round(sum(timings[n] for n in HEADLINE_19Q), 3),
         "value_19q_warm": round(sum(warm[n] for n in HEADLINE_19Q), 3),
         # machine-drift-free comparison series (ratios to the same-run
-        # point_lookup_raw floor, cold/cold and warm/warm)
+        # point_lookup_raw floor, cold/cold and warm/warm; per-query
+        # ratio dicts in the plans/bench_last_details.json sidecar)
         "floor": {"cold": timings["point_lookup_raw"],
                   "warm": round(floor_warm, 3)},
-        "queries_norm": norm,
-        "queries_norm_warm": norm_warm,
         "value_norm": round(sum(norm[n] for n in HEADLINE), 1),
         "value_norm_warm": round(sum(norm_warm[n] for n in HEADLINE), 1),
     }))
