@@ -138,8 +138,8 @@ def shortest_path(edges: DataFrame, src, dst, weight_col: Optional[str] = None,
                     .agg(F.min(F.struct("cost", "path")).alias("cp"))
                     .select("id", F.col("cp.cost").alias("cost"),
                             F.col("cp.path").alias("path")))
-        # eager localCheckpoint every superstep: the take(1) action and the
-        # next iteration both reuse the materialized state instead of
+        # eager localCheckpoint every superstep: the frontier derivation and
+        # the next iteration both reuse the materialized state instead of
         # recomputing the union/groupBy chain since the last checkpoint
         new_best = _ckpt(new_best)
         # re-expand on ANY (cost, path) improvement, not just strictly lower
@@ -153,9 +153,11 @@ def shortest_path(edges: DataFrame, src, dst, weight_col: Optional[str] = None,
                              F.struct(F.col("o.cost"), F.col("o.path"))))
                     .select("id", F.col("n.cost").alias("cost"),
                             F.col("n.path").alias("path")))
-        frontier = _ckpt(frontier)
+        # frontier checkpoint + emptiness check in ONE job (r15): the old
+        # eager _ckpt + take(1) pair cost two actions per superstep
+        frontier, probe = _ckpt_probe(frontier, F.count(F.lit(1)))
         best = new_best
-        if not frontier.take(1):
+        if probe[0] == 0:
             break
     hit = best.filter(F.col("id") == F.lit(dst)).collect()
     e.unpersist()
@@ -186,9 +188,16 @@ def k_hop(edges: DataFrame, start, hops: int,
                                         F.col("f.id") == F.col("e.src"))
                .select(F.col("e.dst").alias("id")).distinct()
                .join(visited, "id", "left_anti"))
-        if not nxt.take(1):
+        # checkpoint the frontier WITH the emptiness probe in one job
+        # (r15): the old shape paid a take(1) job computing `nxt`
+        # unmaterialized, then a second job re-computing it inside the
+        # visited-union checkpoint.  `visited` becomes a lazy union of
+        # checkpointed frontiers (bounded by `hops`, like closeness's
+        # dist table) — one job per hop instead of two.
+        nxt, probe = _ckpt_probe(nxt, F.count(F.lit(1)))
+        if probe[0] == 0:
             break
-        visited = _ckpt(visited.unionByName(nxt))
+        visited = visited.unionByName(nxt)
         frontier = nxt
     e.unpersist()
     return visited.filter(F.col("id") != F.lit(start))
@@ -307,6 +316,7 @@ def connected_components(edges: DataFrame, max_iter: int = 32) -> DataFrame:
 
 
 def _cc_impl(edges: DataFrame, max_iter: int) -> DataFrame:
+    from .ckpt import materialize, materialize_probed, reliable_enabled
     e = normalize_edges(edges, undirected=True).select("src", "dst").distinct().cache()
     labels = (e.select(F.col("src").alias("id"))
               .unionByName(e.select(F.col("dst").alias("id")))
@@ -318,25 +328,49 @@ def _cc_impl(edges: DataFrame, max_iter: int) -> DataFrame:
     # action per 3-step batch, no diff join.  Collision odds ~2^-64.
     # (decimal sum: a long sum of 64-bit hashes overflows under ANSI)
     chg = F.sum(F.xxhash64("id", "component").cast("decimal(38,0)"))
-    # no pre-loop digest of the identity labels: a non-empty edge set
-    # always changes SOME label in batch 0, so the init probe could only
-    # short-circuit the empty graph — not worth a data-sized job; the
-    # first comparison simply waits for batch 1
-    prev_sum = None
+
+    def _step(lbl: DataFrame) -> DataFrame:
+        msgs = (lbl.alias("l").join(e.alias("e"),
+                                    F.col("l.id") == F.col("e.src"))
+                .select(F.col("e.dst").alias("id"), F.col("l.component")
+                        .alias("component")))
+        return (lbl.unionByName(msgs)
+                .groupBy("id").agg(F.min("component").alias("component")))
+
     batch = 3
+    if reliable_enabled(labels.sparkSession):
+        # reliable checkpoints can't fuse a lazy parent into the probe
+        # job (a lazy reliable checkpoint re-runs its lineage when the
+        # files are written), so convergence compares consecutive batch
+        # digests: fixpoint detected one full batch late.
+        prev_sum = None
+        for it in range(0, max_iter, batch):
+            for _ in range(batch):
+                labels = _step(labels)
+            labels, probe = _ckpt_probe(labels, chg)
+            new_sum = probe[0]
+            if prev_sum is not None and new_sum == prev_sum:
+                break
+            prev_sum = new_sum
+        e.unpersist()
+        return labels
+    # Within-batch convergence (r15): lazily localCheckpoint the
+    # PENULTIMATE superstep's state — the batch's probe job materializes
+    # it as a by-product (every partition feeds the last superstep's
+    # aggregate), so a follow-up block-scan digest of the penultimate
+    # state costs a shuffle-free mini-job.  digest(last) ==
+    # digest(penult) ⟺ the final superstep changed nothing ⟺ fixpoint —
+    # detected at +1-superstep granularity instead of paying a full
+    # confirmation batch (the old cross-batch compare re-ran `batch`
+    # supersteps, 2 data-sized exchanges each, just to see the digest
+    # repeat).  Same fixpoint, fewer supersteps.
     for it in range(0, max_iter, batch):
-        for _ in range(batch):
-            msgs = (labels.alias("l").join(e.alias("e"),
-                                           F.col("l.id") == F.col("e.src"))
-                    .select(F.col("e.dst").alias("id"), F.col("l.component")
-                            .alias("component")))
-            labels = (labels.unionByName(msgs)
-                      .groupBy("id").agg(F.min("component").alias("component")))
-        labels, probe = _ckpt_probe(labels, chg)
-        new_sum = probe[0]
-        if prev_sum is not None and new_sum == prev_sum:
+        for _ in range(batch - 1):
+            labels = _step(labels)
+        penult = materialize(labels, eager=False, coalesce=True)
+        labels, probe = materialize_probed(_step(penult), chg)
+        if probe[0] == penult.agg(chg).collect()[0][0]:
             break
-        prev_sum = new_sum
     e.unpersist()
     return labels
 
@@ -476,16 +510,21 @@ def _scc_impl(spark, edges: DataFrame, max_rounds: int = 16) -> DataFrame:
     assigned = spark.createDataFrame([], f"id {id_type}, component {id_type}")
 
     def _one_step(labels: DataFrame, ed: DataFrame) -> DataFrame:
+        # Messages need no same-color filter join (removed r15, one less
+        # message-sized exchange per superstep): ``ed`` only ever
+        # connects same-color endpoints — round 0 colors every vertex 0,
+        # and every later edge set is rebuilt as join(active on src) ⋈
+        # join(active on dst) filtered to _sc == _dc — so a message's
+        # src color IS its dst's color and every dst is in ``labels``.
+        # The old (id, color) inner join against ``labels`` re-shuffled
+        # the whole message set per superstep to enforce an invariant
+        # the edge rebuild already guarantees.
         msgs = (labels.alias("l")
                 .join(ed.alias("e"), F.col("l.id") == F.col("e.src"))
                 .select(F.col("e.dst").alias("id"),
                         F.col("l.color").alias("color"),
                         F.col("l.lab").alias("lab")))
-        # only messages within the same color partition count
-        msgs = (msgs.alias("m")
-                .join(labels.select("id", "color").alias("t"),
-                      ["id", "color"], "inner"))
-        return (labels.unionByName(msgs.select("id", "color", "lab"))
+        return (labels.unionByName(msgs)
                 .groupBy("id", "color").agg(F.min("lab").alias("lab")))
 
     def _min_propagate(labels: DataFrame, ed: DataFrame,
@@ -494,67 +533,103 @@ def _scc_impl(spark, edges: DataFrame, max_rounds: int = 16) -> DataFrame:
         color to fixpoint.  Convergence check: labels only ever decrease
         per id, so the (id, color, lab) multiset is unchanged ⟺ fixpoint;
         detected via sum(xxhash64(id, color, lab)) — type-agnostic (string
-        vertex ids sum to NULL and would false-converge) — fused into the
-        checkpoint job once per ``batch`` supersteps.  Collision odds
+        vertex ids sum to NULL and would false-converge).  Collision odds
         ~2^-64.  (Decimal sum: a long sum of 64-bit hashes overflows
         under ANSI.)
 
+        Within-batch detection (r15, see _cc_impl): the PENULTIMATE
+        superstep's state is lazily localCheckpointed so the batch's
+        probe job materializes it as a by-product; a shuffle-free
+        mini-job digests it, and digest(last) == digest(penult) detects
+        the fixpoint at +1-superstep granularity instead of re-running a
+        full confirmation batch.  Reliable-checkpoint sessions keep the
+        old cross-batch compare (a lazy reliable checkpoint re-runs its
+        lineage on file write).
+
         (A joint fwd+bwd propagation in one double-width state table was
-        probed this round and measured ~60% SLOWER at sf0.001: each
+        probed in r14 and measured ~60% SLOWER at sf0.001: each
         superstep's union/groupBy then carries both message sets and the
         convergence probe waits for the slower direction — two lean loops
         beat one fused loop here.)"""
+        from .ckpt import materialize, materialize_probed, reliable_enabled
         chg = F.sum(F.xxhash64("id", "color", "lab").cast("decimal(38,0)"))
-        # no pre-loop digest (see _cc_impl): identity labels are only at
-        # the fixpoint when no edge connects same-color vertices — the
-        # probe job costs more than the rare spare batch it would save
-        prev_sum = None
+        if reliable_enabled(labels.sparkSession):
+            prev_sum = None
+            for it in range(0, max_iter, batch):
+                for _ in range(batch):
+                    labels = _one_step(labels, ed)
+                labels, probe = _ckpt_probe(labels, chg)
+                new_sum = probe[0]
+                if prev_sum is not None and new_sum == prev_sum:
+                    break
+                prev_sum = new_sum
+            return labels
         for it in range(0, max_iter, batch):
-            for _ in range(batch):
+            for _ in range(batch - 1):
                 labels = _one_step(labels, ed)
-            labels, probe = _ckpt_probe(labels, chg)
-            new_sum = probe[0]
-            if prev_sum is not None and new_sum == prev_sum:
+            penult = materialize(labels, eager=False, coalesce=True)
+            labels, probe = materialize_probed(_one_step(penult, ed), chg)
+            if probe[0] == penult.agg(chg).collect()[0][0]:
                 break
-            prev_sum = new_sum
         return labels
 
     rev = e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    if not active.take(1):
-        e.unpersist()
-        return assigned
     # `done` slices are NOT checkpointed per round: each derives from the
     # round's checkpointed fwd/bwd state, so accumulating them in a list
     # and unioning once at the end keeps lineage bounded while saving one
     # data-sized checkpoint job per round.  The per-round activity probe
     # (was a take(1) action at the top of the next round) rides the
-    # `active` checkpoint as a fused count.
+    # `active` checkpoint as a fused count.  (The old up-front
+    # ``active.take(1)`` empty-graph guard is gone too — round 0 on an
+    # empty graph converges in one cheap empty batch, and every
+    # non-empty invocation saves the guard job.)
     assigned_parts = []
-    for _ in range(max_rounds):
-        init = active.withColumn("lab", F.col("id"))
-        fwd = _min_propagate(init, e).withColumnRenamed("lab", "fwd")
-        bwd = _min_propagate(init, rev).withColumnRenamed("lab", "bwd")
-        both = fwd.join(bwd, ["id", "color"])
-        done = both.filter(F.col("fwd") == F.col("bwd")) \
-                   .select("id", F.col("fwd").alias("component"))
-        assigned_parts.append(done)
-        remaining = both.filter(F.col("fwd") != F.col("bwd"))
-        # new color = dense key over (old color, fwd, bwd)
-        active, probe = _ckpt_probe(
-            remaining.select(
-                "id", F.xxhash64("color", "fwd", "bwd").alias("color")),
-            F.count(F.lit(1)))
-        if probe[0] == 0:
-            break
-        # restrict edges to endpoints still active and same color
-        a1 = active.select(F.col("id").alias("src"),
-                           F.col("color").alias("_sc"))
-        a2 = active.select(F.col("id").alias("dst"),
-                           F.col("color").alias("_dc"))
-        e = _ckpt(e.join(a1, "src").join(a2, "dst")
-                  .filter(F.col("_sc") == F.col("_dc"))
-                  .select("src", "dst"))
-        rev = e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    from concurrent.futures import ThreadPoolExecutor
+    with ThreadPoolExecutor(max_workers=1) as pool:
+        for _ in range(max_rounds):
+            init = active.withColumn("lab", F.col("id"))
+            # fwd and bwd propagation are independent until the (id,
+            # color) join — run them as CONCURRENT jobs (guide §2.6:
+            # actions are only sequential because the driver calls them
+            # sequentially; each direction's tail tasks back-fill the
+            # other's idle cores).  Determinism is untouched: each
+            # direction converges to its unique min-label fixpoint
+            # regardless of scheduling.
+            fwd_job = pool.submit(_min_propagate, init, e)
+            bwd = _min_propagate(init, rev)
+            fwd = fwd_job.result()
+            both = (fwd.withColumnRenamed("lab", "fwd")
+                    .join(bwd.withColumnRenamed("lab", "bwd"),
+                          ["id", "color"]))
+            done = both.filter(F.col("fwd") == F.col("bwd")) \
+                       .select("id", F.col("fwd").alias("component"))
+            assigned_parts.append(done)
+            remaining = both.filter(F.col("fwd") != F.col("bwd"))
+            # new color = dense key over (old color, fwd, bwd)
+            active, probe = _ckpt_probe(
+                remaining.select(
+                    "id", F.xxhash64("color", "fwd", "bwd").alias("color")),
+                F.count(F.lit(1)))
+            if probe[0] == 0:
+                break
+            # restrict edges to endpoints still active and same color.
+            # LAZY localCheckpoint (r15): the next round's first
+            # propagate batch computes every partition of the new edge
+            # set (its join touches all of them), so the materialization
+            # rides that job and the per-round eager edge-checkpoint job
+            # disappears; lineage is truncated all the same once that
+            # job runs.
+            a1 = active.select(F.col("id").alias("src"),
+                               F.col("color").alias("_sc"))
+            a2 = active.select(F.col("id").alias("dst"),
+                               F.col("color").alias("_dc"))
+            from .ckpt import materialize
+            e = materialize(e.join(a1, "src").join(a2, "dst")
+                            .filter(F.col("_sc") == F.col("_dc"))
+                            .select("src", "dst"),
+                            eager=False, coalesce=True)
+            rev = e.select(F.col("dst").alias("src"),
+                           F.col("src").alias("dst"))
     for done in assigned_parts:
         assigned = assigned.unionByName(done)
     return assigned
@@ -646,9 +721,11 @@ def k_core(edges: DataFrame, k: int, max_iter: int = 64) -> DataFrame:
                        .agg(F.count("*").alias("core_degree")))
                 survivors = deg.filter(F.col("core_degree") >= k)
                 alive = survivors.select("id")
-            survivors = _ckpt(survivors)
+            # checkpoint + survivor count fused into one job (r15; was
+            # an eager _ckpt job followed by a count() job per batch)
+            survivors, probe = _ckpt_probe(survivors, F.count(F.lit(1)))
             alive = survivors.select("id")
-            n_next = survivors.count()
+            n_next = probe[0]
             if n_next == n_alive:
                 break
             n_alive = n_next
@@ -875,8 +952,11 @@ def closeness_centrality(edges: DataFrame, sources: "Optional[list]" = None,
                            (F.col("d") + 1).alias("d"))
                    .distinct()
                    .join(dist.select("s", "v"), ["s", "v"], "left_anti"))
-            nxt = _ckpt(nxt)
-            if not nxt.take(1):
+            # checkpoint + emptiness probe fused into one job per hop
+            # (r15; was an eager _ckpt job followed by a take(1) job —
+            # 2 actions x diameter supersteps)
+            nxt, probe = _ckpt_probe(nxt, F.count(F.lit(1)))
+            if probe[0] == 0:
                 break
             # dist is a union of already-checkpointed frontiers — plan
             # grows O(diameter) in width but every leaf is materialized,
@@ -923,13 +1003,15 @@ def _weighted_closeness(edges: DataFrame, sources, max_iter: int,
                         (F.col("d") + F.col("w")).alias("d")))
         new_best = _ckpt(best.unionByName(msgs).groupBy("s", "v")
                          .agg(F.min("d").alias("d")))
-        frontier = _ckpt(
+        # frontier checkpoint + emptiness probe in one job (r15)
+        frontier, probe = _ckpt_probe(
             new_best.alias("n")
             .join(best.alias("o"), ["s", "v"], "left")
             .filter(F.col("o.d").isNull() | (F.col("n.d") < F.col("o.d")))
-            .select("s", "v", F.col("n.d").alias("d")))
+            .select("s", "v", F.col("n.d").alias("d")),
+            F.count(F.lit(1)))
         best = new_best
-        if not frontier.take(1):
+        if probe[0] == 0:
             break
     e.unpersist()
     return _closeness_agg(best, harmonic)
@@ -996,8 +1078,9 @@ def betweenness_centrality(edges: DataFrame,
                     .agg(F.sum("sigma").alias("sigma"))
                     .join(seen, ["s", "v"], "left_anti")
                     .select("s", "v", F.lit(k).alias("d"), "sigma"))
-            newf = _ckpt(newf)
-            if not newf.take(1):
+            # layer checkpoint + emptiness probe in one job (r15)
+            newf, probe = _ckpt_probe(newf, F.count(F.lit(1)))
+            if probe[0] == 0:
                 break
             layers.append(newf)
             f = f.unionByName(newf)
@@ -1084,13 +1167,15 @@ def _weighted_betweenness(edges: DataFrame, sources, max_iter: int,
                         (F.col("d") + F.col("w")).alias("d")))
         new_best = _ckpt(best.unionByName(msgs).groupBy("s", "v")
                          .agg(F.min("d").alias("d")))
-        frontier = _ckpt(
+        # frontier checkpoint + emptiness probe in one job (r15)
+        frontier, probe = _ckpt_probe(
             new_best.alias("n")
             .join(best.alias("o"), ["s", "v"], "left")
             .filter(F.col("o.d").isNull() | (F.col("n.d") < F.col("o.d")))
-            .select("s", "v", F.col("n.d").alias("d")))
+            .select("s", "v", F.col("n.d").alias("d")),
+            F.count(F.lit(1)))
         best = new_best
-        if not frontier.take(1):
+        if probe[0] == 0:
             break
     else:
         warnings.warn(
