@@ -542,6 +542,34 @@ def write_training_shards(df: DataFrame, path: str, n_shards: int = 32,
             .orderBy("shard"))
 
 
+def _guarded_broadcast_ids(ids: DataFrame) -> DataFrame:
+    """Size-guarded broadcast for a data-dependent id set (ADVICE r14
+    #1): ``curate_corpus``'s purge/dirty sets are usually eval-set-sized
+    — the r14 plan audit showed the unhinted anti-join re-shuffling the
+    whole corpus — but on a heavily contaminated or heavily duplicated
+    corpus they approach CORPUS size, and an unconditional ``F.broadcast``
+    bypasses ``autoBroadcastJoinThreshold`` straight into a driver OOM or
+    the 8 GB broadcast cap.
+
+    The id set is materialized with its row count probed in the SAME job
+    (``materialize_probed``), so the guard costs one state-sized
+    aggregate — the subtree is still evaluated exactly once — and the
+    hint is applied only when the estimated framed size (32 bytes/id,
+    conservative for long/string keys) fits the session's broadcast
+    threshold.  An oversized set falls back to the unhinted shuffle
+    anti-join, which is the correct plan at that size."""
+    from .ckpt import materialize_probed
+    spark = ids.sparkSession
+    try:
+        thr = int(spark.conf.get("spark.sql.autoBroadcastJoinThreshold"))
+    except Exception:
+        thr = 10 * 1024 * 1024
+    out, probe = materialize_probed(ids, F.count(F.lit(1)))
+    if thr > 0 and int(probe[0]) * 32 <= thr:
+        return F.broadcast(out)
+    return out
+
+
 def curate_corpus(docs: DataFrame, benchmark: DataFrame,
                   quality_min: float = 0.5, ngram: int = 8,
                   id_col: str = "doc_id",
@@ -601,9 +629,10 @@ def curate_corpus(docs: DataFrame, benchmark: DataFrame,
         purge = (survivors.filter(~F.coalesce(F.col("keep"),
                                               F.lit(False)))
                  .select(id_col))
-        # pair-graph-sized by construction — broadcast it so the corpus
-        # side is never shuffled/sorted for the anti-join
-        kept = (enriched.join(F.broadcast(purge), id_col, "left_anti")
+        # pair-graph-sized by construction for near_dup_clusters output,
+        # but caller-supplied — guard the broadcast (ADVICE r14 #1)
+        kept = (enriched.join(_guarded_broadcast_ids(purge), id_col,
+                              "left_anti")
                 .filter(F.col("quality") >= quality_min))
     else:
         w = Window.partitionBy(F.md5(F.col(text_col)))
@@ -636,8 +665,11 @@ def curate_corpus(docs: DataFrame, benchmark: DataFrame,
     # contamination join.  Without the hint Catalyst's post-aggregate size
     # estimate picks a SortMergeJoin and re-shuffles the whole kept corpus
     # by id (plan audit r14: Exchange + Sort on the corpus side); the
-    # broadcast anti-join drops that exchange outright.
-    clean = kept.join(F.broadcast(dirty), id_col, "left_anti")
+    # broadcast anti-join drops that exchange outright.  The hint is
+    # COUNT-GUARDED (ADVICE r14 #1): on a heavily contaminated corpus the
+    # id set approaches corpus size and a forced broadcast would bypass
+    # autoBroadcastJoinThreshold into a driver OOM / 8 GB-cap failure.
+    clean = kept.join(_guarded_broadcast_ids(dirty), id_col, "left_anti")
     return (clean.groupBy("predicted_lang")
             .agg(F.count("*").alias("n_docs"),
                  F.sum("n_tokens").alias("sum_tokens"),
