@@ -196,6 +196,48 @@ def run_to_memory(stream_df: DataFrame, name: str,
             .start())
 
 
+def await_drained(q, timeout: float = 120.0, idle_batches: int = 3,
+                  poll: float = 0.2) -> bool:
+    """Wait until an ``availableNow`` streaming query has processed all
+    its DATA, then stop it.
+
+    A stateful query holding ProcessingTimeTimeout state (the
+    ``applyInPandasWithState`` operators in ``streaming/stateful.py``,
+    ``dropDuplicatesWithinWatermark`` dedup) does NOT terminate when the
+    source drains: Spark keeps scheduling empty "no new data but
+    cleaning up state" micro-batches until every armed state timeout
+    fires — with eviction horizons of hours, a bare
+    ``awaitTermination(N)`` burns its entire budget (measured: three
+    120 s timeouts per r14 test-suite run).  Every DATA batch — and
+    every append-mode window finalization, which lands in the first
+    zero-input batch after the watermark advances — is committed once
+    ``idle_batches`` consecutive completed batches read zero input
+    rows, so this helper stops the query then, or returns earlier on
+    natural termination.  Returns True when the query ended or drained
+    within ``timeout``; False (query left running) otherwise."""
+    import time as _t
+    deadline = _t.monotonic() + timeout
+    last_seen = -1
+    idle = 0
+    while _t.monotonic() < deadline:
+        if not q.isActive:
+            return True
+        for p in q.recentProgress:
+            bid = p.get("batchId", -1)
+            if bid <= last_seen:
+                continue
+            last_seen = bid
+            if p.get("numInputRows", 0) == 0:
+                idle += 1
+            else:
+                idle = 0
+        if idle >= idle_batches:
+            q.stop()
+            return True
+        _t.sleep(poll)
+    return False
+
+
 def interval_join_stream(triggers: DataFrame, effects: DataFrame,
                          interval: str = "1 hour",
                          trigger_wm: str = "2 hours",

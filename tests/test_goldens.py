@@ -20,10 +20,16 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def test_corpus_replay_matches_committed_golden(db):
+    """Also asserts determinism: two replays in the same session render
+    identically (ordering and formatting carry no partition- or
+    time-dependence).  Folded into the golden-match test (r15) so the
+    suite replays the corpus twice, not three times — the second replay
+    serves both assertions."""
     from tools.record_goldens import render
     script = open(os.path.join(GOLDEN_DIR, "corpus.gql"),
                   encoding="utf-8").read()
     got = render(db.exec(script))
+    assert got == render(db.exec(script))     # deterministic replay
     expect = open(os.path.join(GOLDEN_DIR, "corpus.expect"),
                   encoding="utf-8").read()
     if got != expect:
@@ -35,24 +41,17 @@ def test_corpus_replay_matches_committed_golden(db):
             f"if deliberate):\n{diff}")
 
 
-def test_corpus_replay_is_deterministic(db):
-    """Two replays in the same session render identically (ordering and
-    formatting carry no partition- or time-dependence)."""
-    from tools.record_goldens import render
-    script = open(os.path.join(GOLDEN_DIR, "corpus.gql"),
-                  encoding="utf-8").read()
-    assert render(db.exec(script)) == render(db.exec(script))
-
-
 def test_pipeline_corpus_replay_matches_committed_golden(db):
     """Pipeline-statement golden (VERDICT r5 #8): the {dedup}/{similar}/
     {chunk}/{funnel}/{cohort}/{sample} surface replays byte-for-byte
     (rows order-insensitive within a statement — DataFrame results carry
-    no ORDER BY contract; statuses and error texts exact)."""
+    no ORDER BY contract; statuses and error texts exact).  Also asserts
+    determinism across two replays (folded, r15 — see the corpus twin)."""
     from tools.record_goldens import render_sorted
     script = open(os.path.join(GOLDEN_DIR, "pipeline.gql"),
                   encoding="utf-8").read()
     got = render_sorted(db.exec(script))
+    assert got == render_sorted(db.exec(script))  # deterministic replay
     expect = open(os.path.join(GOLDEN_DIR, "pipeline.expect"),
                   encoding="utf-8").read()
     if got != expect:
@@ -64,8 +63,4 @@ def test_pipeline_corpus_replay_matches_committed_golden(db):
             f"tools/record_goldens.py if deliberate):\n{diff}")
 
 
-def test_pipeline_corpus_replay_is_deterministic(db):
-    from tools.record_goldens import render_sorted
-    script = open(os.path.join(GOLDEN_DIR, "pipeline.gql"),
-                  encoding="utf-8").read()
-    assert render_sorted(db.exec(script)) == render_sorted(db.exec(script))
+

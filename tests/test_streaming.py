@@ -8,6 +8,8 @@ import pytest
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from gqlite_spark.streaming.events import await_drained
+
 
 @pytest.fixture(scope="module")
 def event_dir(spark, tmp_path_factory):
@@ -34,7 +36,7 @@ def _run(spark, stream_df, name, mode="complete"):
     would be append-emitted)."""
     from gqlite_spark.streaming.events import run_to_memory
     q = run_to_memory(stream_df, name, mode=mode)
-    q.awaitTermination(120)
+    assert await_drained(q)
     return spark.sql(f"SELECT * FROM {name}")
 
 
@@ -166,7 +168,7 @@ def test_stateful_running_stats(spark, event_dir):
     from gqlite_spark.streaming.stateful import running_user_stats
     stream = stream_from_directory(spark, event_dir)
     q = run_to_memory(running_user_stats(stream), "t_stateful", mode="append")
-    q.awaitTermination(120)
+    assert await_drained(q)
     out = spark.sql("SELECT * FROM t_stateful")
     # the LAST emitted row per user carries the final running state
     latest = {}
@@ -206,7 +208,7 @@ def test_funnel_stream_matches_batch(spark, event_dir):
     q = run_to_memory(
         funnel_stream(_one_file_stream(spark, event_dir), steps),
         "t_funnel", mode="append")
-    q.awaitTermination(120)
+    assert await_drained(q)
     latest = {}
     for r in spark.sql("SELECT * FROM t_funnel").collect():
         latest[r["user_id"]] = r    # memory sink appends in batch order
@@ -231,7 +233,7 @@ def test_cohort_stream_matches_batch(spark, event_dir):
     q = run_to_memory(
         cohort_stream(_one_file_stream(spark, event_dir)),
         "t_cohort", mode="append")
-    q.awaitTermination(120)
+    assert await_drained(q)
     latest = {}
     for r in spark.sql("SELECT * FROM t_cohort").collect():
         latest[r["user_id"]] = r
@@ -294,14 +296,14 @@ def test_stream_to_parquet_resume_no_duplicates(spark, event_dir, tmp_path):
 
     q = stream_to_parquet(stream_from_directory(spark, event_dir),
                           out_dir, ckpt)
-    q.awaitTermination(120)
+    assert await_drained(q)
     n1 = spark.read.parquet(out_dir).count()
     assert n1 == total
 
     # restart against the SAME source + checkpoint: nothing new to commit
     q2 = stream_to_parquet(stream_from_directory(spark, event_dir),
                            out_dir, ckpt)
-    q2.awaitTermination(120)
+    assert await_drained(q2)
     assert spark.read.parquet(out_dir).count() == total
 
 
@@ -335,7 +337,7 @@ def test_stream_upsert_vertices_lww(spark, tmp_path):
               .schema("id long, score double, tag string")
               .option("maxFilesPerTrigger", 1).load(str(src)))
     q = stream_upsert_vertices(stream, g, str(tmp_path / "ckpt"))
-    q.awaitTermination(120)
+    assert await_drained(q)
 
     got = {r["id"]: (r["score"], r["tag"]) for r in g.to_df().collect()}
     assert got == {1: (10.0, "a"), 2: (99.0, "b2"), 3: (30.0, "c")}
@@ -359,7 +361,7 @@ def test_stream_upsert_within_batch_version_wins(spark, tmp_path):
               .schema("id long, ver long, score double").load(str(src)))
     q = stream_upsert_vertices(stream, g, str(tmp_path / "ckpt"),
                                version_col="ver")
-    q.awaitTermination(120)
+    assert await_drained(q)
     got = {r["id"]: (r["ver"], r["score"]) for r in g.to_df().collect()}
     assert got == {1: (9, 2.0), 2: (1, 4.0)}
 
@@ -395,7 +397,7 @@ def test_stream_upsert_version_wins_across_batches(spark, tmp_path):
               .option("maxFilesPerTrigger", 1).load(str(src)))
     q = stream_upsert_vertices(stream, g, str(tmp_path / "ckpt"),
                                version_col="ver")
-    q.awaitTermination(120)
+    assert await_drained(q)
     got = {r["id"]: (r["ver"], r["score"]) for r in g.to_df().collect()}
     # key 1: ver=9 from batch 1 survives the stale ver=5 in batch 2
     assert got == {1: (9, 1.0), 2: (1, 2.0), 3: (2, 3.0)}
@@ -421,7 +423,7 @@ def test_stream_upsert_accretes_new_columns(spark, tmp_path):
     stream = (spark.readStream.format("parquet")
               .schema("id long, score double, tag string").load(str(src)))
     q = stream_upsert_vertices(stream, grp)
-    q.awaitTermination(120)
+    assert await_drained(q)
     out = grp.to_df()
     assert {"id", "name", "score", "tag"} <= set(out.columns)
     rows = {r["id"]: r for r in out.collect()}
@@ -450,7 +452,7 @@ def test_stream_upsert_edges_lww(spark, tmp_path):
               .schema("src long, dst long, ver long, weight double")
               .load(str(src)))
     q = stream_upsert_edges(stream, knows, version_col="ver")
-    q.awaitTermination(120)
+    assert await_drained(q)
     rows = {(r["src"], r["dst"], r["direction"]): (r["ver"], r["weight"])
             for r in knows.to_df().collect()}
     assert rows == {(1, 2, "->"): (9, 0.1), (2, 3, "->"): (1, 0.5)}
@@ -469,7 +471,7 @@ def test_funnel_stream_event_time_matches_batch(spark, event_dir):
         funnel_stream(_one_file_stream(spark, event_dir), steps,
                       timeout_mode="event", watermark_delay="365 days"),
         "t_funnel_et", mode="append")
-    q.awaitTermination(120)
+    assert await_drained(q)
     latest = {}
     for r in spark.sql("SELECT * FROM t_funnel_et").collect():
         latest[r["user_id"]] = r
@@ -505,7 +507,7 @@ def test_cohort_stream_event_time_late_replay(spark, event_dir,
         cohort_stream(_one_file_stream(spark, late_dir),
                       timeout_mode="event", watermark_delay="365 days"),
         "t_cohort_et", mode="append")
-    q.awaitTermination(120)
+    assert await_drained(q)
     latest = {}
     for r in spark.sql("SELECT * FROM t_cohort_et").collect():
         latest[r["user_id"]] = r
@@ -546,7 +548,7 @@ def test_content_dedup_stream_matches_batch_hash_set(spark, tmp_path):
               .option("maxFilesPerTrigger", 1).load(d))
     q = run_to_memory(content_dedup_stream(stream), "t_cdedup",
                       mode="append")
-    q.awaitTermination(120)
+    assert await_drained(q)
     out = spark.sql("SELECT * FROM t_cdedup").collect()
     got_hashes = sorted(r["text_hash"] for r in out)
     assert len(got_hashes) == len(set(got_hashes)) == 3
@@ -593,7 +595,7 @@ def test_funnel_event_mode_state_survives_first_batch_gap(spark, tmp_path):
                       timeout_mode="event", watermark_delay="1 minute",
                       state_ttl_ms=ttl_ms),
         "t_funnel_gap", mode="append")
-    q.awaitTermination(120)
+    assert await_drained(q)
     latest = {}
     for r in spark.sql("SELECT * FROM t_funnel_gap").collect():
         latest[r["user_id"]] = r
@@ -632,7 +634,7 @@ def test_cohort_event_mode_state_survives_first_batch_gap(spark, tmp_path):
                       watermark_delay="1 minute",
                       state_ttl_ms=10 * 24 * 3600 * 1000),
         "t_cohort_gap", mode="append")
-    q.awaitTermination(120)
+    assert await_drained(q)
     latest = {}
     for r in spark.sql("SELECT * FROM t_cohort_gap").collect():
         latest[r["user_id"]] = r
@@ -681,7 +683,7 @@ def test_semantic_hits_stream_matches_batch_twin(spark, tmp_path):
     q = run_to_memory(
         semantic_hits_stream(stream, idx, threshold=0.98, nprobe=2),
         "t_semhits", mode="append")
-    q.awaitTermination(120)
+    assert await_drained(q)
     got = sorted(r["doc_id"] for r in
                  spark.sql("SELECT doc_id FROM t_semhits").collect())
     assert got == [10, 12]
