@@ -226,25 +226,43 @@ def minhash_lsh_pairs(df: DataFrame, id_col: str = "doc_id",
                .filter(F.size("ids") >= 2))
     if max_bucket is not None:
         buckets = buckets.filter(F.size("ids") <= max_bucket)
+    # materialize the candidate-bucket table on BIG inputs (r15): it
+    # feeds BOTH the pair generation and the candidate-doc restriction
+    # below, and the executed plan showed NO runtime exchange reuse
+    # between the copies (AQE final plan: 0 ReusedExchange, corpus
+    # scanned 5x per invocation) — every consumer re-ran the full
+    # shingle → signature → banding pipeline.  The bucket table is the
+    # SPARSE output (only 2..max_bucket-sized buckets — near-dup-
+    # cluster-sized at any corpus scale), so the checkpoint is tiny
+    # while each avoided re-evaluation is a full corpus scan + explode.
+    # Gated by the same cost switch as the shingle cache: on small
+    # inputs the two checkpoint barriers serialize work that idle cores
+    # absorb for free (A/B at sf0.1: warm 1.79 → 2.59 s materialized),
+    # while at scan-bound scale 5 corpus passes → 2 dominates.
+    from .ckpt import materialize
+    if big:
+        buckets = materialize(buckets, eager=True, coalesce=True)
     cand = (buckets
             .select(F.explode("ids").alias("doc_a"), F.col("ids"))
             .select("doc_a", F.explode("ids").alias("doc_b"))
             .filter(F.col("doc_a") < F.col("doc_b"))
             .distinct())
-    # exact verify on candidates only: FIRST restrict the shingle table to
+    # exact verify on candidates only: restrict the shingle table to
     # documents appearing in some (2..max_bucket)-sized bucket — exactly
-    # the docs that occur in candidate pairs.  Deriving this from
-    # ``buckets`` (not from the pair list) lets Spark reuse the bucket
-    # groupBy exchange for both subtrees (ReuseExchange), so no cache is
-    # needed; the intersection/size joins then touch candidate documents'
-    # shingles only, not the whole corpus.
+    # the docs that occur in candidate pairs.
     cand_docs = buckets.select(F.explode("ids").alias("id"))
     shc = sh.join(cand_docs, "id", "left_semi")
     # per-candidate-doc shingle sets (bounded by shingles/doc), then the
     # exact intersection is a JVM array_intersect per pair — no wide
     # (doc, shingle)-keyed join, no intersection groupBy; the candidate
-    # side is typically tiny → both joins broadcast under AQE
+    # side is typically tiny → both joins broadcast under AQE.
+    # Materialized once on BIG inputs (r15): the a/b aliases below are
+    # two consumers, and without the checkpoint each re-ran the corpus-
+    # scan semi-join (runtime plan evidence as above).  Candidate-docs-
+    # sized state; same cost gate as the bucket checkpoint.
     dsets = shc.groupBy("id").agg(F.collect_list("hs").alias("S"))
+    if big:
+        dsets = materialize(dsets, eager=True, coalesce=True)
     a = dsets.select(F.col("id").alias("doc_a"), F.col("S").alias("Sa"))
     b = dsets.select(F.col("id").alias("doc_b"), F.col("S").alias("Sb"))
     c = F.size(F.array_intersect("Sa", "Sb"))
