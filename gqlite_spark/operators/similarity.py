@@ -555,6 +555,21 @@ def ann_topk_indexed(df: DataFrame, query_vec: list[float],
 # IVF (inverted-file) ANN: coarse quantizer -> list assignment -> probe
 # ---------------------------------------------------------------------------
 
+def _lowest_id_rows(df: DataFrame, n: int, id_col: str,
+                    vec_col: str) -> "list[tuple]":
+    """The ``n`` lowest-id corpus rows as [(id, vector), ...] — the
+    shared sampling-quantizer fetch (one TakeOrdered scan of the
+    corpus).  ``save_ivfpq_index`` derives BOTH its coarse centroids and
+    its PQ codebooks from a single call (r15): the two quantizers used
+    to issue separate orderBy(id).limit(...) jobs, i.e. two full corpus
+    scans per index build for rows that are a prefix of one another."""
+    rows = (df.orderBy(id_col).limit(n)
+            .select(F.col(id_col).alias("cid"),
+                    F.col(vec_col).cast("array<double>").alias("cv"))
+            .collect())
+    return [(r["cid"], list(r["cv"])) for r in rows]
+
+
 def ivf_centroids(df: DataFrame, nlist: int = 16, id_col: str = "vec_id",
                   vec_col: str = "embedding") -> list[tuple]:
     """Deterministic coarse quantizer: the ``nlist`` lowest-id corpus
@@ -562,11 +577,7 @@ def ivf_centroids(df: DataFrame, nlist: int = 16, id_col: str = "vec_id",
     engines with no RNG/training state, so an external SQL oracle can
     rebuild the identical index).  For production recall, refine with
     :func:`lloyd_refine`.  Returns [(cid, vector), ...] sorted by cid."""
-    rows = (df.orderBy(id_col).limit(nlist)
-            .select(F.col(id_col).alias("cid"),
-                    F.col(vec_col).cast("array<double>").alias("cv"))
-            .collect())
-    return [(r["cid"], list(r["cv"])) for r in rows]
+    return _lowest_id_rows(df, nlist, id_col, vec_col)
 
 
 def lloyd_refine(df: DataFrame, centroids: list[tuple], iters: int = 2,
@@ -941,10 +952,15 @@ def pq_codebooks(df: DataFrame, m: int = 8, ksub: int = 64,
     candidates = 0.1% of the corpus.  The old m=4/ksub=16 (16 bits) was
     shown too coarse — 13.8% recall@10 — and survives only as an
     explicit argument where an oracle needs a tiny codebook."""
-    rows = (df.orderBy(id_col).limit(ksub)
-            .select(F.col(vec_col).cast("array<double>").alias("v"))
-            .collect())
-    vecs = [list(r["v"]) for r in rows]
+    vecs = [v for _, v in _lowest_id_rows(df, ksub, id_col, vec_col)]
+    return _books_from_vecs(vecs, m)
+
+
+def _books_from_vecs(vecs: "list[list[float]]",
+                     m: int) -> list[list[list[float]]]:
+    """Slice sampled vectors into per-subspace codebooks (the
+    :func:`pq_codebooks` layout), shared with the fused fetch in
+    :func:`save_ivfpq_index`."""
     dim = len(vecs[0])
     if dim % m:
         raise ValueError(f"dim {dim} not divisible by m={m}")
@@ -1270,8 +1286,14 @@ def save_ivfpq_index(df: DataFrame, path: str, nlist: int = 16,
     (Hadoop-FS sidecars, cluster-portable paths) as save_ivf_index;
     reference index persistence parity HNSW.cpp:282-328."""
     from .. import fsio
-    cents = ivf_centroids(df, nlist, id_col, vec_col)
-    books = pq_codebooks(df, m, ksub, id_col, vec_col)
+    # ONE TakeOrdered corpus scan feeds both quantizers (r15): the
+    # nlist centroid sample is a prefix of the ksub codebook sample
+    # (both are the lowest-id rows), so the old back-to-back
+    # ivf_centroids + pq_codebooks calls paid a second full corpus scan
+    # for rows the first fetch already held.  Values bit-identical.
+    rows = _lowest_id_rows(df, max(nlist, ksub), id_col, vec_col)
+    cents = rows[:nlist]
+    books = _books_from_vecs([v for _, v in rows[:ksub]], m)
     if refine_iters:
         cents = lloyd_refine(df, cents, refine_iters, id_col, vec_col,
                              metric)
