@@ -26,6 +26,22 @@ from pyspark.sql import functions as F
 _CHECKPOINT_EVERY = 5
 
 
+def _parse_bytes_conf(val, default: int) -> int:
+    """Spark byte-conf strings: bare numbers are bytes; k/m/g/t suffixes
+    (optionally with a trailing 'b') scale accordingly."""
+    try:
+        s = str(val).strip().lower()
+        if s.endswith("b"):
+            s = s[:-1]
+        mult = 1
+        if s and s[-1] in "kmgt":
+            mult = 1024 ** (1 + "kmgt".index(s[-1]))
+            s = s[:-1]
+        return int(float(s)) * mult
+    except (TypeError, ValueError):
+        return default
+
+
 class _iterative_shuffle_scope:
     """Scoped shuffle-conf override for iterative loops.
 
@@ -47,11 +63,37 @@ class _iterative_shuffle_scope:
         "spark.sql.adaptive.coalescePartitions.parallelismFirst": "false",
     }
 
-    def __init__(self, df: DataFrame):
+    def __init__(self, df: DataFrame, approx_rows: "int | None" = None):
         self.spark = df.sparkSession
         self.targets = dict(self._CONFS)
         self.targets["spark.sql.shuffle.partitions"] = str(
             self.spark.sparkContext.defaultParallelism)
+        # AQE off for single-advisory-partition state (r15): AQE's value
+        # is runtime coalescing and skew-splitting of exchanges, but when
+        # the WHOLE iterative state fits inside one advisory partition
+        # there is nothing to coalesce or split — every superstep still
+        # pays AQE's per-exchange query-stage barrier + re-optimization
+        # (measured: the keep_best CC leg on a 256-edge pair graph drops
+        # 2.34 → 1.34 s with AQE off in-scope; labels parity-identical).
+        # The threshold derives from the session's advisory partition
+        # size (cluster conf), NOT a local constant: estimated bytes =
+        # caller-probed row count × 64 B, or Catalyst's optimized-plan
+        # stats when no count is known.  Unknown stats estimate huge →
+        # AQE stays ON (the conservative posture for real graphs, where
+        # hub vertices are the classic skew case).
+        advisory = _parse_bytes_conf(self.spark.conf.get(
+            "spark.sql.adaptive.advisoryPartitionSizeInBytes", "64m"),
+            64 * 1024 * 1024)
+        if approx_rows is not None:
+            est = approx_rows * 64
+        else:
+            try:
+                est = int(df._jdf.queryExecution().optimizedPlan()
+                          .stats().sizeInBytes())
+            except Exception:
+                est = 1 << 62
+        if est <= advisory:
+            self.targets["spark.sql.adaptive.enabled"] = "false"
 
     def __enter__(self):
         self.prev = {}
@@ -93,6 +135,21 @@ def _ckpt_probe(df: DataFrame, *aggs):
     second job right after the eager checkpoint wrote it."""
     from .ckpt import materialize_probed
     return materialize_probed(df, *aggs, coalesce=True)
+
+
+def _lazy_or_eager_ckpt(df: DataFrame) -> DataFrame:
+    """Lineage-truncating checkpoint whose materialization is SAFE to
+    defer to the next full-coverage job (r15): with local checkpoints
+    the caller's immediately-following probe/aggregate computes every
+    partition, so the lazy form saves one job per superstep; reliable-
+    checkpoint sessions stay eager (a lazy reliable checkpoint re-runs
+    its lineage when the files are written).  Callers must guarantee the
+    next action covers ALL partitions — see ckpt.materialize_probed's
+    take(1) warning."""
+    from .ckpt import materialize, reliable_enabled
+    if reliable_enabled(df.sparkSession):
+        return _ckpt(df)
+    return materialize(df, eager=False, coalesce=True)
 
 
 def normalize_edges(edges: DataFrame, weight_col: Optional[str] = None,
@@ -138,10 +195,12 @@ def shortest_path(edges: DataFrame, src, dst, weight_col: Optional[str] = None,
                     .agg(F.min(F.struct("cost", "path")).alias("cp"))
                     .select("id", F.col("cp.cost").alias("cost"),
                             F.col("cp.path").alias("path")))
-        # eager localCheckpoint every superstep: the frontier derivation and
-        # the next iteration both reuse the materialized state instead of
-        # recomputing the union/groupBy chain since the last checkpoint
-        new_best = _ckpt(new_best)
+        # LAZY localCheckpoint (r15): the frontier probe job below joins
+        # every partition of new_best, so it materializes this state as a
+        # by-product — one job per superstep where the eager checkpoint +
+        # probe pair cost two.  The next iteration reads the stored
+        # blocks, lineage truncated all the same.
+        new_best = _lazy_or_eager_ckpt(new_best)
         # re-expand on ANY (cost, path) improvement, not just strictly lower
         # cost: an equal-cost lexicographically-smaller path that arrives in
         # a later superstep must still propagate downstream, or descendants
@@ -306,12 +365,19 @@ def pagerank(edges: DataFrame, iterations: int = 10,
     return ranks
 
 
-def connected_components(edges: DataFrame, max_iter: int = 32) -> DataFrame:
+def connected_components(edges: DataFrame, max_iter: int = 32,
+                         edge_count_hint: "int | None" = None) -> DataFrame:
     """Undirected connected components via min-label propagation
     (distributed HashMin; the large-star/small-star variant is the scale
     path for power-law graphs).  Returns (id, component) with component =
-    min vertex id in the component."""
-    with _iterative_shuffle_scope(edges):
+    min vertex id in the component.
+
+    ``edge_count_hint``: a caller-measured edge count (e.g. the free row
+    count from a ``materialize_probed`` checkpoint of the edge list) lets
+    the shuffle scope size its AQE decision from real data instead of
+    Catalyst's estimate — checkpointed inputs otherwise report unknown
+    (huge) stats."""
+    with _iterative_shuffle_scope(edges, approx_rows=edge_count_hint):
         return _cc_impl(edges, max_iter)
 
 
@@ -1001,8 +1067,12 @@ def _weighted_closeness(edges: DataFrame, sources, max_iter: int,
         msgs = (frontier.join(e, frontier.v == e.src)
                 .select("s", F.col("dst").alias("v"),
                         (F.col("d") + F.col("w")).alias("d")))
-        new_best = _ckpt(best.unionByName(msgs).groupBy("s", "v")
-                         .agg(F.min("d").alias("d")))
+        # lazy checkpoint (r15): the frontier probe job joins every
+        # partition of new_best, materializing it as a by-product — one
+        # job per superstep instead of an eager-checkpoint + probe pair
+        new_best = _lazy_or_eager_ckpt(
+            best.unionByName(msgs).groupBy("s", "v")
+            .agg(F.min("d").alias("d")))
         # frontier checkpoint + emptiness probe in one job (r15)
         frontier, probe = _ckpt_probe(
             new_best.alias("n")
@@ -1165,8 +1235,12 @@ def _weighted_betweenness(edges: DataFrame, sources, max_iter: int,
         msgs = (frontier.join(e, frontier.v == e.src)
                 .select("s", F.col("dst").alias("v"),
                         (F.col("d") + F.col("w")).alias("d")))
-        new_best = _ckpt(best.unionByName(msgs).groupBy("s", "v")
-                         .agg(F.min("d").alias("d")))
+        # lazy checkpoint (r15): the frontier probe job joins every
+        # partition of new_best, materializing it as a by-product — one
+        # job per superstep instead of an eager-checkpoint + probe pair
+        new_best = _lazy_or_eager_ckpt(
+            best.unionByName(msgs).groupBy("s", "v")
+            .agg(F.min("d").alias("d")))
         # frontier checkpoint + emptiness probe in one job (r15)
         frontier, probe = _ckpt_probe(
             new_best.alias("n")

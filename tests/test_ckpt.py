@@ -106,3 +106,67 @@ def test_materialize_probed_reliable_stays_eager(spark, reliable):
                       recursive=True)
     assert files, f"no checkpoint partitions under {reliable}"
     assert out.count() == 50
+
+
+def test_lazy_parent_materializes_with_probe_job(spark):
+    """The r15 within-batch convergence shape: a LAZY local checkpoint of
+    a parent state is fully materialized by a child aggregate job (every
+    partition feeds the aggregate), so a follow-up digest of the parent
+    reads stored blocks and agrees with a from-scratch computation."""
+    from gqlite_spark.operators.ckpt import materialize, materialize_probed
+    agg = F.sum(F.xxhash64("id", "v").cast("decimal(38,0)"))
+    base = spark.range(200).withColumn("v", F.col("id") % 13)
+    penult = materialize(base, eager=False, coalesce=True)
+    child = penult.withColumn("v", F.col("v") + 1).groupBy("id") \
+                  .agg(F.min("v").alias("v"))
+    child, probe = materialize_probed(child, agg)
+    # parent digest from the (now materialized) lazy checkpoint
+    got = penult.agg(agg).collect()[0][0]
+    want = base.agg(agg).collect()[0][0]
+    assert got == want
+    # lineage of the parent is truncated after the covering job
+    plan = penult._jdf.queryExecution().optimizedPlan().toString()
+    assert "Range" not in plan
+    assert penult.count() == 200
+
+
+def test_min_propagate_within_batch_detection(spark):
+    """SCC/CC fixpoints detect convergence at +1-superstep granularity:
+    a depth-4 directed 5-cycle converges to the same labels as the
+    reference computation, and the loop's result is the unique min-label
+    fixpoint regardless of batching."""
+    from gqlite_spark.operators.graph_algos import (
+        strongly_connected_components, connected_components)
+    ring = spark.createDataFrame(
+        [(i, (i + 1) % 5) for i in range(5)], "src long, dst long")
+    scc = {r["id"]: r["component"]
+           for r in strongly_connected_components(ring).collect()}
+    assert scc == {i: 0 for i in range(5)}
+    cc = {r["id"]: r["component"]
+          for r in connected_components(ring).collect()}
+    assert cc == {i: 0 for i in range(5)}
+
+
+def test_iterative_scope_aqe_gate_restores_conf(spark):
+    """The size-aware AQE gate disables AQE only inside the scope and
+    only for single-advisory-partition state; the session conf is
+    restored on exit either way."""
+    from gqlite_spark.operators.graph_algos import _iterative_shuffle_scope
+    tiny = spark.createDataFrame([(1, 2)], "src long, dst long")
+    before = spark.conf.get("spark.sql.adaptive.enabled")
+    with _iterative_shuffle_scope(tiny, approx_rows=1):
+        assert spark.conf.get("spark.sql.adaptive.enabled") == "false"
+    assert spark.conf.get("spark.sql.adaptive.enabled") == before
+    # a huge claimed state keeps AQE on
+    with _iterative_shuffle_scope(tiny, approx_rows=10**12):
+        assert spark.conf.get("spark.sql.adaptive.enabled") == before
+    assert spark.conf.get("spark.sql.adaptive.enabled") == before
+
+
+def test_parse_bytes_conf_forms():
+    from gqlite_spark.operators.graph_algos import _parse_bytes_conf
+    assert _parse_bytes_conf("67108864", 0) == 64 * 1024 * 1024
+    assert _parse_bytes_conf("64m", 0) == 64 * 1024 * 1024
+    assert _parse_bytes_conf("64MB", 0) == 64 * 1024 * 1024
+    assert _parse_bytes_conf("1g", 0) == 1024 ** 3
+    assert _parse_bytes_conf("bogus", 7) == 7
