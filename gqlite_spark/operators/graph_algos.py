@@ -68,32 +68,31 @@ class _iterative_shuffle_scope:
         self.targets = dict(self._CONFS)
         self.targets["spark.sql.shuffle.partitions"] = str(
             self.spark.sparkContext.defaultParallelism)
-        # AQE off for single-advisory-partition state (r15): AQE's value
-        # is runtime coalescing and skew-splitting of exchanges, but when
-        # the WHOLE iterative state fits inside one advisory partition
-        # there is nothing to coalesce or split — every superstep still
-        # pays AQE's per-exchange query-stage barrier + re-optimization
-        # (measured: the keep_best CC leg on a 256-edge pair graph drops
-        # 2.34 → 1.34 s with AQE off in-scope; labels parity-identical).
-        # The threshold derives from the session's advisory partition
-        # size (cluster conf), NOT a local constant: estimated bytes =
-        # caller-probed row count × 64 B, or Catalyst's optimized-plan
-        # stats when no count is known.  Unknown stats estimate huge →
-        # AQE stays ON (the conservative posture for real graphs, where
-        # hub vertices are the classic skew case).
-        advisory = _parse_bytes_conf(self.spark.conf.get(
-            "spark.sql.adaptive.advisoryPartitionSizeInBytes", "64m"),
-            64 * 1024 * 1024)
+        # AQE off for MEASURED single-advisory-partition state (r15):
+        # AQE's value is runtime coalescing and skew-splitting of
+        # exchanges, but when the whole iterative state fits inside one
+        # advisory partition there is nothing to coalesce or split —
+        # every superstep still pays AQE's per-exchange query-stage
+        # barrier + re-optimization (measured: the keep_best CC leg on
+        # its 256-edge checkpointed pair graph drops 2.34 → 1.34 s warm
+        # with AQE off in-scope, labels parity-identical; reproducible
+        # across sessions).  The gate fires ONLY on an explicit caller-
+        # probed row count (e.g. near_dup_clusters' free count from its
+        # pair-list materialization): a Catalyst-plan-stats auto-gate
+        # was probed and REJECTED — join-derived estimates mislabel real
+        # workloads in both directions, and an A/B over the eight scoped
+        # graph entries showed AQE ON faster on every plan-derived input
+        # (static plans lose the runtime broadcast conversion in the
+        # frontier joins).  Threshold = the session's advisory partition
+        # size (cluster conf) at a conservative 64 B/row — cluster-
+        # derived, not a local constant; no hint → AQE stays ON (hub
+        # skew is the classic graph case).
         if approx_rows is not None:
-            est = approx_rows * 64
-        else:
-            try:
-                est = int(df._jdf.queryExecution().optimizedPlan()
-                          .stats().sizeInBytes())
-            except Exception:
-                est = 1 << 62
-        if est <= advisory:
-            self.targets["spark.sql.adaptive.enabled"] = "false"
+            advisory = _parse_bytes_conf(self.spark.conf.get(
+                "spark.sql.adaptive.advisoryPartitionSizeInBytes", "64m"),
+                64 * 1024 * 1024)
+            if approx_rows * 64 <= advisory:
+                self.targets["spark.sql.adaptive.enabled"] = "false"
 
     def __enter__(self):
         self.prev = {}
