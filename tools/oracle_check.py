@@ -140,9 +140,28 @@ def main():
     print(f"\n{'ALL OK' if failures == 0 else f'{failures} FAILURES'}")
     if json_out:
         import json
+        import subprocess
+        import time as _time
+        # provenance: the sweep is re-run each round on the CLOSING tree,
+        # and the results alone can be byte-identical across rounds —
+        # record which commit actually produced this file (r15: the r14
+        # VERDICT flagged that the committed sweeps predated the
+        # optimization commits and the identical-output rerun was
+        # indistinguishable in git history)
+        try:
+            tree = subprocess.run(
+                ["git", "rev-parse", "HEAD"], capture_output=True,
+                text=True, cwd=os.path.dirname(os.path.dirname(
+                    os.path.abspath(__file__)))).stdout.strip()
+        except Exception:
+            tree = None
         with open(json_out, "w") as f:
             json.dump({"sf_dir": sf_dir, "n_queries": len(report),
-                       "n_failures": failures, "results": report}, f,
+                       "n_failures": failures,
+                       "tree": tree,
+                       "generated_utc": _time.strftime(
+                           "%Y-%m-%dT%H:%M:%SZ", _time.gmtime()),
+                       "results": report}, f,
                       indent=1)
         print(f"wrote {json_out} ({len(report)} queries)")
     return failures
